@@ -1,0 +1,238 @@
+"""Offset accounting: interval merge, seen filters, per-record offsets
+(SURVEY O4/O5/O12/O16/O17/O18).
+
+Reference semantics:
+- O16 (accounting/OffsetIntervals.kt:46-199): per (topic, partition) keep a
+  sorted disjoint set of [from, to] offset intervals; adding a range merges
+  adjacent/overlapping intervals; ``lastProcessed`` (source-file mtime) is
+  max-merged so re-uploaded files reprocess.
+- O4 (worker/RadarKafkaRestructure.kt:118-122): skip source files whose full
+  offset range is already contained in the committed set.
+- O5 (worker/RestructureWorker.kt:126-140): skip individual records whose
+  (topicPartition, offset, mtime) is committed.
+- O12 (worker/RestructureWorker.kt:116-131): offset = file.offset_from +
+  record index within the file.
+- O17/O18: state persisted only after data is durably written
+  (commit-after-store, worker/FileCache.kt:128-158).
+
+Spark-first: the interval set is a DataFrame ``(topic, partition,
+offset_from, offset_to, last_processed)``; merge is the classic
+gaps-and-islands window aggregation (one shuffle on (topic, partition));
+seen filters are range anti-joins that Catalyst broadcasts when the state
+side is small (it always is: intervals per partition stay tiny because
+merging collapses contiguous ranges).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+STATE_SCHEMA = "topic string, partition int, offset_from long, offset_to long, last_processed timestamp"
+
+
+def merge_offset_intervals(ranges: DataFrame) -> DataFrame:
+    """O16 gaps-and-islands: merge overlapping/ADJACENT [from, to] intervals
+    per (topic, partition); ``last_processed`` = max over merged members.
+
+    Adjacency means ``next.from <= prev.to + 1`` (OffsetIntervals.kt:84-101:
+    stream offsets are integers, so [0,2]+[3,4] merges).
+
+    Input/output schema: (topic, partition, offset_from, offset_to[, last_processed]).
+    """
+    has_mtime = "last_processed" in ranges.columns
+    w = Window.partitionBy("topic", "partition").orderBy("offset_from", "offset_to")
+    # Island boundary: current interval starts after (running max of `to`) + 1.
+    running_max_to = F.max("offset_to").over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    flagged = ranges.withColumn(
+        "__new_island",
+        F.when(
+            running_max_to.isNull() | (F.col("offset_from") > running_max_to + 1), 1
+        ).otherwise(0),
+    ).withColumn("__island", F.sum("__new_island").over(w))
+    aggs = [
+        F.min("offset_from").alias("offset_from"),
+        F.max("offset_to").alias("offset_to"),
+    ]
+    if has_mtime:
+        aggs.append(F.max("last_processed").alias("last_processed"))
+    return (
+        flagged.groupBy("topic", "partition", "__island")
+        .agg(*aggs)
+        .drop("__island")
+    )
+
+
+def filter_unseen_files(manifest: DataFrame, state: DataFrame) -> DataFrame:
+    """O4: drop manifest files whose [offset_from, offset_to] is fully
+    contained in a committed interval with last_processed >= file mtime.
+
+    ``manifest``: (topic, partition, offset_from, offset_to, mtime, ...).
+    Range-containment anti-join; Catalyst broadcasts the (small) state side.
+    """
+    st = state.select(
+        F.col("topic").alias("s_topic"),
+        F.col("partition").alias("s_partition"),
+        F.col("offset_from").alias("s_from"),
+        F.col("offset_to").alias("s_to"),
+        *([F.col("last_processed").alias("s_mtime")] if "last_processed" in state.columns else []),
+    )
+    cond = (
+        (manifest.topic == st.s_topic)
+        & (manifest.partition == st.s_partition)
+        & (manifest.offset_from >= st.s_from)
+        & (manifest.offset_to <= st.s_to)
+    )
+    if "last_processed" in state.columns and "mtime" in manifest.columns:
+        cond = cond & (manifest.mtime <= st.s_mtime)
+    return manifest.join(st, cond, "left_anti")
+
+
+def filter_unseen_records(records: DataFrame, state: DataFrame) -> DataFrame:
+    """O5: per-record exactly-once filter — drop records whose
+    (topic, partition, offset) lies inside a committed interval (and whose
+    mtime is not newer than the interval's last_processed).
+
+    ``records`` needs (topic, partition, offset[, mtime]) columns.
+    """
+    st = state.select(
+        F.col("topic").alias("s_topic"),
+        F.col("partition").alias("s_partition"),
+        F.col("offset_from").alias("s_from"),
+        F.col("offset_to").alias("s_to"),
+        *([F.col("last_processed").alias("s_mtime")] if "last_processed" in state.columns else []),
+    )
+    cond = (
+        (records.topic == st.s_topic)
+        & (records.partition == st.s_partition)
+        & (records.offset >= st.s_from)
+        & (records.offset <= st.s_to)
+    )
+    if "last_processed" in state.columns and "mtime" in records.columns:
+        cond = cond & (records.mtime <= st.s_mtime)
+    return records.join(st, cond, "left_anti")
+
+
+def assign_record_offsets(
+    records: DataFrame,
+    file_col: str = "filename",
+    from_col: str = "offset_from",
+    order_col: str = "__record_index",
+) -> DataFrame:
+    """O12: offset = offset_from + (0-based record index within the file).
+
+    File order in the reference is Avro container order; here the caller
+    supplies a deterministic ``order_col`` (e.g. monotonically increasing id
+    captured at read, or a natural record key).
+    """
+    w = Window.partitionBy(file_col).orderBy(order_col)
+    return records.withColumn(
+        "offset", F.col(from_col) + F.row_number().over(w) - 1
+    )
+
+
+def commit_offsets(
+    spark: SparkSession,
+    state_dir: str,
+    new_ranges: DataFrame,
+) -> DataFrame:
+    """O17/O18: merge new ranges into persisted state and overwrite
+    atomically (write-temp-then-rename, mirroring the reference's
+    LocalTargetStorage.kt:60-72 atomic move).  MUST be called only after
+    the data write action has succeeded (commit-after-store ordering).
+    """
+    state_path = os.path.join(state_dir, "offsets.parquet")
+    tmp_path = os.path.join(state_dir, "_offsets.parquet.tmp")
+    existing = read_offsets(spark, state_dir)
+    merged = merge_offset_intervals(existing.unionByName(new_ranges, allowMissingColumns=True))
+    merged.write.mode("overwrite").parquet(tmp_path)
+    reloaded = spark.read.parquet(tmp_path).cache()
+    reloaded.count()
+    reloaded.write.mode("overwrite").parquet(state_path)
+    reloaded.unpersist()
+    return read_offsets(spark, state_dir)
+
+
+def read_offsets(spark: SparkSession, state_dir: str) -> DataFrame:
+    """Load the committed interval state (empty DataFrame if none yet)."""
+    state_path = os.path.join(state_dir, "offsets.parquet")
+    if os.path.exists(state_path):
+        return spark.read.parquet(state_path)
+    return spark.createDataFrame([], STATE_SCHEMA)
+
+
+def remove_offsets(state: DataFrame, to_remove: DataFrame) -> DataFrame:
+    """O16 ``remove`` / cleaner rollback (Accountant.kt:62-65): subtract
+    [from, to] ranges from the state, splitting intervals where needed.
+
+    Boundary-sweep implementation (correct for any number of removals
+    hitting one interval): emit +1/-1 deltas at interval boundaries for
+    both state and removal sets, running-sum them along the offset axis,
+    keep segments covered by state and not by any removal, then island-merge
+    adjacent kept segments.  One shuffle on (topic, partition).
+
+    ``last_processed`` of a surviving slice is inherited from the state
+    interval containing it (a remove never advances mtimes).
+    """
+    has_mtime = "last_processed" in state.columns
+    st_events = state.select(
+        "topic",
+        "partition",
+        F.explode(
+            F.array(
+                F.struct(F.col("offset_from").alias("pos"), F.lit(1).alias("d_state"), F.lit(0).alias("d_rm")),
+                F.struct((F.col("offset_to") + 1).alias("pos"), F.lit(-1).alias("d_state"), F.lit(0).alias("d_rm")),
+            )
+        ).alias("e"),
+    ).select("topic", "partition", "e.pos", "e.d_state", "e.d_rm")
+    rm_events = to_remove.select(
+        "topic",
+        "partition",
+        F.explode(
+            F.array(
+                F.struct(F.col("offset_from").alias("pos"), F.lit(0).alias("d_state"), F.lit(1).alias("d_rm")),
+                F.struct((F.col("offset_to") + 1).alias("pos"), F.lit(0).alias("d_state"), F.lit(-1).alias("d_rm")),
+            )
+        ).alias("e"),
+    ).select("topic", "partition", "e.pos", "e.d_state", "e.d_rm")
+    events = st_events.unionByName(rm_events)
+    w = Window.partitionBy("topic", "partition").orderBy("pos")
+    segs = (
+        events.groupBy("topic", "partition", "pos")
+        .agg(F.sum("d_state").alias("d_state"), F.sum("d_rm").alias("d_rm"))
+        .withColumn("cov_state", F.sum("d_state").over(w))
+        .withColumn("cov_rm", F.sum("d_rm").over(w))
+        .withColumn("next_pos", F.lead("pos").over(w))
+        .filter((F.col("cov_state") > 0) & (F.col("cov_rm") == 0) & F.col("next_pos").isNotNull())
+        .select(
+            "topic",
+            "partition",
+            F.col("pos").alias("offset_from"),
+            (F.col("next_pos") - 1).alias("offset_to"),
+        )
+    )
+    kept = merge_offset_intervals(segs)
+    if not has_mtime:
+        return kept
+    src = state.select(
+        F.col("topic").alias("s_topic"),
+        F.col("partition").alias("s_partition"),
+        F.col("offset_from").alias("s_from"),
+        F.col("offset_to").alias("s_to"),
+        "last_processed",
+    )
+    return (
+        kept.join(
+            src,
+            (kept.topic == src.s_topic)
+            & (kept.partition == src.s_partition)
+            & (kept.offset_from >= src.s_from)
+            & (kept.offset_to <= src.s_to),
+            "left",
+        )
+        .select("topic", "partition", "offset_from", "offset_to", "last_processed")
+    )

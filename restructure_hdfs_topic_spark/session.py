@@ -1,0 +1,60 @@
+"""SparkSession construction with scale-aware defaults.
+
+The reference parallelizes only across topics (one thread per topic,
+worker/RadarKafkaRestructure.kt:80-90) — its biggest scalability ceiling.
+Here Spark parallelizes *within* a topic by file/partition splits, so the
+session is configured for that: AQE (runtime re-planning, skew-join
+handling, partition coalescing), a shuffle-partition count sized for the
+local harness but overridable for cluster runs, and UTC session time so
+time-bin derivation (util/TimeUtil.kt) is deterministic.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_SHUFFLE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", "32"))
+
+
+def get_spark(
+    app_name: str = "restructure_hdfs_topic_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) a SparkSession tuned for this engine.
+
+    At 100 TB the same plan runs unchanged on a real cluster: AQE coalesces
+    post-shuffle partitions and splits skewed ones, so ``shuffle_partitions``
+    only needs to be an upper bound; broadcast threshold stays default so
+    Catalyst broadcasts small dimension sides automatically.
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master or f"local[{cpus}]")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config(
+            "spark.sql.shuffle.partitions",
+            str(shuffle_partitions or DEFAULT_SHUFFLE_PARTITIONS),
+        )
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # Arrow for the (few) pandas-UDF paths: multimodal decode, ANN rerank.
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # Parquet pushdown is on by default; make the intent explicit.
+        .config("spark.sql.parquet.filterPushdown", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str):
+    """Load one driver-generated parquet table (TESTDATA.md)."""
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
