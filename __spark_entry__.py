@@ -3,7 +3,17 @@
 Each ``queries()[name]`` is an operator from SURVEY.md §2 (or a north-star
 extension) re-expressed Spark-first; ``oracle_sql()[name]`` is the
 equivalent ANSI SQL for DuckDB over the same parquet views.  Column names
-are aliased identically on both sides (driver hashes sort columns by name).
+are aliased identically on both sides (the driver's compare sorts columns
+by name before hashing values).
+
+Operator ↔ query map (SURVEY §2 citations in each function docstring):
+  O3  filename_parse          O4  seen_file_filter     O5  seen_record_filter
+  O9  event_time_extraction   O10 time_binning         O11 sanitize_ids
+  O12 offset_assign           O14 dedup_keep_last / dedup_distinct_fields
+  O15 dedup_exact             O16 offset_interval_merge / offset_interval_remove
+  O20/O21 cleaner_verify      —   restructure_flagship (O9+O10+O11 fused)
+Relational showcase (free from Catalyst, exercised for scale):
+  pricing_summary, revenue_by_nation, top_customers
 """
 
 from __future__ import annotations
@@ -20,23 +30,30 @@ from restructure_hdfs_topic_spark.functions.paths import (
     render_path,
     sanitize_id,
 )
-from restructure_hdfs_topic_spark.operators.dedup import keep_last_dedup
-from restructure_hdfs_topic_spark.sources.tables import configure as _utc
+from restructure_hdfs_topic_spark.operators.dedup import exact_dedup, keep_last_dedup
+from restructure_hdfs_topic_spark.operators.offsets import (
+    filter_unseen_files,
+    filter_unseen_records,
+    merge_offset_intervals,
+    remove_offsets,
+)
+from restructure_hdfs_topic_spark.sources.tables import configure as _conf
 from restructure_hdfs_topic_spark.sources.tables import load_table as _t
 
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the restructure pipeline's record organization (O9-O11)
     over sf0.001 events — the reference's core per-record derivation."""
-    _utc(spark)
     return q_restructure_flagship(spark, "/root/testdata/sf0.001")
 
 
-# --- queries --------------------------------------------------------------
+# --- core restructure operators -------------------------------------------
 
 
 def q_restructure_flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
-    _utc(spark)
+    """O9+O10+O11 fused (worker/RestructureWorker.kt:126-140 per-record
+    organization): sanitize ids, derive hour bin, constant topic."""
+    _conf(spark)
     events = _t(spark, sf_dir, "events")
     return events.select(
         F.col("event_id"),
@@ -47,10 +64,344 @@ def q_restructure_flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_event_time_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O9 (util/TimeUtil.kt:21-50): first-match coalesce over
+    value.time → key.start(ms) → value.dateTime(ISO), here synthesized from
+    ``events.ts`` with rotating nulls.  Output epoch micros (integer) so the
+    comparison is precision-exact."""
+    _conf(spark)
+    ev = _t(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts"))
+    time_us = F.when(F.col("event_id") % 3 != 0, us)
+    start_ms = F.when(F.col("event_id") % 3 != 1, (us / 1000).cast("long") - 3_600_000)
+    iso = F.date_format(F.col("ts"), "yyyy-MM-dd HH:mm:ss")
+    return ev.select(
+        "event_id",
+        F.coalesce(
+            time_us,
+            (start_ms + 3_600_000) * 1000,
+            F.unix_micros(F.to_timestamp(iso, "yyyy-MM-dd HH:mm:ss")),
+        ).alias("event_time_us"),
+    )
+
+
+def q_time_binning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O10 (path/RecordPathFactory.kt:103-124): UTC hour bin with
+    null → 'unknown_date'; per-bin record counts."""
+    _conf(spark)
+    ev = _t(spark, sf_dir, "events")
+    ts = F.when(F.col("event_id") % 97 != 0, F.col("ts"))
+    return (
+        ev.select(time_bin(ts).alias("bin"))
+        .groupBy("bin")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+def q_sanitize_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O11 (path/RecordPathFactory.kt:120-129 + FormattedPathFactory.kt:31-111):
+    strip [^a-zA-Z0-9_-], defaults for empty, render the default template."""
+    _conf(spark)
+    docs = _t(spark, sf_dir, "documents")
+    raw_user = F.concat(F.col("source"), F.lit("@"), F.col("lang"), F.lit("/x"))
+    user = sanitize_id(raw_user, "unknown-user")
+    project = sanitize_id(F.when(F.col("doc_id") % 5 == 0, F.lit("p!")).otherwise(F.lit("")), "unknown-project")
+    return docs.select(
+        "doc_id",
+        user.alias("userId"),
+        project.alias("projectId"),
+        render_path(project, user, F.lit("documents"), F.lit("20240101_0000.csv")).alias("path"),
+    )
+
+
+def q_filename_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O3 (accounting/TopicPartitionOffsetRange.kt:50-61): parse
+    ``topic+partition+from[+to].avro``; single-offset names → to = from."""
+    _conf(spark)
+    ev = _t(spark, sf_dir, "events")
+    fname = F.concat(
+        F.lit("in/"),
+        F.col("event_type"),
+        F.lit("+"),
+        (F.col("user_id") % 4).cast("string"),
+        F.lit("+"),
+        (F.col("event_id") * 10).cast("string"),
+        F.when(F.col("event_id") % 2 == 0, F.concat(F.lit("+"), (F.col("event_id") * 10 + 9).cast("string"))).otherwise(F.lit("")),
+        F.lit(".avro"),
+    )
+    return ev.select("event_id", fname.alias("filename")).select(
+        "event_id", "filename", *parse_source_filename(F.col("filename"))
+    )
+
+
+def q_offset_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O12 (worker/RestructureWorker.kt:116-131): offset = file.offset_from
+    + 0-based record index in file order (here: ts, event_id tiebreak)."""
+    _conf(spark)
+    ev = _t(spark, sf_dir, "events")
+    files = ev.withColumn("file_id", F.expr("event_id div 500")).withColumn(
+        "offset_from", F.col("file_id") * 1000
+    )
+    w = Window.partitionBy("file_id").orderBy("ts", "event_id")
+    return files.select(
+        "event_id",
+        "file_id",
+        (F.col("offset_from") + F.row_number().over(w) - 1).alias("offset"),
+    )
+
+
+def q_dedup_keep_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O14 (format/CsvAvroConverterFactory.kt:22-56): keep the LAST
+    occurrence per (user_id, event_type), order = event_id."""
+    _conf(spark)
+    ev = _t(spark, sf_dir, "events").select("event_id", "user_id", "event_type", "value")
+    return keep_last_dedup(ev, ["user_id", "event_type"], "event_id")
+
+
+def q_dedup_distinct_fields(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O14 distinctFields/ignoreFields variant
+    (config/RestructureConfig.kt:248-265): key = all columns minus ignored
+    (value), keep-last by event_id."""
+    _conf(spark)
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", F.round("value", 0).alias("value_r")
+    )
+    return keep_last_dedup(ev, [], "event_id", ignore_cols=["value_r"]).select(
+        "event_id", "user_id", "event_type", "value_r"
+    )
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O15 (format/RecordConverterFactory.kt:62-84): exact distinct."""
+    _conf(spark)
+    ev = _t(spark, sf_dir, "events")
+    return exact_dedup(ev.select("user_id", "event_type"))
+
+
+def q_offset_interval_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O16 (accounting/OffsetIntervals.kt:46-199): merge overlapping/adjacent
+    offset ranges per (topic, partition); last_processed = max mtime."""
+    _conf(spark)
+    ev = _t(spark, sf_dir, "events")
+    ranges = ev.select(
+        F.col("event_type").alias("topic"),
+        (F.col("user_id") % 4).alias("partition"),
+        F.col("event_id").alias("offset_from"),
+        (F.col("event_id") + 37).alias("offset_to"),
+        F.col("ts").alias("last_processed"),
+    )
+    return merge_offset_intervals(ranges).withColumnRenamed("partition", "part_id")
+
+
+def q_offset_interval_remove(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O16 remove / cleaner rollback (OffsetIntervals.kt:120-199,
+    Accountant.kt:62-65): subtract ranges, splitting intervals."""
+    _conf(spark)
+    ev = _t(spark, sf_dir, "events")
+    state = merge_offset_intervals(
+        ev.select(
+            F.col("event_type").alias("topic"),
+            (F.col("user_id") % 4).alias("partition"),
+            F.col("event_id").alias("offset_from"),
+            (F.col("event_id") + 37).alias("offset_to"),
+        )
+    )
+    removals = ev.filter(F.col("event_id") % 11 == 0).select(
+        F.col("event_type").alias("topic"),
+        (F.col("user_id") % 4).alias("partition"),
+        (F.col("event_id") + 5).alias("offset_from"),
+        (F.col("event_id") + 9).alias("offset_to"),
+    )
+    return remove_offsets(state, removals).withColumnRenamed("partition", "part_id")
+
+
+def q_seen_file_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O4 (worker/RadarKafkaRestructure.kt:118-122): drop source files whose
+    offset range is contained in the committed set (range anti-join)."""
+    _conf(spark)
+    ev = _t(spark, sf_dir, "events")
+    manifest = (
+        ev.withColumn("block", F.expr("event_id div 100"))
+        .groupBy(F.col("event_type").alias("topic"), (F.col("user_id") % 4).alias("partition"), "block")
+        .agg(F.min("event_id").alias("offset_from"), F.max("event_id").alias("offset_to"))
+    )
+    state = (
+        ev.withColumn("block", F.expr("event_id div 100"))
+        .filter(F.col("block") % 2 == 0)
+        .groupBy(F.col("event_type").alias("topic"), (F.col("user_id") % 4).alias("partition"), "block")
+        .agg(F.min("event_id").alias("offset_from"), F.max("event_id").alias("offset_to"))
+        .drop("block")
+    )
+    return filter_unseen_files(manifest, state).withColumnRenamed("partition", "part_id")
+
+
+def q_seen_record_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O5 (worker/RestructureWorker.kt:126-140 + OffsetIntervals.kt:33-44):
+    exactly-once record filter with the mtime dimension — records in a
+    committed interval still reprocess when their mtime is newer."""
+    _conf(spark)
+    ev = _t(spark, sf_dir, "events")
+    records = ev.select(
+        "event_id",
+        F.col("event_type").alias("topic"),
+        (F.col("user_id") % 4).alias("partition"),
+        F.col("event_id").alias("offset"),
+        F.col("ts").alias("mtime"),
+    )
+    state = (
+        ev.withColumn("block", F.expr("event_id div 100"))
+        .filter(F.col("block") % 2 == 0)
+        .groupBy(F.col("event_type").alias("topic"), (F.col("user_id") % 4).alias("partition"), "block")
+        .agg(
+            F.min("event_id").alias("offset_from"),
+            F.max("event_id").alias("offset_to"),
+            F.to_timestamp(F.lit("2024-01-15 00:00:00")).alias("last_processed"),
+        )
+        .drop("block")
+    )
+    return filter_unseen_records(records, state).select(
+        "event_id", "topic", F.col("partition").alias("part_id"), "offset"
+    )
+
+
+def q_cleaner_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O20/O21 (cleaner/TimestampExtractionCheck.kt:22-78): a source file may
+    be deleted iff EVERY record is present in the target output — membership
+    semi-join + per-file ALL aggregate."""
+    _conf(spark)
+    ev = _t(spark, sf_dir, "events")
+    source = ev.withColumn("block", F.expr("event_id div 100"))
+    target = ev.filter(F.col("value") > 5.0).select(
+        F.col("user_id").alias("t_user"), F.col("ts").alias("t_ts")
+    )
+    joined = source.join(
+        target,
+        (source.user_id == target.t_user) & (source.ts == target.t_ts),
+        "left",
+    )
+    return (
+        joined.groupBy(F.col("event_type").alias("topic"), "block")
+        .agg(
+            F.count("*").alias("n_records"),
+            F.sum(F.when(F.col("t_user").isNotNull(), 1).otherwise(0)).alias("n_extracted"),
+        )
+        .withColumn("deletable", F.col("n_records") == F.col("n_extracted"))
+    )
+
+
+# --- relational showcase (Catalyst-free capabilities, scale-exercised) ----
+
+
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-style pricing summary; decimal casts keep both engines
+    bit-identical.  Map-side partial aggregation; one shuffle on the tiny
+    (flag, status) key."""
+    _conf(spark)
+    li = _t(spark, sf_dir, "lineitem")
+    qty = F.col("l_quantity").cast("decimal(12,2)")
+    price = F.col("l_extendedprice").cast("decimal(14,2)")
+    disc = F.col("l_discount").cast("decimal(6,4)")
+    tax = F.col("l_tax").cast("decimal(6,4)")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(qty).alias("sum_qty"),
+            F.sum(price).alias("sum_base_price"),
+            F.sum(price * (F.lit(1).cast("decimal(6,4)") - disc)).alias("sum_disc_price"),
+            F.sum(price * (F.lit(1).cast("decimal(6,4)") - disc) * (F.lit(1).cast("decimal(6,4)") + tax)).alias("sum_charge"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+def q_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-way join (customer ⋈ orders ⋈ lineitem ⋈ nation ⋈ region) +
+    aggregate; Catalyst broadcasts the small dims automatically."""
+    _conf(spark)
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    price = F.col("l_extendedprice").cast("decimal(14,2)")
+    disc = F.col("l_discount").cast("decimal(6,4)")
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.sum(price * (F.lit(1).cast("decimal(6,4)") - disc)).alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+def q_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k with deterministic tie-break (rank by decimal revenue, then key)."""
+    _conf(spark)
+    orders = _t(spark, sf_dir, "orders")
+    rev = orders.groupBy("o_custkey").agg(
+        F.sum(F.col("o_totalprice").cast("decimal(14,2)")).alias("revenue"),
+        F.count("*").alias("n_orders"),
+    )
+    w = Window.orderBy(F.col("revenue").desc(), F.col("o_custkey"))
+    return (
+        rev.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 10)
+        .select("rank", "o_custkey", "revenue", "n_orders")
+    )
+
+
+# --- registry ---------------------------------------------------------------
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "restructure_flagship": q_restructure_flagship,
+        "event_time_extraction": q_event_time_extraction,
+        "time_binning": q_time_binning,
+        "sanitize_ids": q_sanitize_ids,
+        "filename_parse": q_filename_parse,
+        "offset_assign": q_offset_assign,
+        "dedup_keep_last": q_dedup_keep_last,
+        "dedup_distinct_fields": q_dedup_distinct_fields,
+        "dedup_exact": q_dedup_exact,
+        "offset_interval_merge": q_offset_interval_merge,
+        "offset_interval_remove": q_offset_interval_remove,
+        "seen_file_filter": q_seen_file_filter,
+        "seen_record_filter": q_seen_record_filter,
+        "cleaner_verify": q_cleaner_verify,
+        "pricing_summary": q_pricing_summary,
+        "revenue_by_nation": q_revenue_by_nation,
+        "top_customers": q_top_customers,
     }
+
+
+_ISLANDS_SQL = """
+    WITH r AS (
+        SELECT event_type AS topic, user_id % 4 AS part_id,
+               event_id AS offset_from, event_id + 37 AS offset_to, ts
+        FROM events
+    ), f AS (
+        SELECT *, CASE WHEN offset_from > COALESCE(MAX(offset_to) OVER (
+                 PARTITION BY topic, part_id ORDER BY offset_from, offset_to
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) + 1,
+                 offset_from - 1)
+             THEN 1 ELSE 0 END AS new_island
+        FROM r
+    ), g AS (
+        SELECT *, SUM(new_island) OVER (
+            PARTITION BY topic, part_id ORDER BY offset_from, offset_to
+            ROWS UNBOUNDED PRECEDING) AS island
+        FROM f
+    )
+    SELECT topic, part_id, MIN(offset_from) AS offset_from,
+           MAX(offset_to) AS offset_to, MAX(ts) AS last_processed
+    FROM g GROUP BY topic, part_id, island
+"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -62,5 +413,177 @@ def oracle_sql() -> dict[str, str]:
                    'events' AS topic,
                    COALESCE(strftime(ts, '%Y%m%d_%H00'), 'unknown_date') AS bin
             FROM events
+        """,
+        "event_time_extraction": """
+            SELECT event_id,
+                   COALESCE(
+                       CASE WHEN event_id % 3 != 0 THEN epoch_us(ts) END,
+                       CASE WHEN event_id % 3 != 1 THEN ((epoch_us(ts) // 1000 - 3600000) + 3600000) * 1000 END,
+                       epoch_us(strptime(strftime(ts, '%Y-%m-%d %H:%M:%S'), '%Y-%m-%d %H:%M:%S'))
+                   ) AS event_time_us
+            FROM events
+        """,
+        "time_binning": """
+            SELECT COALESCE(strftime(CASE WHEN event_id % 97 != 0 THEN ts END, '%Y%m%d_%H00'), 'unknown_date') AS bin,
+                   COUNT(*) AS n
+            FROM events GROUP BY 1
+        """,
+        "sanitize_ids": """
+            WITH s AS (
+                SELECT doc_id,
+                       regexp_replace(source || '@' || lang || '/x', '[^a-zA-Z0-9_-]+', '', 'g') AS u_raw,
+                       regexp_replace(CASE WHEN doc_id % 5 = 0 THEN 'p!' ELSE '' END, '[^a-zA-Z0-9_-]+', '', 'g') AS p_raw
+                FROM documents
+            )
+            SELECT doc_id,
+                   COALESCE(NULLIF(u_raw, ''), 'unknown-user') AS userId,
+                   COALESCE(NULLIF(p_raw, ''), 'unknown-project') AS projectId,
+                   COALESCE(NULLIF(p_raw, ''), 'unknown-project') || '/' || COALESCE(NULLIF(u_raw, ''), 'unknown-user') || '/documents/20240101_0000.csv' AS path
+            FROM s
+        """,
+        "filename_parse": """
+            WITH f AS (
+                SELECT event_id,
+                       'in/' || event_type || '+' || CAST(user_id % 4 AS VARCHAR) || '+' || CAST(event_id * 10 AS VARCHAR) ||
+                       CASE WHEN event_id % 2 = 0 THEN '+' || CAST(event_id * 10 + 9 AS VARCHAR) ELSE '' END || '.avro' AS filename
+                FROM events
+            )
+            SELECT event_id, filename,
+                   regexp_extract(filename, '^(?:.*/)?([^/]+?)\\+(\\d+)\\+(\\d+)(?:\\+(\\d+))?\\.avro$', 1) AS topic,
+                   CAST(regexp_extract(filename, '^(?:.*/)?([^/]+?)\\+(\\d+)\\+(\\d+)(?:\\+(\\d+))?\\.avro$', 2) AS INT) AS partition,
+                   CAST(regexp_extract(filename, '^(?:.*/)?([^/]+?)\\+(\\d+)\\+(\\d+)(?:\\+(\\d+))?\\.avro$', 3) AS BIGINT) AS offset_from,
+                   COALESCE(CAST(NULLIF(regexp_extract(filename, '^(?:.*/)?([^/]+?)\\+(\\d+)\\+(\\d+)(?:\\+(\\d+))?\\.avro$', 4), '') AS BIGINT),
+                            CAST(regexp_extract(filename, '^(?:.*/)?([^/]+?)\\+(\\d+)\\+(\\d+)(?:\\+(\\d+))?\\.avro$', 3) AS BIGINT)) AS offset_to
+            FROM f
+        """,
+        "offset_assign": """
+            SELECT event_id, event_id // 500 AS file_id,
+                   (event_id // 500) * 1000 + ROW_NUMBER() OVER (PARTITION BY event_id // 500 ORDER BY ts, event_id) - 1 AS offset
+            FROM events
+        """,
+        "dedup_keep_last": """
+            SELECT event_id, user_id, event_type, value FROM (
+                SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id, event_type ORDER BY event_id DESC) AS rn
+                FROM (SELECT event_id, user_id, event_type, value FROM events)
+            ) WHERE rn = 1
+        """,
+        "dedup_distinct_fields": """
+            SELECT event_id, user_id, event_type, value_r FROM (
+                SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id, event_type ORDER BY event_id DESC) AS rn
+                FROM (SELECT event_id, user_id, event_type, ROUND(value, 0) AS value_r FROM events)
+            ) WHERE rn = 1
+        """,
+        "dedup_exact": "SELECT DISTINCT user_id, event_type FROM events",
+        "offset_interval_merge": _ISLANDS_SQL,
+        "offset_interval_remove": """
+            WITH state AS (
+                SELECT topic, part_id, offset_from, offset_to FROM (""" + _ISLANDS_SQL.replace(", ts", ", NULL AS ts") + """)
+            ), rm AS (
+                SELECT event_type AS topic, user_id % 4 AS part_id,
+                       event_id + 5 AS offset_from, event_id + 9 AS offset_to
+                FROM events WHERE event_id % 11 = 0
+            ), ev AS (
+                SELECT topic, part_id, offset_from AS pos, 1 AS d_state, 0 AS d_rm FROM state
+                UNION ALL SELECT topic, part_id, offset_to + 1, -1, 0 FROM state
+                UNION ALL SELECT topic, part_id, offset_from, 0, 1 FROM rm
+                UNION ALL SELECT topic, part_id, offset_to + 1, 0, -1 FROM rm
+            ), agg AS (
+                SELECT topic, part_id, pos, SUM(d_state) AS d_state, SUM(d_rm) AS d_rm
+                FROM ev GROUP BY topic, part_id, pos
+            ), cov AS (
+                SELECT *, SUM(d_state) OVER w AS cov_state, SUM(d_rm) OVER w AS cov_rm,
+                       LEAD(pos) OVER w AS next_pos
+                FROM agg WINDOW w AS (PARTITION BY topic, part_id ORDER BY pos ROWS UNBOUNDED PRECEDING)
+            ), segs AS (
+                SELECT topic, part_id, pos AS offset_from, next_pos - 1 AS offset_to
+                FROM cov WHERE cov_state > 0 AND cov_rm = 0 AND next_pos IS NOT NULL
+            ), fl AS (
+                SELECT *, CASE WHEN offset_from > COALESCE(MAX(offset_to) OVER (
+                         PARTITION BY topic, part_id ORDER BY offset_from, offset_to
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) + 1, offset_from - 1)
+                     THEN 1 ELSE 0 END AS new_island
+                FROM segs
+            ), g AS (
+                SELECT *, SUM(new_island) OVER (PARTITION BY topic, part_id
+                    ORDER BY offset_from, offset_to ROWS UNBOUNDED PRECEDING) AS island
+                FROM fl
+            )
+            SELECT topic, part_id, MIN(offset_from) AS offset_from, MAX(offset_to) AS offset_to
+            FROM g GROUP BY topic, part_id, island
+        """,
+        "seen_file_filter": """
+            WITH manifest AS (
+                SELECT event_type AS topic, user_id % 4 AS part_id, event_id // 100 AS block,
+                       MIN(event_id) AS offset_from, MAX(event_id) AS offset_to
+                FROM events GROUP BY 1, 2, 3
+            ), state AS (
+                SELECT topic, part_id, offset_from, offset_to FROM manifest WHERE block % 2 = 0
+            )
+            SELECT m.* FROM manifest m
+            WHERE NOT EXISTS (
+                SELECT 1 FROM state s
+                WHERE s.topic = m.topic AND s.part_id = m.part_id
+                  AND m.offset_from >= s.offset_from AND m.offset_to <= s.offset_to
+            )
+        """,
+        "seen_record_filter": """
+            WITH state AS (
+                SELECT event_type AS topic, user_id % 4 AS part_id,
+                       MIN(event_id) AS offset_from, MAX(event_id) AS offset_to,
+                       TIMESTAMP '2024-01-15 00:00:00' AS last_processed
+                FROM events WHERE (event_id // 100) % 2 = 0
+                GROUP BY 1, 2, event_id // 100
+            )
+            SELECT event_id, event_type AS topic, user_id % 4 AS part_id, event_id AS offset
+            FROM events e
+            WHERE NOT EXISTS (
+                SELECT 1 FROM state s
+                WHERE s.topic = e.event_type AND s.part_id = e.user_id % 4
+                  AND e.event_id BETWEEN s.offset_from AND s.offset_to
+                  AND e.ts <= s.last_processed
+            )
+        """,
+        "cleaner_verify": """
+            WITH target AS (
+                SELECT user_id AS t_user, ts AS t_ts FROM events WHERE value > 5.0
+            )
+            SELECT e.event_type AS topic, e.event_id // 100 AS block,
+                   COUNT(*) AS n_records,
+                   SUM(CASE WHEN t.t_user IS NOT NULL THEN 1 ELSE 0 END) AS n_extracted,
+                   COUNT(*) = SUM(CASE WHEN t.t_user IS NOT NULL THEN 1 ELSE 0 END) AS deletable
+            FROM events e LEFT JOIN target t ON e.user_id = t.t_user AND e.ts = t.t_ts
+            GROUP BY 1, 2
+        """,
+        "pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   SUM(CAST(l_quantity AS DECIMAL(12,2))) AS sum_qty,
+                   SUM(CAST(l_extendedprice AS DECIMAL(14,2))) AS sum_base_price,
+                   SUM(CAST(l_extendedprice AS DECIMAL(14,2)) * (CAST(1 AS DECIMAL(6,4)) - CAST(l_discount AS DECIMAL(6,4)))) AS sum_disc_price,
+                   SUM(CAST(l_extendedprice AS DECIMAL(14,2)) * (CAST(1 AS DECIMAL(6,4)) - CAST(l_discount AS DECIMAL(6,4))) * (CAST(1 AS DECIMAL(6,4)) + CAST(l_tax AS DECIMAL(6,4)))) AS sum_charge,
+                   COUNT(*) AS count_order
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+            GROUP BY l_returnflag, l_linestatus
+        """,
+        "revenue_by_nation": """
+            SELECT r_name, n_name,
+                   SUM(CAST(l_extendedprice AS DECIMAL(14,2)) * (CAST(1 AS DECIMAL(6,4)) - CAST(l_discount AS DECIMAL(6,4)))) AS revenue,
+                   COUNT(*) AS n_items
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            GROUP BY r_name, n_name
+        """,
+        "top_customers": """
+            SELECT rank, o_custkey, revenue, n_orders FROM (
+                SELECT o_custkey, revenue, n_orders,
+                       ROW_NUMBER() OVER (ORDER BY revenue DESC, o_custkey) AS rank
+                FROM (
+                    SELECT o_custkey, SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS revenue, COUNT(*) AS n_orders
+                    FROM orders GROUP BY o_custkey
+                )
+            ) WHERE rank <= 10
         """,
     }

@@ -82,13 +82,13 @@ def filter_unseen_files(manifest: DataFrame, state: DataFrame) -> DataFrame:
         *([F.col("last_processed").alias("s_mtime")] if "last_processed" in state.columns else []),
     )
     cond = (
-        (manifest.topic == st.s_topic)
-        & (manifest.partition == st.s_partition)
-        & (manifest.offset_from >= st.s_from)
-        & (manifest.offset_to <= st.s_to)
+        (manifest["topic"] == st["s_topic"])
+        & (manifest["partition"] == st["s_partition"])
+        & (manifest["offset_from"] >= st["s_from"])
+        & (manifest["offset_to"] <= st["s_to"])
     )
     if "last_processed" in state.columns and "mtime" in manifest.columns:
-        cond = cond & (manifest.mtime <= st.s_mtime)
+        cond = cond & (manifest["mtime"] <= st["s_mtime"])
     return manifest.join(st, cond, "left_anti")
 
 
@@ -107,13 +107,13 @@ def filter_unseen_records(records: DataFrame, state: DataFrame) -> DataFrame:
         *([F.col("last_processed").alias("s_mtime")] if "last_processed" in state.columns else []),
     )
     cond = (
-        (records.topic == st.s_topic)
-        & (records.partition == st.s_partition)
-        & (records.offset >= st.s_from)
-        & (records.offset <= st.s_to)
+        (records["topic"] == st["s_topic"])
+        & (records["partition"] == st["s_partition"])
+        & (records["offset"] >= st["s_from"])
+        & (records["offset"] <= st["s_to"])
     )
     if "last_processed" in state.columns and "mtime" in records.columns:
-        cond = cond & (records.mtime <= st.s_mtime)
+        cond = cond & (records["mtime"] <= st["s_mtime"])
     return records.join(st, cond, "left_anti")
 
 
@@ -228,10 +228,10 @@ def remove_offsets(state: DataFrame, to_remove: DataFrame) -> DataFrame:
     return (
         kept.join(
             src,
-            (kept.topic == src.s_topic)
-            & (kept.partition == src.s_partition)
-            & (kept.offset_from >= src.s_from)
-            & (kept.offset_to <= src.s_to),
+            (kept["topic"] == src["s_topic"])
+            & (kept["partition"] == src["s_partition"])
+            & (kept["offset_from"] >= src["s_from"])
+            & (kept["offset_to"] <= src["s_to"]),
             "left",
         )
         .select("topic", "partition", "offset_from", "offset_to", "last_processed")
