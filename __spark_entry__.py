@@ -30,7 +30,27 @@ from restructure_hdfs_topic_spark.functions.paths import (
     render_path,
     sanitize_id,
 )
-from restructure_hdfs_topic_spark.operators.dedup import exact_dedup, keep_last_dedup
+from restructure_hdfs_topic_spark.functions.text import (
+    lang_id,
+    poly_hash,
+    punct_ratio,
+    quality_score,
+    stopword_ratio,
+    token_count,
+)
+from restructure_hdfs_topic_spark.operators.dedup import (
+    exact_dedup,
+    keep_last_dedup,
+    lsh_candidate_pairs,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    simhash,
+)
+from restructure_hdfs_topic_spark.operators.multimodal import (
+    decode_media,
+    documents_as_media,
+)
+from restructure_hdfs_topic_spark.operators.similarity import cosine_topk, lsh_ann_topk
 from restructure_hdfs_topic_spark.operators.offsets import (
     filter_unseen_files,
     filter_unseen_records,
@@ -355,6 +375,103 @@ def q_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- north-star extensions: text analysis, dedup family, similarity, media --
+
+
+def q_text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting over documents (north-star text pipeline)."""
+    _conf(spark)
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", token_count(F.col("text")).alias("n_tokens"))
+
+
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring: length/punctuation/stopword components + composite."""
+    _conf(spark)
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        token_count(F.col("text")).alias("n_tokens"),
+        punct_ratio(F.col("text")).alias("punct_ratio"),
+        stopword_ratio(F.col("text")).alias("stopword_ratio"),
+        quality_score(F.col("text")).alias("quality"),
+    )
+
+
+def q_text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-based language-ID heuristic (argmax with deterministic ties)."""
+    _conf(spark)
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", lang_id(F.col("text")).alias("lang_pred"))
+
+
+def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Polynomial rolling-hash document fingerprint (Rabin-Karp style)."""
+    _conf(spark)
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", poly_hash(F.col("text")).alias("fingerprint"))
+
+
+def q_dedup_exact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact text dedup on documents: canonical (min doc_id) per text group
+    + group size — hash-groupBy, the exact-dedup primitive at scale."""
+    _conf(spark)
+    docs = _t(spark, sf_dir, "documents")
+    return docs.groupBy("text").agg(
+        F.min("doc_id").alias("canonical_id"), F.count("*").alias("n_copies")
+    ).select("canonical_id", "n_copies")
+
+
+def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram Jaccard near-dup pairs ≥ 0.2 (O(n²) baseline; the LSH
+    query below is the scale path)."""
+    _conf(spark)
+    docs = _t(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.2)
+
+
+def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH candidate pairs verified by exact Jaccard — the 100 TB
+    near-dup path (no O(n²) compare).  Rows-only check: LSH recall < 1 by
+    construction, so no SQL oracle."""
+    _conf(spark)
+    docs = _t(spark, sf_dir, "documents")
+    sigs = minhash_signatures(docs, "doc_id", "text", n=3, num_hashes=32)
+    cands = lsh_candidate_pairs(sigs, bands=16, rows_per_band=2)
+    return ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.2, candidates=cands)
+
+
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash 16-bit fingerprints over document tokens."""
+    _conf(spark)
+    docs = _t(spark, sf_dir, "documents")
+    return simhash(docs, "doc_id", "text", bits=16)
+
+
+def q_embedding_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-5 neighbors per vector; int-quantized dot
+    products make the result engine- and partitioning-exact."""
+    _conf(spark)
+    emb = _t(spark, sf_dir, "embeddings")
+    return cosine_topk(emb, k=5)
+
+
+def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyperplane-LSH bucketed ANN top-5 — the scale path (approximate:
+    rows-only check)."""
+    _conf(spark)
+    emb = _t(spark, sf_dir, "embeddings")
+    return lsh_ann_topk(emb, k=5, planes=6)
+
+
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary media column + Arrow-batched pandas feature extraction
+    (decode stubbed: byte-length / first-byte / checksum)."""
+    _conf(spark)
+    docs = _t(spark, sf_dir, "documents")
+    return decode_media(documents_as_media(docs))
+
+
 # --- registry ---------------------------------------------------------------
 
 
@@ -377,7 +494,40 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pricing_summary": q_pricing_summary,
         "revenue_by_nation": q_revenue_by_nation,
         "top_customers": q_top_customers,
+        "text_token_count": q_text_token_count,
+        "text_quality": q_text_quality,
+        "text_lang_id": q_text_lang_id,
+        "text_fingerprint": q_text_fingerprint,
+        "dedup_exact_docs": q_dedup_exact_docs,
+        "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+        "minhash_lsh_pairs": q_minhash_lsh_pairs,
+        "simhash": q_simhash,
+        "embedding_cosine_topk": q_embedding_cosine_topk,
+        "ann_lsh_topk": q_ann_lsh_topk,
+        "multimodal_features": q_multimodal_features,
     }
+
+
+_TOKENS = r"regexp_split_to_array(lower(trim(text)), '\s+')"
+_TOKHASH = "list_reduce(list_transform(string_split(tk, ''), x -> CAST(ascii(x) AS BIGINT)), (a, x) -> (a * 131 + x) % 2147483647)"
+_STOPS = "['the','a','and','of','to','in','is','it','that','for']"
+
+
+def _simhash_oracle(bits: int = 16) -> str:
+    votes = ", ".join(
+        f"SUM(CASE WHEN (th >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS v{b}" for b in range(bits)
+    )
+    fp = " + ".join(f"(CASE WHEN v{b} > 0 THEN CAST({1 << b} AS BIGINT) ELSE 0 END)" for b in range(bits))
+    return f"""
+        WITH tok AS (
+            SELECT doc_id, unnest(list_distinct({_TOKENS})) AS tk FROM documents
+        ), h AS (
+            SELECT doc_id, {_TOKHASH} AS th FROM tok
+        ), votes AS (
+            SELECT doc_id, {votes} FROM h GROUP BY doc_id
+        )
+        SELECT doc_id AS id, {fp} AS simhash FROM votes
+    """
 
 
 _ISLANDS_SQL = """
@@ -585,5 +735,109 @@ def oracle_sql() -> dict[str, str]:
                     FROM orders GROUP BY o_custkey
                 )
             ) WHERE rank <= 10
+        """,
+        "text_token_count": f"""
+            SELECT doc_id,
+                   CASE WHEN trim(text) = '' THEN 0 ELSE len({_TOKENS}) END AS n_tokens
+            FROM documents
+        """,
+        "text_quality": f"""
+            WITH c AS (
+                SELECT doc_id,
+                       CASE WHEN trim(text) = '' THEN 0 ELSE len({_TOKENS}) END AS n_tokens,
+                       CASE WHEN length(lower(text)) > 0
+                            THEN round(CAST(length(regexp_replace(lower(text), '[a-z0-9\\s]', '', 'g')) AS DOUBLE) / length(lower(text)), 6)
+                            ELSE 0.0 END AS punct_ratio,
+                       CASE WHEN trim(text) = '' OR len({_TOKENS}) = 0 THEN 0.0
+                            ELSE round(CAST(len(list_filter({_TOKENS}, x -> list_contains({_STOPS}, x))) AS DOUBLE) / len({_TOKENS}), 6)
+                            END AS stopword_ratio
+                FROM documents
+            )
+            SELECT doc_id, n_tokens, punct_ratio, stopword_ratio,
+                   round(0.5 * least(CAST(n_tokens AS DOUBLE) / 50.0, 1.0)
+                       + 0.3 * (1.0 - least(punct_ratio * 5, 1.0))
+                       + 0.2 * least(stopword_ratio * 3, 1.0), 6) AS quality
+            FROM c
+        """,
+        "text_lang_id": f"""
+            WITH s AS (
+                SELECT doc_id,
+                       len(list_filter({_TOKENS}, x -> list_contains(['der','die','das','und','nicht'], x))) AS s_de,
+                       len(list_filter({_TOKENS}, x -> list_contains(['the','a','and','of','to'], x))) AS s_en,
+                       len(list_filter({_TOKENS}, x -> list_contains(['el','la','los','que','y'], x))) AS s_es,
+                       len(list_filter({_TOKENS}, x -> list_contains(['le','la','les','et','que'], x))) AS s_fr,
+                       len(list_filter({_TOKENS}, x -> list_contains(['de5','shi4','le5','zai4','he2'], x))) AS s_zh
+                FROM documents
+            )
+            SELECT doc_id,
+                   CASE WHEN greatest(s_de, s_en, s_es, s_fr, s_zh) = 0 THEN 'und'
+                        WHEN s_de = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'de'
+                        WHEN s_en = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'en'
+                        WHEN s_es = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'es'
+                        WHEN s_fr = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'fr'
+                        ELSE 'zh' END AS lang_pred
+            FROM s
+        """,
+        "text_fingerprint": """
+            SELECT doc_id,
+                   CASE WHEN text = '' THEN 0
+                        ELSE list_reduce(list_transform(string_split(text, ''), x -> CAST(ascii(x) AS BIGINT)),
+                                         (a, x) -> (a * 131 + x) % 2147483647)
+                        END AS fingerprint
+            FROM documents
+        """,
+        "dedup_exact_docs": """
+            SELECT MIN(doc_id) AS canonical_id, COUNT(*) AS n_copies
+            FROM documents GROUP BY text
+        """,
+        "ngram_jaccard_pairs": f"""
+            WITH tk AS (
+                SELECT doc_id, {_TOKENS} AS toks FROM documents
+            ), sh AS (
+                SELECT doc_id, list_distinct(
+                    CASE WHEN len(toks) >= 3
+                         THEN list_transform(generate_series(1, len(toks) - 2),
+                                             i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+                         ELSE CAST([] AS VARCHAR[]) END) AS s
+                FROM tk
+            ), p AS (
+                SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                       len(list_intersect(a.s, b.s)) AS inter,
+                       len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) AS un
+                FROM sh a, sh b WHERE a.doc_id < b.doc_id
+            )
+            SELECT id_a, id_b,
+                   round(CASE WHEN un > 0 THEN CAST(inter AS DOUBLE) / un ELSE 0.0 END, 6) AS jaccard
+            FROM p
+            WHERE round(CASE WHEN un > 0 THEN CAST(inter AS DOUBLE) / un ELSE 0.0 END, 6) >= 0.2
+        """,
+        "simhash": _simhash_oracle(16),
+        "embedding_cosine_topk": """
+            WITH v AS (
+                SELECT vec_id,
+                       list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 10000, 0) AS BIGINT)) AS q
+                FROM embeddings
+            ), n AS (
+                SELECT vec_id, q,
+                       list_dot_product(CAST(q AS DOUBLE[]), CAST(q AS DOUBLE[])) AS norm2
+                FROM v
+            ), p AS (
+                SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+                       round(list_dot_product(CAST(a.q AS DOUBLE[]), CAST(b.q AS DOUBLE[]))
+                             / (sqrt(a.norm2) * sqrt(b.norm2)), 6) AS cosine
+                FROM n a, n b WHERE a.vec_id != b.vec_id
+            ), r AS (
+                SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+                FROM p
+            )
+            SELECT query_id, rank, neighbor_id, cosine FROM r WHERE rank <= 5
+        """,
+        "multimodal_features": """
+            SELECT doc_id AS media_id, 'text/plain' AS mime,
+                   CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+                   CASE WHEN length(text) > 0 THEN CAST(ascii(substr(text, 1, 1)) AS BIGINT) ELSE -1 END AS first_byte,
+                   list_reduce(list_transform(string_split(text, ''), x -> CAST(ascii(x) AS BIGINT)),
+                               (a, x) -> a + x) % 2147483647 AS checksum
+            FROM documents
         """,
     }

@@ -1,0 +1,122 @@
+"""Text-analysis functions (north-star extensions, BASELINE.json):
+token counting, quality scoring, language-ID heuristic, document
+fingerprinting.  All pure built-in column expressions (split/filter/
+aggregate over arrays) — JVM-side, codegen-friendly, no Python UDFs —
+so they hold up on a 100 TB documents table.
+
+Every function is mirrored by ANSI SQL in ``__spark_entry__.oracle_sql``;
+hash arithmetic is deterministic int64 math so both engines agree exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Mersenne prime 2^31-1; base 131.  acc*131 + 255 stays far inside int64.
+HASH_MOD = 2_147_483_647
+HASH_BASE = 131
+
+# Tiny per-language marker sets for the heuristic language ID.  Real systems
+# use char n-gram profiles; the heuristic keeps the same *shape* (score per
+# language, argmax with deterministic tie-break) with exact cross-engine
+# reproducibility.
+LANG_MARKERS: dict[str, list[str]] = {
+    "de": ["der", "die", "das", "und", "nicht"],
+    "en": ["the", "a", "and", "of", "to"],
+    "es": ["el", "la", "los", "que", "y"],
+    "fr": ["le", "la", "les", "et", "que"],
+    "zh": ["de5", "shi4", "le5", "zai4", "he2"],
+}
+
+STOPWORDS = ["the", "a", "and", "of", "to", "in", "is", "it", "that", "for"]
+
+
+def tokens(text: Column) -> Column:
+    """Whitespace tokens of trimmed lowercased text; empty text → []."""
+    t = F.lower(F.trim(text))
+    return F.when(t == "", F.array().cast("array<string>")).otherwise(
+        F.split(t, r"\s+")
+    )
+
+
+def token_count(text: Column) -> Column:
+    """Whitespace token count (reference has no tokenizer; this is the
+    north-star text-pipeline primitive)."""
+    return F.size(tokens(text))
+
+
+def poly_hash(col: Column) -> Column:
+    """Deterministic polynomial rolling hash of a string → int64 in
+    [0, 2^31-1).  acc = (acc*131 + ascii(ch)) mod p, char-sequential —
+    the classic Rabin-Karp/Karp-Rabin fingerprint."""
+    chars = F.split(col, "")
+    return F.aggregate(
+        chars,
+        F.lit(0).cast("long"),
+        lambda acc, ch: (acc * F.lit(HASH_BASE) + F.ascii(ch)) % F.lit(HASH_MOD),
+    )
+
+
+def punct_ratio(text: Column) -> Column:
+    """Fraction of characters that are not [a-z0-9\\s] (lowercased)."""
+    t = F.lower(text)
+    n = F.length(t)
+    n_punct = F.length(F.regexp_replace(t, r"[a-z0-9\s]", ""))
+    return F.when(n > 0, F.round(n_punct.cast("double") / n.cast("double"), 6)).otherwise(
+        F.lit(0.0)
+    )
+
+
+def stopword_ratio(text: Column) -> Column:
+    """Fraction of tokens that are stopwords."""
+    toks = tokens(text)
+    n = F.size(toks)
+    hits = F.size(F.filter(toks, lambda x: x.isin(STOPWORDS)))
+    return F.when(n > 0, F.round(hits.cast("double") / n.cast("double"), 6)).otherwise(
+        F.lit(0.0)
+    )
+
+
+def quality_score(text: Column) -> Column:
+    """Composite quality heuristic in [0,1]: long enough, low punctuation,
+    moderate stopword density.  Deterministic arithmetic, rounded."""
+    n_tok = token_count(text)
+    length_component = F.least(n_tok.cast("double") / F.lit(50.0), F.lit(1.0))
+    punct_component = F.lit(1.0) - F.least(punct_ratio(text) * 5, F.lit(1.0))
+    stop_component = F.least(stopword_ratio(text) * 3, F.lit(1.0))
+    return F.round(
+        F.lit(0.5) * length_component + F.lit(0.3) * punct_component + F.lit(0.2) * stop_component,
+        6,
+    )
+
+
+def _isin_filter(markers: list[str]):
+    # NB: a default-arg lambda (lambda x, m=markers: ...) must NOT be passed
+    # to F.filter — PySpark introspects lambda arity and would bind the
+    # array INDEX to the second parameter.  Close over via factory instead.
+    return lambda x: x.isin(markers)
+
+
+def lang_scores(text: Column) -> list[tuple[str, Column]]:
+    """Marker-hit count per language over the token array."""
+    toks = tokens(text)
+    return [
+        (lang, F.size(F.filter(toks, _isin_filter(markers))))
+        for lang, markers in sorted(LANG_MARKERS.items())
+    ]
+
+
+def lang_id(text: Column) -> Column:
+    """Argmax language by marker hits; ties break to the lexicographically
+    smallest language code; zero hits → 'und' (undetermined)."""
+    scores = lang_scores(text)
+    best_lang = F.lit("und")
+    best_score = F.lit(0)
+    # Iterate in reverse-sorted order so earlier codes win ties with >=.
+    for lang, score in sorted(scores, key=lambda p: p[0], reverse=True):
+        better = score > F.lit(0)
+        take = better & (score >= best_score)
+        best_lang = F.when(take, F.lit(lang)).otherwise(best_lang)
+        best_score = F.when(take, score).otherwise(best_score)
+    return best_lang

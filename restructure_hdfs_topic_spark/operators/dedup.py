@@ -21,10 +21,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-# Large primes for the deterministic polynomial / affine hash family.
-# Chosen so acc*BASE + x stays well inside int64: MOD ~2^31, BASE < 2^17.
-HASH_MOD = 2_147_483_647  # 2^31 - 1 (Mersenne prime)
-HASH_BASE = 131
+from restructure_hdfs_topic_spark.functions.text import HASH_MOD, poly_hash
 
 
 def keep_last_dedup(
@@ -66,23 +63,14 @@ def shingles(text_col: str, n: int = 3) -> F.Column:
     """Word n-gram shingle array from a text column (lowercased, whitespace
     tokenized).  Built-ins only: split + transform over a sequence."""
     tokens = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
-    k = F.greatest(F.size(tokens) - F.lit(n - 1), F.lit(0))
-    return F.transform(
+    k = F.size(tokens) - F.lit(n - 1)
+    grams = F.transform(
         F.sequence(F.lit(0), k - F.lit(1)),
         lambda i: F.concat_ws(" ", *[F.element_at(tokens, (i + j + 1).cast("int")) for j in range(n)]),
     )
-
-
-def _poly_hash(col: F.Column) -> F.Column:
-    """Deterministic polynomial rolling hash of a string column → int64 in
-    [0, HASH_MOD).  acc = (acc*131 + ascii(ch)) % (2^31-1), char-sequential.
-    Stays JVM-side via ``aggregate`` over the char array."""
-    chars = F.split(col, "")
-    return F.aggregate(
-        chars,
-        F.lit(0).cast("long"),
-        lambda acc, ch: (acc * F.lit(HASH_BASE) + F.ascii(ch)) % F.lit(HASH_MOD),
-    )
+    # sequence(0, k-1) would generate a DESCENDING range when k <= 0 —
+    # guard short documents to an empty shingle set instead.
+    return F.when(k > 0, grams).otherwise(F.array().cast("array<string>"))
 
 
 def minhash_signatures(
@@ -98,18 +86,15 @@ def minhash_signatures(
     Returns (id, sig: array<long> length ``num_hashes``).  All distributed,
     one narrow projection — no shuffle until LSH banding.
     """
+    def affine(i: int):
+        # Closure factory: default-arg lambdas break PySpark's higher-order
+        # lambda arity introspection (second param would bind the index).
+        return lambda h: (h * F.lit(2 * i + 1) + F.lit(7919 * (i + 1))) % F.lit(HASH_MOD)
+
     sh = F.array_distinct(shingles(text_col, n))
-    hashed = F.transform(sh, _poly_hash)
+    hashed = F.transform(sh, poly_hash)
     sigs = F.array(
-        *[
-            F.array_min(
-                F.transform(
-                    hashed,
-                    lambda h, i=i: (h * F.lit(2 * i + 1) + F.lit(7919 * (i + 1))) % F.lit(HASH_MOD),
-                )
-            )
-            for i in range(num_hashes)
-        ]
+        *[F.array_min(F.transform(hashed, affine(i))) for i in range(num_hashes)]
     )
     return df.select(F.col(id_col).alias("id"), sigs.alias("sig"))
 
@@ -206,15 +191,15 @@ def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 32) -> DataFr
 
     Returns (id, simhash: long).  Deterministic polynomial token hash.
     """
+    def vote(b: int):
+        return lambda acc, h: acc + F.when(
+            F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1
+        ).otherwise(-1)
+
     tokens = F.array_distinct(F.split(F.lower(F.trim(F.col(text_col))), r"\s+"))
-    hashed = F.transform(tokens, _poly_hash)
+    hashed = F.transform(tokens, poly_hash)
     bit_votes = [
-        F.aggregate(
-            hashed,
-            F.lit(0).cast("long"),
-            lambda acc, h, b=b: acc + F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1),
-        )
-        for b in range(bits)
+        F.aggregate(hashed, F.lit(0).cast("long"), vote(b)) for b in range(bits)
     ]
     fingerprint = None
     for b, vote in enumerate(bit_votes):

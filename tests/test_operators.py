@@ -1,0 +1,130 @@
+"""Unit tests pinning the reference's operator semantics (SURVEY §5):
+time-bin derivation and fallback, ID sanitize, filename parse,
+keep-last dedup order, offset-interval merge/contains/remove algebra.
+"""
+
+from datetime import datetime, timezone
+
+from pyspark.sql import functions as F
+
+from restructure_hdfs_topic_spark.functions.time import event_time, time_bin
+from restructure_hdfs_topic_spark.functions.paths import parse_source_filename, sanitize_id
+from restructure_hdfs_topic_spark.operators.dedup import (
+    keep_last_dedup,
+    ngram_jaccard_pairs,
+    shingles,
+)
+from restructure_hdfs_topic_spark.operators.offsets import (
+    filter_unseen_records,
+    merge_offset_intervals,
+    remove_offsets,
+)
+
+
+def test_time_bin_reference_golden(spark):
+    # RadarHdfsRestructureTest.kt:27-59 — value.time 1493711175.0 → 20170502_0700;
+    # fallback key.start (1h earlier, ms) → 20170502_0600.
+    df = spark.createDataFrame(
+        [(1493711175.0, 1493707575000), (None, 1493707575000)],
+        "time double, start long",
+    )
+    out = df.select(
+        time_bin(event_time(time_s=F.col("time"), start_ms=F.col("start"))).alias("bin")
+    ).collect()
+    assert out[0].bin == "20170502_0700"
+    assert out[1].bin == "20170502_0600"
+
+
+def test_time_bin_null_is_unknown_date(spark):
+    df = spark.createDataFrame([(None,)], "time double")
+    out = df.select(time_bin(event_time(time_s=F.col("time"))).alias("bin")).collect()
+    assert out[0].bin == "unknown_date"
+
+
+def test_sanitize_reference_semantics(spark):
+    # path/RecordPathFactory.kt:120-129: strip [^a-zA-Z0-9_-]; empty → default.
+    df = spark.createDataFrame([("u@ser/1",), ("",), (None,), ("ok-id_9",)], "u string")
+    out = [r.s for r in df.select(sanitize_id(F.col("u"), "unknown-user").alias("s")).collect()]
+    assert out == ["user1", "unknown-user", "unknown-user", "ok-id_9"]
+
+
+def test_filename_parse_range_and_single(spark):
+    # TopicPartitionOffsetRange.kt:50-61 filename variants.
+    df = spark.createDataFrame(
+        [("dir/topic_a+3+100+199.avro",), ("topic_b+0+42.avro",)], "filename string"
+    )
+    rows = df.select(*parse_source_filename(F.col("filename"))).collect()
+    assert rows[0].topic == "topic_a" and rows[0].partition == 3
+    assert rows[0].offset_from == 100 and rows[0].offset_to == 199
+    assert rows[1].topic == "topic_b" and rows[1].offset_from == 42 and rows[1].offset_to == 42
+
+
+def test_keep_last_dedup_semantics(spark):
+    # CsvAvroConverterTest.kt:159-191 — keep LAST occurrence per key.
+    df = spark.createDataFrame(
+        [(1, "k1", "old"), (2, "k1", "new"), (3, "k2", "only")],
+        "ord int, key string, payload string",
+    )
+    out = {r.key: r.payload for r in keep_last_dedup(df, ["key"], "ord").collect()}
+    assert out == {"k1": "new", "k2": "only"}
+
+
+def test_interval_merge_adjacent_and_overlap(spark):
+    # OffsetIntervals.kt:84-101 — [0,2]+[3,4] merge (adjacent); [10,20]+[15,25] merge.
+    df = spark.createDataFrame(
+        [("t", 0, 0, 2), ("t", 0, 3, 4), ("t", 0, 10, 20), ("t", 0, 15, 25), ("t", 1, 0, 5)],
+        "topic string, partition int, offset_from long, offset_to long",
+    )
+    out = sorted(
+        (r.partition, r.offset_from, r.offset_to)
+        for r in merge_offset_intervals(df).collect()
+    )
+    assert out == [(0, 0, 4), (0, 10, 25), (1, 0, 5)]
+
+
+def test_interval_remove_splits(spark):
+    # OffsetIntervals.kt:120-199 — removing mid-range splits the interval;
+    # multiple removals against one interval all apply.
+    state = spark.createDataFrame(
+        [("t", 0, 0, 100)], "topic string, partition int, offset_from long, offset_to long"
+    )
+    rm = spark.createDataFrame(
+        [("t", 0, 10, 20), ("t", 0, 30, 40)],
+        "topic string, partition int, offset_from long, offset_to long",
+    )
+    out = sorted((r.offset_from, r.offset_to) for r in remove_offsets(state, rm).collect())
+    assert out == [(0, 9), (21, 29), (41, 100)]
+
+
+def test_seen_record_filter_mtime_dimension(spark):
+    # OffsetIntervalsTest "futureModified": a record inside a committed range
+    # but with NEWER mtime must reprocess (not be filtered).
+    ts_old = datetime(2024, 1, 1, tzinfo=timezone.utc)
+    ts_new = datetime(2024, 2, 1, tzinfo=timezone.utc)
+    records = spark.createDataFrame(
+        [("t", 0, 5, ts_old, "committed-old"), ("t", 0, 6, ts_new, "rewritten"), ("t", 0, 50, ts_old, "new-offset")],
+        "topic string, partition int, offset long, mtime timestamp, tag string",
+    )
+    state = spark.createDataFrame(
+        [("t", 0, 0, 10, datetime(2024, 1, 15, tzinfo=timezone.utc))],
+        "topic string, partition int, offset_from long, offset_to long, last_processed timestamp",
+    )
+    tags = sorted(r.tag for r in filter_unseen_records(records, state).collect())
+    assert tags == ["new-offset", "rewritten"]
+
+
+def test_shingles_short_doc_is_empty(spark):
+    df = spark.createDataFrame([("one two",), ("a b c d",)], "text string")
+    out = df.select(shingles("text", 3).alias("sh")).collect()
+    assert out[0].sh == []
+    assert out[1].sh == ["a b c", "b c d"]
+
+
+def test_ngram_jaccard_identical_docs(spark):
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma delta"), (2, "alpha beta gamma delta"), (3, "zz yy xx ww")],
+        "doc_id long, text string",
+    )
+    pairs = ngram_jaccard_pairs(df, "doc_id", "text", n=3, threshold=0.5).collect()
+    assert len(pairs) == 1
+    assert (pairs[0].id_a, pairs[0].id_b, pairs[0].jaccard) == (1, 2, 1.0)
