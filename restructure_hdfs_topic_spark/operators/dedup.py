@@ -91,12 +91,18 @@ def minhash_signatures(
         # lambda arity introspection (second param would bind the index).
         return lambda h: (h * F.lit(2 * i + 1) + F.lit(7919 * (i + 1))) % F.lit(HASH_MOD)
 
-    sh = F.array_distinct(shingles(text_col, n))
-    hashed = F.transform(sh, poly_hash)
-    sigs = F.array(
-        *[F.array_min(F.transform(hashed, affine(i))) for i in range(num_hashes)]
+    # Materialize the per-shingle hash as its OWN projection: referencing it
+    # ``num_hashes`` times inline would make Catalyst re-inline (and
+    # re-evaluate) the whole polynomial char fold per hash function —
+    # CollapseProject keeps a multi-referenced non-cheap alias un-inlined.
+    hashed_df = df.select(
+        F.col(id_col).alias("id"),
+        F.transform(F.array_distinct(shingles(text_col, n)), poly_hash).alias("hashed"),
     )
-    return df.select(F.col(id_col).alias("id"), sigs.alias("sig"))
+    sigs = F.array(
+        *[F.array_min(F.transform(F.col("hashed"), affine(i))) for i in range(num_hashes)]
+    )
+    return hashed_df.select("id", sigs.alias("sig"))
 
 
 def lsh_candidate_pairs(
@@ -196,13 +202,17 @@ def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 32) -> DataFr
             F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1
         ).otherwise(-1)
 
+    # Materialized projection: see minhash_signatures — ``bits`` references
+    # to an inline hash expression would re-evaluate the char fold per bit.
     tokens = F.array_distinct(F.split(F.lower(F.trim(F.col(text_col))), r"\s+"))
-    hashed = F.transform(tokens, poly_hash)
+    hashed_df = df.select(
+        F.col(id_col).alias("id"), F.transform(tokens, poly_hash).alias("hashed")
+    )
     bit_votes = [
-        F.aggregate(hashed, F.lit(0).cast("long"), vote(b)) for b in range(bits)
+        F.aggregate(F.col("hashed"), F.lit(0).cast("long"), vote(b)) for b in range(bits)
     ]
     fingerprint = None
-    for b, vote in enumerate(bit_votes):
-        term = F.when(vote > 0, F.lit(2**b).cast("long")).otherwise(F.lit(0).cast("long"))
+    for b, vote_col in enumerate(bit_votes):
+        term = F.when(vote_col > 0, F.lit(2**b).cast("long")).otherwise(F.lit(0).cast("long"))
         fingerprint = term if fingerprint is None else fingerprint + term
-    return df.select(F.col(id_col).alias("id"), fingerprint.alias("simhash"))
+    return hashed_df.select("id", fingerprint.alias("simhash"))

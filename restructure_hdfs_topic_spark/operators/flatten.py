@@ -1,0 +1,144 @@
+"""Flattening projections (SURVEY O6/O7/O8) + attempt-suffix schema routing
+(SURVEY §1.3).
+
+Reference semantics (format/CsvAvroDataConverter.kt:16-91):
+- structs recurse with dot-joined names ``a.b``;
+- maps become one column per key ``prefix.key`` (DATA-dependent!);
+- arrays one column per index ``prefix.0`` (data-dependent length);
+- bytes/fixed → base64 WITHOUT padding; null → "" (CSV);
+- JSON output (format/JsonAvroDataConverter.kt:10-51) keeps nesting.
+
+Spark-first: struct flattening is a pure ``select`` projection; the
+data-dependent map-key/array-length discovery is ONE aggregation pass
+(``map_keys`` union + max ``size``) and the projection is built from its
+result — two Catalyst-optimized jobs, no per-record Python
+(SURVEY §4 "custom work" item 2).
+
+The reference's "attempt" mechanism (worker/RestructureWorker.kt:148-163):
+records whose flattened header mismatches an existing file get suffix
+``_1``, ``_2``…  Here: every record carries a deterministic header
+fingerprint column; each fingerprint group is written to its own suffixed
+directory — same result, computed declaratively in one pass.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import ArrayType, BinaryType, MapType, StructType
+
+
+def flatten_struct_columns(df: DataFrame, sep: str = ".") -> DataFrame:
+    """O6/O7 struct recursion: expand every StructType column to scalar
+    columns with dot-joined names (``key.projectId``).  Maps/arrays are left
+    intact (see flatten_for_csv for the data-dependent expansion)."""
+    cols: list[Column] = []
+
+    def expand(prefix: str, dtype, path: str) -> None:
+        if isinstance(dtype, StructType):
+            for f in dtype.fields:
+                expand(f"{prefix}{sep}{f.name}", f.dataType, f"{path}.`{f.name}`")
+        else:
+            cols.append(F.expr(path).alias(prefix))
+
+    for field in df.schema.fields:
+        expand(field.name, field.dataType, f"`{field.name}`")
+    return df.select(*cols)
+
+
+def discover_dynamic_columns(df: DataFrame) -> dict[str, list]:
+    """O7 two-pass schema discovery: for each MapType column collect the
+    distinct key set; for each ArrayType column the max length.  ONE
+    aggregation job over the data (SURVEY §7.3 hard-part 2).
+
+    Column order divergence (documented): the reference uses first-seen
+    order per file; we use deterministic sorted key order globally.
+    """
+    aggs = []
+    map_cols = [f.name for f in df.schema.fields if isinstance(f.dataType, MapType)]
+    arr_cols = [f.name for f in df.schema.fields if isinstance(f.dataType, ArrayType)]
+    for c in map_cols:
+        aggs.append(F.array_sort(F.array_distinct(F.flatten(F.collect_list(F.map_keys(F.col(c)))))).alias(f"__keys_{c}"))
+    for c in arr_cols:
+        aggs.append(F.max(F.size(F.col(c))).alias(f"__len_{c}"))
+    if not aggs:
+        return {}
+    row = df.agg(*aggs).collect()[0]
+    out: dict[str, list] = {}
+    for c in map_cols:
+        out[c] = list(row[f"__keys_{c}"] or [])
+    for c in arr_cols:
+        out[c] = list(range(max(row[f"__len_{c}"] or 0, 0)))
+    return out
+
+
+def base64_nopad(col: Column) -> Column:
+    """Reference byte encoding: base64 WITHOUT padding
+    (CsvAvroDataConverter.kt:94)."""
+    return F.rtrim(F.base64(col), F.lit("="))
+
+
+def flatten_for_csv(df: DataFrame, sep: str = ".") -> DataFrame:
+    """O7 full CSV flattening: recurse structs, expand maps to per-key
+    columns and arrays to per-index columns (data-dependent, discovered in
+    one aggregation), bytes → unpadded base64, null → "" — everything a
+    string, like the reference's CSV rows."""
+    flat = flatten_struct_columns(df, sep)
+    dynamic = discover_dynamic_columns(flat)
+    cols: list[Column] = []
+    for field in flat.schema.fields:
+        name, dtype = field.name, field.dataType
+        if isinstance(dtype, MapType):
+            for key in dynamic.get(name, []):
+                cols.append(
+                    F.coalesce(F.col(name).getItem(key).cast("string"), F.lit("")).alias(f"{name}{sep}{key}")
+                )
+        elif isinstance(dtype, ArrayType):
+            for i in dynamic.get(name, []):
+                inner = F.col(name).getItem(i)
+                if isinstance(dtype.elementType, BinaryType):
+                    inner = base64_nopad(inner)
+                cols.append(F.coalesce(inner.cast("string"), F.lit("")).alias(f"{name}{sep}{i}"))
+        elif isinstance(dtype, BinaryType):
+            cols.append(F.coalesce(base64_nopad(F.col(name)), F.lit("")).alias(name))
+        else:
+            cols.append(F.coalesce(F.col(name).cast("string"), F.lit("")).alias(name))
+    return flat.select(*cols)
+
+
+def to_json_lines(df: DataFrame) -> DataFrame:
+    """O8 JSON projection: schema-preserving single-column JSON-lines
+    (format/JsonAvroConverter.kt:30-49).  ``df.write.json`` is the sink
+    form; this column form feeds membership checks (O22)."""
+    return df.select(F.to_json(F.struct(*[F.col(c) for c in df.columns])).alias("json"))
+
+
+def header_fingerprint(df: DataFrame) -> Column:
+    """§1.3 attempt routing: deterministic fingerprint of the record's
+    flattened header (here: null-pattern over dynamic columns — records
+    whose populated-column sets differ get different fingerprints and are
+    routed to different attempt-suffixed outputs)."""
+    parts = [
+        F.when(F.col(c).isNotNull(), F.lit(c)).otherwise(F.lit(""))
+        for c in df.columns
+    ]
+    return F.sha2(F.concat_ws("|", *parts), 256).substr(1, 8)
+
+
+def route_by_schema_attempt(df: DataFrame) -> DataFrame:
+    """Assign each record its attempt index: fingerprint groups ranked by
+    first occurrence → suffix 0 (no suffix), 1, 2… mirroring
+    RecordPathFactory.kt:56-75's retry loop, computed set-wise."""
+    from pyspark.sql import Window
+
+    fp = df.withColumn("__fp", header_fingerprint(df)).withColumn(
+        "__mid", F.monotonically_increasing_id()
+    )
+    order = Window.orderBy(F.col("__first_seen"))
+    firsts = (
+        fp.groupBy("__fp")
+        .agg(F.min("__mid").alias("__first_seen"))
+        .withColumn("attempt", F.row_number().over(order) - 1)
+        .select("__fp", "attempt")
+    )
+    return fp.join(F.broadcast(firsts), "__fp").drop("__fp", "__mid")

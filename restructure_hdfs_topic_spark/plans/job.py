@@ -1,0 +1,157 @@
+"""The complete restructure job: manifest → seen-filter → organize →
+dedup → partitioned write → offset commit (SURVEY §3.1 lifecycle), plus
+the cleaner job (§3.2) — the reference's two entry points as two
+DataFrame plans.
+
+Exactly-once across reruns (SURVEY §7.3 hard-part 1): the offsets state
+is recomputed as ONE merged interval aggregation and overwritten
+atomically AFTER the data write action succeeds (commit-after-store,
+mirroring worker/FileCache.kt:128-158 ordering).  A rerun sees the
+committed intervals, the manifest anti-join drops every processed file,
+and the job writes nothing — idempotence is a property of the plan, not
+of locks.  (The reference needs Redis locks because N independent JVMs
+race; one Spark app owns the whole plan, so O19 degenerates to nothing.)
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from restructure_hdfs_topic_spark.config import RestructureConfig
+from restructure_hdfs_topic_spark.operators.dedup import keep_last_dedup
+from restructure_hdfs_topic_spark.operators.offsets import (
+    commit_offsets,
+    filter_unseen_files,
+    read_offsets,
+)
+from restructure_hdfs_topic_spark.plans.restructure import (
+    restructure_records,
+    write_restructured,
+)
+
+
+def build_manifest(records: DataFrame, file_size: int = 500) -> DataFrame:
+    """Derive a (topic, partition, offset_from, offset_to, mtime) manifest
+    from a record table carrying (topic, partition, offset, mtime) —
+    the test-table analogue of the object-store walk (O1/O3).  With a real
+    Avro layout, the same frame comes from input_file_name() + O3 parsing."""
+    return (
+        records.withColumn("__file", F.expr(f"offset div {file_size}"))
+        .groupBy("topic", "partition", "__file")
+        .agg(
+            F.min("offset").alias("offset_from"),
+            F.max("offset").alias("offset_to"),
+            F.max("mtime").alias("mtime"),
+        )
+        .drop("__file")
+    )
+
+
+def run_restructure_job(
+    spark: SparkSession,
+    records: DataFrame,
+    config: RestructureConfig,
+    topic: str = "events",
+    user_col: str = "user_id",
+    time_col: str = "ts",
+    order_col: str = "offset",
+) -> dict:
+    """One restructure iteration.  ``records`` must carry
+    (topic, partition, offset, mtime) accounting columns plus the payload.
+
+    Returns counters (O26 analogue: processed records/files written).
+    """
+    manifest = build_manifest(records)
+    state = read_offsets(spark, config.state_dir)
+    todo_files = filter_unseen_files(manifest, state)
+
+    # Record-level pruning piggybacks on the file decision (the reference's
+    # per-record binary search is a no-op when file granularity suffices —
+    # SURVEY §4 "Record-level skip").
+    todo = (
+        records.join(
+            F.broadcast(
+                todo_files.select(
+                    "topic",
+                    "partition",
+                    F.col("offset_from").alias("f_from"),
+                    F.col("offset_to").alias("f_to"),
+                )
+            ),
+            on=["topic", "partition"],
+            how="inner",
+        )
+        .filter(F.col("offset").between(F.col("f_from"), F.col("f_to")))
+        .drop("f_from", "f_to")
+    )
+
+    organized = restructure_records(
+        todo, user_col=user_col, topic=topic, time_col=time_col,
+        bin_format=config.paths.bin_format,
+    )
+    dedup_key = config.dedup_key_for(topic, organized.columns)
+    if dedup_key is not None:
+        organized = keep_last_dedup(organized, dedup_key, order_col)
+
+    n_records = organized.count()
+    if n_records:
+        write_restructured(
+            organized,
+            config.target_dir,
+            fmt=config.format,
+            compression=config.compression,
+        )
+        new_ranges = (
+            todo.groupBy("topic", "partition")
+            .agg(
+                F.min("offset").alias("offset_from"),
+                F.max("offset").alias("offset_to"),
+                F.max("mtime").alias("last_processed"),
+            )
+        )
+        commit_offsets(spark, config.state_dir, new_ranges)
+    return {"records_written": n_records, "files_pending": todo_files.count()}
+
+
+def run_cleaner_job(
+    spark: SparkSession,
+    records: DataFrame,
+    config: RestructureConfig,
+    now=None,
+) -> DataFrame:
+    """Cleaner (O20/O21, cleaner/SourceDataCleaner.kt:76-109): for committed
+    source files older than ``age_days``, verify every record's event time
+    appears in the target output; fully-extracted files are deletable, the
+    rest are rolled back for reprocessing.
+
+    Returns the per-file verdict frame (deletable: bool) — the storage
+    delete itself is a driver-side loop over a tiny collect, as in the
+    reference.
+    """
+    target = spark.read.format(config.format).load(config.target_dir)
+    target_times = target.select(
+        F.col("userId").alias("t_user"), F.col("ts").alias("t_ts")
+    ).distinct()
+    now_col = F.lit(now).cast("timestamp") if now is not None else F.current_timestamp()
+    old = records.filter(
+        F.col("mtime") < now_col - F.expr(f"INTERVAL {config.cleaner.age_days} DAYS")
+    )
+    manifest_cols = ["topic", "partition"]
+    joined = old.join(
+        target_times,
+        (old["user_id"].cast("string") == F.col("t_user")) & (old["ts"] == F.col("t_ts")),
+        "left",
+    )
+    return (
+        joined.withColumn("__file", F.expr("offset div 500"))
+        .groupBy(*manifest_cols, "__file")
+        .agg(
+            F.count("*").alias("n_records"),
+            F.sum(F.when(F.col("t_user").isNotNull(), 1).otherwise(0)).alias("n_extracted"),
+        )
+        .withColumn("deletable", F.col("n_records") == F.col("n_extracted"))
+        .withColumnRenamed("__file", "file_id")
+    )
