@@ -303,7 +303,8 @@ def q_cleaner_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
         joined.groupBy(F.col("event_type").alias("topic"), "block")
         .agg(
             F.count("*").alias("n_records"),
-            F.sum(F.when(F.col("t_user").isNotNull(), 1).otherwise(0)).alias("n_extracted"),
+            # bigint on both sides: DuckDB's SUM(CASE) is hugeint (int128).
+            F.sum(F.when(F.col("t_user").isNotNull(), 1).otherwise(0)).cast("bigint").alias("n_extracted"),
         )
         .withColumn("deletable", F.col("n_records") == F.col("n_extracted"))
     )
@@ -322,14 +323,17 @@ def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     price = F.col("l_extendedprice").cast("decimal(14,2)")
     disc = F.col("l_discount").cast("decimal(6,4)")
     tax = F.col("l_tax").cast("decimal(6,4)")
+    # Every aggregate is cast to ONE explicit decimal type on BOTH engines:
+    # Spark widens sum(decimal(14,2)) to (24,2) while DuckDB goes to (38,2),
+    # and the driver's value-hash sees the representations as different.
     return (
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.sum(qty).alias("sum_qty"),
-            F.sum(price).alias("sum_base_price"),
-            F.sum(price * (F.lit(1).cast("decimal(6,4)") - disc)).alias("sum_disc_price"),
-            F.sum(price * (F.lit(1).cast("decimal(6,4)") - disc) * (F.lit(1).cast("decimal(6,4)") + tax)).alias("sum_charge"),
+            F.sum(qty).cast("decimal(38,2)").alias("sum_qty"),
+            F.sum(price).cast("decimal(38,2)").alias("sum_base_price"),
+            F.sum(price * (F.lit(1).cast("decimal(6,4)") - disc)).cast("decimal(38,6)").alias("sum_disc_price"),
+            F.sum(price * (F.lit(1).cast("decimal(6,4)") - disc) * (F.lit(1).cast("decimal(6,4)") + tax)).cast("decimal(38,10)").alias("sum_charge"),
             F.count("*").alias("count_order"),
         )
     )
@@ -353,7 +357,7 @@ def q_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
         .groupBy("r_name", "n_name")
         .agg(
-            F.sum(price * (F.lit(1).cast("decimal(6,4)") - disc)).alias("revenue"),
+            F.sum(price * (F.lit(1).cast("decimal(6,4)") - disc)).cast("decimal(38,6)").alias("revenue"),
             F.count("*").alias("n_items"),
         )
     )
@@ -364,12 +368,12 @@ def q_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     _conf(spark)
     orders = _t(spark, sf_dir, "orders")
     rev = orders.groupBy("o_custkey").agg(
-        F.sum(F.col("o_totalprice").cast("decimal(14,2)")).alias("revenue"),
+        F.sum(F.col("o_totalprice").cast("decimal(14,2)")).cast("decimal(38,2)").alias("revenue"),
         F.count("*").alias("n_orders"),
     )
     w = Window.orderBy(F.col("revenue").desc(), F.col("o_custkey"))
     return (
-        rev.withColumn("rank", F.row_number().over(w))
+        rev.withColumn("rank", F.row_number().over(w).cast("bigint"))
         .filter(F.col("rank") <= 10)
         .select("rank", "o_custkey", "revenue", "n_orders")
     )
@@ -699,17 +703,17 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT e.event_type AS topic, e.event_id // 100 AS block,
                    COUNT(*) AS n_records,
-                   SUM(CASE WHEN t.t_user IS NOT NULL THEN 1 ELSE 0 END) AS n_extracted,
+                   CAST(SUM(CASE WHEN t.t_user IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_extracted,
                    COUNT(*) = SUM(CASE WHEN t.t_user IS NOT NULL THEN 1 ELSE 0 END) AS deletable
             FROM events e LEFT JOIN target t ON e.user_id = t.t_user AND e.ts = t.t_ts
             GROUP BY 1, 2
         """,
         "pricing_summary": """
             SELECT l_returnflag, l_linestatus,
-                   SUM(CAST(l_quantity AS DECIMAL(12,2))) AS sum_qty,
-                   SUM(CAST(l_extendedprice AS DECIMAL(14,2))) AS sum_base_price,
-                   SUM(CAST(l_extendedprice AS DECIMAL(14,2)) * (CAST(1 AS DECIMAL(6,4)) - CAST(l_discount AS DECIMAL(6,4)))) AS sum_disc_price,
-                   SUM(CAST(l_extendedprice AS DECIMAL(14,2)) * (CAST(1 AS DECIMAL(6,4)) - CAST(l_discount AS DECIMAL(6,4))) * (CAST(1 AS DECIMAL(6,4)) + CAST(l_tax AS DECIMAL(6,4)))) AS sum_charge,
+                   CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(38,2)) AS sum_qty,
+                   CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,2))) AS DECIMAL(38,2)) AS sum_base_price,
+                   CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,2)) * (CAST(1 AS DECIMAL(6,4)) - CAST(l_discount AS DECIMAL(6,4)))) AS DECIMAL(38,6)) AS sum_disc_price,
+                   CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,2)) * (CAST(1 AS DECIMAL(6,4)) - CAST(l_discount AS DECIMAL(6,4))) * (CAST(1 AS DECIMAL(6,4)) + CAST(l_tax AS DECIMAL(6,4)))) AS DECIMAL(38,10)) AS sum_charge,
                    COUNT(*) AS count_order
             FROM lineitem
             WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -717,7 +721,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "revenue_by_nation": """
             SELECT r_name, n_name,
-                   SUM(CAST(l_extendedprice AS DECIMAL(14,2)) * (CAST(1 AS DECIMAL(6,4)) - CAST(l_discount AS DECIMAL(6,4)))) AS revenue,
+                   CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,2)) * (CAST(1 AS DECIMAL(6,4)) - CAST(l_discount AS DECIMAL(6,4)))) AS DECIMAL(38,6)) AS revenue,
                    COUNT(*) AS n_items
             FROM lineitem
             JOIN orders ON l_orderkey = o_orderkey

@@ -42,8 +42,9 @@ def tokens(text: Column) -> Column:
 
 def token_count(text: Column) -> Column:
     """Whitespace token count (reference has no tokenizer; this is the
-    north-star text-pipeline primitive)."""
-    return F.size(tokens(text))
+    north-star text-pipeline primitive).  bigint: F.size is int32, which
+    hashes differently from DuckDB's int64 len()."""
+    return F.size(tokens(text)).cast("bigint")
 
 
 def poly_hash(col: Column) -> Column:

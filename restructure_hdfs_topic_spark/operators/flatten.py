@@ -28,6 +28,12 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import ArrayType, BinaryType, MapType, StructType
 
 
+def _qcol(name: str) -> Column:
+    """Column reference with literal (possibly dotted) name — backtick-quoted
+    so Spark does not parse ``i.a`` as struct access."""
+    return F.col("`" + name.replace("`", "``") + "`")
+
+
 def flatten_struct_columns(df: DataFrame, sep: str = ".") -> DataFrame:
     """O6/O7 struct recursion: expand every StructType column to scalar
     columns with dot-joined names (``key.projectId``).  Maps/arrays are left
@@ -54,13 +60,15 @@ def discover_dynamic_columns(df: DataFrame) -> dict[str, list]:
     Column order divergence (documented): the reference uses first-seen
     order per file; we use deterministic sorted key order globally.
     """
+    # NB: flattened column names contain literal dots ("i.a"); _qcol quotes
+    # them so Spark does not parse the dot as struct access.
     aggs = []
     map_cols = [f.name for f in df.schema.fields if isinstance(f.dataType, MapType)]
     arr_cols = [f.name for f in df.schema.fields if isinstance(f.dataType, ArrayType)]
     for c in map_cols:
-        aggs.append(F.array_sort(F.array_distinct(F.flatten(F.collect_list(F.map_keys(F.col(c)))))).alias(f"__keys_{c}"))
+        aggs.append(F.array_sort(F.array_distinct(F.flatten(F.collect_list(F.map_keys(_qcol(c)))))).alias(f"__keys_{c}"))
     for c in arr_cols:
-        aggs.append(F.max(F.size(F.col(c))).alias(f"__len_{c}"))
+        aggs.append(F.max(F.size(_qcol(c))).alias(f"__len_{c}"))
     if not aggs:
         return {}
     row = df.agg(*aggs).collect()[0]
@@ -86,23 +94,27 @@ def flatten_for_csv(df: DataFrame, sep: str = ".") -> DataFrame:
     flat = flatten_struct_columns(df, sep)
     dynamic = discover_dynamic_columns(flat)
     cols: list[Column] = []
+    # _qcol(name), not F.col(name): flattened names carry literal dots.
     for field in flat.schema.fields:
         name, dtype = field.name, field.dataType
+        # try_element_at / get: null (→ "") on absent key / short array, even
+        # under ANSI mode — a record's maps/arrays rarely populate the full
+        # discovered header, exactly the reference's empty-cell case.
         if isinstance(dtype, MapType):
             for key in dynamic.get(name, []):
                 cols.append(
-                    F.coalesce(F.col(name).getItem(key).cast("string"), F.lit("")).alias(f"{name}{sep}{key}")
+                    F.coalesce(F.try_element_at(_qcol(name), F.lit(key)).cast("string"), F.lit("")).alias(f"{name}{sep}{key}")
                 )
         elif isinstance(dtype, ArrayType):
             for i in dynamic.get(name, []):
-                inner = F.col(name).getItem(i)
+                inner = F.get(_qcol(name), i)
                 if isinstance(dtype.elementType, BinaryType):
                     inner = base64_nopad(inner)
                 cols.append(F.coalesce(inner.cast("string"), F.lit("")).alias(f"{name}{sep}{i}"))
         elif isinstance(dtype, BinaryType):
-            cols.append(F.coalesce(base64_nopad(F.col(name)), F.lit("")).alias(name))
+            cols.append(F.coalesce(base64_nopad(_qcol(name)), F.lit("")).alias(name))
         else:
-            cols.append(F.coalesce(F.col(name).cast("string"), F.lit("")).alias(name))
+            cols.append(F.coalesce(_qcol(name).cast("string"), F.lit("")).alias(name))
     return flat.select(*cols)
 
 
@@ -110,7 +122,7 @@ def to_json_lines(df: DataFrame) -> DataFrame:
     """O8 JSON projection: schema-preserving single-column JSON-lines
     (format/JsonAvroConverter.kt:30-49).  ``df.write.json`` is the sink
     form; this column form feeds membership checks (O22)."""
-    return df.select(F.to_json(F.struct(*[F.col(c) for c in df.columns])).alias("json"))
+    return df.select(F.to_json(F.struct(*[_qcol(c) for c in df.columns])).alias("json"))
 
 
 def header_fingerprint(df: DataFrame) -> Column:
@@ -119,7 +131,7 @@ def header_fingerprint(df: DataFrame) -> Column:
     whose populated-column sets differ get different fingerprints and are
     routed to different attempt-suffixed outputs)."""
     parts = [
-        F.when(F.col(c).isNotNull(), F.lit(c)).otherwise(F.lit(""))
+        F.when(_qcol(c).isNotNull(), F.lit(c)).otherwise(F.lit(""))
         for c in df.columns
     ]
     return F.sha2(F.concat_ws("|", *parts), 256).substr(1, 8)

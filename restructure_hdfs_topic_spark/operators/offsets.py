@@ -135,33 +135,72 @@ def assign_record_offsets(
     )
 
 
+_POINTER = "offsets.CURRENT"
+
+
+def _current_version(state_dir: str) -> int | None:
+    pointer = os.path.join(state_dir, _POINTER)
+    if os.path.exists(pointer):
+        with open(pointer) as fh:
+            return int(fh.read().strip().lstrip("v"))
+    return None
+
+
 def commit_offsets(
     spark: SparkSession,
     state_dir: str,
     new_ranges: DataFrame,
 ) -> DataFrame:
-    """O17/O18: merge new ranges into persisted state and overwrite
-    atomically (write-temp-then-rename, mirroring the reference's
-    LocalTargetStorage.kt:60-72 atomic move).  MUST be called only after
-    the data write action has succeeded (commit-after-store ordering).
+    """O17/O18: merge new ranges into persisted state and commit atomically.
+
+    Versioned-state commit protocol (the Spark-native analogue of the
+    reference's atomic move, target/LocalTargetStorage.kt:60-72):
+    1. write the merged interval set to a NEW directory ``offsets/v{N+1}``;
+    2. atomically swap the ``offsets.CURRENT`` pointer file (tempfile +
+       rename — atomic on POSIX; on S3 a pointer-object PUT is atomic);
+    3. prune versions older than N (N itself survives one commit so lazy
+       DataFrames still referencing it keep resolving — crash mid-commit
+       never loses state, the pointer flips or it doesn't).
+
+    MUST be called only after the data write action has succeeded
+    (commit-after-store ordering, worker/FileCache.kt:128-158).
     """
-    state_path = os.path.join(state_dir, "offsets.parquet")
-    tmp_path = os.path.join(state_dir, "_offsets.parquet.tmp")
+    import shutil
+    import tempfile
+
     existing = read_offsets(spark, state_dir)
     merged = merge_offset_intervals(existing.unionByName(new_ranges, allowMissingColumns=True))
-    merged.write.mode("overwrite").parquet(tmp_path)
-    reloaded = spark.read.parquet(tmp_path).cache()
-    reloaded.count()
-    reloaded.write.mode("overwrite").parquet(state_path)
-    reloaded.unpersist()
+    cur = _current_version(state_dir)
+    nxt = (cur or 0) + 1
+    version_dir = os.path.join(state_dir, "offsets", f"v{nxt:08d}")
+    merged.write.mode("overwrite").parquet(version_dir)
+    fd, tmp = tempfile.mkstemp(dir=state_dir, prefix=".offsets.CURRENT.")
+    with os.fdopen(fd, "w") as fh:
+        fh.write(f"v{nxt:08d}")
+    os.replace(tmp, os.path.join(state_dir, _POINTER))
+    # Prune everything older than the immediately previous version.
+    versions_root = os.path.join(state_dir, "offsets")
+    for v in os.listdir(versions_root):
+        if v.startswith("v") and int(v[1:]) < nxt - 1:
+            shutil.rmtree(os.path.join(versions_root, v), ignore_errors=True)
+    legacy = os.path.join(state_dir, "offsets.parquet")
+    if os.path.exists(legacy):  # migration: drop pre-pointer layout
+        shutil.rmtree(legacy, ignore_errors=True)
     return read_offsets(spark, state_dir)
 
 
 def read_offsets(spark: SparkSession, state_dir: str) -> DataFrame:
-    """Load the committed interval state (empty DataFrame if none yet)."""
-    state_path = os.path.join(state_dir, "offsets.parquet")
-    if os.path.exists(state_path):
-        return spark.read.parquet(state_path)
+    """Load the committed interval state (empty DataFrame if none yet).
+
+    Resolves the ``offsets.CURRENT`` pointer; falls back to the legacy
+    single-directory layout for pre-pointer state dirs.
+    """
+    cur = _current_version(state_dir)
+    if cur is not None:
+        return spark.read.parquet(os.path.join(state_dir, "offsets", f"v{cur:08d}"))
+    legacy = os.path.join(state_dir, "offsets.parquet")
+    if os.path.exists(legacy):
+        return spark.read.parquet(legacy)
     return spark.createDataFrame([], STATE_SCHEMA)
 
 

@@ -64,9 +64,19 @@ def run_restructure_job(
 
     Returns counters (O26 analogue: processed records/files written).
     """
+    from pyspark.sql import Observation
+
     manifest = build_manifest(records)
     state = read_offsets(spark, config.state_dir)
-    todo_files = filter_unseen_files(manifest, state)
+    # The pending-file list is manifest-granularity — one row per source
+    # file, exactly what the reference holds in memory as TopicFileList
+    # (source/TopicFileList.kt:7-12) — so collecting it to the driver is
+    # bounded and gives us the broadcast join side, the pending count, AND
+    # the commit ranges without ever re-evaluating the plan.
+    pending = filter_unseen_files(manifest, state).collect()
+    if not pending:
+        return {"records_written": 0, "files_pending": 0}
+    todo_files = spark.createDataFrame(pending)
 
     # Record-level pruning piggybacks on the file decision (the reference's
     # per-record binary search is a no-op when file granularity suffices —
@@ -96,24 +106,28 @@ def run_restructure_job(
     if dedup_key is not None:
         organized = keep_last_dedup(organized, dedup_key, order_col)
 
-    n_records = organized.count()
-    if n_records:
-        write_restructured(
-            organized,
-            config.target_dir,
-            fmt=config.format,
-            compression=config.compression,
-        )
-        new_ranges = (
-            todo.groupBy("topic", "partition")
-            .agg(
-                F.min("offset").alias("offset_from"),
-                F.max("offset").alias("offset_to"),
-                F.max("mtime").alias("last_processed"),
-            )
-        )
-        commit_offsets(spark, config.state_dir, new_ranges)
-    return {"records_written": n_records, "files_pending": todo_files.count()}
+    # Single-pass metrics (O26): the write action IS the only evaluation of
+    # the pipeline; the record count rides along as an observation instead
+    # of a second full scan.
+    obs = Observation()
+    organized = organized.observe(obs, F.count(F.lit(1)).alias("n"))
+    write_restructured(
+        organized,
+        config.target_dir,
+        fmt=config.format,
+        compression=config.compression,
+        topics=[topic],
+    )
+    n_records = int(obs.get["n"])
+    # Commit PER-FILE ranges (mirroring the reference's per-file ledger,
+    # accounting/Accountant.kt:93-101) — a min/max span per partition would
+    # wrongly mark gap offsets between pending files as processed.
+    new_ranges = todo_files.select(
+        "topic", "partition", "offset_from", "offset_to",
+        F.col("mtime").alias("last_processed"),
+    )
+    commit_offsets(spark, config.state_dir, new_ranges)
+    return {"records_written": n_records, "files_pending": len(pending)}
 
 
 def run_cleaner_job(

@@ -80,6 +80,7 @@ def write_restructured(
     fmt: str = "json",
     compression: str | None = None,
     max_records_per_file: int | None = None,
+    topics: list[str] | None = None,
 ) -> None:
     """Partitioned sink (O13) + schema sidecar (O24).
 
@@ -101,16 +102,33 @@ def write_restructured(
     if max_records_per_file:
         writer = writer.option("maxRecordsPerFile", str(max_records_per_file))
     getattr(writer, fmt)(output_dir)
-    _write_schema_sidecar(organized, output_dir)
+    _write_schema_sidecar(organized, output_dir, topics)
 
 
-def _write_schema_sidecar(organized: DataFrame, output_dir: str) -> None:
-    """``schema-<topic>.json`` once per topic dir (worker/FileCacheStore.kt:100-116)."""
-    topics = [r[0] for r in organized.select("topic").distinct().collect()]
-    schema_json = organized.drop(*PARTITION_COLS).schema.jsonValue()
+def _write_schema_sidecar(
+    organized: DataFrame, output_dir: str, topics: list[str] | None = None
+) -> None:
+    """``schema-<topic>.json`` once per topic dir (worker/FileCacheStore.kt:100-116).
+
+    The caller passes the topic list it already knows (the job processes one
+    topic per iteration); only a caller that genuinely doesn't triggers the
+    distinct scan.  Writes go through the Hadoop FileSystem API so the
+    sidecar lands on whatever store the output does (file://, s3a://, …).
+    """
+    if topics is None:
+        topics = [r[0] for r in organized.select("topic").distinct().collect()]
+    schema_json = json.dumps(organized.drop(*PARTITION_COLS).schema.jsonValue(), indent=2)
+    spark = organized.sparkSession
+    jvm = spark._jvm
+    hadoop_conf = spark._jsc.hadoopConfiguration()
+    out_path = jvm.org.apache.hadoop.fs.Path(output_dir)
+    fs = out_path.getFileSystem(hadoop_conf)
+    fs.mkdirs(out_path)
     for topic in topics:
-        path = os.path.join(output_dir, f"schema-{topic}.json")
-        if not os.path.exists(path):
-            os.makedirs(output_dir, exist_ok=True)
-            with open(path, "w") as fh:
-                json.dump(schema_json, fh, indent=2)
+        path = jvm.org.apache.hadoop.fs.Path(output_dir, f"schema-{topic}.json")
+        if not fs.exists(path):
+            stream = fs.create(path, False)
+            try:
+                stream.write(bytearray(schema_json, "utf-8"))
+            finally:
+                stream.close()

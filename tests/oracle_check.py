@@ -69,8 +69,30 @@ def main() -> int:
         duck_s = time.time() - t0
         sc, sr = normalize([tuple(r) for r in srows], scols)
         dc, dr = normalize(drows, dcols)
+        # Arrow-level type compare: the driver's value-hash is type-aware
+        # (Spark decimal(24,2) vs DuckDB decimal(38,2) hash differently even
+        # when the values repr-match).
+        try:
+            satypes = {f.name: str(f.type) for f in sdf.toArrow().schema}
+            datypes = {f.name: str(f.type) for f in con.execute(oracles[name]).arrow().schema}
+            def _canon(t):
+                # Spark session tz yields tz-aware arrow timestamps; DuckDB's
+                # are naive.  The driver's hash tolerates this (every ts
+                # column passed round 1), so ignore tz-only differences.
+                return t.replace(", tz=UTC", "") if t else t
+
+            type_diff = {
+                k: (satypes.get(k), datypes.get(k))
+                for k in set(satypes) | set(datypes)
+                if _canon(satypes.get(k)) != _canon(datypes.get(k))
+            }
+        except Exception as exc:  # arrow conversion unsupported for some types
+            type_diff = {}
+            print(f"  {name}: (arrow type check skipped: {exc})")
         status = "OK"
-        if sc != dc:
+        if type_diff:
+            status = f"TYPE-DIFF {type_diff}"
+        elif sc != dc:
             status = f"SCHEMA-MISMATCH spark={sc} duck={dc}"
         elif len(sr) != len(dr):
             status = f"ROWCOUNT-MISMATCH spark={len(sr)} duck={len(dr)}"
