@@ -1,0 +1,201 @@
+"""End-to-end Avro restructure job (SURVEY §3.1 over the REAL input model):
+walk topics → prune committed files → decode Avro records → organize
+(event time / bin / sanitized ids) → partitioned CSV/JSON write → commit
+per-file offset ranges.
+
+This is the north star's literal first clause — "reads Avro from HDFS,
+outputs JSON per topic/user" — wired against the reference's actual
+Kafka-Connect file layout and validated by tests against the reference's
+own integration fixtures
+(src/integrationTest/resources/*/partition=*/*.avro, golden output in
+RestructureS3IntegrationTest.kt).
+
+Scale shape: the ONLY driver-side state is the file listing (same as the
+reference's TopicFileList); committed files are pruned before any byte of
+data is read (the reference's scan-pruning, worker/RadarKafkaRestructure.kt:118-122);
+decode + organize + write is one distributed plan per topic with a single
+shuffle (the pre-write repartition on output partition columns).
+"""
+
+from __future__ import annotations
+
+import time as _time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
+
+from restructure_hdfs_topic_spark.config import RestructureConfig
+from restructure_hdfs_topic_spark.functions.paths import sanitize_id
+from restructure_hdfs_topic_spark.functions.time import event_time, time_bin
+from restructure_hdfs_topic_spark.operators.dedup import keep_last_dedup
+from restructure_hdfs_topic_spark.operators.flatten import flatten_for_csv
+from restructure_hdfs_topic_spark.operators.offsets import (
+    commit_offsets,
+    filter_unseen_files,
+    read_offsets,
+)
+from restructure_hdfs_topic_spark.plans.restructure import PARTITION_COLS
+from restructure_hdfs_topic_spark.sources.avro import (
+    SourceFile,
+    manifest_df,
+    read_avro,
+    walk_topics,
+)
+
+# Event-time candidate fields in reference priority order
+# (util/TimeUtil.kt:21-50), with their physical interpretation.
+_TIME_CANDIDATES = [
+    ("value", "time", "s"),
+    ("key", "timeStart", "s"),
+    ("key", "start", "ms"),
+    ("value", "dateTime", "iso"),
+    ("value", "date", "date"),
+    ("value", "timeReceived", "s"),
+    ("value", "timeCompleted", "s"),
+]
+
+
+def record_event_time(df: DataFrame) -> F.Column:
+    """O9 over real key/value records: build the coalesce from whichever
+    candidate fields the topic's schema actually has."""
+    kwargs: dict[str, F.Column] = {}
+    arg_for = {
+        ("value", "time"): "time_s",
+        ("key", "timeStart"): "time_start_s",
+        ("key", "start"): "start_ms",
+        ("value", "dateTime"): "date_time_iso",
+        ("value", "date"): "date_str",
+        ("value", "timeReceived"): "time_received_s",
+        ("value", "timeCompleted"): "time_completed_s",
+    }
+    fields = {f.name: f.dataType for f in df.schema.fields}
+    for parent, child, _kind in _TIME_CANDIDATES:
+        dtype = fields.get(parent)
+        if isinstance(dtype, StructType) and child in dtype.fieldNames():
+            kwargs[arg_for[(parent, child)]] = F.col(f"{parent}.{child}")
+    if not kwargs:
+        return F.lit(None).cast("timestamp")
+    return event_time(**kwargs)
+
+
+def organize_avro_records(records: DataFrame, bin_format: str) -> DataFrame:
+    """O9+O10+O11 over decoded records: event time, hour bin, sanitized
+    project/user ids from the ObservationKey (path/ObservationKeyPathFactory.kt:25-38)."""
+    has_key = "key" in records.columns
+    project = (
+        sanitize_id(F.col("key.projectId"), "unknown-project")
+        if has_key and "projectId" in records.schema["key"].dataType.fieldNames()
+        else F.lit("unknown-project")
+    )
+    user = (
+        sanitize_id(F.col("key.userId"), "unknown-user")
+        if has_key and "userId" in records.schema["key"].dataType.fieldNames()
+        else F.lit("unknown-user")
+    )
+    return (
+        records.withColumn("time", record_event_time(records))
+        .withColumn("bin", time_bin(F.col("time"), bin_format))
+        .withColumn("projectId", project)
+        .withColumn("userId", user)
+    )
+
+
+def _write_topic(
+    organized: DataFrame,
+    config: RestructureConfig,
+    topic: str,
+) -> None:
+    """O13 partitioned sink for one topic, CSV (flattened, dynamic header)
+    or JSON (nested).  The bin is a partition column — directory layout
+    projectId=<p>/userId=<u>/topic=<t>/bin=<b>; the reference's
+    p/u/t/<bin>.csv collapses bin into the filename (documented divergence,
+    SURVEY §7.3 #3: contents identical at directory granularity)."""
+    # The reference's output rows carry ONLY the record payload (flattened
+    # key.*/value.* for CSV, nested for JSON) — accounting columns served
+    # their purpose (pruning, dedup order, commit) and are dropped here.
+    payload = organized.drop("time", "filename", "mtime", "partition", "offset")
+    if config.format == "csv":
+        # Flatten record + partition columns in one projection: partition
+        # columns are already plain strings, so they pass through unchanged
+        # and partitionBy sees their original names.
+        flat = flatten_for_csv(payload)
+        writer = (
+            flat.repartition(*[F.col(f"`{c}`") for c in PARTITION_COLS])
+            .write.mode("append")
+            .partitionBy(*PARTITION_COLS)
+            .option("header", "true")
+        )
+        if config.compression:
+            writer = writer.option("compression", config.compression)
+        writer.csv(config.target_dir)
+    else:
+        writer = (
+            payload.repartition(*[F.col(c) for c in PARTITION_COLS])
+            .write.mode("append")
+            .partitionBy(*PARTITION_COLS)
+        )
+        if config.compression:
+            writer = writer.option("compression", config.compression)
+        writer.json(config.target_dir)
+    from restructure_hdfs_topic_spark.plans.restructure import _write_schema_sidecar
+
+    _write_schema_sidecar(payload.drop(*PARTITION_COLS), config.target_dir, [topic])
+
+
+def run_avro_restructure_job(
+    spark: SparkSession,
+    input_root: str,
+    config: RestructureConfig,
+    mode: str = "auto",
+    now_s: float | None = None,
+) -> dict:
+    """One restructure iteration over an Avro source tree.  Returns O26-style
+    counters per topic plus totals."""
+    excluded = {t for t, tc in config.topics.items() if tc.exclude}
+    topics = walk_topics(input_root, exclude=excluded)
+    now = now_s if now_s is not None else _time.time()
+    min_age = config.worker.minimum_file_age_s
+    counters: dict = {"topics": {}, "records_written": 0, "files_pending": 0}
+    for topic, files in sorted(topics.items()):
+        # Late-file guard (O4, config minimumFileAge): skip files younger
+        # than min_age — they may still be written to.
+        aged = [f for f in files if now - f.mtime >= min_age]
+        if not aged:
+            continue
+        state = read_offsets(spark, config.state_dir)
+        manifest = manifest_df(spark, aged)
+        pending_rows = filter_unseen_files(manifest, state).collect()
+        if config.worker.max_files_per_topic:
+            pending_rows = pending_rows[: config.worker.max_files_per_topic]
+        if not pending_rows:
+            counters["topics"][topic] = {"records_written": 0, "files_pending": 0}
+            continue
+        paths = [r["path"] for r in pending_rows]
+        records = read_avro(spark, paths, mode=mode)
+        organized = organize_avro_records(records, config.paths.bin_format)
+        organized = organized.withColumn("topic", F.lit(topic))
+        dedup_key = config.dedup_key_for(topic, organized.columns)
+        if dedup_key is not None:
+            organized = keep_last_dedup(organized, dedup_key, "offset")
+        from pyspark.sql import Observation
+
+        obs = Observation()
+        organized = organized.observe(obs, F.count(F.lit(1)).alias("n"))
+        _write_topic(organized, config, topic)
+        n_records = int(obs.get["n"])
+        new_ranges = spark.createDataFrame(
+            [
+                (r["topic"], r["partition"], r["offset_from"], r["offset_to"], r["mtime"])
+                for r in pending_rows
+            ],
+            "topic string, partition int, offset_from long, offset_to long, last_processed timestamp",
+        )
+        commit_offsets(spark, config.state_dir, new_ranges)
+        counters["topics"][topic] = {
+            "records_written": n_records,
+            "files_pending": len(pending_rows),
+        }
+        counters["records_written"] += n_records
+        counters["files_pending"] += len(pending_rows)
+    return counters

@@ -1,0 +1,140 @@
+"""Avro ingestion tests (SURVEY O1/O2/O3) against the reference's OWN
+integration fixtures (src/integrationTest/resources/*/partition=*/*.avro)
+and the golden output pinned in RestructureS3IntegrationTest.kt:
+- exact record counts and decoded values (incl. the snappy-coded files);
+- filename → (topic, partition, offset range) parsing;
+- per-record offset assignment at the source;
+- full end-to-end restructure: expected project/user/topic/bin layout and
+  the EXACT golden CSV rows for 20200128_1300;
+- idempotent rerun (exactly-once).
+"""
+
+import glob
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from restructure_hdfs_topic_spark.config import PathConfig, RestructureConfig, WorkerConfig
+from restructure_hdfs_topic_spark.plans.avro_job import run_avro_restructure_job
+from restructure_hdfs_topic_spark.sources.avro import (
+    AvroContainer,
+    read_avro,
+    walk_topics,
+)
+
+FIXTURES = "/root/reference/src/integrationTest/resources"
+
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(FIXTURES), reason="reference fixtures unavailable"
+)
+
+
+def test_container_decode_counts_and_values():
+    # android file: null codec, 1000 records; status files: snappy, 3 each.
+    by_name = {
+        os.path.basename(p): p
+        for p in glob.glob(f"{FIXTURES}/*/partition=*/*.avro")
+    }
+    acc = AvroContainer.parse(
+        open(by_name["android_phone_acceleration+0+0003018784.avro"], "rb").read()
+    )
+    recs = list(acc.records())
+    assert acc.codec == "null" and len(recs) == 1000
+    assert recs[0]["key"]["projectId"] == "radar-test-root"
+    status = AvroContainer.parse(
+        open(by_name["application_server_status+1+0000000018+0000000020.avro"], "rb").read()
+    )
+    srecs = list(status.records())
+    assert status.codec == "snappy" and len(srecs) == 3
+    assert srecs[0]["value"] == {
+        "time": 1580219820.03,
+        "serverStatus": "CONNECTED",
+        "ipAddress": None,
+    }
+
+
+def test_walk_topics_and_filename_parse():
+    topics = walk_topics(FIXTURES)
+    assert set(topics) == {"application_server_status", "android_phone_acceleration"}
+    status_files = topics["application_server_status"]
+    assert [(f.partition, f.offset_from, f.offset_to) for f in status_files] == [
+        (1, 18, 20),
+        (1, 21, 21),
+    ]
+
+
+def test_read_avro_distributed_offsets(spark):
+    topics = walk_topics(FIXTURES)
+    df = read_avro(spark, [f.path for f in topics["application_server_status"]])
+    rows = df.select("topic", "partition", "offset", "key.userId").orderBy("offset").collect()
+    # Offsets: file 18..20 has 3 records → 18,19,20; file 21 has 3 records
+    # → 21,22,23 (single-offset filename still streams all its records).
+    assert [r["offset"] for r in rows] == [18, 19, 20, 21, 22, 23]
+    assert all(r["topic"] == "application_server_status" for r in rows)
+    assert all(r["partition"] == 1 for r in rows)
+
+
+def test_avro_restructure_end_to_end_golden(spark, tmp_path):
+    cfg = RestructureConfig(
+        target_dir=str(tmp_path / "out"),
+        state_dir=str(tmp_path / "state"),
+        format="csv",
+        worker=WorkerConfig(minimum_file_age_s=0),
+    )
+    os.makedirs(cfg.state_dir, exist_ok=True)
+    result = run_avro_restructure_job(spark, FIXTURES, cfg, mode="python")
+    assert result["records_written"] == 1006
+    # Golden layout (RestructureS3IntegrationTest.kt): two participants,
+    # bins 20200128_1300 + 20200128_1400 for server status, 20200528_1000
+    # for acceleration.
+    # Topics have different CSV headers — read each topic's subtree
+    # separately (basePath keeps the partition columns).
+    def read_topic_csv(topic):
+        return (
+            spark.read.option("header", "true")
+            .option("basePath", cfg.target_dir)
+            .csv(f"{cfg.target_dir}/projectId=*/userId=*/topic={topic}")
+        )
+
+    status_all = read_topic_csv("application_server_status")
+    accel = read_topic_csv("android_phone_acceleration")
+    status = status_all.filter(F.col("bin") == "20200128_1300")
+    rows = status.collect()
+    assert len(rows) == 2
+    for r in rows:
+        assert r["key.projectId"] == "STAGING_PROJECT"
+        assert r["key.userId"] == "1543bc93-3c17-4381-89a5-c5d6272b827c"
+        assert r["key.sourceId"] == "99caf236-bbe6-4eed-9c63-fba77349821d"
+        # Golden CSV renders the double in Java toString form.
+        assert r["value.time"] == "1.58021982003E9"
+        assert r["value.serverStatus"] == "CONNECTED"
+        assert r["value.ipAddress"] is None  # written as "" (null→empty)
+    bins = {
+        (r["topic"], r["bin"])
+        for df in (status_all, accel)
+        for r in df.select("topic", "bin").distinct().collect()
+    }
+    assert bins == {
+        ("application_server_status", "20200128_1300"),
+        ("application_server_status", "20200128_1400"),
+        ("android_phone_acceleration", "20200528_1000"),
+    }
+    # Projects/users match the golden paths.
+    projs = {
+        r["projectId"]
+        for df in (status_all, accel)
+        for r in df.select("projectId").distinct().collect()
+    }
+    assert projs == {"STAGING_PROJECT", "radar-test-root"}
+    # Schema sidecars written once per topic.
+    assert os.path.exists(os.path.join(cfg.target_dir, "schema-application_server_status.json"))
+    assert os.path.exists(os.path.join(cfg.target_dir, "schema-android_phone_acceleration.json"))
+    # Idempotent rerun: nothing new written.
+    result2 = run_avro_restructure_job(spark, FIXTURES, cfg, mode="python")
+    assert result2["records_written"] == 0
+    assert (
+        read_topic_csv("application_server_status").count()
+        + read_topic_csv("android_phone_acceleration").count()
+        == 1006
+    )
