@@ -149,8 +149,10 @@ def q_filename_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("event_id") % 2 == 0, F.concat(F.lit("+"), (F.col("event_id") * 10 + 9).cast("string"))).otherwise(F.lit("")),
         F.lit(".avro"),
     )
-    return ev.select("event_id", fname.alias("filename")).select(
-        "event_id", "filename", *parse_source_filename(F.col("filename"))
+    from restructure_hdfs_topic_spark.functions.paths import with_parsed_filenames
+
+    return with_parsed_filenames(
+        ev.select("event_id", fname.alias("filename")), "filename"
     )
 
 
@@ -390,23 +392,58 @@ def q_text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Quality scoring: length/punctuation/stopword components + composite."""
+    """Quality scoring: length/punctuation/stopword components + composite.
+
+    The token array is projected ONCE and every metric derives from it —
+    the regex split runs once per row instead of ~8× (BENCH_r01 fix)."""
+    from restructure_hdfs_topic_spark.functions.text import (
+        quality_score_from,
+        stopword_ratio_from,
+        token_count_from,
+        tokens,
+    )
+
     _conf(spark)
     docs = _t(spark, sf_dir, "documents")
-    return docs.select(
+    toked = docs.select("doc_id", "text", tokens(F.col("text")).alias("toks"))
+    comps = toked.select(
         "doc_id",
-        token_count(F.col("text")).alias("n_tokens"),
+        token_count_from(F.col("toks")).alias("n_tokens"),
         punct_ratio(F.col("text")).alias("punct_ratio"),
-        stopword_ratio(F.col("text")).alias("stopword_ratio"),
-        quality_score(F.col("text")).alias("quality"),
+        stopword_ratio_from(F.col("toks")).alias("stopword_ratio"),
+    )
+    return comps.select(
+        "doc_id",
+        "n_tokens",
+        "punct_ratio",
+        "stopword_ratio",
+        quality_score_from(
+            F.col("n_tokens"), F.col("punct_ratio"), F.col("stopword_ratio")
+        ).alias("quality"),
     )
 
 
 def q_text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Marker-based language-ID heuristic (argmax with deterministic ties)."""
+    """Marker-based language-ID heuristic (argmax with deterministic ties).
+
+    Per-language scores are projected as real columns, then a single
+    greatest + flat CASE argmax — no nested re-evaluation (BENCH_r01 fix)."""
+    from restructure_hdfs_topic_spark.functions.text import (
+        lang_id_from_scores,
+        lang_scores_from,
+        tokens,
+    )
+
     _conf(spark)
     docs = _t(spark, sf_dir, "documents")
-    return docs.select("doc_id", lang_id(F.col("text")).alias("lang_pred"))
+    toked = docs.select("doc_id", tokens(F.col("text")).alias("toks"))
+    score_names = [lang for lang, _ in lang_scores_from(F.col("toks"))]
+    scored = toked.select(
+        "doc_id",
+        *[s.alias(f"s_{lang}") for lang, s in lang_scores_from(F.col("toks"))],
+    )
+    scores = [(lang, F.col(f"s_{lang}")) for lang in score_names]
+    return scored.select("doc_id", lang_id_from_scores(scores).alias("lang_pred"))
 
 
 def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -435,14 +472,18 @@ def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash+LSH candidate pairs verified by exact Jaccard — the 100 TB
-    near-dup path (no O(n²) compare).  Rows-only check: LSH recall < 1 by
-    construction, so no SQL oracle."""
+    """MinHash+LSH candidate pairs verified by exact Jaccard over hashed
+    shingles — the 100 TB near-dup path (no O(n²) compare, xxhash64
+    production hashing, shingles computed once).  Rows-only check: LSH
+    recall < 1 by construction, so no SQL oracle."""
+    from restructure_hdfs_topic_spark.operators.dedup import lsh_near_dup_pairs
+
     _conf(spark)
     docs = _t(spark, sf_dir, "documents")
-    sigs = minhash_signatures(docs, "doc_id", "text", n=3, num_hashes=32)
-    cands = lsh_candidate_pairs(sigs, bands=16, rows_per_band=2)
-    return ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.2, candidates=cands)
+    return lsh_near_dup_pairs(
+        docs, "doc_id", "text", n=3, num_hashes=32, bands=16, rows_per_band=2,
+        threshold=0.2,
+    )
 
 
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -63,6 +63,9 @@ def main() -> None:
     )
     spark.sparkContext.setLogLevel("ERROR")
 
+    from pyspark.sql import Observation
+    from pyspark.sql import functions as F
+
     qs = entry.queries()
     timings: dict[str, float] = {}
     for name in BENCH_QUERIES:
@@ -70,10 +73,17 @@ def main() -> None:
         if fn is None:
             continue
         t0 = time.time()
-        # Materialize fully (count of a non-pruned projection) so the cost
-        # includes the whole plan, not a pruned-count shortcut.
-        n = fn(spark, SF_DIR).toLocalIterator()
-        rows = sum(1 for _ in n)
+        # Materialize EVERY row and column cluster-side: a noop-format write
+        # evaluates the full un-pruned plan (the observed count prevents any
+        # count-only shortcut) without serializing results through the
+        # driver — round 1's toLocalIterator drain billed driver transfer
+        # of 100k-row results to the query.
+        obs = Observation()
+        df = fn(spark, SF_DIR)
+        df.observe(obs, F.count(F.lit(1)).alias("rows")).write.format("noop").mode(
+            "overwrite"
+        ).save()
+        rows = int(obs.get["rows"])
         timings[name] = round(time.time() - t0, 3)
         print(f"# {name}: {timings[name]}s ({rows} rows)", file=sys.stderr)
 

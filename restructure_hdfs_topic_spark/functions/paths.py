@@ -41,8 +41,12 @@ def render_path(
 
 def parse_source_filename(name: Column) -> list[Column]:
     """Extract (topic, partition, offset_from, offset_to) from a source
-    object name.  ``offset_to`` is null for single-offset filenames
-    (the reference treats those as from==to).
+    object name.  ``offset_to`` falls back to ``offset_from`` for
+    single-offset filenames (the reference treats those as from==to).
+
+    Column-expression form (4 regexp passes) — correct anywhere, but for
+    bulk parsing prefer ``with_parsed_filenames``, which materializes the
+    split once and runs ONE regex per row.
     """
     topic = F.regexp_extract(name, FILENAME_RE, 1)
     partition = F.regexp_extract(name, FILENAME_RE, 2).cast("int")
@@ -58,5 +62,28 @@ def parse_source_filename(name: Column) -> list[Column]:
 
 
 def with_parsed_filenames(files: DataFrame, name_col: str = "filename") -> DataFrame:
-    """Project a manifest DataFrame with parsed filename columns."""
-    return files.select("*", *parse_source_filename(F.col(name_col)))
+    """O3 bulk parse: one validity regex + one split per row, materialized
+    in their own projection so Catalyst never duplicates them (the 4×
+    regexp_extract form cost 17.5 s/100k rows in BENCH_r01 vs the oracle's
+    1.3 s one-pass).  Kafka topic names cannot contain ``+``, so splitting
+    the stem on ``+`` is exact.
+    """
+    name = F.col(name_col)
+    stem = F.regexp_replace(F.substring_index(name, "/", -1), r"\.avro$", "")
+    staged = files.select(
+        "*",
+        F.split(stem, r"\+").alias("__parts"),
+        name.rlike(FILENAME_RE).alias("__valid"),
+    )
+    parts, valid = F.col("__parts"), F.col("__valid")
+    # F.get: 0-based, null out-of-bounds (single-offset names have 3 parts);
+    # casts only evaluate under the valid guard (regex guarantees digits).
+    return staged.select(
+        *[c for c in files.columns],
+        F.when(valid, F.get(parts, 0)).otherwise(F.lit("")).alias("topic"),
+        F.when(valid, F.get(parts, 1).cast("int")).alias("partition"),
+        F.when(valid, F.get(parts, 2).cast("long")).alias("offset_from"),
+        F.when(
+            valid, F.coalesce(F.get(parts, 3).cast("long"), F.get(parts, 2).cast("long"))
+        ).alias("offset_to"),
+    )

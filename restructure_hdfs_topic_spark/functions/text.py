@@ -92,6 +92,57 @@ def quality_score(text: Column) -> Column:
     )
 
 
+# --- column-reuse variants -------------------------------------------------
+# The single-column functions above re-inline ``tokens(text)`` (a regex
+# split) into every derived metric; Catalyst's CollapseProject duplicates
+# the split per reference, so a quality query evaluated it ~8× per row
+# (BENCH_r01: text_quality 16.7 s / 5k docs).  These *_from variants take
+# an already-projected token array column: project ``tokens`` ONCE, derive
+# everything from it — the multi-referenced alias survives as a real
+# column and the split runs once per row.
+
+
+def token_count_from(toks: Column) -> Column:
+    return F.size(toks).cast("bigint")
+
+
+def stopword_ratio_from(toks: Column) -> Column:
+    n = F.size(toks)
+    hits = F.size(F.filter(toks, lambda x: x.isin(STOPWORDS)))
+    return F.when(n > 0, F.round(hits.cast("double") / n.cast("double"), 6)).otherwise(
+        F.lit(0.0)
+    )
+
+
+def quality_score_from(n_tokens: Column, punct: Column, stop: Column) -> Column:
+    """Composite quality from already-computed component columns."""
+    length_component = F.least(n_tokens.cast("double") / F.lit(50.0), F.lit(1.0))
+    punct_component = F.lit(1.0) - F.least(punct * 5, F.lit(1.0))
+    stop_component = F.least(stop * 3, F.lit(1.0))
+    return F.round(
+        F.lit(0.5) * length_component + F.lit(0.3) * punct_component + F.lit(0.2) * stop_component,
+        6,
+    )
+
+
+def lang_scores_from(toks: Column) -> list[tuple[str, Column]]:
+    return [
+        (lang, F.size(F.filter(toks, _isin_filter(markers))))
+        for lang, markers in sorted(LANG_MARKERS.items())
+    ]
+
+
+def lang_id_from_scores(scores: list[tuple[str, Column]]) -> Column:
+    """Argmax over already-projected per-language score columns: one
+    ``greatest`` + a flat CASE chain (the oracle's shape) instead of the
+    nested accumulation that duplicated each score expression."""
+    best = F.greatest(*[s for _, s in scores]) if len(scores) > 1 else scores[0][1]
+    result = F.lit("und")
+    for lang, score in sorted(scores, key=lambda p: p[0], reverse=True):
+        result = F.when((best > 0) & (score == best), F.lit(lang)).otherwise(result)
+    return result
+
+
 def _isin_filter(markers: list[str]):
     # NB: a default-arg lambda (lambda x, m=markers: ...) must NOT be passed
     # to F.filter — PySpark introspects lambda arity and would bind the

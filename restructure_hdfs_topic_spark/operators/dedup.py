@@ -59,18 +59,55 @@ def exact_dedup(df: DataFrame, key_cols: list[str] | None = None) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def shingles(text_col: str, n: int = 3) -> F.Column:
-    """Word n-gram shingle array from a text column (lowercased, whitespace
-    tokenized).  Built-ins only: split + transform over a sequence."""
-    tokens = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
-    k = F.size(tokens) - F.lit(n - 1)
+def shingles_from(toks: F.Column, n: int = 3) -> F.Column:
+    """Word n-gram shingle array from an ALREADY-PROJECTED token array
+    column.  The token source must be a plain column reference: inlining
+    ``split(text)`` here would re-execute the split for every element_at —
+    3 full-text splits per shingle, quadratic in document length (the real
+    cost behind BENCH_r01's 26.9 s minhash)."""
+    k = F.size(toks) - F.lit(n - 1)
     grams = F.transform(
         F.sequence(F.lit(0), k - F.lit(1)),
-        lambda i: F.concat_ws(" ", *[F.element_at(tokens, (i + j + 1).cast("int")) for j in range(n)]),
+        lambda i: F.concat_ws(" ", *[F.element_at(toks, (i + j + 1).cast("int")) for j in range(n)]),
     )
     # sequence(0, k-1) would generate a DESCENDING range when k <= 0 —
     # guard short documents to an empty shingle set instead.
     return F.when(k > 0, grams).otherwise(F.array().cast("array<string>"))
+
+
+def shingles(text_col: str, n: int = 3) -> F.Column:
+    """Inline column form (kept for the oracle-checked O(n²) baseline) —
+    prefer projecting tokens first and using ``shingles_from``."""
+    tokens = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    return shingles_from(tokens, n)
+
+
+def hashed_shingles(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """(id, hs: array<long>) — distinct hashed word-n-gram shingles.
+
+    hash_fn="xxhash64" is the production path: one JVM hash intrinsic per
+    shingle (codegen-friendly).  "poly" keeps the deterministic polynomial
+    char fold — an interpreted higher-order fold, ~20× slower (BENCH_r01:
+    minhash_lsh_pairs 26.9 s/5k docs) — only where an external oracle must
+    reproduce the hash arithmetic.
+    """
+    # Tokens materialize in their own projection so each element_at reads
+    # the array instead of re-splitting the text.
+    toked = df.select(
+        F.col(id_col).alias("id"),
+        F.split(F.lower(F.trim(F.col(text_col))), r"\s+").alias("__toks"),
+    )
+    sh = F.array_distinct(shingles_from(F.col("__toks"), n))
+    # Wrapped lambda: F.xxhash64 is *cols-variadic, which breaks PySpark's
+    # higher-order-function arity introspection.
+    hasher = (lambda s: F.xxhash64(s)) if hash_fn == "xxhash64" else poly_hash
+    return toked.select("id", F.transform(sh, hasher).alias("hashed"))
 
 
 def minhash_signatures(
@@ -79,30 +116,85 @@ def minhash_signatures(
     text_col: str,
     n: int = 3,
     num_hashes: int = 32,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """MinHash signature per document: h_i(S) = min over shingles s of
-    (a_i * poly(s) + b_i) mod p, with a fixed affine family (a_i, b_i).
+    pmod(a_i * h(s) + b_i, p), with a fixed affine family (a_i, b_i).
 
     Returns (id, sig: array<long> length ``num_hashes``).  All distributed,
     one narrow projection — no shuffle until LSH banding.
     """
+    hashed_df = hashed_shingles(df, id_col, text_col, n, hash_fn)
+    return with_minhash_sig(hashed_df, num_hashes).select("id", "sig")
+
+
+def with_minhash_sig(hashed_df: DataFrame, num_hashes: int = 32) -> DataFrame:
+    """Append the minhash signature to a hashed-shingle frame.
+
+    The per-shingle hash lives in its OWN projection (``hashed``):
+    referencing it ``num_hashes`` times inline would make Catalyst
+    re-inline (and re-evaluate) the hash per affine function —
+    CollapseProject keeps a multi-referenced non-cheap alias un-inlined.
+    """
+
     def affine(i: int):
         # Closure factory: default-arg lambdas break PySpark's higher-order
         # lambda arity introspection (second param would bind the index).
-        return lambda h: (h * F.lit(2 * i + 1) + F.lit(7919 * (i + 1))) % F.lit(HASH_MOD)
+        # Inner pmod first: xxhash64 is a full-range signed long and the
+        # affine multiply would overflow int64 under ANSI; reduced to
+        # [0, p) the product stays < p * (2*num_hashes+1) « 2^63.
+        return lambda h: F.pmod(
+            F.pmod(h, F.lit(HASH_MOD)) * F.lit(2 * i + 1) + F.lit(7919 * (i + 1)),
+            F.lit(HASH_MOD),
+        )
 
-    # Materialize the per-shingle hash as its OWN projection: referencing it
-    # ``num_hashes`` times inline would make Catalyst re-inline (and
-    # re-evaluate) the whole polynomial char fold per hash function —
-    # CollapseProject keeps a multi-referenced non-cheap alias un-inlined.
-    hashed_df = df.select(
-        F.col(id_col).alias("id"),
-        F.transform(F.array_distinct(shingles(text_col, n)), poly_hash).alias("hashed"),
-    )
     sigs = F.array(
         *[F.array_min(F.transform(F.col("hashed"), affine(i))) for i in range(num_hashes)]
     )
-    return hashed_df.select("id", sigs.alias("sig"))
+    return hashed_df.withColumn("sig", sigs)
+
+
+def lsh_near_dup_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    num_hashes: int = 32,
+    bands: int = 16,
+    rows_per_band: int = 2,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """The 100 TB near-dup pipeline in ONE plan: hashed shingles → minhash
+    signatures → LSH band buckets → candidate pairs → exact Jaccard
+    verification over the SAME hashed shingle arrays (no re-shingling, no
+    re-hashing of the text — BENCH_r01 recomputed shingles three times).
+
+    Returns (id_a, id_b, jaccard ≥ threshold).  Jaccard over distinct
+    hashed shingles equals Jaccard over shingles modulo hash collisions
+    (2^-64 per pair) — this path is approximate by construction (LSH
+    recall < 1), hence rows-only correctness.
+    """
+    # The hashed-shingle frame feeds three plan branches (signatures + both
+    # verification sides); persist it spill-safely instead of recomputing.
+    # At cluster scale this is an executor-local cache of one long array per
+    # document — far smaller than the text it derives from.
+    from pyspark.storagelevel import StorageLevel
+
+    hashed = with_minhash_sig(
+        hashed_shingles(df, id_col, text_col, n), num_hashes
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    cands = lsh_candidate_pairs(hashed.select("id", "sig"), bands, rows_per_band)
+    a = hashed.select(F.col("id").alias("id_a"), F.col("hashed").alias("sh_a"))
+    b = hashed.select(F.col("id").alias("id_b"), F.col("hashed").alias("sh_b"))
+    pairs = cands.join(a, "id_a").join(b, "id_b")
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size(F.array_union("sh_a", "sh_b"))
+    jac = F.when(union > 0, inter.cast("double") / union.cast("double")).otherwise(F.lit(0.0))
+    return (
+        pairs.withColumn("jaccard", F.round(jac, 6))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
 
 
 def lsh_candidate_pairs(
@@ -162,8 +254,8 @@ def ngram_jaccard_pairs(
     """
     docs = df.select(
         F.col(id_col).alias("id"),
-        F.array_distinct(shingles(text_col, n)).alias("sh"),
-    )
+        F.split(F.lower(F.trim(F.col(text_col))), r"\s+").alias("__toks"),
+    ).select("id", F.array_distinct(shingles_from(F.col("__toks"), n)).alias("sh"))
     a = docs.alias("a")
     b = docs.alias("b")
     if candidates is not None:
