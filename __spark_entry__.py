@@ -312,6 +312,28 @@ def q_cleaner_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_path_template(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O11 full template render (FormattedPathFactory.kt:31-104): arbitrary
+    template with ${time:pattern} parameters, attempt suffixes, sanitized
+    ids with defaults — one concat column expression."""
+    from restructure_hdfs_topic_spark.functions.paths import render_template
+
+    _conf(spark)
+    ev = _t(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        render_template(
+            "${topic}/${projectId}/${userId}/${time:yyyyMM}/${time:dd}/${filename}",
+            topic=F.col("event_type"),
+            project=F.when(F.col("event_id") % 7 == 0, F.lit("p!")).otherwise(F.lit("prj")),
+            user=F.col("user_id").cast("string"),
+            time=F.when(F.col("event_id") % 97 != 0, F.col("ts")),
+            attempt=(F.col("event_id") % 3).cast("int"),
+            extension=".csv.gz",
+        ).alias("path"),
+    )
+
+
 # --- relational showcase (Catalyst-free capabilities, scale-exercised) ----
 
 
@@ -455,12 +477,19 @@ def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_dedup_exact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact text dedup on documents: canonical (min doc_id) per text group
-    + group size — hash-groupBy, the exact-dedup primitive at scale."""
+    + group size.  The shuffle key is xxhash64(text), NOT the text itself —
+    at 100 TB grouping by the raw text would shuffle the whole corpus as
+    keys; the 8-byte hash shuffles only (hash, doc_id).  Collision risk is
+    2^-64 per pair (a production pipeline verifies within hash groups
+    before destructive dedup); the oracle groups by text, so a collision
+    would surface as a mismatch."""
     _conf(spark)
     docs = _t(spark, sf_dir, "documents")
-    return docs.groupBy("text").agg(
-        F.min("doc_id").alias("canonical_id"), F.count("*").alias("n_copies")
-    ).select("canonical_id", "n_copies")
+    return (
+        docs.groupBy(F.xxhash64("text").alias("__h"))
+        .agg(F.min("doc_id").alias("canonical_id"), F.count("*").alias("n_copies"))
+        .select("canonical_id", "n_copies")
+    )
 
 
 def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -503,10 +532,42 @@ def q_embedding_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hyperplane-LSH bucketed ANN top-5 — the scale path (approximate:
-    rows-only check)."""
+    rows-only check).  Plane count derives from corpus size; queries
+    multi-probe Hamming-1 buckets to recover recall."""
     _conf(spark)
     emb = _t(spark, sf_dir, "embeddings")
-    return lsh_ann_topk(emb, k=5, planes=6)
+    return lsh_ann_topk(emb, k=5)
+
+
+def q_csv_flatten(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O7 CSV flattening (format/CsvAvroDataConverter.kt:16-91) end-to-end:
+    struct recursion with dot-joined names, data-dependent per-key map
+    columns (discovered in one aggregation), per-index array columns with
+    data-dependent max length, unpadded base64 bytes, null → "" — the
+    reference's signature output format over a synthesized nested table."""
+    from restructure_hdfs_topic_spark.operators.flatten import flatten_for_csv
+
+    _conf(spark)
+    ev = _t(spark, sf_dir, "events")
+    nested = ev.select(
+        F.col("event_id").cast("string").alias("event_id"),
+        F.struct(
+            F.col("user_id").alias("uid"),
+            F.when(F.col("event_id") % 5 != 0, F.col("event_type")).alias("et"),
+        ).alias("k"),
+        F.map_from_arrays(
+            F.when(F.col("event_id") % 2 == 0, F.array(F.lit("a"), F.lit("b"))).otherwise(F.array(F.lit("a"))),
+            F.when(
+                F.col("event_id") % 2 == 0,
+                F.array(F.round(F.col("value"), 0).cast("long"), F.col("user_id") * 2),
+            ).otherwise(F.array(F.round(F.col("value"), 0).cast("long"))),
+        ).alias("m"),
+        F.when(
+            F.col("event_id") % 3 == 0, F.array(F.col("event_id"))
+        ).otherwise(F.array(F.col("event_id"), F.col("user_id"))).alias("arr"),
+        F.encode(F.col("event_type"), "UTF-8").alias("bin"),
+    )
+    return flatten_for_csv(nested)
 
 
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -536,6 +597,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "seen_file_filter": q_seen_file_filter,
         "seen_record_filter": q_seen_record_filter,
         "cleaner_verify": q_cleaner_verify,
+        "path_template": q_path_template,
         "pricing_summary": q_pricing_summary,
         "revenue_by_nation": q_revenue_by_nation,
         "top_customers": q_top_customers,
@@ -549,6 +611,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": q_simhash,
         "embedding_cosine_topk": q_embedding_cosine_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
+        "csv_flatten": q_csv_flatten,
         "multimodal_features": q_multimodal_features,
     }
 
@@ -738,6 +801,18 @@ def oracle_sql() -> dict[str, str]:
                   AND e.ts <= s.last_processed
             )
         """,
+        "path_template": """
+            SELECT event_id,
+                   event_type || '/' ||
+                   CASE WHEN event_id % 7 = 0 THEN 'p' ELSE 'prj' END || '/' ||
+                   CAST(user_id AS VARCHAR) || '/' ||
+                   COALESCE(strftime(CASE WHEN event_id % 97 != 0 THEN ts END, '%Y%m'), 'unknown-time') || '/' ||
+                   COALESCE(strftime(CASE WHEN event_id % 97 != 0 THEN ts END, '%d'), 'unknown-time') || '/' ||
+                   COALESCE(strftime(CASE WHEN event_id % 97 != 0 THEN ts END, '%Y%m%d_%H00'), 'unknown_date') ||
+                   CASE WHEN event_id % 3 = 0 THEN '' ELSE '_' || CAST(event_id % 3 AS VARCHAR) END ||
+                   '.csv.gz' AS path
+            FROM events
+        """,
         "cleaner_verify": """
             WITH target AS (
                 SELECT user_id AS t_user, ts AS t_ts FROM events WHERE value > 5.0
@@ -876,6 +951,17 @@ def oracle_sql() -> dict[str, str]:
                 FROM p
             )
             SELECT query_id, rank, neighbor_id, cosine FROM r WHERE rank <= 5
+        """,
+        "csv_flatten": """
+            SELECT CAST(event_id AS VARCHAR) AS event_id,
+                   CAST(user_id AS VARCHAR) AS "k.uid",
+                   CASE WHEN event_id % 5 != 0 THEN event_type ELSE '' END AS "k.et",
+                   CAST(CAST(round(value, 0) AS BIGINT) AS VARCHAR) AS "m.a",
+                   CASE WHEN event_id % 2 = 0 THEN CAST(user_id * 2 AS VARCHAR) ELSE '' END AS "m.b",
+                   CAST(event_id AS VARCHAR) AS "arr.0",
+                   CASE WHEN event_id % 3 != 0 THEN CAST(user_id AS VARCHAR) ELSE '' END AS "arr.1",
+                   rtrim(to_base64(encode(event_type)), '=') AS bin
+            FROM events
         """,
         "multimodal_features": """
             SELECT doc_id AS media_id, 'text/plain' AS mime,

@@ -33,6 +33,7 @@ BENCH_QUERIES = [
     "seen_file_filter",
     "seen_record_filter",
     "cleaner_verify",
+    "path_template",
     "pricing_summary",
     "revenue_by_nation",
     "top_customers",
@@ -44,6 +45,7 @@ BENCH_QUERIES = [
     "minhash_lsh_pairs",
     "simhash",
     "ann_lsh_topk",
+    "csv_flatten",
     "multimodal_features",
 ]
 
@@ -87,6 +89,7 @@ def main() -> None:
         timings[name] = round(time.time() - t0, 3)
         print(f"# {name}: {timings[name]}s ({rows} rows)", file=sys.stderr)
 
+    recalls = measure_recall(spark)
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     total = round(sum(timings.values()), 3)
     print(
@@ -96,10 +99,57 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "recall": recalls,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )
     )
+
+
+def measure_recall(spark) -> dict:
+    """Recall of the approximate scale paths vs their exact baselines,
+    measured on bounded samples (untimed — quality metric, not benchmark):
+    - ann_lsh_topk: fraction of a 200-query exact cosine top-5 recovered;
+    - minhash_lsh_pairs: fraction of exact Jaccard≥0.2 pairs (500-doc
+      sample, all-pairs ground truth) recovered by the LSH pipeline.
+    """
+    from pyspark.sql import functions as F
+
+    from restructure_hdfs_topic_spark.operators.dedup import (
+        lsh_near_dup_pairs,
+        ngram_jaccard_pairs,
+    )
+    from restructure_hdfs_topic_spark.operators.similarity import (
+        cosine_topk,
+        lsh_ann_topk,
+    )
+    from restructure_hdfs_topic_spark.sources.tables import configure, load_table
+
+    out: dict = {}
+    configure(spark)
+    try:
+        emb = load_table(spark, SF_DIR, "embeddings")
+        sample = emb.orderBy("vec_id").limit(200)
+        exact = cosine_topk(emb, k=5, queries=sample)
+        approx = lsh_ann_topk(emb, k=5)
+        hits = exact.join(approx, ["query_id", "neighbor_id"], "left_semi").count()
+        denom = exact.count()
+        out["ann_lsh_topk@5"] = round(hits / denom, 4) if denom else None
+    except Exception as exc:  # pragma: no cover - recall is best-effort
+        out["ann_lsh_topk@5"] = f"error: {exc}"
+    try:
+        docs = load_table(spark, SF_DIR, "documents").orderBy("doc_id").limit(500)
+        exact_pairs = ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.2)
+        lsh_pairs = lsh_near_dup_pairs(
+            docs, "doc_id", "text", n=3, num_hashes=32, bands=16, rows_per_band=2,
+            threshold=0.2,
+        )
+        hits = exact_pairs.join(lsh_pairs, ["id_a", "id_b"], "left_semi").count()
+        denom = exact_pairs.count()
+        out["minhash_lsh_pairs@0.2"] = round(hits / denom, 4) if denom else None
+    except Exception as exc:  # pragma: no cover
+        out["minhash_lsh_pairs@0.2"] = f"error: {exc}"
+    return out
 
 
 if __name__ == "__main__":

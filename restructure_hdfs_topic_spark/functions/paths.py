@@ -39,6 +39,102 @@ def render_path(
     return F.concat_ws("/", project, user, topic, filename)
 
 
+TEMPLATE_PARAM_RE = "\\$\\{([^}]*)}"
+KNOWN_PARAMS = {
+    "filename",
+    "topic",
+    "projectId",
+    "userId",
+    "sourceId",
+    "attempt",
+    "extension",
+}
+DEFAULT_TEMPLATE = "${projectId}/${userId}/${topic}/${filename}"
+
+
+def validate_template(template: str) -> list[str]:
+    """O11 template validation (FormattedPathFactory.kt:41-70): unknown
+    parameters are errors; ``topic`` is mandatory; ``filename`` — or both
+    ``extension`` and ``attempt`` — must appear.  Returns the parameter
+    list in template order."""
+    import re
+
+    params = re.findall(TEMPLATE_PARAM_RE, template)
+    unknown = [
+        p for p in set(params) if p not in KNOWN_PARAMS and not p.startswith("time:")
+    ]
+    if unknown:
+        raise ValueError(
+            f"Cannot use path format {template}: unknown parameters {sorted(unknown)}. "
+            f"Legal parameter names are time formats (e.g., ${{time:YYYYmmDD}}) "
+            f"or the following: {sorted(KNOWN_PARAMS)}"
+        )
+    if "topic" not in params:
+        raise ValueError("Path must include topic parameter.")
+    if "filename" not in params and ("extension" not in params or "attempt" not in params):
+        raise ValueError(
+            "Path must include filename parameter or extension and attempt parameters."
+        )
+    return params
+
+
+def render_template(
+    template: str,
+    topic: Column,
+    project: Column,
+    user: Column,
+    source: Column | None = None,
+    time: Column | None = None,
+    attempt: Column | None = None,
+    extension: str = "",
+    bin_format: str = "yyyyMMdd_HH'00'",
+) -> Column:
+    """O11 full template render (FormattedPathFactory.kt:72-104) as ONE
+    concat column expression: ids sanitized with their defaults, ``attempt``
+    → ``_N`` suffix (empty for 0), ``filename`` = time bin + attempt suffix
+    + extension, ``${time:pattern}`` → UTC-formatted time or
+    ``unknown-time`` when null.
+    """
+    import re
+
+    from restructure_hdfs_topic_spark.functions.time import time_bin
+
+    validate_template(template)
+    attempt = attempt if attempt is not None else F.lit(0)
+    time = time if time is not None else F.lit(None).cast("timestamp")
+    attempt_suffix = F.when(
+        attempt == 0, F.lit("")
+    ).otherwise(F.concat(F.lit("_"), attempt.cast("string")))
+    values: dict[str, Column] = {
+        "projectId": sanitize_id(project, "unknown-project"),
+        "userId": sanitize_id(user, "unknown-user"),
+        "sourceId": sanitize_id(
+            source if source is not None else F.lit(None).cast("string"),
+            "unknown-source",
+        ),
+        "topic": topic,
+        "filename": F.concat(time_bin(time, bin_format), attempt_suffix, F.lit(extension)),
+        "attempt": attempt_suffix,
+        "extension": F.lit(extension),
+    }
+    parts: list[Column] = []
+    pos = 0
+    for m in re.finditer(TEMPLATE_PARAM_RE, template):
+        if m.start() > pos:
+            parts.append(F.lit(template[pos : m.start()]))
+        p = m.group(1)
+        if p.startswith("time:"):
+            parts.append(
+                F.coalesce(F.date_format(time, p.removeprefix("time:")), F.lit("unknown-time"))
+            )
+        else:
+            parts.append(values[p])
+        pos = m.end()
+    if pos < len(template):
+        parts.append(F.lit(template[pos:]))
+    return F.concat(*parts)
+
+
 def parse_source_filename(name: Column) -> list[Column]:
     """Extract (topic, partition, offset_from, offset_to) from a source
     object name.  ``offset_to`` falls back to ``offset_from`` for

@@ -127,13 +127,21 @@ def to_json_lines(df: DataFrame) -> DataFrame:
 
 def header_fingerprint(df: DataFrame) -> Column:
     """§1.3 attempt routing: deterministic fingerprint of the record's
-    flattened header (here: null-pattern over dynamic columns — records
-    whose populated-column sets differ get different fingerprints and are
-    routed to different attempt-suffixed outputs)."""
-    parts = [
-        F.when(_qcol(c).isNotNull(), F.lit(c)).otherwise(F.lit(""))
-        for c in df.columns
-    ]
+    flattened HEADER.  Only data-dependent columns participate — the map
+    keys the record actually has and its array lengths
+    (RecordConverterFactory.kt:96-135: headers derive from the record) —
+    static schema fields appear in every header and a null value does NOT
+    change it (null renders as "", CsvAvroDataConverter.kt:81-84).
+    Records agreeing on the fingerprint share a header and a file; the
+    rest are routed to attempt-suffixed outputs."""
+    parts: list[Column] = []
+    for f in df.schema.fields:
+        if isinstance(f.dataType, MapType):
+            parts.append(F.concat_ws(",", F.array_sort(F.map_keys(_qcol(f.name)))))
+        elif isinstance(f.dataType, ArrayType):
+            parts.append(F.size(_qcol(f.name)).cast("string"))
+    if not parts:  # schema-constant header: every record agrees
+        return F.lit("0" * 8)
     return F.sha2(F.concat_ws("|", *parts), 256).substr(1, 8)
 
 

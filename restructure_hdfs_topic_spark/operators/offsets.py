@@ -165,15 +165,21 @@ def commit_offsets(
     MUST be called only after the data write action has succeeded
     (commit-after-store ordering, worker/FileCache.kt:128-158).
     """
+    existing = read_offsets(spark, state_dir)
+    merged = merge_offset_intervals(existing.unionByName(new_ranges, allowMissingColumns=True))
+    return replace_offsets(spark, state_dir, merged)
+
+
+def replace_offsets(spark: SparkSession, state_dir: str, state: DataFrame) -> DataFrame:
+    """Atomically swap the committed state to ``state`` (steps 1-3 above).
+    Used by commit (merge) and by the cleaner's rollback (remove)."""
     import shutil
     import tempfile
 
-    existing = read_offsets(spark, state_dir)
-    merged = merge_offset_intervals(existing.unionByName(new_ranges, allowMissingColumns=True))
     cur = _current_version(state_dir)
     nxt = (cur or 0) + 1
     version_dir = os.path.join(state_dir, "offsets", f"v{nxt:08d}")
-    merged.write.mode("overwrite").parquet(version_dir)
+    state.write.mode("overwrite").parquet(version_dir)
     fd, tmp = tempfile.mkstemp(dir=state_dir, prefix=".offsets.CURRENT.")
     with os.fdopen(fd, "w") as fh:
         fh.write(f"v{nxt:08d}")

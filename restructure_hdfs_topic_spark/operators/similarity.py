@@ -75,10 +75,12 @@ def cosine_topk(
     )
 
 
-def hyperplane_bucket(vec_col, planes: int = 8) -> F.Column:
+def hyperplane_bucket(vec_col, planes: int = 8, table: int = 0) -> F.Column:
     """Deterministic random-hyperplane signature: bit j = sign of the dot
     product with pseudo-plane_j, where plane_j[i] = ((2j+3)*(i+1)*2654435761
-    mod 1009) - 504 — a fixed, engine-independent integer lattice."""
+    mod 1009) - 504 — a fixed, engine-independent integer lattice.
+    ``table`` offsets the plane family so independent hash tables use
+    disjoint plane sets."""
     def plane_term(j: int):
         return lambda x, i: x * (
             ((F.lit(2 * j + 3) * i * F.lit(2654435761)) % F.lit(1009)) - F.lit(504)
@@ -88,7 +90,7 @@ def hyperplane_bucket(vec_col, planes: int = 8) -> F.Column:
     bits = []
     for j in range(planes):
         plane_dot = F.aggregate(
-            F.zip_with(qv, F.sequence(F.lit(1), F.size(qv)), plane_term(j)),
+            F.zip_with(qv, F.sequence(F.lit(1), F.size(qv)), plane_term(table * planes + j)),
             F.lit(0).cast("long"),
             lambda acc, v: acc + v,
         )
@@ -104,36 +106,115 @@ def lsh_ann_topk(
     k: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    planes: int = 6,
+    planes: int | None = None,
+    target_bucket_size: int = 150,
+    tables: int = 4,
+    multiprobe: int = 1,
 ) -> DataFrame:
     """Approximate top-k: compare only within a hyperplane-LSH bucket.
 
-    At 100 TB: one shuffle on the bucket key; bucket sizes ~ n/2^planes,
-    tunable; a multi-probe variant would union several plane sets.
+    ``planes=None`` derives the plane count from the corpus size so the
+    expected bucket holds ~``target_bucket_size`` vectors — a FIXED plane
+    count makes the within-bucket join O((n/2^planes)²), quadratic as n
+    grows (the round-1 scale flaw).  At n=1e9 this yields ~23 planes /
+    8M buckets; the bucket join stays linear-ish in n.
+
+    ``tables``: L independent hash tables (disjoint plane families) — the
+    standard LSH recall knob: a true neighbor is missed only if it lands
+    in a different bucket in EVERY table.  ``multiprobe``: within each
+    table, a query additionally probes the buckets at Hamming distance 1
+    on its signature (query side only; the corpus stays single-bucket per
+    table, so candidate generation grows with probes, not corpus copies).
+
+    Scored pairs are deduplicated (a pair can surface in several tables /
+    probes) BEFORE the top-k window so ranks stay correct.  One shuffle on
+    the (table, bucket) key + one for the distinct; AQE balances skew.
+
+    Scoring is a BLOCKED MATMUL per (table, bucket) group via
+    ``applyInPandas`` (the IVF pattern): each vector ships into its bucket
+    once per table — not once per candidate pair — and the query×corpus
+    cosine block is one vectorized int64 matmul inside Arrow batches.
+    Per-pair JVM expression scoring cost ~15 µs/pair; the matmul is ~ns.
+    Per-group emission is top-k per query, so the global distinct + top-k
+    window touches ≤ n · tables · (1 + planes·multiprobe) · k small rows.
     """
-    tagged = embeddings.select(
-        F.col(id_col).alias("id"),
-        _quantize(F.col(vec_col)).alias("vec"),
-        hyperplane_bucket(F.col(vec_col), planes).alias("bucket"),
-    ).withColumn("norm2", _norm2(F.col("vec")))
-    a = tagged.select(
-        F.col("id").alias("query_id"), F.col("vec").alias("q_vec"),
-        F.col("norm2").alias("q_norm2"), "bucket",
+    if planes is None:
+        import math
+
+        n = embeddings.count()
+        planes = max(4, min(24, int(math.ceil(math.log2(max(n, 2) / target_bucket_size)))))
+    # One row per (table, role, bucket): corpus membership in its own
+    # bucket; queries additionally probe Hamming-1 buckets (query role
+    # only, so candidate generation grows with probes, not corpus copies).
+    per_table = F.array(
+        *[
+            F.struct(
+                F.lit(t).alias("t"),
+                hyperplane_bucket(F.col(vec_col), planes, table=t).alias("bucket"),
+            )
+            for t in range(tables)
+        ]
     )
-    b = tagged.select(
-        F.col("id").alias("neighbor_id"), F.col("vec").alias("c_vec"),
-        F.col("norm2").alias("c_norm2"), "bucket",
+    tagged = (
+        embeddings.select(
+            F.col(id_col).alias("id"),
+            _quantize(F.col(vec_col)).alias("vec"),
+            F.explode(per_table).alias("tb"),
+        )
+        .select("id", "vec", F.col("tb.t").alias("t"), F.col("tb.bucket").alias("bucket"))
     )
-    pairs = a.join(b, ["bucket"]).filter(F.col("query_id") != F.col("neighbor_id"))
-    sim = F.round(
-        _dot(F.col("q_vec"), F.col("c_vec")).cast("double")
-        / (F.sqrt(F.col("q_norm2").cast("double")) * F.sqrt(F.col("c_norm2").cast("double"))),
-        6,
+    own = tagged.withColumn("is_corpus", F.lit(True))
+    if multiprobe >= 1:
+        flips = F.array(*[F.col("bucket").bitwiseXOR(F.lit(1 << j)) for j in range(planes)])
+        probes = (
+            tagged.select("id", "vec", "t", F.explode(flips).alias("bucket"))
+            .withColumn("is_corpus", F.lit(False))
+        )
+        members = own.unionByName(probes)
+    else:
+        members = own
+
+    import pandas as pd
+
+    def score_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        corpus_mask = pdf["is_corpus"].to_numpy()
+        if not corpus_mask.any():
+            # Probed bucket with no corpus members: nothing to score.
+            return pd.DataFrame({"query_id": [], "neighbor_id": [], "cosine": []})
+        cvecs = np.stack(pdf.loc[corpus_mask, "vec"].to_numpy()).astype(np.int64)
+        c_ids = pdf.loc[corpus_mask, "id"].to_numpy()
+        qvecs = np.stack(pdf["vec"].to_numpy()).astype(np.int64)
+        q_ids = pdf["id"].to_numpy()
+        # Exact int64 dot products (quantized vectors are small enough that
+        # dim * (1e4-scale)^2 stays far inside int64).
+        dots = qvecs @ cvecs.T
+        qn = np.sqrt(np.einsum("ij,ij->i", qvecs, qvecs).astype(np.float64))
+        cn = np.sqrt(np.einsum("ij,ij->i", cvecs, cvecs).astype(np.float64))
+        sims = dots / (qn[:, None] * cn[None, :])
+        out_q, out_c, out_s = [], [], []
+        kk = min(k, max(sims.shape[1] - 1, 0))
+        for qi in range(sims.shape[0]):
+            row = sims[qi]
+            self_mask = c_ids == q_ids[qi]
+            row = np.where(self_mask, -np.inf, row)
+            if kk <= 0:
+                continue
+            top = np.argpartition(-row, kk - 1)[:kk] if len(row) > kk else np.arange(len(row))
+            top = top[np.isfinite(row[top])]
+            out_q.extend([q_ids[qi]] * len(top))
+            out_c.extend(c_ids[top])
+            out_s.extend(np.round(row[top], 6))
+        return pd.DataFrame({"query_id": out_q, "neighbor_id": out_c, "cosine": out_s})
+
+    scored = members.groupBy("t", "bucket").applyInPandas(
+        score_bucket, schema="query_id long, neighbor_id long, cosine double"
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
     return (
-        pairs.withColumn("cosine", sim)
-        .withColumn("rank", F.row_number().over(w))
+        scored.distinct()
+        .withColumn("rank", F.row_number().over(w).cast("bigint"))
         .filter(F.col("rank") <= k)
         .select("query_id", "rank", "neighbor_id", "cosine")
     )

@@ -116,10 +116,27 @@ def _write_topic(
     # their purpose (pruning, dedup order, commit) and are dropped here.
     payload = organized.drop("time", "filename", "mtime", "partition", "offset")
     if config.format == "csv":
-        # Flatten record + partition columns in one projection: partition
-        # columns are already plain strings, so they pass through unchanged
-        # and partitionBy sees their original names.
-        flat = flatten_for_csv(payload)
+        # Attempt routing (§1.3, worker/RestructureWorker.kt:148-163) runs
+        # on the struct-flattened payload BEFORE the CSV null→"" coalesce
+        # (afterwards the null-pattern fingerprint would be constant):
+        # records whose populated-column pattern differs get an ``_N``
+        # suffix on their bin, mirroring the reference's suffixed filenames.
+        from restructure_hdfs_topic_spark.operators.flatten import (
+            flatten_struct_columns,
+            route_by_schema_attempt,
+        )
+
+        routed = (
+            route_by_schema_attempt(flatten_struct_columns(payload))
+            .withColumn(
+                "bin",
+                F.when(F.col("attempt") == 0, F.col("bin")).otherwise(
+                    F.concat(F.col("bin"), F.lit("_"), F.col("attempt").cast("string"))
+                ),
+            )
+            .drop("attempt")
+        )
+        flat = flatten_for_csv(routed)
         writer = (
             flat.repartition(*[F.col(f"`{c}`") for c in PARTITION_COLS])
             .write.mode("append")
@@ -175,7 +192,21 @@ def run_avro_restructure_job(
         records = read_avro(spark, paths, mode=mode)
         organized = organize_avro_records(records, config.paths.bin_format)
         organized = organized.withColumn("topic", F.lit(topic))
-        dedup_key = config.dedup_key_for(topic, organized.columns)
+        # Dedup keys are the WRITTEN row's columns (the reference dedups the
+        # output file, format/CsvAvroConverterFactory.kt:22-56): flattened
+        # record leaves (key.sourceId, value.time, …), never the accounting
+        # columns — offset/filename are unique per record and would make
+        # full-row dedup a no-op.
+        accounting = {"offset", "filename", "mtime", "partition", "time"}
+        leaves = []
+        for f in organized.schema.fields:
+            if f.name in accounting:
+                continue
+            if isinstance(f.dataType, StructType):
+                leaves.extend(f"{f.name}.{c}" for c in f.dataType.fieldNames())
+            else:
+                leaves.append(f.name)
+        dedup_key = config.dedup_key_for(topic, leaves)
         if dedup_key is not None:
             organized = keep_last_dedup(organized, dedup_key, "offset")
         from pyspark.sql import Observation

@@ -135,16 +135,34 @@ def run_cleaner_job(
     records: DataFrame,
     config: RestructureConfig,
     now=None,
+    commit: bool = True,
 ) -> DataFrame:
-    """Cleaner (O20/O21, cleaner/SourceDataCleaner.kt:76-109): for committed
+    """Cleaner (O20/O21, cleaner/SourceDataCleaner.kt:76-109): for COMMITTED
     source files older than ``age_days``, verify every record's event time
-    appears in the target output; fully-extracted files are deletable, the
-    rest are rolled back for reprocessing.
+    appears in the target output.  Fully-extracted files are deletable; the
+    rest are ROLLED BACK — their offset ranges are removed from the
+    committed state (accountant.remove, SourceDataCleaner.kt:103-106 +
+    Accountant.kt:62-65) so the next restructure run reprocesses them.
 
-    Returns the per-file verdict frame (deletable: bool) — the storage
-    delete itself is a driver-side loop over a tiny collect, as in the
+    Candidacy mirrors the reference's two gates:
+    - age: file mtime older than ``age_days`` (config, RestructureConfig.kt:134-146);
+    - committed WITH the +1 trick (SourceDataCleaner.kt:86-91): the file's
+      range extended by one offset must be contained in the state, so the
+      file holding a partition's max committed offset is never deleted
+      (Kafka Connect may still append to that offset range).
+
+    Returns the per-file verdict frame; with ``commit=True`` the rollback
+    is applied to the state atomically.  The physical source-file delete is
+    a driver-side loop over the (tiny) deletable file list, as in the
     reference.
     """
+    from restructure_hdfs_topic_spark.operators.offsets import (
+        read_offsets,
+        remove_offsets,
+        replace_offsets,
+    )
+
+    state = read_offsets(spark, config.state_dir)
     target = spark.read.format(config.format).load(config.target_dir)
     target_times = target.select(
         F.col("userId").alias("t_user"), F.col("ts").alias("t_ts")
@@ -153,19 +171,50 @@ def run_cleaner_job(
     old = records.filter(
         F.col("mtime") < now_col - F.expr(f"INTERVAL {config.cleaner.age_days} DAYS")
     )
-    manifest_cols = ["topic", "partition"]
     joined = old.join(
         target_times,
         (old["user_id"].cast("string") == F.col("t_user")) & (old["ts"] == F.col("t_ts")),
         "left",
     )
-    return (
+    per_file = (
         joined.withColumn("__file", F.expr("offset div 500"))
-        .groupBy(*manifest_cols, "__file")
+        .groupBy("topic", "partition", "__file")
         .agg(
             F.count("*").alias("n_records"),
-            F.sum(F.when(F.col("t_user").isNotNull(), 1).otherwise(0)).alias("n_extracted"),
+            F.sum(F.when(F.col("t_user").isNotNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_extracted"),
+            F.min("offset").alias("offset_from"),
+            F.max("offset").alias("offset_to"),
         )
         .withColumn("deletable", F.col("n_records") == F.col("n_extracted"))
         .withColumnRenamed("__file", "file_id")
     )
+    # Committed gate with the +1 trick: extend the range one offset past the
+    # end before the containment check.
+    st = state.select(
+        F.col("topic").alias("s_topic"),
+        F.col("partition").alias("s_partition"),
+        F.col("offset_from").alias("s_from"),
+        F.col("offset_to").alias("s_to"),
+    )
+    committed = (
+        (per_file["topic"] == st["s_topic"])
+        & (per_file["partition"] == st["s_partition"])
+        & (per_file["offset_from"] >= st["s_from"])
+        & (per_file["offset_to"] + 1 <= st["s_to"])
+    )
+    verdicts = (
+        per_file.join(st, committed, "left")
+        .withColumn("committed", F.col("s_topic").isNotNull())
+        .drop("s_topic", "s_partition", "s_from", "s_to")
+        .withColumn("deletable", F.col("deletable") & F.col("committed"))
+    )
+    if commit:
+        rollback = (
+            verdicts.filter(F.col("committed") & ~F.col("deletable"))
+            .select("topic", "partition", "offset_from", "offset_to")
+        )
+        if rollback.limit(1).count():
+            replace_offsets(spark, config.state_dir, remove_offsets(state, rollback))
+    return verdicts

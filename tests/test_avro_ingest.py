@@ -138,3 +138,33 @@ def test_avro_restructure_end_to_end_golden(spark, tmp_path):
         + read_topic_csv("android_phone_acceleration").count()
         == 1006
     )
+
+
+def test_avro_restructure_gzip_and_dedup(spark, tmp_path):
+    """CSV sink parity (VERDICT #10): gzip-compressed partitioned CSV write
+    plus keep-last dedup on the configured key, over the real Avro input."""
+    import glob as _glob
+
+    cfg = RestructureConfig(
+        target_dir=str(tmp_path / "out"),
+        state_dir=str(tmp_path / "state"),
+        format="csv",
+        compression="gzip",
+        dedup_enable=True,
+        worker=WorkerConfig(minimum_file_age_s=0),
+    )
+    os.makedirs(cfg.state_dir, exist_ok=True)
+    run_avro_restructure_job(spark, FIXTURES, cfg, mode="python")
+    gz = _glob.glob(f"{cfg.target_dir}/**/*.csv.gz", recursive=True)
+    assert gz, "expected gzip csv part files"
+    status = (
+        spark.read.option("header", "true")
+        .option("basePath", cfg.target_dir)
+        .csv(f"{cfg.target_dir}/projectId=*/userId=*/topic=application_server_status")
+    )
+    rows = status.collect()
+    # The 6 status records collapse under full-row dedup: the two files hold
+    # a repeated (time, serverStatus) payload — keep-last retains one row
+    # per distinct flattened record.
+    texts = {(r["value.time"], r["value.serverStatus"], r["bin"]) for r in rows}
+    assert len(rows) == len(texts)

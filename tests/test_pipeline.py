@@ -89,17 +89,27 @@ def test_flatten_json_preserves_nesting(spark):
     assert json.loads(out) == {"k": {"a": 1, "b": "x"}}
 
 
-def test_attempt_routing_groups_by_null_pattern(spark):
-    # §1.3: records with different populated-column sets route to different
-    # attempt suffixes; same pattern → same attempt.
+def test_attempt_routing_groups_by_header_shape(spark):
+    # §1.3: a record's flattened header depends on its map keys / array
+    # lengths (RecordConverterFactory.kt:96-135); records whose headers
+    # differ route to different attempt suffixes.  Static nullable fields
+    # do NOT split: null renders as "" under the same header.
     df = spark.createDataFrame(
-        [(1, "a", None), (2, "b", None), (3, None, "z")],
-        "id int, x string, y string",
+        [
+            (1, "a", {"k1": 1.0}, [10]),
+            (2, None, {"k1": 2.0}, [20]),       # null static field: same header
+            (3, "c", {"k1": 3.0, "k2": 4.0}, [30]),  # extra map key: new header
+            (4, "d", {"k1": 5.0}, [40, 41]),    # longer array: new header
+        ],
+        "id int, x string, m map<string,double>, arr array<int>",
     )
     out = route_by_schema_attempt(df)
     attempts = {r.id: r.attempt for r in out.collect()}
-    assert attempts[1] == attempts[2] != attempts[3]
-    assert sorted(set(attempts.values())) == [0, 1]
+    assert attempts[1] == attempts[2] == 0
+    assert sorted({attempts[3], attempts[4]}) == [1, 2]
+    # Schema-constant headers (no maps/arrays) never split.
+    flat = spark.createDataFrame([(1, "a", None), (2, None, "z")], "id int, x string, y string")
+    assert {r.attempt for r in route_by_schema_attempt(flat).collect()} == {0}
 
 
 def test_streaming_available_now(spark, tmp_path):
@@ -145,3 +155,51 @@ def test_config_dedup_key_resolution():
     assert cfg.dedup_key_for("t_ignore", cols) == ["a", "b", "c"]
     assert cfg.dedup_key_for("t_off", cols) is None
     assert cfg.dedup_key_for("other", cols) == cols
+
+
+def test_cleaner_rollback_and_reprocess(spark, tmp_path):
+    """O20 rollback wiring (SourceDataCleaner.kt:103-106 + Accountant.kt:62-65):
+    a committed-but-not-fully-extracted file has its offset range removed
+    from the state, and the next restructure run reprocesses it; fully
+    extracted files are deletable and stay committed."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from restructure_hdfs_topic_spark.operators.offsets import commit_offsets
+    from restructure_hdfs_topic_spark.plans.job import run_cleaner_job
+
+    cfg = RestructureConfig(
+        target_dir=str(tmp_path / "out"), state_dir=str(tmp_path / "state"), format="json"
+    )
+    os.makedirs(cfg.state_dir, exist_ok=True)
+    run_restructure_job(spark, _records(spark), cfg)
+    # Pad the committed intervals past each file's end so the +1 candidacy
+    # trick passes (the reference never deletes the max-offset file).
+    # Partition 0 holds even offsets (max 38), partition 1 odd (max 39):
+    # pads start adjacent to each max so the intervals merge contiguously.
+    pad = spark.createDataFrame(
+        [("events", 0, 39, 60, "2024-01-01 00:00:00"), ("events", 1, 40, 60, "2024-01-01 00:00:00")],
+        "topic string, partition int, offset_from long, offset_to long, last_processed string",
+    ).withColumn("last_processed", F.to_timestamp("last_processed"))
+    commit_offsets(spark, cfg.state_dir, pad)
+
+    # All extracted → both files deletable, state untouched.
+    v1 = run_cleaner_job(spark, _records(spark), cfg, now="2024-06-01 00:00:00")
+    verd1 = {(r.partition, r.file_id): (r.deletable, r.committed) for r in v1.collect()}
+    assert verd1 == {(0, 0): (True, True), (1, 0): (True, True)}
+    r_noop = run_restructure_job(spark, _records(spark), cfg)
+    assert r_noop["records_written"] == 0
+
+    # Drop one user's rows from the target → partial extraction → rollback.
+    shutil.rmtree(os.path.join(cfg.target_dir, "projectId=unknown-project", "userId=0"))
+    v2 = run_cleaner_job(spark, _records(spark), cfg, now="2024-06-01 00:00:00")
+    verd2 = {(r.partition, r.file_id): (r.deletable, r.committed) for r in v2.collect()}
+    assert verd2 == {(0, 0): (False, True), (1, 0): (False, True)}
+    state = read_offsets(spark, cfg.state_dir)
+    kept = {(r.partition, r.offset_from, r.offset_to) for r in state.collect()}
+    # The files' own ranges are gone; only the padding beyond them remains.
+    assert kept == {(0, 39, 60), (1, 40, 60)}
+    # Rolled-back ranges reprocess on the next run.
+    r = run_restructure_job(spark, _records(spark), cfg)
+    assert r["records_written"] == 40
