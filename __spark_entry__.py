@@ -539,6 +539,42 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_ann_topk(emb, k=5)
 
 
+def q_record_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O22 (format/CsvAvroConverterFactory.kt:107-126): which source records
+    appear in the target output — LEFT SEMI join on the selected columns."""
+    from restructure_hdfs_topic_spark.operators.membership import contains_records
+
+    _conf(spark)
+    ev = _t(spark, sf_dir, "events")
+    target = ev.filter(F.col("value") > 5.0).select(
+        F.col("user_id").alias("t_user"), F.col("ts").alias("t_ts")
+    )
+    records = ev.select("event_id", "user_id", "ts")
+    return contains_records(target, records, [("user_id", "t_user"), ("ts", "t_ts")]).select(
+        "event_id"
+    )
+
+
+def q_regex_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish regex token counting (north-star): GPT-2-style pre-tokenizer
+    pattern, one regexp_count pass per document."""
+    from restructure_hdfs_topic_spark.functions.text import bpe_token_count
+
+    _conf(spark)
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", bpe_token_count(F.col("text")).alias("n_bpe_tokens"))
+
+
+def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs ≥ 0.35 — exact quantized
+    baseline (the scale path reuses the LSH-bucketed candidates)."""
+    from restructure_hdfs_topic_spark.operators.similarity import cosine_near_dup_pairs
+
+    _conf(spark)
+    emb = _t(spark, sf_dir, "embeddings")
+    return cosine_near_dup_pairs(emb, threshold=0.35)
+
+
 def q_csv_flatten(spark: SparkSession, sf_dir: str) -> DataFrame:
     """O7 CSV flattening (format/CsvAvroDataConverter.kt:16-91) end-to-end:
     struct recursion with dot-joined names, data-dependent per-key map
@@ -612,6 +648,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_cosine_topk": q_embedding_cosine_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
         "csv_flatten": q_csv_flatten,
+        "record_membership": q_record_membership,
+        "regex_token_count": q_regex_token_count,
+        "embedding_near_dup": q_embedding_near_dup,
         "multimodal_features": q_multimodal_features,
     }
 
@@ -962,6 +1001,35 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN event_id % 3 != 0 THEN CAST(user_id AS VARCHAR) ELSE '' END AS "arr.1",
                    rtrim(to_base64(encode(event_type)), '=') AS bin
             FROM events
+        """,
+        "record_membership": """
+            SELECT event_id FROM events e
+            WHERE EXISTS (
+                SELECT 1 FROM events t
+                WHERE t.value > 5.0 AND t.user_id = e.user_id AND t.ts = e.ts
+            )
+        """,
+        "regex_token_count": """
+            SELECT doc_id,
+                   CAST(len(regexp_extract_all(text, '''(?:s|t|re|ve|m|ll|d)|[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]+')) AS BIGINT) AS n_bpe_tokens
+            FROM documents
+        """,
+        "embedding_near_dup": """
+            WITH v AS (
+                SELECT vec_id,
+                       list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 10000, 0) AS BIGINT)) AS q
+                FROM embeddings
+            ), n AS (
+                SELECT vec_id, q,
+                       list_dot_product(CAST(q AS DOUBLE[]), CAST(q AS DOUBLE[])) AS norm2
+                FROM v
+            ), p AS (
+                SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                       round(list_dot_product(CAST(a.q AS DOUBLE[]), CAST(b.q AS DOUBLE[]))
+                             / (sqrt(a.norm2) * sqrt(b.norm2)), 6) AS cosine
+                FROM n a, n b WHERE a.vec_id < b.vec_id
+            )
+            SELECT id_a, id_b, cosine FROM p WHERE cosine >= 0.35
         """,
         "multimodal_features": """
             SELECT doc_id AS media_id, 'text/plain' AS mime,

@@ -46,6 +46,11 @@ BENCH_QUERIES = [
     "simhash",
     "ann_lsh_topk",
     "csv_flatten",
+    "record_membership",
+    "regex_token_count",
+    # embedding_near_dup / embedding_cosine_topk / ngram_jaccard_pairs are
+    # O(n²) exact baselines: oracle-checked at sf0.01, excluded from the
+    # timed bench (their scale paths ann_lsh_topk / minhash_lsh_pairs run).
     "multimodal_features",
 ]
 
@@ -67,6 +72,20 @@ def main() -> None:
 
     from pyspark.sql import Observation
     from pyspark.sql import functions as F
+
+    # Untimed warmup: first parquet scan, whole-stage codegen, shuffle
+    # machinery, and the Python/Arrow worker pool all pay one-time session
+    # costs (~5-8 s) that would otherwise bill to whichever query runs
+    # first — steady-state per-query numbers are what a long-running
+    # cluster job sees.
+    from restructure_hdfs_topic_spark.sources.tables import configure, load_table
+
+    configure(spark)
+    warm = load_table(spark, SF_DIR, "events").limit(1000)
+    warm.groupBy("event_type").count().write.format("noop").mode("overwrite").save()
+    warm.mapInPandas(lambda it: it, schema=warm.schema).write.format("noop").mode(
+        "overwrite"
+    ).save()
 
     qs = entry.queries()
     timings: dict[str, float] = {}

@@ -92,6 +92,19 @@ def quality_score(text: Column) -> Column:
     )
 
 
+# A GPT-2-style pre-tokenizer regex (public pattern family): contractions,
+# letter runs, digit runs, punctuation runs, whitespace collapsed.  Java and
+# DuckDB regex dialects both support this subset.
+BPE_TOKEN_RE = r"'(?:s|t|re|ve|m|ll|d)|[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]+"
+
+
+def bpe_token_count(text: Column) -> Column:
+    """BPE-ish token count: occurrences of the pre-tokenizer pattern —
+    the unit a byte-pair encoder would split further.  One regex pass
+    (regexp_count), JVM-side."""
+    return F.regexp_count(text, F.lit(BPE_TOKEN_RE)).cast("bigint")
+
+
 # --- column-reuse variants -------------------------------------------------
 # The single-column functions above re-inline ``tokens(text)`` (a regex
 # split) into every derived metric; Catalyst's CollapseProject duplicates

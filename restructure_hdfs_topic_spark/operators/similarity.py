@@ -75,6 +75,34 @@ def cosine_topk(
     )
 
 
+def cosine_near_dup_pairs(
+    embeddings: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (id_a < id_b, cosine ≥ τ) —
+    exact all-pairs baseline with quantized-int dot products (engine-exact,
+    oracle-checkable).  Small-SF only; the scale path reuses
+    ``lsh_ann_topk``'s bucketed candidates with a threshold filter."""
+    v = embeddings.select(
+        F.col(id_col).alias("id"), _quantize(F.col(vec_col)).alias("vec")
+    ).withColumn("norm2", _norm2(F.col("vec")))
+    a = v.select(F.col("id").alias("id_a"), F.col("vec").alias("va"), F.col("norm2").alias("na"))
+    b = v.select(F.col("id").alias("id_b"), F.col("vec").alias("vb"), F.col("norm2").alias("nb"))
+    pairs = a.join(b, F.col("id_a") < F.col("id_b"))
+    sim = F.round(
+        _dot(F.col("va"), F.col("vb")).cast("double")
+        / (F.sqrt(F.col("na").cast("double")) * F.sqrt(F.col("nb").cast("double"))),
+        6,
+    )
+    return (
+        pairs.withColumn("cosine", sim)
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )
+
+
 def hyperplane_bucket(vec_col, planes: int = 8, table: int = 0) -> F.Column:
     """Deterministic random-hyperplane signature: bit j = sign of the dot
     product with pseudo-plane_j, where plane_j[i] = ((2j+3)*(i+1)*2654435761
@@ -146,22 +174,50 @@ def lsh_ann_topk(
     # One row per (table, role, bucket): corpus membership in its own
     # bucket; queries additionally probe Hamming-1 buckets (query role
     # only, so candidate generation grows with probes, not corpus copies).
-    per_table = F.array(
-        *[
-            F.struct(
-                F.lit(t).alias("t"),
-                hyperplane_bucket(F.col(vec_col), planes, table=t).alias("bucket"),
-            )
-            for t in range(tables)
-        ]
-    )
-    tagged = (
-        embeddings.select(
-            F.col(id_col).alias("id"),
-            _quantize(F.col(vec_col)).alias("vec"),
-            F.explode(per_table).alias("tb"),
-        )
-        .select("id", "vec", F.col("tb.t").alias("t"), F.col("tb.bucket").alias("bucket"))
+    # Quantization + all tables' bucket signatures compute in ONE numpy
+    # pass (vectorized matmul against the integer plane lattice) — the
+    # column-expression form runs tables×planes interpreted per-element
+    # folds per vector (the dominant cost in BENCH_r02's first cut).
+    import pandas as pd
+
+    def tag(batches):
+        import numpy as np
+
+        # Same lattice as hyperplane_bucket: plane_{jj}[i] =
+        # ((2*jj+3)*(i+1)*2654435761 mod 1009) - 504, jj = t*planes + j.
+        lattices = {}
+
+        def lattice(dim):
+            if dim not in lattices:
+                jj = np.arange(tables * planes, dtype=np.int64)[:, None]
+                i = np.arange(1, dim + 1, dtype=np.int64)[None, :]
+                lattices[dim] = ((2 * jj + 3) * i * 2654435761) % 1009 - 504
+            return lattices[dim]
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            raw = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            # Spark F.round HALF_UP (away from zero), not numpy's half-even.
+            q = (np.sign(raw) * np.floor(np.abs(raw) * QUANT + 0.5)).astype(np.int64)
+            planes_m = lattice(q.shape[1])  # (tables*planes, dim)
+            signs = (q @ planes_m.T) >= 0  # (n, tables*planes)
+            weights = np.tile(1 << np.arange(planes, dtype=np.int64), tables)
+            ids = pdf[id_col].to_numpy()
+            for t in range(tables):
+                block = signs[:, t * planes : (t + 1) * planes]
+                buckets = block @ weights[:planes]
+                yield pd.DataFrame(
+                    {
+                        "id": ids,
+                        "vec": list(q),
+                        "t": np.full(len(ids), t, dtype=np.int32),
+                        "bucket": buckets.astype(np.int64),
+                    }
+                )
+
+    tagged = embeddings.select(id_col, vec_col).mapInPandas(
+        tag, schema="id long, vec array<long>, t int, bucket long"
     )
     own = tagged.withColumn("is_corpus", F.lit(True))
     if multiprobe >= 1:

@@ -111,6 +111,12 @@ def _write_topic(
     projectId=<p>/userId=<u>/topic=<t>/bin=<b>; the reference's
     p/u/t/<bin>.csv collapses bin into the filename (documented divergence,
     SURVEY §7.3 #3: contents identical at directory granularity)."""
+    from restructure_hdfs_topic_spark.compression import (
+        repack_to_zip,
+        writer_compression,
+    )
+
+    codec = writer_compression(config.compression)
     # The reference's output rows carry ONLY the record payload (flattened
     # key.*/value.* for CSV, nested for JSON) — accounting columns served
     # their purpose (pruning, dedup order, commit) and are dropped here.
@@ -143,8 +149,8 @@ def _write_topic(
             .partitionBy(*PARTITION_COLS)
             .option("header", "true")
         )
-        if config.compression:
-            writer = writer.option("compression", config.compression)
+        if codec:
+            writer = writer.option("compression", codec)
         writer.csv(config.target_dir)
     else:
         writer = (
@@ -152,12 +158,162 @@ def _write_topic(
             .write.mode("append")
             .partitionBy(*PARTITION_COLS)
         )
-        if config.compression:
-            writer = writer.option("compression", config.compression)
+        if codec:
+            writer = writer.option("compression", codec)
         writer.json(config.target_dir)
+    if config.compression == "zip":
+        repack_to_zip(config.target_dir)
     from restructure_hdfs_topic_spark.plans.restructure import _write_schema_sidecar
 
     _write_schema_sidecar(payload.drop(*PARTITION_COLS), config.target_dir, [topic])
+
+
+def extract_time_seconds(df: DataFrame, flattened: bool) -> F.Column:
+    """O21 (cleaner/TimestampExtractionCheck.kt:22-78 +
+    format/CsvAvroConverterFactory.kt:74-105): per-record event time in
+    epoch SECONDS (double), from either the nested source schema or the
+    flattened string columns read back from CSV output.  Same priority
+    order as O9; the CSV round-trip is exact because Java's shortest-repr
+    double strings parse back to the identical double."""
+    def col_for(parent: str, child: str):
+        if flattened:
+            name = f"{parent}.{child}"
+            if name in df.columns:
+                return F.col("`" + name + "`")
+            return None
+        fields = {f.name: f.dataType for f in df.schema.fields}
+        dtype = fields.get(parent)
+        if isinstance(dtype, StructType) and child in dtype.fieldNames():
+            return F.col(f"{parent}.{child}")
+        return None
+
+    candidates = []
+    for parent, child, kind in _TIME_CANDIDATES:
+        c = col_for(parent, child)
+        if c is None:
+            continue
+        if kind == "s":
+            candidates.append(c.cast("double"))
+        elif kind == "ms":
+            candidates.append(c.cast("double") / 1000.0)
+        elif kind == "iso":
+            candidates.append(F.unix_micros(F.to_timestamp(c)).cast("double") / 1e6)
+        elif kind == "date":
+            candidates.append(
+                F.unix_micros(F.to_timestamp(F.to_date(c))).cast("double") / 1e6
+            )
+    if not candidates:
+        return F.lit(None).cast("double")
+    return F.coalesce(*candidates)
+
+
+def read_target_times(spark: SparkSession, config: RestructureConfig, topic: str) -> DataFrame:
+    """O21 target timestamp index: re-read the written output for a topic
+    and project (projectId, userId, bin, t_seconds) — the membership side
+    of the cleaner's verification join."""
+    base = config.target_dir
+    path = f"{base}/projectId=*/userId=*/topic={topic}"
+    if config.format == "csv":
+        df = (
+            spark.read.option("header", "true")
+            .option("basePath", base)
+            .csv(path)
+        )
+        flattened = True
+    else:
+        df = spark.read.option("basePath", base).json(path)
+        flattened = False
+    return df.select(
+        F.col("projectId").cast("string").alias("t_project"),
+        F.col("userId").cast("string").alias("t_user"),
+        extract_time_seconds(df, flattened).alias("t_seconds"),
+    ).distinct()
+
+
+def run_avro_cleaner_job(
+    spark: SparkSession,
+    input_root: str,
+    config: RestructureConfig,
+    now_s: float | None = None,
+) -> dict:
+    """Cleaner over the real Avro pipeline (O20/O21,
+    cleaner/SourceDataCleaner.kt:76-109): for committed source files older
+    than ``age_days`` (with the +1 never-delete-the-max-offset trick),
+    re-read every record, verify its event time appears in the written
+    output for the same (project, user); fully-extracted files are DELETED
+    from source storage, partially-extracted files are rolled back
+    (accountant.remove) so the next restructure reprocesses them.
+    """
+    from restructure_hdfs_topic_spark.operators.offsets import (
+        read_offsets,
+        remove_offsets,
+        replace_offsets,
+    )
+
+    now = now_s if now_s is not None else _time.time()
+    age_s = config.cleaner.age_days * 86400
+    topics = walk_topics(input_root)
+    counters: dict = {"deleted": [], "rolled_back": [], "kept": []}
+    state = read_offsets(spark, config.state_dir)
+    state_rows = [
+        (r["topic"], r["partition"], r["offset_from"], r["offset_to"])
+        for r in state.collect()
+    ]
+
+    def committed(f: SourceFile) -> bool:
+        # +1 trick (SourceDataCleaner.kt:86-91).
+        return any(
+            t == f.topic and p == f.partition and f.offset_from >= lo and f.offset_to + 1 <= hi
+            for t, p, lo, hi in state_rows
+        )
+
+    rollback_ranges = []
+    for topic, files in sorted(topics.items()):
+        candidates = [f for f in files if now - f.mtime >= age_s and committed(f)]
+        if not candidates:
+            continue
+        target_times = read_target_times(spark, config, topic)
+        records = read_avro(spark, [f.path for f in candidates], mode="python")
+        organized = organize_avro_records(records, config.paths.bin_format)
+        src = organized.select(
+            "filename",
+            F.col("projectId").alias("s_project"),
+            F.col("userId").alias("s_user"),
+            extract_time_seconds(organized, flattened=False).alias("s_seconds"),
+        )
+        verdict = (
+            src.join(
+                target_times,
+                (F.col("s_project") == F.col("t_project"))
+                & (F.col("s_user") == F.col("t_user"))
+                & (F.col("s_seconds") == F.col("t_seconds")),
+                "left",
+            )
+            .groupBy("filename")
+            .agg(
+                F.count("*").alias("n_records"),
+                F.sum(F.when(F.col("t_user").isNotNull(), 1).otherwise(0)).alias("n_extracted"),
+            )
+            .collect()
+        )
+        extracted = {r["filename"]: r["n_records"] == r["n_extracted"] for r in verdict}
+        jvm = spark._jvm
+        hconf = spark._jsc.hadoopConfiguration()
+        for f in candidates:
+            fname = f.path.rsplit("/", 1)[-1]
+            if extracted.get(fname):
+                p = jvm.org.apache.hadoop.fs.Path(f.path)
+                p.getFileSystem(hconf).delete(p, False)
+                counters["deleted"].append(f.path)
+            else:
+                rollback_ranges.append((f.topic, f.partition, f.offset_from, f.offset_to))
+                counters["rolled_back"].append(f.path)
+    if rollback_ranges:
+        rb = spark.createDataFrame(
+            rollback_ranges, "topic string, partition int, offset_from long, offset_to long"
+        )
+        replace_offsets(spark, config.state_dir, remove_offsets(state, rb))
+    return counters
 
 
 def run_avro_restructure_job(

@@ -76,6 +76,52 @@ def start_service(
     return writer.start()
 
 
+def run_service(
+    spark: SparkSession,
+    input_root: str,
+    config,
+    max_iterations: int | None = None,
+    sleep_fn=None,
+    clock=None,
+) -> list[dict]:
+    """O27 batch-job scheduler (Application.kt:100-119, worker/Job.kt:12-46):
+    run the Avro restructure job every ``service.interval_s`` and — when
+    enabled — the cleaner every ``cleaner.interval_s``, until interrupted
+    (or ``max_iterations`` restructure runs, for tests/one-shot).
+
+    ``sleep_fn``/``clock`` are injectable for tests; the defaults are real
+    time.  This is the driver-loop analogue of the reference's scheduled
+    executor — the streaming functions above are the Structured Streaming
+    form for a continuously-arriving source.
+    """
+    import time as _time
+
+    from restructure_hdfs_topic_spark.plans.avro_job import (
+        run_avro_cleaner_job,
+        run_avro_restructure_job,
+    )
+
+    sleep_fn = sleep_fn or _time.sleep
+    clock = clock or _time.time
+    results: list[dict] = []
+    last_clean = clock()
+    iteration = 0
+    while max_iterations is None or iteration < max_iterations:
+        iteration += 1
+        out = run_avro_restructure_job(spark, input_root, config, now_s=clock())
+        out["job"] = "restructure"
+        results.append(out)
+        if config.cleaner.enable and clock() - last_clean >= config.cleaner.interval_s:
+            cleaned = run_avro_cleaner_job(spark, input_root, config, now_s=clock())
+            cleaned["job"] = "clean"
+            results.append(cleaned)
+            last_clean = clock()
+        if max_iterations is not None and iteration >= max_iterations:
+            break
+        sleep_fn(config.service.interval_s)
+    return results
+
+
 def windowed_rate(
     organized: DataFrame,
     time_col: str = "ts",

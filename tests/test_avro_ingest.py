@@ -168,3 +168,131 @@ def test_avro_restructure_gzip_and_dedup(spark, tmp_path):
     # per distinct flattened record.
     texts = {(r["value.time"], r["value.serverStatus"], r["bin"]) for r in rows}
     assert len(rows) == len(texts)
+
+
+def test_avro_cleaner_delete_and_rollback(spark, tmp_path):
+    """O20/O21 over the real pipeline: the cleaner re-reads source Avro,
+    verifies event times against the written CSV output (re-read with the
+    positional O21 parse), DELETES fully-extracted committed files, rolls
+    back partially-extracted ones, and never touches a partition's
+    max-offset file (+1 trick)."""
+    import shutil
+
+    from restructure_hdfs_topic_spark.config import CleanerConfig
+    from restructure_hdfs_topic_spark.plans.avro_job import run_avro_cleaner_job
+
+    src = str(tmp_path / "in")
+    shutil.copytree(FIXTURES, src)
+    cfg = RestructureConfig(
+        source_dir=src,
+        target_dir=str(tmp_path / "out"),
+        state_dir=str(tmp_path / "state"),
+        format="csv",
+        cleaner=CleanerConfig(enable=True, age_days=0),
+        worker=WorkerConfig(minimum_file_age_s=0),
+    )
+    os.makedirs(cfg.state_dir, exist_ok=True)
+    run_avro_restructure_job(spark, src, cfg, mode="python")
+
+    # Everything extracted: the status file [18,20] is committed-with-+1
+    # (state merged to [18,21]) and fully extracted → deleted; the
+    # single-offset status file and the acceleration file hold their
+    # partitions' max offsets → kept.
+    result = run_avro_cleaner_job(spark, src, cfg)
+    deleted = [p.rsplit("/", 1)[-1] for p in result["deleted"]]
+    assert deleted == ["application_server_status+1+0000000018+0000000020.avro"]
+    assert result["rolled_back"] == []
+    remaining = [f for fs in walk_topics(src).values() for f in fs]
+    assert len(remaining) == 2
+
+    # Partial extraction: restore the deleted file, wipe one status bin
+    # from the target → cleaner rolls the file's range back instead of
+    # deleting, and the next restructure reprocesses exactly that file.
+    shutil.copy(
+        os.path.join(
+            FIXTURES,
+            "application_server_status/partition=1/application_server_status+1+0000000018+0000000020.avro",
+        ),
+        os.path.join(src, "application_server_status/partition=1/"),
+    )
+    for root, dirs, files in os.walk(cfg.target_dir):
+        if root.endswith("bin=20200128_1300"):
+            shutil.rmtree(root)
+    result2 = run_avro_cleaner_job(spark, src, cfg)
+    rolled = [p.rsplit("/", 1)[-1] for p in result2["rolled_back"]]
+    assert rolled == ["application_server_status+1+0000000018+0000000020.avro"]
+    r = run_avro_restructure_job(spark, src, cfg, mode="python")
+    assert r["records_written"] == 3
+
+
+def test_zip_compression_output(spark, tmp_path):
+    """O23 zip: single-entry deflate .zip per output file, readable back to
+    the identical CSV bytes (compression/ZipCompression.kt:16-29)."""
+    import glob as _glob
+
+    from restructure_hdfs_topic_spark.compression import read_zip_entry
+
+    cfg = RestructureConfig(
+        target_dir=str(tmp_path / "out"),
+        state_dir=str(tmp_path / "state"),
+        format="csv",
+        compression="zip",
+        worker=WorkerConfig(minimum_file_age_s=0),
+    )
+    os.makedirs(cfg.state_dir, exist_ok=True)
+    run_avro_restructure_job(spark, FIXTURES, cfg, mode="python")
+    zips = _glob.glob(f"{cfg.target_dir}/**/*.csv.zip", recursive=True)
+    plains = _glob.glob(f"{cfg.target_dir}/**/*.csv", recursive=True)
+    assert zips and not plains
+    status_zip = [p for p in zips if "application_server_status" in p and "20200128_1300" in p]
+    text = read_zip_entry(status_zip[0]).decode()
+    header = text.splitlines()[0]
+    assert header == "key.projectId,key.userId,key.sourceId,value.time,value.serverStatus,value.ipAddress"
+    assert "1.58021982003E9,CONNECTED," in text
+
+
+def test_service_loop_schedules_jobs(spark, tmp_path):
+    """O27: the service loop runs restructure each interval and the cleaner
+    on its own (longer) interval, with injected clock/sleep."""
+    import shutil
+
+    from restructure_hdfs_topic_spark.config import CleanerConfig, ServiceConfig
+    from restructure_hdfs_topic_spark.streaming.service import run_service
+
+    src = str(tmp_path / "in")
+    shutil.copytree(FIXTURES, src)
+    cfg = RestructureConfig(
+        target_dir=str(tmp_path / "out"),
+        state_dir=str(tmp_path / "state"),
+        format="csv",
+        cleaner=CleanerConfig(enable=True, interval_s=500, age_days=0),
+        service=ServiceConfig(enable=True, interval_s=300),
+        worker=WorkerConfig(minimum_file_age_s=0),
+    )
+    os.makedirs(cfg.state_dir, exist_ok=True)
+    import time as _time
+
+    t = {"now": _time.time()}
+    sleeps = []
+
+    def fake_sleep(s):
+        sleeps.append(s)
+        t["now"] += s
+
+    results = run_service(
+        spark, src, cfg, max_iterations=3, sleep_fn=fake_sleep, clock=lambda: t["now"]
+    )
+    jobs = [r["job"] for r in results]
+    # 3 restructure runs; cleaner fires after the 500s threshold passes
+    # (i.e. after the second 300s sleep), exactly once here.
+    assert jobs.count("restructure") == 3
+    assert jobs.count("clean") == 1
+    assert sleeps == [300, 300]
+    # First run ingests everything; later runs are no-ops; the cleaner
+    # deleted the fully-extracted committed file.
+    assert results[0]["records_written"] == 1006
+    assert all(r["records_written"] == 0 for r in results if r["job"] == "restructure" and r is not results[0])
+    cleans = [r for r in results if r["job"] == "clean"]
+    assert [p.rsplit("/", 1)[-1] for p in cleans[0]["deleted"]] == [
+        "application_server_status+1+0000000018+0000000020.avro"
+    ]
