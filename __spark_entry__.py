@@ -522,6 +522,17 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash(docs, "doc_id", "text", bits=16)
 
 
+def q_simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs (Hamming ≤ 3 over 32-bit fingerprints) via
+    pigeonhole banding — EXACT (identical to all-pairs), so fully
+    oracle-checked even though the plan is the bucketed scale path."""
+    from restructure_hdfs_topic_spark.operators.dedup import simhash_near_dup_pairs
+
+    _conf(spark)
+    docs = _t(spark, sf_dir, "documents")
+    return simhash_near_dup_pairs(docs, "doc_id", "text", bits=32, max_hamming=3)
+
+
 def q_embedding_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-5 neighbors per vector; int-quantized dot
     products make the result engine- and partitioning-exact."""
@@ -645,6 +656,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "simhash": q_simhash,
+        "simhash_near_dup": q_simhash_near_dup,
         "embedding_cosine_topk": q_embedding_cosine_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
         "csv_flatten": q_csv_flatten,
@@ -971,6 +983,13 @@ def oracle_sql() -> dict[str, str]:
             WHERE round(CASE WHEN un > 0 THEN CAST(inter AS DOUBLE) / un ELSE 0.0 END, 6) >= 0.2
         """,
         "simhash": _simhash_oracle(16),
+        "simhash_near_dup": f"""
+            WITH sims AS ({_simhash_oracle(32)})
+            SELECT a.id AS id_a, b.id AS id_b,
+                   CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+            FROM sims a JOIN sims b ON a.id < b.id
+            WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+        """,
         "embedding_cosine_topk": """
             WITH v AS (
                 SELECT vec_id,

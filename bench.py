@@ -44,6 +44,7 @@ BENCH_QUERIES = [
     "dedup_exact_docs",
     "minhash_lsh_pairs",
     "simhash",
+    "simhash_near_dup",
     "ann_lsh_topk",
     "csv_flatten",
     "record_membership",

@@ -282,6 +282,82 @@ def ngram_jaccard_pairs(
     )
 
 
+def simhash_near_dup_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    bits: int = 32,
+    max_hamming: int = 3,
+    bands: int | None = None,
+) -> DataFrame:
+    """SimHash near-duplicate pairs with Hamming distance ≤ ``max_hamming``
+    — EXACT result via pigeonhole banding: split the fingerprint into
+    ``max_hamming + 1`` bit-bands; any pair within distance k must agree
+    exactly on at least one band, so a band-equality join generates a
+    candidate superset and ``bit_count(xor)`` verifies.  Unlike MinHash-LSH
+    this loses no pairs: same output as the O(n²) all-pairs scan, but the
+    shuffle key is (band, band bits) — bounded buckets, no cross join.
+
+    Returns (id_a, id_b, hamming) with id_a < id_b.
+    """
+    bands = bands or (max_hamming + 1)
+    if bands > bits:
+        raise ValueError(f"bands={bands} exceeds bits={bits}")
+    # Pigeonhole needs only SOME partition into ``bands`` bands; widths may
+    # be uneven (first ``bits % bands`` bands get one extra bit).
+    base, extra = divmod(bits, bands)
+    starts, pos = [], 0
+    for b in range(bands):
+        starts.append(pos)
+        pos += base + (1 if b < extra else 0)
+    widths = [starts[b + 1] - starts[b] if b + 1 < bands else bits - starts[b] for b in range(bands)]
+    # One (id, simhash) row per document feeds both join sides — persist so
+    # the interpreted bit-vote folds run once, not once per side.
+    from pyspark.storagelevel import StorageLevel
+
+    sims = simhash(df, id_col, text_col, bits).persist(StorageLevel.MEMORY_AND_DISK)
+    banded = sims.select(
+        "id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftright("simhash", starts[b])
+                        .bitwiseAND(F.lit((1 << widths[b]) - 1))
+                        .alias("key"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select("id", "simhash", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    left = banded.alias("l")
+    right = banded.alias("r")
+    cand = (
+        left.join(
+            right,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.key") == F.col("r.key"))
+            & (F.col("l.id") < F.col("r.id")),
+        )
+        .select(
+            F.col("l.id").alias("id_a"),
+            F.col("r.id").alias("id_b"),
+            F.col("l.simhash").alias("sh_a"),
+            F.col("r.simhash").alias("sh_b"),
+        )
+        .distinct()
+    )
+    ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))).cast("bigint")
+    return (
+        cand.withColumn("hamming", ham)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
 def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 32) -> DataFrame:
     """SimHash fingerprint: per token hash, bit b contributes +1/-1; the
     fingerprint sets bit b iff the sum is positive.  Near-dups share most

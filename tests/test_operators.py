@@ -128,3 +128,45 @@ def test_ngram_jaccard_identical_docs(spark):
     pairs = ngram_jaccard_pairs(df, "doc_id", "text", n=3, threshold=0.5).collect()
     assert len(pairs) == 1
     assert (pairs[0].id_a, pairs[0].id_b, pairs[0].jaccard) == (1, 2, 1.0)
+
+
+def test_simhash_near_dup_banding_is_exact(spark):
+    """Pigeonhole banding must return the IDENTICAL pair set as the O(n²)
+    all-pairs Hamming scan — banding is candidate pruning, not
+    approximation."""
+    from restructure_hdfs_topic_spark.operators.dedup import (
+        simhash,
+        simhash_near_dup_pairs,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "the quick brown fox jumps over the lazy cat"),
+            (3, "a completely different sentence with other words entirely"),
+            (4, "the quick brown fox jumps over the lazy dog"),
+            (5, "some unrelated text about spark and data processing"),
+        ],
+        "doc_id long, text string",
+    )
+    banded = {
+        (r["id_a"], r["id_b"], r["hamming"])
+        for r in simhash_near_dup_pairs(docs, "doc_id", "text", bits=32, max_hamming=4).collect()
+    }
+    sims = simhash(docs, "doc_id", "text", bits=32)
+    a = sims.toDF("id_a", "sh_a")
+    b = sims.toDF("id_b", "sh_b")
+    brute = {
+        (r["id_a"], r["id_b"], r["hamming"])
+        for r in a.join(b, F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))).cast("bigint").alias("hamming"),
+        )
+        .filter(F.col("hamming") <= 4)
+        .collect()
+    }
+    assert banded == brute
+    assert (1, 4, 0) in banded  # identical docs
+    assert any(p[:2] == (1, 2) for p in banded)  # one-word difference
