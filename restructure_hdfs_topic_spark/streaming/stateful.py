@@ -1,0 +1,93 @@
+"""Custom stateful streaming operator (SURVEY M5 extension).
+
+The batch engine's exactly-once record filter (O5,
+worker/RestructureWorker.kt:126-140 + accounting/OffsetIntervals.kt:33-44)
+is an anti-join against a persisted interval state table.  In a
+continuously-running service, the same semantics map to Structured
+Streaming's arbitrary stateful processing: ``applyInPandasWithState``
+keyed by (topic, partition), with the merged offset-interval set as the
+group state.  Records whose offset falls inside a committed interval are
+dropped; new offsets extend the state, which the engine checkpoints with
+the stream (no external Redis/state table needed — the reference built
+this by hand, worker/Job.kt + accounting/*).
+
+Scale shape: state is per-(topic, partition) — hundreds of groups, each
+holding a handful of merged ``[lo, hi]`` intervals (bounded by gap count,
+not record count).  The per-batch work is vectorized numpy searchsorted
+over the interval bounds, Arrow-batched.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+
+def streaming_seen_record_filter(
+    records: DataFrame,
+    topic_col: str = "topic",
+    partition_col: str = "partition",
+    offset_col: str = "offset",
+) -> DataFrame:
+    """Exactly-once record filter as a stateful streaming operator.
+
+    Emits each (topic, partition, offset) at most once across ALL
+    micro-batches — duplicate file deliveries, overlapping offset ranges,
+    and replays are dropped.  State per group = sorted disjoint intervals
+    of seen offsets (the same representation as the batch O16 state).
+    """
+    import numpy as np
+    import pandas as pd
+
+    out_schema = records.schema
+
+    def dedup(key, pdf_iter, state: GroupState):
+        if state.exists:
+            los, his = state.get
+            los = np.asarray(los, dtype=np.int64)
+            his = np.asarray(his, dtype=np.int64)
+        else:
+            los = np.empty(0, dtype=np.int64)
+            his = np.empty(0, dtype=np.int64)
+        new_offsets = []
+        for pdf in pdf_iter:
+            offs = pdf[offset_col].to_numpy(dtype=np.int64)
+            if len(los):
+                # Interval membership: the candidate interval for offset o
+                # is the last one with lo <= o; seen iff o <= its hi.
+                idx = np.searchsorted(los, offs, side="right") - 1
+                seen = (idx >= 0) & (offs <= his[np.clip(idx, 0, None)])
+            else:
+                seen = np.zeros(len(offs), dtype=bool)
+            # Also dedup within the batch itself (a file may repeat offsets).
+            first_seen = ~pd.Series(offs).duplicated().to_numpy()
+            keep = ~seen & first_seen
+            new_offsets.append(offs[~seen])
+            out = pdf[keep]
+            if len(out):
+                yield out
+        fresh = np.concatenate(new_offsets) if new_offsets else np.empty(0, dtype=np.int64)
+        if len(fresh):
+            # Merge fresh offsets into the interval set: gaps-and-islands
+            # over the union of existing interval endpoints and new points.
+            points = np.unique(fresh)
+            merged_lo, merged_hi = [], []
+            intervals = sorted(
+                [(int(l), int(h)) for l, h in zip(los, his)]
+                + [(int(p), int(p)) for p in points]
+            )
+            for lo, hi in intervals:
+                if merged_lo and lo <= merged_hi[-1] + 1:
+                    merged_hi[-1] = max(merged_hi[-1], hi)
+                else:
+                    merged_lo.append(lo)
+                    merged_hi.append(hi)
+            state.update((merged_lo, merged_hi))
+
+    return records.groupBy(topic_col, partition_col).applyInPandasWithState(
+        dedup,
+        outputStructType=out_schema,
+        stateStructType="los array<long>, his array<long>",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

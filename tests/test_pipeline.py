@@ -203,3 +203,42 @@ def test_cleaner_rollback_and_reprocess(spark, tmp_path):
     # Rolled-back ranges reprocess on the next run.
     r = run_restructure_job(spark, _records(spark), cfg)
     assert r["records_written"] == 40
+
+def test_streaming_stateful_seen_record_filter(spark, tmp_path):
+    """applyInPandasWithState exactly-once: offsets seen in earlier
+    micro-batches (or repeated within one) are dropped; interval state
+    survives across batches via the checkpoint."""
+    from restructure_hdfs_topic_spark.streaming.stateful import (
+        streaming_seen_record_filter,
+    )
+
+    src = str(tmp_path / "src")
+    schema = "topic string, partition int, offset long, payload string"
+    # File 1: offsets 0-9.  File 2 (arrives later): 5-14 — overlap 5-9 must
+    # be dropped.  File 3: replays 0-14 entirely + new 15, plus an in-file
+    # duplicate of 15.
+    b1 = [("t", 0, o, f"p{o}") for o in range(10)]
+    b2 = [("t", 0, o, f"p{o}") for o in range(5, 15)]
+    b3 = [("t", 0, o, f"p{o}") for o in range(16)] + [("t", 0, 15, "dup")]
+    for i, rows in enumerate([b1, b2, b3]):
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(
+            f"{src}/f{i}", mode="overwrite"
+        )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(f"{src}/f*")
+    )
+    deduped = streaming_seen_record_filter(stream)
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName("dedup_out")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    rows = spark.sql("SELECT offset FROM dedup_out").collect()
+    offsets = sorted(r["offset"] for r in rows)
+    assert offsets == list(range(16))  # each offset exactly once
