@@ -550,6 +550,18 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_ann_topk(emb, k=5)
 
 
+def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate top-5: deterministic integer k-means coarse
+    quantizer, nprobe nearest clusters per query, blocked int64 matmul
+    scoring.  Approximate by construction (rows-only); recall measured in
+    bench against the exact baseline."""
+    from restructure_hdfs_topic_spark.operators.similarity import ivf_ann_topk
+
+    _conf(spark)
+    emb = _t(spark, sf_dir, "embeddings")
+    return ivf_ann_topk(emb, k=5)
+
+
 def q_record_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
     """O22 (format/CsvAvroConverterFactory.kt:107-126): which source records
     appear in the target output — LEFT SEMI join on the selected columns."""
@@ -659,6 +671,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_near_dup": q_simhash_near_dup,
         "embedding_cosine_topk": q_embedding_cosine_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
+        "ann_ivf_topk": q_ann_ivf_topk,
         "csv_flatten": q_csv_flatten,
         "record_membership": q_record_membership,
         "regex_token_count": q_regex_token_count,

@@ -46,6 +46,7 @@ BENCH_QUERIES = [
     "simhash",
     "simhash_near_dup",
     "ann_lsh_topk",
+    "ann_ivf_topk",
     "csv_flatten",
     "record_membership",
     "regex_token_count",
@@ -141,6 +142,7 @@ def measure_recall(spark) -> dict:
     )
     from restructure_hdfs_topic_spark.operators.similarity import (
         cosine_topk,
+        ivf_ann_topk,
         lsh_ann_topk,
     )
     from restructure_hdfs_topic_spark.sources.tables import configure, load_table
@@ -157,6 +159,16 @@ def measure_recall(spark) -> dict:
         out["ann_lsh_topk@5"] = round(hits / denom, 4) if denom else None
     except Exception as exc:  # pragma: no cover - recall is best-effort
         out["ann_lsh_topk@5"] = f"error: {exc}"
+    try:
+        emb = load_table(spark, SF_DIR, "embeddings")
+        sample = emb.orderBy("vec_id").limit(200)
+        exact = cosine_topk(emb, k=5, queries=sample)
+        approx = ivf_ann_topk(emb, k=5)
+        hits = exact.join(approx, ["query_id", "neighbor_id"], "left_semi").count()
+        denom = exact.count()
+        out["ann_ivf_topk@5"] = round(hits / denom, 4) if denom else None
+    except Exception as exc:  # pragma: no cover
+        out["ann_ivf_topk@5"] = f"error: {exc}"
     try:
         docs = load_table(spark, SF_DIR, "documents").orderBy("doc_id").limit(500)
         exact_pairs = ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.2)

@@ -129,6 +129,168 @@ def hyperplane_bucket(vec_col, planes: int = 8, table: int = 0) -> F.Column:
     return bucket
 
 
+def _bucket_scorer(k: int):
+    """applyInPandas kernel shared by the LSH and IVF paths: given one
+    bucket/cluster group with columns (id, vec, is_corpus), emit the
+    per-query top-k over the group's corpus members as one vectorized
+    int64 matmul.  Self-pairs excluded.  Global merge across groups is the
+    caller's distinct + window."""
+    import pandas as pd
+
+    def score_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        corpus_mask = pdf["is_corpus"].to_numpy()
+        if not corpus_mask.any():
+            # Probed bucket with no corpus members: nothing to score.
+            return pd.DataFrame({"query_id": [], "neighbor_id": [], "cosine": []})
+        cvecs = np.stack(pdf.loc[corpus_mask, "vec"].to_numpy()).astype(np.int64)
+        c_ids = pdf.loc[corpus_mask, "id"].to_numpy()
+        qvecs = np.stack(pdf["vec"].to_numpy()).astype(np.int64)
+        q_ids = pdf["id"].to_numpy()
+        # Exact int64 dot products (quantized vectors are small enough that
+        # dim * (1e4-scale)^2 stays far inside int64).
+        dots = qvecs @ cvecs.T
+        qn = np.sqrt(np.einsum("ij,ij->i", qvecs, qvecs).astype(np.float64))
+        cn = np.sqrt(np.einsum("ij,ij->i", cvecs, cvecs).astype(np.float64))
+        sims = dots / (qn[:, None] * cn[None, :])
+        out_q, out_c, out_s = [], [], []
+        kk = min(k, max(sims.shape[1] - 1, 0))
+        for qi in range(sims.shape[0]):
+            row = sims[qi]
+            self_mask = c_ids == q_ids[qi]
+            row = np.where(self_mask, -np.inf, row)
+            if kk <= 0:
+                continue
+            top = np.argpartition(-row, kk - 1)[:kk] if len(row) > kk else np.arange(len(row))
+            top = top[np.isfinite(row[top])]
+            out_q.extend([q_ids[qi]] * len(top))
+            out_c.extend(c_ids[top])
+            out_s.extend(np.round(row[top], 6))
+        return pd.DataFrame({"query_id": out_q, "neighbor_id": out_c, "cosine": out_s})
+
+    return score_bucket
+
+
+def ivf_ann_topk(
+    embeddings: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int | None = None,
+    nprobe: int | None = None,
+    lloyd_iters: int = 1,
+) -> DataFrame:
+    """IVF (inverted-file) approximate top-k — the coarse-quantizer
+    alternative to hyperplane LSH:
+
+    1. ``n_centroids`` seeds chosen deterministically (lowest
+       ``xxhash64(id)`` — an order-independent sample), default √n
+       (the classic IVF sizing: keeps both the assignment matmul and the
+       per-cluster scan at ~n·√n work).
+    2. ``lloyd_iters`` k-means refinements with EXACT integer arithmetic:
+       cluster sums of quantized int64 vectors are associative, so the
+       floor-divided centroid means are bit-identical regardless of
+       partitioning — no float-order nondeterminism.
+    3. Corpus vectors land in their single nearest cluster; each query
+       probes its ``nprobe`` nearest clusters (the recall knob).
+    4. Per-cluster scoring is the same blocked int64 matmul as
+       ``lsh_ann_topk`` (shared ``_bucket_scorer``); global top-k via
+       distinct + window.
+
+    Scale: centroids broadcast via task closure (√n × dim ints — 16 MB at
+    n=1e9, dim=64); the corpus never collects.  The Lloyd update collects
+    only (n_centroids × dim) aggregated rows.  Recall < 1 by construction
+    — measured in bench against the exact baseline, rows-only correctness.
+    """
+    import math
+
+    import numpy as np
+    import pandas as pd
+
+    n = embeddings.count()
+    if n_centroids is None:
+        n_centroids = max(2, min(65536, int(math.isqrt(n))))
+    if nprobe is None:
+        # Near-uniform embeddings (no cluster structure) need a large probe
+        # fraction for recall — ~25% of centroids gives ~0.85 recall@5 on
+        # the synthetic corpus.  Genuinely clustered data (the usual IVF
+        # use case) gets the same recall at nprobe « n_centroids; callers
+        # should tune DOWN, trading recall for a smaller scanned fraction.
+        nprobe = max(4, -(-n_centroids // 4))
+    nprobe = min(nprobe, n_centroids)
+    quant = embeddings.select(
+        F.col(id_col).alias("id"), _quantize(F.col(vec_col)).alias("vec")
+    )
+    seeds = (
+        quant.withColumn("h", F.xxhash64(F.col("id")))
+        .orderBy("h")
+        .limit(n_centroids)
+        .select("vec")
+        .collect()
+    )
+    centroids = np.stack([np.asarray(r["vec"], dtype=np.int64) for r in seeds])
+
+    def assigner(cents: np.ndarray, probes: int, corpus: bool):
+        cf = cents.astype(np.float64)
+        cn = np.sqrt((cf**2).sum(axis=1))
+        cn[cn == 0] = 1.0
+
+        def assign(batches):
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                vv = np.stack(pdf["vec"].to_numpy()).astype(np.float64)
+                vn = np.sqrt((vv**2).sum(axis=1))
+                vn[vn == 0] = 1.0
+                sims = (vv @ cf.T) / (vn[:, None] * cn[None, :])
+                if probes == 1:
+                    cl = np.argmax(sims, axis=1)[:, None]
+                else:
+                    cl = np.argpartition(-sims, probes - 1, axis=1)[:, :probes]
+                for p in range(cl.shape[1]):
+                    yield pd.DataFrame(
+                        {
+                            "id": pdf["id"].to_numpy(),
+                            "vec": pdf["vec"],
+                            "cluster": cl[:, p].astype(np.int64),
+                            "is_corpus": np.full(len(pdf), corpus),
+                        }
+                    )
+
+        return assign
+
+    schema = "id long, vec array<long>, cluster long, is_corpus boolean"
+    for _ in range(lloyd_iters):
+        assigned = quant.mapInPandas(assigner(centroids, 1, True), schema=schema)
+        agg = (
+            assigned.select("cluster", F.posexplode("vec").alias("pos", "val"))
+            .groupBy("cluster", "pos")
+            .agg(F.sum("val").alias("s"), F.count(F.lit(1)).alias("c"))
+            .collect()
+        )
+        new_cents = centroids.copy()
+        for r in agg:
+            # Exact integer mean (floor toward -inf is fine: determinism
+            # matters, not the rounding direction).
+            new_cents[r["cluster"], r["pos"]] = r["s"] // r["c"]
+        centroids = new_cents
+
+    corpus_rows = quant.mapInPandas(assigner(centroids, 1, True), schema=schema)
+    probe_rows = quant.mapInPandas(assigner(centroids, nprobe, False), schema=schema)
+    members = corpus_rows.unionByName(probe_rows)
+    scored = members.groupBy("cluster").applyInPandas(
+        _bucket_scorer(k), schema="query_id long, neighbor_id long, cosine double"
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    return (
+        scored.distinct()
+        .withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", "cosine")
+    )
+
+
 def lsh_ann_topk(
     embeddings: DataFrame,
     k: int = 5,
@@ -230,42 +392,8 @@ def lsh_ann_topk(
     else:
         members = own
 
-    import pandas as pd
-
-    def score_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
-        import numpy as np
-
-        corpus_mask = pdf["is_corpus"].to_numpy()
-        if not corpus_mask.any():
-            # Probed bucket with no corpus members: nothing to score.
-            return pd.DataFrame({"query_id": [], "neighbor_id": [], "cosine": []})
-        cvecs = np.stack(pdf.loc[corpus_mask, "vec"].to_numpy()).astype(np.int64)
-        c_ids = pdf.loc[corpus_mask, "id"].to_numpy()
-        qvecs = np.stack(pdf["vec"].to_numpy()).astype(np.int64)
-        q_ids = pdf["id"].to_numpy()
-        # Exact int64 dot products (quantized vectors are small enough that
-        # dim * (1e4-scale)^2 stays far inside int64).
-        dots = qvecs @ cvecs.T
-        qn = np.sqrt(np.einsum("ij,ij->i", qvecs, qvecs).astype(np.float64))
-        cn = np.sqrt(np.einsum("ij,ij->i", cvecs, cvecs).astype(np.float64))
-        sims = dots / (qn[:, None] * cn[None, :])
-        out_q, out_c, out_s = [], [], []
-        kk = min(k, max(sims.shape[1] - 1, 0))
-        for qi in range(sims.shape[0]):
-            row = sims[qi]
-            self_mask = c_ids == q_ids[qi]
-            row = np.where(self_mask, -np.inf, row)
-            if kk <= 0:
-                continue
-            top = np.argpartition(-row, kk - 1)[:kk] if len(row) > kk else np.arange(len(row))
-            top = top[np.isfinite(row[top])]
-            out_q.extend([q_ids[qi]] * len(top))
-            out_c.extend(c_ids[top])
-            out_s.extend(np.round(row[top], 6))
-        return pd.DataFrame({"query_id": out_q, "neighbor_id": out_c, "cosine": out_s})
-
     scored = members.groupBy("t", "bucket").applyInPandas(
-        score_bucket, schema="query_id long, neighbor_id long, cosine double"
+        _bucket_scorer(k), schema="query_id long, neighbor_id long, cosine double"
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
     return (

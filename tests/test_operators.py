@@ -170,3 +170,31 @@ def test_simhash_near_dup_banding_is_exact(spark):
     assert banded == brute
     assert (1, 4, 0) in banded  # identical docs
     assert any(p[:2] == (1, 2) for p in banded)  # one-word difference
+
+
+def test_ivf_ann_topk_clustered_recall(spark):
+    """IVF with planted clusters: tight clusters around two orthogonal
+    directions must recover each vector's true within-cluster neighbors;
+    output shape is (query, rank<=k, neighbor, cosine) with self excluded."""
+    import random
+
+    from restructure_hdfs_topic_spark.operators.similarity import (
+        cosine_topk,
+        ivf_ann_topk,
+    )
+
+    rng = random.Random(7)
+    rows = []
+    for cid, base in enumerate([[1.0, 0.0, 0.0, 0.0], [0.0, 1.0, 0.0, 0.0]]):
+        for i in range(20):
+            vec = [b + rng.uniform(-0.05, 0.05) for b in base]
+            rows.append((cid * 100 + i, vec))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    approx = ivf_ann_topk(emb, k=3, n_centroids=4, nprobe=2)
+    got = approx.collect()
+    assert all(1 <= r["rank"] <= 3 for r in got)
+    assert all(r["query_id"] != r["neighbor_id"] for r in got)
+    # Clustered data is the IVF sweet spot: near-perfect recall at nprobe=2.
+    exact = cosine_topk(emb, k=3)
+    hits = exact.join(approx, ["query_id", "neighbor_id"], "left_semi").count()
+    assert hits / exact.count() >= 0.9
