@@ -213,11 +213,12 @@ def ivf_ann_topk(
         n_centroids = max(2, min(65536, int(math.isqrt(n))))
     if nprobe is None:
         # Near-uniform embeddings (no cluster structure) need a large probe
-        # fraction for recall — ~25% of centroids gives ~0.85 recall@5 on
-        # the synthetic corpus.  Genuinely clustered data (the usual IVF
+        # fraction for recall — ~35% of centroids gives ~0.9 recall@5 on
+        # the synthetic corpus (its Voronoi cells barely correlate with
+        # cosine neighborhoods).  Genuinely clustered data (the usual IVF
         # use case) gets the same recall at nprobe « n_centroids; callers
         # should tune DOWN, trading recall for a smaller scanned fraction.
-        nprobe = max(4, -(-n_centroids // 4))
+        nprobe = max(4, -(-n_centroids * 35 // 100))
     nprobe = min(nprobe, n_centroids)
     quant = embeddings.select(
         F.col(id_col).alias("id"), _quantize(F.col(vec_col)).alias("vec")
