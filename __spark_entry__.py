@@ -533,6 +533,18 @@ def q_simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_near_dup_pairs(docs, "doc_id", "text", bits=32, max_hamming=3)
 
 
+def q_near_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate GROUPS: connected components (min-label + pointer
+    jumping) over the exact banded-Hamming simhash pairs — one canonical
+    group_id per transitive near-dup cluster.  Exact end-to-end, so the
+    iterative distributed algorithm oracle-checks against a recursive CTE."""
+    from restructure_hdfs_topic_spark.operators.dedup import near_dup_groups
+
+    _conf(spark)
+    docs = _t(spark, sf_dir, "documents")
+    return near_dup_groups(docs, "doc_id", "text", bits=32, max_hamming=3)
+
+
 def q_embedding_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-5 neighbors per vector; int-quantized dot
     products make the result engine- and partitioning-exact."""
@@ -669,6 +681,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "simhash": q_simhash,
         "simhash_near_dup": q_simhash_near_dup,
+        "near_dup_groups": q_near_dup_groups,
         "embedding_cosine_topk": q_embedding_cosine_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
@@ -1002,6 +1015,25 @@ def oracle_sql() -> dict[str, str]:
                    CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
             FROM sims a JOIN sims b ON a.id < b.id
             WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+        """,
+        "near_dup_groups": f"""
+            WITH RECURSIVE sims AS ({_simhash_oracle(32)}),
+            pairs AS (
+                SELECT a.id AS id_a, b.id AS id_b
+                FROM sims a JOIN sims b ON a.id < b.id
+                WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+            ),
+            edges AS (
+                SELECT id_a AS s, id_b AS d FROM pairs
+                UNION ALL SELECT id_b, id_a FROM pairs
+            ),
+            comp(id, label) AS (
+                SELECT id, id FROM sims
+                UNION
+                SELECT e.s, c.label FROM edges e JOIN comp c ON e.d = c.id
+            )
+            SELECT id AS doc_id, CAST(min(label) AS BIGINT) AS group_id
+            FROM comp GROUP BY id
         """,
         "embedding_cosine_topk": """
             WITH v AS (

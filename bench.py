@@ -45,6 +45,7 @@ BENCH_QUERIES = [
     "minhash_lsh_pairs",
     "simhash",
     "simhash_near_dup",
+    "near_dup_groups",
     "ann_lsh_topk",
     "ann_ivf_topk",
     "csv_flatten",

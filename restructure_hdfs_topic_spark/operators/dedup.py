@@ -413,3 +413,102 @@ def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 32) -> DataFr
     return df.select(id_col, text_col).mapInPandas(
         fingerprints, schema=f"id {id_type}, simhash long"
     )
+
+
+def connected_components(
+    vertices: DataFrame,
+    edges: DataFrame,
+    id_col: str = "id",
+    src_col: str = "id_a",
+    dst_col: str = "id_b",
+    max_iters: int = 30,
+) -> DataFrame:
+    """Connected components by min-label propagation: every vertex starts
+    labeled with its own id; each round adopts the minimum label among
+    itself and its neighbors; fixpoint = component id = min vertex id in
+    the component.
+
+    Converges in O(component diameter) rounds — near-dup graphs are dense
+    clusters with tiny diameters, so a handful of rounds suffices (path
+    doubling / large-star small-star is the optimization for chain-shaped
+    graphs; not needed here).  Each round is one shuffle join on the edge
+    list + a min-aggregate; lineage is truncated per round
+    (localCheckpoint) so plans stay O(1) deep.
+
+    Returns (id, group_id).
+    """
+    labels = vertices.select(F.col(id_col).alias("id")).withColumn(
+        "label", F.col("id")
+    )
+    # The symmetric edge list is re-read every round — cut it loose from
+    # however expensive its upstream plan is (e.g. an LSH band join) with
+    # an EAGER localCheckpoint; a lazy persist can silently recompute the
+    # whole lineage per round if the cache doesn't take.
+    sym = (
+        edges.select(F.col(src_col).alias("s"), F.col(dst_col).alias("d"))
+        .union(edges.select(F.col(dst_col).alias("s"), F.col(src_col).alias("d")))
+        .localCheckpoint(eager=True)
+    )
+    labels = labels.localCheckpoint(eager=True)
+    for _ in range(max_iters):
+        nbr = (
+            sym.join(labels.withColumnRenamed("id", "d_id"), sym["d"] == F.col("d_id"))
+            .groupBy("s")
+            .agg(F.min("label").alias("nbr_min"))
+        )
+        stepped = labels.join(nbr, labels["id"] == nbr["s"], "left").select(
+            "id",
+            F.least(F.col("label"), F.coalesce(F.col("nbr_min"), F.col("label"))).alias(
+                "label"
+            ),
+            (F.coalesce(F.col("nbr_min"), F.col("label")) < F.col("label")).alias(
+                "__changed"
+            ),
+        )
+        # Pointer jumping: also adopt the label OF the label
+        # (label(v) ← label(label(v))), collapsing chains exponentially —
+        # O(log diameter) rounds instead of O(diameter).
+        ptr = stepped.select(F.col("id").alias("p_id"), F.col("label").alias("p_label"))
+        updated = (
+            stepped.join(ptr, stepped["label"] == ptr["p_id"], "left")
+            .select(
+                "id",
+                F.least(F.col("label"), F.coalesce(F.col("p_label"), F.col("label"))).alias(
+                    "label"
+                ),
+                (
+                    F.col("__changed")
+                    | (F.coalesce(F.col("p_label"), F.col("label")) < F.col("label"))
+                ).alias("__changed"),
+            )
+            # Lazy checkpoint: the changed-count below materializes it, so
+            # each round runs exactly ONE job over a lineage of depth one.
+            .localCheckpoint(eager=False)
+        )
+        changed = updated.filter(F.col("__changed")).count()
+        labels = updated.drop("__changed")
+        if changed == 0:
+            break
+    return labels.withColumnRenamed("label", "group_id")
+
+
+def near_dup_groups(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    bits: int = 32,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Document near-duplicate GROUPS — the step an LLM-corpus dedup
+    actually keeps: transitive closure over exact simhash near-dup pairs,
+    one canonical ``group_id`` (min doc id) per cluster.  Downstream keeps
+    one row per group (e.g. ``row_number() over (partition by group_id)``).
+
+    Exact end-to-end: banded-Hamming pairs are lossless and components are
+    deterministic, so the whole pipeline oracle-checks.
+    """
+    pairs = simhash_near_dup_pairs(df, id_col, text_col, bits=bits, max_hamming=max_hamming)
+    vertices = df.select(F.col(id_col).alias("id"))
+    return connected_components(vertices, pairs).select(
+        F.col("id").alias(id_col), "group_id"
+    )

@@ -198,3 +198,18 @@ def test_ivf_ann_topk_clustered_recall(spark):
     exact = cosine_topk(emb, k=3)
     hits = exact.join(approx, ["query_id", "neighbor_id"], "left_semi").count()
     assert hits / exact.count() >= 0.9
+
+
+def test_connected_components_chain_and_islands(spark):
+    """Pointer jumping must collapse a worst-case chain (diameter = n-1)
+    within the round budget; isolated vertices keep their own label."""
+    from restructure_hdfs_topic_spark.operators.dedup import connected_components
+
+    n = 64
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "id_a long, id_b long"
+    )
+    verts = spark.range(0, n + 3).selectExpr("id")  # n..n+2 isolated
+    got = {r["id"]: r["group_id"] for r in connected_components(verts, edges).collect()}
+    assert all(got[i] == 0 for i in range(n))
+    assert all(got[i] == i for i in range(n, n + 3))
