@@ -435,6 +435,11 @@ def connected_components(
     list + a min-aggregate; lineage is truncated per round
     (localCheckpoint) so plans stay O(1) deep.
 
+    Cluster note: ``localCheckpoint`` stores blocks executor-locally —
+    fine for a static cluster, but under dynamic allocation / executor
+    loss switch to ``spark.sparkContext.setCheckpointDir`` +
+    ``checkpoint()`` for a resilient truncation point.
+
     Returns (id, group_id).
     """
     labels = vertices.select(F.col(id_col).alias("id")).withColumn(
