@@ -610,6 +610,19 @@ def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_near_dup_pairs(emb, threshold=0.35)
 
 
+def q_embedding_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs via LSH-bucketed candidates + threshold
+    filter — the scale path for ``embedding_near_dup`` (rows-only; recall
+    vs the exact baseline measured in bench)."""
+    from restructure_hdfs_topic_spark.operators.similarity import (
+        lsh_cosine_near_dup_pairs,
+    )
+
+    _conf(spark)
+    emb = _t(spark, sf_dir, "embeddings")
+    return lsh_cosine_near_dup_pairs(emb, threshold=0.35)
+
+
 def q_csv_flatten(spark: SparkSession, sf_dir: str) -> DataFrame:
     """O7 CSV flattening (format/CsvAvroDataConverter.kt:16-91) end-to-end:
     struct recursion with dot-joined names, data-dependent per-key map
@@ -689,6 +702,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "record_membership": q_record_membership,
         "regex_token_count": q_regex_token_count,
         "embedding_near_dup": q_embedding_near_dup,
+        "embedding_near_dup_lsh": q_embedding_near_dup_lsh,
         "multimodal_features": q_multimodal_features,
     }
 

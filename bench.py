@@ -48,6 +48,7 @@ BENCH_QUERIES = [
     "near_dup_groups",
     "ann_lsh_topk",
     "ann_ivf_topk",
+    "embedding_near_dup_lsh",
     "csv_flatten",
     "record_membership",
     "regex_token_count",
@@ -170,6 +171,20 @@ def measure_recall(spark) -> dict:
         out["ann_ivf_topk@5"] = round(hits / denom, 4) if denom else None
     except Exception as exc:  # pragma: no cover
         out["ann_ivf_topk@5"] = f"error: {exc}"
+    try:
+        from restructure_hdfs_topic_spark.operators.similarity import (
+            cosine_near_dup_pairs,
+            lsh_cosine_near_dup_pairs,
+        )
+
+        emb = load_table(spark, SF_DIR, "embeddings").orderBy("vec_id").limit(1000)
+        exact_nd = cosine_near_dup_pairs(emb, threshold=0.35)
+        lsh_nd = lsh_cosine_near_dup_pairs(emb, threshold=0.35)
+        hits = exact_nd.join(lsh_nd, ["id_a", "id_b"], "left_semi").count()
+        denom = exact_nd.count()
+        out["embedding_near_dup_lsh@0.35"] = round(hits / denom, 4) if denom else None
+    except Exception as exc:  # pragma: no cover
+        out["embedding_near_dup_lsh@0.35"] = f"error: {exc}"
     try:
         docs = load_table(spark, SF_DIR, "documents").orderBy("doc_id").limit(500)
         exact_pairs = ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.2)

@@ -129,6 +129,103 @@ def hyperplane_bucket(vec_col, planes: int = 8, table: int = 0) -> F.Column:
     return bucket
 
 
+def lsh_cosine_near_dup_pairs(
+    embeddings: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    planes: int | None = None,
+    target_bucket_size: int = 150,
+    tables: int | None = None,
+    target_recall: float = 0.9,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs at scale: hyperplane-LSH
+    tables generate candidates, and each bucket emits ALL pairs with
+    cosine ≥ ``threshold`` from one blocked int64 matmul — no top-k cap,
+    no O(n²) cross join.
+
+    ``tables=None`` derives L from standard LSH theory: a pair at cosine
+    τ collides under one hyperplane with p1 = 1 − arccos(τ)/π, survives a
+    ``planes``-bit table with p1^planes, and is missed by all L tables
+    with (1 − p1^planes)^L — so L = ceil(ln(1−target_recall) /
+    ln(1−p1^planes)).  Low thresholds (weakly-similar pairs) therefore
+    cost more tables; true near-dup thresholds (≥0.85) need only a few.
+    Recall vs the exact baseline is measured in bench.
+
+    Returns (id_a, id_b, cosine) with id_a < id_b.
+    """
+    import math
+
+    import pandas as pd
+
+    if planes is None:
+        n = embeddings.count()
+        planes = max(4, min(24, int(math.ceil(math.log2(max(n, 2) / target_bucket_size)))))
+    if tables is None:
+        p1 = 1.0 - math.acos(max(min(threshold, 1.0), -1.0)) / math.pi
+        p_table = max(p1**planes, 1e-9)
+        tables = max(2, min(24, int(math.ceil(math.log(1.0 - target_recall) / math.log(1.0 - p_table)))))
+
+    def tag(batches):
+        import numpy as np
+
+        lattices = {}
+
+        def lattice(dim):
+            if dim not in lattices:
+                jj = np.arange(tables * planes, dtype=np.int64)[:, None]
+                i = np.arange(1, dim + 1, dtype=np.int64)[None, :]
+                lattices[dim] = ((2 * jj + 3) * i * 2654435761) % 1009 - 504
+            return lattices[dim]
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            raw = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            q = (np.sign(raw) * np.floor(np.abs(raw) * QUANT + 0.5)).astype(np.int64)
+            planes_m = lattice(q.shape[1])
+            signs = (q @ planes_m.T) >= 0
+            weights = 1 << np.arange(planes, dtype=np.int64)
+            ids = pdf[id_col].to_numpy()
+            for t in range(tables):
+                block = signs[:, t * planes : (t + 1) * planes]
+                yield pd.DataFrame(
+                    {
+                        "id": ids,
+                        "vec": list(q),
+                        "t": np.full(len(ids), t, dtype=np.int32),
+                        "bucket": (block @ weights).astype(np.int64),
+                    }
+                )
+
+    tagged = embeddings.select(id_col, vec_col).mapInPandas(
+        tag, schema="id long, vec array<long>, t int, bucket long"
+    )
+
+    def pairs_in_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        if len(pdf) < 2:
+            return pd.DataFrame({"id_a": [], "id_b": [], "cosine": []})
+        vecs = np.stack(pdf["vec"].to_numpy()).astype(np.int64)
+        ids = pdf["id"].to_numpy()
+        dots = vecs @ vecs.T
+        norms = np.sqrt(np.einsum("ij,ij->i", vecs, vecs).astype(np.float64))
+        sims = dots / (norms[:, None] * norms[None, :])
+        ia, ib = np.triu_indices(len(ids), k=1)
+        keep = sims[ia, ib] >= threshold
+        a, b = ids[ia[keep]], ids[ib[keep]]
+        lo, hi = np.minimum(a, b), np.maximum(a, b)
+        return pd.DataFrame(
+            {"id_a": lo, "id_b": hi, "cosine": np.round(sims[ia, ib][keep], 6)}
+        )
+
+    scored = tagged.groupBy("t", "bucket").applyInPandas(
+        pairs_in_bucket, schema="id_a long, id_b long, cosine double"
+    )
+    return scored.distinct()
+
+
 def _bucket_scorer(k: int):
     """applyInPandas kernel shared by the LSH and IVF paths: given one
     bucket/cluster group with columns (id, vec, is_corpus), emit the
