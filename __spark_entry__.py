@@ -468,6 +468,49 @@ def q_text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.select("doc_id", lang_id_from_scores(scores).alias("lang_pred"))
 
 
+def q_corpus_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end training-corpus curation gate: one token-array projection
+    feeds language-ID, quality scoring, and length bounds; a document
+    survives iff it has an identified language, quality ≥ 0.5, and
+    10 ≤ tokens ≤ 500.  The whole gate is a single codegen'd projection +
+    filter — the shape a 100 TB curation pass wants (no shuffle at all)."""
+    from restructure_hdfs_topic_spark.functions.text import (
+        lang_id_from_scores,
+        lang_scores_from,
+        punct_ratio,
+        quality_score_from,
+        stopword_ratio_from,
+        token_count_from,
+        tokens,
+    )
+
+    _conf(spark)
+    docs = _t(spark, sf_dir, "documents")
+    toked = docs.select("doc_id", "text", tokens(F.col("text")).alias("toks"))
+    score_names = [lang for lang, _ in lang_scores_from(F.col("toks"))]
+    comps = toked.select(
+        "doc_id",
+        token_count_from(F.col("toks")).alias("n_tokens"),
+        punct_ratio(F.col("text")).alias("p_ratio"),
+        stopword_ratio_from(F.col("toks")).alias("s_ratio"),
+        *[s.alias(f"s_{lang}") for lang, s in lang_scores_from(F.col("toks"))],
+    )
+    scores = [(lang, F.col(f"s_{lang}")) for lang in score_names]
+    gated = comps.select(
+        "doc_id",
+        "n_tokens",
+        lang_id_from_scores(scores).alias("lang_pred"),
+        quality_score_from(F.col("n_tokens"), F.col("p_ratio"), F.col("s_ratio")).alias(
+            "quality"
+        ),
+    )
+    return gated.filter(
+        (F.col("lang_pred") != "und")
+        & (F.col("quality") >= 0.5)
+        & F.col("n_tokens").between(10, 500)
+    )
+
+
 def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Polynomial rolling-hash document fingerprint (Rabin-Karp style)."""
     _conf(spark)
@@ -689,6 +732,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": q_text_quality,
         "text_lang_id": q_text_lang_id,
         "text_fingerprint": q_text_fingerprint,
+        "corpus_filter": q_corpus_filter,
         "dedup_exact_docs": q_dedup_exact_docs,
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
@@ -1029,6 +1073,39 @@ def oracle_sql() -> dict[str, str]:
                    CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
             FROM sims a JOIN sims b ON a.id < b.id
             WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+        """,
+        "corpus_filter": f"""
+            WITH c AS (
+                SELECT doc_id,
+                       CASE WHEN trim(text) = '' THEN 0 ELSE len({_TOKENS}) END AS n_tokens,
+                       CASE WHEN length(lower(text)) > 0
+                            THEN round(CAST(length(regexp_replace(lower(text), '[a-z0-9\\s]', '', 'g')) AS DOUBLE) / length(lower(text)), 6)
+                            ELSE 0.0 END AS punct_ratio,
+                       CASE WHEN trim(text) = '' OR len({_TOKENS}) = 0 THEN 0.0
+                            ELSE round(CAST(len(list_filter({_TOKENS}, x -> list_contains({_STOPS}, x))) AS DOUBLE) / len({_TOKENS}), 6)
+                            END AS stopword_ratio,
+                       len(list_filter({_TOKENS}, x -> list_contains(['der','die','das','und','nicht'], x))) AS s_de,
+                       len(list_filter({_TOKENS}, x -> list_contains(['the','a','and','of','to'], x))) AS s_en,
+                       len(list_filter({_TOKENS}, x -> list_contains(['el','la','los','que','y'], x))) AS s_es,
+                       len(list_filter({_TOKENS}, x -> list_contains(['le','la','les','et','que'], x))) AS s_fr,
+                       len(list_filter({_TOKENS}, x -> list_contains(['de5','shi4','le5','zai4','he2'], x))) AS s_zh
+                FROM documents
+            ), g AS (
+                SELECT doc_id, n_tokens,
+                       CASE WHEN greatest(s_de, s_en, s_es, s_fr, s_zh) = 0 THEN 'und'
+                            WHEN s_de = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'de'
+                            WHEN s_en = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'en'
+                            WHEN s_es = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'es'
+                            WHEN s_fr = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'fr'
+                            ELSE 'zh' END AS lang_pred,
+                       round(0.5 * least(CAST(n_tokens AS DOUBLE) / 50.0, 1.0)
+                           + 0.3 * (1.0 - least(punct_ratio * 5, 1.0))
+                           + 0.2 * least(stopword_ratio * 3, 1.0), 6) AS quality
+                FROM c
+            )
+            SELECT doc_id, n_tokens, lang_pred, quality
+            FROM g
+            WHERE lang_pred <> 'und' AND quality >= 0.5 AND n_tokens BETWEEN 10 AND 500
         """,
         "near_dup_groups": f"""
             WITH RECURSIVE sims AS ({_simhash_oracle(32)}),

@@ -41,6 +41,7 @@ BENCH_QUERIES = [
     "text_quality",
     "text_lang_id",
     "text_fingerprint",
+    "corpus_filter",
     "dedup_exact_docs",
     "minhash_lsh_pairs",
     "simhash",

@@ -242,3 +242,30 @@ def test_streaming_stateful_seen_record_filter(spark, tmp_path):
     rows = spark.sql("SELECT offset FROM dedup_out").collect()
     offsets = sorted(r["offset"] for r in rows)
     assert offsets == list(range(16))  # each offset exactly once
+
+def test_plan_shapes_scale_properties(spark):
+    """Pin the plan properties SCALE.md claims: the offsets state
+    broadcasts in the seen-record anti-join (events never shuffle), and
+    column pruning + filter pushdown reach the parquet scans of the
+    flagship aggregation."""
+    import __spark_entry__ as e
+
+    sf = "/root/testdata/sf0.001"
+    plan = (
+        e.queries()["seen_record_filter"](spark, sf)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+    assert "SortMergeJoin" not in plan
+
+    plan2 = (
+        e.queries()["revenue_by_nation"](spark, sf)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PushedFilters" in plan2
+    # Column pruning: the lineitem scan must read only the 3 used columns.
+    assert "struct<l_orderkey:bigint,l_extendedprice:double,l_discount:double>" in plan2
