@@ -213,3 +213,72 @@ def test_connected_components_chain_and_islands(spark):
     got = {r["id"]: r["group_id"] for r in connected_components(verts, edges).collect()}
     assert all(got[i] == 0 for i in range(n))
     assert all(got[i] == i for i in range(n, n + 3))
+
+
+def test_interval_algebra_randomized(spark):
+    """Property-style check of the O16 interval algebra (the reference has
+    no property tests — SURVEY §5 upgrade): 200 seeded random cases run as
+    ONE Spark job each for merge and remove, compared point-by-point
+    against a brute-force membership model.
+
+    merge: x is covered by the merged set iff x is covered by some input
+    interval (adjacency [a,b]+[b+1,c] also fuses); intervals come out
+    disjoint, sorted, non-adjacent.
+    remove: x is covered afterwards iff covered before and not removed.
+    """
+    import random
+
+    from restructure_hdfs_topic_spark.operators.offsets import (
+        merge_offset_intervals,
+        remove_offsets,
+    )
+
+    rng = random.Random(42)
+    cases = []
+    for case in range(200):
+        n_iv = rng.randint(1, 8)
+        ivs = []
+        for _ in range(n_iv):
+            lo = rng.randint(0, 40)
+            ivs.append((lo, lo + rng.randint(0, 10)))
+        n_rm = rng.randint(0, 4)
+        rms = []
+        for _ in range(n_rm):
+            lo = rng.randint(0, 45)
+            rms.append((lo, lo + rng.randint(0, 8)))
+        cases.append((ivs, rms))
+
+    state = spark.createDataFrame(
+        [(f"c{i}", 0, lo, hi) for i, (ivs, _) in enumerate(cases) for lo, hi in ivs],
+        "topic string, partition int, offset_from long, offset_to long",
+    )
+    removals = spark.createDataFrame(
+        [(f"c{i}", 0, lo, hi) for i, (_, rms) in enumerate(cases) for lo, hi in rms]
+        or [("none", 0, 0, 0)],
+        "topic string, partition int, offset_from long, offset_to long",
+    )
+    merged = merge_offset_intervals(state)
+    merged_rows = {}
+    for r in merged.collect():
+        merged_rows.setdefault(r["topic"], []).append((r["offset_from"], r["offset_to"]))
+    removed = remove_offsets(merged, removals)
+    removed_rows = {}
+    for r in removed.collect():
+        removed_rows.setdefault(r["topic"], []).append((r["offset_from"], r["offset_to"]))
+
+    for i, (ivs, rms) in enumerate(cases):
+        key = f"c{i}"
+        got_m = sorted(merged_rows.get(key, []))
+        # Membership equivalence on every point in range.
+        for x in range(0, 60):
+            want = any(lo <= x <= hi for lo, hi in ivs)
+            assert any(lo <= x <= hi for lo, hi in got_m) == want, (i, x, ivs, got_m)
+        # Disjoint, sorted, non-adjacent (adjacent would have merged).
+        for (a1, b1), (a2, b2) in zip(got_m, got_m[1:]):
+            assert b1 + 1 < a2, (i, got_m)
+        got_r = sorted(removed_rows.get(key, []))
+        for x in range(0, 60):
+            want = any(lo <= x <= hi for lo, hi in ivs) and not any(
+                lo <= x <= hi for lo, hi in rms
+            )
+            assert any(lo <= x <= hi for lo, hi in got_r) == want, (i, x, ivs, rms, got_r)
