@@ -468,6 +468,30 @@ def q_text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.select("doc_id", lang_id_from_scores(scores).alias("lang_pred"))
 
 
+def q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary statistics: top-100 tokens by document frequency
+    (with total occurrence count).  The explode → groupBy shape relies on
+    map-side partial aggregation — at 100 TB the shuffle carries one
+    partial count per (task, token), not one row per token occurrence.
+    Ties broken by token for engine-stable ordering."""
+    from restructure_hdfs_topic_spark.functions.text import tokens
+
+    _conf(spark)
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(tokens(F.col("text"))).alias("token")
+    )
+    counts = toks.groupBy("token").agg(
+        F.count(F.lit(1)).alias("n_occurrences"),
+        F.countDistinct("doc_id").alias("n_docs"),
+    )
+    return (
+        counts.orderBy(F.col("n_occurrences").desc(), F.col("token"))
+        .limit(100)
+        .select("token", "n_occurrences", "n_docs")
+    )
+
+
 def q_corpus_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end training-corpus curation gate: one token-array projection
     feeds language-ID, quality scoring, and length bounds; a document
@@ -733,6 +757,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_lang_id": q_text_lang_id,
         "text_fingerprint": q_text_fingerprint,
         "corpus_filter": q_corpus_filter,
+        "vocab_topk": q_vocab_topk,
         "dedup_exact_docs": q_dedup_exact_docs,
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
@@ -1073,6 +1098,18 @@ def oracle_sql() -> dict[str, str]:
                    CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
             FROM sims a JOIN sims b ON a.id < b.id
             WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+        """,
+        "vocab_topk": f"""
+            WITH t AS (
+                SELECT doc_id, unnest({_TOKENS}) AS token
+                FROM documents WHERE trim(text) <> ''
+            )
+            SELECT token,
+                   CAST(count(*) AS BIGINT) AS n_occurrences,
+                   CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+            FROM t GROUP BY token
+            ORDER BY n_occurrences DESC, token
+            LIMIT 100
         """,
         "corpus_filter": f"""
             WITH c AS (

@@ -42,6 +42,7 @@ BENCH_QUERIES = [
     "text_lang_id",
     "text_fingerprint",
     "corpus_filter",
+    "vocab_topk",
     "dedup_exact_docs",
     "minhash_lsh_pairs",
     "simhash",
