@@ -138,12 +138,32 @@ def assign_record_offsets(
 _POINTER = "offsets.CURRENT"
 
 
-def _current_version(state_dir: str) -> int | None:
-    pointer = os.path.join(state_dir, _POINTER)
-    if os.path.exists(pointer):
-        with open(pointer) as fh:
-            return int(fh.read().strip().lstrip("v"))
-    return None
+def _hfs(spark: SparkSession, dir_path: str):
+    """(jvm, FileSystem, Path-for-dir) via the Hadoop FS API, so the state
+    protocol works on whatever store ``state_dir`` names (file://, hdfs://,
+    s3a://, abfss://) — same pattern as the schema sidecar writer."""
+    jvm = spark._jvm
+    p = jvm.org.apache.hadoop.fs.Path(dir_path)
+    return jvm, p.getFileSystem(spark._jsc.hadoopConfiguration()), p
+
+
+def _current_version(state_dir: str, spark: SparkSession | None = None) -> int | None:
+    if spark is None or "://" not in state_dir:
+        pointer = os.path.join(state_dir, _POINTER)
+        if os.path.exists(pointer):
+            with open(pointer) as fh:
+                return int(fh.read().strip().lstrip("v"))
+        return None
+    jvm, fs, _ = _hfs(spark, state_dir)
+    pointer = jvm.org.apache.hadoop.fs.Path(state_dir, _POINTER)
+    if not fs.exists(pointer):
+        return None
+    stream = fs.open(pointer)
+    try:
+        data = bytes(stream.readAllBytes()).decode()
+    finally:
+        stream.close()
+    return int(data.strip().lstrip("v"))
 
 
 def commit_offsets(
@@ -173,25 +193,45 @@ def commit_offsets(
 def replace_offsets(spark: SparkSession, state_dir: str, state: DataFrame) -> DataFrame:
     """Atomically swap the committed state to ``state`` (steps 1-3 above).
     Used by commit (merge) and by the cleaner's rollback (remove)."""
-    import shutil
-    import tempfile
-
-    cur = _current_version(state_dir)
+    cur = _current_version(state_dir, spark)
     nxt = (cur or 0) + 1
-    version_dir = os.path.join(state_dir, "offsets", f"v{nxt:08d}")
+    version_dir = f"{state_dir}/offsets/v{nxt:08d}"
     state.write.mode("overwrite").parquet(version_dir)
-    fd, tmp = tempfile.mkstemp(dir=state_dir, prefix=".offsets.CURRENT.")
-    with os.fdopen(fd, "w") as fh:
-        fh.write(f"v{nxt:08d}")
-    os.replace(tmp, os.path.join(state_dir, _POINTER))
-    # Prune everything older than the immediately previous version.
-    versions_root = os.path.join(state_dir, "offsets")
-    for v in os.listdir(versions_root):
-        if v.startswith("v") and int(v[1:]) < nxt - 1:
-            shutil.rmtree(os.path.join(versions_root, v), ignore_errors=True)
-    legacy = os.path.join(state_dir, "offsets.parquet")
-    if os.path.exists(legacy):  # migration: drop pre-pointer layout
-        shutil.rmtree(legacy, ignore_errors=True)
+    if "://" not in state_dir:
+        import shutil
+        import tempfile
+
+        fd, tmp = tempfile.mkstemp(dir=state_dir, prefix=".offsets.CURRENT.")
+        with os.fdopen(fd, "w") as fh:
+            fh.write(f"v{nxt:08d}")
+        os.replace(tmp, os.path.join(state_dir, _POINTER))
+        versions_root = os.path.join(state_dir, "offsets")
+        for v in os.listdir(versions_root):
+            if v.startswith("v") and int(v[1:]) < nxt - 1:
+                shutil.rmtree(os.path.join(versions_root, v), ignore_errors=True)
+        legacy = os.path.join(state_dir, "offsets.parquet")
+        if os.path.exists(legacy):  # migration: drop pre-pointer layout
+            shutil.rmtree(legacy, ignore_errors=True)
+        return read_offsets(spark, state_dir)
+    # Remote store: write temp pointer object then rename (atomic on HDFS;
+    # on S3/ABFS the rename is a single small-object copy — the pointer
+    # either names the old version or the new one, never a torn value).
+    jvm, fs, _ = _hfs(spark, state_dir)
+    tmp = jvm.org.apache.hadoop.fs.Path(state_dir, f".offsets.CURRENT.v{nxt:08d}")
+    stream = fs.create(tmp, True)
+    try:
+        stream.write(bytearray(f"v{nxt:08d}", "utf-8"))
+    finally:
+        stream.close()
+    pointer = jvm.org.apache.hadoop.fs.Path(state_dir, _POINTER)
+    if fs.exists(pointer):
+        fs.delete(pointer, False)
+    fs.rename(tmp, pointer)
+    versions_root = jvm.org.apache.hadoop.fs.Path(state_dir, "offsets")
+    for st in fs.listStatus(versions_root):
+        name = st.getPath().getName()
+        if name.startswith("v") and int(name[1:]) < nxt - 1:
+            fs.delete(st.getPath(), True)
     return read_offsets(spark, state_dir)
 
 
@@ -201,11 +241,11 @@ def read_offsets(spark: SparkSession, state_dir: str) -> DataFrame:
     Resolves the ``offsets.CURRENT`` pointer; falls back to the legacy
     single-directory layout for pre-pointer state dirs.
     """
-    cur = _current_version(state_dir)
+    cur = _current_version(state_dir, spark)
     if cur is not None:
-        return spark.read.parquet(os.path.join(state_dir, "offsets", f"v{cur:08d}"))
+        return spark.read.parquet(f"{state_dir}/offsets/v{cur:08d}")
     legacy = os.path.join(state_dir, "offsets.parquet")
-    if os.path.exists(legacy):
+    if "://" not in state_dir and os.path.exists(legacy):
         return spark.read.parquet(legacy)
     return spark.createDataFrame([], STATE_SCHEMA)
 

@@ -269,3 +269,31 @@ def test_plan_shapes_scale_properties(spark):
     assert "PushedFilters" in plan2
     # Column pruning: the lineitem scan must read only the 3 used columns.
     assert "struct<l_orderkey:bigint,l_extendedprice:double,l_discount:double>" in plan2
+
+def test_offsets_commit_hadoop_fs_uri(spark, tmp_path):
+    """The versioned-pointer commit protocol must work through the Hadoop
+    FileSystem API when state_dir is a URI (file://, s3a://, ...) — commit
+    twice, merge across commits, pointer version advances, old versions
+    pruned to a one-deep history."""
+    from restructure_hdfs_topic_spark.operators.offsets import (
+        commit_offsets,
+        read_offsets,
+    )
+
+    state_dir = f"file://{tmp_path}/state"
+    r1 = spark.createDataFrame(
+        [("t", 0, 0, 9)], "topic string, partition int, offset_from long, offset_to long"
+    )
+    r2 = spark.createDataFrame(
+        [("t", 0, 10, 19)], "topic string, partition int, offset_from long, offset_to long"
+    )
+    commit_offsets(spark, state_dir, r1)
+    commit_offsets(spark, state_dir, r2)
+    got = [
+        (r["topic"], r["partition"], r["offset_from"], r["offset_to"])
+        for r in read_offsets(spark, state_dir).collect()
+    ]
+    assert got == [("t", 0, 0, 19)]  # adjacent ranges merged across commits
+    versions = sorted(p.name for p in (tmp_path / "state" / "offsets").iterdir())
+    assert versions == ["v00000001", "v00000002"]  # one-deep history kept
+    assert (tmp_path / "state" / "offsets.CURRENT").read_text() == "v00000002"
