@@ -468,6 +468,18 @@ def q_text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.select("doc_id", lang_id_from_scores(scores).alias("lang_pred"))
 
 
+def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing: overlapping 64-token chunks (stride 56) per
+    document — narrow codegen plan, no shuffle."""
+    from restructure_hdfs_topic_spark.functions.text import chunk_documents
+
+    _conf(spark)
+    docs = _t(spark, sf_dir, "documents")
+    return chunk_documents(docs, "doc_id", "text", chunk_tokens=64, overlap=8).select(
+        F.col("id").alias("doc_id"), "chunk_id", "n_chunk_tokens", "chunk_text"
+    )
+
+
 def q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus vocabulary statistics: top-100 tokens by document frequency
     (with total occurrence count).  The explode → groupBy shape relies on
@@ -758,6 +770,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_fingerprint": q_text_fingerprint,
         "corpus_filter": q_corpus_filter,
         "vocab_topk": q_vocab_topk,
+        "chunk_documents": q_chunk_documents,
         "dedup_exact_docs": q_dedup_exact_docs,
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
@@ -1098,6 +1111,21 @@ def oracle_sql() -> dict[str, str]:
                    CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
             FROM sims a JOIN sims b ON a.id < b.id
             WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+        """,
+        "chunk_documents": f"""
+            WITH t AS (
+                SELECT doc_id, {_TOKENS} AS toks
+                FROM documents WHERE trim(text) <> ''
+            ), c AS (
+                SELECT doc_id, toks,
+                       greatest(1, CAST(ceil((len(toks) - 8) / 56.0) AS INT)) AS n_starts
+                FROM t
+            )
+            SELECT doc_id,
+                   CAST(i AS BIGINT) AS chunk_id,
+                   CAST(len(toks[i*56+1 : i*56+64]) AS BIGINT) AS n_chunk_tokens,
+                   array_to_string(toks[i*56+1 : i*56+64], ' ') AS chunk_text
+            FROM c, LATERAL (SELECT unnest(generate_series(0, n_starts - 1)) AS i) gs
         """,
         "vocab_topk": f"""
             WITH t AS (

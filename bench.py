@@ -43,6 +43,7 @@ BENCH_QUERIES = [
     "text_fingerprint",
     "corpus_filter",
     "vocab_topk",
+    "chunk_documents",
     "dedup_exact_docs",
     "minhash_lsh_pairs",
     "simhash",

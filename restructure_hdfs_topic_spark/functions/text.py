@@ -185,3 +185,53 @@ def lang_id(text: Column) -> Column:
         best_lang = F.when(take, F.lit(lang)).otherwise(best_lang)
         best_score = F.when(take, score).otherwise(best_score)
     return best_lang
+
+
+def chunk_documents(
+    df,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_tokens: int = 64,
+    overlap: int = 8,
+):
+    """Split documents into overlapping fixed-token-count chunks — the
+    sequence-packing primitive of a training-data pipeline.  Chunk i
+    covers tokens [i*stride, i*stride + chunk_tokens) with
+    stride = chunk_tokens − overlap; the last chunk may be short; a doc
+    shorter than one chunk yields a single chunk; empty docs yield none.
+
+    Pure column expressions (one token projection, sequence + transform +
+    posexplode) — narrow plan, no shuffle, codegen throughout.
+
+    Returns (id, chunk_id, n_chunk_tokens, chunk_text).
+    """
+    from pyspark.sql import functions as F
+
+    if not 0 <= overlap < chunk_tokens:
+        raise ValueError(f"need 0 <= overlap({overlap}) < chunk_tokens({chunk_tokens})")
+    stride = chunk_tokens - overlap
+    toked = df.select(
+        F.col(id_col).alias("id"), tokens(F.col(text_col)).alias("__toks")
+    ).withColumn("__n", F.size("__toks"))
+    n_starts = F.when(
+        F.col("__n") <= 0, F.lit(0)
+    ).otherwise(
+        F.greatest(
+            F.lit(1),
+            F.ceil((F.col("__n") - F.lit(overlap)).cast("double") / F.lit(stride)).cast("int"),
+        )
+    )
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_starts - F.lit(1)),
+        lambda i: F.slice(F.col("__toks"), (i * stride + 1).cast("int"), chunk_tokens),
+    )
+    return (
+        toked.withColumn("__chunks", F.when(n_starts > 0, chunks))
+        .select("id", F.posexplode("__chunks").alias("chunk_id", "__chunk"))
+        .select(
+            "id",
+            F.col("chunk_id").cast("bigint").alias("chunk_id"),
+            F.size("__chunk").cast("bigint").alias("n_chunk_tokens"),
+            F.concat_ws(" ", F.col("__chunk")).alias("chunk_text"),
+        )
+    )

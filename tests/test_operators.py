@@ -282,3 +282,26 @@ def test_interval_algebra_randomized(spark):
                 lo <= x <= hi for lo, hi in rms
             )
             assert any(lo <= x <= hi for lo, hi in got_r) == want, (i, x, ivs, rms, got_r)
+
+
+def test_chunk_documents_overlap_semantics(spark):
+    """Chunk windows: stride = chunk - overlap; last chunk may be short;
+    short docs yield one chunk; empty docs yield none."""
+    from restructure_hdfs_topic_spark.functions.text import chunk_documents
+
+    docs = spark.createDataFrame(
+        [
+            (1, " ".join(f"w{i}" for i in range(10))),  # 10 tokens
+            (2, "a b c"),                                # short: one chunk
+            (3, ""),                                     # empty: no chunks
+        ],
+        "doc_id long, text string",
+    )
+    out = chunk_documents(docs, "doc_id", "text", chunk_tokens=8, overlap=2)
+    rows = {(r["id"], r["chunk_id"]): r for r in out.collect()}
+    # doc 1: starts at 0 and 6 → chunks of 8 and 4 tokens.
+    assert rows[(1, 0)]["chunk_text"] == "w0 w1 w2 w3 w4 w5 w6 w7"
+    assert rows[(1, 1)]["chunk_text"] == "w6 w7 w8 w9"
+    assert rows[(1, 0)]["n_chunk_tokens"] == 8 and rows[(1, 1)]["n_chunk_tokens"] == 4
+    assert rows[(2, 0)]["chunk_text"] == "a b c"
+    assert set(rows) == {(1, 0), (1, 1), (2, 0)}
