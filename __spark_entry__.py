@@ -468,6 +468,32 @@ def q_text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.select("doc_id", lang_id_from_scores(scores).alias("lang_pred"))
 
 
+def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top-3 TF-IDF terms: term frequency per (doc, token),
+    document frequency per token, score = tf·ln(N/df).  Two aggregations
+    (both map-side combined) + one broadcastable join of the tiny vocab
+    back to the term table + a top-k window.  Ranking uses the ROUNDED
+    score so cross-engine float ulps cannot reorder ties."""
+    from restructure_hdfs_topic_spark.functions.text import tokens
+
+    _conf(spark)
+    docs = _t(spark, sf_dir, "documents")
+    n_docs = docs.filter(F.trim(F.col("text")) != "").count()
+    toks = docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("token"))
+    tf = toks.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = toks.groupBy("token").agg(F.countDistinct("doc_id").alias("df"))
+    scored = tf.join(F.broadcast(df_), "token").withColumn(
+        "tfidf",
+        F.round(F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 6),
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), F.col("token"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= 3)
+        .select("doc_id", "rank", "token", F.col("tf").cast("bigint").alias("tf"), "tfidf")
+    )
+
+
 def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sequence packing: overlapping 64-token chunks (stride 56) per
     document — narrow codegen plan, no shuffle."""
@@ -771,6 +797,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_filter": q_corpus_filter,
         "vocab_topk": q_vocab_topk,
         "chunk_documents": q_chunk_documents,
+        "tfidf_top_terms": q_tfidf_top_terms,
         "dedup_exact_docs": q_dedup_exact_docs,
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
@@ -1111,6 +1138,29 @@ def oracle_sql() -> dict[str, str]:
                    CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
             FROM sims a JOIN sims b ON a.id < b.id
             WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+        """,
+        "tfidf_top_terms": f"""
+            WITH t AS (
+                SELECT doc_id, unnest({_TOKENS}) AS token
+                FROM documents WHERE trim(text) <> ''
+            ), tf AS (
+                SELECT doc_id, token, count(*) AS tf FROM t GROUP BY doc_id, token
+            ), df AS (
+                SELECT token, count(DISTINCT doc_id) AS df FROM t GROUP BY token
+            ), n AS (
+                SELECT count(*) AS n_docs FROM documents WHERE trim(text) <> ''
+            ), scored AS (
+                SELECT tf.doc_id, tf.token, tf.tf,
+                       round(tf.tf * ln(CAST(n.n_docs AS DOUBLE) / df.df), 6) AS tfidf
+                FROM tf JOIN df USING (token) CROSS JOIN n
+            ), ranked AS (
+                SELECT doc_id, token, tf, tfidf,
+                       row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, token) AS rank
+                FROM scored
+            )
+            SELECT doc_id, CAST(rank AS BIGINT) AS rank, token,
+                   CAST(tf AS BIGINT) AS tf, tfidf
+            FROM ranked WHERE rank <= 3
         """,
         "chunk_documents": f"""
             WITH t AS (

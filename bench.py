@@ -44,6 +44,7 @@ BENCH_QUERIES = [
     "corpus_filter",
     "vocab_topk",
     "chunk_documents",
+    "tfidf_top_terms",
     "dedup_exact_docs",
     "minhash_lsh_pairs",
     "simhash",
