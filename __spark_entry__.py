@@ -679,6 +679,58 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_ann_topk(emb, k=5)
 
 
+def q_events_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rollup aggregation over (event_type, hour bin) — a relational
+    capability the reference lacks entirely (SURVEY §2.1: no grouping
+    sets/cube/rollup); Catalyst provides it as one Expand + aggregate."""
+    _conf(spark)
+    ev = _t(spark, sf_dir, "events")
+    binned = ev.select(
+        "event_type", time_bin(F.col("ts")).alias("bin"), F.col("value")
+    )
+    return (
+        binned.rollup("event_type", "bin")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value").cast("double"), 4).alias("sum_value"),
+        )
+        .select(
+            F.coalesce(F.col("event_type"), F.lit("<all>")).alias("event_type"),
+            F.coalesce(F.col("bin"), F.lit("<all>")).alias("bin"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def q_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event sessionization: per user, a session is a maximal run of
+    events with gaps ≤ 30 min — gaps-and-islands with lag + running sum,
+    one shuffle on user_id.  Another general-analytics shape the
+    reference's fixed pipeline cannot express."""
+    _conf(spark)
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gapped = ev.select("user_id", "event_id", "ts").withColumn(
+        "new_session",
+        F.when(
+            (F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w)))
+            > 30 * 60 * 1_000_000,
+            1,
+        )
+        .otherwise(0)
+        .cast("int"),
+    )
+    sess = gapped.withColumn(
+        "session_id", F.sum("new_session").over(w).cast("bigint")
+    )
+    return sess.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.unix_micros(F.min("ts")).alias("start_us"),
+        F.unix_micros(F.max("ts")).alias("end_us"),
+    )
+
+
 def q_record_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
     """O22 (format/CsvAvroConverterFactory.kt:107-126): which source records
     appear in the target output — LEFT SEMI join on the selected columns."""
@@ -809,6 +861,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_topk": q_ann_ivf_topk,
         "csv_flatten": q_csv_flatten,
         "record_membership": q_record_membership,
+        "events_rollup": q_events_rollup,
+        "user_sessions": q_user_sessions,
         "regex_token_count": q_regex_token_count,
         "embedding_near_dup": q_embedding_near_dup,
         "embedding_near_dup_lsh": q_embedding_near_dup_lsh,
@@ -1271,6 +1325,33 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN event_id % 3 != 0 THEN CAST(user_id AS VARCHAR) ELSE '' END AS "arr.1",
                    rtrim(to_base64(encode(event_type)), '=') AS bin
             FROM events
+        """,
+        "events_rollup": """
+            SELECT COALESCE(event_type, '<all>') AS event_type,
+                   COALESCE(strftime(ts, '%Y%m%d_%H00'), '<all>') AS bin,
+                   CAST(count(*) AS BIGINT) AS n_events,
+                   round(CAST(sum(value) AS DOUBLE), 4) AS sum_value
+            FROM events
+            GROUP BY ROLLUP (event_type, strftime(ts, '%Y%m%d_%H00'))
+        """,
+        "user_sessions": """
+            WITH g AS (
+                SELECT user_id, event_id, ts,
+                       CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w > 30*60*1000000
+                            THEN 1 ELSE 0 END AS new_session
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ), s AS (
+                SELECT user_id, ts,
+                       SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                              ROWS UNBOUNDED PRECEDING) AS session_id
+                FROM g
+            )
+            SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+                   CAST(count(*) AS BIGINT) AS n_events,
+                   CAST(epoch_us(min(ts)) AS BIGINT) AS start_us,
+                   CAST(epoch_us(max(ts)) AS BIGINT) AS end_us
+            FROM s GROUP BY user_id, session_id
         """,
         "record_membership": """
             SELECT event_id FROM events e

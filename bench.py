@@ -55,6 +55,8 @@ BENCH_QUERIES = [
     "embedding_near_dup_lsh",
     "csv_flatten",
     "record_membership",
+    "events_rollup",
+    "user_sessions",
     "regex_token_count",
     # embedding_near_dup / embedding_cosine_topk / ngram_jaccard_pairs are
     # O(n²) exact baselines: oracle-checked at sf0.01, excluded from the
