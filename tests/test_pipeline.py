@@ -297,3 +297,48 @@ def test_offsets_commit_hadoop_fs_uri(spark, tmp_path):
     versions = sorted(p.name for p in (tmp_path / "state" / "offsets").iterdir())
     assert versions == ["v00000001", "v00000002"]  # one-deep history kept
     assert (tmp_path / "state" / "offsets.CURRENT").read_text() == "v00000002"
+
+def test_streaming_stateful_state_survives_restart(spark, tmp_path):
+    """applyInPandasWithState state must recover from the checkpoint: a
+    SECOND streaming query over the same checkpoint sees the first run's
+    offset intervals and still drops replayed records."""
+    from restructure_hdfs_topic_spark.streaming.stateful import (
+        streaming_seen_record_filter,
+    )
+
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+    schema = "topic string, partition int, offset long, payload string"
+
+    def run_once():
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(f"{src}/f*")
+        )
+        q = (
+            streaming_seen_record_filter(stream)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+
+    spark.createDataFrame(
+        [("t", 0, o, f"p{o}") for o in range(10)], schema
+    ).coalesce(1).write.parquet(f"{src}/f0")
+    run_once()
+    assert spark.read.parquet(out).count() == 10
+
+    # New file replays 0-9 and adds 10-14; a fresh query on the SAME
+    # checkpoint must recover the interval state and emit only 10-14.
+    spark.createDataFrame(
+        [("t", 0, o, f"p{o}") for o in range(15)], schema
+    ).coalesce(1).write.parquet(f"{src}/f1")
+    run_once()
+    got = sorted(r["offset"] for r in spark.read.parquet(out).collect())
+    assert got == list(range(15))  # 0-9 from run 1, 10-14 from run 2, no dups
