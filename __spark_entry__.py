@@ -679,6 +679,32 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_ann_topk(emb, k=5)
 
 
+def q_approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch path for cardinality at 100 TB: HyperLogLog++ distinct users
+    per event type (`approx_count_distinct`, rsd 2%) next to the exact
+    count.  The sketch merges associatively across partitions — constant
+    memory per task vs the exact path's shuffle of every distinct key.
+    Approximate by construction → rows-only; relative error is measured in
+    bench."""
+    _conf(spark)
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+        F.countDistinct("user_id").alias("exact_users"),
+    )
+
+
+def q_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile sketch (Greenwald-Khanna `percentile_approx`) of the event
+    value per type — the constant-memory alternative to an exact sort at
+    scale.  Rows-only; bench measures deviation vs exact percentiles."""
+    _conf(spark)
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.percentile_approx("value", [0.5, 0.95, 0.99], 10000).alias("approx_pcts"),
+    )
+
+
 def q_events_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rollup aggregation over (event_type, hour bin) — a relational
     capability the reference lacks entirely (SURVEY §2.1: no grouping
@@ -863,6 +889,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "record_membership": q_record_membership,
         "events_rollup": q_events_rollup,
         "user_sessions": q_user_sessions,
+        "approx_distinct_users": q_approx_distinct_users,
+        "approx_quantiles": q_approx_quantiles,
         "regex_token_count": q_regex_token_count,
         "embedding_near_dup": q_embedding_near_dup,
         "embedding_near_dup_lsh": q_embedding_near_dup_lsh,

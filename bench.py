@@ -57,6 +57,8 @@ BENCH_QUERIES = [
     "record_membership",
     "events_rollup",
     "user_sessions",
+    "approx_distinct_users",
+    "approx_quantiles",
     "regex_token_count",
     # embedding_near_dup / embedding_cosine_topk / ngram_jaccard_pairs are
     # O(n²) exact baselines: oracle-checked at sf0.01, excluded from the
@@ -203,6 +205,22 @@ def measure_recall(spark) -> dict:
         out["minhash_lsh_pairs@0.2"] = round(hits / denom, 4) if denom else None
     except Exception as exc:  # pragma: no cover
         out["minhash_lsh_pairs@0.2"] = f"error: {exc}"
+    try:
+        ev = load_table(spark, SF_DIR, "events")
+        agg = ev.groupBy("event_type").agg(
+            F.approx_count_distinct("user_id", rsd=0.02).alias("a"),
+            F.countDistinct("user_id").alias("e"),
+        ).collect()
+        max_rel = max(abs(r["a"] - r["e"]) / r["e"] for r in agg if r["e"])
+        out["approx_distinct_max_rel_err"] = round(max_rel, 4)
+        q = ev.groupBy("event_type").agg(
+            F.percentile_approx("value", 0.95, 10000).alias("a"),
+            F.expr("percentile(value, 0.95)").alias("e"),
+        ).collect()
+        max_rel = max(abs(r["a"] - r["e"]) / abs(r["e"]) for r in q if r["e"])
+        out["approx_p95_max_rel_err"] = round(max_rel, 4)
+    except Exception as exc:  # pragma: no cover
+        out["approx_sketch_err"] = f"error: {exc}"
     return out
 
 
