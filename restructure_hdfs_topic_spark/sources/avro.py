@@ -309,6 +309,14 @@ class AvroContainer:
                     block = _snappy_decompress(payload)
                 if struct.pack(">I", zlib.crc32(block) & 0xFFFFFFFF) != crc:
                     raise ValueError("Avro snappy block CRC mismatch")
+            elif self.codec == "bzip2":
+                import bz2
+
+                block = bz2.decompress(block)
+            elif self.codec == "xz":
+                import lzma
+
+                block = lzma.decompress(block)
             elif self.codec != "null":
                 raise ValueError(f"unsupported Avro codec {self.codec!r}")
             bdec = _Decoder(block)

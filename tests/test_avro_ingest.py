@@ -337,3 +337,37 @@ def test_avro_deflate_codec_decode():
     c = AvroContainer.parse(data)
     assert c.codec == "deflate"
     assert list(c.records()) == [{"a": 1, "b": "x"}, {"a": -3, "b": "hello"}]
+
+
+def test_avro_bzip2_and_xz_codec_decode():
+    """bzip2 and xz coded blocks (Avro spec codecs) decode via stdlib."""
+    import bz2
+    import json
+    import lzma
+
+    def zz(n: int) -> bytes:
+        n = (n << 1) ^ (n >> 63)
+        out = b""
+        while True:
+            b7 = n & 0x7F
+            n >>= 7
+            if n:
+                out += bytes([b7 | 0x80])
+            else:
+                out += bytes([b7])
+                return out
+
+    schema = {"type": "record", "name": "r", "fields": [{"name": "a", "type": "long"}]}
+    datums = zz(7) + zz(42)
+    for codec, compress in [("bzip2", bz2.compress), ("xz", lzma.compress)]:
+        block = compress(datums)
+        meta = {"avro.schema": json.dumps(schema).encode(), "avro.codec": codec.encode()}
+        hdr = b"Obj\x01" + zz(len(meta))
+        for k, v in meta.items():
+            hdr += zz(len(k.encode())) + k.encode() + zz(len(v)) + v
+        hdr += zz(0)
+        sync = bytes(range(16))
+        data = hdr + sync + zz(2) + zz(len(block)) + block + sync
+        c = AvroContainer.parse(data)
+        assert c.codec == codec
+        assert list(c.records()) == [{"a": 7}, {"a": 42}]
