@@ -213,6 +213,8 @@ def read_target_times(spark: SparkSession, config: RestructureConfig, topic: str
     of the cleaner's verification join."""
     base = config.target_dir
     path = f"{base}/projectId=*/userId=*/topic={topic}"
+    if config.compression == "zip":
+        return _read_zip_target_times(spark, config, topic)
     if config.format == "csv":
         df = (
             spark.read.option("header", "true")
@@ -227,6 +229,91 @@ def read_target_times(spark: SparkSession, config: RestructureConfig, topic: str
         F.col("projectId").cast("string").alias("t_project"),
         F.col("userId").cast("string").alias("t_user"),
         extract_time_seconds(df, flattened).alias("t_seconds"),
+    ).distinct()
+
+
+def _read_zip_target_times(
+    spark: SparkSession, config: RestructureConfig, topic: str
+) -> DataFrame:
+    """Zip targets are not a Spark reader codec — decompress the
+    single-entry ``.zip`` data files in executors (binaryFile +
+    mapInPandas, the reference's decompress-on-read,
+    compression/ZipCompression.kt:24-29) and apply the same positional
+    time-candidate coalesce as ``extract_time_seconds``."""
+    fmt = config.format
+    pattern = (
+        f"{config.target_dir}/projectId=*/userId=*/topic={topic}/*/*.{fmt}.zip"
+    )
+    bf = spark.read.format("binaryFile").load(pattern).select("path", "content")
+    candidates = [(f"{p}.{c}", kind) for p, c, kind in _TIME_CANDIDATES]
+    nested = list(_TIME_CANDIDATES)
+
+    def extract(batches):
+        import io
+        import json as _json
+        import re
+        import zipfile
+
+        import pandas as pd
+
+        rx = re.compile(r"projectId=([^/]+)/userId=([^/]+)")
+
+        def flat_seconds(df: "pd.DataFrame") -> "pd.Series":
+            out = pd.Series([float("nan")] * len(df))
+            for name, kind in candidates:
+                if name not in df.columns:
+                    continue
+                if kind == "s":
+                    vals = pd.to_numeric(df[name], errors="coerce")
+                elif kind == "ms":
+                    vals = pd.to_numeric(df[name], errors="coerce") / 1000.0
+                else:  # iso / date strings
+                    ts = pd.to_datetime(df[name], errors="coerce", utc=True)
+                    mask = ts.notna()
+                    if not mask.any():
+                        continue
+                    vals = pd.Series([float("nan")] * len(df))
+                    vals[mask] = ts[mask].astype("int64") / 1e9
+                out = out.fillna(vals)
+            return out
+
+        def json_seconds(rec: dict):
+            for parent, child, kind in nested:
+                v = (rec.get(parent) or {}).get(child)
+                if v is None:
+                    continue
+                if kind == "s":
+                    return float(v)
+                if kind == "ms":
+                    return float(v) / 1000.0
+            return None
+
+        for pdf in batches:
+            proj, user, secs = [], [], []
+            for path, content in zip(pdf["path"], pdf["content"]):
+                m = rx.search(str(path))
+                if not m:
+                    continue
+                with zipfile.ZipFile(io.BytesIO(bytes(content))) as zf:
+                    text = zf.read(zf.namelist()[0]).decode()
+                if fmt == "csv":
+                    df = pd.read_csv(io.StringIO(text), dtype=str)
+                    ss = list(flat_seconds(df))
+                else:
+                    ss = [
+                        json_seconds(_json.loads(line))
+                        for line in text.splitlines()
+                        if line.strip()
+                    ]
+                proj.extend([m.group(1)] * len(ss))
+                user.extend([m.group(2)] * len(ss))
+                secs.extend(ss)
+            yield pd.DataFrame(
+                {"t_project": proj, "t_user": user, "t_seconds": secs}
+            )
+
+    return bf.mapInPandas(
+        extract, schema="t_project string, t_user string, t_seconds double"
     ).distinct()
 
 

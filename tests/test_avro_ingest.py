@@ -371,3 +371,31 @@ def test_avro_bzip2_and_xz_codec_decode():
         c = AvroContainer.parse(data)
         assert c.codec == codec
         assert list(c.records()) == [{"a": 7}, {"a": 42}]
+
+
+def test_avro_cleaner_over_zip_output(spark, tmp_path):
+    """O20 × O23 interaction: the cleaner must verify against .zip targets
+    (decompress-on-read in executors) — same delete decision as over plain
+    CSV output."""
+    import shutil
+
+    from restructure_hdfs_topic_spark.config import CleanerConfig
+    from restructure_hdfs_topic_spark.plans.avro_job import run_avro_cleaner_job
+
+    src = str(tmp_path / "in")
+    shutil.copytree(FIXTURES, src)
+    cfg = RestructureConfig(
+        source_dir=src,
+        target_dir=str(tmp_path / "out"),
+        state_dir=str(tmp_path / "state"),
+        format="csv",
+        compression="zip",
+        cleaner=CleanerConfig(enable=True, age_days=0),
+        worker=WorkerConfig(minimum_file_age_s=0),
+    )
+    os.makedirs(cfg.state_dir, exist_ok=True)
+    run_avro_restructure_job(spark, src, cfg, mode="python")
+    result = run_avro_cleaner_job(spark, src, cfg)
+    deleted = [p.rsplit("/", 1)[-1] for p in result["deleted"]]
+    assert deleted == ["application_server_status+1+0000000018+0000000020.avro"]
+    assert result["rolled_back"] == []
