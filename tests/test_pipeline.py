@@ -342,3 +342,35 @@ def test_streaming_stateful_state_survives_restart(spark, tmp_path):
     run_once()
     got = sorted(r["offset"] for r in spark.read.parquet(out).collect())
     assert got == list(range(15))  # 0-9 from run 1, 10-14 from run 2, no dups
+
+def test_cli_main_one_shot_and_clean(spark, tmp_path):
+    """The CLI application surface (Application.kt/CommandLineArgs.kt):
+    one-shot restructure over the reference fixtures via parsed flags,
+    then a --clean --no-restructure run that deletes the fully-extracted
+    committed file."""
+    import shutil
+
+    from restructure_hdfs_topic_spark.__main__ import main
+
+    fixtures = "/root/reference/src/integrationTest/resources"
+    src = str(tmp_path / "in")
+    shutil.copytree(fixtures, src)
+    conf = tmp_path / "restructure.yml"
+    conf.write_text(
+        "worker:\n  minimum_file_age_s: 0\ncleaner:\n  age_days: 0\n"
+    )
+    argv = [
+        src,
+        "-F", str(conf),
+        "-o", str(tmp_path / "out"),
+        "--state-directory", str(tmp_path / "state"),
+        "-f", "csv",
+    ]
+    res = main(argv, spark=spark)
+    assert [r["job"] for r in res["runs"]] == ["restructure"]
+    assert res["runs"][0]["records_written"] == 1006
+
+    res2 = main(argv + ["--clean", "--no-restructure"], spark=spark)
+    assert [r["job"] for r in res2["runs"]] == ["clean"]
+    deleted = [p.rsplit("/", 1)[-1] for p in res2["runs"][0]["deleted"]]
+    assert deleted == ["application_server_status+1+0000000018+0000000020.avro"]
