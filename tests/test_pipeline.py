@@ -374,3 +374,12 @@ def test_cli_main_one_shot_and_clean(spark, tmp_path):
     assert [r["job"] for r in res2["runs"]] == ["clean"]
     deleted = [p.rsplit("/", 1)[-1] for p in res2["runs"][0]["deleted"]]
     assert deleted == ["application_server_status+1+0000000018+0000000020.avro"]
+
+def test_config_env_overrides(tmp_path, monkeypatch):
+    """Env vars override YAML values (RestructureConfig.withEnv analogue)."""
+    conf = tmp_path / "c.yml"
+    conf.write_text("target_dir: /from/yaml\nformat: csv\n")
+    monkeypatch.setenv("RESTRUCTURE_TARGET_DIR", "/from/env")
+    cfg = RestructureConfig.load(str(conf))
+    assert cfg.target_dir == "/from/env"
+    assert cfg.format == "csv"
