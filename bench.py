@@ -27,6 +27,7 @@ BENCH_QUERIES = [
     "filename_parse",
     "offset_assign",
     "dedup_keep_last",
+    "dedup_distinct_fields",
     "dedup_exact",
     "offset_interval_merge",
     "offset_interval_remove",
