@@ -305,3 +305,30 @@ def test_chunk_documents_overlap_semantics(spark):
     assert rows[(1, 0)]["n_chunk_tokens"] == 8 and rows[(1, 1)]["n_chunk_tokens"] == 4
     assert rows[(2, 0)]["chunk_text"] == "a b c"
     assert set(rows) == {(1, 0), (1, 1), (2, 0)}
+
+
+def test_approx_paths_partitioning_independent(spark):
+    """SCALE.md claims determinism: IVF (exact-integer Lloyd) and simhash
+    must produce identical results regardless of input partitioning."""
+    from restructure_hdfs_topic_spark.operators.dedup import simhash
+    from restructure_hdfs_topic_spark.operators.similarity import ivf_ann_topk
+
+    import random
+
+    rng = random.Random(11)
+    rows = [
+        (i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(120)
+    ]
+    emb1 = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    emb8 = emb1.repartition(8)
+    r1 = sorted(map(tuple, ivf_ann_topk(emb1, k=3, n_centroids=6, nprobe=3).collect()))
+    r8 = sorted(map(tuple, ivf_ann_topk(emb8, k=3, n_centroids=6, nprobe=3).collect()))
+    assert r1 == r8
+
+    docs = spark.createDataFrame(
+        [(i, f"tok{i%7} tok{i%3} shared words here {i%5}") for i in range(100)],
+        "doc_id long, text string",
+    )
+    s1 = sorted(map(tuple, simhash(docs.coalesce(1), "doc_id", "text").collect()))
+    s8 = sorted(map(tuple, simhash(docs.repartition(8), "doc_id", "text").collect()))
+    assert s1 == s8
