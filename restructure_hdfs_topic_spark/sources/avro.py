@@ -512,24 +512,31 @@ def read_avro(
             if mode == "spark-avro":
                 raise
     # --- pure-Python distributed decode -----------------------------------
-    avro_schema = read_schema(paths[0])
-    record_type, _ = avro_type_to_spark(avro_schema)
-    if not isinstance(record_type, StructType):
-        record_type = StructType([StructField("value", record_type, True)])
-    out_schema = StructType(list(record_type.fields) + ACCOUNTING_FIELDS)
-    field_names = [f.name for f in record_type.fields]
-    schema_json = json.dumps(avro_schema)
-
+    decode, out_schema = make_avro_decoder(read_schema(paths[0]))
     binary = (
         spark.read.format("binaryFile")
         .load(paths)
         .select("path", "modificationTime", "content")
     )
+    return binary.mapInPandas(decode, schema=out_schema)
+
+
+def make_avro_decoder(avro_schema):
+    """Build the (mapInPandas kernel, output StructType) pair that decodes
+    ``binaryFile`` rows (path, modificationTime, content) into records with
+    accounting columns.  Shared by the batch reader above and the
+    Structured Streaming source (``streaming.service.read_avro_stream``) —
+    each container file is parsed with its OWN embedded writer schema and
+    projected onto the sample schema's top-level fields."""
+    record_type, _ = avro_type_to_spark(avro_schema)
+    if not isinstance(record_type, StructType):
+        record_type = StructType([StructField("value", record_type, True)])
+    out_schema = StructType(list(record_type.fields) + ACCOUNTING_FIELDS)
+    field_names = [f.name for f in record_type.fields]
 
     def decode(batches):
         import pandas as pd
 
-        expected = json.loads(schema_json)
         for pdf in batches:
             for path, mtime, content in zip(
                 pdf["path"], pdf["modificationTime"], pdf["content"]
@@ -555,7 +562,7 @@ def read_avro(
                 if rows:
                     yield pd.DataFrame(rows)
 
-    return binary.mapInPandas(decode, schema=out_schema)
+    return decode, out_schema
 
 
 def read_topic(

@@ -76,6 +76,58 @@ def start_service(
     return writer.start()
 
 
+def read_avro_stream(
+    spark: SparkSession,
+    topic_dir: str,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """Structured Streaming Avro source for one topic directory — the
+    streaming form of the reference's polling service over its REAL input
+    format: a ``binaryFile`` file stream decoded by the same pure-Python
+    container kernel as the batch reader (each file's embedded writer
+    schema, per-record Kafka offsets).  The stream's checkpoint is the
+    seen-file ledger (engine-managed exactly-once; the batch path's offset
+    state is the replayable equivalent)."""
+    from pyspark.sql.types import (
+        BinaryType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+        TimestampType,
+    )
+
+    from restructure_hdfs_topic_spark.sources.avro import (
+        make_avro_decoder,
+        read_schema,
+        walk_topics,
+    )
+
+    topics = walk_topics(topic_dir)
+    if not topics:
+        raise ValueError(f"no Avro topics under {topic_dir}")
+    sample = next(iter(topics.values()))[0].path
+    decode, out_schema = make_avro_decoder(read_schema(sample))
+    bin_schema = StructType(
+        [
+            StructField("path", StringType()),
+            StructField("modificationTime", TimestampType()),
+            StructField("length", LongType()),
+            StructField("content", BinaryType()),
+        ]
+    )
+    reader = (
+        spark.readStream.format("binaryFile")
+        .schema(bin_schema)
+        .option("pathGlobFilter", "*.avro")
+        .option("recursiveFileLookup", "true")
+    )
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    binary = reader.load(topic_dir).select("path", "modificationTime", "content")
+    return binary.mapInPandas(decode, schema=out_schema)
+
+
 def run_service(
     spark: SparkSession,
     input_root: str,

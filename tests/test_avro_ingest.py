@@ -399,3 +399,43 @@ def test_avro_cleaner_over_zip_output(spark, tmp_path):
     deleted = [p.rsplit("/", 1)[-1] for p in result["deleted"]]
     assert deleted == ["application_server_status+1+0000000018+0000000020.avro"]
     assert result["rolled_back"] == []
+
+
+def test_streaming_avro_restructure(spark, tmp_path):
+    """M5 over the REAL input: a binaryFile stream of reference .avro
+    fixtures decodes, organizes, and writes the partitioned layout; a
+    second availableNow run over the same checkpoint ingests nothing new."""
+    import shutil
+
+    from restructure_hdfs_topic_spark.plans.avro_job import organize_avro_records
+    from restructure_hdfs_topic_spark.streaming.service import read_avro_stream
+
+    src = str(tmp_path / "in")
+    shutil.copytree(os.path.join(FIXTURES, "application_server_status"), src)
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    def drain():
+        records = read_avro_stream(spark, src, max_files_per_trigger=1)
+        organized = organize_avro_records(records, "yyyyMMdd_HH'00'")
+        q = (
+            organized.select(
+                "projectId", "userId", "topic", "bin", F.col("value.time").alias("t")
+            )
+            .writeStream.format("json")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .partitionBy("projectId", "userId", "topic", "bin")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+
+    drain()
+    got = spark.read.option("basePath", out).json(f"{out}/projectId=*")
+    assert got.count() == 6
+    bins = {r["bin"] for r in got.select("bin").distinct().collect()}
+    assert bins == {"20200128_1300", "20200128_1400"}
+    drain()  # checkpoint: nothing re-ingested
+    assert spark.read.option("basePath", out).json(f"{out}/projectId=*").count() == 6
