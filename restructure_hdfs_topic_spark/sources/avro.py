@@ -474,6 +474,39 @@ def read_schema(path: str) -> Any:
             return AvroContainer.parse(fh.read()).schema
 
 
+def union_avro_schemas(schemas: list) -> Any:
+    """Union-by-name merge of Avro record schemas (SURVEY §1.3: schema
+    evolution across files within a topic).  Fields present in any file
+    survive; same-named record fields merge recursively; on a genuine type
+    conflict the FIRST file's type wins (older readers' behavior).
+    Nullable unions ``["null", T]`` merge element-wise."""
+
+    def merge(a, b):
+        if (
+            isinstance(a, dict)
+            and a.get("type") == "record"
+            and isinstance(b, dict)
+            and b.get("type") == "record"
+        ):
+            out = [dict(f) for f in a["fields"]]
+            names = {f["name"]: i for i, f in enumerate(out)}
+            for f in b["fields"]:
+                if f["name"] in names:
+                    i = names[f["name"]]
+                    out[i] = {**out[i], "type": merge(out[i]["type"], f["type"])}
+                else:
+                    out.append(dict(f))
+            return {**a, "fields": out}
+        if isinstance(a, list) and isinstance(b, list) and len(a) == len(b):
+            return [merge(x, y) for x, y in zip(a, b)]
+        return a
+
+    merged = schemas[0]
+    for s in schemas[1:]:
+        merged = merge(merged, s)
+    return merged
+
+
 def read_avro(
     spark: SparkSession,
     paths: list[str],
@@ -512,7 +545,15 @@ def read_avro(
             if mode == "spark-avro":
                 raise
     # --- pure-Python distributed decode -----------------------------------
-    decode, out_schema = make_avro_decoder(read_schema(paths[0]))
+    # Per-file header reads are a few KB each (driver-side, path count is
+    # bounded by maxFilesPerTopic); distinct headers union by name so a
+    # topic whose schema evolved mid-stream loses no fields.
+    headers = {}
+    for p in paths:
+        headers.setdefault(json.dumps(read_schema(p), sort_keys=True), p)
+    schemas = [json.loads(s) for s in headers]
+    schema = schemas[0] if len(schemas) == 1 else union_avro_schemas(schemas)
+    decode, out_schema = make_avro_decoder(schema)
     binary = (
         spark.read.format("binaryFile")
         .load(paths)

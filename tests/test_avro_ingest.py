@@ -439,3 +439,74 @@ def test_streaming_avro_restructure(spark, tmp_path):
     assert bins == {"20200128_1300", "20200128_1400"}
     drain()  # checkpoint: nothing re-ingested
     assert spark.read.option("basePath", out).json(f"{out}/projectId=*").count() == 6
+
+
+def _build_container(schema: dict, encoded_datums: bytes, n: int) -> bytes:
+    import json as _json
+
+    def zz(v: int) -> bytes:
+        v = (v << 1) ^ (v >> 63)
+        out = b""
+        while True:
+            b7 = v & 0x7F
+            v >>= 7
+            if v:
+                out += bytes([b7 | 0x80])
+            else:
+                out += bytes([b7])
+                return out
+
+    meta = {"avro.schema": _json.dumps(schema).encode(), "avro.codec": b"null"}
+    hdr = b"Obj\x01" + zz(len(meta))
+    for k, v in meta.items():
+        hdr += zz(len(k.encode())) + k.encode() + zz(len(v)) + v
+    hdr += zz(0)
+    sync = bytes(range(16))
+    return hdr + sync + zz(n) + zz(len(encoded_datums)) + encoded_datums + sync
+
+
+def test_read_avro_schema_evolution_union(spark, tmp_path):
+    """SURVEY §1.3: a topic whose schema gains a field mid-stream loses
+    nothing — the reader unions headers by name; older files surface null
+    for the new field."""
+    import os as _os
+
+    def zz(v: int) -> bytes:
+        v = (v << 1) ^ (v >> 63)
+        out = b""
+        while True:
+            b7 = v & 0x7F
+            v >>= 7
+            if v:
+                out += bytes([b7 | 0x80])
+            else:
+                out += bytes([b7])
+                return out
+
+    s1 = {"type": "record", "name": "r", "fields": [{"name": "a", "type": "long"}]}
+    s2 = {
+        "type": "record",
+        "name": "r",
+        "fields": [
+            {"name": "a", "type": "long"},
+            {"name": "b", "type": ["null", "string"], "default": None},
+        ],
+    }
+    d1 = zz(1) + zz(2)  # two records: a=1, a=2
+    # two records: (a=3, b="x"), (a=4, b=null); union branch index prefixes b
+    d2 = zz(3) + zz(1) + zz(1) + b"x" + zz(4) + zz(0)
+    top = tmp_path / "evolve_topic" / "partition=0"
+    _os.makedirs(top)
+    (top / "evolve_topic+0+0000000000+0000000001.avro").write_bytes(
+        _build_container(s1, d1, 2)
+    )
+    (top / "evolve_topic+0+0000000002+0000000003.avro").write_bytes(
+        _build_container(s2, d2, 2)
+    )
+    df = read_avro(
+        spark,
+        [str(top / f) for f in sorted(_os.listdir(top))],
+        mode="python",
+    )
+    rows = {r["offset"]: (r["a"], r["b"]) for r in df.collect()}
+    assert rows == {0: (1, None), 1: (2, None), 2: (3, "x"), 3: (4, None)}
