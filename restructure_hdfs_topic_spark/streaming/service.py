@@ -97,17 +97,30 @@ def read_avro_stream(
         TimestampType,
     )
 
+    import json
+
     from restructure_hdfs_topic_spark.sources.avro import (
         make_avro_decoder,
         read_schema,
+        union_avro_schemas,
         walk_topics,
     )
 
     topics = walk_topics(topic_dir)
     if not topics:
         raise ValueError(f"no Avro topics under {topic_dir}")
-    sample = next(iter(topics.values()))[0].path
-    decode, out_schema = make_avro_decoder(read_schema(sample))
+    # Union the headers of every existing file so a topic that evolved
+    # before the stream started loses no fields (files arriving later with
+    # NEW fields still project onto this fixed stream schema — restart the
+    # stream to pick them up; Structured Streaming schemas are static).
+    headers = {}
+    for files in topics.values():
+        for f in files:
+            headers.setdefault(json.dumps(read_schema(f.path), sort_keys=True), None)
+    schemas = [json.loads(s) for s in headers]
+    decode, out_schema = make_avro_decoder(
+        schemas[0] if len(schemas) == 1 else union_avro_schemas(schemas)
+    )
     bin_schema = StructType(
         [
             StructField("path", StringType()),
