@@ -383,3 +383,45 @@ def test_config_env_overrides(tmp_path, monkeypatch):
     cfg = RestructureConfig.load(str(conf))
     assert cfg.target_dir == "/from/env"
     assert cfg.format == "csv"
+
+def test_flatten_for_csv_randomized(spark):
+    """Property check of O7 dynamic flattening: for random rows with maps,
+    arrays, structs, and nulls, the operator must agree with a brute-force
+    Python flattener — columns are the sorted union of map keys and the
+    max array length, missing entries render as ''."""
+    import random
+
+    rng = random.Random(99)
+    keys_pool = ["k1", "k2", "k3", "zz"]
+    rows = []
+    for i in range(60):
+        m = {k: round(rng.uniform(0, 9), 1) for k in rng.sample(keys_pool, rng.randint(0, 3))}
+        arr = [rng.randint(0, 99) for _ in range(rng.randint(0, 3))]
+        s = (i, None if i % 7 == 0 else f"s{i}")
+        rows.append((i, s, m or None, arr or None))
+    df = spark.createDataFrame(
+        rows,
+        "id int, st struct<a:int,b:string>, m map<string,double>, arr array<int>",
+    )
+    flat = flatten_for_csv(df)
+
+    all_keys = sorted({k for _, _, m, _ in rows if m for k in m})
+    max_len = max((len(a) for *_, a in rows if a), default=0)
+    expected_cols = (
+        ["id", "st.a", "st.b"]
+        + [f"m.{k}" for k in all_keys]
+        + [f"arr.{j}" for j in range(max_len)]
+    )
+    assert flat.columns == expected_cols
+
+    got = {r["id"]: r for r in flat.collect()}
+    for rid, st, m, arr in rows:
+        r = got[str(rid)] if str(rid) in got else got[rid]
+        assert r["st.a"] == str(st[0])
+        assert r["st.b"] == (st[1] if st[1] is not None else "")
+        for k in all_keys:
+            want = str(m[k]) if m and k in m else ""
+            assert r[f"m.{k}"] == want, (rid, k, r[f"m.{k}"], want)
+        for j in range(max_len):
+            want = str(arr[j]) if arr and j < len(arr) else ""
+            assert r[f"arr.{j}"] == want, (rid, j)
