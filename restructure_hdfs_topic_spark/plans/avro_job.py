@@ -339,7 +339,15 @@ def run_avro_cleaner_job(
 
     now = now_s if now_s is not None else _time.time()
     age_s = config.cleaner.age_days * 86400
-    topics = walk_topics(input_root)
+    # excludeFromDelete (RestructureConfig.kt topic override): the cleaner
+    # never touches excluded topics' source files; plain `exclude` topics
+    # are skipped by every job.
+    excluded = {
+        t
+        for t, tc in config.topics.items()
+        if tc.exclude or tc.exclude_from_delete
+    }
+    topics = walk_topics(input_root, exclude=excluded)
     counters: dict = {"deleted": [], "rolled_back": [], "kept": []}
     state = read_offsets(spark, config.state_dir)
     state_rows = [

@@ -510,3 +510,29 @@ def test_read_avro_schema_evolution_union(spark, tmp_path):
     )
     rows = {r["offset"]: (r["a"], r["b"]) for r in df.collect()}
     assert rows == {0: (1, None), 1: (2, None), 2: (3, "x"), 3: (4, None)}
+
+
+def test_cleaner_respects_exclude_from_delete(spark, tmp_path):
+    """excludeFromDelete (RestructureConfig.kt per-topic override): the
+    cleaner must not delete files of an excluded topic even when fully
+    extracted and committed."""
+    import shutil
+
+    from restructure_hdfs_topic_spark.config import CleanerConfig, TopicConfig
+    from restructure_hdfs_topic_spark.plans.avro_job import run_avro_cleaner_job
+
+    src = str(tmp_path / "in")
+    shutil.copytree(FIXTURES, src)
+    cfg = RestructureConfig(
+        target_dir=str(tmp_path / "out"),
+        state_dir=str(tmp_path / "state"),
+        format="csv",
+        cleaner=CleanerConfig(enable=True, age_days=0),
+        worker=WorkerConfig(minimum_file_age_s=0),
+        topics={"application_server_status": TopicConfig(exclude_from_delete=True)},
+    )
+    os.makedirs(cfg.state_dir, exist_ok=True)
+    run_avro_restructure_job(spark, src, cfg, mode="python")
+    result = run_avro_cleaner_job(spark, src, cfg)
+    assert result["deleted"] == []  # the deletable status file is protected
+    assert len([f for fs in walk_topics(src).values() for f in fs]) == 3
