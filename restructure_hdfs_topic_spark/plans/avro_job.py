@@ -433,7 +433,12 @@ def run_avro_restructure_job(
             continue
         state = read_offsets(spark, config.state_dir)
         manifest = manifest_df(spark, aged)
-        pending_rows = filter_unseen_files(manifest, state).collect()
+        # Join output order is nondeterministic — sort by path (partition +
+        # offset order) so the maxFilesPerTopic cap always takes the
+        # EARLIEST pending files, like the reference's ordered walk + take.
+        pending_rows = sorted(
+            filter_unseen_files(manifest, state).collect(), key=lambda r: r["path"]
+        )
         if config.worker.max_files_per_topic:
             pending_rows = pending_rows[: config.worker.max_files_per_topic]
         if not pending_rows:

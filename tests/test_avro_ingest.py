@@ -536,3 +536,28 @@ def test_cleaner_respects_exclude_from_delete(spark, tmp_path):
     result = run_avro_cleaner_job(spark, src, cfg)
     assert result["deleted"] == []  # the deletable status file is protected
     assert len([f for fs in walk_topics(src).values() for f in fs]) == 3
+
+
+def test_max_files_per_topic_takes_earliest(spark, tmp_path):
+    """maxFilesPerTopic caps the EARLIEST pending files deterministically
+    (offset order), so repeated capped runs drain a backlog in order."""
+    import shutil
+
+    src = str(tmp_path / "in")
+    shutil.copytree(FIXTURES, src)
+    cfg = RestructureConfig(
+        target_dir=str(tmp_path / "out"),
+        state_dir=str(tmp_path / "state"),
+        format="csv",
+        worker=WorkerConfig(minimum_file_age_s=0, max_files_per_topic=1),
+    )
+    os.makedirs(cfg.state_dir, exist_ok=True)
+    # Run 1: one file per topic → status offsets 18-20 (3 records) + the
+    # 1000-record acceleration file.
+    r1 = run_avro_restructure_job(spark, src, cfg, mode="python")
+    assert r1["records_written"] == 1003  # earliest status file (3) + accel (1000)
+    # Run 2 drains the backlog (offsets 21+).
+    r2 = run_avro_restructure_job(spark, src, cfg, mode="python")
+    assert r2["records_written"] == 3
+    # Run 3: nothing left.
+    assert run_avro_restructure_job(spark, src, cfg, mode="python")["records_written"] == 0
