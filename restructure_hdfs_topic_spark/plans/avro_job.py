@@ -424,7 +424,12 @@ def run_avro_restructure_job(
     topics = walk_topics(input_root, exclude=excluded)
     now = now_s if now_s is not None else _time.time()
     min_age = config.worker.minimum_file_age_s
-    counters: dict = {"topics": {}, "records_written": 0, "files_pending": 0}
+    counters: dict = {
+        "topics": {},
+        "records_written": 0,
+        "files_processed": 0,
+        "files_pending": 0,  # remaining after the maxFilesPerTopic cap
+    }
     for topic, files in sorted(topics.items()):
         # Late-file guard (O4, config minimumFileAge): skip files younger
         # than min_age — they may still be written to.
@@ -436,13 +441,19 @@ def run_avro_restructure_job(
         # Join output order is nondeterministic — sort by path (partition +
         # offset order) so the maxFilesPerTopic cap always takes the
         # EARLIEST pending files, like the reference's ordered walk + take.
-        pending_rows = sorted(
+        all_pending = sorted(
             filter_unseen_files(manifest, state).collect(), key=lambda r: r["path"]
         )
+        pending_rows = all_pending
         if config.worker.max_files_per_topic:
-            pending_rows = pending_rows[: config.worker.max_files_per_topic]
+            pending_rows = all_pending[: config.worker.max_files_per_topic]
+        remaining = len(all_pending) - len(pending_rows)
         if not pending_rows:
-            counters["topics"][topic] = {"records_written": 0, "files_pending": 0}
+            counters["topics"][topic] = {
+                "records_written": 0,
+                "files_processed": 0,
+                "files_pending": 0,
+            }
             continue
         paths = [r["path"] for r in pending_rows]
         records = read_avro(spark, paths, mode=mode)
@@ -481,8 +492,10 @@ def run_avro_restructure_job(
         commit_offsets(spark, config.state_dir, new_ranges)
         counters["topics"][topic] = {
             "records_written": n_records,
-            "files_pending": len(pending_rows),
+            "files_processed": len(pending_rows),
+            "files_pending": remaining,
         }
         counters["records_written"] += n_records
-        counters["files_pending"] += len(pending_rows)
+        counters["files_processed"] += len(pending_rows)
+        counters["files_pending"] += remaining
     return counters
