@@ -679,6 +679,32 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_ann_topk(emb, k=5)
 
 
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (time-series primitive Spark lacks natively): every
+    click event gains the latest same-user purchase value at or before its
+    timestamp.  Single-shuffle union + ordered carry-forward — no range
+    join, no per-key quadratic work.  Oracle: DuckDB's native ASOF JOIN."""
+    from restructure_hdfs_topic_spark.operators.temporal import asof_join
+
+    _conf(spark)
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("purchase_value"))
+    )
+    joined = asof_join(clicks, purchases, ["user_id"], "ts", ["purchase_value"])
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.unix_micros(F.col("ts")).alias("ts_us"),
+        F.round(F.col("asof_purchase_value").cast("double"), 6).alias("asof_purchase_value"),
+    )
+
+
 def q_approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch path for cardinality at 100 TB: HyperLogLog++ distinct users
     per event type (`approx_count_distinct`, rsd 2%) next to the exact
@@ -889,6 +915,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "record_membership": q_record_membership,
         "events_rollup": q_events_rollup,
         "user_sessions": q_user_sessions,
+        "asof_join": q_asof_join,
         "approx_distinct_users": q_approx_distinct_users,
         "approx_quantiles": q_approx_quantiles,
         "regex_token_count": q_regex_token_count,
@@ -1353,6 +1380,18 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN event_id % 3 != 0 THEN CAST(user_id AS VARCHAR) ELSE '' END AS "arr.1",
                    rtrim(to_base64(encode(event_type)), '=') AS bin
             FROM events
+        """,
+        "asof_join": """
+            WITH l AS (
+                SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+            ), r AS (
+                SELECT user_id, ts, max(value) AS purchase_value
+                FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts
+            )
+            SELECT l.event_id, l.user_id,
+                   CAST(epoch_us(l.ts) AS BIGINT) AS ts_us,
+                   round(CAST(r.purchase_value AS DOUBLE), 6) AS asof_purchase_value
+            FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
         """,
         "events_rollup": """
             SELECT COALESCE(event_type, '<all>') AS event_type,

@@ -58,6 +58,7 @@ BENCH_QUERIES = [
     "record_membership",
     "events_rollup",
     "user_sessions",
+    "asof_join",
     "approx_distinct_users",
     "approx_quantiles",
     "regex_token_count",

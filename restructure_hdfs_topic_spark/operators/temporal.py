@@ -1,0 +1,65 @@
+"""Temporal join operators (north-star extension; the reference has no
+join machinery at all — SURVEY §2.1).
+
+The as-of join is the time-series primitive Spark lacks natively: for
+every left row, attach the latest right row with ``right.time <=
+left.time`` per key.  The scalable shape is NOT a range join (quadratic
+per key without tight bounds) but a single-shuffle union + ordered
+carry-forward: tag both sides, sort by (key, time, side), and propagate
+the last seen right value with ``last(..., ignorenulls=True)`` over an
+unbounded-preceding window.  One shuffle on the key, linear work,
+whole-stage codegen.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key_cols: list[str],
+    time_col: str,
+    value_cols: list[str],
+) -> DataFrame:
+    """Left as-of join: every ``left`` row gains the most recent ``right``
+    values at or before its ``time_col`` for the same key (null if none).
+
+    ``right`` must be unique per (key, time) — pre-aggregate if not, so
+    tie behavior is deterministic.  Matches DuckDB's ``ASOF LEFT JOIN ...
+    ON l.key = r.key AND l.t >= r.t`` semantics (equal timestamps match).
+    """
+    l_tag = left.withColumn("__side", F.lit(1))
+    for c in value_cols:
+        l_tag = l_tag.withColumn(f"__r_{c}", F.lit(None).cast(right.schema[c].dataType))
+    r_tag = right.select(
+        *key_cols,
+        time_col,
+        *[F.col(c).alias(f"__r_{c}") for c in value_cols],
+    ).withColumn("__side", F.lit(0))
+    for c in left.columns:
+        if c not in r_tag.columns:
+            r_tag = r_tag.withColumn(c, F.lit(None).cast(left.schema[c].dataType))
+    u = l_tag.unionByName(r_tag.select(l_tag.columns))
+    # Right rows (__side 0) sort before left rows at the same timestamp, so
+    # an equal-time right value is visible to the left row (>= semantics).
+    w = (
+        Window.partitionBy(*key_cols)
+        .orderBy(time_col, "__side")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    carried = u.select(
+        "*",
+        *[
+            F.last(f"__r_{c}", ignorenulls=True).over(w).alias(f"__asof_{c}")
+            for c in value_cols
+        ],
+    )
+    out = carried.filter(F.col("__side") == 1).drop(
+        "__side", *[f"__r_{c}" for c in value_cols]
+    )
+    for c in value_cols:
+        out = out.withColumnRenamed(f"__asof_{c}", f"asof_{c}")
+    return out

@@ -332,3 +332,20 @@ def test_approx_paths_partitioning_independent(spark):
     s1 = sorted(map(tuple, simhash(docs.coalesce(1), "doc_id", "text").collect()))
     s8 = sorted(map(tuple, simhash(docs.repartition(8), "doc_id", "text").collect()))
     assert s1 == s8
+
+
+def test_asof_join_semantics(spark):
+    """As-of semantics: latest right value at or BEFORE the left time
+    (equal timestamps match); left rows before any right get null; carry
+    persists until superseded."""
+    from restructure_hdfs_topic_spark.operators.temporal import asof_join
+
+    left = spark.createDataFrame(
+        [(1, "u", 5), (2, "u", 10), (3, "u", 20), (4, "v", 10)],
+        "id long, k string, t long",
+    )
+    right = spark.createDataFrame(
+        [("u", 10, 1.0), ("u", 15, 2.0)], "k string, t long, val double"
+    )
+    out = {r["id"]: r["asof_val"] for r in asof_join(left, right, ["k"], "t", ["val"]).collect()}
+    assert out == {1: None, 2: 1.0, 3: 2.0, 4: None}
