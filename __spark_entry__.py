@@ -705,6 +705,22 @@ def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_time_window_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join: errors within ±4 h of each click per user, counted —
+    bucketed band join (bucket ±1 candidates + exact filter), never the
+    per-key quadratic of a naive inequality join."""
+    from restructure_hdfs_topic_spark.operators.temporal import time_window_join
+
+    _conf(spark)
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select("event_id", "user_id", "ts")
+    errors = ev.filter(F.col("event_type") == "error").select("user_id", "ts")
+    joined = time_window_join(clicks, errors, ["user_id"], "ts", window_s=14400)
+    return joined.groupBy("event_id").agg(
+        F.count(F.lit(1)).alias("n_nearby_errors")
+    )
+
+
 def q_approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch path for cardinality at 100 TB: HyperLogLog++ distinct users
     per event type (`approx_count_distinct`, rsd 2%) next to the exact
@@ -916,6 +932,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_rollup": q_events_rollup,
         "user_sessions": q_user_sessions,
         "asof_join": q_asof_join,
+        "time_window_join": q_time_window_join,
         "approx_distinct_users": q_approx_distinct_users,
         "approx_quantiles": q_approx_quantiles,
         "regex_token_count": q_regex_token_count,
@@ -1380,6 +1397,14 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN event_id % 3 != 0 THEN CAST(user_id AS VARCHAR) ELSE '' END AS "arr.1",
                    rtrim(to_base64(encode(event_type)), '=') AS bin
             FROM events
+        """,
+        "time_window_join": """
+            SELECT l.event_id, CAST(count(*) AS BIGINT) AS n_nearby_errors
+            FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click') l
+            JOIN (SELECT user_id, ts FROM events WHERE event_type = 'error') r
+              ON l.user_id = r.user_id
+             AND abs(epoch_us(l.ts) - epoch_us(r.ts)) <= CAST(14400000000 AS BIGINT)
+            GROUP BY l.event_id
         """,
         "asof_join": """
             WITH l AS (

@@ -59,6 +59,7 @@ BENCH_QUERIES = [
     "events_rollup",
     "user_sessions",
     "asof_join",
+    "time_window_join",
     "approx_distinct_users",
     "approx_quantiles",
     "regex_token_count",

@@ -17,6 +17,46 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def time_window_join(
+    left: DataFrame,
+    right: DataFrame,
+    key_cols: list[str],
+    time_col: str,
+    window_s: int,
+    right_prefix: str = "r_",
+) -> DataFrame:
+    """Range join on |left.time − right.time| ≤ ``window_s`` per key — the
+    scale-correct shape: both sides bucket their timestamps at
+    ``window_s`` width, the right side additionally lands in its ±1
+    buckets, and the equi-join on (key, bucket) generates a candidate
+    superset that an exact band filter prunes.  Work is linear in matches
+    per bucket — never the per-key quadratic of a naive inequality join.
+
+    Returns left columns + right's non-key columns prefixed.
+    """
+    bucket = lambda c: F.floor(F.unix_micros(F.col(c)) / F.lit(int(window_s * 1_000_000)))
+    l = left.withColumn("__b", bucket(time_col))
+    r_cols = [c for c in right.columns if c not in key_cols]
+    r = right.select(
+        *key_cols, *[F.col(c).alias(f"{right_prefix}{c}") for c in r_cols]
+    ).withColumn(
+        "__b",
+        F.explode(
+            F.array(
+                *[
+                    bucket(f"{right_prefix}{time_col}") + F.lit(d)
+                    for d in (-1, 0, 1)
+                ]
+            )
+        ),
+    )
+    joined = l.join(r, [*key_cols, "__b"])
+    dt = F.abs(
+        F.unix_micros(F.col(time_col)) - F.unix_micros(F.col(f"{right_prefix}{time_col}"))
+    )
+    return joined.filter(dt <= int(window_s * 1_000_000)).drop("__b")
+
+
 def asof_join(
     left: DataFrame,
     right: DataFrame,

@@ -349,3 +349,25 @@ def test_asof_join_semantics(spark):
     )
     out = {r["id"]: r["asof_val"] for r in asof_join(left, right, ["k"], "t", ["val"]).collect()}
     assert out == {1: None, 2: 1.0, 3: 2.0, 4: None}
+
+
+def test_time_window_join_band_edges(spark):
+    """Banded candidates must not lose pairs that straddle a bucket
+    boundary, and must exclude pairs just outside the window."""
+    from pyspark.sql import functions as F
+
+    from restructure_hdfs_topic_spark.operators.temporal import time_window_join
+
+    def t(s):
+        return F.timestamp_seconds(F.lit(s))
+
+    left = spark.range(1).select(
+        F.lit(1).alias("id"), F.lit("u").alias("k"), F.timestamp_seconds(F.lit(1000)).alias("ts")
+    )
+    right = spark.createDataFrame(
+        [("u", 900), ("u", 1100), ("u", 899), ("u", 1101), ("u", 1999)],
+        "k string, sec long",
+    ).select("k", F.timestamp_seconds(F.col("sec")).alias("ts"))
+    out = time_window_join(left, right, ["k"], "ts", window_s=100)
+    got = sorted(r["r_ts"].timestamp() for r in out.collect())
+    assert got == [900.0, 1100.0]  # exactly-at-window matches; outside excluded
