@@ -506,6 +506,24 @@ def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub (curation): emails, URLs, and long digit runs replaced by
+    typed placeholders — narrow regexp projection, no shuffle.  Counts the
+    replacements so the output is compact and assertable."""
+    from restructure_hdfs_topic_spark.functions.text import redact_pii
+
+    _conf(spark)
+    docs = _t(spark, sf_dir, "documents")
+    red = docs.select("doc_id", redact_pii(F.col("text")).alias("redacted"))
+    return red.select(
+        "doc_id",
+        "redacted",
+        F.regexp_count("redacted", F.lit("<EMAIL>")).cast("bigint").alias("n_emails"),
+        F.regexp_count("redacted", F.lit("<URL>")).cast("bigint").alias("n_urls"),
+        F.regexp_count("redacted", F.lit("<NUMBER>")).cast("bigint").alias("n_numbers"),
+    )
+
+
 def q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus vocabulary statistics: top-100 tokens by document frequency
     (with total occurrence count).  The explode → groupBy shape relies on
@@ -916,6 +934,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_fingerprint": q_text_fingerprint,
         "corpus_filter": q_corpus_filter,
         "vocab_topk": q_vocab_topk,
+        "redact_pii": q_redact_pii,
         "chunk_documents": q_chunk_documents,
         "tfidf_top_terms": q_tfidf_top_terms,
         "dedup_exact_docs": q_dedup_exact_docs,
@@ -1302,6 +1321,23 @@ def oracle_sql() -> dict[str, str]:
                    CAST(len(toks[i*56+1 : i*56+64]) AS BIGINT) AS n_chunk_tokens,
                    array_to_string(toks[i*56+1 : i*56+64], ' ') AS chunk_text
             FROM c, LATERAL (SELECT unnest(generate_series(0, n_starts - 1)) AS i) gs
+        """,
+        "redact_pii": r"""
+            WITH red AS (
+                SELECT doc_id,
+                       regexp_replace(
+                           regexp_replace(
+                               regexp_replace(text,
+                                   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                               'https?://[^\s]+', '<URL>', 'g'),
+                           '\b\d{7,}\b', '<NUMBER>', 'g') AS redacted
+                FROM documents
+            )
+            SELECT doc_id, redacted,
+                   CAST(len(regexp_extract_all(redacted, '<EMAIL>')) AS BIGINT) AS n_emails,
+                   CAST(len(regexp_extract_all(redacted, '<URL>')) AS BIGINT) AS n_urls,
+                   CAST(len(regexp_extract_all(redacted, '<NUMBER>')) AS BIGINT) AS n_numbers
+            FROM red
         """,
         "vocab_topk": f"""
             WITH t AS (

@@ -44,6 +44,7 @@ BENCH_QUERIES = [
     "text_fingerprint",
     "corpus_filter",
     "vocab_topk",
+    "redact_pii",
     "chunk_documents",
     "tfidf_top_terms",
     "dedup_exact_docs",

@@ -235,3 +235,22 @@ def chunk_documents(
             F.concat_ws(" ", F.col("__chunk")).alias("chunk_text"),
         )
     )
+
+
+# PII scrub patterns (training-corpus curation): kept to the regex subset
+# Java and RE2 interpret identically (no lookarounds, no backrefs).
+PII_PATTERNS = [
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    (r"https?://[^\s]+", "<URL>"),
+    (r"\b\d{7,}\b", "<NUMBER>"),  # long digit runs: phone/account/card
+]
+
+
+def redact_pii(text: Column) -> Column:
+    """Replace emails, URLs, and long digit runs with typed placeholders —
+    one regexp_replace pass per pattern, JVM-side, order-stable (URLs after
+    emails so 'user@host' inside a URL is already gone)."""
+    out = text
+    for pattern, token in PII_PATTERNS:
+        out = F.regexp_replace(out, pattern, token)
+    return out

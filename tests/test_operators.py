@@ -371,3 +371,24 @@ def test_time_window_join_band_edges(spark):
     out = time_window_join(left, right, ["k"], "ts", window_s=100)
     got = sorted(r["r_ts"].timestamp() for r in out.collect())
     assert got == [900.0, 1100.0]  # exactly-at-window matches; outside excluded
+
+
+def test_redact_pii_patterns(spark):
+    from pyspark.sql import functions as F
+
+    from restructure_hdfs_topic_spark.functions.text import redact_pii
+
+    df = spark.createDataFrame(
+        [
+            (1, "mail me at jo.doe+x@example.co.uk today"),
+            (2, "see https://ex.com/a?b=c#d and http://y.io"),
+            (3, "call 12345678 but keep 123456 and year 2024"),
+            (4, "clean text stays clean"),
+        ],
+        "id long, text string",
+    )
+    got = {r["id"]: r["r"] for r in df.select("id", redact_pii(F.col("text")).alias("r")).collect()}
+    assert got[1] == "mail me at <EMAIL> today"
+    assert got[2] == "see <URL> and <URL>"
+    assert got[3] == "call <NUMBER> but keep 123456 and year 2024"
+    assert got[4] == "clean text stays clean"
