@@ -506,6 +506,27 @@ def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified hash sampling (corpus mixing): keep 100%
+    of 'purchase' events, 25% of 'click', 5% of everything else — hash
+    thresholding is reproducible across engines/partitionings and
+    monotone in the rate.  One narrow filter, no shuffle."""
+    from restructure_hdfs_topic_spark.operators.sampling import (
+        stratified_hash_sample,
+    )
+
+    _conf(spark)
+    ev = _t(spark, sf_dir, "events")
+    sampled = stratified_hash_sample(
+        ev,
+        "event_id",
+        "event_type",
+        {"purchase": 1.0, "click": 0.25},
+        default_rate=0.05,
+    )
+    return sampled.select("event_id", "event_type", "user_id")
+
+
 def q_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII scrub (curation): emails, URLs, and long digit runs replaced by
     typed placeholders — narrow regexp projection, no shuffle.  Counts the
@@ -935,6 +956,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_filter": q_corpus_filter,
         "vocab_topk": q_vocab_topk,
         "redact_pii": q_redact_pii,
+        "stratified_sample": q_stratified_sample,
         "chunk_documents": q_chunk_documents,
         "tfidf_top_terms": q_tfidf_top_terms,
         "dedup_exact_docs": q_dedup_exact_docs,
@@ -1321,6 +1343,15 @@ def oracle_sql() -> dict[str, str]:
                    CAST(len(toks[i*56+1 : i*56+64]) AS BIGINT) AS n_chunk_tokens,
                    array_to_string(toks[i*56+1 : i*56+64], ' ') AS chunk_text
             FROM c, LATERAL (SELECT unnest(generate_series(0, n_starts - 1)) AS i) gs
+        """,
+        "stratified_sample": f"""
+            SELECT event_id, event_type, user_id
+            FROM events
+            WHERE (event_id * 2654435761) % 4294967296 <
+                  CASE event_type
+                       WHEN 'purchase' THEN {int(1.0 * (1 << 32))}
+                       WHEN 'click' THEN {int(0.25 * (1 << 32))}
+                       ELSE {int(0.05 * (1 << 32))} END
         """,
         "redact_pii": r"""
             WITH red AS (

@@ -45,6 +45,7 @@ BENCH_QUERIES = [
     "corpus_filter",
     "vocab_topk",
     "redact_pii",
+    "stratified_sample",
     "chunk_documents",
     "tfidf_top_terms",
     "dedup_exact_docs",

@@ -1,0 +1,49 @@
+"""Deterministic sampling operators (north-star extension).
+
+Random sampling is the wrong tool for a 100 TB training-data pipeline:
+resampling must be reproducible across runs, engines, and partitionings,
+and a row's fate must not depend on which executor saw it.  Hash
+thresholding gives all of that: keep a row iff
+``(id * KNUTH) mod 2^32 < rate * 2^32`` — a fixed multiplicative hash
+(Knuth's 2654435761) any engine reproduces exactly.  Changing the rate
+grows/shrinks the sample MONOTONICALLY (a 10% sample is a subset of a
+20% sample), which makes staged experiments comparable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+KNUTH = 2654435761
+MOD = 1 << 32
+
+
+def hash_bucket(id_col) -> F.Column:
+    """Uniform bucket in [0, 2^32) from an integer id — engine-portable
+    integer arithmetic (no xxhash/murmur dependence)."""
+    return F.pmod(F.col(id_col).cast("long") * F.lit(KNUTH), F.lit(MOD))
+
+
+def hash_sample(df: DataFrame, id_col: str, rate: float) -> DataFrame:
+    """Deterministic ``rate`` sample: keep iff bucket < rate·2^32."""
+    return df.filter(hash_bucket(id_col) < F.lit(int(rate * MOD)))
+
+
+def stratified_hash_sample(
+    df: DataFrame,
+    id_col: str,
+    strata_col: str,
+    rates: dict[str, float],
+    default_rate: float = 0.0,
+) -> DataFrame:
+    """Per-stratum deterministic sampling — the corpus-mixing primitive
+    (e.g. keep 100% of books, 10% of web).  One narrow filter, no shuffle;
+    strata volumes follow the rates exactly in expectation and
+    reproducibly in fact."""
+    threshold = F.lit(int(default_rate * MOD))
+    for value, rate in rates.items():
+        threshold = F.when(
+            F.col(strata_col) == value, F.lit(int(rate * MOD))
+        ).otherwise(threshold)
+    return df.filter(hash_bucket(id_col) < threshold)

@@ -392,3 +392,17 @@ def test_redact_pii_patterns(spark):
     assert got[2] == "see <URL> and <URL>"
     assert got[3] == "call <NUMBER> but keep 123456 and year 2024"
     assert got[4] == "clean text stays clean"
+
+
+def test_hash_sample_monotone_and_deterministic(spark):
+    """A lower-rate hash sample is a SUBSET of a higher-rate one, rates
+    land near their targets, and resampling is bit-stable."""
+    from restructure_hdfs_topic_spark.operators.sampling import hash_sample
+
+    df = spark.range(0, 20000).withColumnRenamed("id", "rid")
+    s10 = {r["rid"] for r in hash_sample(df, "rid", 0.10).collect()}
+    s20 = {r["rid"] for r in hash_sample(df, "rid", 0.20).collect()}
+    assert s10 <= s20
+    assert abs(len(s10) / 20000 - 0.10) < 0.01
+    assert abs(len(s20) / 20000 - 0.20) < 0.01
+    assert s10 == {r["rid"] for r in hash_sample(df.repartition(8), "rid", 0.10).collect()}
