@@ -347,17 +347,19 @@ def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     price = F.col("l_extendedprice").cast("decimal(14,2)")
     disc = F.col("l_discount").cast("decimal(6,4)")
     tax = F.col("l_tax").cast("decimal(6,4)")
-    # Every aggregate is cast to ONE explicit decimal type on BOTH engines:
-    # Spark widens sum(decimal(14,2)) to (24,2) while DuckDB goes to (38,2),
-    # and the driver's value-hash sees the representations as different.
+    # Aggregate in exact decimal arithmetic, but EMIT rounded doubles:
+    # decimal output columns never hash-match across engines (Spark→pandas
+    # yields scale-padded Decimal objects, DuckDB renders float64), so the
+    # final representation is round(cast(double), 4) on BOTH engines — the
+    # same contract as events_rollup / user_sessions.
     return (
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.sum(qty).cast("decimal(38,2)").alias("sum_qty"),
-            F.sum(price).cast("decimal(38,2)").alias("sum_base_price"),
-            F.sum(price * (F.lit(1).cast("decimal(6,4)") - disc)).cast("decimal(38,6)").alias("sum_disc_price"),
-            F.sum(price * (F.lit(1).cast("decimal(6,4)") - disc) * (F.lit(1).cast("decimal(6,4)") + tax)).cast("decimal(38,10)").alias("sum_charge"),
+            F.round(F.sum(qty).cast("double"), 4).alias("sum_qty"),
+            F.round(F.sum(price).cast("double"), 4).alias("sum_base_price"),
+            F.round(F.sum(price * (F.lit(1).cast("decimal(6,4)") - disc)).cast("double"), 4).alias("sum_disc_price"),
+            F.round(F.sum(price * (F.lit(1).cast("decimal(6,4)") - disc) * (F.lit(1).cast("decimal(6,4)") + tax)).cast("double"), 4).alias("sum_charge"),
             F.count("*").alias("count_order"),
         )
     )
@@ -381,7 +383,8 @@ def q_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
         .groupBy("r_name", "n_name")
         .agg(
-            F.sum(price * (F.lit(1).cast("decimal(6,4)") - disc)).cast("decimal(38,6)").alias("revenue"),
+            # exact decimal sum, rounded-double output (cross-engine hash rule)
+            F.round(F.sum(price * (F.lit(1).cast("decimal(6,4)") - disc)).cast("double"), 4).alias("revenue"),
             F.count("*").alias("n_items"),
         )
     )
@@ -391,15 +394,23 @@ def q_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-k with deterministic tie-break (rank by decimal revenue, then key)."""
     _conf(spark)
     orders = _t(spark, sf_dir, "orders")
+    # Rank on the EXACT decimal sum (deterministic tie-break), but emit the
+    # revenue as a rounded double — decimal columns never hash-match across
+    # engines (see q_pricing_summary note).
     rev = orders.groupBy("o_custkey").agg(
-        F.sum(F.col("o_totalprice").cast("decimal(14,2)")).cast("decimal(38,2)").alias("revenue"),
+        F.sum(F.col("o_totalprice").cast("decimal(14,2)")).alias("revenue_dec"),
         F.count("*").alias("n_orders"),
     )
-    w = Window.orderBy(F.col("revenue").desc(), F.col("o_custkey"))
+    w = Window.orderBy(F.col("revenue_dec").desc(), F.col("o_custkey"))
     return (
         rev.withColumn("rank", F.row_number().over(w).cast("bigint"))
         .filter(F.col("rank") <= 10)
-        .select("rank", "o_custkey", "revenue", "n_orders")
+        .select(
+            "rank",
+            "o_custkey",
+            F.round(F.col("revenue_dec").cast("double"), 4).alias("revenue"),
+            "n_orders",
+        )
     )
 
 
@@ -778,11 +789,25 @@ def q_approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quantile sketch (Greenwald-Khanna `percentile_approx`) of the event
     value per type — the constant-memory alternative to an exact sort at
-    scale.  Rows-only; bench measures deviation vs exact percentiles."""
+    scale.  Rows-only; bench measures deviation vs exact percentiles.
+
+    The sketch result is posexploded to scalar (event_type, q, value) rows:
+    array-typed output columns are not canonizable by the correctness
+    harness (they are unhashable), and scalar rows are what a downstream
+    consumer joins on anyway."""
     _conf(spark)
     ev = _t(spark, sf_dir, "events")
-    return ev.groupBy("event_type").agg(
-        F.percentile_approx("value", [0.5, 0.95, 0.99], 10000).alias("approx_pcts"),
+    qs = [0.5, 0.95, 0.99]
+    sk = ev.groupBy("event_type").agg(
+        F.percentile_approx("value", qs, 10000).alias("approx_pcts"),
+    )
+    return sk.select(
+        "event_type",
+        F.posexplode("approx_pcts").alias("pos", "approx_value"),
+    ).select(
+        "event_type",
+        F.element_at(F.lit(qs), F.col("pos") + 1).alias("q"),
+        F.col("approx_value"),
     )
 
 
@@ -1193,10 +1218,10 @@ def oracle_sql() -> dict[str, str]:
         """,
         "pricing_summary": """
             SELECT l_returnflag, l_linestatus,
-                   CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(38,2)) AS sum_qty,
-                   CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,2))) AS DECIMAL(38,2)) AS sum_base_price,
-                   CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,2)) * (CAST(1 AS DECIMAL(6,4)) - CAST(l_discount AS DECIMAL(6,4)))) AS DECIMAL(38,6)) AS sum_disc_price,
-                   CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,2)) * (CAST(1 AS DECIMAL(6,4)) - CAST(l_discount AS DECIMAL(6,4))) * (CAST(1 AS DECIMAL(6,4)) + CAST(l_tax AS DECIMAL(6,4)))) AS DECIMAL(38,10)) AS sum_charge,
+                   ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE), 4) AS sum_qty,
+                   ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,2))) AS DOUBLE), 4) AS sum_base_price,
+                   ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,2)) * (CAST(1 AS DECIMAL(6,4)) - CAST(l_discount AS DECIMAL(6,4)))) AS DOUBLE), 4) AS sum_disc_price,
+                   ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,2)) * (CAST(1 AS DECIMAL(6,4)) - CAST(l_discount AS DECIMAL(6,4))) * (CAST(1 AS DECIMAL(6,4)) + CAST(l_tax AS DECIMAL(6,4)))) AS DOUBLE), 4) AS sum_charge,
                    COUNT(*) AS count_order
             FROM lineitem
             WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -1204,7 +1229,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "revenue_by_nation": """
             SELECT r_name, n_name,
-                   CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,2)) * (CAST(1 AS DECIMAL(6,4)) - CAST(l_discount AS DECIMAL(6,4)))) AS DECIMAL(38,6)) AS revenue,
+                   ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,2)) * (CAST(1 AS DECIMAL(6,4)) - CAST(l_discount AS DECIMAL(6,4)))) AS DOUBLE), 4) AS revenue,
                    COUNT(*) AS n_items
             FROM lineitem
             JOIN orders ON l_orderkey = o_orderkey
@@ -1214,11 +1239,11 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY r_name, n_name
         """,
         "top_customers": """
-            SELECT rank, o_custkey, revenue, n_orders FROM (
-                SELECT o_custkey, revenue, n_orders,
-                       ROW_NUMBER() OVER (ORDER BY revenue DESC, o_custkey) AS rank
+            SELECT rank, o_custkey, ROUND(CAST(revenue_dec AS DOUBLE), 4) AS revenue, n_orders FROM (
+                SELECT o_custkey, revenue_dec, n_orders,
+                       ROW_NUMBER() OVER (ORDER BY revenue_dec DESC, o_custkey) AS rank
                 FROM (
-                    SELECT o_custkey, SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS revenue, COUNT(*) AS n_orders
+                    SELECT o_custkey, SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS revenue_dec, COUNT(*) AS n_orders
                     FROM orders GROUP BY o_custkey
                 )
             ) WHERE rank <= 10
