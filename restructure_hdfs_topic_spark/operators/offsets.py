@@ -153,17 +153,53 @@ def _current_version(state_dir: str, spark: SparkSession | None = None) -> int |
         if os.path.exists(pointer):
             with open(pointer) as fh:
                 return int(fh.read().strip().lstrip("v"))
-        return None
+        # Same pointer-loss recovery as the remote branch (os.replace is
+        # atomic, but a deleted/corrupted pointer must not read as empty).
+        root = os.path.join(state_dir, "offsets")
+        best = None
+        if os.path.isdir(root):
+            for name in os.listdir(root):
+                if name.startswith("v") and name[1:].isdigit():
+                    if os.path.exists(os.path.join(root, name, "_SUCCESS")):
+                        v = int(name[1:])
+                        if best is None or v > best:
+                            best = v
+        return best
     jvm, fs, _ = _hfs(spark, state_dir)
     pointer = jvm.org.apache.hadoop.fs.Path(state_dir, _POINTER)
     if not fs.exists(pointer):
-        return None
+        return _recover_version(jvm, fs, state_dir)
     stream = fs.open(pointer)
     try:
         data = bytes(stream.readAllBytes()).decode()
     finally:
         stream.close()
     return int(data.strip().lstrip("v"))
+
+
+def _recover_version(jvm, fs, state_dir: str) -> int | None:
+    """Pointer-loss recovery: a missing ``offsets.CURRENT`` must NOT read as
+    empty state (that would reprocess every committed file and emit
+    duplicates).  Committed versions are immutable directories, so the
+    highest fully-written ``offsets/v*`` (``_SUCCESS`` present) IS the last
+    commit — commit_offsets only runs after the data write succeeded, so
+    adopting it is always safe."""
+    root = jvm.org.apache.hadoop.fs.Path(state_dir, "offsets")
+    if not fs.exists(root):
+        return None
+    best = None
+    for st in fs.listStatus(root):
+        name = st.getPath().getName()
+        if not (st.isDirectory() and name.startswith("v")):
+            continue
+        try:
+            v = int(name[1:])
+        except ValueError:
+            continue
+        ok = fs.exists(jvm.org.apache.hadoop.fs.Path(st.getPath(), "_SUCCESS"))
+        if ok and (best is None or v > best):
+            best = v
+    return best
 
 
 def commit_offsets(
@@ -213,9 +249,11 @@ def replace_offsets(spark: SparkSession, state_dir: str, state: DataFrame) -> Da
         if os.path.exists(legacy):  # migration: drop pre-pointer layout
             shutil.rmtree(legacy, ignore_errors=True)
         return read_offsets(spark, state_dir)
-    # Remote store: write temp pointer object then rename (atomic on HDFS;
-    # on S3/ABFS the rename is a single small-object copy — the pointer
-    # either names the old version or the new one, never a torn value).
+    # Remote store: write temp pointer object then rename.  The swap uses
+    # FileContext.rename(..., Rename.OVERWRITE) where the store supports it
+    # (single atomic metadata op on HDFS); the delete+rename fallback has a
+    # crash window with NO pointer, which ``_recover_version`` closes by
+    # adopting the highest fully-written offsets/v* directory.
     jvm, fs, _ = _hfs(spark, state_dir)
     tmp = jvm.org.apache.hadoop.fs.Path(state_dir, f".offsets.CURRENT.v{nxt:08d}")
     stream = fs.create(tmp, True)
@@ -224,9 +262,20 @@ def replace_offsets(spark: SparkSession, state_dir: str, state: DataFrame) -> Da
     finally:
         stream.close()
     pointer = jvm.org.apache.hadoop.fs.Path(state_dir, _POINTER)
-    if fs.exists(pointer):
-        fs.delete(pointer, False)
-    fs.rename(tmp, pointer)
+    try:
+        gw = spark.sparkContext._gateway
+        rename_opts = gw.new_array(jvm.org.apache.hadoop.fs.Options.Rename, 1)
+        rename_opts[0] = jvm.org.apache.hadoop.fs.Options.Rename.OVERWRITE
+        fc = jvm.org.apache.hadoop.fs.FileContext.getFileContext(
+            pointer.toUri(), spark._jsc.hadoopConfiguration()
+        )
+        fc.rename(tmp, pointer, rename_opts)
+    except Exception:
+        # Store without FileContext support (some object-store connectors):
+        # non-atomic fallback, recoverable via _recover_version.
+        if fs.exists(pointer):
+            fs.delete(pointer, False)
+        fs.rename(tmp, pointer)
     versions_root = jvm.org.apache.hadoop.fs.Path(state_dir, "offsets")
     for st in fs.listStatus(versions_root):
         name = st.getPath().getName()

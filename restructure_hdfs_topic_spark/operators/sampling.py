@@ -21,8 +21,20 @@ MOD = 1 << 32
 
 def hash_bucket(id_col) -> F.Column:
     """Uniform bucket in [0, 2^32) from an integer id — engine-portable
-    integer arithmetic (no xxhash/murmur dependence)."""
-    return F.pmod(F.col(id_col).cast("long") * F.lit(KNUTH), F.lit(MOD))
+    integer arithmetic (no xxhash/murmur dependence).
+
+    Overflow-safe for the FULL int64 id range: ``id * KNUTH`` exceeds int64
+    for ids ≥ ~3.5e9 (ANSI mode would throw ARITHMETIC_OVERFLOW), so the id
+    is first reduced mod 2^32 and the multiply split into 16-bit halves —
+    every intermediate stays < 2^49, and the result is bit-identical to
+    ``id * KNUTH mod 2^32`` computed in unbounded arithmetic."""
+    r = F.pmod(F.col(id_col).cast("long"), F.lit(MOD))
+    hi = F.shiftright(r, 16)  # r ≥ 0, < 2^32: exact 16-bit split
+    lo = r.bitwiseAND(F.lit((1 << 16) - 1))
+    return F.pmod(
+        lo * F.lit(KNUTH) + F.pmod(hi * F.lit(KNUTH), F.lit(MOD)) * F.lit(1 << 16),
+        F.lit(MOD),
+    )
 
 
 def hash_sample(df: DataFrame, id_col: str, rate: float) -> DataFrame:

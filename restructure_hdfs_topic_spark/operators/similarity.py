@@ -252,11 +252,16 @@ def _bucket_scorer(k: int):
         cn = np.sqrt(np.einsum("ij,ij->i", cvecs, cvecs).astype(np.float64))
         sims = dots / (qn[:, None] * cn[None, :])
         out_q, out_c, out_s = [], [], []
-        kk = min(k, max(sims.shape[1] - 1, 0))
+        n_corpus = sims.shape[1]
         for qi in range(sims.shape[0]):
             row = sims[qi]
             self_mask = c_ids == q_ids[qi]
             row = np.where(self_mask, -np.inf, row)
+            # Per-query k: subtract the self-slot only when the query really
+            # is one of this bucket's corpus members — probe rows (IVF
+            # multiprobe, LSH Hamming-1) are NOT, and a blanket -1 would
+            # silently drop one legitimate neighbor per probed bucket.
+            kk = min(k, n_corpus - int(self_mask.any()))
             if kk <= 0:
                 continue
             top = np.argpartition(-row, kk - 1)[:kk] if len(row) > kk else np.arange(len(row))

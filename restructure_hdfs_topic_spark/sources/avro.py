@@ -183,7 +183,16 @@ def _decode_value(dec: _Decoder, schema: Any) -> Any:
         raise ValueError(f"unknown Avro primitive {t!r}")
     if isinstance(schema, list):  # union: branch index then value
         idx = dec.read_long()
-        return _decode_value(dec, schema[idx])
+        branch = schema[idx]
+        val = _decode_value(dec, branch)
+        non_null = [s for s in schema if s != "null"]
+        if len(non_null) <= 1 or branch == "null":
+            return val
+        # Multi-branch union: the Spark schema is a memberN struct
+        # (avro_type_to_spark, spark-avro's shape), so the decoded value must
+        # be wrapped as {memberJ: value} keyed by the branch's index among
+        # the non-null members — pyarrow fills the absent members with null.
+        return {f"member{non_null.index(branch)}": val}
     t = schema["type"]
     if t == "record":
         return {f["name"]: _decode_value(dec, f["type"]) for f in schema["fields"]}
@@ -382,13 +391,6 @@ def avro_type_to_spark(schema: Any) -> tuple[DataType, bool]:
 def _swap(pair):
     t, nullable = pair
     return t, nullable
-
-
-def _union_to_struct(value: Any, schema: Any) -> Any:
-    """Normalize decoded union values into the memberN struct shape."""
-    # Only used for multi-branch unions, which the fixtures don't exercise;
-    # single-branch unions decode to the plain value.
-    return value
 
 
 # ---------------------------------------------------------------------------

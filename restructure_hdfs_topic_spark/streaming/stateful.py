@@ -23,6 +23,66 @@ from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 
+def make_dedup_kernel(offset_col: str = "offset"):
+    """The per-group kernel behind ``streaming_seen_record_filter``,
+    exposed at module level so the cross-chunk dedup contract is directly
+    unit-testable (a synthetic multi-chunk ``pdf_iter`` + fake GroupState
+    exercises exactly what Arrow chunking does in production)."""
+    import numpy as np
+    import pandas as pd
+
+    def dedup(key, pdf_iter, state: GroupState):
+        if state.exists:
+            los, his = state.get
+            los = np.asarray(los, dtype=np.int64)
+            his = np.asarray(his, dtype=np.int64)
+        else:
+            los = np.empty(0, dtype=np.int64)
+            his = np.empty(0, dtype=np.int64)
+        # Offsets first emitted earlier in THIS batch (sorted, unique):
+        # Arrow hands the group as multiple chunks, so the committed-interval
+        # state alone cannot catch a duplicate that spans two chunks of the
+        # same micro-batch — this running set closes that gap.
+        fresh_sorted = np.empty(0, dtype=np.int64)
+        for pdf in pdf_iter:
+            offs = pdf[offset_col].to_numpy(dtype=np.int64)
+            if len(los):
+                # Interval membership: the candidate interval for offset o
+                # is the last one with lo <= o; seen iff o <= its hi.
+                idx = np.searchsorted(los, offs, side="right") - 1
+                seen = (idx >= 0) & (offs <= his[np.clip(idx, 0, None)])
+            else:
+                seen = np.zeros(len(offs), dtype=bool)
+            if len(fresh_sorted):
+                seen |= np.isin(offs, fresh_sorted)
+            # Also dedup within the chunk itself (a file may repeat offsets).
+            first_seen = ~pd.Series(offs).duplicated().to_numpy()
+            keep = ~seen & first_seen
+            out = pdf[keep]
+            if len(out):
+                yield out
+            kept = offs[keep]
+            if len(kept):
+                fresh_sorted = np.union1d(fresh_sorted, kept)
+        if len(fresh_sorted):
+            # Merge fresh offsets into the interval set: gaps-and-islands
+            # over the union of existing interval endpoints and new points.
+            merged_lo, merged_hi = [], []
+            intervals = sorted(
+                [(int(l), int(h)) for l, h in zip(los, his)]
+                + [(int(p), int(p)) for p in fresh_sorted]
+            )
+            for lo, hi in intervals:
+                if merged_lo and lo <= merged_hi[-1] + 1:
+                    merged_hi[-1] = max(merged_hi[-1], hi)
+                else:
+                    merged_lo.append(lo)
+                    merged_hi.append(hi)
+            state.update((merged_lo, merged_hi))
+
+    return dedup
+
+
 def streaming_seen_record_filter(
     records: DataFrame,
     topic_col: str = "topic",
@@ -36,56 +96,9 @@ def streaming_seen_record_filter(
     and replays are dropped.  State per group = sorted disjoint intervals
     of seen offsets (the same representation as the batch O16 state).
     """
-    import numpy as np
-    import pandas as pd
-
     out_schema = records.schema
-
-    def dedup(key, pdf_iter, state: GroupState):
-        if state.exists:
-            los, his = state.get
-            los = np.asarray(los, dtype=np.int64)
-            his = np.asarray(his, dtype=np.int64)
-        else:
-            los = np.empty(0, dtype=np.int64)
-            his = np.empty(0, dtype=np.int64)
-        new_offsets = []
-        for pdf in pdf_iter:
-            offs = pdf[offset_col].to_numpy(dtype=np.int64)
-            if len(los):
-                # Interval membership: the candidate interval for offset o
-                # is the last one with lo <= o; seen iff o <= its hi.
-                idx = np.searchsorted(los, offs, side="right") - 1
-                seen = (idx >= 0) & (offs <= his[np.clip(idx, 0, None)])
-            else:
-                seen = np.zeros(len(offs), dtype=bool)
-            # Also dedup within the batch itself (a file may repeat offsets).
-            first_seen = ~pd.Series(offs).duplicated().to_numpy()
-            keep = ~seen & first_seen
-            new_offsets.append(offs[~seen])
-            out = pdf[keep]
-            if len(out):
-                yield out
-        fresh = np.concatenate(new_offsets) if new_offsets else np.empty(0, dtype=np.int64)
-        if len(fresh):
-            # Merge fresh offsets into the interval set: gaps-and-islands
-            # over the union of existing interval endpoints and new points.
-            points = np.unique(fresh)
-            merged_lo, merged_hi = [], []
-            intervals = sorted(
-                [(int(l), int(h)) for l, h in zip(los, his)]
-                + [(int(p), int(p)) for p in points]
-            )
-            for lo, hi in intervals:
-                if merged_lo and lo <= merged_hi[-1] + 1:
-                    merged_hi[-1] = max(merged_hi[-1], hi)
-                else:
-                    merged_lo.append(lo)
-                    merged_hi.append(hi)
-            state.update((merged_lo, merged_hi))
-
     return records.groupBy(topic_col, partition_col).applyInPandasWithState(
-        dedup,
+        make_dedup_kernel(offset_col),
         outputStructType=out_schema,
         stateStructType="los array<long>, his array<long>",
         outputMode="append",
