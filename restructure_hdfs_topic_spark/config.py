@@ -59,6 +59,9 @@ class PathConfig:
 
     template: str = "${projectId}/${userId}/${topic}/${filename}"
     bin_format: str = "yyyyMMdd_HH'00'"
+    # "hive" (partition-column tree, Spark-native pushdown) or "template"
+    # (the reference's exact physical tree via plans.layout finalize).
+    layout: str = "hive"
 
 
 @dataclass

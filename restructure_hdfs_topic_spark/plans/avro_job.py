@@ -107,15 +107,30 @@ def _write_topic(
     topic: str,
 ) -> None:
     """O13 partitioned sink for one topic, CSV (flattened, dynamic header)
-    or JSON (nested).  The bin is a partition column — directory layout
-    projectId=<p>/userId=<u>/topic=<t>/bin=<b>; the reference's
-    p/u/t/<bin>.csv collapses bin into the filename (documented divergence,
-    SURVEY §7.3 #3: contents identical at directory granularity)."""
+    or JSON (nested).
+
+    Two physical layouts (``config.paths.layout``):
+
+    - ``hive`` (default): projectId=<p>/userId=<u>/topic=<t>/bin=<b>/part-*
+      — partition columns stay pushdown-able for downstream Spark readers.
+    - ``template``: the reference's exact tree — files land at the rendered
+      ``config.paths.template`` path (default ``<p>/<u>/<t>/<bin><ext>``,
+      path/FormattedPathFactory.kt:111) via the distributed staging write +
+      metadata-only finalize in ``plans.layout``.
+    """
     from restructure_hdfs_topic_spark.compression import (
         repack_to_zip,
         writer_compression,
     )
 
+    template_mode = config.paths.layout == "template"
+    if template_mode:
+        from restructure_hdfs_topic_spark.plans.layout import check_physical_template
+
+        check_physical_template(config.paths.template)
+        dest = f"{config.target_dir.rstrip('/')}/_staging_{topic}"
+    else:
+        dest = config.target_dir
     codec = writer_compression(config.compression)
     # The reference's output rows carry ONLY the record payload (flattened
     # key.*/value.* for CSV, nested for JSON) — accounting columns served
@@ -148,10 +163,14 @@ def _write_topic(
             .write.mode("append")
             .partitionBy(*PARTITION_COLS)
             .option("header", "true")
+            # The reference's CSV writer leaves empty fields unquoted
+            # (golden fixtures show `...,CONNECTED,` for a null ipAddress);
+            # Spark's default emptyValue would emit `""`.
+            .option("emptyValue", "")
         )
         if codec:
             writer = writer.option("compression", codec)
-        writer.csv(config.target_dir)
+        writer.csv(dest)
     else:
         writer = (
             payload.repartition(*[F.col(c) for c in PARTITION_COLS])
@@ -160,12 +179,29 @@ def _write_topic(
         )
         if codec:
             writer = writer.option("compression", codec)
-        writer.json(config.target_dir)
+        writer.json(dest)
     if config.compression == "zip":
-        repack_to_zip(config.target_dir)
-    from restructure_hdfs_topic_spark.plans.restructure import _write_schema_sidecar
+        repack_to_zip(dest)
+    if template_mode:
+        import json as _json
 
-    _write_schema_sidecar(payload.drop(*PARTITION_COLS), config.target_dir, [topic])
+        from restructure_hdfs_topic_spark.plans.layout import finalize_template_layout
+
+        schema_json = _json.dumps(
+            payload.drop(*PARTITION_COLS).schema.jsonValue(), indent=2
+        )
+        finalize_template_layout(
+            organized.sparkSession,
+            dest,
+            config.target_dir,
+            topic,
+            config.paths.template,
+            schema_json=schema_json,
+        )
+    else:
+        from restructure_hdfs_topic_spark.plans.restructure import _write_schema_sidecar
+
+        _write_schema_sidecar(payload.drop(*PARTITION_COLS), config.target_dir, [topic])
 
 
 def extract_time_seconds(df: DataFrame, flattened: bool) -> F.Column:
@@ -212,9 +248,31 @@ def read_target_times(spark: SparkSession, config: RestructureConfig, topic: str
     and project (projectId, userId, bin, t_seconds) — the membership side
     of the cleaner's verification join."""
     base = config.target_dir
-    path = f"{base}/projectId=*/userId=*/topic={topic}"
     if config.compression == "zip":
         return _read_zip_target_times(spark, config, topic)
+    if config.paths.layout == "template":
+        # Template tree carries project/user as PATH SEGMENTS, not partition
+        # columns — recover them from input_file_name with the regex derived
+        # from the same template that placed the files.
+        from restructure_hdfs_topic_spark.plans.layout import template_read_pattern
+
+        glob, rx, gi_proj, gi_user = template_read_pattern(
+            config.paths.template, topic, config.format
+        )
+        path = f"{base.rstrip('/')}/{glob}"
+        if config.format == "csv":
+            df = spark.read.option("header", "true").csv(path)
+            flattened = True
+        else:
+            df = spark.read.json(path)
+            flattened = False
+        fname = F.input_file_name()
+        return df.select(
+            F.regexp_extract(fname, rx, gi_proj).alias("t_project"),
+            F.regexp_extract(fname, rx, gi_user).alias("t_user"),
+            extract_time_seconds(df, flattened).alias("t_seconds"),
+        ).distinct()
+    path = f"{base}/projectId=*/userId=*/topic={topic}"
     if config.format == "csv":
         df = (
             spark.read.option("header", "true")
@@ -241,9 +299,16 @@ def _read_zip_target_times(
     compression/ZipCompression.kt:24-29) and apply the same positional
     time-candidate coalesce as ``extract_time_seconds``."""
     fmt = config.format
-    pattern = (
-        f"{config.target_dir}/projectId=*/userId=*/topic={topic}/*/*.{fmt}.zip"
-    )
+    if config.paths.layout == "template":
+        from restructure_hdfs_topic_spark.plans.layout import template_read_pattern
+
+        glob, rx_str, gi_proj, gi_user = template_read_pattern(
+            config.paths.template, topic, fmt
+        )
+        pattern = f"{config.target_dir.rstrip('/')}/{glob.replace(f'*.{fmt}*', f'*.{fmt}.zip')}"
+    else:
+        pattern = f"{config.target_dir}/projectId=*/userId=*/topic={topic}/*/*.{fmt}.zip"
+        rx_str, gi_proj, gi_user = r"projectId=([^/]+)/userId=([^/]+)", 1, 2
     bf = spark.read.format("binaryFile").load(pattern).select("path", "content")
     candidates = [(f"{p}.{c}", kind) for p, c, kind in _TIME_CANDIDATES]
     nested = list(_TIME_CANDIDATES)
@@ -256,7 +321,7 @@ def _read_zip_target_times(
 
         import pandas as pd
 
-        rx = re.compile(r"projectId=([^/]+)/userId=([^/]+)")
+        rx = re.compile(rx_str)
 
         def flat_seconds(df: "pd.DataFrame") -> "pd.Series":
             out = pd.Series([float("nan")] * len(df))
@@ -305,8 +370,8 @@ def _read_zip_target_times(
                         for line in text.splitlines()
                         if line.strip()
                     ]
-                proj.extend([m.group(1)] * len(ss))
-                user.extend([m.group(2)] * len(ss))
+                proj.extend([m.group(gi_proj)] * len(ss))
+                user.extend([m.group(gi_user)] * len(ss))
                 secs.extend(ss)
             yield pd.DataFrame(
                 {"t_project": proj, "t_user": user, "t_seconds": secs}

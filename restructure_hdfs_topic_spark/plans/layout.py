@@ -1,0 +1,255 @@
+"""Template-driven PHYSICAL output layout (the physical half of O11).
+
+The reference places every output file at the rendered template path
+``${projectId}/${userId}/${topic}/${filename}`` with ``filename`` =
+``<time-bin><attempt-suffix><extension>`` (path/FormattedPathFactory.kt:72-111;
+golden list in RestructureS3IntegrationTest.kt), e.g.::
+
+    STAGING_PROJECT/1543bc93-.../application_server_status/20200128_1300.csv
+    STAGING_PROJECT/1543bc93-.../application_server_status/schema-application_server_status.json
+
+A Spark ``partitionBy`` writer cannot emit that tree directly (it controls
+directories, not filenames), so template mode is a two-phase sink:
+
+1. the partitioned write lands in a hidden Hive-style staging tree
+   (``_staging_<topic>/projectId=…/userId=…/topic=…/bin=…/part-*``) — fully
+   distributed, one task per bin (the pre-write repartition guarantees one
+   part file per bin in the common case);
+2. ``finalize_template_layout`` MOVES each staged part to its rendered final
+   path.  A move is one filesystem metadata op per output bin — O(bins
+   touched this batch), never O(bytes) — except on object stores where a
+   rename is a server-side copy (same cost the reference pays for its
+   download-append-reupload, worker/FileCache.kt:61-103, but paid at most
+   once per bin instead of once per append).  Moves run on a thread pool:
+   S3/ABFS metadata latency dominates, not CPU.
+
+Append semantics across batches match the reference: when the destination
+file already exists (a later batch touched an old bin), the staged part is
+MERGED into it — decompress, drop the duplicate CSV header, recompress —
+exactly the reference's append path, and equally O(file size).
+
+Supported templates: any arrangement of ``${projectId}``, ``${userId}``,
+``${topic}`` and ``${filename}`` path segments (the reference's default and
+the common variants).  ``${time:…}``/``${sourceId}``/split
+``${attempt}``/``${extension}`` placements would need per-record grouping
+keys that the bin-granular writer does not persist — rejected with a clear
+error rather than silently mis-placed.
+"""
+
+from __future__ import annotations
+
+import io
+import re
+from concurrent.futures import ThreadPoolExecutor
+
+from pyspark.sql import SparkSession
+
+from restructure_hdfs_topic_spark.functions.paths import validate_template
+
+# Params the two-phase physical sink can place (everything the DEFAULT
+# template uses).  ${filename} is rendered as <bin><extension>; the attempt
+# suffix is already folded into the bin by the schema-attempt router.
+_PHYSICAL_PARAMS = {"projectId", "userId", "topic", "filename"}
+
+_PART_EXT_RE = re.compile(r"\.(csv|json)(\.[A-Za-z0-9]+)?$")
+_STAGE_RE = re.compile(r"projectId=([^/]+)/userId=([^/]+)/topic=([^/]+)/bin=([^/]+)/([^/]+)$")
+
+
+def check_physical_template(template: str) -> None:
+    """Reject templates the bin-granular physical writer cannot honor."""
+    params = set(validate_template(template))
+    unsupported = params - _PHYSICAL_PARAMS
+    if unsupported:
+        raise ValueError(
+            f"physical layout cannot place {sorted(unsupported)}: the partitioned "
+            f"writer persists (projectId, userId, topic, bin) groups only — "
+            f"supported parameters are {sorted(_PHYSICAL_PARAMS)}"
+        )
+
+
+def render_final_path(template: str, project: str, user: str, topic: str, filename: str) -> str:
+    """Driver-side render of an already-sanitized group (ids were sanitized
+    at organize time, functions/paths.sanitize_id) — the concrete-value twin
+    of the column-expression ``render_template``."""
+    return (
+        template.replace("${projectId}", project)
+        .replace("${userId}", user)
+        .replace("${topic}", topic)
+        .replace("${filename}", filename)
+    )
+
+
+def template_read_pattern(template: str, topic: str, fmt: str) -> tuple[str, str, int, int]:
+    """(glob, regex, projectId-group, userId-group) for reading a template
+    tree back (cleaner O21).  The glob matches data files only (the schema
+    sidecar never matches ``*.{fmt}*``)."""
+    check_physical_template(template)
+    glob_parts: list[str] = []
+    rx_parts: list[str] = []
+    group = 0
+    gi_proj = gi_user = -1
+    pos = 0
+    for m in re.finditer(r"\$\{([^}]*)}", template):
+        lit = template[pos : m.start()]
+        glob_parts.append(lit)
+        rx_parts.append(re.escape(lit))
+        p = m.group(1)
+        group += 1
+        if p == "projectId":
+            gi_proj = group
+            glob_parts.append("*")
+            rx_parts.append("([^/]+)")
+        elif p == "userId":
+            gi_user = group
+            glob_parts.append("*")
+            rx_parts.append("([^/]+)")
+        elif p == "topic":
+            glob_parts.append(topic)
+            rx_parts.append(f"({re.escape(topic)})")
+        else:  # filename
+            glob_parts.append(f"*.{fmt}*")
+            rx_parts.append(rf"([^/]+\.{fmt}[^/]*)")
+        pos = m.end()
+    tail = template[pos:]
+    glob_parts.append(tail)
+    rx_parts.append(re.escape(tail))
+    return "".join(glob_parts), "".join(rx_parts) + "$", gi_proj, gi_user
+
+
+def _merge_csv_like(chunks: list[bytes], is_csv: bool, codec: str | None) -> bytes:
+    """Reference-style append: decompress every chunk, keep the first CSV
+    header only, recompress the concatenation."""
+    texts = []
+    for raw in chunks:
+        if codec == "gz":
+            import gzip
+
+            raw = gzip.decompress(raw)
+        elif codec == "zip":
+            import zipfile
+
+            with zipfile.ZipFile(io.BytesIO(raw)) as zf:
+                raw = zf.read(zf.namelist()[0])
+        texts.append(raw.decode())
+    merged_lines: list[str] = []
+    for i, text in enumerate(texts):
+        lines = text.splitlines()
+        if is_csv and i > 0 and lines:
+            lines = lines[1:]  # drop the duplicate header
+        merged_lines.extend(lines)
+    out = ("\n".join(merged_lines) + "\n").encode()
+    if codec == "gz":
+        import gzip
+
+        out = gzip.compress(out)
+    elif codec == "zip":
+        import zipfile
+
+        buf = io.BytesIO()
+        with zipfile.ZipFile(buf, "w", zipfile.ZIP_DEFLATED, compresslevel=7) as zf:
+            zf.writestr("data", out)
+        out = buf.getvalue()
+    return out
+
+
+def finalize_template_layout(
+    spark: SparkSession,
+    staging_dir: str,
+    target_dir: str,
+    topic: str,
+    template: str,
+    schema_json: str | None = None,
+    max_workers: int = 8,
+) -> list[str]:
+    """Phase 2 of the template sink: move every staged part file to its
+    rendered final path under ``target_dir``, merging into pre-existing
+    destination files (append semantics), then place the ``schema-<topic>.json``
+    sidecar in every touched output directory
+    (worker/FileCacheStore.kt:100-116 puts it next to the data files).
+
+    All I/O goes through the Hadoop FileSystem API, so the layout works on
+    whatever store ``target_dir`` names.  Returns the final paths written.
+    """
+    check_physical_template(template)
+    jvm = spark._jvm
+    hconf = spark._jsc.hadoopConfiguration()
+    HPath = jvm.org.apache.hadoop.fs.Path
+    staging_path = HPath(staging_dir)
+    fs = staging_path.getFileSystem(hconf)
+    if not fs.exists(staging_path):
+        return []
+
+    # Group staged parts by (project, user, bin): RemoteIterator walk, driver
+    # memory O(parts this batch) — the same listing the write itself produced.
+    groups: dict[tuple[str, str, str], list[tuple[str, str]]] = {}
+    it = fs.listFiles(staging_path, True)
+    while it.hasNext():
+        st = it.next()
+        p = st.getPath().toString()
+        m = _STAGE_RE.search(p)
+        if not m or m.group(5).startswith(("_", ".")):
+            continue
+        proj, user, _t, bin_name, fname = m.groups()
+        ext_m = _PART_EXT_RE.search(fname)
+        if not ext_m:
+            continue
+        groups.setdefault((proj, user, bin_name), []).append((p, ext_m.group(0)))
+
+    final_paths: list[str] = []
+    sidecar_dirs: set[str] = set()
+
+    def place(key: tuple[str, str, str], parts: list[tuple[str, str]]) -> str:
+        proj, user, bin_name = key
+        parts = sorted(parts)
+        ext = parts[0][1]
+        rel = render_final_path(template, proj, user, topic, f"{bin_name}{ext}")
+        dest = HPath(target_dir, rel)
+        fs.mkdirs(dest.getParent())
+        sidecar_dirs.add(dest.getParent().toString())
+        if len(parts) == 1 and not fs.exists(dest):
+            fs.rename(HPath(parts[0][0]), dest)  # metadata-only on HDFS
+            return dest.toString()
+        # Append/merge path (existing destination or a bin split across
+        # parts): reference-parity decompress-append-recompress, O(file).
+        chunks: list[bytes] = []
+        if fs.exists(dest):
+            chunks.append(_read_bytes(fs, dest))
+        for p, _e in parts:
+            chunks.append(_read_bytes(fs, HPath(p)))
+        codec = ext.rsplit(".", 1)[1] if ext.count(".") > 1 else None
+        merged = _merge_csv_like(chunks, is_csv=".csv" in ext, codec=codec)
+        tmp = HPath(dest.getParent(), f".{dest.getName()}.tmp")
+        out = fs.create(tmp, True)
+        try:
+            out.write(bytearray(merged))
+        finally:
+            out.close()
+        if fs.exists(dest):
+            fs.delete(dest, False)
+        fs.rename(tmp, dest)
+        return dest.toString()
+
+    # py4j is thread-safe (one gateway connection per thread); object-store
+    # rename latency, not CPU, is the bottleneck this pool hides.
+    with ThreadPoolExecutor(max_workers=max_workers) as pool:
+        final_paths = list(pool.map(lambda kv: place(*kv), groups.items()))
+
+    if schema_json is not None:
+        for d in sorted(sidecar_dirs):
+            sc = HPath(d, f"schema-{topic}.json")
+            if not fs.exists(sc):
+                out = fs.create(sc, False)
+                try:
+                    out.write(bytearray(schema_json, "utf-8"))
+                finally:
+                    out.close()
+    fs.delete(staging_path, True)
+    return sorted(final_paths)
+
+
+def _read_bytes(fs, path) -> bytes:
+    stream = fs.open(path)
+    try:
+        return bytes(stream.readAllBytes())
+    finally:
+        stream.close()

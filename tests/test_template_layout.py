@@ -1,0 +1,163 @@
+"""Template-driven PHYSICAL output layout (O11 physical half) — the exact
+output tree RestructureS3IntegrationTest.kt pins for the reference fixtures,
+including schema sidecar placement and byte-exact golden CSV content.
+"""
+
+import glob
+import gzip
+import os
+import sys
+
+import pytest
+
+sys.path.insert(0, "/root/repo")
+
+from restructure_hdfs_topic_spark.config import (
+    PathConfig,
+    RestructureConfig,
+    WorkerConfig,
+)
+from restructure_hdfs_topic_spark.plans.avro_job import run_avro_restructure_job
+
+FIXTURES = "/root/reference/src/integrationTest/resources"
+
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(FIXTURES), reason="reference fixtures unavailable"
+)
+
+
+def _tree(root: str) -> list[str]:
+    return sorted(
+        os.path.relpath(p, root)
+        for p in glob.glob(f"{root}/**", recursive=True)
+        if os.path.isfile(p) and not os.path.basename(p).startswith((".", "_"))
+    )
+
+
+FIRST = "STAGING_PROJECT/1543bc93-3c17-4381-89a5-c5d6272b827c/application_server_status"
+SECOND = "radar-test-root/4ab9b985-6eec-4e51-9a29-f4c571c89f99/android_phone_acceleration"
+
+GOLDEN_CSV = (
+    "key.projectId,key.userId,key.sourceId,value.time,value.serverStatus,value.ipAddress\n"
+    "STAGING_PROJECT,1543bc93-3c17-4381-89a5-c5d6272b827c,99caf236-bbe6-4eed-9c63-fba77349821d,1.58021982003E9,CONNECTED,\n"
+    "STAGING_PROJECT,1543bc93-3c17-4381-89a5-c5d6272b827c,99caf236-bbe6-4eed-9c63-fba77349821d,1.58021982003E9,CONNECTED,\n"
+)
+
+
+def test_template_layout_matches_reference_golden_tree(spark, tmp_path):
+    """The exact file list of RestructureS3IntegrationTest.kt:71-80 (modulo
+    the acceleration topic's record volume, which spans two extra bins in
+    the full fixture), with schema-*.json placed NEXT to the data files and
+    the 20200128_1300 bin byte-identical to the golden CSV."""
+    cfg = RestructureConfig(
+        target_dir=str(tmp_path / "out"),
+        state_dir=str(tmp_path / "state"),
+        format="csv",
+        worker=WorkerConfig(minimum_file_age_s=0),
+        paths=PathConfig(layout="template"),
+    )
+    os.makedirs(cfg.state_dir, exist_ok=True)
+    result = run_avro_restructure_job(spark, FIXTURES, cfg, mode="python")
+    assert result["records_written"] == 1006
+
+    files = _tree(cfg.target_dir)
+    # The golden list from RestructureS3IntegrationTest.kt (the integration
+    # test's acceleration fixture produced one bin; the full fixture file
+    # holds 1000 records that span 20200528_1000/1100/1400 — same tree rule).
+    assert f"{FIRST}/20200128_1300.csv" in files
+    assert f"{FIRST}/20200128_1400.csv" in files
+    assert f"{FIRST}/schema-application_server_status.json" in files
+    assert f"{SECOND}/schema-android_phone_acceleration.json" in files
+    accel_bins = [f for f in files if f.startswith(SECOND) and f.endswith(".csv")]
+    assert accel_bins and all("/" not in f[len(SECOND) + 1 :] for f in accel_bins)
+    # NOTHING else: no Hive partition dirs, no staging leftovers.
+    assert all(f.startswith((FIRST, SECOND)) for f in files)
+    assert not glob.glob(f"{cfg.target_dir}/_staging_*")
+    assert not glob.glob(f"{cfg.target_dir}/projectId=*")
+
+    with open(os.path.join(cfg.target_dir, FIRST, "20200128_1300.csv")) as fh:
+        assert fh.read() == GOLDEN_CSV
+
+    # Idempotent rerun: committed offsets prune everything, tree unchanged.
+    result2 = run_avro_restructure_job(spark, FIXTURES, cfg, mode="python")
+    assert result2["records_written"] == 0
+    assert _tree(cfg.target_dir) == files
+
+
+def test_template_layout_append_merges_existing_bins(spark, tmp_path):
+    """Reprocessing into an existing bin must APPEND (reference
+    FileCache.kt:61-103 semantics), not clobber: run the job, roll back the
+    committed offsets, run again — rows double, header stays single."""
+    from restructure_hdfs_topic_spark.operators.offsets import (
+        read_offsets,
+        replace_offsets,
+    )
+
+    cfg = RestructureConfig(
+        target_dir=str(tmp_path / "out"),
+        state_dir=str(tmp_path / "state"),
+        format="csv",
+        worker=WorkerConfig(minimum_file_age_s=0),
+        paths=PathConfig(layout="template"),
+    )
+    os.makedirs(cfg.state_dir, exist_ok=True)
+    run_avro_restructure_job(spark, FIXTURES, cfg, mode="python")
+    # Forget the commits (simulates a re-delivered source prefix).
+    empty = read_offsets(spark, cfg.state_dir).limit(0)
+    replace_offsets(spark, cfg.state_dir, empty)
+    run_avro_restructure_job(spark, FIXTURES, cfg, mode="python")
+    with open(os.path.join(cfg.target_dir, FIRST, "20200128_1300.csv")) as fh:
+        lines = fh.read().splitlines()
+    assert lines[0].startswith("key.projectId")
+    assert sum(1 for l in lines if l.startswith("key.projectId")) == 1
+    assert len(lines) == 1 + 4  # 2 rows per run
+
+
+def test_template_layout_gzip_extension(spark, tmp_path):
+    """Compression folds into the rendered filename: <bin>.csv.gz."""
+    cfg = RestructureConfig(
+        target_dir=str(tmp_path / "out"),
+        state_dir=str(tmp_path / "state"),
+        format="csv",
+        compression="gzip",
+        worker=WorkerConfig(minimum_file_age_s=0),
+        paths=PathConfig(layout="template"),
+    )
+    os.makedirs(cfg.state_dir, exist_ok=True)
+    run_avro_restructure_job(spark, FIXTURES, cfg, mode="python")
+    path = os.path.join(cfg.target_dir, FIRST, "20200128_1300.csv.gz")
+    assert os.path.exists(path)
+    with gzip.open(path, "rt") as fh:
+        assert fh.read() == GOLDEN_CSV
+
+
+def test_template_cleaner_reads_template_tree(spark, tmp_path):
+    """The cleaner's target timestamp index (O21) must work over the
+    template tree — project/user recovered from path segments."""
+    from restructure_hdfs_topic_spark.plans.avro_job import read_target_times
+
+    cfg = RestructureConfig(
+        target_dir=str(tmp_path / "out"),
+        state_dir=str(tmp_path / "state"),
+        format="csv",
+        worker=WorkerConfig(minimum_file_age_s=0),
+        paths=PathConfig(layout="template"),
+    )
+    os.makedirs(cfg.state_dir, exist_ok=True)
+    run_avro_restructure_job(spark, FIXTURES, cfg, mode="python")
+    tt = read_target_times(spark, cfg, "application_server_status")
+    rows = tt.collect()
+    assert {(r["t_project"], r["t_user"]) for r in rows} == {
+        ("STAGING_PROJECT", "1543bc93-3c17-4381-89a5-c5d6272b827c")
+    }
+    assert any(abs(r["t_seconds"] - 1.58021982003e9) < 1e-3 for r in rows)
+
+
+def test_unsupported_physical_template_rejected():
+    from restructure_hdfs_topic_spark.plans.layout import check_physical_template
+
+    with pytest.raises(ValueError, match="physical layout cannot place"):
+        check_physical_template("${projectId}/${topic}/${time:yyyyMM}/${filename}")
+    # the default and segment-reordered variants are fine
+    check_physical_template("${projectId}/${userId}/${topic}/${filename}")
+    check_physical_template("${topic}/${projectId}/${userId}/${filename}")
