@@ -409,12 +409,68 @@ class SourceFile:
     size: int
 
 
-def parse_filename(path: str) -> tuple[str, int, int, int] | None:
+def parse_filename(path: str) -> tuple[str, int, int, int | None] | None:
+    """``topic+partition+from[+to].avro`` → (topic, partition, from, to);
+    ``to`` is None when the name carries only a start offset (Kafka Connect
+    writes those when a file holds an unknown span — the reference resolves
+    the true end from S3 object tags / Azure metadata,
+    source/S3SourceStorage.kt:40-59)."""
     m = FILENAME_RE.match(path)
     if not m:
         return None
     topic, partition, ofrom, oto = m.groups()
-    return topic, int(partition), int(ofrom), int(oto) if oto else int(ofrom)
+    return topic, int(partition), int(ofrom), int(oto) if oto else None
+
+
+def _read_long_stream(fh) -> int | None:
+    """Zigzag varint from a file object; None at clean EOF."""
+    first = fh.read(1)
+    if not first:
+        return None
+    acc, shift, byte = 0, 0, first[0]
+    while True:
+        acc |= (byte & 0x7F) << shift
+        if not (byte & 0x80):
+            break
+        shift += 7
+        nxt = fh.read(1)
+        if not nxt:
+            raise EOFError("truncated varint")
+        byte = nxt[0]
+    return (acc >> 1) ^ -(acc & 1)
+
+
+def count_container_records(path: str) -> int:
+    """Record count of an Avro container from BLOCK HEADERS only: each block
+    prefixes (record count, byte size) — sum the counts, seek past the data.
+    No block is decompressed or decoded, so this is O(#blocks) metadata I/O —
+    the local-filesystem analogue of the endOffset object tag the reference
+    reads for single-offset filenames (source/S3SourceStorage.kt:40-59,
+    source/AzureSourceStorage.kt:28-46)."""
+    with open(path, "rb") as fh:
+        if fh.read(4) != MAGIC:
+            raise ValueError("not an Avro object container file")
+        while True:  # header metadata map (skip values)
+            n = _read_long_stream(fh)
+            if n is None:
+                raise EOFError("truncated header")
+            if n == 0:
+                break
+            if n < 0:
+                n = -n
+                _read_long_stream(fh)  # byte-size prefix of the map block
+            for _ in range(n):
+                fh.seek(_read_long_stream(fh), 1)  # key
+                fh.seek(_read_long_stream(fh), 1)  # value
+        fh.seek(16, 1)  # sync marker
+        total = 0
+        while True:
+            n_records = _read_long_stream(fh)
+            if n_records is None:
+                return total
+            total += n_records
+            fh.seek(_read_long_stream(fh), 1)  # block payload
+            fh.seek(16, 1)  # sync marker
 
 
 def walk_topics(root: str, exclude: set[str] | None = None) -> dict[str, list[SourceFile]]:
@@ -444,6 +500,16 @@ def walk_topics(root: str, exclude: set[str] | None = None) -> dict[str, list[So
             if st.st_size == 0:  # zero-length guard (RestructureWorker.kt:118-124)
                 continue
             t, partition, ofrom, oto = parsed
+            if oto is None:
+                # O3 tail: single-offset name — resolve the true end offset
+                # from the container's block headers (record count), the
+                # analogue of the reference's object-tag lookup.  A file we
+                # cannot parse keeps the 1-record assumption; the decoder
+                # will surface the corruption downstream.
+                try:
+                    oto = ofrom + max(count_container_records(full), 1) - 1
+                except (ValueError, EOFError, OSError):
+                    oto = ofrom
             topics.setdefault(topic, []).append(
                 SourceFile(full, t, partition, ofrom, oto, st.st_mtime, st.st_size)
             )

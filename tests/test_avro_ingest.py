@@ -58,9 +58,45 @@ def test_walk_topics_and_filename_parse():
     topics = walk_topics(FIXTURES)
     assert set(topics) == {"application_server_status", "android_phone_acceleration"}
     status_files = topics["application_server_status"]
+    # The +21 file has no `+to` in its name: walk resolves the true end
+    # offset (21+3 records-1 = 23) from the container block headers — the
+    # analogue of the reference's S3 endOffset tag (S3SourceStorage.kt:40-59).
     assert [(f.partition, f.offset_from, f.offset_to) for f in status_files] == [
         (1, 18, 20),
-        (1, 21, 21),
+        (1, 21, 23),
+    ]
+
+
+def test_single_offset_filename_commits_true_range(spark, tmp_path):
+    """O3 tail: processing the single-offset fixture must commit [21, 23]
+    (record-count end offset), so the cleaner's `offset_to + 1 <= hi` check
+    can ever succeed and a partially-committed prefix is not mistaken for
+    full coverage."""
+    import shutil
+
+    from restructure_hdfs_topic_spark.config import RestructureConfig, WorkerConfig
+    from restructure_hdfs_topic_spark.operators.offsets import read_offsets
+    from restructure_hdfs_topic_spark.plans.avro_job import run_avro_restructure_job
+
+    src = tmp_path / "in" / "application_server_status" / "partition=1"
+    src.mkdir(parents=True)
+    shutil.copy(
+        f"{FIXTURES}/application_server_status/partition=1/"
+        "application_server_status+1+0000000021.avro",
+        src,
+    )
+    cfg = RestructureConfig(
+        target_dir=str(tmp_path / "out"),
+        state_dir=str(tmp_path / "state"),
+        format="csv",
+        worker=WorkerConfig(minimum_file_age_s=0),
+    )
+    os.makedirs(cfg.state_dir, exist_ok=True)
+    result = run_avro_restructure_job(spark, str(tmp_path / "in"), cfg, mode="python")
+    assert result["records_written"] == 3
+    state = read_offsets(spark, cfg.state_dir).collect()
+    assert [(r["topic"], r["partition"], r["offset_from"], r["offset_to"]) for r in state] == [
+        ("application_server_status", 1, 21, 23)
     ]
 
 
