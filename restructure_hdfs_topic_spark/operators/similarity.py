@@ -274,6 +274,43 @@ def _bucket_scorer(k: int):
     return score_bucket
 
 
+def _calibrate_nprobe(
+    sample: "np.ndarray", centroids: "np.ndarray", k: int, target_recall: float
+) -> int:
+    """Smallest nprobe reaching ``target_recall`` on a corpus sample.
+
+    For an exact neighbor pair (q, c), IVF at probe depth p finds c iff
+    c's cluster ranks within q's top-p clusters — so the recall-vs-nprobe
+    curve is exactly the distribution of that *cluster rank* over sampled
+    (query, true-neighbor) pairs.  One m×m matmul for in-sample ground
+    truth + one m×C matmul for cluster ranks; O(sample²) regardless of
+    corpus size (the FAISS-style auto-tune shape).  Deterministic: the
+    sample and centroids both come from order-independent hash selection.
+    """
+    import numpy as np
+
+    vv = sample.astype(np.float64)
+    vn = np.sqrt((vv**2).sum(axis=1))
+    vn[vn == 0] = 1.0
+    cf = centroids.astype(np.float64)
+    cn = np.sqrt((cf**2).sum(axis=1))
+    cn[cn == 0] = 1.0
+    m = len(vv)
+    sims_c = (vv @ cf.T) / (vn[:, None] * cn[None, :])  # m × C cluster affinity
+    member_cluster = np.argmax(sims_c, axis=1)  # where each sample point lands
+    order = np.argsort(-sims_c, axis=1, kind="stable")
+    rank_of = np.empty_like(order)
+    rank_of[np.arange(m)[:, None], order] = np.arange(order.shape[1])[None, :]
+    sims_q = (vv @ vv.T) / (vn[:, None] * vn[None, :])
+    np.fill_diagonal(sims_q, -np.inf)
+    kk = min(k, m - 1)
+    topk = np.argpartition(-sims_q, kk - 1, axis=1)[:, :kk]
+    needed = rank_of[np.arange(m)[:, None], member_cluster[topk]].ravel()
+    needed.sort()
+    idx = min(len(needed) - 1, max(0, int(np.ceil(target_recall * len(needed))) - 1))
+    return int(needed[idx]) + 1
+
+
 def ivf_ann_topk(
     embeddings: DataFrame,
     k: int = 5,
@@ -282,6 +319,8 @@ def ivf_ann_topk(
     n_centroids: int | None = None,
     nprobe: int | None = None,
     lloyd_iters: int = 1,
+    target_recall: float = 0.9,
+    calibration_sample: int = 2048,
 ) -> DataFrame:
     """IVF (inverted-file) approximate top-k — the coarse-quantizer
     alternative to hyperplane LSH:
@@ -295,7 +334,11 @@ def ivf_ann_topk(
        floor-divided centroid means are bit-identical regardless of
        partitioning — no float-order nondeterminism.
     3. Corpus vectors land in their single nearest cluster; each query
-       probes its ``nprobe`` nearest clusters (the recall knob).
+       probes its ``nprobe`` nearest clusters (the recall knob).  When
+       ``nprobe`` is None it is CALIBRATED: the smallest probe depth whose
+       measured recall on a hash-sample reaches ``target_recall``
+       (``_calibrate_nprobe`` — neighbor-cluster-rank distribution, two
+       sample-local matmuls, corpus-size-independent).
     4. Per-cluster scoring is the same blocked int64 matmul as
        ``lsh_ann_topk`` (shared ``_bucket_scorer``); global top-k via
        distinct + window.
@@ -313,28 +356,33 @@ def ivf_ann_topk(
     n = embeddings.count()
     if n_centroids is None:
         n_centroids = max(2, min(65536, int(math.isqrt(n))))
-    if nprobe is None:
-        # Near-uniform embeddings (no cluster structure) are IVF's worst
-        # case: Voronoi cells barely correlate with cosine neighborhoods,
-        # so recall tracks the probed fraction almost linearly (measured
-        # on the synthetic corpus: 0.75 recall@5 at 35% probed, 0.90 at
-        # 57%).  Genuinely clustered data (the usual IVF use case) reaches
-        # high recall at nprobe « n_centroids — see the clustered unit
-        # test (recall ≥ 0.9 probing 2 of 4 cells).  Default trades at
-        # 35%; tune per corpus.
-        nprobe = max(4, -(-n_centroids * 35 // 100))
-    nprobe = min(nprobe, n_centroids)
     quant = embeddings.select(
         F.col(id_col).alias("id"), _quantize(F.col(vec_col)).alias("vec")
     )
-    seeds = (
+    # One hash-ordered collect serves both the centroid seeds (first
+    # n_centroids) and the calibration sample — order-independent, and
+    # O(max(C, sample) × dim) driver bytes regardless of corpus size.
+    pool = (
         quant.withColumn("h", F.xxhash64(F.col("id")))
         .orderBy("h")
-        .limit(n_centroids)
+        .limit(max(n_centroids, calibration_sample if nprobe is None else 0))
         .select("vec")
         .collect()
     )
-    centroids = np.stack([np.asarray(r["vec"], dtype=np.int64) for r in seeds])
+    sample_vecs = np.stack([np.asarray(r["vec"], dtype=np.int64) for r in pool])
+    centroids = sample_vecs[:n_centroids].copy()
+
+    if nprobe is None and _calibrate_nprobe(
+        sample_vecs, centroids, k, target_recall
+    ) > n_centroids // 2:
+        # Degenerate coarse quantizer (checked on the SEED centroids, before
+        # any Lloyd job runs): hitting the recall target needs probing most
+        # cells, i.e. the Voronoi partition carries no neighborhood signal
+        # and IVF devolves into a pricier brute force.  Route to the
+        # hyperplane-LSH path, which reaches the same target at
+        # near-constant bucket work on exactly these unclustered corpora.
+        # Callers wanting pure IVF regardless pass nprobe explicitly.
+        return lsh_ann_topk(embeddings, k=k, id_col=id_col, vec_col=vec_col)
 
     def assigner(cents: np.ndarray, probes: int, corpus: bool):
         cf = cents.astype(np.float64)
@@ -380,6 +428,13 @@ def ivf_ann_topk(
             # matters, not the rounding direction).
             new_cents[r["cluster"], r["pos"]] = r["s"] // r["c"]
         centroids = new_cents
+
+    if nprobe is None:
+        # Probe depth from the measured recall-vs-nprobe curve on the
+        # sample, against the FINAL (post-Lloyd) centroids — pure numpy,
+        # no extra Spark job.
+        nprobe = _calibrate_nprobe(sample_vecs, centroids, k, target_recall)
+    nprobe = max(1, min(nprobe, n_centroids))
 
     corpus_rows = quant.mapInPandas(assigner(centroids, 1, True), schema=schema)
     probe_rows = quant.mapInPandas(assigner(centroids, nprobe, False), schema=schema)

@@ -200,6 +200,54 @@ def test_ivf_ann_topk_clustered_recall(spark):
     assert hits / exact.count() >= 0.9
 
 
+def test_ivf_nprobe_calibration_and_degenerate_routing(spark):
+    """Default (nprobe=None) behavior: clustered corpora calibrate a SMALL
+    probe depth and stay on IVF; a corpus whose calibrated depth exceeds
+    half the centroids (no cluster structure) routes to the LSH path —
+    either way, default-settings recall@5 must reach the 0.9 target."""
+    import math
+    import random
+
+    import numpy as np
+
+    from restructure_hdfs_topic_spark.operators.similarity import (
+        _calibrate_nprobe,
+        cosine_topk,
+        ivf_ann_topk,
+    )
+
+    rng = random.Random(11)
+    # Clustered: calibration on the planted-cluster geometry needs few probes.
+    clustered = np.array(
+        [
+            [b + rng.uniform(-0.05, 0.05) for b in base]
+            for base in ([1, 0, 0, 0], [0, 1, 0, 0], [0, 0, 1, 0], [0, 0, 0, 1])
+            for _ in range(25)
+        ]
+    )
+    quant = (clustered * 127).astype(np.int64)
+    probes = _calibrate_nprobe(quant, quant[:8].copy(), k=3, target_recall=0.9)
+    assert probes <= 4  # half of 8 centroids: stays on the IVF path
+    # Uniform: every direction random — cluster rank carries no signal, so
+    # the calibrated depth blows past half the centroids.
+    uniform = np.array(
+        [[rng.gauss(0, 1) for _ in range(32)] for _ in range(200)]
+    )
+    uq = (uniform * 127).astype(np.int64)
+    n_cent = max(2, int(math.isqrt(200)))
+    deep = _calibrate_nprobe(uq, uq[:n_cent].copy(), k=3, target_recall=0.9)
+    assert deep > n_cent // 2  # triggers the LSH route
+    # End-to-end default call on the uniform corpus: routed, recall >= 0.9.
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in row]) for i, row in enumerate(uniform)],
+        "vec_id long, embedding array<double>",
+    )
+    approx = ivf_ann_topk(emb, k=5)
+    exact = cosine_topk(emb, k=5)
+    hits = exact.join(approx, ["query_id", "neighbor_id"], "left_semi").count()
+    assert hits / exact.count() >= 0.9
+
+
 def test_connected_components_chain_and_islands(spark):
     """Pointer jumping must collapse a worst-case chain (diameter = n-1)
     within the round budget; isolated vertices keep their own label."""
