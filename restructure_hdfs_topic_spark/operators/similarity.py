@@ -320,7 +320,7 @@ def ivf_ann_topk(
     nprobe: int | None = None,
     lloyd_iters: int = 1,
     target_recall: float = 0.9,
-    calibration_sample: int = 2048,
+    calibration_sample: int = 512,
 ) -> DataFrame:
     """IVF (inverted-file) approximate top-k — the coarse-quantizer
     alternative to hyperplane LSH:
