@@ -154,6 +154,136 @@ def with_minhash_sig(hashed_df: DataFrame, num_hashes: int = 32) -> DataFrame:
     return hashed_df.withColumn("sig", sigs)
 
 
+def _minhash_kernel(n: int, num_hashes: int):
+    """Arrow ``mapInPandas`` kernel: (id, text) → (id, hashed, sig) — the
+    whole shingle→hash→minhash chain as VECTORIZED numpy over one flat byte
+    buffer per batch (the round-2 profile's last interpreted hot spot was
+    exactly this chain as Catalyst higher-order lambdas, ~15 µs/element-op).
+
+    Everything is O(total bytes) with no per-token Python:
+
+    - token boundaries from whitespace runs on the uint8 view (ASCII
+      lowercase applied vectorized; matches the JVM path's ``\\s+`` split
+      for ASCII corpora);
+    - token hash = char-polynomial mod 2^64 via a power table +
+      ``np.add.reduceat``, length-mixed and finalized with a splitmix64
+      avalanche;
+    - shingle hash = weighted wrap-sum of ``n`` consecutive token hashes
+      (doc-crossing windows masked out), distinct per doc via lexsort;
+    - signature = ``np.minimum.reduceat`` per affine function.
+
+    Hash values differ from the JVM ``xxhash64`` variant — immaterial:
+    hashes are internal to this pipeline (banding + hashed-set Jaccard),
+    and any collision-resistant 64-bit family yields the same verified
+    pairs up to 2^-64 collisions.  Docs with no shingles are dropped (they
+    can never verify at a positive threshold).
+    """
+
+    def kernel(batches):
+        import numpy as np
+        import pandas as pd
+
+        B = np.uint64(HASH_BASE)
+        MOD = np.uint64(HASH_MOD)
+        MIX1, MIX2 = np.uint64(0xBF58476D1CE4E5B9), np.uint64(0x94D049BB133111EB)
+        # Odd multipliers mixing the n token hashes into a shingle hash.
+        coef = (np.arange(n, dtype=np.uint64) * np.uint64(2) + np.uint64(0x9E3779B97F4A7C15)) | np.uint64(1)
+        a_vec = (np.arange(num_hashes, dtype=np.uint64) * np.uint64(2)) + np.uint64(1)
+        b_vec = np.uint64(7919) * (np.arange(num_hashes, dtype=np.uint64) + np.uint64(1))
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            texts = pdf.iloc[:, 1].fillna("")
+            ids = pdf.iloc[:, 0].to_numpy()
+            joined = ("\n".join(texts)).encode("utf-8", "surrogatepass") + b"\n"
+            arr = np.frombuffer(joined, dtype=np.uint8).copy()
+            doc_bytes = np.fromiter(
+                (len(t.encode("utf-8", "surrogatepass")) + 1 for t in texts),
+                dtype=np.int64,
+                count=len(texts),
+            )
+            doc_end = np.cumsum(doc_bytes)
+            with np.errstate(over="ignore"):
+                upper = (arr >= 65) & (arr <= 90)
+                arr[upper] += 32
+                ws = (arr == 32) | ((arr >= 9) & (arr <= 13))
+                # The injected "\n" separators are whitespace, so tokens
+                # never span documents.
+                prev_ws = np.empty_like(ws)
+                prev_ws[0] = True
+                prev_ws[1:] = ws[:-1]
+                starts = np.flatnonzero(~ws & prev_ws)
+                next_ws = np.empty_like(ws)
+                next_ws[-1] = True
+                next_ws[:-1] = ws[1:]
+                ends = np.flatnonzero(~ws & next_ws) + 1
+                if not len(starts):
+                    continue
+                tok_len = ends - starts
+                # Polynomial hash: byte * B^(distance from token end).
+                pos = np.arange(len(arr), dtype=np.int64)
+                in_tok = ~ws
+                tok_id_of_byte = np.cumsum(~ws & prev_ws) - 1  # valid where in_tok
+                exp = np.zeros(len(arr), dtype=np.int64)
+                exp[in_tok] = ends[tok_id_of_byte[in_tok]] - 1 - pos[in_tok]
+                bpow = np.empty(int(tok_len.max()), dtype=np.uint64)
+                bpow[0] = np.uint64(1)
+                for i in range(1, len(bpow)):
+                    bpow[i] = bpow[i - 1] * B
+                contrib = np.zeros(len(arr), dtype=np.uint64)
+                contrib[in_tok] = arr[in_tok].astype(np.uint64) * bpow[exp[in_tok]]
+                th = np.add.reduceat(contrib, starts)
+                th = th * MIX1 + tok_len.astype(np.uint64)
+                th ^= th >> np.uint64(31)
+                th *= MIX2
+                th ^= th >> np.uint64(29)
+                # Doc index per token from the token's start byte.
+                tdoc = np.searchsorted(doc_end, starts, side="right")
+                # Shingle hash over n consecutive token hashes.
+                if len(th) < n:
+                    continue
+                m = len(th) - n + 1
+                sh = np.zeros(m, dtype=np.uint64)
+                for j in range(n):
+                    sh += th[j : j + m] * coef[j]
+                sh ^= sh >> np.uint64(33)
+                sh *= MIX1
+                sh ^= sh >> np.uint64(28)
+                valid = tdoc[:m] == tdoc[n - 1 :]
+                sh = sh[valid]
+                sdoc = tdoc[:m][valid]
+                if not len(sh):
+                    continue
+                # Distinct (doc, shingle-hash).
+                order = np.lexsort((sh, sdoc))
+                sh, sdoc = sh[order], sdoc[order]
+                keep = np.empty(len(sh), dtype=bool)
+                keep[0] = True
+                keep[1:] = (sh[1:] != sh[:-1]) | (sdoc[1:] != sdoc[:-1])
+                sh, sdoc = sh[keep], sdoc[keep]
+                counts = np.bincount(sdoc, minlength=len(texts))
+                present = np.flatnonzero(counts)
+                offsets = np.concatenate(([0], np.cumsum(counts[present])))[:-1]
+                # Signatures: affine family over h mod HASH_MOD, min per doc.
+                hm = sh % MOD
+                sig = np.empty((num_hashes, len(present)), dtype=np.int64)
+                for i in range(num_hashes):
+                    sig[i] = np.minimum.reduceat(
+                        (hm * a_vec[i] + b_vec[i]) % MOD, offsets
+                    ).astype(np.int64)
+            hashed_lists = np.split(sh.astype(np.int64), np.cumsum(counts[present])[:-1])
+            yield pd.DataFrame(
+                {
+                    "id": ids[present],
+                    "hashed": hashed_lists,
+                    "sig": list(sig.T),
+                }
+            )
+
+    return kernel
+
+
 def lsh_near_dup_pairs(
     df: DataFrame,
     id_col: str,
@@ -173,6 +303,10 @@ def lsh_near_dup_pairs(
     hashed shingles equals Jaccard over shingles modulo hash collisions
     (2^-64 per pair) — this path is approximate by construction (LSH
     recall < 1), hence rows-only correctness.
+
+    Shingling + hashing + signatures run in one Arrow numpy kernel
+    (``_minhash_kernel``) — O(bytes), no interpreted higher-order
+    expressions; banding and Jaccard verification stay JVM-side.
     """
     # The hashed-shingle frame feeds three plan branches (signatures + both
     # verification sides); persist it spill-safely instead of recomputing.
@@ -180,9 +314,14 @@ def lsh_near_dup_pairs(
     # document — far smaller than the text it derives from.
     from pyspark.storagelevel import StorageLevel
 
-    hashed = with_minhash_sig(
-        hashed_shingles(df, id_col, text_col, n), num_hashes
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    hashed = (
+        df.select(F.col(id_col).alias("id"), F.col(text_col).cast("string").alias("text"))
+        .mapInPandas(
+            _minhash_kernel(n, num_hashes),
+            schema="id long, hashed array<long>, sig array<long>",
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     cands = lsh_candidate_pairs(hashed.select("id", "sig"), bands, rows_per_band)
     a = hashed.select(F.col("id").alias("id_a"), F.col("hashed").alias("sh_a"))
     b = hashed.select(F.col("id").alias("id_b"), F.col("hashed").alias("sh_b"))

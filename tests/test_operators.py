@@ -120,6 +120,62 @@ def test_shingles_short_doc_is_empty(spark):
     assert out[1].sh == ["a b c", "b c d"]
 
 
+def test_minhash_kernel_semantics(spark):
+    """The numpy minhash kernel: identical docs agree on hashed sets AND
+    signatures; case/extra-whitespace variants normalize to the same
+    tokens; docs shorter than n tokens are dropped; results don't depend
+    on how rows batch into Arrow chunks."""
+    from restructure_hdfs_topic_spark.operators.dedup import _minhash_kernel
+
+    rows = [
+        (1, "Alpha  beta\tgamma delta"),
+        (2, "alpha beta gamma delta"),
+        (3, "zz yy xx ww vv"),
+        (4, "too short"),
+        (5, ""),
+        (6, None),
+    ]
+    df = spark.createDataFrame(rows, "id long, text string")
+    out = {
+        r["id"]: r
+        for r in df.mapInPandas(
+            _minhash_kernel(3, 8), schema="id long, hashed array<long>, sig array<long>"
+        ).collect()
+    }
+    assert set(out) == {1, 2, 3}  # <3-token and empty docs dropped
+    assert sorted(out[1]["hashed"]) == sorted(out[2]["hashed"])
+    assert out[1]["sig"] == out[2]["sig"]
+    assert len(out[1]["sig"]) == 8
+    assert sorted(out[1]["hashed"]) != sorted(out[3]["hashed"])
+    # Partitioning independence: one row per partition gives identical rows.
+    out1 = {
+        r["id"]: r
+        for r in df.repartition(6)
+        .mapInPandas(
+            _minhash_kernel(3, 8), schema="id long, hashed array<long>, sig array<long>"
+        )
+        .collect()
+    }
+    assert {k: (sorted(v["hashed"]), v["sig"]) for k, v in out.items()} == {
+        k: (sorted(v["hashed"]), v["sig"]) for k, v in out1.items()
+    }
+
+
+def test_lsh_near_dup_pairs_finds_identical_docs(spark):
+    from restructure_hdfs_topic_spark.operators.dedup import lsh_near_dup_pairs
+
+    df = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta"),
+            (2, "alpha beta gamma delta epsilon zeta"),
+            (3, "qq ww ee rr tt yy uu"),
+        ],
+        "doc_id long, text string",
+    )
+    pairs = lsh_near_dup_pairs(df, "doc_id", "text", threshold=0.5).collect()
+    assert [(p["id_a"], p["id_b"], p["jaccard"]) for p in pairs] == [(1, 2, 1.0)]
+
+
 def test_ngram_jaccard_identical_docs(spark):
     df = spark.createDataFrame(
         [(1, "alpha beta gamma delta"), (2, "alpha beta gamma delta"), (3, "zz yy xx ww")],
