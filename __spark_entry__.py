@@ -657,9 +657,10 @@ def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH candidate pairs verified by exact Jaccard over hashed
-    shingles — the 100 TB near-dup path (no O(n²) compare, xxhash64
-    production hashing, shingles computed once).  Rows-only check: LSH
-    recall < 1 by construction, so no SQL oracle."""
+    shingles — the 100 TB near-dup path (no O(n²) compare; the whole
+    shingle→hash→signature chain is one Arrow numpy kernel, computed
+    once).  Rows-only check: LSH recall < 1 by construction, so no SQL
+    oracle."""
     from restructure_hdfs_topic_spark.operators.dedup import lsh_near_dup_pairs
 
     _conf(spark)
