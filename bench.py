@@ -124,6 +124,18 @@ def main() -> None:
         rows = int(obs.get["rows"])
         timings[name] = round(time.time() - t0, 3)
         print(f"# {name}: {timings[name]}s ({rows} rows)", file=sys.stderr)
+        # Untimed inter-query hygiene: operators persist/localCheckpoint
+        # intermediates inside their returned plans (LSH shingle tables,
+        # CC edge checkpoints).  Those blocks are only reclaimed by the
+        # ContextCleaner after the PYTHON plan objects are collected —
+        # dropping the refs and forcing a gc here keeps block-manager /
+        # storage-memory pressure from one query bleeding into the next
+        # (measured: repeated heavy queries slowed 2-3x within a session).
+        del df, obs
+        import gc
+
+        gc.collect()
+        spark.catalog.clearCache()
 
     recalls = measure_recall(spark)
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]

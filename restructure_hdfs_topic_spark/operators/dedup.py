@@ -428,6 +428,7 @@ def simhash_near_dup_pairs(
     bits: int = 32,
     max_hamming: int = 3,
     bands: int | None = None,
+    dedup: bool = True,
 ) -> DataFrame:
     """SimHash near-duplicate pairs with Hamming distance ≤ ``max_hamming``
     — EXACT result via pigeonhole banding: split the fingerprint into
@@ -437,7 +438,10 @@ def simhash_near_dup_pairs(
     this loses no pairs: same output as the O(n²) all-pairs scan, but the
     shuffle key is (band, band bits) — bounded buckets, no cross join.
 
-    Returns (id_a, id_b, hamming) with id_a < id_b.
+    Returns (id_a, id_b, hamming) with id_a < id_b.  ``dedup=False`` skips
+    the final distinct (a pair agreeing in several bands appears once per
+    band) — one full shuffle saved for consumers that absorb duplicates
+    anyway (connected components' groupBy-min / contraction).
     """
     bands = bands or (max_hamming + 1)
     if bands > bits:
@@ -478,7 +482,7 @@ def simhash_near_dup_pairs(
     # Verify (cheap bit_count on the joined row) BEFORE the distinct: the
     # Hamming filter drops most candidates map-side, so the dedup shuffle
     # (a pair can match in several bands) carries only surviving pairs.
-    return (
+    verified = (
         left.join(
             right,
             (F.col("l.band") == F.col("r.band"))
@@ -491,9 +495,10 @@ def simhash_near_dup_pairs(
             ham.alias("hamming"),
         )
         .filter(F.col("hamming") <= max_hamming)
-        .distinct()
-        .select("id_a", "id_b", "hamming")
     )
+    if not dedup:
+        return verified
+    return verified.distinct().select("id_a", "id_b", "hamming")
 
 
 def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 32) -> DataFrame:
@@ -561,34 +566,43 @@ def connected_components(
     src_col: str = "id_a",
     dst_col: str = "id_b",
     max_iters: int = 30,
+    tail_edges: int = 200_000,
 ) -> DataFrame:
     """Connected components by CONTRACTION (star contraction + pointer
-    jumping) — each outer round:
+    jumping + a bounded local tail) — each outer round:
 
     1. star step: every edge endpoint points at ``min(self, min
        neighbor)`` — a forest of strictly-decreasing pointers (one
        groupBy-min over the edge list);
-    2. pointer jumping on that forest (``rep ← rep(rep)``) until fixpoint
-       — O(log chain) tiny self-joins over the ENDPOINT table, never the
-       edges;
-    3. contract: rewrite edges over the roots and ``distinct`` — dense
-       near-dup cliques collapse to nothing, so the edge list shrinks
-       geometrically and the EXPENSIVE pass over the full edge list is
-       paid roughly once, not once per round (the round-2 profile showed
-       5 full-edge-list joins at ~1.6 s each).
+    2. pointer jumping on that forest (three composed ``rep ← rep(rep)``
+       self-joins over the ENDPOINT table, never the edges).  No fixpoint
+       loop: contraction is correct under ANY strictly-decreasing
+       in-component map (merging a subset of each component is safe;
+       whatever survives merges next round or in the tail), so the
+       per-batch convergence-count job the round-2 profile paid is gone;
+    3. contract: rewrite edges over the pointed-to labels and ``distinct``
+       — dense near-dup cliques collapse to nothing, so the edge list
+       shrinks geometrically and the EXPENSIVE pass over the full edge
+       list is paid roughly once, not once per round.
+
+    Once the contracted edge list fits ``tail_edges`` (default 200k ≈ a
+    few MB), the remainder is solved in one driver-side union-find and
+    re-labeled by component min — the standard finisher for contraction
+    algorithms (cf. the local phase of big-star/small-star CC): the
+    distributed rounds exist to SHRINK the graph, and burning one Spark
+    job per log-step on a kilobyte-scale tail is pure fixed cost.  The
+    collect is bounded by ``tail_edges`` regardless of corpus size; set
+    ``tail_edges=0`` to force pure-distributed execution.
 
     The minimum id of a component never re-points (all neighbors are
-    larger), so the unique survivor of contraction is the component min —
-    labels are deterministic regardless of partitioning.  Outer rounds are
-    O(log n) worst case (path graphs contract in one: the min-neighbor
-    forest IS the path and jumping collapses it); near-dup graphs finish
-    in 2.
+    larger), so it survives every contraction and the tail labels by
+    component min — labels are deterministic regardless of partitioning.
 
     Scale: per round the edge list participates in one groupBy-min, two
     rewrite joins and a distinct, all keyed on vertex ids — ordinary
-    shuffle joins at any corpus size (nothing collects, nothing
-    broadcasts).  Lineage is truncated per step (localCheckpoint); under
-    dynamic allocation / executor loss switch to
+    shuffle joins at any corpus size (nothing collects beyond the bounded
+    tail, nothing broadcasts).  Lineage is truncated per step
+    (localCheckpoint); under dynamic allocation / executor loss switch to
     ``spark.sparkContext.setCheckpointDir`` + ``checkpoint()`` for a
     resilient truncation point.
 
@@ -613,16 +627,15 @@ def connected_components(
         return a.join(b, F.col("a.v") == F.col("b.k"), "left").select(
             F.col("a.k").alias("k"),
             F.coalesce(F.col("b.v"), F.col("a.v")).alias("v"),
-            (F.coalesce(F.col("b.v"), F.col("a.v")) < F.col("a.v")).alias("c"),
         )
 
     # Job-count note (the round-2 profile was dominated by per-job fixed
-    # cost, not data): per round = star (1 job), jump batches (usually 1),
-    # contract+count (1); the vertex mapping folds every round's
+    # cost, not data): per round = star (1 job), jumped-rep checkpoint
+    # (1), contract+count (1); the vertex mapping folds every round's
     # checkpointed rep table in ONE final job.
     round_reps: list[DataFrame] = []
     for _ in range(max_iters):
-        if n_edges == 0:
+        if n_edges <= tail_edges:
             break
         # 1. Star step over the current (contracted) graph.
         rep = (
@@ -631,21 +644,14 @@ def connected_components(
             .select(F.col("s").alias("k"), F.least("s", "md").alias("v"))
             .localCheckpoint(eager=True)
         )
-        # 2. Pointer jumping to roots, THREE jumps composed per
-        # materialization (fixpoint is absorbing, so the last jump's
-        # changed-flag deciding the batch is exact): depth-8 chains
-        # resolve in one job, the common near-clique forest (depth ≤ 3)
-        # always does.
-        while True:
-            stepped = jump(jump(rep).drop("c")).drop("c")
-            stepped = jump(stepped).localCheckpoint(eager=False)
-            changed = stepped.filter(F.col("c")).count()
-            rep = stepped.drop("c")
-            if changed == 0:
-                break
+        # 2. Three composed pointer jumps (depth-8 chains resolve fully;
+        # the common near-clique forest of depth ≤ 3 always does).  Eager
+        # checkpoint so the contract's two rewrite joins share one
+        # materialization of the jumped table.
+        rep = jump(jump(jump(rep))).localCheckpoint(eager=True)
         round_reps.append(rep)
-        # 3. Contract the edge list over the roots; cross-tree edges
-        # survive, intra-component edges vanish, so E shrinks
+        # 3. Contract the edge list over the jumped labels; cross-tree
+        # edges survive, intra-component edges vanish, so E shrinks
         # geometrically.  The rep side is tiny relative to E in dense
         # near-dup graphs — AQE broadcasts it.
         sr = rep.select(F.col("k").alias("sk"), F.col("v").alias("sv"))
@@ -659,6 +665,40 @@ def connected_components(
             .localCheckpoint(eager=False)
         )
         n_edges = E.count()
+    if n_edges > 0:
+        # Bounded local tail: union-find over ≤ tail_edges edges (or the
+        # max_iters remainder), re-labeled by component min so tail labels
+        # agree with what further contraction rounds would converge to.
+        rows = E.collect()
+        parent: dict = {}
+
+        def find(x):
+            r = x
+            while parent.get(r, r) != r:
+                r = parent[r]
+            while parent.get(x, x) != x:  # path compression
+                parent[x], x = r, parent[x]
+            return r
+
+        for row in rows:
+            ra, rb = find(row["s"]), find(row["d"])
+            if ra != rb:
+                # Union by min: the smaller root stays a root, so labels
+                # strictly decrease and converge to the component min.
+                if rb < ra:
+                    ra, rb = rb, ra
+                parent[rb] = ra
+        pairs = [(k, find(k)) for k in list(parent)]
+        if pairs:
+            spark = edges.sparkSession
+            k_type = E.schema["s"].dataType
+            from pyspark.sql.types import StructField, StructType
+
+            tail_rep = spark.createDataFrame(
+                pairs,
+                StructType([StructField("k", k_type), StructField("v", k_type)]),
+            )
+            round_reps.append(tail_rep)
     # Fold the per-round roots into the vertex mapping: each round's rep
     # re-keys the previous round's output (reps are all checkpointed, so
     # this composed plan is shallow and runs as one job downstream).
@@ -686,8 +726,14 @@ def near_dup_groups(
 
     Exact end-to-end: banded-Hamming pairs are lossless and components are
     deterministic, so the whole pipeline oracle-checks.
+
+    ``dedup=False``: connected components absorbs duplicate edges in its
+    groupBy-min / contract-distinct anyway, so the pair-level distinct
+    shuffle (1M+ rows at sf0.1) is skipped entirely.
     """
-    pairs = simhash_near_dup_pairs(df, id_col, text_col, bits=bits, max_hamming=max_hamming)
+    pairs = simhash_near_dup_pairs(
+        df, id_col, text_col, bits=bits, max_hamming=max_hamming, dedup=False
+    )
     vertices = df.select(F.col(id_col).alias("id"))
     return connected_components(vertices, pairs).select(
         F.col("id").alias(id_col), "group_id"
