@@ -76,6 +76,60 @@ def start_service(
     return writer.start()
 
 
+def start_template_service(
+    organized: DataFrame,
+    config,
+    topic: str,
+    checkpoint_dir: str,
+    interval_s: int | None = None,
+) -> StreamingQuery:
+    """Streaming form of the TEMPLATE physical layout (O11 physical half,
+    path/FormattedPathFactory.kt:111): each micro-batch runs the same
+    two-phase sink as the batch job — distributed staging write, then the
+    metadata-only finalize that places files at the rendered
+    ``${projectId}/${userId}/${topic}/<bin><ext>`` tree, merging into bins
+    earlier batches already wrote (the reference's append path).
+
+    ``foreachBatch`` is the Structured Streaming composition point for
+    custom sinks; the engine's checkpoint makes each batch replay-once.
+    Replay after a crash *inside* a batch is handled at both phases:
+
+    - staging leftovers of the failed attempt are deleted before the
+      batch's write (the staging dir exists only within one batch), so
+      partial stage-outs never double rows;
+    - a crash after finalize but before the checkpoint commit replays a
+      fully-finalized batch → at-least-once into final bins, the same
+      window the reference's commit-after-store has
+      (worker/RestructureWorker.kt).  Upstream
+      ``streaming_seen_record_filter`` (stateful exactly-once) closes it
+      when exact delivery matters.
+    """
+    cfg = config
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        staging = f"{cfg.target_dir.rstrip('/')}/_staging_{topic}"
+        jvm = spark._jvm
+        hpath = jvm.org.apache.hadoop.fs.Path(staging)
+        fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+        if fs.exists(hpath):
+            fs.delete(hpath, True)
+        from restructure_hdfs_topic_spark.plans.avro_job import _write_topic
+
+        _write_topic(batch_df, cfg, topic)
+
+    writer = (
+        organized.writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if interval_s:
+        writer = writer.trigger(processingTime=f"{interval_s} seconds")
+    else:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def read_avro_stream(
     spark: SparkSession,
     topic_dir: str,

@@ -139,6 +139,57 @@ def test_streaming_available_now(spark, tmp_path):
     assert spark.read.json(str(tmp_path / "out")).count() == 40
 
 
+def test_streaming_template_layout(spark, tmp_path):
+    """Streaming form of the TEMPLATE physical sink: micro-batches land at
+    the rendered ${projectId}/${userId}/${topic}/<bin>.json tree with the
+    schema sidecar next to the data, and a second drain over NEW source
+    files APPENDS into the bins the first drain created."""
+    import glob as _glob
+
+    from restructure_hdfs_topic_spark.config import PathConfig, RestructureConfig
+    from restructure_hdfs_topic_spark.streaming.service import (
+        start_template_service,
+        streaming_restructure,
+    )
+
+    src = str(tmp_path / "src")
+    batch = _records(spark)
+    batch.write.parquet(src)
+    cfg = RestructureConfig(
+        target_dir=str(tmp_path / "out"),
+        state_dir=str(tmp_path / "state"),
+        format="json",
+        paths=PathConfig(layout="template"),
+    )
+    organized = streaming_restructure(spark, src, batch.schema)
+    q = start_template_service(organized, cfg, "events", str(tmp_path / "ckpt"))
+    q.awaitTermination(120)
+
+    user_dirs = sorted(_glob.glob(f"{cfg.target_dir}/unknown-project/*/events"))
+    assert len(user_dirs) == 5  # one tree per sanitized user id
+    first = sorted(_glob.glob(f"{user_dirs[0]}/*.json"))
+    assert first and all("/" not in os.path.relpath(p, user_dirs[0]) for p in first)
+    assert os.path.exists(os.path.join(user_dirs[0], "schema-events.json"))
+    assert not _glob.glob(f"{cfg.target_dir}/_staging_*")
+    assert not _glob.glob(f"{cfg.target_dir}/projectId=*")
+    def data_rows() -> int:
+        return sum(
+            1
+            for p in _glob.glob(f"{cfg.target_dir}/unknown-project/*/events/*.json")
+            if not os.path.basename(p).startswith("schema-")
+            for _ in open(p)
+        )
+
+    assert data_rows() == 40
+
+    # New source files into the SAME bins: the merge path appends.
+    batch.withColumn("offset", F.col("offset") + 100).write.mode("append").parquet(src)
+    organized2 = streaming_restructure(spark, src, batch.schema)
+    q2 = start_template_service(organized2, cfg, "events", str(tmp_path / "ckpt"))
+    q2.awaitTermination(120)
+    assert data_rows() == 80
+
+
 def test_config_dedup_key_resolution():
     cfg = RestructureConfig.from_dict(
         {
