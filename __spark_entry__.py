@@ -517,6 +517,42 @@ def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document repeated-bigram ratio (the Gopher/MassiveText
+    repetition quality gate): 1 - distinct/total bigram occurrences.
+    Narrow codegen plan — gram array projected ONCE (CollapseProject
+    trap), metrics derived from the projected column, no shuffle."""
+    from restructure_hdfs_topic_spark.functions.text import (
+        ngrams_from,
+        repetition_metrics_from,
+        tokens,
+    )
+
+    _conf(spark)
+    docs = _t(spark, sf_dir, "documents")
+    toked = docs.select("doc_id", tokens(F.col("text")).alias("toks"))
+    grammed = toked.select("doc_id", ngrams_from(F.col("toks"), 2).alias("grams"))
+    return grammed.select(
+        "doc_id",
+        *[c.alias(name) for name, c in repetition_metrics_from(F.col("grams"))],
+    )
+
+
+def q_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-decontamination gate: flag corpus docs sharing any
+    5-token shingle with the 'benchmark' subset (every 100th doc — a
+    deterministic stand-in for an eval set).  Benchmark shingles
+    broadcast; corpus side joins map-side, one groupBy(doc) counts."""
+    from restructure_hdfs_topic_spark.operators.dedup import shingle_contamination
+
+    _conf(spark)
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 100 == 0)
+    return shingle_contamination(docs, bench, "doc_id", "text", n=5).select(
+        F.col("id").alias("doc_id"), "n_hit_shingles", "contaminated"
+    )
+
+
 def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic stratified hash sampling (corpus mixing): keep 100%
     of 'purchase' events, 25% of 'click', 5% of everything else — hash
@@ -984,6 +1020,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "redact_pii": q_redact_pii,
         "stratified_sample": q_stratified_sample,
         "chunk_documents": q_chunk_documents,
+        "text_repetition": q_text_repetition,
+        "contamination_check": q_contamination_check,
         "tfidf_top_terms": q_tfidf_top_terms,
         "dedup_exact_docs": q_dedup_exact_docs,
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
@@ -1331,6 +1369,52 @@ def oracle_sql() -> dict[str, str]:
                    CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
             FROM sims a JOIN sims b ON a.id < b.id
             WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+        """,
+        "text_repetition": f"""
+            WITH t AS (
+                SELECT doc_id,
+                       CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+                            ELSE {_TOKENS} END AS toks
+                FROM documents
+            ), g AS (
+                SELECT doc_id,
+                       CASE WHEN len(toks) < 2 THEN CAST([] AS VARCHAR[])
+                            ELSE list_transform(generate_series(1, len(toks) - 1),
+                                                i -> toks[i] || ' ' || toks[i+1])
+                       END AS grams
+                FROM t
+            )
+            SELECT doc_id,
+                   CAST(len(grams) AS BIGINT) AS n_grams,
+                   CAST(len(list_distinct(grams)) AS BIGINT) AS n_distinct_grams,
+                   CASE WHEN len(grams) > 0
+                        THEN round(1.0 - CAST(len(list_distinct(grams)) AS DOUBLE) / len(grams), 6)
+                        ELSE 0.0 END AS repetition_ratio
+            FROM g
+        """,
+        "contamination_check": f"""
+            WITH t AS (
+                SELECT doc_id,
+                       CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+                            ELSE {_TOKENS} END AS toks
+                FROM documents
+            ), ex AS (
+                SELECT doc_id, unnest(
+                    CASE WHEN len(toks) < 5 THEN CAST([] AS VARCHAR[])
+                         ELSE list_distinct(list_transform(generate_series(1, len(toks) - 4),
+                              i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3] || ' ' || toks[i+4]))
+                    END) AS shingle
+                FROM t
+            ), bench AS (
+                SELECT DISTINCT shingle FROM ex WHERE doc_id % 100 = 0
+            ), hits AS (
+                SELECT ex.doc_id, count(*) AS n
+                FROM ex JOIN bench USING (shingle) GROUP BY ex.doc_id
+            )
+            SELECT d.doc_id,
+                   CAST(coalesce(h.n, 0) AS BIGINT) AS n_hit_shingles,
+                   coalesce(h.n, 0) > 0 AS contaminated
+            FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
         """,
         "tfidf_top_terms": f"""
             WITH t AS (

@@ -47,6 +47,8 @@ BENCH_QUERIES = [
     "redact_pii",
     "stratified_sample",
     "chunk_documents",
+    "text_repetition",
+    "contamination_check",
     "tfidf_top_terms",
     "dedup_exact_docs",
     "minhash_lsh_pairs",

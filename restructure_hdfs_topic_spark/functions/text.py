@@ -127,6 +127,38 @@ def stopword_ratio_from(toks: Column) -> Column:
     )
 
 
+def ngrams_from(toks: Column, n: int = 2, sep: str = " ") -> Column:
+    """Overlapping token n-grams as strings (``size < n`` → []).
+
+    One JVM ``transform`` over an index sequence + ``slice``/``concat_ws``
+    — whole-stage-codegen, no Python.  The ``when`` guard matters:
+    ``sequence(0, negative)`` DESCENDS instead of producing [].
+    """
+    grams = F.transform(
+        F.sequence(F.lit(0), F.size(toks) - n),
+        lambda i: F.concat_ws(sep, F.slice(toks, i + 1, n)),
+    )
+    return F.when(F.size(toks) < n, F.array().cast("array<string>")).otherwise(grams)
+
+
+def repetition_metrics_from(grams: Column) -> list[tuple[str, Column]]:
+    """Within-document repetition (the Gopher/MassiveText repeated-n-gram
+    quality gate, Rae et al. 2021 §A1.1 — public paper): fraction of
+    n-gram OCCURRENCES that are repeats of an earlier occurrence,
+    ``1 - distinct/total``.  High ratio → boilerplate/spam/looped text.
+
+    Pass an already-PROJECTED gram column (CollapseProject re-inlines
+    multi-referenced expressions; the gram build must not run 3×).
+    """
+    total = F.size(grams).cast("bigint")
+    distinct = F.size(F.array_distinct(grams)).cast("bigint")
+    ratio = F.when(
+        total > 0,
+        F.round(F.lit(1.0) - distinct.cast("double") / total.cast("double"), 6),
+    ).otherwise(F.lit(0.0))
+    return [("n_grams", total), ("n_distinct_grams", distinct), ("repetition_ratio", ratio)]
+
+
 def quality_score_from(n_tokens: Column, punct: Column, stop: Column) -> Column:
     """Composite quality from already-computed component columns."""
     length_component = F.least(n_tokens.cast("double") / F.lit(50.0), F.lit(1.0))

@@ -501,6 +501,53 @@ def simhash_near_dup_pairs(
     return verified.distinct().select("id_a", "id_b", "hamming")
 
 
+def shingle_contamination(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 5,
+) -> DataFrame:
+    """Benchmark-contamination check for training corpora: flag every
+    corpus document sharing at least one n-token shingle with a benchmark
+    /eval set — the standard n-gram-overlap decontamination gate (as
+    published for GPT-3 §C / PaLM / Llama training-data filtering).
+
+    Plan shape (100 TB): the benchmark's distinct shingle set is SMALL by
+    definition (eval sets are thousands of documents, not billions) — it
+    broadcasts; the corpus side explodes per-document distinct shingles
+    and inner-joins the broadcast set map-side (no shuffle of corpus
+    bytes), then one groupBy(id) counts hits.  Corpus documents with no
+    hit survive via the final left join + coalesce(0).
+
+    Returns (id, n_hit_shingles, contaminated) — one row per corpus doc.
+    """
+    from restructure_hdfs_topic_spark.functions.text import ngrams_from, tokens
+
+    def shingles(df: DataFrame) -> DataFrame:
+        toked = df.select(
+            F.col(id_col).alias("id"), tokens(F.col(text_col)).alias("toks")
+        )
+        grammed = toked.select("id", ngrams_from(F.col("toks"), n).alias("grams"))
+        return grammed.select(
+            "id", F.explode(F.array_distinct("grams")).alias("shingle")
+        )
+
+    bench = shingles(benchmark).select("shingle").distinct()
+    hits = (
+        shingles(corpus)
+        .join(F.broadcast(bench), "shingle")
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("n_hit_shingles"))
+    )
+    ids = corpus.select(F.col(id_col).alias("id"))
+    return ids.join(hits, "id", "left").select(
+        "id",
+        F.coalesce("n_hit_shingles", F.lit(0)).cast("bigint").alias("n_hit_shingles"),
+        (F.coalesce("n_hit_shingles", F.lit(0)) > 0).alias("contaminated"),
+    )
+
+
 def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 32) -> DataFrame:
     """SimHash fingerprint: per token hash, bit b contributes +1/-1; the
     fingerprint sets bit b iff the sum is positive.  Near-dups share most

@@ -411,6 +411,73 @@ def test_chunk_documents_overlap_semantics(spark):
     assert set(rows) == {(1, 0), (1, 1), (2, 0)}
 
 
+def test_ngram_repetition_semantics(spark):
+    """Bigram repetition ratio: repeats counted per OCCURRENCE; short and
+    empty docs are 0 (the sequence(0, negative) descent trap)."""
+    from pyspark.sql import functions as F
+
+    from restructure_hdfs_topic_spark.functions.text import (
+        ngrams_from,
+        repetition_metrics_from,
+        tokens,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b a b a"),   # bigrams: ab ba ab ba → 4 total, 2 distinct
+            (2, "x y z"),       # xy yz → no repeats
+            (3, "solo"),        # < 2 tokens → no bigrams
+            (4, ""),            # empty → no bigrams
+        ],
+        "doc_id long, text string",
+    )
+    grammed = docs.select(
+        "doc_id", ngrams_from(tokens(F.col("text")), 2).alias("grams")
+    )
+    out = {
+        r["doc_id"]: r
+        for r in grammed.select(
+            "doc_id",
+            *[c.alias(n) for n, c in repetition_metrics_from(F.col("grams"))],
+        ).collect()
+    }
+    assert (out[1]["n_grams"], out[1]["n_distinct_grams"]) == (4, 2)
+    assert out[1]["repetition_ratio"] == 0.5
+    assert out[2]["repetition_ratio"] == 0.0 and out[2]["n_grams"] == 2
+    assert out[3]["n_grams"] == 0 and out[3]["repetition_ratio"] == 0.0
+    assert out[4]["n_grams"] == 0 and out[4]["repetition_ratio"] == 0.0
+
+
+def test_shingle_contamination(spark):
+    """Docs sharing an n-gram with the benchmark flag; counts are DISTINCT
+    shared shingles; clean docs survive with 0."""
+    from restructure_hdfs_topic_spark.operators.dedup import shingle_contamination
+
+    corpus = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "quick brown fox jumps over something else entirely"),
+            (3, "completely unrelated words without any overlap here"),
+            (4, "short text"),
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over a fence")],
+        "doc_id long, text string",
+    )
+    out = {
+        r["id"]: r
+        for r in shingle_contamination(corpus, bench, "doc_id", "text", n=5).collect()
+    }
+    # doc 1 shares "the quick brown fox jumps" and "quick brown fox jumps over"
+    assert out[1]["contaminated"] and out[1]["n_hit_shingles"] == 2
+    assert out[2]["contaminated"] and out[2]["n_hit_shingles"] == 1
+    assert not out[3]["contaminated"] and out[3]["n_hit_shingles"] == 0
+    assert not out[4]["contaminated"]  # < n tokens: no shingles at all
+    assert set(out) == {1, 2, 3, 4}
+
+
 def test_approx_paths_partitioning_independent(spark):
     """SCALE.md claims determinism: IVF (exact-integer Lloyd) and simhash
     must produce identical results regardless of input partitioning."""
