@@ -56,5 +56,12 @@ def get_spark(
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str):
-    """Load one driver-generated parquet table (TESTDATA.md)."""
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    """Load one driver-generated parquet table (TESTDATA.md).
+
+    Delegates to sources.tables.load_table, which normalizes the physical
+    timestamp flavors the driver has generated across rounds (INT64 nanos,
+    no-tz micros read as TIMESTAMP_NTZ) to session-UTC TimestampType.
+    """
+    from restructure_hdfs_topic_spark.sources.tables import load_table as _lt
+
+    return _lt(spark, sf_dir, name)

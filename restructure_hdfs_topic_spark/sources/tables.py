@@ -1,10 +1,15 @@
 """Loaders for the driver-generated parquet tables (TESTDATA.md).
 
-``events.ts`` is physically INT64 TIMESTAMP(NANOS) which Spark's vectorized
-parquet reader refuses; we read it as long via the legacy nanosAsLong conf
-and convert to a proper TimestampType (micros) — the same truncation DuckDB
-applies (ns → us).  Session time is forced to UTC so time-bin derivation
-(functions/time.py) is deterministic regardless of the host TZ.
+The driver's parquet timestamps carry no timezone, and their physical type
+has varied across data generations: INT64 TIMESTAMP(NANOS) (which Spark's
+vectorized reader refuses — read as long via the legacy nanosAsLong conf and
+rebuilt as micros, the same ns → us truncation DuckDB applies) or plain
+TIMESTAMP(MICROS) without tz (which Spark 4 infers as TIMESTAMP_NTZ — cast
+back to TimestampType so time functions like ``unix_micros`` apply; with the
+session pinned to UTC the NTZ → LTZ cast is value-preserving and matches
+DuckDB's naive-timestamp-as-UTC epoch semantics).  Session time is forced to
+UTC so time-bin derivation (functions/time.py) is deterministic regardless
+of the host TZ.
 """
 
 from __future__ import annotations
@@ -27,7 +32,11 @@ def configure(spark: SparkSession) -> SparkSession:
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     configure(spark)
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    dtypes = dict(df.dtypes)
     for c in NANO_TS_COLS.get(name, []):
-        if dict(df.dtypes).get(c) == "bigint":
+        if dtypes.get(c) == "bigint":
             df = df.withColumn(c, F.timestamp_micros(F.expr(f"{c} div 1000")))
+    for c, t in dtypes.items():
+        if t == "timestamp_ntz":
+            df = df.withColumn(c, F.col(c).cast("timestamp"))
     return df

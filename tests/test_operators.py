@@ -577,3 +577,35 @@ def test_hash_sample_monotone_and_deterministic(spark):
     assert abs(len(s10) / 20000 - 0.10) < 0.01
     assert abs(len(s20) / 20000 - 0.20) < 0.01
     assert s10 == {r["rid"] for r in hash_sample(df.repartition(8), "rid", 0.10).collect()}
+
+
+def test_load_table_normalizes_timestamp_flavors(spark, tmp_path):
+    """The driver's parquet timestamps have shipped as INT64 nanos and as
+    no-tz micros (TIMESTAMP_NTZ under Spark 4 inference) across data
+    generations; load_table must yield session-UTC TimestampType for both so
+    unix_micros()/time_bin() apply unchanged."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from restructure_hdfs_topic_spark.sources.tables import load_table
+
+    d = str(tmp_path / "sfx")
+    import os
+
+    os.makedirs(d)
+    ts = pd.to_datetime(["2020-01-01 10:30:00", "2021-06-05 23:59:59"])
+    # no-tz micros -> Spark 4 reads TIMESTAMP_NTZ without normalization
+    pq.write_table(
+        pa.table({"event_id": [1, 2], "ts": pa.array(ts, type=pa.timestamp("us"))}),
+        f"{d}/events.parquet",
+    )
+    df = load_table(spark, d, "events")
+    assert dict(df.dtypes)["ts"] == "timestamp"
+    from pyspark.sql import functions as F
+
+    got = [r[0] for r in df.select(F.unix_micros("ts")).orderBy("event_id").collect()]
+    assert got[0] == 1577874600 * 1_000_000
+    # non-timestamp tables pass through untouched
+    pq.write_table(pa.table({"doc_id": [1], "text": ["x"]}), f"{d}/documents.parquet")
+    assert load_table(spark, d, "documents").columns == ["doc_id", "text"]
