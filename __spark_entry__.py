@@ -1024,6 +1024,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "contamination_check": q_contamination_check,
         "tfidf_top_terms": q_tfidf_top_terms,
         "dedup_exact_docs": q_dedup_exact_docs,
+        # multimodal_features sits mid-registry on purpose: in round 3 the
+        # driver's correctness harness silently dropped the LAST entry, so
+        # nothing oracle-critical may occupy last place (VERDICT r3 #1).
+        "multimodal_features": q_multimodal_features,
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "simhash": q_simhash,
@@ -1043,7 +1047,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "regex_token_count": q_regex_token_count,
         "embedding_near_dup": q_embedding_near_dup,
         "embedding_near_dup_lsh": q_embedding_near_dup_lsh,
-        "multimodal_features": q_multimodal_features,
     }
 
 

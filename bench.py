@@ -106,13 +106,9 @@ def main() -> None:
         "overwrite"
     ).save()
 
-    qs = entry.queries()
-    timings: dict[str, float] = {}
-    for name in BENCH_QUERIES:
-        fn = qs.get(name)
-        if fn is None:
-            continue
-        t0 = time.time()
+    import gc
+
+    def run_once(fn) -> int:
         # Materialize EVERY row and column cluster-side: a noop-format write
         # evaluates the full un-pruned plan (the observed count prevents any
         # count-only shortcut) without serializing results through the
@@ -123,37 +119,80 @@ def main() -> None:
         df.observe(obs, F.count(F.lit(1)).alias("rows")).write.format("noop").mode(
             "overwrite"
         ).save()
-        rows = int(obs.get["rows"])
-        timings[name] = round(time.time() - t0, 3)
-        print(f"# {name}: {timings[name]}s ({rows} rows)", file=sys.stderr)
+        return int(obs.get["rows"])
+
+    def hygiene() -> None:
         # Untimed inter-query hygiene: operators persist/localCheckpoint
         # intermediates inside their returned plans (LSH shingle tables,
         # CC edge checkpoints).  Those blocks are only reclaimed by the
         # ContextCleaner after the PYTHON plan objects are collected —
-        # dropping the refs and forcing a gc here keeps block-manager /
-        # storage-memory pressure from one query bleeding into the next
-        # (measured: repeated heavy queries slowed 2-3x within a session).
-        del df, obs
-        import gc
-
+        # forcing a gc here keeps block-manager / storage-memory pressure
+        # from one query bleeding into the next (measured: repeated heavy
+        # queries slowed 2-3x within a session).  Toggle with
+        # SPARK_GRAFT_HYGIENE=0 for back-to-back warm comparisons.
         gc.collect()
         spark.catalog.clearCache()
+
+    do_hygiene = os.environ.get("SPARK_GRAFT_HYGIENE", "1") != "0"
+    warm_pass = os.environ.get("SPARK_GRAFT_WARM_PASS", "1") != "0"
+
+    # Fixed per-query harness cost (Observation setup, noop-write job
+    # launch, gc + clearCache): median of 5 no-op queries measured with the
+    # exact same code path as a real query — reported separately so
+    # round-over-round per-query deltas aren't confounded by harness
+    # changes.
+    noop = lambda s, _d: s.range(1)  # noqa: E731
+    overhead_samples = []
+    for _ in range(5):
+        t0 = time.time()
+        run_once(noop)
+        if do_hygiene:
+            hygiene()
+        overhead_samples.append(time.time() - t0)
+    harness_overhead = round(sorted(overhead_samples)[len(overhead_samples) // 2], 3)
+
+    qs = entry.queries()
+    timings: dict[str, float] = {}
+    timings_warm: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        fn = qs.get(name)
+        if fn is None:
+            continue
+        t0 = time.time()
+        rows = run_once(fn)
+        timings[name] = round(time.time() - t0, 3)
+        if warm_pass:
+            # Immediate re-run with all session state warm (JIT, shuffle
+            # files, page cache) — the steady-state number a long-running
+            # job sees.  The first (cold) run follows a gc+clearCache.
+            t0 = time.time()
+            run_once(fn)
+            timings_warm[name] = round(time.time() - t0, 3)
+        print(
+            f"# {name}: cold {timings[name]}s"
+            + (f" / warm {timings_warm[name]}s" if name in timings_warm else "")
+            + f" ({rows} rows)",
+            file=sys.stderr,
+        )
+        if do_hygiene:
+            hygiene()
 
     recalls = measure_recall(spark)
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "total_bench_seconds",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "recall": recalls,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
-    )
+    result = {
+        "metric": "total_bench_seconds",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "recall": recalls,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "harness_overhead_s": harness_overhead,
+    }
+    if warm_pass:
+        result["queries_warm"] = timings_warm
+        result["total_warm_s"] = round(sum(timings_warm.values()), 3)
+    print(json.dumps(result))
 
 
 def measure_recall(spark) -> dict:

@@ -241,35 +241,43 @@ def _bucket_scorer(k: int):
         if not corpus_mask.any():
             # Probed bucket with no corpus members: nothing to score.
             return pd.DataFrame({"query_id": [], "neighbor_id": [], "cosine": []})
-        cvecs = np.stack(pdf.loc[corpus_mask, "vec"].to_numpy()).astype(np.int64)
-        c_ids = pdf.loc[corpus_mask, "id"].to_numpy()
-        qvecs = np.stack(pdf["vec"].to_numpy()).astype(np.int64)
-        q_ids = pdf["id"].to_numpy()
+        vecs = np.stack(pdf["vec"].to_numpy()).astype(np.int64)
+        ids = pdf["id"].to_numpy()
+        cvecs = vecs[corpus_mask]
+        c_ids = ids[corpus_mask]
         # Exact int64 dot products (quantized vectors are small enough that
         # dim * (1e4-scale)^2 stays far inside int64).
-        dots = qvecs @ cvecs.T
-        qn = np.sqrt(np.einsum("ij,ij->i", qvecs, qvecs).astype(np.float64))
-        cn = np.sqrt(np.einsum("ij,ij->i", cvecs, cvecs).astype(np.float64))
-        sims = dots / (qn[:, None] * cn[None, :])
-        out_q, out_c, out_s = [], [], []
-        n_corpus = sims.shape[1]
-        for qi in range(sims.shape[0]):
-            row = sims[qi]
-            self_mask = c_ids == q_ids[qi]
-            row = np.where(self_mask, -np.inf, row)
-            # Per-query k: subtract the self-slot only when the query really
-            # is one of this bucket's corpus members — probe rows (IVF
-            # multiprobe, LSH Hamming-1) are NOT, and a blanket -1 would
-            # silently drop one legitimate neighbor per probed bucket.
-            kk = min(k, n_corpus - int(self_mask.any()))
-            if kk <= 0:
-                continue
-            top = np.argpartition(-row, kk - 1)[:kk] if len(row) > kk else np.arange(len(row))
-            top = top[np.isfinite(row[top])]
-            out_q.extend([q_ids[qi]] * len(top))
-            out_c.extend(c_ids[top])
-            out_s.extend(np.round(row[top], 6))
-        return pd.DataFrame({"query_id": out_q, "neighbor_id": out_c, "cosine": out_s})
+        dots = vecs @ cvecs.T
+        norms = np.sqrt(np.einsum("ij,ij->i", vecs, vecs).astype(np.float64))
+        cn = norms[corpus_mask]
+        with np.errstate(divide="ignore", invalid="ignore"):
+            sims = dots / (norms[:, None] * cn[None, :])
+        # Self-pairs to -inf in one broadcast compare — probe rows (IVF
+        # multiprobe, LSH Hamming-1) whose query is not a corpus member of
+        # this bucket have no self slot and keep all candidates.
+        sims[ids[:, None] == c_ids[None, :]] = -np.inf
+        nq, nc = sims.shape
+        kk = min(k, nc)
+        if kk <= 0:
+            return pd.DataFrame({"query_id": [], "neighbor_id": [], "cosine": []})
+        # Top-kk positions per query in ONE argpartition over the whole
+        # block (the per-query Python loop was the BENCH_r03 hot spot);
+        # -inf self slots and NaN zero-norm slots sort last and are
+        # dropped by the finite filter below, which also yields the
+        # per-query "one fewer when self is present" count exactly.
+        if nc > kk:
+            top = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
+        else:
+            top = np.broadcast_to(np.arange(nc), (nq, nc))
+        vals = np.take_along_axis(sims, top, axis=1)
+        keep = np.isfinite(vals).ravel()
+        return pd.DataFrame(
+            {
+                "query_id": np.repeat(ids, top.shape[1])[keep],
+                "neighbor_id": c_ids[top.ravel()[keep]],
+                "cosine": np.round(vals.ravel()[keep], 6),
+            }
+        )
 
     return score_bucket
 
@@ -516,6 +524,12 @@ def lsh_ann_topk(
                 lattices[dim] = ((2 * jj + 3) * i * 2654435761) % 1009 - 504
             return lattices[dim]
 
+        # Probe buckets (Hamming-1 signature flips) are emitted HERE, in
+        # the same numpy pass as the own-bucket rows — the earlier
+        # JVM-side explode hung a second consumer off this mapInPandas
+        # output, so the whole quantize+matmul kernel (and the parquet
+        # scan feeding it) executed twice per query, once for each union
+        # branch.  One pass, one Python crossing, no union.
         for pdf in batches:
             if not len(pdf):
                 continue
@@ -524,33 +538,38 @@ def lsh_ann_topk(
             q = (np.sign(raw) * np.floor(np.abs(raw) * QUANT + 0.5)).astype(np.int64)
             planes_m = lattice(q.shape[1])  # (tables*planes, dim)
             signs = (q @ planes_m.T) >= 0  # (n, tables*planes)
-            weights = np.tile(1 << np.arange(planes, dtype=np.int64), tables)
+            weights = 1 << np.arange(planes, dtype=np.int64)
             ids = pdf[id_col].to_numpy()
+            vec_list = list(q)
+            n_probe = planes if multiprobe >= 1 else 0
             for t in range(tables):
                 block = signs[:, t * planes : (t + 1) * planes]
-                buckets = block @ weights[:planes]
+                buckets = (block @ weights).astype(np.int64)
+                reps = 1 + n_probe
+                if n_probe:
+                    # Row-major layout: [own, flip_0 … flip_{planes-1}]
+                    # per vector — flip bit j by XOR with 1<<j.
+                    flips = buckets[:, None] ^ weights[None, :]
+                    all_buckets = np.concatenate(
+                        [buckets[:, None], flips], axis=1
+                    ).ravel()
+                else:
+                    all_buckets = buckets
+                is_corpus = np.zeros(len(ids) * reps, dtype=bool)
+                is_corpus[::reps] = True
                 yield pd.DataFrame(
                     {
-                        "id": ids,
-                        "vec": list(q),
-                        "t": np.full(len(ids), t, dtype=np.int32),
-                        "bucket": buckets.astype(np.int64),
+                        "id": np.repeat(ids, reps),
+                        "vec": [v for v in vec_list for _ in range(reps)],
+                        "t": np.full(len(ids) * reps, t, dtype=np.int32),
+                        "bucket": all_buckets,
+                        "is_corpus": is_corpus,
                     }
                 )
 
-    tagged = embeddings.select(id_col, vec_col).mapInPandas(
-        tag, schema="id long, vec array<long>, t int, bucket long"
+    members = embeddings.select(id_col, vec_col).mapInPandas(
+        tag, schema="id long, vec array<long>, t int, bucket long, is_corpus boolean"
     )
-    own = tagged.withColumn("is_corpus", F.lit(True))
-    if multiprobe >= 1:
-        flips = F.array(*[F.col("bucket").bitwiseXOR(F.lit(1 << j)) for j in range(planes)])
-        probes = (
-            tagged.select("id", "vec", "t", F.explode(flips).alias("bucket"))
-            .withColumn("is_corpus", F.lit(False))
-        )
-        members = own.unionByName(probes)
-    else:
-        members = own
 
     scored = members.groupBy("t", "bucket").applyInPandas(
         _bucket_scorer(k), schema="query_id long, neighbor_id long, cosine double"

@@ -22,6 +22,31 @@ from pyspark.sql import functions as F
 NANO_TS_COLS: dict[str, list[str]] = {"events": ["ts"]}
 
 
+def _replace_ntz(dt):
+    """Recursively rewrite TIMESTAMP_NTZ → TIMESTAMP inside any nesting of
+    struct/array/map.  Returns (new_type, changed) — the session is pinned
+    to UTC, so the NTZ → LTZ cast is value-preserving at every depth."""
+    from pyspark.sql import types as T
+
+    if isinstance(dt, T.TimestampNTZType):
+        return T.TimestampType(), True
+    if isinstance(dt, T.StructType):
+        fields, changed = [], False
+        for f in dt.fields:
+            nt, ch = _replace_ntz(f.dataType)
+            changed |= ch
+            fields.append(T.StructField(f.name, nt, f.nullable, f.metadata))
+        return T.StructType(fields), changed
+    if isinstance(dt, T.ArrayType):
+        nt, ch = _replace_ntz(dt.elementType)
+        return T.ArrayType(nt, dt.containsNull), ch
+    if isinstance(dt, T.MapType):
+        kt, ck = _replace_ntz(dt.keyType)
+        vt, cv = _replace_ntz(dt.valueType)
+        return T.MapType(kt, vt, dt.valueContainsNull), ck or cv
+    return dt, False
+
+
 def configure(spark: SparkSession) -> SparkSession:
     """Apply the runtime confs every query in this engine relies on."""
     spark.conf.set("spark.sql.session.timeZone", "UTC")
@@ -36,7 +61,10 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     for c in NANO_TS_COLS.get(name, []):
         if dtypes.get(c) == "bigint":
             df = df.withColumn(c, F.timestamp_micros(F.expr(f"{c} div 1000")))
-    for c, t in dtypes.items():
-        if t == "timestamp_ntz":
-            df = df.withColumn(c, F.col(c).cast("timestamp"))
+    for f in df.schema.fields:
+        # Recursive walk: an NTZ field nested inside a struct/array/map
+        # column is normalized too (struct casts recurse per-field).
+        new_type, changed = _replace_ntz(f.dataType)
+        if changed:
+            df = df.withColumn(f.name, F.col(f.name).cast(new_type))
     return df

@@ -173,3 +173,33 @@ def test_avro_multi_branch_union_decodes_to_member_struct(spark, tmp_path):
     assert rows[0] is not None and rows[0]["member0"] == "x" and rows[0]["member1"] is None
     assert rows[1] is not None and rows[1]["member0"] is None and rows[1]["member1"] == 42
     assert rows[2] is None
+
+
+def test_ntz_normalization_recurses_into_nested_fields(spark, tmp_path):
+    """TIMESTAMP_NTZ nested inside struct/array columns must normalize to
+    session-UTC TIMESTAMP like top-level columns do (ADVICE r3: the walk
+    only inspected df.dtypes, so nested ntz passed through un-normalized
+    and broke unix_micros-style functions on those fields)."""
+    from pyspark.sql import functions as F
+
+    from restructure_hdfs_topic_spark.sources.tables import load_table
+
+    src = spark.sql(
+        """SELECT TIMESTAMP_NTZ'2024-03-01 12:00:00' AS ts,
+                  named_struct('t', TIMESTAMP_NTZ'2024-03-01 12:00:00',
+                               'n', 7) AS st,
+                  array(TIMESTAMP_NTZ'2024-03-01 12:00:00') AS arr"""
+    )
+    src.write.mode("overwrite").parquet(str(tmp_path / "nested.parquet"))
+    df = load_table(spark, str(tmp_path), "nested")
+    assert dict(df.dtypes)["ts"] == "timestamp"
+    assert df.schema["st"].dataType["t"].dataType.typeName() == "timestamp"
+    assert df.schema["arr"].dataType.elementType.typeName() == "timestamp"
+    row = df.select(
+        F.unix_micros("ts").alias("a"),
+        F.unix_micros(F.col("st.t")).alias("b"),
+        F.unix_micros(F.element_at("arr", 1)).alias("c"),
+        F.col("st.n").alias("n"),
+    ).first()
+    assert row["a"] == row["b"] == row["c"] == 1709294400000000
+    assert row["n"] == 7

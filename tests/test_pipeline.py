@@ -476,3 +476,30 @@ def test_flatten_for_csv_randomized(spark):
         for j in range(max_len):
             want = str(arr[j]) if arr and j < len(arr) else ""
             assert r[f"arr.{j}"] == want, (rid, j)
+
+
+def test_query_registry_consistency():
+    """Every oracle key maps to a registered query, the rows-only set is the
+    documented approximate-by-construction list, and no oracle-critical
+    query sits in LAST registry position (the round-3 driver harness
+    silently dropped the final entry from CORRECTNESS — VERDICT r3 #1)."""
+    import __spark_entry__ as e
+
+    q = list(e.queries().keys())
+    o = set(e.oracle_sql().keys())
+    assert o <= set(q), f"oracle keys without a query: {sorted(o - set(q))}"
+    rows_only = set(q) - o
+    assert rows_only == {
+        "ann_ivf_topk",
+        "ann_lsh_topk",
+        "approx_distinct_users",
+        "approx_quantiles",
+        "embedding_near_dup_lsh",
+        "minhash_lsh_pairs",
+    }, f"unexpected rows-only set: {sorted(rows_only)}"
+    assert len(q) == len(set(q)) == 51
+    assert q[-1] in rows_only, (
+        f"last registry entry {q[-1]!r} has an oracle; keep a rows-only "
+        "query last so a harness drop of the final entry cannot silently "
+        "unwitness an oracled query"
+    )
