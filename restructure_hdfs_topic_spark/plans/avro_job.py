@@ -124,11 +124,31 @@ def _write_topic(
     )
 
     template_mode = config.paths.layout == "template"
+    extra_names: list[str] = []
     if template_mode:
-        from restructure_hdfs_topic_spark.plans.layout import check_physical_template
+        from restructure_hdfs_topic_spark.plans.layout import (
+            check_physical_template,
+            extra_staging_cols,
+        )
 
         check_physical_template(config.paths.template)
         dest = f"{config.target_dir.rstrip('/')}/_staging_{topic}"
+        # Params beyond (projectId, userId, topic, bin) — ${sourceId} and
+        # ${time:pattern} renderings — become extra staging partition
+        # columns so the finalize step can place any reference template
+        # (FormattedPathFactory.kt:35-46).  Computed here, while the raw
+        # key struct and event time are still present.
+        src_col = (
+            F.col("key.sourceId")
+            if "key" in organized.columns
+            and isinstance(organized.schema["key"].dataType, StructType)
+            and "sourceId" in organized.schema["key"].dataType.fieldNames()
+            else F.lit(None).cast("string")
+        )
+        extras = extra_staging_cols(config.paths.template, F.col("time"), src_col)
+        for name, col in extras.items():
+            organized = organized.withColumn(name, col)
+        extra_names = list(extras)
     else:
         dest = config.target_dir
     codec = writer_compression(config.compression)
@@ -147,21 +167,25 @@ def _write_topic(
             route_by_schema_attempt,
         )
 
-        routed = (
-            route_by_schema_attempt(flatten_struct_columns(payload))
-            .withColumn(
+        routed = route_by_schema_attempt(flatten_struct_columns(payload))
+        if template_mode:
+            # Keep ``attempt`` as its own staging partition column: the
+            # finalize step renders it either folded into ${filename} or
+            # standalone as ${attempt} (FormattedPathFactory.kt:83-91).
+            part_cols = PARTITION_COLS + ["attempt"] + extra_names
+        else:
+            routed = routed.withColumn(
                 "bin",
                 F.when(F.col("attempt") == 0, F.col("bin")).otherwise(
                     F.concat(F.col("bin"), F.lit("_"), F.col("attempt").cast("string"))
                 ),
-            )
-            .drop("attempt")
-        )
+            ).drop("attempt")
+            part_cols = PARTITION_COLS
         flat = flatten_for_csv(routed)
         writer = (
-            flat.repartition(*[F.col(f"`{c}`") for c in PARTITION_COLS])
+            flat.repartition(*[F.col(f"`{c}`") for c in part_cols])
             .write.mode("append")
-            .partitionBy(*PARTITION_COLS)
+            .partitionBy(*part_cols)
             .option("header", "true")
             # The reference's CSV writer leaves empty fields unquoted
             # (golden fixtures show `...,CONNECTED,` for a null ipAddress);
@@ -172,10 +196,17 @@ def _write_topic(
             writer = writer.option("compression", codec)
         writer.csv(dest)
     else:
+        if template_mode:
+            # JSON records never split by header shape (nested output always
+            # matches its schema) — constant attempt 0 for the finalize.
+            payload = payload.withColumn("attempt", F.lit(0))
+            part_cols = PARTITION_COLS + ["attempt"] + extra_names
+        else:
+            part_cols = PARTITION_COLS
         writer = (
-            payload.repartition(*[F.col(c) for c in PARTITION_COLS])
+            payload.repartition(*[F.col(c) for c in part_cols])
             .write.mode("append")
-            .partitionBy(*PARTITION_COLS)
+            .partitionBy(*part_cols)
         )
         if codec:
             writer = writer.option("compression", codec)
@@ -188,7 +219,8 @@ def _write_topic(
         from restructure_hdfs_topic_spark.plans.layout import finalize_template_layout
 
         schema_json = _json.dumps(
-            payload.drop(*PARTITION_COLS).schema.jsonValue(), indent=2
+            payload.drop(*PARTITION_COLS, "attempt", *extra_names).schema.jsonValue(),
+            indent=2,
         )
         finalize_template_layout(
             organized.sparkSession,

@@ -28,12 +28,15 @@ file already exists (a later batch touched an old bin), the staged part is
 MERGED into it — decompress, drop the duplicate CSV header, recompress —
 exactly the reference's append path, and equally O(file size).
 
-Supported templates: any arrangement of ``${projectId}``, ``${userId}``,
-``${topic}`` and ``${filename}`` path segments (the reference's default and
-the common variants).  ``${time:…}``/``${sourceId}``/split
-``${attempt}``/``${extension}`` placements would need per-record grouping
-keys that the bin-granular writer does not persist — rejected with a clear
-error rather than silently mis-placed.
+Supported templates: EVERY template the reference's FormattedPathFactory
+accepts (path/FormattedPathFactory.kt:31-104) — any arrangement of
+``${projectId}``, ``${userId}``, ``${topic}``, ``${sourceId}``,
+``${filename}``, split ``${attempt}``/``${extension}``, and any number of
+``${time:pattern}`` segments (custom UTC time renderings, :35-46).
+Parameters beyond the default four become additional staging partition
+columns (``extra_staging_cols``), so per-record grouping keys flow through
+the distributed write and the finalize step renders the full template from
+the parsed staging path.
 """
 
 from __future__ import annotations
@@ -41,55 +44,102 @@ from __future__ import annotations
 import io
 import re
 from concurrent.futures import ThreadPoolExecutor
+from urllib.parse import unquote
 
-from pyspark.sql import SparkSession
+from pyspark.sql import Column, SparkSession
+from pyspark.sql import functions as F
 
-from restructure_hdfs_topic_spark.functions.paths import validate_template
-
-# Params the two-phase physical sink can place (everything the DEFAULT
-# template uses).  ${filename} is rendered as <bin><extension>; the attempt
-# suffix is already folded into the bin by the schema-attempt router.
-_PHYSICAL_PARAMS = {"projectId", "userId", "topic", "filename"}
+from restructure_hdfs_topic_spark.functions.paths import sanitize_id, validate_template
 
 _PART_EXT_RE = re.compile(r"\.(csv|json)(\.[A-Za-z0-9]+)?$")
-_STAGE_RE = re.compile(r"projectId=([^/]+)/userId=([^/]+)/topic=([^/]+)/bin=([^/]+)/([^/]+)$")
+_TEMPLATE_PARAM_RE = re.compile(r"\$\{([^}]*)}")
+
+
+def template_time_patterns(template: str) -> list[str]:
+    """Ordered distinct ``${time:pattern}`` patterns in the template —
+    pattern i maps to staging partition column ``__tp{i}``."""
+    seen: list[str] = []
+    for m in _TEMPLATE_PARAM_RE.finditer(template):
+        p = m.group(1)
+        if p.startswith("time:") and p.removeprefix("time:") not in seen:
+            seen.append(p.removeprefix("time:"))
+    return seen
 
 
 def check_physical_template(template: str) -> None:
-    """Reject templates the bin-granular physical writer cannot honor."""
+    """Validate the template (same rules as the reference's init,
+    FormattedPathFactory.kt:41-70).  Every legal template is physically
+    placeable since extra params ride as staging partition columns."""
+    validate_template(template)
+
+
+def extra_staging_cols(
+    template: str, time_col: Column, source_col: Column | None = None
+) -> dict[str, Column]:
+    """Staging partition columns for template params beyond the default
+    (projectId, userId, topic, bin) group: ``sourceId`` (sanitized,
+    FormattedPathFactory.kt:88) and one ``__tpN`` per distinct
+    ``${time:pattern}`` — UTC-rendered event time, ``unknown-time`` when the
+    record has none (:94-98).  The values use the sanitize/sanitized-id
+    charset plus date_format output, so Hive path-escaping round-trips via
+    percent-decoding in ``finalize_template_layout``."""
     params = set(validate_template(template))
-    unsupported = params - _PHYSICAL_PARAMS
-    if unsupported:
-        raise ValueError(
-            f"physical layout cannot place {sorted(unsupported)}: the partitioned "
-            f"writer persists (projectId, userId, topic, bin) groups only — "
-            f"supported parameters are {sorted(_PHYSICAL_PARAMS)}"
+    cols: dict[str, Column] = {}
+    if "sourceId" in params:
+        cols["sourceId"] = sanitize_id(
+            source_col if source_col is not None else F.lit(None).cast("string"),
+            "unknown-source",
         )
+    for i, pat in enumerate(template_time_patterns(template)):
+        cols[f"__tp{i}"] = F.coalesce(F.date_format(time_col, pat), F.lit("unknown-time"))
+    return cols
 
 
-def render_final_path(template: str, project: str, user: str, topic: str, filename: str) -> str:
-    """Driver-side render of an already-sanitized group (ids were sanitized
-    at organize time, functions/paths.sanitize_id) — the concrete-value twin
-    of the column-expression ``render_template``."""
-    return (
-        template.replace("${projectId}", project)
-        .replace("${userId}", user)
-        .replace("${topic}", topic)
-        .replace("${filename}", filename)
-    )
+def render_final_path(template: str, topic: str, kv: dict[str, str], ext: str) -> str:
+    """Driver-side render of one staged group's final relative path from its
+    parsed staging partition values (already sanitized at organize time) —
+    the concrete-value twin of the column-expression ``render_template``.
+    ``${filename}`` = ``<bin><attempt-suffix><extension>``
+    (FormattedPathFactory.kt:83-91)."""
+    attempt = kv.get("attempt")
+    attempt_suffix = "" if attempt in (None, "", "0") else f"_{attempt}"
+    tps = template_time_patterns(template)
+    out: list[str] = []
+    pos = 0
+    for m in _TEMPLATE_PARAM_RE.finditer(template):
+        out.append(template[pos : m.start()])
+        p = m.group(1)
+        if p == "filename":
+            out.append(f"{kv.get('bin', '')}{attempt_suffix}{ext}")
+        elif p == "topic":
+            out.append(topic)
+        elif p == "attempt":
+            out.append(attempt_suffix)
+        elif p == "extension":
+            out.append(ext)
+        elif p.startswith("time:"):
+            out.append(kv[f"__tp{tps.index(p.removeprefix('time:'))}"])
+        else:  # projectId / userId / sourceId
+            out.append(kv[p])
+        pos = m.end()
+    out.append(template[pos:])
+    return "".join(out)
 
 
 def template_read_pattern(template: str, topic: str, fmt: str) -> tuple[str, str, int, int]:
     """(glob, regex, projectId-group, userId-group) for reading a template
     tree back (cleaner O21).  The glob matches data files only (the schema
-    sidecar never matches ``*.{fmt}*``)."""
+    sidecar never matches the data-extension patterns).  Note: a
+    ``${time:pattern}`` whose RENDERED value contains ``/`` (e.g. pattern
+    ``yyyy/MM``) spans multiple directories and cannot be globbed back —
+    use separate ``${time:...}`` segments instead."""
     check_physical_template(template)
     glob_parts: list[str] = []
     rx_parts: list[str] = []
     group = 0
     gi_proj = gi_user = -1
     pos = 0
-    for m in re.finditer(r"\$\{([^}]*)}", template):
+    for m in _TEMPLATE_PARAM_RE.finditer(template):
         lit = template[pos : m.start()]
         glob_parts.append(lit)
         rx_parts.append(re.escape(lit))
@@ -106,9 +156,18 @@ def template_read_pattern(template: str, topic: str, fmt: str) -> tuple[str, str
         elif p == "topic":
             glob_parts.append(topic)
             rx_parts.append(f"({re.escape(topic)})")
-        else:  # filename
+        elif p == "filename":
             glob_parts.append(f"*.{fmt}*")
             rx_parts.append(rf"([^/]+\.{fmt}[^/]*)")
+        elif p == "attempt":
+            glob_parts.append("*")  # Hadoop glob `*` matches the empty suffix
+            rx_parts.append(r"((?:_\d+)?)")
+        elif p == "extension":
+            glob_parts.append(f".{fmt}*")
+            rx_parts.append(rf"(\.{fmt}[^/]*)")
+        else:  # sourceId or time:pattern — one path segment, any value
+            glob_parts.append("*")
+            rx_parts.append("([^/]+)")
         pos = m.end()
     tail = template[pos:]
     glob_parts.append(tail)
@@ -179,30 +238,40 @@ def finalize_template_layout(
     if not fs.exists(staging_path):
         return []
 
-    # Group staged parts by (project, user, bin): RemoteIterator walk, driver
-    # memory O(parts this batch) — the same listing the write itself produced.
-    groups: dict[tuple[str, str, str], list[tuple[str, str]]] = {}
+    # Group staged parts by their full partition-value tuple: RemoteIterator
+    # walk, driver memory O(parts this batch) — the same listing the write
+    # itself produced.  Every `name=value` path segment is a partition key
+    # (default four plus whatever extra_staging_cols added); values are
+    # percent-decoded to undo Hive path escaping.
+    groups: dict[tuple[tuple[str, str], ...], list[tuple[str, str]]] = {}
     it = fs.listFiles(staging_path, True)
     while it.hasNext():
         st = it.next()
         p = st.getPath().toString()
-        m = _STAGE_RE.search(p)
-        if not m or m.group(5).startswith(("_", ".")):
+        segs = p.split("/")
+        fname = segs[-1]
+        if fname.startswith(("_", ".")):
             continue
-        proj, user, _t, bin_name, fname = m.groups()
         ext_m = _PART_EXT_RE.search(fname)
         if not ext_m:
             continue
-        groups.setdefault((proj, user, bin_name), []).append((p, ext_m.group(0)))
+        kv = tuple(
+            sorted(
+                (s.split("=", 1)[0], unquote(s.split("=", 1)[1]))
+                for s in segs[:-1]
+                if "=" in s
+            )
+        )
+        groups.setdefault(kv, []).append((p, ext_m.group(0)))
 
     final_paths: list[str] = []
     sidecar_dirs: set[str] = set()
 
-    def place(key: tuple[str, str, str], parts: list[tuple[str, str]]) -> str:
-        proj, user, bin_name = key
+    def place(key: tuple[tuple[str, str], ...], parts: list[tuple[str, str]]) -> str:
+        kv = dict(key)
         parts = sorted(parts)
         ext = parts[0][1]
-        rel = render_final_path(template, proj, user, topic, f"{bin_name}{ext}")
+        rel = render_final_path(template, topic, kv, ext)
         dest = HPath(target_dir, rel)
         fs.mkdirs(dest.getParent())
         sidecar_dirs.add(dest.getParent().toString())

@@ -153,11 +153,76 @@ def test_template_cleaner_reads_template_tree(spark, tmp_path):
     assert any(abs(r["t_seconds"] - 1.58021982003e9) < 1e-3 for r in rows)
 
 
-def test_unsupported_physical_template_rejected():
+def test_physical_template_validation():
+    """Every reference-legal template is physically placeable; unknown
+    params and missing topic/filename still reject (FormattedPathFactory
+    .kt:41-70 rules)."""
     from restructure_hdfs_topic_spark.plans.layout import check_physical_template
 
-    with pytest.raises(ValueError, match="physical layout cannot place"):
-        check_physical_template("${projectId}/${topic}/${time:yyyyMM}/${filename}")
-    # the default and segment-reordered variants are fine
     check_physical_template("${projectId}/${userId}/${topic}/${filename}")
     check_physical_template("${topic}/${projectId}/${userId}/${filename}")
+    check_physical_template("${projectId}/${topic}/${time:yyyyMM}/${filename}")
+    check_physical_template(
+        "${topic}/${projectId}/${userId}/${sourceId}/${time:yyyyMM}/${time:dd}/${filename}"
+    )
+    check_physical_template("${projectId}/${topic}/${time:yyyyMMdd}${attempt}${extension}")
+    with pytest.raises(ValueError, match="unknown parameters"):
+        check_physical_template("${projectId}/${topic}/${bogus}/${filename}")
+    with pytest.raises(ValueError, match="topic"):
+        check_physical_template("${projectId}/${userId}/${filename}")
+
+
+def test_template_layout_time_pattern_and_source_tree(spark, tmp_path):
+    """The FormattedPathFactoryTest.kt:12-37 template
+    ``${topic}/${projectId}/${userId}/${sourceId}/${time:yyyyMM}/${time:dd}/${filename}``
+    must place files physically: per-record time-pattern directories and the
+    sanitized sourceId as path segments, bin filename at the leaf."""
+    from restructure_hdfs_topic_spark.plans.avro_job import read_target_times
+
+    tmpl = "${topic}/${projectId}/${userId}/${sourceId}/${time:yyyyMM}/${time:dd}/${filename}"
+    cfg = RestructureConfig(
+        target_dir=str(tmp_path / "out"),
+        state_dir=str(tmp_path / "state"),
+        format="csv",
+        worker=WorkerConfig(minimum_file_age_s=0),
+        paths=PathConfig(layout="template", template=tmpl),
+    )
+    os.makedirs(cfg.state_dir, exist_ok=True)
+    result = run_avro_restructure_job(spark, FIXTURES, cfg, mode="python")
+    assert result["records_written"] == 1006
+
+    files = _tree(cfg.target_dir)
+    # Golden fixture record: topic application_server_status, project
+    # STAGING_PROJECT, user 1543bc93-…, source 99caf236-…, time
+    # 2020-01-28T13:xx → 202001/28/20200128_1300.csv.
+    status_base = (
+        "application_server_status/STAGING_PROJECT/"
+        "1543bc93-3c17-4381-89a5-c5d6272b827c/"
+        "99caf236-bbe6-4eed-9c63-fba77349821d/202001/28"
+    )
+    assert f"{status_base}/20200128_1300.csv" in files
+    assert f"{status_base}/20200128_1400.csv" in files
+    assert f"{status_base}/schema-application_server_status.json" in files
+    with open(os.path.join(cfg.target_dir, status_base, "20200128_1300.csv")) as fh:
+        assert fh.read() == GOLDEN_CSV
+    # Every data file sits under a <topic>/<proj>/<user>/<src>/<yyyyMM>/<dd>/ dir.
+    import re as _re
+
+    data = [f for f in files if f.endswith(".csv")]
+    assert data
+    pat = _re.compile(r"^[^/]+/[^/]+/[^/]+/[^/]+/\d{6}/\d{2}/[^/]+\.csv$")
+    assert all(pat.match(f) for f in data), [f for f in data if not pat.match(f)][:5]
+    assert not glob.glob(f"{cfg.target_dir}/_staging_*")
+
+    # Cleaner read-back recovers project/user through the longer template.
+    tt = read_target_times(spark, cfg, "application_server_status")
+    rows = tt.collect()
+    assert {(r["t_project"], r["t_user"]) for r in rows} == {
+        ("STAGING_PROJECT", "1543bc93-3c17-4381-89a5-c5d6272b827c")
+    }
+    assert any(abs(r["t_seconds"] - 1.58021982003e9) < 1e-3 for r in rows)
+
+    # Idempotent rerun: committed offsets prune everything, tree unchanged.
+    result2 = run_avro_restructure_job(spark, FIXTURES, cfg, mode="python")
+    assert result2["records_written"] == 0
+    assert _tree(cfg.target_dir) == files
