@@ -501,6 +501,135 @@ def simhash_near_dup_pairs(
     return verified.distinct().select("id_a", "id_b", "hamming")
 
 
+def _popcount64(a):
+    """Vectorized 64-bit popcount (SWAR) — numpy < 2 has no bitwise_count."""
+    import numpy as np
+
+    v = a.astype(np.uint64)
+    v = v - ((v >> np.uint64(1)) & np.uint64(0x5555555555555555))
+    v = (v & np.uint64(0x3333333333333333)) + (
+        (v >> np.uint64(2)) & np.uint64(0x3333333333333333)
+    )
+    v = (v + (v >> np.uint64(4))) & np.uint64(0x0F0F0F0F0F0F0F0F)
+    return (v * np.uint64(0x0101010101010101)) >> np.uint64(56)
+
+
+def simhash_component_edges(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    bits: int = 32,
+    max_hamming: int = 3,
+    bands: int | None = None,
+) -> DataFrame:
+    """SPARSIFIED near-dup edges for transitive grouping: same pigeonhole
+    banding as ``simhash_near_dup_pairs``, but instead of emitting every
+    verified pair (quadratic inside dense near-dup cliques — 4.4M edge
+    rows at sf0.1 from 5k docs), each (band, key) bucket runs a LOCAL
+    connected-components in its Arrow kernel and emits one spanning star
+    edge per member: (local component min, id).  Exactness: any pair at
+    Hamming ≤ k agrees on some band (pigeonhole), so both endpoints share
+    that bucket and its local components — the union of local star edges
+    over all buckets has the SAME transitive closure as the full verified
+    pair set, with O(members) instead of O(members²) edges per bucket.
+
+    The local CC is Shiloach-Vishkin-style: blocked XOR-popcount adjacency
+    (row blocks sized to bound memory at any bucket size), min-label
+    propagation, pointer-jump to root each round — O(log m) rounds.
+
+    Returns (id_a, id_b) with id_a < id_b (id_a = local component min);
+    singleton members emit nothing.
+    """
+    import pandas as pd
+
+    bands = bands or (max_hamming + 1)
+    if bands > bits:
+        raise ValueError(f"bands={bands} exceeds bits={bits}")
+    base, extra = divmod(bits, bands)
+    starts, pos = [], 0
+    for b in range(bands):
+        starts.append(pos)
+        pos += base + (1 if b < extra else 0)
+    widths = [
+        starts[b + 1] - starts[b] if b + 1 < bands else bits - starts[b]
+        for b in range(bands)
+    ]
+    # Single consumer — no persist needed (the grouping consumes the
+    # fingerprints exactly once; CC eager-checkpoints the edge output).
+    sims = simhash(df, id_col, text_col, bits)
+    banded = sims.select(
+        "id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftright("simhash", starts[b])
+                        .bitwiseAND(F.lit((1 << widths[b]) - 1))
+                        .alias("key"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select("id", "simhash", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+
+    def local_cc(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        m = len(pdf)
+        if m < 2:
+            return pd.DataFrame({"id_a": [], "id_b": []})
+        h = pdf["simhash"].to_numpy().astype(np.int64)
+        ids = pdf["id"].to_numpy().astype(np.int64)
+        # Identical fingerprints are trivially one component — collapse to
+        # UNIQUE fingerprints before any pairwise work, so an exact-dup
+        # clique of any size costs one unique row, not O(size²) pairs.
+        uniq, inv = np.unique(h, return_inverse=True)
+        mu = len(uniq)
+        # Matched unique-fp pairs from a blocked XOR-popcount sweep, built
+        # ONCE (block rows bound the matrix at ~256 MB for any mu).
+        block = max(256, min(4096, (1 << 25) // max(mu, 1)))
+        ia_parts, ib_parts = [], []
+        for s in range(0, mu, block):
+            adj = _popcount64(uniq[s : s + block, None] ^ uniq[None, :]) <= max_hamming
+            bi, bj = np.nonzero(adj)
+            bi = bi + s
+            keep = bi < bj  # upper triangle only; self/dup handled by uniq
+            ia_parts.append(bi[keep])
+            ib_parts.append(bj[keep])
+        ia = np.concatenate(ia_parts) if ia_parts else np.empty(0, dtype=np.int64)
+        ib = np.concatenate(ib_parts) if ib_parts else np.empty(0, dtype=np.int64)
+        labels = np.arange(mu)
+        # Shiloach-Vishkin min-label rounds over the pair arrays (each
+        # round: scatter-min both directions, pointer-jump to root) —
+        # O(pairs) vectorized per round, O(log mu) rounds.
+        while len(ia):
+            prev = labels.copy()
+            np.minimum.at(labels, ia, labels[ib])
+            np.minimum.at(labels, ib, labels[ia])
+            while True:
+                jumped = labels[labels]
+                if np.array_equal(jumped, labels):
+                    break
+                labels = jumped
+            if np.array_equal(labels, prev):
+                break
+        # Component representative = min document id over members (stable
+        # under any partitioning: min is order-independent).
+        member_root = labels[inv]  # unique-fp component per member
+        rep = np.full(mu, np.iinfo(np.int64).max, dtype=np.int64)
+        np.minimum.at(rep, member_root, ids)
+        roots = rep[member_root]
+        keep = roots != ids
+        return pd.DataFrame({"id_a": roots[keep], "id_b": ids[keep]})
+
+    return banded.groupBy("band", "key").applyInPandas(
+        local_cc, schema="id_a long, id_b long"
+    )
+
+
 def shingle_contamination(
     corpus: DataFrame,
     benchmark: DataFrame,
@@ -655,17 +784,26 @@ def connected_components(
 
     Returns (id, group_id).
     """
-    # Symmetric edge list, cut loose from however expensive its upstream
-    # plan is (e.g. an LSH band join) — a lazy persist can silently
-    # recompute the whole lineage on every use.  The count doubles as the
-    # emptiness check, so materialization and the check share one job.
-    E = (
-        edges.select(F.col(src_col).alias("s"), F.col(dst_col).alias("d"))
-        .union(edges.select(F.col(dst_col).alias("s"), F.col(src_col).alias("d")))
-        .filter(F.col("s") != F.col("d"))
-        .localCheckpoint(eager=False)
-    )
-    n_edges = E.count()
+    # EAGER checkpoint of the raw edge projection BEFORE symmetrizing: the
+    # two union branches would otherwise each re-run however expensive the
+    # upstream plan is (an LSH band join / per-bucket local CC) — within
+    # one job a shared un-materialized parent is computed once per branch.
+    raw = edges.select(
+        F.col(src_col).alias("s"), F.col(dst_col).alias("d")
+    ).localCheckpoint(eager=True)
+    n_edges = raw.count()
+    if 0 < n_edges <= tail_edges:
+        # Straight to the bounded tail: the union-find below is direction-
+        # agnostic, so skip building/materializing the symmetric E entirely
+        # (saves two jobs on the common already-sparse input).
+        E = raw
+    else:
+        E = (
+            raw.union(raw.select(F.col("d").alias("s"), F.col("s").alias("d")))
+            .filter(F.col("s") != F.col("d"))
+            .localCheckpoint(eager=False)
+        )
+        n_edges = E.count()
 
     def jump(r: DataFrame) -> DataFrame:
         """rep ← rep(rep): v strictly decreases along chains and every v
@@ -771,17 +909,18 @@ def near_dup_groups(
     one canonical ``group_id`` (min doc id) per cluster.  Downstream keeps
     one row per group (e.g. ``row_number() over (partition by group_id)``).
 
-    Exact end-to-end: banded-Hamming pairs are lossless and components are
-    deterministic, so the whole pipeline oracle-checks.
-
-    ``dedup=False``: connected components absorbs duplicate edges in its
-    groupBy-min / contract-distinct anyway, so the pair-level distinct
-    shuffle (1M+ rows at sf0.1) is skipped entirely.
+    Exact end-to-end: banded-Hamming buckets are lossless (pigeonhole) and
+    the per-bucket local CC preserves the transitive closure of the full
+    verified pair set (``simhash_component_edges``), so the whole pipeline
+    oracle-checks while feeding the distributed CC O(docs·bands) spanning
+    edges instead of the quadratic intra-clique pair list (4.4M edge rows
+    → ~15k at sf0.1; generating and checkpointing those pairs dominated
+    BENCH_r03's 8.6 s).
     """
-    pairs = simhash_near_dup_pairs(
-        df, id_col, text_col, bits=bits, max_hamming=max_hamming, dedup=False
+    edges = simhash_component_edges(
+        df, id_col, text_col, bits=bits, max_hamming=max_hamming
     )
     vertices = df.select(F.col(id_col).alias("id"))
-    return connected_components(vertices, pairs).select(
+    return connected_components(vertices, edges).select(
         F.col("id").alias(id_col), "group_id"
     )

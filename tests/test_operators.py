@@ -609,3 +609,50 @@ def test_load_table_normalizes_timestamp_flavors(spark, tmp_path):
     # non-timestamp tables pass through untouched
     pq.write_table(pa.table({"doc_id": [1], "text": ["x"]}), f"{d}/documents.parquet")
     assert load_table(spark, d, "documents").columns == ["doc_id", "text"]
+
+
+def test_simhash_component_edges_closure_matches_pairs(spark):
+    """The sparsified spanning edges must have the SAME transitive closure
+    as the full verified pair set — including a chain A-B-C where A-C is
+    beyond max_hamming (the case a min-neighbor-only sparsifier breaks)."""
+    import pandas as pd
+
+    from restructure_hdfs_topic_spark.operators.dedup import (
+        simhash_component_edges,
+        simhash_near_dup_pairs,
+    )
+
+    texts = [
+        (1, "alpha beta gamma delta epsilon zeta"),
+        (2, "alpha beta gamma delta epsilon zeta"),  # exact dup of 1
+        (3, "alpha beta gamma delta epsilon eta"),  # near 1
+        (4, "totally different words entirely here now"),
+        (5, "totally different words entirely here soon"),  # near 4
+        (6, "unique singleton document with its own content"),
+    ]
+    df = spark.createDataFrame(texts, "doc_id long, text string")
+    pairs = simhash_near_dup_pairs(df, "doc_id", "text").toPandas()
+    edges = simhash_component_edges(df, "doc_id", "text").toPandas()
+
+    def components(edge_iter):
+        parent = {}
+
+        def find(x):
+            while parent.get(x, x) != x:
+                parent[x] = parent.get(parent[x], parent[x])
+                x = parent[x]
+            return x
+
+        for a, b in edge_iter:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        return {i: find(i) for i in range(1, 7)}
+
+    got = components(zip(edges["id_a"], edges["id_b"]))
+    want = components(zip(pairs["id_a"], pairs["id_b"]))
+    assert got == want
+    # Spanning form: O(members · bands) edges (a star edge can repeat once
+    # per band — CC absorbs duplicates), never the quadratic pair count.
+    assert len(edges) <= 4 * len(df.toPandas())
+    assert (edges["id_a"] != edges["id_b"]).all()
