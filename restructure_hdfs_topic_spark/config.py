@@ -71,6 +71,10 @@ class RestructureConfig:
     state_dir: str = ""
     format: str = "json"  # csv | json
     compression: str | None = None  # gzip | None
+    # O19: storage-based topic leases for multi-app deployments (the
+    # reference's RedisRemoteLockManager semantics over the state dir).
+    # Default off: a single Spark app owns the whole plan.
+    lock_enable: bool = False
     dedup_enable: bool = False
     dedup_distinct_fields: list[str] = field(default_factory=list)
     dedup_ignore_fields: list[str] = field(default_factory=list)
@@ -83,7 +87,15 @@ class RestructureConfig:
     @classmethod
     def from_dict(cls, d: dict) -> "RestructureConfig":
         cfg = cls()
-        for k in ("source_dir", "target_dir", "state_dir", "format", "compression", "dedup_enable"):
+        for k in (
+            "source_dir",
+            "target_dir",
+            "state_dir",
+            "format",
+            "compression",
+            "dedup_enable",
+            "lock_enable",
+        ):
             if k in d:
                 setattr(cfg, k, d[k])
         for section, typ in (

@@ -1,0 +1,120 @@
+"""O19: distributed topic locks for multi-app deployments.
+
+The reference guards each topic with a Redis lease so several restructure
+apps can share one output tree (accounting/RedisRemoteLockManager.kt:8-45):
+``SET NX PX(24h)`` keyed by topic with a per-app UUID, and close() deletes
+the key only when the stored UUID is the closer's own (owner-only unlock).
+
+This is the same lease on the engine's storage instead of Redis — no extra
+service dependency: a lock is an atomically-created file
+``<state_dir>/_lock/<name>.lock`` holding ``{owner, expires_at}``.
+``fs.create(path, overwrite=False)`` is the NX primitive (atomic on local
+FS and HDFS; object stores without atomic create — plain S3 — should keep
+the STATE dir on a consistent store, which the offset commit protocol
+already requires).  The 24 h TTL matches the reference; an expired lock
+file is broken and re-acquired.
+
+Config-gated (``lock_enable``), default off: a single Spark app owns the
+whole plan and needs no locking — this module exists for the two-engines-
+one-tree deployment the reference supports.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+import uuid
+
+from pyspark.sql import SparkSession
+
+DEFAULT_TTL_S = 24 * 3600  # RedisRemoteLockManager.kt:43 — 24 h lease
+
+
+class StorageLock:
+    """A held lease.  ``close()`` releases only if still owned (the
+    reference's owner-check delete, RedisRemoteLockManager.kt:29-36)."""
+
+    def __init__(self, manager: "StorageLockManager", name: str):
+        self._manager = manager
+        self._name = name
+
+    def close(self) -> None:
+        self._manager._release(self._name)
+
+    def __enter__(self) -> "StorageLock":
+        return self
+
+    def __exit__(self, *exc) -> None:
+        self.close()
+
+
+class StorageLockManager:
+    """Non-blocking lease manager over ``<state_dir>/_lock/``.
+
+    ``acquire(name)`` returns a :class:`StorageLock` or ``None`` when
+    another live owner holds it — callers skip the topic and move on
+    (worker/RadarKafkaRestructure.kt processes whatever it can lock).
+    """
+
+    def __init__(self, spark: SparkSession, state_dir: str, ttl_s: int = DEFAULT_TTL_S):
+        self._spark = spark
+        self._dir = state_dir.rstrip("/") + "/_lock"
+        self._ttl_s = ttl_s
+        self.owner = str(uuid.uuid4())
+        jvm = spark._jvm
+        self._HPath = jvm.org.apache.hadoop.fs.Path
+        root = self._HPath(self._dir)
+        self._fs = root.getFileSystem(spark._jsc.hadoopConfiguration())
+        self._fs.mkdirs(root)
+
+    def _path(self, name: str):
+        return self._HPath(self._dir, f"{name}.lock")
+
+    def _read(self, path) -> dict | None:
+        try:
+            stream = self._fs.open(path)
+            try:
+                return json.loads(bytes(stream.readAllBytes()).decode())
+            finally:
+                stream.close()
+        except Exception:
+            return None
+
+    def _try_create(self, path) -> bool:
+        try:
+            out = self._fs.create(path, False)  # overwrite=False → atomic NX
+        except Exception:
+            return False
+        try:
+            out.write(
+                bytearray(
+                    json.dumps(
+                        {"owner": self.owner, "expires_at": time.time() + self._ttl_s}
+                    ),
+                    "utf-8",
+                )
+            )
+        finally:
+            out.close()
+        return True
+
+    def acquire(self, name: str) -> StorageLock | None:
+        path = self._path(name)
+        if self._try_create(path):
+            return StorageLock(self, name)
+        # Held — but a crashed owner leaves its file behind: break the
+        # lease once it is past its TTL (Redis expires the key server-side;
+        # storage needs the explicit check) and retry the atomic create.
+        meta = self._read(path)
+        if meta is not None and meta.get("expires_at", 0) >= time.time():
+            return None
+        self._fs.delete(path, False)
+        if self._try_create(path):
+            return StorageLock(self, name)
+        return None
+
+    def _release(self, name: str) -> None:
+        path = self._path(name)
+        meta = self._read(path)
+        if meta is not None and meta.get("owner") == self.owner:
+            self._fs.delete(path, False)

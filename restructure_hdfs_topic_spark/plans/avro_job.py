@@ -459,47 +459,70 @@ def run_avro_cleaner_job(
             for t, p, lo, hi in state_rows
         )
 
+    lock_manager = None
+    if config.lock_enable:
+        from restructure_hdfs_topic_spark.locks import StorageLockManager
+
+        lock_manager = StorageLockManager(spark, config.state_dir)
     rollback_ranges = []
     for topic, files in sorted(topics.items()):
         candidates = [f for f in files if now - f.mtime >= age_s and committed(f)]
         if not candidates:
             continue
-        target_times = read_target_times(spark, config, topic)
-        records = read_avro(spark, [f.path for f in candidates], mode="python")
-        organized = organize_avro_records(records, config.paths.bin_format)
-        src = organized.select(
-            "filename",
-            F.col("projectId").alias("s_project"),
-            F.col("userId").alias("s_user"),
-            extract_time_seconds(organized, flattened=False).alias("s_seconds"),
-        )
-        verdict = (
-            src.join(
-                target_times,
-                (F.col("s_project") == F.col("t_project"))
-                & (F.col("s_user") == F.col("t_user"))
-                & (F.col("s_seconds") == F.col("t_seconds")),
-                "left",
+        # O19: skip topics another engine instance currently holds (the
+        # cleaner deletes source files — racing a concurrent restructure
+        # of the same topic is exactly what the reference's lock prevents,
+        # cleaner/SourceDataCleaner.kt:62-66).
+        if lock_manager is not None:
+            lock = lock_manager.acquire(topic)
+            if lock is None:
+                continue
+        else:
+            lock = None
+        try:
+            target_times = read_target_times(spark, config, topic)
+            records = read_avro(spark, [f.path for f in candidates], mode="python")
+            organized = organize_avro_records(records, config.paths.bin_format)
+            src = organized.select(
+                "filename",
+                F.col("projectId").alias("s_project"),
+                F.col("userId").alias("s_user"),
+                extract_time_seconds(organized, flattened=False).alias("s_seconds"),
             )
-            .groupBy("filename")
-            .agg(
-                F.count("*").alias("n_records"),
-                F.sum(F.when(F.col("t_user").isNotNull(), 1).otherwise(0)).alias("n_extracted"),
+            verdict = (
+                src.join(
+                    target_times,
+                    (F.col("s_project") == F.col("t_project"))
+                    & (F.col("s_user") == F.col("t_user"))
+                    & (F.col("s_seconds") == F.col("t_seconds")),
+                    "left",
+                )
+                .groupBy("filename")
+                .agg(
+                    F.count("*").alias("n_records"),
+                    F.sum(F.when(F.col("t_user").isNotNull(), 1).otherwise(0)).alias(
+                        "n_extracted"
+                    ),
+                )
+                .collect()
             )
-            .collect()
-        )
-        extracted = {r["filename"]: r["n_records"] == r["n_extracted"] for r in verdict}
-        jvm = spark._jvm
-        hconf = spark._jsc.hadoopConfiguration()
-        for f in candidates:
-            fname = f.path.rsplit("/", 1)[-1]
-            if extracted.get(fname):
-                p = jvm.org.apache.hadoop.fs.Path(f.path)
-                p.getFileSystem(hconf).delete(p, False)
-                counters["deleted"].append(f.path)
-            else:
-                rollback_ranges.append((f.topic, f.partition, f.offset_from, f.offset_to))
-                counters["rolled_back"].append(f.path)
+            extracted = {r["filename"]: r["n_records"] == r["n_extracted"] for r in verdict}
+            jvm = spark._jvm
+            hconf = spark._jsc.hadoopConfiguration()
+            for f in candidates:
+                fname = f.path.rsplit("/", 1)[-1]
+                if extracted.get(fname):
+                    p = jvm.org.apache.hadoop.fs.Path(f.path)
+                    p.getFileSystem(hconf).delete(p, False)
+                    counters["deleted"].append(f.path)
+                else:
+                    rollback_ranges.append(
+                        (f.topic, f.partition, f.offset_from, f.offset_to)
+                    )
+                    counters["rolled_back"].append(f.path)
+        finally:
+            if lock is not None:
+                lock.close()
     if rollback_ranges:
         rb = spark.createDataFrame(
             rollback_ranges, "topic string, partition int, offset_from long, offset_to long"
@@ -526,73 +549,98 @@ def run_avro_restructure_job(
         "records_written": 0,
         "files_processed": 0,
         "files_pending": 0,  # remaining after the maxFilesPerTopic cap
+        "topics_locked": 0,
     }
+    lock_manager = None
+    if config.lock_enable:
+        from restructure_hdfs_topic_spark.locks import StorageLockManager
+
+        lock_manager = StorageLockManager(spark, config.state_dir)
     for topic, files in sorted(topics.items()):
         # Late-file guard (O4, config minimumFileAge): skip files younger
         # than min_age — they may still be written to.
         aged = [f for f in files if now - f.mtime >= min_age]
         if not aged:
             continue
-        state = read_offsets(spark, config.state_dir)
-        manifest = manifest_df(spark, aged)
-        # Join output order is nondeterministic — sort by path (partition +
-        # offset order) so the maxFilesPerTopic cap always takes the
-        # EARLIEST pending files, like the reference's ordered walk + take.
-        all_pending = sorted(
-            filter_unseen_files(manifest, state).collect(), key=lambda r: r["path"]
-        )
-        pending_rows = all_pending
-        if config.worker.max_files_per_topic:
-            pending_rows = all_pending[: config.worker.max_files_per_topic]
-        remaining = len(all_pending) - len(pending_rows)
-        if not pending_rows:
-            counters["topics"][topic] = {
-                "records_written": 0,
-                "files_processed": 0,
-                "files_pending": 0,
-            }
+        # O19: another engine instance holding this topic's lease → skip it
+        # this iteration (the reference processes whatever it can lock,
+        # worker/RadarKafkaRestructure.kt via RemoteLockManager).
+        lock = lock_manager.acquire(topic) if lock_manager else None
+        if lock_manager is not None and lock is None:
+            counters["topics_locked"] += 1
             continue
-        paths = [r["path"] for r in pending_rows]
-        records = read_avro(spark, paths, mode=mode)
-        organized = organize_avro_records(records, config.paths.bin_format)
-        organized = organized.withColumn("topic", F.lit(topic))
-        # Dedup keys are the WRITTEN row's columns (the reference dedups the
-        # output file, format/CsvAvroConverterFactory.kt:22-56): flattened
-        # record leaves (key.sourceId, value.time, …), never the accounting
-        # columns — offset/filename are unique per record and would make
-        # full-row dedup a no-op.
-        accounting = {"offset", "filename", "mtime", "partition", "time"}
-        leaves = []
-        for f in organized.schema.fields:
-            if f.name in accounting:
-                continue
-            if isinstance(f.dataType, StructType):
-                leaves.extend(f"{f.name}.{c}" for c in f.dataType.fieldNames())
-            else:
-                leaves.append(f.name)
-        dedup_key = config.dedup_key_for(topic, leaves)
-        if dedup_key is not None:
-            organized = keep_last_dedup(organized, dedup_key, "offset")
-        from pyspark.sql import Observation
-
-        obs = Observation()
-        organized = organized.observe(obs, F.count(F.lit(1)).alias("n"))
-        _write_topic(organized, config, topic)
-        n_records = int(obs.get["n"])
-        new_ranges = spark.createDataFrame(
-            [
-                (r["topic"], r["partition"], r["offset_from"], r["offset_to"], r["mtime"])
-                for r in pending_rows
-            ],
-            "topic string, partition int, offset_from long, offset_to long, last_processed timestamp",
-        )
-        commit_offsets(spark, config.state_dir, new_ranges)
-        counters["topics"][topic] = {
-            "records_written": n_records,
-            "files_processed": len(pending_rows),
-            "files_pending": remaining,
-        }
-        counters["records_written"] += n_records
-        counters["files_processed"] += len(pending_rows)
-        counters["files_pending"] += remaining
+        try:
+            _process_topic(
+                spark, topic, aged, config, mode, counters
+            )
+        finally:
+            if lock is not None:
+                lock.close()
     return counters
+
+
+def _process_topic(spark, topic, aged, config, mode, counters) -> None:
+    """Body of one topic iteration (extracted so the O19 lock wraps it in
+    a try/finally)."""
+    state = read_offsets(spark, config.state_dir)
+    manifest = manifest_df(spark, aged)
+    # Join output order is nondeterministic — sort by path (partition +
+    # offset order) so the maxFilesPerTopic cap always takes the
+    # EARLIEST pending files, like the reference's ordered walk + take.
+    all_pending = sorted(
+        filter_unseen_files(manifest, state).collect(), key=lambda r: r["path"]
+    )
+    pending_rows = all_pending
+    if config.worker.max_files_per_topic:
+        pending_rows = all_pending[: config.worker.max_files_per_topic]
+    remaining = len(all_pending) - len(pending_rows)
+    if not pending_rows:
+        counters["topics"][topic] = {
+            "records_written": 0,
+            "files_processed": 0,
+            "files_pending": 0,
+        }
+        return
+    paths = [r["path"] for r in pending_rows]
+    records = read_avro(spark, paths, mode=mode)
+    organized = organize_avro_records(records, config.paths.bin_format)
+    organized = organized.withColumn("topic", F.lit(topic))
+    # Dedup keys are the WRITTEN row's columns (the reference dedups the
+    # output file, format/CsvAvroConverterFactory.kt:22-56): flattened
+    # record leaves (key.sourceId, value.time, …), never the accounting
+    # columns — offset/filename are unique per record and would make
+    # full-row dedup a no-op.
+    accounting = {"offset", "filename", "mtime", "partition", "time"}
+    leaves = []
+    for f in organized.schema.fields:
+        if f.name in accounting:
+            continue
+        if isinstance(f.dataType, StructType):
+            leaves.extend(f"{f.name}.{c}" for c in f.dataType.fieldNames())
+        else:
+            leaves.append(f.name)
+    dedup_key = config.dedup_key_for(topic, leaves)
+    if dedup_key is not None:
+        organized = keep_last_dedup(organized, dedup_key, "offset")
+    from pyspark.sql import Observation
+
+    obs = Observation()
+    organized = organized.observe(obs, F.count(F.lit(1)).alias("n"))
+    _write_topic(organized, config, topic)
+    n_records = int(obs.get["n"])
+    new_ranges = spark.createDataFrame(
+        [
+            (r["topic"], r["partition"], r["offset_from"], r["offset_to"], r["mtime"])
+            for r in pending_rows
+        ],
+        "topic string, partition int, offset_from long, offset_to long, last_processed timestamp",
+    )
+    commit_offsets(spark, config.state_dir, new_ranges)
+    counters["topics"][topic] = {
+        "records_written": n_records,
+        "files_processed": len(pending_rows),
+        "files_pending": remaining,
+    }
+    counters["records_written"] += n_records
+    counters["files_processed"] += len(pending_rows)
+    counters["files_pending"] += remaining
