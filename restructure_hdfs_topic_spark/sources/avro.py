@@ -473,11 +473,57 @@ def count_container_records(path: str) -> int:
             fh.seek(16, 1)  # sync marker
 
 
-def walk_topics(root: str, exclude: set[str] | None = None) -> dict[str, list[SourceFile]]:
+def s3_tag_end_offset_reader(s3_client, bucket: str):
+    """End-offset reader from S3 object tags, the reference's
+    ``readEndOffset`` path (source/S3SourceStorage.kt:40-66: GetObjectTags,
+    ``endOffset`` key, any failure silently skipped).  ``s3_client`` is a
+    boto3-style client (``get_object_tagging``) — constructed by the
+    caller, so this module needs no boto3 import."""
+
+    def read(path: str) -> int | None:
+        try:
+            resp = s3_client.get_object_tagging(Bucket=bucket, Key=path.lstrip("/"))
+            tags = {t["Key"]: t["Value"] for t in resp.get("TagSet", [])}
+            return int(tags["endOffset"])
+        except Exception:
+            return None  # skip reading end offset (S3SourceStorage.kt:52-54)
+
+    return read
+
+
+def azure_metadata_end_offset_reader(blob_service, container: str):
+    """End-offset reader from Azure blob metadata
+    (source/AzureSourceStorage.kt:28-46: blob properties metadata,
+    ``endOffset`` key).  ``blob_service`` is an azure-storage-blob-style
+    ``BlobServiceClient`` — constructed by the caller."""
+
+    def read(path: str) -> int | None:
+        try:
+            props = blob_service.get_blob_client(
+                container, path.lstrip("/")
+            ).get_blob_properties()
+            return int((props.metadata or {})["endOffset"])
+        except Exception:
+            return None
+
+    return read
+
+
+def walk_topics(
+    root: str,
+    exclude: set[str] | None = None,
+    end_offset_reader=None,
+) -> dict[str, list[SourceFile]]:
     """O1 (source/GeneralSourceStorageWalker.kt:18-33): recursive walk; a
     topic is the grandparent directory of any ``*.avro`` file; ``+tmp``
     dirs are skipped; optional exclude set
     (worker/RadarKafkaRestructure.kt:56-59).
+
+    ``end_offset_reader`` resolves single-offset filenames' true end offset
+    from storage metadata — pass ``s3_tag_end_offset_reader(...)`` /
+    ``azure_metadata_end_offset_reader(...)`` for the reference's cloud-tag
+    path (source/S3SourceStorage.kt:40-59); when absent or returning None,
+    the Avro block-header count is the storage-agnostic fallback.
 
     Driver-side listing — the same O(#files) metadata the reference's
     walker sequences; on object stores this becomes a LIST call per prefix.
@@ -500,6 +546,10 @@ def walk_topics(root: str, exclude: set[str] | None = None) -> dict[str, list[So
             if st.st_size == 0:  # zero-length guard (RestructureWorker.kt:118-124)
                 continue
             t, partition, ofrom, oto = parsed
+            if oto is None and end_offset_reader is not None:
+                # O3 cloud-tag path: storage metadata carries the end
+                # offset directly (S3 object tag / Azure blob metadata).
+                oto = end_offset_reader(full)
             if oto is None:
                 # O3 tail: single-offset name — resolve the true end offset
                 # from the container's block headers (record count), the

@@ -597,3 +597,69 @@ def test_max_files_per_topic_takes_earliest(spark, tmp_path):
     assert r2["records_written"] == 3
     # Run 3: nothing left.
     assert run_avro_restructure_job(spark, src, cfg, mode="python")["records_written"] == 0
+
+
+def test_cloud_tag_end_offset_readers(tmp_path):
+    """O3 cloud-tag parity (S3SourceStorage.kt:40-66, AzureSourceStorage
+    .kt:28-46): a configured tag reader resolves single-offset filenames'
+    end offsets from storage metadata, with the block-header count as the
+    fallback when the reader yields nothing."""
+    import shutil
+
+    from restructure_hdfs_topic_spark.sources.avro import (
+        azure_metadata_end_offset_reader,
+        s3_tag_end_offset_reader,
+        walk_topics,
+    )
+
+    src = tmp_path / "in" / "application_server_status" / "partition=1"
+    src.mkdir(parents=True)
+    shutil.copy(
+        f"{FIXTURES}/application_server_status/partition=1/"
+        "application_server_status+1+0000000021.avro",
+        src,
+    )
+
+    class StubS3:
+        def __init__(self, tags):
+            self.tags = tags
+            self.requests = []
+
+        def get_object_tagging(self, Bucket, Key):
+            self.requests.append((Bucket, Key))
+            return {"TagSet": [{"Key": k, "Value": v} for k, v in self.tags.items()]}
+
+    # Tag present → its value wins (even over the block-header count).
+    s3 = StubS3({"endOffset": "99"})
+    topics = walk_topics(
+        str(tmp_path / "in"), end_offset_reader=s3_tag_end_offset_reader(s3, "bkt")
+    )
+    (f,) = topics["application_server_status"]
+    assert (f.offset_from, f.offset_to) == (21, 99)
+    assert s3.requests and s3.requests[0][0] == "bkt"
+
+    # No endOffset tag → reader returns None → block-header fallback (23).
+    topics = walk_topics(
+        str(tmp_path / "in"),
+        end_offset_reader=s3_tag_end_offset_reader(StubS3({"other": "1"}), "bkt"),
+    )
+    (f,) = topics["application_server_status"]
+    assert (f.offset_from, f.offset_to) == (21, 23)
+
+    class StubBlobProps:
+        metadata = {"endOffset": "55"}
+
+    class StubBlobClient:
+        def get_blob_properties(self):
+            return StubBlobProps()
+
+    class StubBlobService:
+        def get_blob_client(self, container, path):
+            return StubBlobClient()
+
+    topics = walk_topics(
+        str(tmp_path / "in"),
+        end_offset_reader=azure_metadata_end_offset_reader(StubBlobService(), "c"),
+    )
+    (f,) = topics["application_server_status"]
+    assert (f.offset_from, f.offset_to) == (21, 55)
