@@ -105,6 +105,19 @@ def main() -> None:
     warm.mapInPandas(lambda it: it, schema=warm.schema).write.format("noop").mode(
         "overwrite"
     ).save()
+    # Warm the remaining heavy operator shapes (grouped applyInPandas,
+    # window, distinct) on 100 rows: their generated code compiles once per
+    # session, and with a single pass per query that compile would bill to
+    # whichever query first uses the shape.
+    from pyspark.sql import Window as _W
+
+    tiny = warm.limit(100).select(F.col("user_id").alias("g"), F.col("value").alias("v"))
+    tiny.groupBy("g").applyInPandas(
+        lambda pdf: pdf.head(1), schema="g long, v double"
+    ).write.format("noop").mode("overwrite").save()
+    tiny.distinct().withColumn(
+        "r", F.row_number().over(_W.partitionBy("g").orderBy("v"))
+    ).write.format("noop").mode("overwrite").save()
 
     import gc
 

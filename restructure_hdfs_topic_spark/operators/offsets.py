@@ -67,29 +67,89 @@ def merge_offset_intervals(ranges: DataFrame) -> DataFrame:
     )
 
 
+def _covering_interval(probes: DataFrame, state: DataFrame, pos_col: str) -> DataFrame:
+    """Annotate each probe row with the committed interval whose start is
+    the LATEST ``offset_from <= pos`` in its (topic, partition) — with the
+    engine invariant that committed intervals are DISJOINT per partition
+    (``merge_offset_intervals`` runs at every commit), that interval is the
+    only one that can cover the probe.
+
+    Shape: union interval-start rows with probe rows, one shuffle+sort on
+    (topic, partition, pos), carry the running interval forward — O(n log n)
+    total.  The previous form — a broadcast join on (topic, partition) with
+    the range predicate as a post-filter — degenerates to a nested loop of
+    every probe against every interval of its partition (the equi-keys carry
+    almost no selectivity: topics × partitions is small while intervals grow
+    with history), measured 152 s for 1M records × 70k intervals at sf1.
+
+    Returns the probe rows (original columns) plus ``__c_from``/``__c_to``
+    and, when state carries it, ``__c_mtime``.
+    """
+    has_mtime = "last_processed" in state.columns
+    payload_t = F.struct(*[F.col(c) for c in probes.columns])
+    pr = probes.select(
+        "topic",
+        "partition",
+        F.col(pos_col).cast("long").alias("__pos"),
+        F.lit(1).alias("__kind"),
+        F.lit(None).cast("long").alias("__i_from"),
+        F.lit(None).cast("long").alias("__i_to"),
+        *([F.lit(None).cast("timestamp").alias("__i_mtime")] if has_mtime else []),
+        payload_t.alias("__payload"),
+    )
+    st = state.select(
+        "topic",
+        "partition",
+        F.col("offset_from").cast("long").alias("__pos"),
+        F.lit(0).alias("__kind"),  # interval start sorts before probes at the same pos
+        F.col("offset_from").cast("long").alias("__i_from"),
+        F.col("offset_to").cast("long").alias("__i_to"),
+        *([F.col("last_processed").alias("__i_mtime")] if has_mtime else []),
+        F.lit(None).cast(dict(pr.dtypes)["__payload"]).alias("__payload"),
+    )
+    w = (
+        Window.partitionBy("topic", "partition")
+        .orderBy("__pos", "__kind")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = st.unionByName(pr).select(
+        "__pos",
+        "__kind",
+        "__payload",
+        F.last("__i_from", ignorenulls=True).over(w).alias("__c_from"),
+        F.last("__i_to", ignorenulls=True).over(w).alias("__c_to"),
+        *(
+            [F.last("__i_mtime", ignorenulls=True).over(w).alias("__c_mtime")]
+            if has_mtime
+            else []
+        ),
+    )
+    out_cols = [F.col(f"__payload.{c}").alias(c) for c in probes.columns]
+    return carried.filter(F.col("__kind") == 1).select(
+        *out_cols,
+        "__c_from",
+        "__c_to",
+        *(["__c_mtime"] if has_mtime else []),
+    )
+
+
 def filter_unseen_files(manifest: DataFrame, state: DataFrame) -> DataFrame:
     """O4: drop manifest files whose [offset_from, offset_to] is fully
     contained in a committed interval with last_processed >= file mtime.
 
     ``manifest``: (topic, partition, offset_from, offset_to, mtime, ...).
-    Range-containment anti-join; Catalyst broadcasts the (small) state side.
+    Carry-forward interval lookup (``_covering_interval``) — one
+    shuffle+sort, no per-interval probing.
     """
-    st = state.select(
-        F.col("topic").alias("s_topic"),
-        F.col("partition").alias("s_partition"),
-        F.col("offset_from").alias("s_from"),
-        F.col("offset_to").alias("s_to"),
-        *([F.col("last_processed").alias("s_mtime")] if "last_processed" in state.columns else []),
+    has_mtime = "last_processed" in state.columns and "mtime" in manifest.columns
+    annotated = _covering_interval(manifest, state, "offset_from")
+    seen = (
+        F.col("__c_from").isNotNull()
+        & (F.col("offset_to") <= F.col("__c_to"))
     )
-    cond = (
-        (manifest["topic"] == st["s_topic"])
-        & (manifest["partition"] == st["s_partition"])
-        & (manifest["offset_from"] >= st["s_from"])
-        & (manifest["offset_to"] <= st["s_to"])
-    )
-    if "last_processed" in state.columns and "mtime" in manifest.columns:
-        cond = cond & (manifest["mtime"] <= st["s_mtime"])
-    return manifest.join(st, cond, "left_anti")
+    if has_mtime:
+        seen = seen & (F.col("mtime") <= F.col("__c_mtime"))
+    return annotated.filter(~seen).select(*manifest.columns)
 
 
 def filter_unseen_records(records: DataFrame, state: DataFrame) -> DataFrame:
@@ -98,23 +158,15 @@ def filter_unseen_records(records: DataFrame, state: DataFrame) -> DataFrame:
     mtime is not newer than the interval's last_processed).
 
     ``records`` needs (topic, partition, offset[, mtime]) columns.
+    Carry-forward interval lookup (``_covering_interval``) — one
+    shuffle+sort, no per-interval probing.
     """
-    st = state.select(
-        F.col("topic").alias("s_topic"),
-        F.col("partition").alias("s_partition"),
-        F.col("offset_from").alias("s_from"),
-        F.col("offset_to").alias("s_to"),
-        *([F.col("last_processed").alias("s_mtime")] if "last_processed" in state.columns else []),
-    )
-    cond = (
-        (records["topic"] == st["s_topic"])
-        & (records["partition"] == st["s_partition"])
-        & (records["offset"] >= st["s_from"])
-        & (records["offset"] <= st["s_to"])
-    )
-    if "last_processed" in state.columns and "mtime" in records.columns:
-        cond = cond & (records["mtime"] <= st["s_mtime"])
-    return records.join(st, cond, "left_anti")
+    has_mtime = "last_processed" in state.columns and "mtime" in records.columns
+    annotated = _covering_interval(records, state, "offset")
+    seen = F.col("__c_from").isNotNull() & (F.col("offset") <= F.col("__c_to"))
+    if has_mtime:
+        seen = seen & (F.col("mtime") <= F.col("__c_mtime"))
+    return annotated.filter(~seen).select(*records.columns)
 
 
 def assign_record_offsets(

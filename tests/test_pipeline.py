@@ -295,10 +295,11 @@ def test_streaming_stateful_seen_record_filter(spark, tmp_path):
     assert offsets == list(range(16))  # each offset exactly once
 
 def test_plan_shapes_scale_properties(spark):
-    """Pin the plan properties SCALE.md claims: the offsets state
-    broadcasts in the seen-record anti-join (events never shuffle), and
-    column pruning + filter pushdown reach the parquet scans of the
-    flagship aggregation."""
+    """Pin the plan properties SCALE.md claims: the seen-record filter is
+    the carry-forward interval lookup (ONE window over one shuffle — never
+    a join that probes every committed interval per record: the old
+    broadcast range join measured 152 s at sf1), and column pruning +
+    filter pushdown reach the parquet scans of the flagship aggregation."""
     import __spark_entry__ as e
 
     sf = "/root/testdata/sf0.001"
@@ -308,8 +309,9 @@ def test_plan_shapes_scale_properties(spark):
         .executedPlan()
         .toString()
     )
-    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
-    assert "SortMergeJoin" not in plan
+    assert "Window" in plan
+    for degenerate in ("BroadcastNestedLoopJoin", "CartesianProduct", "SortMergeJoin"):
+        assert degenerate not in plan, degenerate
 
     plan2 = (
         e.queries()["revenue_by_nation"](spark, sf)
