@@ -145,7 +145,15 @@ def _write_topic(
             and "sourceId" in organized.schema["key"].dataType.fieldNames()
             else F.lit(None).cast("string")
         )
-        extras = extra_staging_cols(config.paths.template, F.col("time"), src_col)
+        # Event time lives in "time" on the batch path
+        # (organize_avro_records) and in "ts" on the streaming path
+        # (streaming_restructure); absent both, ${time:...} renders
+        # unknown-time (FormattedPathFactory.kt:94-98).
+        time_col = next(
+            (F.col(c) for c in ("time", "ts") if c in organized.columns),
+            F.lit(None).cast("timestamp"),
+        )
+        extras = extra_staging_cols(config.paths.template, time_col, src_col)
         for name, col in extras.items():
             organized = organized.withColumn(name, col)
         extra_names = list(extras)

@@ -505,3 +505,44 @@ def test_query_registry_consistency():
         "query last so a harness drop of the final entry cannot silently "
         "unwitness an oracled query"
     )
+
+
+def test_streaming_template_layout_time_pattern(spark, tmp_path):
+    """The generalized template params (${time:pattern}, ${sourceId}) must
+    render physically on the STREAMING sink too — micro-batch event times
+    drive the per-record time directories; a corpus without a sourceId
+    falls back to unknown-source (FormattedPathFactory.kt:88,94-98)."""
+    import glob as _glob
+
+    from restructure_hdfs_topic_spark.config import PathConfig, RestructureConfig
+    from restructure_hdfs_topic_spark.streaming.service import (
+        start_template_service,
+        streaming_restructure,
+    )
+
+    src = str(tmp_path / "src")
+    batch = _records(spark)
+    batch.write.parquet(src)
+    cfg = RestructureConfig(
+        target_dir=str(tmp_path / "out"),
+        state_dir=str(tmp_path / "state"),
+        format="json",
+        paths=PathConfig(
+            layout="template",
+            template="${topic}/${projectId}/${userId}/${sourceId}/${time:yyyyMM}/${filename}",
+        ),
+    )
+    organized = streaming_restructure(spark, src, batch.schema)
+    q = start_template_service(organized, cfg, "events", str(tmp_path / "ckpt"))
+    q.awaitTermination(120)
+
+    # _records spans 2024-01-01 00:00..06:40 → single 202401 time dir, five
+    # sanitized user ids, sourceId falls back.
+    data = [
+        p
+        for p in _glob.glob(f"{cfg.target_dir}/events/unknown-project/*/unknown-source/202401/*.json")
+        if not os.path.basename(p).startswith("schema-")
+    ]
+    assert len({p.split("/")[-4] for p in data}) == 5  # five user trees
+    assert sum(1 for p in data for _ in open(p)) == 40
+    assert not _glob.glob(f"{cfg.target_dir}/_staging_*")
