@@ -61,6 +61,17 @@ from restructure_hdfs_topic_spark.sources.tables import configure as _conf
 from restructure_hdfs_topic_spark.sources.tables import load_table as _t
 
 
+def _parquet_rows(sf_dir: str, name: str) -> int | None:
+    """Row count from the parquet footer (driver-side, no Spark job) —
+    operator sizing needs only the order of magnitude."""
+    try:
+        import pyarrow.parquet as pq
+
+        return pq.ParquetFile(os.path.join(sf_dir, f"{name}.parquet")).metadata.num_rows
+    except Exception:
+        return None
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the restructure pipeline's record organization (O9-O11)
     over sf0.001 events — the reference's core per-record derivation."""
@@ -751,7 +762,7 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     multi-probe Hamming-1 buckets to recover recall."""
     _conf(spark)
     emb = _t(spark, sf_dir, "embeddings")
-    return lsh_ann_topk(emb, k=5)
+    return lsh_ann_topk(emb, k=5, n_rows=_parquet_rows(sf_dir, "embeddings"))
 
 
 def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -763,7 +774,7 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     _conf(spark)
     emb = _t(spark, sf_dir, "embeddings")
-    return ivf_ann_topk(emb, k=5)
+    return ivf_ann_topk(emb, k=5, n_rows=_parquet_rows(sf_dir, "embeddings"))
 
 
 def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -946,7 +957,9 @@ def q_embedding_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     _conf(spark)
     emb = _t(spark, sf_dir, "embeddings")
-    return lsh_cosine_near_dup_pairs(emb, threshold=0.35)
+    return lsh_cosine_near_dup_pairs(
+        emb, threshold=0.35, n_rows=_parquet_rows(sf_dir, "embeddings")
+    )
 
 
 def q_csv_flatten(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -138,6 +138,7 @@ def lsh_cosine_near_dup_pairs(
     target_bucket_size: int = 150,
     tables: int | None = None,
     target_recall: float = 0.9,
+    n_rows: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs at scale: hyperplane-LSH
     tables generate candidates, and each bucket emits ALL pairs with
@@ -159,7 +160,7 @@ def lsh_cosine_near_dup_pairs(
     import pandas as pd
 
     if planes is None:
-        n = embeddings.count()
+        n = n_rows if n_rows is not None else embeddings.count()
         planes = max(4, min(24, int(math.ceil(math.log2(max(n, 2) / target_bucket_size)))))
     if tables is None:
         p1 = 1.0 - math.acos(max(min(threshold, 1.0), -1.0)) / math.pi
@@ -329,6 +330,7 @@ def ivf_ann_topk(
     lloyd_iters: int = 1,
     target_recall: float = 0.9,
     calibration_sample: int = 512,
+    n_rows: int | None = None,
 ) -> DataFrame:
     """IVF (inverted-file) approximate top-k — the coarse-quantizer
     alternative to hyperplane LSH:
@@ -361,7 +363,7 @@ def ivf_ann_topk(
     import numpy as np
     import pandas as pd
 
-    n = embeddings.count()
+    n = n_rows if n_rows is not None else embeddings.count()
     if n_centroids is None:
         n_centroids = max(2, min(65536, int(math.isqrt(n))))
     quant = embeddings.select(
@@ -468,6 +470,7 @@ def lsh_ann_topk(
     target_bucket_size: int = 150,
     tables: int = 4,
     multiprobe: int = 1,
+    n_rows: int | None = None,
 ) -> DataFrame:
     """Approximate top-k: compare only within a hyperplane-LSH bucket.
 
@@ -499,7 +502,10 @@ def lsh_ann_topk(
     if planes is None:
         import math
 
-        n = embeddings.count()
+        # n_rows: caller-supplied size hint (e.g. parquet footer metadata)
+        # — sizing needs only the order of magnitude, so skipping the
+        # count() job is free accuracy-wise.
+        n = n_rows if n_rows is not None else embeddings.count()
         planes = max(4, min(24, int(math.ceil(math.log2(max(n, 2) / target_bucket_size)))))
     # One row per (table, role, bucket): corpus membership in its own
     # bucket; queries additionally probe Hamming-1 buckets (query role
