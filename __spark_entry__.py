@@ -467,6 +467,26 @@ def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style quality gate (Rae et al. 2021, table A1 heuristics):
+    word-count bounds, mean word length, symbol-to-word ratio, bullet /
+    ellipsis line ratios, alphabetic-word ratio, distinct-stopword minimum
+    — the conjunctive filter most LLM-corpus pipelines apply before
+    dedup.  One token/line split, all codegen projections, no shuffle."""
+    from restructure_hdfs_topic_spark.functions.text import (
+        gopher_metrics,
+        gopher_passes,
+    )
+
+    _conf(spark)
+    docs = _t(spark, sf_dir, "documents")
+    metrics = gopher_metrics(F.col("text"))
+    proj = docs.select("doc_id", *[c.alias(n) for n, c in metrics])
+    return proj.withColumn(
+        "passes", gopher_passes(*[F.col(n) for n, _ in metrics])
+    )
+
+
 def q_text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Marker-based language-ID heuristic (argmax with deterministic ties).
 
@@ -1026,6 +1046,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_customers": q_top_customers,
         "text_token_count": q_text_token_count,
         "text_quality": q_text_quality,
+        "gopher_quality": q_gopher_quality,
         "text_lang_id": q_text_lang_id,
         "text_fingerprint": q_text_fingerprint,
         "corpus_filter": q_corpus_filter,
@@ -1325,6 +1346,47 @@ def oracle_sql() -> dict[str, str]:
                        + 0.3 * (1.0 - least(punct_ratio * 5, 1.0))
                        + 0.2 * least(stopword_ratio * 3, 1.0), 6) AS quality
             FROM c
+        """,
+        "gopher_quality": f"""
+            WITH m AS (
+                SELECT doc_id,
+                       CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+                            ELSE {_TOKENS} END AS toks,
+                       string_split(text, chr(10)) AS lines,
+                       length(text) - length(replace(text, '#', '')) AS n_hash,
+                       (length(text) - length(replace(text, '...', ''))) / 3.0 AS n_ellipsis
+                FROM documents
+            ), c AS (
+                SELECT doc_id,
+                       CAST(len(toks) AS BIGINT) AS n_words,
+                       CASE WHEN len(toks) > 0 THEN CAST(len(toks) AS DOUBLE) ELSE 1.0 END AS nz,
+                       coalesce(list_sum(list_transform(toks, w -> length(w))), 0) AS sum_len,
+                       n_hash, n_ellipsis,
+                       CAST(len(lines) AS DOUBLE) AS n_lines,
+                       CAST(len(list_filter(lines, l -> regexp_matches(ltrim(l), '^[-*\u2022]'))) AS DOUBLE) AS bullets,
+                       CAST(len(list_filter(lines, l -> regexp_matches(rtrim(l), '(\.\.\.|\u2026)$'))) AS DOUBLE) AS ell_end,
+                       CAST(len(list_filter(toks, w -> regexp_matches(w, '[a-z]'))) AS DOUBLE) AS alpha_w,
+                       CAST(len(list_filter(list_distinct(toks), x -> list_contains({_STOPS}, x))) AS BIGINT) AS n_stopword_kinds
+                FROM m
+            ), r AS (
+                SELECT doc_id, n_words,
+                       round(CAST(sum_len AS DOUBLE) / nz, 6) AS mean_word_len,
+                       round((n_hash + n_ellipsis) / nz, 6) AS symbol_word_ratio,
+                       round(bullets / greatest(n_lines, 1.0), 6) AS bullet_line_ratio,
+                       round(ell_end / greatest(n_lines, 1.0), 6) AS ellipsis_line_ratio,
+                       round(alpha_w / nz, 6) AS alpha_word_ratio,
+                       n_stopword_kinds
+                FROM c
+            )
+            SELECT *,
+                   (n_words BETWEEN 50 AND 100000)
+                   AND (mean_word_len BETWEEN 3.0 AND 10.0)
+                   AND symbol_word_ratio <= 0.1
+                   AND bullet_line_ratio <= 0.9
+                   AND ellipsis_line_ratio <= 0.3
+                   AND alpha_word_ratio >= 0.8
+                   AND n_stopword_kinds >= 2 AS passes
+            FROM r
         """,
         "text_lang_id": f"""
             WITH s AS (

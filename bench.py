@@ -40,6 +40,7 @@ BENCH_QUERIES = [
     "top_customers",
     "text_token_count",
     "text_quality",
+    "gopher_quality",
     "text_lang_id",
     "text_fingerprint",
     "corpus_filter",

@@ -286,3 +286,79 @@ def redact_pii(text: Column) -> Column:
     for pattern, token in PII_PATTERNS:
         out = F.regexp_replace(out, pattern, token)
     return out
+
+
+def gopher_metrics(text: Column) -> list[tuple[str, Column]]:
+    """Gopher-style document quality rules (Rae et al. 2021, table A1 —
+    the public heuristics most LLM-corpus pipelines reuse): word count
+    bounds, mean word length, symbol-to-word ratio ('#' and '...'),
+    bullet-start / ellipsis-end line ratios, alphabetic-word ratio, and a
+    minimum distinct-stopword requirement.  All deterministic codegen
+    column expressions over one token/line split (no shuffle); thresholds
+    applied by ``gopher_passes``.
+
+    Returns [(name, column)] so callers project every metric in one pass.
+    """
+    toks = tokens(text)
+    n_words = F.size(toks).cast("bigint")
+    nz = F.when(n_words > 0, n_words.cast("double")).otherwise(F.lit(1.0))
+    mean_len = F.round(
+        F.aggregate(toks, F.lit(0).cast("long"), lambda a, w: a + F.length(w)).cast(
+            "double"
+        )
+        / nz,
+        6,
+    )
+    n_hash = F.length(text) - F.length(F.replace(text, F.lit("#"), F.lit("")))
+    n_ellipsis = (
+        F.length(text) - F.length(F.replace(text, F.lit("..."), F.lit("")))
+    ) / F.lit(3)
+    symbol_ratio = F.round((n_hash + n_ellipsis).cast("double") / nz, 6)
+    lines = F.split(text, "\n")
+    n_lines = F.size(lines).cast("double")
+    bullet = F.size(
+        F.filter(lines, lambda l: F.ltrim(l).rlike(r"^[-*•]"))
+    ).cast("double")
+    ellipsis_end = F.size(
+        F.filter(lines, lambda l: F.rtrim(l).rlike(r"(\.\.\.|…)$"))
+    ).cast("double")
+    bullet_ratio = F.round(bullet / F.greatest(n_lines, F.lit(1.0)), 6)
+    ellipsis_ratio = F.round(ellipsis_end / F.greatest(n_lines, F.lit(1.0)), 6)
+    alpha_words = F.size(F.filter(toks, lambda w: w.rlike("[a-z]"))).cast("double")
+    alpha_ratio = F.round(alpha_words / nz, 6)
+    stop_hits = F.size(
+        F.array_intersect(F.array_distinct(toks), F.array(*[F.lit(s) for s in STOPWORDS]))
+    ).cast("bigint")
+    return [
+        ("n_words", n_words),
+        ("mean_word_len", mean_len),
+        ("symbol_word_ratio", symbol_ratio),
+        ("bullet_line_ratio", bullet_ratio),
+        ("ellipsis_line_ratio", ellipsis_ratio),
+        ("alpha_word_ratio", alpha_ratio),
+        ("n_stopword_kinds", stop_hits),
+    ]
+
+
+def gopher_passes(
+    n_words: Column,
+    mean_word_len: Column,
+    symbol_word_ratio: Column,
+    bullet_line_ratio: Column,
+    ellipsis_line_ratio: Column,
+    alpha_word_ratio: Column,
+    n_stopword_kinds: Column,
+    min_words: int = 50,
+    max_words: int = 100_000,
+) -> Column:
+    """The conjunctive Gopher gate over pre-computed metrics (thresholds
+    from the paper; word bounds configurable for short-doc corpora)."""
+    return (
+        n_words.between(min_words, max_words)
+        & mean_word_len.between(3.0, 10.0)
+        & (symbol_word_ratio <= 0.1)
+        & (bullet_line_ratio <= 0.9)
+        & (ellipsis_line_ratio <= 0.3)
+        & (alpha_word_ratio >= 0.8)
+        & (n_stopword_kinds >= 2)
+    )

@@ -499,7 +499,7 @@ def test_query_registry_consistency():
         "embedding_near_dup_lsh",
         "minhash_lsh_pairs",
     }, f"unexpected rows-only set: {sorted(rows_only)}"
-    assert len(q) == len(set(q)) == 51
+    assert len(q) == len(set(q)) == 52
     assert q[-1] in rows_only, (
         f"last registry entry {q[-1]!r} has an oracle; keep a rows-only "
         "query last so a harness drop of the final entry cannot silently "
