@@ -656,3 +656,94 @@ def test_simhash_component_edges_closure_matches_pairs(spark):
     # per band — CC absorbs duplicates), never the quadratic pair count.
     assert len(edges) <= 4 * len(df.toPandas())
     assert (edges["id_a"] != edges["id_b"]).all()
+
+
+def test_interval_lookup_matches_bruteforce_randomized(spark):
+    """The carry-forward interval lookup (O4/O5 rewrite) must agree with a
+    per-row brute-force scan over randomized merged interval sets — incl.
+    boundary offsets, adjacent intervals, empty state, and the mtime
+    dimension."""
+    import random
+
+    from restructure_hdfs_topic_spark.operators.offsets import (
+        filter_unseen_files,
+        filter_unseen_records,
+        merge_offset_intervals,
+    )
+
+    rng = random.Random(42)
+    for trial in range(5):
+        raw = [
+            (
+                rng.choice(["a", "b"]),
+                rng.randint(0, 1),
+                (lo := rng.randint(0, 400)),
+                lo + rng.randint(0, 30),
+                f"2024-01-{rng.randint(10, 20)} 00:00:00",
+            )
+            for _ in range(rng.randint(0, 25))
+        ]
+        state_df = merge_offset_intervals(
+            spark.createDataFrame(
+                raw,
+                "topic string, partition int, offset_from long, offset_to long, last_processed string",
+            ).withColumn("last_processed", F.to_timestamp("last_processed"))
+        )
+        state = state_df.collect()
+        records = [
+            (
+                i,
+                rng.choice(["a", "b"]),
+                rng.randint(0, 1),
+                rng.randint(0, 450),
+                f"2024-01-{rng.randint(10, 20)} 00:00:00",
+            )
+            for i in range(120)
+        ]
+        rec_df = spark.createDataFrame(
+            records, "rid long, topic string, partition int, offset long, mtime string"
+        ).withColumn("mtime", F.to_timestamp("mtime"))
+
+        got = {r["rid"] for r in filter_unseen_records(rec_df, state_df).collect()}
+        want = {
+            rid
+            for rid, t, p, off, m in records
+            if not any(
+                s["topic"] == t
+                and s["partition"] == p
+                and s["offset_from"] <= off <= s["offset_to"]
+                and m <= str(s["last_processed"])
+                for s in state
+            )
+        }
+        assert got == want, f"records trial {trial}: {got ^ want}"
+
+        files = [
+            (
+                i,
+                rng.choice(["a", "b"]),
+                rng.randint(0, 1),
+                (lo := rng.randint(0, 440)),
+                lo + rng.randint(0, 15),
+                f"2024-01-{rng.randint(10, 20)} 00:00:00",
+            )
+            for i in range(60)
+        ]
+        file_df = spark.createDataFrame(
+            files,
+            "fid long, topic string, partition int, offset_from long, offset_to long, mtime string",
+        ).withColumn("mtime", F.to_timestamp("mtime"))
+        got_f = {r["fid"] for r in filter_unseen_files(file_df, state_df).collect()}
+        want_f = {
+            fid
+            for fid, t, p, lo, hi, m in files
+            if not any(
+                s["topic"] == t
+                and s["partition"] == p
+                and s["offset_from"] <= lo
+                and hi <= s["offset_to"]
+                and m <= str(s["last_processed"])
+                for s in state
+            )
+        }
+        assert got_f == want_f, f"files trial {trial}: {got_f ^ want_f}"
