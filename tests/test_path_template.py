@@ -90,3 +90,83 @@ def test_sanitize_and_defaults_in_render(spark):
         ).alias("path")
     )
     assert df.collect()[0].path == "p/unknown-user/unknown-source/t/20210102_1000.json"
+
+
+def test_logical_and_physical_renderers_agree(spark):
+    """The column-expression renderer (functions/paths.render_template) and
+    the finalize-time driver renderer (plans/layout.render_final_path) must
+    produce the SAME path for the same record across every supported
+    template shape — drift between them would place files somewhere the
+    logical plan does not predict."""
+    from pyspark.sql import functions as F
+
+    from restructure_hdfs_topic_spark.functions.paths import render_template
+    from restructure_hdfs_topic_spark.plans.layout import render_final_path
+
+    templates = [
+        "${projectId}/${userId}/${topic}/${filename}",
+        "${topic}/${projectId}/${userId}/${sourceId}/${time:yyyyMM}/${time:dd}/${filename}",
+        "${projectId}/${topic}/${time:yyyyMMdd}${attempt}${extension}",
+        "${topic}/${userId}/${time:yyyy}/${time:MM}/${filename}",
+    ]
+    cases = [
+        # (project, user, source, time, attempt)
+        ("p one", "u@ser", "s/1", "2021-01-02 10:05:00", 0),
+        ("", None, None, "2021-01-02 10:05:00", 2),
+    ]
+    df = spark.createDataFrame(
+        [(p, u, s, t, a) for p, u, s, t, a in cases],
+        "project string, user string, source string, t string, attempt int",
+    ).withColumn("t", F.to_timestamp("t"))
+    for tmpl in templates:
+        logical = [
+            r["path"]
+            for r in df.select(
+                render_template(
+                    tmpl,
+                    topic=F.lit("tp"),
+                    project=F.col("project"),
+                    user=F.col("user"),
+                    source=F.col("source"),
+                    time=F.col("t"),
+                    attempt=F.col("attempt"),
+                    extension=".csv",
+                ).alias("path")
+            ).collect()
+        ]
+        from restructure_hdfs_topic_spark.functions.time import time_bin
+
+        bins = [
+            r["b"]
+            for r in df.select(time_bin(F.col("t"), "yyyyMMdd_HH'00'").alias("b")).collect()
+        ]
+        import re as _re
+        from datetime import datetime, timezone
+
+        tps = [
+            p.removeprefix("time:")
+            for p in dict.fromkeys(_re.findall(r"\$\{(time:[^}]*)}", tmpl))
+        ]
+        for (proj, user, src, t, attempt), bin_name, got_logical in zip(cases, bins, logical):
+            ts = datetime.strptime(t, "%Y-%m-%d %H:%M:%S").replace(tzinfo=timezone.utc)
+            kv = {
+                "projectId": _sanitize(proj, "unknown-project"),
+                "userId": _sanitize(user, "unknown-user"),
+                "sourceId": _sanitize(src, "unknown-source"),
+                "bin": bin_name,
+                "attempt": str(attempt),
+            }
+            for i, pat in enumerate(tps):
+                # Spark date_format and Java DateTimeFormatter share these
+                # pattern letters for the shapes under test.
+                java_to_py = {"yyyyMM": "%Y%m", "dd": "%d", "yyyyMMdd": "%Y%m%d", "yyyy": "%Y", "MM": "%m"}
+                kv[f"__tp{i}"] = ts.strftime(java_to_py[pat])
+            got_physical = render_final_path(tmpl, "tp", kv, ".csv")
+            assert got_physical == got_logical, (tmpl, kv, got_physical, got_logical)
+
+
+def _sanitize(v, default):
+    import re as _re
+
+    cleaned = _re.sub(r"[^a-zA-Z0-9_-]+", "", v or "")
+    return cleaned or default
