@@ -10,7 +10,10 @@ mirroring worker/FileCache.kt:128-158 ordering).  A rerun sees the
 committed intervals, the manifest anti-join drops every processed file,
 and the job writes nothing — idempotence is a property of the plan, not
 of locks.  (The reference needs Redis locks because N independent JVMs
-race; one Spark app owns the whole plan, so O19 degenerates to nothing.)
+race; one Spark app owns the whole plan, so a single deployment needs no
+locking.  For MULTI-app deployments sharing one output tree, ``locks.py``
+provides the reference's lease semantics over the state dir — O19,
+config-gated via ``lock_enable``.)
 """
 
 from __future__ import annotations
