@@ -125,40 +125,71 @@ def to_json_lines(df: DataFrame) -> DataFrame:
     return df.select(F.to_json(F.struct(*[_qcol(c) for c in df.columns])).alias("json"))
 
 
-def header_fingerprint(df: DataFrame) -> Column:
-    """§1.3 attempt routing: deterministic fingerprint of the record's
-    flattened HEADER.  Only data-dependent columns participate — the map
-    keys the record actually has and its array lengths
-    (RecordConverterFactory.kt:96-135: headers derive from the record) —
+def _header_descriptor(df: DataFrame) -> Column:
+    """§1.3 attempt routing: structured form of the record's data-dependent
+    flattened HEADER — sorted map keys and array lengths per column as one
+    JSON string.  Only data-dependent columns participate
+    (RecordConverterFactory.kt:96-135: headers derive from the record);
     static schema fields appear in every header and a null value does NOT
-    change it (null renders as "", CsvAvroDataConverter.kt:81-84).
-    Records agreeing on the fingerprint share a header and a file; the
-    rest are routed to attempt-suffixed outputs."""
-    parts: list[Column] = []
+    change it (null renders as "", CsvAvroDataConverter.kt:81-84)."""
+    fields: dict[str, Column] = {}
     for f in df.schema.fields:
         if isinstance(f.dataType, MapType):
-            parts.append(F.concat_ws(",", F.array_sort(F.map_keys(_qcol(f.name)))))
+            fields[f.name] = F.array_sort(
+                F.coalesce(F.map_keys(_qcol(f.name)), F.array().cast("array<string>"))
+            )
         elif isinstance(f.dataType, ArrayType):
-            parts.append(F.size(_qcol(f.name)).cast("string"))
-    if not parts:  # schema-constant header: every record agrees
-        return F.lit("0" * 8)
-    return F.sha2(F.concat_ws("|", *parts), 256).substr(1, 8)
+            fields[f.name] = F.coalesce(F.size(_qcol(f.name)), F.lit(0))
+    if not fields:
+        return F.lit("{}")
+    return F.to_json(F.struct(*[v.alias(k) for k, v in fields.items()]))
+
+
+def _header_contains(wide: dict, narrow: dict) -> bool:
+    """Reference acceptance rule (RecordConverterFactory.kt:96-135 via
+    CsvAvroConverterTest.kt:88-157 "sub-schema accepted"): a record fits an
+    existing file when its headers are a SUBSET of the file's — map keys
+    contained, arrays no longer."""
+    for col, nv in narrow.items():
+        wv = wide.get(col)
+        if isinstance(nv, list):
+            if not set(nv) <= set(wv or []):
+                return False
+        else:
+            if nv > (wv or 0):
+                return False
+    return True
 
 
 def route_by_schema_attempt(df: DataFrame) -> DataFrame:
-    """Assign each record its attempt index: fingerprint groups ranked by
-    first occurrence → suffix 0 (no suffix), 1, 2… mirroring
-    RecordPathFactory.kt:56-75's retry loop, computed set-wise."""
-    from pyspark.sql import Window
+    """Assign each record its attempt index, mirroring
+    RecordPathFactory.kt:56-75's retry loop set-wise: distinct header
+    shapes are processed in first-occurrence order, each routed to the
+    FIRST earlier attempt whose header CONTAINS it (sub-schema records
+    absorb into the wider file with ``""`` cells —
+    CsvAvroConverterTest.kt:88-157), else to a new attempt.
 
-    fp = df.withColumn("__fp", header_fingerprint(df)).withColumn(
+    Driver state is one row per DISTINCT header shape (bounded by schema
+    variance, not record count); the subset scan is O(shapes²)."""
+    import json as _json
+
+    fp = df.withColumn("__fp", _header_descriptor(df)).withColumn(
         "__mid", F.monotonically_increasing_id()
     )
-    order = Window.orderBy(F.col("__first_seen"))
-    firsts = (
-        fp.groupBy("__fp")
-        .agg(F.min("__mid").alias("__first_seen"))
-        .withColumn("attempt", F.row_number().over(order) - 1)
-        .select("__fp", "attempt")
+    firsts = sorted(
+        fp.groupBy("__fp").agg(F.min("__mid").alias("m")).collect(),
+        key=lambda r: r["m"],
     )
-    return fp.join(F.broadcast(firsts), "__fp").drop("__fp", "__mid")
+    canonicals: list[dict] = []
+    rows: list[tuple[str, int]] = []
+    for r in firsts:
+        h = _json.loads(r["__fp"])
+        attempt = next(
+            (i for i, c in enumerate(canonicals) if _header_contains(c, h)), None
+        )
+        if attempt is None:
+            canonicals.append(h)
+            attempt = len(canonicals) - 1
+        rows.append((r["__fp"], attempt))
+    mapping = df.sparkSession.createDataFrame(rows, "__fp string, attempt int")
+    return fp.join(F.broadcast(mapping), "__fp").drop("__fp", "__mid")

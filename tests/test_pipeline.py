@@ -546,3 +546,23 @@ def test_streaming_template_layout_time_pattern(spark, tmp_path):
     assert len({p.split("/")[-4] for p in data}) == 5  # five user trees
     assert sum(1 for p in data for _ in open(p)) == 40
     assert not _glob.glob(f"{cfg.target_dir}/_staging_*")
+
+
+def test_attempt_routing_absorbs_sub_schema(spark):
+    """CsvAvroConverterTest.kt:88-157 "sub-schema accepted": a record whose
+    header is a SUBSET of an earlier attempt's header joins that attempt
+    (missing cells render ""), it does not open a new attempt file."""
+    df = spark.createDataFrame(
+        [
+            (1, {"k1": 1.0, "k2": 2.0}, [10, 11]),  # wide header first
+            (2, {"k1": 3.0}, [20]),                 # subset → absorbed
+            (3, {}, []),                            # empty → absorbed
+            (4, {"k3": 4.0}, [30]),                 # incomparable → new attempt
+            (5, {"k1": 5.0, "k2": 6.0, "k3": 7.0}, [40]),  # superset of both → new
+        ],
+        "id int, m map<string,double>, arr array<int>",
+    )
+    attempts = {r.id: r.attempt for r in route_by_schema_attempt(df).collect()}
+    assert attempts[1] == attempts[2] == attempts[3] == 0
+    assert attempts[4] == 1
+    assert attempts[5] == 2
