@@ -452,7 +452,7 @@ def run_avro_cleaner_job(
         for t, tc in config.topics.items()
         if tc.exclude or tc.exclude_from_delete
     }
-    topics = walk_topics(input_root, exclude=excluded)
+    topics = walk_topics(input_root, exclude=excluded, spark=spark)
     counters: dict = {"deleted": [], "rolled_back": [], "kept": []}
     state = read_offsets(spark, config.state_dir)
     state_rows = [
@@ -549,7 +549,7 @@ def run_avro_restructure_job(
     """One restructure iteration over an Avro source tree.  Returns O26-style
     counters per topic plus totals."""
     excluded = {t for t, tc in config.topics.items() if tc.exclude}
-    topics = walk_topics(input_root, exclude=excluded)
+    topics = walk_topics(input_root, exclude=excluded, spark=spark)
     now = now_s if now_s is not None else _time.time()
     min_age = config.worker.minimum_file_age_s
     counters: dict = {

@@ -440,14 +440,15 @@ def _read_long_stream(fh) -> int | None:
     return (acc >> 1) ^ -(acc & 1)
 
 
-def count_container_records(path: str) -> int:
+def count_container_records(path: str, opener=open) -> int:
     """Record count of an Avro container from BLOCK HEADERS only: each block
     prefixes (record count, byte size) — sum the counts, seek past the data.
     No block is decompressed or decoded, so this is O(#blocks) metadata I/O —
     the local-filesystem analogue of the endOffset object tag the reference
     reads for single-offset filenames (source/S3SourceStorage.kt:40-59,
-    source/AzureSourceStorage.kt:28-46)."""
-    with open(path, "rb") as fh:
+    source/AzureSourceStorage.kt:28-46).  ``opener`` abstracts the byte
+    source (the Hadoop-FS walk passes a remote reader)."""
+    with opener(path, "rb") as fh:
         if fh.read(4) != MAGIC:
             raise ValueError("not an Avro object container file")
         while True:  # header metadata map (skip values)
@@ -509,15 +510,63 @@ def azure_metadata_end_offset_reader(blob_service, container: str):
     return read
 
 
+# Hadoop normalizes file:///x to file:/x, so match any scheme prefix, not
+# just the "://" form.
+_URI_RE = re.compile(r"^[A-Za-z][A-Za-z0-9+.-]*:/")
+
+
+def _hadoop_listing(spark, root: str) -> list[tuple[str, float, int]]:
+    """(path, mtime_s, size) for every file under a Hadoop-FS URI —
+    the cluster-storage form of the walk (hdfs://, s3a://, file://...).
+    One recursive LIST, same O(#files) metadata as the local walk."""
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(root)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    out: list[tuple[str, float, int]] = []
+    it = fs.listFiles(hpath, True)
+    while it.hasNext():
+        st = it.next()
+        out.append((st.getPath().toString(), st.getModificationTime() / 1000.0, st.getLen()))
+    return out
+
+
+def _hadoop_opener(spark):
+    """``opener(path, mode)`` over Hadoop FS: reads the full object into
+    memory (Kafka-Connect Avro chunks are MB-scale) so the block-header
+    scan seeks locally instead of per-call py4j round-trips."""
+    import io
+
+    jvm = spark._jvm
+    hconf = spark._jsc.hadoopConfiguration()
+
+    def opener(path: str, mode: str = "rb"):
+        hp = jvm.org.apache.hadoop.fs.Path(path)
+        fs = hp.getFileSystem(hconf)
+        stream = fs.open(hp)
+        try:
+            return io.BytesIO(bytes(stream.readAllBytes()))
+        finally:
+            stream.close()
+
+    return opener
+
+
 def walk_topics(
     root: str,
     exclude: set[str] | None = None,
     end_offset_reader=None,
+    spark=None,
 ) -> dict[str, list[SourceFile]]:
     """O1 (source/GeneralSourceStorageWalker.kt:18-33): recursive walk; a
     topic is the grandparent directory of any ``*.avro`` file; ``+tmp``
     dirs are skipped; optional exclude set
     (worker/RadarKafkaRestructure.kt:56-59).
+
+    ``root`` may be a plain local path (os.walk) or, when ``spark`` is
+    given, any Hadoop-FS URI — hdfs://, s3a://, file:// — listed through
+    the cluster's FileSystem (the reference's storage drivers,
+    source/*SourceStorage.kt); single-offset end-offset resolution then
+    reads block headers through the same FS.
 
     ``end_offset_reader`` resolves single-offset filenames' true end offset
     from storage metadata — pass ``s3_tag_end_offset_reader(...)`` /
@@ -529,40 +578,55 @@ def walk_topics(
     walker sequences; on object stores this becomes a LIST call per prefix.
     """
     exclude = exclude or set()
+    remote = _URI_RE.match(root) is not None and spark is not None
+    if remote:
+        listing = [
+            (p, m, s)
+            for p, m, s in _hadoop_listing(spark, root)
+            if "/+tmp/" not in p
+        ]
+        opener = _hadoop_opener(spark)
+    else:
+        listing = []
+        for dirpath, dirnames, filenames in os.walk(root):
+            dirnames[:] = [d for d in dirnames if d != "+tmp"]
+            for fname in filenames:
+                full = os.path.join(dirpath, fname)
+                st = os.stat(full)
+                listing.append((full, st.st_mtime, st.st_size))
+        opener = open
     topics: dict[str, list[SourceFile]] = {}
-    for dirpath, dirnames, filenames in os.walk(root):
-        dirnames[:] = [d for d in dirnames if d != "+tmp"]
-        for fname in filenames:
-            if not fname.endswith(".avro"):
-                continue
-            parsed = parse_filename(fname)
-            if parsed is None:
-                continue
-            topic = os.path.basename(os.path.dirname(dirpath))
-            if topic in exclude:
-                continue
-            full = os.path.join(dirpath, fname)
-            st = os.stat(full)
-            if st.st_size == 0:  # zero-length guard (RestructureWorker.kt:118-124)
-                continue
-            t, partition, ofrom, oto = parsed
-            if oto is None and end_offset_reader is not None:
-                # O3 cloud-tag path: storage metadata carries the end
-                # offset directly (S3 object tag / Azure blob metadata).
-                oto = end_offset_reader(full)
-            if oto is None:
-                # O3 tail: single-offset name — resolve the true end offset
-                # from the container's block headers (record count), the
-                # analogue of the reference's object-tag lookup.  A file we
-                # cannot parse keeps the 1-record assumption; the decoder
-                # will surface the corruption downstream.
-                try:
-                    oto = ofrom + max(count_container_records(full), 1) - 1
-                except (ValueError, EOFError, OSError):
-                    oto = ofrom
-            topics.setdefault(topic, []).append(
-                SourceFile(full, t, partition, ofrom, oto, st.st_mtime, st.st_size)
-            )
+    for full, mtime, size in listing:
+        fname = full.rsplit("/", 1)[-1]
+        if not fname.endswith(".avro"):
+            continue
+        parsed = parse_filename(fname)
+        if parsed is None:
+            continue
+        parts = full.rsplit("/", 3)
+        topic = parts[-3] if len(parts) >= 3 else ""
+        if topic in exclude:
+            continue
+        if size == 0:  # zero-length guard (RestructureWorker.kt:118-124)
+            continue
+        t, partition, ofrom, oto = parsed
+        if oto is None and end_offset_reader is not None:
+            # O3 cloud-tag path: storage metadata carries the end
+            # offset directly (S3 object tag / Azure blob metadata).
+            oto = end_offset_reader(full)
+        if oto is None:
+            # O3 tail: single-offset name — resolve the true end offset
+            # from the container's block headers (record count), the
+            # analogue of the reference's object-tag lookup.  A file we
+            # cannot parse keeps the 1-record assumption; the decoder
+            # will surface the corruption downstream.
+            try:
+                oto = ofrom + max(count_container_records(full, opener), 1) - 1
+            except Exception:
+                oto = ofrom
+        topics.setdefault(topic, []).append(
+            SourceFile(full, t, partition, ofrom, oto, mtime, size)
+        )
     for files in topics.values():
         files.sort(key=lambda f: (f.partition, f.offset_from))
     return topics
@@ -581,14 +645,15 @@ ACCOUNTING_FIELDS = [
 ]
 
 
-def read_schema(path: str) -> Any:
-    """Read just the container header of one file (driver-side, a few KB)."""
-    with open(path, "rb") as fh:
+def read_schema(path: str, opener=open) -> Any:
+    """Read just the container header of one file (driver-side, a few KB).
+    ``opener`` abstracts the byte source for Hadoop-FS URIs."""
+    with opener(path, "rb") as fh:
         head = fh.read(65536)
     try:
         return AvroContainer.parse(head).schema
     except EOFError:
-        with open(path, "rb") as fh:
+        with opener(path, "rb") as fh:
             return AvroContainer.parse(fh.read()).schema
 
 
@@ -665,10 +730,12 @@ def read_avro(
     # --- pure-Python distributed decode -----------------------------------
     # Per-file header reads are a few KB each (driver-side, path count is
     # bounded by maxFilesPerTopic); distinct headers union by name so a
-    # topic whose schema evolved mid-stream loses no fields.
+    # topic whose schema evolved mid-stream loses no fields.  URI paths
+    # (hdfs://, s3a://, file://) read through the cluster FileSystem.
     headers = {}
     for p in paths:
-        headers.setdefault(json.dumps(read_schema(p), sort_keys=True), p)
+        opener = _hadoop_opener(spark) if _URI_RE.match(p) else open
+        headers.setdefault(json.dumps(read_schema(p, opener), sort_keys=True), p)
     schemas = [json.loads(s) for s in headers]
     schema = schemas[0] if len(schemas) == 1 else union_avro_schemas(schemas)
     decode, out_schema = make_avro_decoder(schema)

@@ -160,7 +160,9 @@ def read_avro_stream(
         walk_topics,
     )
 
-    topics = walk_topics(topic_dir)
+    from restructure_hdfs_topic_spark.sources.avro import _URI_RE, _hadoop_opener
+
+    topics = walk_topics(topic_dir, spark=spark)
     if not topics:
         raise ValueError(f"no Avro topics under {topic_dir}")
     # Union the headers of every existing file so a topic that evolved
@@ -170,7 +172,10 @@ def read_avro_stream(
     headers = {}
     for files in topics.values():
         for f in files:
-            headers.setdefault(json.dumps(read_schema(f.path), sort_keys=True), None)
+            opener = _hadoop_opener(spark) if _URI_RE.match(f.path) else open
+            headers.setdefault(
+                json.dumps(read_schema(f.path, opener), sort_keys=True), None
+            )
     schemas = [json.loads(s) for s in headers]
     decode, out_schema = make_avro_decoder(
         schemas[0] if len(schemas) == 1 else union_avro_schemas(schemas)

@@ -663,3 +663,58 @@ def test_cloud_tag_end_offset_readers(tmp_path):
     )
     (f,) = topics["application_server_status"]
     assert (f.offset_from, f.offset_to) == (21, 55)
+
+
+def test_walk_topics_hadoop_fs_uri(spark, tmp_path):
+    """O1 over a Hadoop-FS URI (file:// here; hdfs://, s3a:// share the
+    FileSystem API): listing, +tmp skip, zero-length guard, and the
+    single-offset block-header end-offset resolution through the remote
+    opener must all match the local walk."""
+    import shutil
+
+    src = tmp_path / "in" / "application_server_status" / "partition=1"
+    src.mkdir(parents=True)
+    for f in (
+        "application_server_status+1+0000000018+0000000020.avro",
+        "application_server_status+1+0000000021.avro",
+    ):
+        shutil.copy(f"{FIXTURES}/application_server_status/partition=1/{f}", src)
+    tmpdir = tmp_path / "in" / "application_server_status" / "+tmp"
+    tmpdir.mkdir()
+    shutil.copy(
+        f"{FIXTURES}/application_server_status/partition=1/"
+        "application_server_status+1+0000000018+0000000020.avro",
+        tmpdir / "application_server_status+1+0000000099.avro",
+    )
+    (src / "application_server_status+1+0000000050.avro").write_bytes(b"")
+
+    local = walk_topics(str(tmp_path / "in"))
+    via_uri = walk_topics(f"file://{tmp_path}/in", spark=spark)
+    key = lambda f: (f.partition, f.offset_from, f.offset_to, f.size)  # noqa: E731
+    assert sorted(map(key, via_uri["application_server_status"])) == sorted(
+        map(key, local["application_server_status"])
+    )
+    # Single-offset file resolved through the Hadoop opener: [21, 23].
+    offs = {(f.offset_from, f.offset_to) for f in via_uri["application_server_status"]}
+    assert (21, 23) in offs and (18, 20) in offs
+    assert all(f.path.startswith("file:/") for f in via_uri["application_server_status"])
+
+
+def test_restructure_job_over_hadoop_fs_uri(spark, tmp_path):
+    """The whole restructure job runs against a Hadoop-FS URI input root
+    (file:// here; hdfs://, s3a:// share the FileSystem API): walk, header
+    read, binaryFile decode, write, commit — and the rerun is idempotent."""
+    from restructure_hdfs_topic_spark.config import RestructureConfig, WorkerConfig
+    from restructure_hdfs_topic_spark.plans.avro_job import run_avro_restructure_job
+
+    cfg = RestructureConfig(
+        target_dir=str(tmp_path / "out"),
+        state_dir=str(tmp_path / "state"),
+        format="csv",
+        worker=WorkerConfig(minimum_file_age_s=0),
+    )
+    os.makedirs(cfg.state_dir, exist_ok=True)
+    r = run_avro_restructure_job(spark, f"file://{FIXTURES}", cfg, mode="python")
+    assert r["records_written"] == 1006
+    r2 = run_avro_restructure_job(spark, f"file://{FIXTURES}", cfg, mode="python")
+    assert r2["records_written"] == 0
