@@ -29,7 +29,12 @@ def writer_compression(compression: str | None) -> str | None:
 
 def repack_to_zip(target_dir: str, extensions: tuple[str, ...] = (".csv", ".json")) -> list[str]:
     """Replace every uncompressed data file under ``target_dir`` with a
-    single-entry ``<name>.zip`` (deflate level 7).  Returns created paths."""
+    single-entry ``<name>.zip`` (deflate level 7).  Returns created paths.
+
+    LOCAL-filesystem post-pass: zip is not a Spark writer codec, so this
+    compat shim (reference CompressionFactory.kt zip flavor) walks the
+    written tree.  For cluster/URI targets use ``compression="gzip"`` —
+    the writer codec path, applied distributedly during the write."""
     created: list[str] = []
     for dirpath, _dirs, files in os.walk(target_dir):
         for fname in files:
