@@ -54,6 +54,35 @@ def configure(spark: SparkSession) -> SparkSession:
     return spark
 
 
+ALL_TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def register_tables(
+    spark: SparkSession, sf_dir: str, names: tuple[str, ...] = ALL_TABLES
+) -> None:
+    """Register the parquet tables as temp views (normalized through
+    ``load_table``) so users can query with ``spark.sql(...)`` directly —
+    the SQL half of the DataFrame/SQL surface.  Missing files are skipped
+    (some SF dirs ship a subset)."""
+    for name in names:
+        try:
+            load_table(spark, sf_dir, name).createOrReplaceTempView(name)
+        except Exception:
+            if os.path.exists(os.path.join(sf_dir, f"{name}.parquet")):
+                raise
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     configure(spark)
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))

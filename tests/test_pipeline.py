@@ -566,3 +566,20 @@ def test_attempt_routing_absorbs_sub_schema(spark):
     assert attempts[1] == attempts[2] == attempts[3] == 0
     assert attempts[4] == 1
     assert attempts[5] == 2
+
+
+def test_register_tables_sql_surface(spark):
+    """register_tables exposes the normalized tables to spark.sql —
+    timestamps usable by unix_micros (NTZ normalization applied), joins
+    across views work."""
+    from restructure_hdfs_topic_spark.sources.tables import register_tables
+
+    register_tables(spark, "/root/testdata/sf0.001")
+    row = spark.sql(
+        """SELECT n.n_name, count(*) AS n_cust
+           FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+           GROUP BY n.n_name ORDER BY n_cust DESC, n.n_name LIMIT 1"""
+    ).first()
+    assert row["n_cust"] > 0
+    ts = spark.sql("SELECT unix_micros(ts) AS u FROM events LIMIT 1").first()
+    assert ts["u"] is not None
