@@ -498,7 +498,9 @@ def simhash_near_dup_pairs(
     )
     if not dedup:
         return verified
-    return verified.distinct().select("id_a", "id_b", "hamming")
+    # A pair matching in several bands carries the identical hamming —
+    # dedup on the 2-long key, not the full row.
+    return verified.dropDuplicates(["id_a", "id_b"]).select("id_a", "id_b", "hamming")
 
 
 def _popcount64(a):

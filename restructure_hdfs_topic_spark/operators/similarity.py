@@ -224,7 +224,7 @@ def lsh_cosine_near_dup_pairs(
     scored = tagged.groupBy("t", "bucket").applyInPandas(
         pairs_in_bucket, schema="id_a long, id_b long, cosine double"
     )
-    return scored.distinct()
+    return scored.dropDuplicates(["id_a", "id_b"])
 
 
 def _bucket_scorer(k: int):
@@ -454,7 +454,9 @@ def ivf_ann_topk(
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
     return (
-        scored.distinct()
+        # A pair surfacing in several tables/probes carries the identical
+        # cosine — dedup on the 2-long key, not the full row with a double.
+        scored.dropDuplicates(["query_id", "neighbor_id"])
         .withColumn("rank", F.row_number().over(w).cast("bigint"))
         .filter(F.col("rank") <= k)
         .select("query_id", "rank", "neighbor_id", "cosine")
@@ -582,7 +584,9 @@ def lsh_ann_topk(
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
     return (
-        scored.distinct()
+        # A pair surfacing in several tables/probes carries the identical
+        # cosine — dedup on the 2-long key, not the full row with a double.
+        scored.dropDuplicates(["query_id", "neighbor_id"])
         .withColumn("rank", F.row_number().over(w).cast("bigint"))
         .filter(F.col("rank") <= k)
         .select("query_id", "rank", "neighbor_id", "cosine")
