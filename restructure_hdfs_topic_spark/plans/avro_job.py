@@ -453,7 +453,7 @@ def run_avro_cleaner_job(
         if tc.exclude or tc.exclude_from_delete
     }
     topics = walk_topics(input_root, exclude=excluded, spark=spark)
-    counters: dict = {"deleted": [], "rolled_back": [], "kept": []}
+    counters: dict = {"deleted": [], "rolled_back": [], "kept": [], "locked": []}
     state = read_offsets(spark, config.state_dir)
     state_rows = [
         (r["topic"], r["partition"], r["offset_from"], r["offset_to"])
@@ -484,6 +484,7 @@ def run_avro_cleaner_job(
         if lock_manager is not None:
             lock = lock_manager.acquire(topic)
             if lock is None:
+                counters["locked"].append(topic)
                 continue
         else:
             lock = None
