@@ -190,7 +190,7 @@ spark = (SparkSession.builder.appName("scale_check").master("local[32]")
     .config("spark.ui.enabled", "false").getOrCreate())
 spark.sparkContext.setLogLevel("ERROR")
 t0 = time.time()
-df = e.queries()[name](spark, sf_dir)
+df = {**e.queries(), **e.extra_queries()}[name](spark, sf_dir)
 cols = []
 for f_ in df.schema.fields:
     c = F.col(f_.name)
