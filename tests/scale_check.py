@@ -66,6 +66,10 @@ CONSISTENCY_QUERIES = [
     "embedding_near_dup_lsh",
     "stratified_sample",
     "user_sessions",
+    # r5: the seen filters' broadcast searchsorted lookup must be
+    # partitioning-independent (VERDICT r4 #4).
+    "seen_file_filter",
+    "seen_record_filter",
 ]
 
 

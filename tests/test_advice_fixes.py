@@ -203,3 +203,104 @@ def test_ntz_normalization_recurses_into_nested_fields(spark, tmp_path):
     ).first()
     assert row["a"] == row["b"] == row["c"] == 1709294400000000
     assert row["n"] == 7
+
+
+def test_covering_interval_mtime_from_same_row(spark):
+    """ADVICE r4: the covering interval's mtime must come from the SAME
+    interval row — when that interval has a NULL last_processed the record
+    must REPROCESS, even if an earlier interval in the partition carries a
+    (newer) mtime that would have suppressed it."""
+    from datetime import datetime, timezone
+
+    from pyspark.sql import functions as F
+
+    from restructure_hdfs_topic_spark.operators.offsets import filter_unseen_records
+
+    late = datetime(2024, 6, 1, tzinfo=timezone.utc)
+    records = spark.createDataFrame(
+        [("t", 0, 55, datetime(2024, 1, 1, tzinfo=timezone.utc), "null-mtime-interval")],
+        "topic string, partition int, offset long, mtime timestamp, tag string",
+    )
+    state = spark.createDataFrame(
+        [("t", 0, 0, 10, late), ("t", 0, 50, 60, None)],
+        "topic string, partition int, offset_from long, offset_to long, last_processed timestamp",
+    )
+    tags = [r.tag for r in filter_unseen_records(records, state).collect()]
+    assert tags == ["null-mtime-interval"], (
+        "record inside an interval with unknown last_processed must reprocess"
+    )
+
+
+def test_seen_filter_null_mtime_probe_reprocesses(spark):
+    """ADVICE r4: a probe row with NULL mtime makes the comparison NULL;
+    NULL must mean 'reprocess' (row kept), not a silent drop."""
+    from datetime import datetime, timezone
+
+    from restructure_hdfs_topic_spark.operators.offsets import (
+        filter_unseen_files,
+        filter_unseen_records,
+    )
+
+    lp = datetime(2024, 1, 15, tzinfo=timezone.utc)
+    state = spark.createDataFrame(
+        [("t", 0, 0, 100, lp)],
+        "topic string, partition int, offset_from long, offset_to long, last_processed timestamp",
+    )
+    records = spark.createDataFrame(
+        [("t", 0, 5, None, "null-mtime")],
+        "topic string, partition int, offset long, mtime timestamp, tag string",
+    )
+    assert [r.tag for r in filter_unseen_records(records, state).collect()] == [
+        "null-mtime"
+    ]
+    files = spark.createDataFrame(
+        [("t", 0, 3, 7, None, "null-mtime-file")],
+        "topic string, partition int, offset_from long, offset_to long, mtime timestamp, fid string",
+    )
+    assert [r.fid for r in filter_unseen_files(files, state).collect()] == [
+        "null-mtime-file"
+    ]
+
+
+def test_committed_range_index_matches_bruteforce_and_scales():
+    """VERDICT r4 #2: the cleaner's committed-range check must be an
+    O(log n) bisect index, equivalent to the linear any() scan it replaced,
+    and fast at 50k intervals x 5k candidates."""
+    import random
+    import time
+
+    from restructure_hdfs_topic_spark.plans.avro_job import committed_range_index
+
+    rng = random.Random(7)
+    # Correctness vs brute force on a small random MERGED (disjoint) set.
+    rows = []
+    for t in ("a", "b"):
+        for p in (0, 1):
+            pos = 0
+            for _ in range(200):
+                pos += rng.randint(2, 20)
+                lo = pos
+                pos += rng.randint(0, 15)
+                rows.append((t, p, lo, pos))
+    contains = committed_range_index(rows)
+    for _ in range(2000):
+        t, p = rng.choice(["a", "b", "c"]), rng.randint(0, 2)
+        lo = rng.randint(0, 4000)
+        hi = lo + rng.randint(0, 25)
+        want = any(
+            rt == t and rp == p and rlo <= lo and hi <= rhi
+            for rt, rp, rlo, rhi in rows
+        )
+        assert contains(t, p, lo, hi) == want, (t, p, lo, hi)
+
+    # Scale: 50k intervals x 5k candidates in well under a second.
+    big = [("t", i % 8, j * 10, j * 10 + 5) for i, j in enumerate(range(50_000))]
+    t0 = time.time()
+    idx = committed_range_index(big)
+    n_hit = sum(
+        idx("t", i % 8, (i * 7) % 500_000, (i * 7) % 500_000 + 3)
+        for i in range(5_000)
+    )
+    elapsed = time.time() - t0
+    assert elapsed < 5.0, f"index build+probe took {elapsed:.2f}s"
+    assert n_hit > 0

@@ -296,10 +296,13 @@ def test_streaming_stateful_seen_record_filter(spark, tmp_path):
 
 def test_plan_shapes_scale_properties(spark):
     """Pin the plan properties SCALE.md claims: the seen-record filter is
-    the carry-forward interval lookup (ONE window over one shuffle — never
-    a join that probes every committed interval per record: the old
-    broadcast range join measured 152 s at sf1), and column pruning +
-    filter pushdown reach the parquet scans of the flagship aggregation."""
+    the broadcast searchsorted interval lookup (ONE ArrowEvalPython
+    projection over the probe scan — no shuffle, no sort, no window, and
+    never a join that probes every committed interval per record: the old
+    broadcast range join measured 152 s at sf1; the r4 carry-forward
+    window put each Kafka partition's records in one task), and column
+    pruning + filter pushdown reach the parquet scans of the flagship
+    aggregation."""
     import __spark_entry__ as e
 
     sf = "/root/testdata/sf0.001"
@@ -309,8 +312,15 @@ def test_plan_shapes_scale_properties(spark):
         .executedPlan()
         .toString()
     )
-    assert "Window" in plan
-    for degenerate in ("BroadcastNestedLoopJoin", "CartesianProduct", "SortMergeJoin"):
+    assert "ArrowEvalPython" in plan
+    for degenerate in (
+        "BroadcastNestedLoopJoin",
+        "CartesianProduct",
+        "SortMergeJoin",
+        "Window",   # r4 shape: per-(topic, partition) total sort
+        "Exchange",  # probe side must keep its scan partitioning
+        "Sort",
+    ):
         assert degenerate not in plan, degenerate
 
     plan2 = (
