@@ -422,6 +422,40 @@ def _read_zip_target_times(
     ).distinct()
 
 
+def committed_range_index(rows) -> "callable":
+    """Containment test over a committed interval set, O(log intervals) per
+    probe: per (topic, partition) sorted interval starts + aligned ends,
+    probed with ``bisect`` — replaces the O(files × intervals) linear driver
+    scan (VERDICT r4 #2: sf1 interval sets reach ~70k rows, the same shape
+    that made the O4/O5 broadcast range join quadratic).  Committed state is
+    merged (disjoint per partition) at every commit, so the interval whose
+    start is the latest <= lo is the only one that can contain [lo, hi].
+
+    ``rows``: iterable of (topic, partition, offset_from, offset_to).
+    Returns ``contains(topic, partition, lo, hi) -> bool`` — true when some
+    interval covers [lo, hi] entirely.
+    """
+    from bisect import bisect_right
+
+    by_tp: dict[tuple, list[tuple[int, int]]] = {}
+    for t, p, lo, hi in rows:
+        by_tp.setdefault((t, p), []).append((lo, hi))
+    index: dict[tuple, tuple[list[int], list[int]]] = {}
+    for k, ivs in by_tp.items():
+        ivs.sort()
+        index[k] = ([iv[0] for iv in ivs], [iv[1] for iv in ivs])
+
+    def contains(topic: str, partition: int, lo: int, hi: int) -> bool:
+        arr = index.get((topic, partition))
+        if arr is None:
+            return False
+        froms, tos = arr
+        i = bisect_right(froms, lo) - 1
+        return i >= 0 and hi <= tos[i]
+
+    return contains
+
+
 def run_avro_cleaner_job(
     spark: SparkSession,
     input_root: str,
@@ -455,17 +489,14 @@ def run_avro_cleaner_job(
     topics = walk_topics(input_root, exclude=excluded, spark=spark)
     counters: dict = {"deleted": [], "rolled_back": [], "kept": [], "locked": []}
     state = read_offsets(spark, config.state_dir)
-    state_rows = [
+    contains = committed_range_index(
         (r["topic"], r["partition"], r["offset_from"], r["offset_to"])
         for r in state.collect()
-    ]
+    )
 
     def committed(f: SourceFile) -> bool:
         # +1 trick (SourceDataCleaner.kt:86-91).
-        return any(
-            t == f.topic and p == f.partition and f.offset_from >= lo and f.offset_to + 1 <= hi
-            for t, p, lo, hi in state_rows
-        )
+        return contains(f.topic, f.partition, f.offset_from, f.offset_to + 1)
 
     lock_manager = None
     if config.lock_enable:
