@@ -208,6 +208,19 @@ def main() -> None:
     if warm_pass:
         result["queries_warm"] = timings_warm
         result["total_warm_s"] = round(sum(timings_warm.values()), 3)
+    # The driver's log capture can truncate the stderr per-query lines
+    # (VERDICT r4 #5), so also persist the full parsed JSON as a sibling
+    # artifact committed with the round — readable without log archaeology.
+    out_path = os.environ.get(
+        "SPARK_GRAFT_BENCH_OUT",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_LOCAL.json"),
+    )
+    try:
+        with open(out_path, "w") as fh:
+            json.dump(result, fh, indent=1, sort_keys=True)
+            fh.write("\n")
+    except OSError as exc:
+        print(f"# could not write {out_path}: {exc}", file=sys.stderr)
     print(json.dumps(result))
 
 
