@@ -474,6 +474,20 @@ def count_container_records(path: str, opener=open) -> int:
             fh.seek(16, 1)  # sync marker
 
 
+def _object_key(path: str) -> str:
+    """Storage object key from a walk path: the walk hands readers paths
+    VERBATIM, which for URI roots are full ``s3a://bucket/key`` URIs — the
+    scheme and authority (bucket/container) must be stripped or every tag
+    lookup 404s and the code silently falls back to block-header reads
+    (ADVICE r4: the cloud-tag fast path was dead for exactly the URI roots
+    it was built for)."""
+    if _URI_RE.match(path):
+        from urllib.parse import urlparse
+
+        return urlparse(path).path.lstrip("/")
+    return path.lstrip("/")
+
+
 def s3_tag_end_offset_reader(s3_client, bucket: str):
     """End-offset reader from S3 object tags, the reference's
     ``readEndOffset`` path (source/S3SourceStorage.kt:40-66: GetObjectTags,
@@ -483,7 +497,7 @@ def s3_tag_end_offset_reader(s3_client, bucket: str):
 
     def read(path: str) -> int | None:
         try:
-            resp = s3_client.get_object_tagging(Bucket=bucket, Key=path.lstrip("/"))
+            resp = s3_client.get_object_tagging(Bucket=bucket, Key=_object_key(path))
             tags = {t["Key"]: t["Value"] for t in resp.get("TagSet", [])}
             return int(tags["endOffset"])
         except Exception:
@@ -501,7 +515,7 @@ def azure_metadata_end_offset_reader(blob_service, container: str):
     def read(path: str) -> int | None:
         try:
             props = blob_service.get_blob_client(
-                container, path.lstrip("/")
+                container, _object_key(path)
             ).get_blob_properties()
             return int((props.metadata or {})["endOffset"])
         except Exception:
@@ -530,23 +544,81 @@ def _hadoop_listing(spark, root: str) -> list[tuple[str, float, int]]:
     return out
 
 
-def _hadoop_opener(spark):
-    """``opener(path, mode)`` over Hadoop FS: reads the full object into
-    memory (Kafka-Connect Avro chunks are MB-scale) so the block-header
-    scan seeks locally instead of per-call py4j round-trips."""
-    import io
-
+def _hadoop_opener(spark, chunk_bytes: int = 1 << 16):
+    """``opener(path, mode)`` over Hadoop FS: a SEEKABLE buffered reader
+    over ``FSDataInputStream`` positioned reads — the block-header scan
+    touches O(#blocks × chunk) ranged bytes instead of downloading the
+    whole object (ADVICE r4: ``readAllBytes`` turned the single-offset
+    fallback into a full-object read per file), and seeks past block
+    payloads without fetching them.  Chunked buffering keeps py4j
+    round-trips to one per ``chunk_bytes``, not one per byte."""
     jvm = spark._jvm
     hconf = spark._jsc.hadoopConfiguration()
 
+    class _Reader:
+        def __init__(self, path: str):
+            hp = jvm.org.apache.hadoop.fs.Path(path)
+            fs = hp.getFileSystem(hconf)
+            self._size = fs.getFileStatus(hp).getLen()
+            self._stream = fs.open(hp)
+            self._pos = 0
+            self._buf = b""
+            self._buf_start = 0
+
+        def _fill(self, pos: int) -> None:
+            n = int(min(chunk_bytes, self._size - pos))
+            if n <= 0:
+                self._buf, self._buf_start = b"", pos
+                return
+            # Seek + bounded read; commons-io (shipped with Hadoop) returns
+            # a byte[], which py4j converts to Python bytes — one JVM
+            # round-trip per chunk.
+            self._stream.seek(pos)
+            self._buf = bytes(
+                jvm.org.apache.commons.io.IOUtils.toByteArray(self._stream, n)
+            )
+            self._buf_start = pos
+
+        def read(self, n: int = -1) -> bytes:
+            if n < 0:
+                n = self._size - self._pos
+            out = bytearray()
+            while n > 0 and self._pos < self._size:
+                off = self._pos - self._buf_start
+                if not (0 <= off < len(self._buf)):
+                    self._fill(self._pos)
+                    if not self._buf:
+                        break
+                    off = 0
+                take = min(n, len(self._buf) - off)
+                out += self._buf[off : off + take]
+                self._pos += take
+                n -= take
+            return bytes(out)
+
+        def seek(self, offset: int, whence: int = 0) -> int:
+            if whence == 0:
+                self._pos = offset
+            elif whence == 1:
+                self._pos += offset
+            else:
+                self._pos = self._size + offset
+            return self._pos
+
+        def tell(self) -> int:
+            return self._pos
+
+        def close(self) -> None:
+            self._stream.close()
+
+        def __enter__(self):
+            return self
+
+        def __exit__(self, *exc) -> None:
+            self.close()
+
     def opener(path: str, mode: str = "rb"):
-        hp = jvm.org.apache.hadoop.fs.Path(path)
-        fs = hp.getFileSystem(hconf)
-        stream = fs.open(hp)
-        try:
-            return io.BytesIO(bytes(stream.readAllBytes()))
-        finally:
-            stream.close()
+        return _Reader(path)
 
     return opener
 

@@ -718,3 +718,52 @@ def test_restructure_job_over_hadoop_fs_uri(spark, tmp_path):
     assert r["records_written"] == 1006
     r2 = run_avro_restructure_job(spark, f"file://{FIXTURES}", cfg, mode="python")
     assert r2["records_written"] == 0
+
+
+def test_object_key_strips_uri_scheme_and_bucket(spark, tmp_path):
+    """ADVICE r4: for URI roots the walk hands full URIs to the end-offset
+    readers; the S3 key / blob name must strip the scheme + authority or
+    every tag lookup fails and the fast path silently dies."""
+    import shutil
+
+    from restructure_hdfs_topic_spark.sources.avro import (
+        _object_key,
+        s3_tag_end_offset_reader,
+        walk_topics,
+    )
+
+    assert _object_key("s3a://bkt/in/topic/partition=1/f.avro") == "in/topic/partition=1/f.avro"
+    assert _object_key("abfss://cont@acct.dfs.core.windows.net/in/f.avro") == "in/f.avro"
+    assert _object_key("/plain/local/f.avro") == "plain/local/f.avro"
+    assert _object_key("relative/f.avro") == "relative/f.avro"
+
+    # Integration: URI-rooted walk → the stub sees a clean relative key.
+    src = tmp_path / "in" / "application_server_status" / "partition=1"
+    src.mkdir(parents=True)
+    shutil.copy(
+        f"{FIXTURES}/application_server_status/partition=1/"
+        "application_server_status+1+0000000021.avro",
+        src,
+    )
+
+    class StubS3:
+        def __init__(self):
+            self.requests = []
+
+        def get_object_tagging(self, Bucket, Key):
+            self.requests.append((Bucket, Key))
+            return {"TagSet": [{"Key": "endOffset", "Value": "77"}]}
+
+    s3 = StubS3()
+    topics = walk_topics(
+        f"file://{tmp_path}/in",
+        end_offset_reader=s3_tag_end_offset_reader(s3, "bkt"),
+        spark=spark,
+    )
+    (f,) = topics["application_server_status"]
+    assert (f.offset_from, f.offset_to) == (21, 77)
+    (bucket, key), = s3.requests
+    assert bucket == "bkt"
+    assert "://" not in key and not key.startswith("file:")
+    assert key.endswith("application_server_status+1+0000000021.avro")
+    assert not key.startswith("/")
