@@ -173,9 +173,18 @@ def route_by_schema_attempt(df: DataFrame) -> DataFrame:
     variance, not record count); the subset scan is O(shapes²)."""
     import json as _json
 
+    from pyspark import StorageLevel
+
     fp = df.withColumn("__fp", _header_descriptor(df)).withColumn(
         "__mid", F.monotonically_increasing_id()
     )
+    # Two consumers — the distinct-header collect below AND the returned
+    # joined plan — would each re-run the whole upstream decode/flatten
+    # lineage (ADVICE r4: one extra full pass per topic write).  Persist
+    # spill-safely so the pipeline materializes once; also pins
+    # monotonically_increasing_id, which is partition-dependent and must
+    # not be recomputed between the two consumers.
+    fp = fp.persist(StorageLevel.MEMORY_AND_DISK)
     firsts = sorted(
         fp.groupBy("__fp").agg(F.min("__mid").alias("m")).collect(),
         key=lambda r: r["m"],
