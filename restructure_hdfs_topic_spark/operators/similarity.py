@@ -453,32 +453,39 @@ def ivf_ann_topk(
                 vv_i = np.stack(pdf["vec"].to_numpy()).astype(np.int64)
                 sims = sims_of(vv_i)
                 ids = pdf["id"].to_numpy()
+                vec_obj = pdf["vec"].reset_index(drop=True)
                 best = np.argmax(sims, axis=1)
                 frames = [
                     pd.DataFrame(
                         {
                             "id": ids,
-                            "vec": pdf["vec"],
+                            "vec": vec_obj,
                             "cluster": best.astype(np.int64),
                             "is_corpus": np.ones(len(pdf), dtype=bool),
                         }
                     )
                 ]
-                if probes == 1:
-                    cl = best[:, None]
-                else:
+                if probes > 1:
+                    # Probe rows for the 2nd..nth nearest clusters ONLY:
+                    # the corpus row already acts as the query inside its
+                    # own best cluster (the scorer treats every group row
+                    # as a query), so emitting a probe there would score
+                    # each home-cluster pair twice — the duplicate the r4
+                    # plan paid a whole dropDuplicates shuffle to remove.
                     cl = np.argpartition(-sims, probes - 1, axis=1)[:, :probes]
-                for p in range(cl.shape[1]):
-                    frames.append(
-                        pd.DataFrame(
-                            {
-                                "id": ids,
-                                "vec": pdf["vec"],
-                                "cluster": cl[:, p].astype(np.int64),
-                                "is_corpus": np.zeros(len(pdf), dtype=bool),
-                            }
-                        )
-                    )
+                    for p in range(cl.shape[1]):
+                        m = cl[:, p] != best
+                        if m.any():
+                            frames.append(
+                                pd.DataFrame(
+                                    {
+                                        "id": ids[m],
+                                        "vec": vec_obj[m].reset_index(drop=True),
+                                        "cluster": cl[m, p].astype(np.int64),
+                                        "is_corpus": np.zeros(int(m.sum()), dtype=bool),
+                                    }
+                                )
+                            )
                 yield pd.concat(frames, ignore_index=True)
 
         return assign
@@ -514,10 +521,11 @@ def ivf_ann_topk(
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
     return (
-        # A pair surfacing in several tables/probes carries the identical
-        # cosine — dedup on the 2-long key, not the full row with a double.
-        scored.dropDuplicates(["query_id", "neighbor_id"])
-        .withColumn("rank", F.row_number().over(w).cast("bigint"))
+        # No pair dedup needed (unlike the LSH multi-table path): a corpus
+        # vector lives in exactly ONE cluster, so a (query, neighbor) pair
+        # can only surface in that cluster — the pairs are unique by
+        # construction and the dedup would be a pure extra shuffle.
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
         .filter(F.col("rank") <= k)
         .select("query_id", "rank", "neighbor_id", "cosine")
     )
