@@ -29,6 +29,31 @@ from pyspark.sql.types import (
     StructType,
 )
 
+try:  # optional extra: pillow-backed real image decode (VERDICT r4 #7)
+    from PIL import Image as _PILImage
+    from PIL import ImageSequence as _PILImageSequence
+
+    HAS_PIL = True
+except ImportError:  # container ships no media libs — stub kernels run
+    _PILImage = None
+    _PILImageSequence = None
+    HAS_PIL = False
+
+
+def _require_pil() -> None:
+    if not HAS_PIL:
+        raise NotImplementedError(
+            "real media decode requires pillow (pip install pillow); "
+            "this environment has no media libraries — use the default "
+            "real_decode=False deterministic stand-in kernels"
+        )
+
+
+def _pil_open(payload: bytes):
+    from io import BytesIO
+
+    return _PILImage.open(BytesIO(payload))
+
 MEDIA_SCHEMA = StructType(
     [
         StructField("media_id", LongType()),
@@ -63,25 +88,34 @@ def documents_as_media(documents: DataFrame) -> DataFrame:
 
 def decode_media(media: DataFrame, real_decode: bool = False) -> DataFrame:
     """Feature-extraction over binary payloads via mapInPandas (Arrow
-    batches).  ``real_decode=True`` is the hook where PIL/ffmpeg/librosa
-    would plug in; unavailable in this container."""
+    batches).  ``real_decode=True`` decodes ``image/*`` payloads with
+    pillow when installed (first_byte = first grayscale pixel, checksum =
+    pixel sum — the slots an image embedding would fill); raises
+    NotImplementedError when pillow is absent.  Non-image mimes keep the
+    byte-level features either way."""
+    if real_decode:
+        _require_pil()
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        def features(mime: str, b: bytes) -> tuple[int, int]:
+            if real_decode and mime.startswith("image/"):
+                px = list(_pil_open(b).convert("L").getdata())
+                return (px[0] if px else -1, sum(px) % 2147483647)
+            return (b[0] if len(b) else -1, sum(b) % 2147483647)
+
         for pdf in it:
-            if real_decode:
-                # Real kernels (PIL.Image.open, soundfile.read, ...) would
-                # decode pdf["payload"] here; libs absent in this container.
-                raise NotImplementedError("media decode libs not available")
-            payloads = pdf["payload"]
+            feats = [
+                features(m, b) for m, b in zip(pdf["mime"], pdf["payload"])
+            ]
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
                     "mime": pdf["mime"],
-                    "n_bytes": payloads.map(len).astype("int64"),
-                    "first_byte": payloads.map(lambda b: b[0] if len(b) else -1).astype("int64"),
-                    # Deterministic fake "feature": byte sum mod 2^31-1 —
-                    # stands in for an image-embedding/audio-fingerprint.
-                    "checksum": payloads.map(lambda b: sum(b) % 2147483647).astype("int64"),
+                    "n_bytes": pdf["payload"].map(len).astype("int64"),
+                    "first_byte": pd.Series([f[0] for f in feats], dtype="int64"),
+                    # Deterministic "feature": stands in for an
+                    # image-embedding/audio-fingerprint.
+                    "checksum": pd.Series([f[1] for f in feats], dtype="int64"),
                 }
             )
 
@@ -121,11 +155,21 @@ def resize_media(
     """
     if not (0 < scale_num <= scale_den):
         raise ValueError("scale must satisfy 0 < num <= den")
+    if real_decode:
+        _require_pil()
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        def pil_resize(b: bytes) -> bytes:
+            from io import BytesIO
+
+            img = _pil_open(b)
+            w = max(1, img.width * scale_num // scale_den)
+            h = max(1, img.height * scale_num // scale_den)
+            out = BytesIO()
+            img.resize((w, h)).save(out, format="PNG")
+            return out.getvalue()
+
         for pdf in it:
-            if real_decode:
-                raise NotImplementedError("media decode libs not available")
 
             def shrink(b: bytes) -> bytes:
                 out = bytearray()
@@ -133,7 +177,17 @@ def resize_media(
                     out += b[i : i + scale_num]
                 return bytes(out)
 
-            payloads = pdf["payload"].map(shrink)
+            if real_decode:
+                payloads = pd.Series(
+                    [
+                        pil_resize(b) if m.startswith("image/") else shrink(b)
+                        for m, b in zip(pdf["mime"], pdf["payload"])
+                    ],
+                    dtype="object",
+                    index=pdf.index,  # align with pdf columns in the yield
+                )
+            else:
+                payloads = pdf["payload"].map(shrink)
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
@@ -163,13 +217,43 @@ def sample_frames(
     """
     if frame_bytes <= 0 or every_nth <= 0:
         raise ValueError("frame_bytes and every_nth must be positive")
+    if real_decode:
+        _require_pil()
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        def pil_frames(payload: bytes) -> tuple[int, list[tuple[int, bytes, int]]]:
+            """(total frames, [(frame_index, PNG bytes, grayscale pixel-sum
+            checksum)]) for every ``every_nth`` frame of an (animated)
+            image — pillow's ImageSequence stands in for a video frame
+            iterator."""
+            from io import BytesIO
+
+            img = _pil_open(payload)
+            all_frames = list(_PILImageSequence.Iterator(img))
+            out = []
+            for fi in range(0, len(all_frames), every_nth):
+                frame = all_frames[fi].convert("L")
+                buf = BytesIO()
+                frame.save(buf, format="PNG")
+                out.append(
+                    (fi, buf.getvalue(), sum(frame.getdata()) % 2147483647)
+                )
+            return len(all_frames), out
+
         for pdf in it:
-            if real_decode:
-                raise NotImplementedError("media decode libs not available")
             ids, idxs, totals, frames, sums = [], [], [], [], []
-            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+            for mid, mime, payload in zip(
+                pdf["media_id"], pdf["mime"], pdf["payload"]
+            ):
+                if real_decode and mime.startswith("image/"):
+                    n_frames, decoded = pil_frames(payload)
+                    for fi, png, ck in decoded:
+                        ids.append(mid)
+                        idxs.append(fi)
+                        totals.append(n_frames)
+                        frames.append(png)
+                        sums.append(ck)
+                    continue
                 n_frames = (len(payload) + frame_bytes - 1) // frame_bytes
                 for fi in range(0, n_frames, every_nth):
                     chunk = payload[fi * frame_bytes : (fi + 1) * frame_bytes]

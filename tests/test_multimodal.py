@@ -81,10 +81,52 @@ def test_multimodal_partitioning_independence(spark):
     assert a == b and a
 
 
-def test_real_decode_stub_raises(spark):
-    with pytest.raises(Exception, match="NotImplementedError|decode libs"):
-        decode_media(_media(spark), real_decode=True).collect()
-    with pytest.raises(Exception, match="NotImplementedError|decode libs"):
-        resize_media(_media(spark), real_decode=True).collect()
-    with pytest.raises(Exception, match="NotImplementedError|decode libs"):
-        sample_frames(_media(spark), real_decode=True).collect()
+def test_real_decode_raises_without_pil(spark):
+    from restructure_hdfs_topic_spark.operators.multimodal import HAS_PIL
+
+    if HAS_PIL:
+        pytest.skip("pillow installed — the real decode path is live")
+    # Driver-side fail-fast (no Spark job launched for a doomed plan).
+    with pytest.raises(NotImplementedError, match="pillow"):
+        decode_media(_media(spark), real_decode=True)
+    with pytest.raises(NotImplementedError, match="pillow"):
+        resize_media(_media(spark), real_decode=True)
+    with pytest.raises(NotImplementedError, match="pillow"):
+        sample_frames(_media(spark), real_decode=True)
+
+
+def test_real_decode_with_pil(spark):
+    """Exercised only where pillow exists (skips cleanly otherwise): real
+    image decode fills the same schema slots the stub stands in for."""
+    pytest.importorskip("PIL")
+    from io import BytesIO
+
+    from PIL import Image
+
+    from pyspark.sql import functions as F
+
+    def png(color):
+        img = Image.new("L", (8, 8), color)
+        buf = BytesIO()
+        img.save(buf, format="PNG")
+        return buf.getvalue()
+
+    rows = [(1, png(0)), (2, png(200))]
+    media = spark.createDataFrame(rows, "media_id long, payload binary").select(
+        "media_id",
+        "payload",
+        F.lit("image/png").alias("mime"),
+        F.octet_length("payload").cast("long").alias("n_bytes"),
+    )
+    feats = {r["media_id"]: r for r in decode_media(media, real_decode=True).collect()}
+    assert feats[1]["first_byte"] == 0 and feats[1]["checksum"] == 0
+    assert feats[2]["first_byte"] == 200
+    assert feats[2]["checksum"] == (200 * 64) % 2147483647
+
+    resized = {r["media_id"]: r for r in resize_media(media, 1, 2, real_decode=True).collect()}
+    out = Image.open(BytesIO(bytes(resized[2]["payload"])))
+    assert out.size == (4, 4)
+
+    frames = sample_frames(media, real_decode=True).collect()
+    assert {(r["media_id"], r["frame_index"]) for r in frames} == {(1, 0), (2, 0)}
+    assert all(r["n_frames"] == 1 for r in frames)
