@@ -1380,7 +1380,7 @@ def oracle_sql() -> dict[str, str]:
                        n_hash, n_ellipsis,
                        CAST(len(lines) AS DOUBLE) AS n_lines,
                        CAST(len(list_filter(lines, l -> regexp_matches(ltrim(l), '^[-*\u2022]'))) AS DOUBLE) AS bullets,
-                       CAST(len(list_filter(lines, l -> regexp_matches(rtrim(l), '(\.\.\.|\u2026)$'))) AS DOUBLE) AS ell_end,
+                       CAST(len(list_filter(lines, l -> regexp_matches(rtrim(l), '(\\.\\.\\.|\u2026)$'))) AS DOUBLE) AS ell_end,
                        CAST(len(list_filter(toks, w -> regexp_matches(w, '[a-z]'))) AS DOUBLE) AS alpha_w,
                        CAST(len(list_filter(list_distinct(toks), x -> list_contains({_STOPS}, x))) AS BIGINT) AS n_stopword_kinds
                 FROM m

@@ -65,6 +65,20 @@ class PathConfig:
 
 
 @dataclass
+class TargetConfig:
+    """Local-target ownership (config LocalConfig: userId/groupId, applied by
+    target/LocalTargetStorage.kt:68-75; -1 = leave as-is).  Only meaningful
+    for local filesystem targets."""
+
+    local_user_id: int = -1
+    local_group_id: int = -1
+    # Apply the reference's stored-file modes (0644/0755) + uid/gid as a
+    # post-write pass over local targets.  Off by default: the Hive-layout
+    # tree is normally consumed by Spark itself, where umask perms are fine.
+    apply_local_attrs: bool = False
+
+
+@dataclass
 class RestructureConfig:
     source_dir: str = ""
     target_dir: str = ""
@@ -82,6 +96,7 @@ class RestructureConfig:
     cleaner: CleanerConfig = field(default_factory=CleanerConfig)
     service: ServiceConfig = field(default_factory=ServiceConfig)
     paths: PathConfig = field(default_factory=PathConfig)
+    target: TargetConfig = field(default_factory=TargetConfig)
     topics: dict[str, TopicConfig] = field(default_factory=dict)
 
     @classmethod
@@ -103,6 +118,7 @@ class RestructureConfig:
             ("cleaner", CleanerConfig),
             ("service", ServiceConfig),
             ("paths", PathConfig),
+            ("target", TargetConfig),
         ):
             if section in d:
                 setattr(cfg, section, typ(**d[section]))

@@ -616,6 +616,14 @@ def run_avro_restructure_job(
         finally:
             if lock is not None:
                 lock.close()
+    if config.target.apply_local_attrs:
+        from restructure_hdfs_topic_spark.target_attrs import apply_local_target_attrs
+
+        apply_local_target_attrs(
+            config.target_dir,
+            config.target.local_user_id,
+            config.target.local_group_id,
+        )
     return counters
 
 
