@@ -768,6 +768,22 @@ def q_near_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return near_dup_groups(docs, "doc_id", "text", bits=32, max_hamming=3)
 
 
+def q_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring duplication spans (Lee et al. 2021 semantics):
+    maximal token ranges covered by 8-token windows occurring ≥2× anywhere
+    in the corpus.  The paper's suffix array becomes rolling 64-bit window
+    fingerprints + ONE count-over-hash shuffle (8-byte keys, O(total
+    tokens) fixed-width rows); span assembly is gaps-and-islands over the
+    few surviving duplicated windows.  Fully oracle-checked: window
+    fingerprint equality ≡ token-sequence equality up to 2^-64
+    collisions."""
+    from restructure_hdfs_topic_spark.operators.dedup import duplicated_window_spans
+
+    _conf(spark)
+    docs = _t(spark, sf_dir, "documents")
+    return duplicated_window_spans(docs, "doc_id", "text", k=8)
+
+
 def q_embedding_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-5 neighbors per vector; int-quantized dot
     products make the result engine- and partitioning-exact."""
@@ -1066,10 +1082,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": q_simhash,
         "simhash_near_dup": q_simhash_near_dup,
         "near_dup_groups": q_near_dup_groups,
+        "substring_dedup": q_substring_dedup,
         "embedding_cosine_topk": q_embedding_cosine_topk,
         "embedding_near_dup": q_embedding_near_dup,
         "ann_lsh_topk": q_ann_lsh_topk,
-        "ann_ivf_topk": q_ann_ivf_topk,
         "csv_flatten": q_csv_flatten,
         "record_membership": q_record_membership,
         "events_rollup": q_events_rollup,
@@ -1083,7 +1099,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # at <=50 with every oracled query inside; rows-only approximations
         # that also live in extra_queries() close the list so that even a
         # tail drop cannot unwitness an oracle.
-        "approx_distinct_users": q_approx_distinct_users,
+        "ann_ivf_topk": q_ann_ivf_topk,
         "approx_quantiles": q_approx_quantiles,
     }
 
@@ -1097,6 +1113,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "embedding_near_dup_lsh": q_embedding_near_dup_lsh,
+        "approx_distinct_users": q_approx_distinct_users,
     }
 
 
@@ -1637,6 +1654,35 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT id AS doc_id, CAST(min(label) AS BIGINT) AS group_id
             FROM comp GROUP BY id
+        """,
+        "substring_dedup": """
+            WITH toks AS (
+                SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
+                FROM documents WHERE trim(text) <> ''
+            ), w AS (
+                SELECT doc_id, u.i - 1 AS idx,
+                       array_to_string(t[u.i:u.i+7], ' ') AS win
+                FROM toks, LATERAL unnest(generate_series(1, len(t) - 7)) u(i)
+            ), d AS (
+                SELECT doc_id, idx, COUNT(*) OVER (PARTITION BY win) AS cnt
+                FROM w
+            ), dup AS (
+                SELECT doc_id, idx FROM d WHERE cnt > 1
+            ), isl AS (
+                SELECT doc_id, idx,
+                       CASE WHEN idx - lag(idx) OVER (
+                           PARTITION BY doc_id ORDER BY idx) <= 8
+                       THEN 0 ELSE 1 END AS brk
+                FROM dup
+            ), g AS (
+                SELECT doc_id, idx, SUM(brk) OVER (
+                    PARTITION BY doc_id ORDER BY idx
+                    ROWS UNBOUNDED PRECEDING) AS grp
+                FROM isl
+            )
+            SELECT doc_id, MIN(idx) AS span_start, MAX(idx) + 8 AS span_end,
+                   COUNT(*) AS n_windows
+            FROM g GROUP BY doc_id, grp
         """,
         "embedding_cosine_topk": """
             WITH v AS (

@@ -926,3 +926,205 @@ def near_dup_groups(
     return connected_components(vertices, edges).select(
         F.col("id").alias(id_col), "group_id"
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact-substring (span) dedup — the training-data operator from Lee et al.
+# 2021 ("Deduplicating Training Data Makes Language Models Better"): find
+# every k-token window whose exact token sequence occurs more than once in
+# the corpus, and merge overlapping duplicated windows into maximal spans.
+# The paper builds a corpus-global suffix array (single-machine); the
+# Spark-first shape is rolling window fingerprints + one count-over-hash
+# shuffle — O(total tokens) rows of 16 bytes, embarrassingly parallel, and
+# the only corpus-global structure is a shuffle key, never a driver-side
+# index.
+# ---------------------------------------------------------------------------
+
+
+def _window_hash_kernel(k: int, id_name: str = "id"):
+    """Arrow ``mapInPandas`` kernel: (id, text) → (id, idx, h), one row per
+    k-token window.  Tokenization is the whitespace-run split of
+    ``_minhash_kernel`` (flat byte buffer, no per-token Python) but WITHOUT
+    lowercasing — substring dedup is case-exact, matching a
+    ``split(trim(text), '\\s+')`` oracle.  ``idx`` is the window's 0-based
+    first-token index within its document; ``h`` is an order-dependent
+    64-bit fingerprint of the k token hashes (equal windows always collide;
+    unequal windows collide w.p. ~2^-64 — same exactness contract as the
+    suffix-array dedup it replaces).
+    """
+
+    def kernel(batches):
+        import numpy as np
+        import pandas as pd
+
+        B = np.uint64(HASH_BASE)
+        MIX1, MIX2 = np.uint64(0xBF58476D1CE4E5B9), np.uint64(0x94D049BB133111EB)
+        coef = (
+            np.arange(k, dtype=np.uint64) * np.uint64(2)
+            + np.uint64(0x9E3779B97F4A7C15)
+        ) | np.uint64(1)
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            texts = pdf.iloc[:, 1].fillna("")
+            ids = pdf.iloc[:, 0].to_numpy()
+            joined = ("\n".join(texts)).encode("utf-8", "surrogatepass") + b"\n"
+            arr = np.frombuffer(joined, dtype=np.uint8)
+            doc_bytes = np.fromiter(
+                (len(t.encode("utf-8", "surrogatepass")) + 1 for t in texts),
+                dtype=np.int64,
+                count=len(texts),
+            )
+            doc_end = np.cumsum(doc_bytes)
+            with np.errstate(over="ignore"):
+                ws = (arr == 32) | ((arr >= 9) & (arr <= 13))
+                prev_ws = np.empty_like(ws)
+                prev_ws[0] = True
+                prev_ws[1:] = ws[:-1]
+                starts = np.flatnonzero(~ws & prev_ws)
+                next_ws = np.empty_like(ws)
+                next_ws[-1] = True
+                next_ws[:-1] = ws[1:]
+                ends = np.flatnonzero(~ws & next_ws) + 1
+                if len(starts) < k:
+                    continue
+                tok_len = ends - starts
+                pos = np.arange(len(arr), dtype=np.int64)
+                in_tok = ~ws
+                tok_id_of_byte = np.cumsum(~ws & prev_ws) - 1
+                exp = np.zeros(len(arr), dtype=np.int64)
+                exp[in_tok] = ends[tok_id_of_byte[in_tok]] - 1 - pos[in_tok]
+                bpow = np.empty(int(tok_len.max()), dtype=np.uint64)
+                bpow[0] = np.uint64(1)
+                for i in range(1, len(bpow)):
+                    bpow[i] = bpow[i - 1] * B
+                contrib = np.zeros(len(arr), dtype=np.uint64)
+                contrib[in_tok] = arr[in_tok].astype(np.uint64) * bpow[exp[in_tok]]
+                th = np.add.reduceat(contrib, starts)
+                th = th * MIX1 + tok_len.astype(np.uint64)
+                th ^= th >> np.uint64(31)
+                th *= MIX2
+                th ^= th >> np.uint64(29)
+                tdoc = np.searchsorted(doc_end, starts, side="right")
+                m = len(th) - k + 1
+                wh = np.zeros(m, dtype=np.uint64)
+                for j in range(k):
+                    wh += th[j : j + m] * coef[j]
+                wh ^= wh >> np.uint64(33)
+                wh *= MIX1
+                wh ^= wh >> np.uint64(28)
+                valid = tdoc[:m] == tdoc[k - 1 :]
+                wdoc = tdoc[:m][valid]
+                wh = wh[valid]
+                if not len(wh):
+                    continue
+                # Window idx local to its doc: global token index minus the
+                # doc's first-token index.
+                first_tok = np.searchsorted(tdoc, np.arange(len(texts)), side="left")
+                idx = np.flatnonzero(valid) - first_tok[wdoc]
+            yield pd.DataFrame(
+                {
+                    id_name: ids[wdoc],
+                    "idx": idx.astype("int64"),
+                    "h": wh.view(np.int64),
+                }
+            )
+
+    return kernel
+
+
+def duplicated_window_spans(
+    df: DataFrame, id_col: str, text_col: str, k: int = 8
+) -> DataFrame:
+    """Exact-substring duplication spans (Lee et al. 2021 semantics): every
+    maximal token range covered by k-token windows that occur ≥2 times in
+    the corpus (any document, including the same one).  Returns one row per
+    span: (id, span_start, span_end, n_windows) with token indices,
+    ``span_end`` exclusive.
+
+    Plan shape (100 TB): the kernel emits O(total tokens) fixed-width rows;
+    duplicate detection is ONE shuffle (count over ``partitionBy(h)`` — an
+    8-byte key, never window text); span assembly runs only over the
+    surviving duplicated windows (one shuffle on the doc id + a
+    gaps-and-islands merge, the ``user_sessions`` pattern).  No driver
+    state, no suffix array, no all-pairs join.
+    """
+    win = df.select(F.col(id_col), F.col(text_col)).mapInPandas(
+        _window_hash_kernel(k, id_col),
+        schema=f"`{id_col}` {df.schema[id_col].dataType.simpleString()}, idx long, h long",
+    )
+    dup = (
+        win.withColumn("cnt", F.count(F.lit(1)).over(Window.partitionBy("h")))
+        .filter(F.col("cnt") > 1)
+        .select(id_col, "idx")
+    )
+    w = Window.partitionBy(id_col).orderBy("idx")
+    return (
+        dup.withColumn(
+            "brk",
+            F.when(F.col("idx") - F.lag("idx").over(w) <= F.lit(k), F.lit(0)).otherwise(
+                F.lit(1)
+            ),
+        )
+        .withColumn(
+            "grp",
+            F.sum("brk").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+        .groupBy(id_col, "grp")
+        .agg(
+            F.min("idx").alias("span_start"),
+            (F.max("idx") + F.lit(k)).alias("span_end"),
+            F.count(F.lit(1)).alias("n_windows"),
+        )
+        .drop("grp")
+    )
+
+
+def strip_duplicated_spans(
+    df: DataFrame, id_col: str, text_col: str, k: int = 8
+) -> DataFrame:
+    """Remove every duplicated span from every document: tokens covered by a
+    ``duplicated_window_spans`` range are dropped and the remainder re-joined
+    with single spaces (whitespace is normalized — the reference point for
+    downstream training corpora is token content, not spacing).  Unlike Lee
+    et al.'s keep-one-occurrence scrub this removes ALL occurrences (the
+    C4-style conservative choice); keeping one canonical copy is a
+    downstream keep-first over ``duplicated_window_spans`` output.
+
+    The rebuild itself is pure JVM higher-order functions over the token
+    array (no second Python crossing): spans arrive as a per-doc array via
+    one aggregation, and token filtering is ``exists`` over that small
+    array.
+    """
+    spans = (
+        duplicated_window_spans(df, id_col, text_col, k)
+        .groupBy(id_col)
+        .agg(
+            F.collect_list(F.struct("span_start", "span_end")).alias("__spans")
+        )
+    )
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    indexed = F.filter(
+        F.zip_with(
+            toks,
+            F.sequence(F.lit(0), F.greatest(F.size(toks) - 1, F.lit(0))),
+            lambda t, i: F.struct(t.alias("t"), i.alias("i")),
+        ),
+        lambda s: ~F.exists(
+            F.col("__spans"),
+            lambda sp: (s["i"] >= sp["span_start"]) & (s["i"] < sp["span_end"]),
+        ),
+    )
+    out = (
+        df.join(spans, on=id_col, how="left")
+        .withColumn("__spans", F.coalesce(F.col("__spans"), F.array()))
+        .withColumn(
+            text_col,
+            F.when(F.trim(F.col(text_col)) == "", F.col(text_col)).otherwise(
+                F.array_join(F.transform(indexed, lambda s: s["t"]), " ")
+            ),
+        )
+        .drop("__spans")
+    )
+    return out

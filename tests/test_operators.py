@@ -747,3 +747,76 @@ def test_interval_lookup_matches_bruteforce_randomized(spark):
             )
         }
         assert got_f == want_f, f"files trial {trial}: {got_f ^ want_f}"
+
+
+def test_duplicated_window_spans_semantics(spark):
+    """Exact-substring spans (Lee et al. semantics): cross-doc AND within-doc
+    window repeats count, overlapping/adjacent windows merge into one maximal
+    span, unique text yields nothing, and results are partitioning-independent."""
+    from restructure_hdfs_topic_spark.operators.dedup import (
+        duplicated_window_spans,
+        strip_duplicated_spans,
+    )
+
+    shared = "alpha beta gamma delta"  # 4 tokens, repeated across docs 1/2
+    rows = [
+        (1, f"u1a u1b {shared} t1x t1y"),
+        (2, f"v2a v2b v2c {shared} w2d"),
+        # Within-doc repeat: "r1 r2 r3 r4" twice, 2 tokens apart.
+        (3, "r1 r2 r3 r4 mid3a mid3b r1 r2 r3 r4 tail3"),
+        (4, "all unique tokens here nothing repeats ever q4"),
+        (5, ""),
+        (6, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    spans = {
+        r["doc_id"]: (r["span_start"], r["span_end"], r["n_windows"])
+        for r in duplicated_window_spans(df, "doc_id", "text", k=4).collect()
+    }
+    # Doc 1: shared tokens at idx 2..5 → one window at idx 2 → span [2, 6).
+    assert spans[1] == (2, 6, 1)
+    # Doc 2: shared at idx 3..6 → window idx 3 → span [3, 7).
+    assert spans[2] == (3, 7, 1)
+    # Doc 3: windows at idx 0 and 6 both duplicated (same content within one
+    # doc); 6 - 0 > k so they do NOT merge → two spans [0, 4) and [6, 10).
+    all3 = [
+        (r["span_start"], r["span_end"])
+        for r in duplicated_window_spans(df, "doc_id", "text", k=4)
+        .filter("doc_id = 3")
+        .orderBy("span_start")
+        .collect()
+    ]
+    assert all3 == [(0, 4), (6, 10)]
+    assert 4 not in spans and 5 not in spans and 6 not in spans
+
+    # Adjacent windows j - i == k merge (contiguous coverage): doc 7/8 share
+    # an 8-token run → k=4 windows at idx 0..4 merge to one span [0, 8).
+    run = "m1 m2 m3 m4 m5 m6 m7 m8"
+    df2 = spark.createDataFrame(
+        [(7, run), (8, run)], "doc_id long, text string"
+    )
+    sp2 = {
+        r["doc_id"]: (r["span_start"], r["span_end"], r["n_windows"])
+        for r in duplicated_window_spans(df2, "doc_id", "text", k=4).collect()
+    }
+    assert sp2[7] == (0, 8, 5) and sp2[8] == (0, 8, 5)
+
+    # Partitioning independence.
+    a = sorted(
+        map(tuple, duplicated_window_spans(df.repartition(7), "doc_id", "text", k=4).collect())
+    )
+    b = sorted(
+        map(tuple, duplicated_window_spans(df.coalesce(1), "doc_id", "text", k=4).collect())
+    )
+    assert a == b
+
+    # Strip removes exactly the covered tokens and preserves the rest.
+    stripped = {
+        r["doc_id"]: r["text"]
+        for r in strip_duplicated_spans(df, "doc_id", "text", k=4).collect()
+    }
+    assert stripped[1] == "u1a u1b t1x t1y"
+    assert stripped[2] == "v2a v2b v2c w2d"
+    assert stripped[3] == "mid3a mid3b tail3"
+    assert stripped[4] == rows[3][1]  # untouched
+    assert stripped[5] == "" and stripped[6] is None

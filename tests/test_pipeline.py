@@ -506,7 +506,6 @@ def test_query_registry_consistency():
     assert rows_only == {
         "ann_ivf_topk",
         "ann_lsh_topk",
-        "approx_distinct_users",
         "approx_quantiles",
     }, f"unexpected rows-only set: {sorted(rows_only)}"
     assert len(q) == len(set(q)) == 50, (
@@ -518,7 +517,11 @@ def test_query_registry_consistency():
         "harness drop of the tail cannot silently unwitness an oracle"
     )
     extra = set(e.extra_queries().keys())
-    assert extra == {"minhash_lsh_pairs", "embedding_near_dup_lsh"}
+    assert extra == {
+        "minhash_lsh_pairs",
+        "embedding_near_dup_lsh",
+        "approx_distinct_users",
+    }
     assert extra.isdisjoint(q), "bench-only queries must stay unregistered"
 
 
