@@ -998,6 +998,22 @@ def q_embedding_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_embedding_near_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic near-dup GROUPS (SemDeDup-style): connected components over
+    the LSH-bucketed cosine ≥ 0.35 pairs — "keep one per meaning" corpus
+    pruning.  Rows-only here (LSH candidates); the exact composition is
+    oracle-checked against a recursive CTE in tests."""
+    from restructure_hdfs_topic_spark.operators.similarity import (
+        embedding_near_dup_groups,
+    )
+
+    _conf(spark)
+    emb = _t(spark, sf_dir, "embeddings")
+    return embedding_near_dup_groups(
+        emb, threshold=0.35, n_rows=_parquet_rows(sf_dir, "embeddings")
+    )
+
+
 def q_csv_flatten(spark: SparkSession, sf_dir: str) -> DataFrame:
     """O7 CSV flattening (format/CsvAvroDataConverter.kt:16-91) end-to-end:
     struct recursion with dot-joined names, data-dependent per-key map
@@ -1113,6 +1129,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "embedding_near_dup_lsh": q_embedding_near_dup_lsh,
+        "embedding_near_dup_groups": q_embedding_near_dup_groups,
         "approx_distinct_users": q_approx_distinct_users,
     }
 

@@ -53,12 +53,14 @@ BENCH_QUERIES = [
     "tfidf_top_terms",
     "dedup_exact_docs",
     "minhash_lsh_pairs",
+    "substring_dedup",
     "simhash",
     "simhash_near_dup",
     "near_dup_groups",
     "ann_lsh_topk",
     "ann_ivf_topk",
     "embedding_near_dup_lsh",
+    "embedding_near_dup_groups",
     "csv_flatten",
     "record_membership",
     "events_rollup",

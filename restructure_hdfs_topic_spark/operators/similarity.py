@@ -659,3 +659,35 @@ def lsh_ann_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "rank", "neighbor_id", "cosine")
     )
+
+
+def embedding_near_dup_groups(
+    embeddings: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    exact: bool = False,
+    **lsh_kwargs,
+) -> DataFrame:
+    """Semantic near-duplicate GROUPS over embeddings (SemDeDup-style,
+    Abbas et al. 2023 semantics): transitive closure over cosine ≥ τ pairs,
+    one canonical ``group_id`` (min member id) per cluster — the step that
+    turns pairwise semantic similarity into "keep one per meaning" corpus
+    pruning.  ``exact=True`` closes over the all-pairs quantized baseline
+    (small-SF, oracle-checkable); the default closes over the LSH-bucketed
+    scale path, so candidate generation, verification, and the connected
+    components all stay bucketed/keyed shuffles at 100 TB.
+    """
+    from restructure_hdfs_topic_spark.operators.dedup import connected_components
+
+    pairs = (
+        cosine_near_dup_pairs(embeddings, threshold, id_col, vec_col)
+        if exact
+        else lsh_cosine_near_dup_pairs(
+            embeddings, threshold, id_col, vec_col, **lsh_kwargs
+        )
+    )
+    vertices = embeddings.select(F.col(id_col).alias("id"))
+    return connected_components(vertices, pairs.select("id_a", "id_b")).select(
+        F.col("id").alias(id_col), "group_id"
+    )

@@ -64,6 +64,9 @@ CONSISTENCY_QUERIES = [
     "ann_lsh_topk",
     "ann_ivf_topk",
     "embedding_near_dup_lsh",
+    # r5: SemDeDup-style closure over the LSH pair set must be
+    # partitioning-independent end-to-end (pairs + contraction CC).
+    "embedding_near_dup_groups",
     "stratified_sample",
     "user_sessions",
     # r5: the seen filters' broadcast searchsorted lookup must be

@@ -820,3 +820,49 @@ def test_duplicated_window_spans_semantics(spark):
     assert stripped[3] == "mid3a mid3b tail3"
     assert stripped[4] == rows[3][1]  # untouched
     assert stripped[5] == "" and stripped[6] is None
+
+
+def test_embedding_near_dup_groups_exact_matches_closure(spark):
+    """SemDeDup-style composition: connected components over the EXACT
+    cosine ≥ τ pair set must equal the transitive closure DuckDB computes
+    with a recursive CTE over the same oracle pair SQL (sf0.001)."""
+    import duckdb
+
+    import __spark_entry__ as e
+    from restructure_hdfs_topic_spark.operators.similarity import (
+        embedding_near_dup_groups,
+    )
+    from restructure_hdfs_topic_spark.sources.tables import load_table
+
+    sf_dir = "/root/testdata/sf0.001"
+    emb = load_table(spark, sf_dir, "embeddings")
+    got = {
+        (r["vec_id"], r["group_id"])
+        for r in embedding_near_dup_groups(
+            emb, threshold=0.35, exact=True
+        ).collect()
+    }
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM read_parquet('{sf_dir}/embeddings.parquet')"
+    )
+    pairs_sql = e.oracle_sql()["embedding_near_dup"]
+    closure = f"""
+        WITH RECURSIVE p AS ({pairs_sql}),
+        edges AS (SELECT id_a AS s, id_b AS d FROM p
+                  UNION ALL SELECT id_b, id_a FROM p),
+        ids AS (SELECT DISTINCT vec_id AS id FROM embeddings),
+        comp(id, label) AS (
+            SELECT id, id FROM ids
+            UNION
+            SELECT e2.s, c.label FROM edges e2 JOIN comp c ON e2.d = c.id
+        )
+        SELECT id AS vec_id, CAST(min(label) AS BIGINT) AS group_id
+        FROM comp GROUP BY id
+    """
+    want = set(map(tuple, con.execute(closure).fetchall()))
+    assert got == want
+    # Sanity: the corpus actually contains non-trivial groups at this τ.
+    n_groups = len({g for _, g in got})
+    assert n_groups < len(got)

@@ -520,6 +520,7 @@ def test_query_registry_consistency():
     assert extra == {
         "minhash_lsh_pairs",
         "embedding_near_dup_lsh",
+        "embedding_near_dup_groups",
         "approx_distinct_users",
     }
     assert extra.isdisjoint(q), "bench-only queries must stay unregistered"
