@@ -154,6 +154,92 @@ def with_minhash_sig(hashed_df: DataFrame, num_hashes: int = 32) -> DataFrame:
     return hashed_df.withColumn("sig", sigs)
 
 
+def _tokenize_hash(texts, lowercase: bool):
+    """Shared flat-buffer tokenizer + vectorized token hash for the Arrow
+    text kernels (minhash shingles, substring windows).  One byte buffer per
+    batch, whitespace-run token boundaries, char-polynomial hash via a power
+    table + ``np.add.reduceat``, splitmix64 finalization — O(total bytes)
+    with no per-token Python.
+
+    Returns ``(th, tdoc)`` — uint64 token hashes and each token's 0-based
+    document index — or ``(None, None)`` for a tokenless batch.  Caller is
+    responsible for any window masking across document boundaries.
+    """
+    import numpy as np
+
+    B = np.uint64(HASH_BASE)
+    MIX1, MIX2 = np.uint64(0xBF58476D1CE4E5B9), np.uint64(0x94D049BB133111EB)
+    joined = ("\n".join(texts)).encode("utf-8", "surrogatepass") + b"\n"
+    arr = np.frombuffer(joined, dtype=np.uint8)
+    doc_bytes = np.fromiter(
+        (len(t.encode("utf-8", "surrogatepass")) + 1 for t in texts),
+        dtype=np.int64,
+        count=len(texts),
+    )
+    doc_end = np.cumsum(doc_bytes)
+    with np.errstate(over="ignore"):
+        if lowercase:
+            arr = arr.copy()
+            upper = (arr >= 65) & (arr <= 90)
+            arr[upper] += 32
+        ws = (arr == 32) | ((arr >= 9) & (arr <= 13))
+        # The injected "\n" separators are whitespace, so tokens never span
+        # documents.
+        prev_ws = np.empty_like(ws)
+        prev_ws[0] = True
+        prev_ws[1:] = ws[:-1]
+        starts = np.flatnonzero(~ws & prev_ws)
+        next_ws = np.empty_like(ws)
+        next_ws[-1] = True
+        next_ws[:-1] = ws[1:]
+        ends = np.flatnonzero(~ws & next_ws) + 1
+        if not len(starts):
+            return None, None
+        tok_len = ends - starts
+        # Polynomial hash: byte * B^(distance from token end).
+        pos = np.arange(len(arr), dtype=np.int64)
+        in_tok = ~ws
+        tok_id_of_byte = np.cumsum(~ws & prev_ws) - 1  # valid where in_tok
+        exp = np.zeros(len(arr), dtype=np.int64)
+        exp[in_tok] = ends[tok_id_of_byte[in_tok]] - 1 - pos[in_tok]
+        bpow = np.empty(int(tok_len.max()), dtype=np.uint64)
+        bpow[0] = np.uint64(1)
+        for i in range(1, len(bpow)):
+            bpow[i] = bpow[i - 1] * B
+        contrib = np.zeros(len(arr), dtype=np.uint64)
+        contrib[in_tok] = arr[in_tok].astype(np.uint64) * bpow[exp[in_tok]]
+        th = np.add.reduceat(contrib, starts)
+        th = th * MIX1 + tok_len.astype(np.uint64)
+        th ^= th >> np.uint64(31)
+        th *= MIX2
+        th ^= th >> np.uint64(29)
+        # Doc index per token from the token's start byte.
+        tdoc = np.searchsorted(doc_end, starts, side="right")
+    return th, tdoc
+
+
+def _window_hashes(th, k: int):
+    """Order-dependent 64-bit hash of every run of ``k`` consecutive token
+    hashes (weighted wrap-sum + avalanche) — shared by the shingle and
+    substring-window kernels.  Returns an array of ``len(th) - k + 1``
+    hashes; the caller masks windows that cross document boundaries."""
+    import numpy as np
+
+    MIX1 = np.uint64(0xBF58476D1CE4E5B9)
+    coef = (
+        np.arange(k, dtype=np.uint64) * np.uint64(2) + np.uint64(0x9E3779B97F4A7C15)
+    ) | np.uint64(1)
+    m = len(th) - k + 1
+    with np.errstate(over="ignore"):
+        wh = np.zeros(m, dtype=np.uint64)
+        for j in range(k):
+            wh += th[j : j + m] * coef[j]
+        wh ^= wh >> np.uint64(33)
+        wh *= MIX1
+        wh ^= wh >> np.uint64(28)
+    return wh
+
+
 def _minhash_kernel(n: int, num_hashes: int):
     """Arrow ``mapInPandas`` kernel: (id, text) → (id, hashed, sig) — the
     whole shingle→hash→minhash chain as VECTORIZED numpy over one flat byte
@@ -183,11 +269,7 @@ def _minhash_kernel(n: int, num_hashes: int):
         import numpy as np
         import pandas as pd
 
-        B = np.uint64(HASH_BASE)
         MOD = np.uint64(HASH_MOD)
-        MIX1, MIX2 = np.uint64(0xBF58476D1CE4E5B9), np.uint64(0x94D049BB133111EB)
-        # Odd multipliers mixing the n token hashes into a shingle hash.
-        coef = (np.arange(n, dtype=np.uint64) * np.uint64(2) + np.uint64(0x9E3779B97F4A7C15)) | np.uint64(1)
         a_vec = (np.arange(num_hashes, dtype=np.uint64) * np.uint64(2)) + np.uint64(1)
         b_vec = np.uint64(7919) * (np.arange(num_hashes, dtype=np.uint64) + np.uint64(1))
 
@@ -196,60 +278,13 @@ def _minhash_kernel(n: int, num_hashes: int):
                 continue
             texts = pdf.iloc[:, 1].fillna("")
             ids = pdf.iloc[:, 0].to_numpy()
-            joined = ("\n".join(texts)).encode("utf-8", "surrogatepass") + b"\n"
-            arr = np.frombuffer(joined, dtype=np.uint8).copy()
-            doc_bytes = np.fromiter(
-                (len(t.encode("utf-8", "surrogatepass")) + 1 for t in texts),
-                dtype=np.int64,
-                count=len(texts),
-            )
-            doc_end = np.cumsum(doc_bytes)
+            th, tdoc = _tokenize_hash(texts, lowercase=True)
+            if th is None or len(th) < n:
+                continue
             with np.errstate(over="ignore"):
-                upper = (arr >= 65) & (arr <= 90)
-                arr[upper] += 32
-                ws = (arr == 32) | ((arr >= 9) & (arr <= 13))
-                # The injected "\n" separators are whitespace, so tokens
-                # never span documents.
-                prev_ws = np.empty_like(ws)
-                prev_ws[0] = True
-                prev_ws[1:] = ws[:-1]
-                starts = np.flatnonzero(~ws & prev_ws)
-                next_ws = np.empty_like(ws)
-                next_ws[-1] = True
-                next_ws[:-1] = ws[1:]
-                ends = np.flatnonzero(~ws & next_ws) + 1
-                if not len(starts):
-                    continue
-                tok_len = ends - starts
-                # Polynomial hash: byte * B^(distance from token end).
-                pos = np.arange(len(arr), dtype=np.int64)
-                in_tok = ~ws
-                tok_id_of_byte = np.cumsum(~ws & prev_ws) - 1  # valid where in_tok
-                exp = np.zeros(len(arr), dtype=np.int64)
-                exp[in_tok] = ends[tok_id_of_byte[in_tok]] - 1 - pos[in_tok]
-                bpow = np.empty(int(tok_len.max()), dtype=np.uint64)
-                bpow[0] = np.uint64(1)
-                for i in range(1, len(bpow)):
-                    bpow[i] = bpow[i - 1] * B
-                contrib = np.zeros(len(arr), dtype=np.uint64)
-                contrib[in_tok] = arr[in_tok].astype(np.uint64) * bpow[exp[in_tok]]
-                th = np.add.reduceat(contrib, starts)
-                th = th * MIX1 + tok_len.astype(np.uint64)
-                th ^= th >> np.uint64(31)
-                th *= MIX2
-                th ^= th >> np.uint64(29)
-                # Doc index per token from the token's start byte.
-                tdoc = np.searchsorted(doc_end, starts, side="right")
                 # Shingle hash over n consecutive token hashes.
-                if len(th) < n:
-                    continue
                 m = len(th) - n + 1
-                sh = np.zeros(m, dtype=np.uint64)
-                for j in range(n):
-                    sh += th[j : j + m] * coef[j]
-                sh ^= sh >> np.uint64(33)
-                sh *= MIX1
-                sh ^= sh >> np.uint64(28)
+                sh = _window_hashes(th, n)
                 valid = tdoc[:m] == tdoc[n - 1 :]
                 sh = sh[valid]
                 sdoc = tdoc[:m][valid]
@@ -957,63 +992,17 @@ def _window_hash_kernel(k: int, id_name: str = "id"):
         import numpy as np
         import pandas as pd
 
-        B = np.uint64(HASH_BASE)
-        MIX1, MIX2 = np.uint64(0xBF58476D1CE4E5B9), np.uint64(0x94D049BB133111EB)
-        coef = (
-            np.arange(k, dtype=np.uint64) * np.uint64(2)
-            + np.uint64(0x9E3779B97F4A7C15)
-        ) | np.uint64(1)
-
         for pdf in batches:
             if not len(pdf):
                 continue
             texts = pdf.iloc[:, 1].fillna("")
             ids = pdf.iloc[:, 0].to_numpy()
-            joined = ("\n".join(texts)).encode("utf-8", "surrogatepass") + b"\n"
-            arr = np.frombuffer(joined, dtype=np.uint8)
-            doc_bytes = np.fromiter(
-                (len(t.encode("utf-8", "surrogatepass")) + 1 for t in texts),
-                dtype=np.int64,
-                count=len(texts),
-            )
-            doc_end = np.cumsum(doc_bytes)
+            th, tdoc = _tokenize_hash(texts, lowercase=False)
+            if th is None or len(th) < k:
+                continue
             with np.errstate(over="ignore"):
-                ws = (arr == 32) | ((arr >= 9) & (arr <= 13))
-                prev_ws = np.empty_like(ws)
-                prev_ws[0] = True
-                prev_ws[1:] = ws[:-1]
-                starts = np.flatnonzero(~ws & prev_ws)
-                next_ws = np.empty_like(ws)
-                next_ws[-1] = True
-                next_ws[:-1] = ws[1:]
-                ends = np.flatnonzero(~ws & next_ws) + 1
-                if len(starts) < k:
-                    continue
-                tok_len = ends - starts
-                pos = np.arange(len(arr), dtype=np.int64)
-                in_tok = ~ws
-                tok_id_of_byte = np.cumsum(~ws & prev_ws) - 1
-                exp = np.zeros(len(arr), dtype=np.int64)
-                exp[in_tok] = ends[tok_id_of_byte[in_tok]] - 1 - pos[in_tok]
-                bpow = np.empty(int(tok_len.max()), dtype=np.uint64)
-                bpow[0] = np.uint64(1)
-                for i in range(1, len(bpow)):
-                    bpow[i] = bpow[i - 1] * B
-                contrib = np.zeros(len(arr), dtype=np.uint64)
-                contrib[in_tok] = arr[in_tok].astype(np.uint64) * bpow[exp[in_tok]]
-                th = np.add.reduceat(contrib, starts)
-                th = th * MIX1 + tok_len.astype(np.uint64)
-                th ^= th >> np.uint64(31)
-                th *= MIX2
-                th ^= th >> np.uint64(29)
-                tdoc = np.searchsorted(doc_end, starts, side="right")
                 m = len(th) - k + 1
-                wh = np.zeros(m, dtype=np.uint64)
-                for j in range(k):
-                    wh += th[j : j + m] * coef[j]
-                wh ^= wh >> np.uint64(33)
-                wh *= MIX1
-                wh ^= wh >> np.uint64(28)
+                wh = _window_hashes(th, k)
                 valid = tdoc[:m] == tdoc[k - 1 :]
                 wdoc = tdoc[:m][valid]
                 wh = wh[valid]

@@ -580,6 +580,7 @@ def run_avro_restructure_job(
 ) -> dict:
     """One restructure iteration over an Avro source tree.  Returns O26-style
     counters per topic plus totals."""
+    job_start = _time.time()
     excluded = {t for t, tc in config.topics.items() if tc.exclude}
     topics = walk_topics(input_root, exclude=excluded, spark=spark)
     now = now_s if now_s is not None else _time.time()
@@ -619,10 +620,14 @@ def run_avro_restructure_job(
     if config.target.apply_local_attrs:
         from restructure_hdfs_topic_spark.target_attrs import apply_local_target_attrs
 
+        # Bounded to this run's output (st_mtime >= job start, minus clock
+        # slack) — the reference applies attributes per store, not over the
+        # whole historical tree each iteration.
         apply_local_target_attrs(
             config.target_dir,
             config.target.local_user_id,
             config.target.local_group_id,
+            since_s=job_start - 60,
         )
     return counters
 

@@ -35,12 +35,23 @@ def local_root(target_dir: str) -> str | None:
 
 
 def apply_local_target_attrs(
-    target_dir: str, user_id: int = -1, group_id: int = -1
+    target_dir: str,
+    user_id: int = -1,
+    group_id: int = -1,
+    since_s: float | None = None,
 ) -> int:
     """Walk a local target tree applying the reference's stored-file
     attributes: 0644 files, 0755 dirs, optional uid/gid
     (LocalTargetStorage.kt:58-75).  Returns the number of paths touched;
     no-op (0) for non-local targets or a missing tree.
+
+    ``since_s`` bounds the pass to THIS run's output — files with
+    ``st_mtime < since_s`` are skipped (they got their attributes when they
+    were stored), which mirrors the reference's per-store application
+    instead of re-attributing an ever-growing tree on every iteration.
+    Directory listing is still O(tree) metadata reads, but the chmod/chown
+    syscalls are O(files written this run).  Pass ``None`` for a full-tree
+    repair (first enablement over pre-existing output).
 
     chown is attempted only when a uid/gid is configured ``>= 0`` — exactly
     the reference's ``updateUser`` guard — and errors propagate like the
@@ -56,6 +67,8 @@ def apply_local_target_attrs(
             path = dirpath if name == "." else os.path.join(dirpath, name)
             st = os.lstat(path)
             if stat.S_ISLNK(st.st_mode):
+                continue
+            if since_s is not None and st.st_mtime < since_s and name != ".":
                 continue
             if stat.S_IMODE(st.st_mode) != mode:
                 os.chmod(path, mode)

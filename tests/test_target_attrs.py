@@ -72,3 +72,20 @@ def test_target_config_from_dict():
     dflt = RestructureConfig()
     assert dflt.target.local_user_id == -1
     assert dflt.target.apply_local_attrs is False
+
+
+def test_apply_local_target_attrs_since_bound(tmp_path):
+    """since_s mirrors the reference's per-store application: files older
+    than the bound keep their modes; new files (and all dirs) are fixed."""
+    import time
+
+    f1, f2, sub = _build_tree(tmp_path)
+    cutoff = time.time() + 10  # everything existing is "old"
+    new = sub / "fresh.csv"
+    new.write_text("x\n")
+    os.chmod(new, 0o600)
+    os.utime(new, (cutoff + 5, cutoff + 5))
+    apply_local_target_attrs(str(tmp_path), since_s=cutoff)
+    assert stat.S_IMODE(os.stat(new).st_mode) == FILE_MODE
+    assert stat.S_IMODE(os.stat(f1).st_mode) == 0o600  # untouched: pre-bound
+    assert stat.S_IMODE(os.stat(sub).st_mode) == DIR_MODE  # dirs always fixed
