@@ -111,12 +111,16 @@ class RedisOffsetPersistence:
         for part in doc.get("partitions", []):
             for rng in part.get("ranges", []):
                 lp = rng.get("lastProcessed")
+                # Range.to is nullable in the reference (a pending
+                # single-offset range); ensureToOffset() maps null → from
+                # (OffsetRangeSet.kt:167-170).
+                to = rng.get("to")
                 rows.append(
                     (
                         part["topic"],
                         int(part["partition"]),
                         int(rng["from"]),
-                        int(rng["to"]),
+                        int(to if to is not None else rng["from"]),
                         datetime.fromisoformat(lp.replace("Z", "+00:00"))
                         if lp is not None
                         else None,

@@ -133,6 +133,9 @@ def test_redis_offsets_reads_reference_shaped_document(spark):
                         "ranges": [
                             {"from": 100, "to": 200, "lastProcessed": "2023-06-01T12:00:00Z"},
                             {"from": 300, "to": 400, "lastProcessed": None},
+                            # Nullable Range.to: ensureToOffset maps to=from
+                            # (OffsetRangeSet.kt:167-170).
+                            {"from": 500, "to": None, "lastProcessed": None},
                         ],
                     }
                 ]
@@ -145,3 +148,4 @@ def test_redis_offsets_reads_reference_shaped_document(spark):
     assert by_from[100]["last_processed"] is not None
     assert by_from[300]["last_processed"] is None
     assert by_from[100]["topic"] == "audio" and by_from[100]["partition"] == 2
+    assert by_from[500]["offset_to"] == 500
