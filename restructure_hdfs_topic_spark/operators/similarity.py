@@ -369,16 +369,27 @@ def ivf_ann_topk(
     quant = embeddings.select(
         F.col(id_col).alias("id"), _quantize(F.col(vec_col)).alias("vec")
     )
-    # One hash-ordered collect serves both the centroid seeds (first
-    # n_centroids) and the calibration sample — order-independent, and
-    # O(max(C, sample) × dim) driver bytes regardless of corpus size.
-    pool = (
-        quant.withColumn("h", F.xxhash64(F.col("id")))
-        .orderBy("h")
-        .limit(max(n_centroids, calibration_sample if nprobe is None else 0))
-        .select("vec")
-        .collect()
-    )
+    # One hash-selected collect serves both the centroid seeds (lowest
+    # n_centroids hashes) and the calibration sample — order-independent,
+    # and O(max(C, sample) × dim) driver bytes regardless of corpus size.
+    # A hash-threshold FILTER stands in for orderBy(h).limit(need): the
+    # filter prunes JVM-side in the same scan (no exchange, no per-partition
+    # heap over all n rows) and ships ~4×need candidates whose lowest
+    # ``need`` hashes are exactly the rows the ordered form would take, so
+    # seeds are unchanged.  The ordered fallback only fires if the uniform
+    # 64-bit hash under-delivers (P ≈ e^{-need}·poly, vanishing).
+    need = max(n_centroids, calibration_sample if nprobe is None else 0)
+    hashed = quant.withColumn("h", F.xxhash64(F.col("id")))
+    frac = min(1.0, (4.0 * need) / max(n, 1))
+    # Clamp inside the signed-long domain (frac=1.0 would otherwise
+    # overflow LongType; losing the single h == MAX_LONG value is covered
+    # by the ordered fallback).
+    cutoff = min((-(1 << 63)) + int((1 << 64) * frac), (1 << 63) - 1)
+    rows = hashed.filter(F.col("h") < F.lit(cutoff)).select("h", "vec").collect()
+    if len(rows) < min(need, n):
+        rows = hashed.orderBy("h").limit(need).select("h", "vec").collect()
+    rows.sort(key=lambda r: r["h"])
+    pool = rows[:need]
     sample_vecs = np.stack([np.asarray(r["vec"], dtype=np.int64) for r in pool])
     centroids = sample_vecs[:n_centroids].copy()
 
