@@ -66,7 +66,12 @@ def discover_dynamic_columns(df: DataFrame) -> dict[str, list]:
     map_cols = [f.name for f in df.schema.fields if isinstance(f.dataType, MapType)]
     arr_cols = [f.name for f in df.schema.fields if isinstance(f.dataType, ArrayType)]
     for c in map_cols:
-        aggs.append(F.array_sort(F.array_distinct(F.flatten(F.collect_list(F.map_keys(_qcol(c)))))).alias(f"__keys_{c}"))
+        # collect_SET, not collect_list: the partial aggregation dedups
+        # whole key-arrays map-side, so the buffer holds one entry per
+        # DISTINCT key combination (a handful) instead of one per row —
+        # collect_list shipped every row's key array to a single reducer,
+        # O(n) driver-side state at scale.
+        aggs.append(F.array_sort(F.array_distinct(F.flatten(F.collect_set(F.map_keys(_qcol(c)))))).alias(f"__keys_{c}"))
     for c in arr_cols:
         aggs.append(F.max(F.size(_qcol(c))).alias(f"__len_{c}"))
     if not aggs:
