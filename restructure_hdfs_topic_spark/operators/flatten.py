@@ -206,4 +206,10 @@ def route_by_schema_attempt(df: DataFrame) -> DataFrame:
             attempt = len(canonicals) - 1
         rows.append((r["__fp"], attempt))
     mapping = df.sparkSession.createDataFrame(rows, "__fp string, attempt int")
-    return fp.join(F.broadcast(mapping), "__fp").drop("__fp", "__mid")
+    out = fp.join(F.broadcast(mapping), "__fp").drop("__fp", "__mid")
+    # Expose the persisted frame so the write path can unpersist once its
+    # last consumer (the sink action) finishes — a long-running service
+    # would otherwise accumulate one cached lineage per topic iteration
+    # until the GC-driven ContextCleaner gets to it.
+    out._persisted_frame = fp
+    return out

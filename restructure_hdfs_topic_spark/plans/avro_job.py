@@ -176,6 +176,7 @@ def _write_topic(
         )
 
         routed = route_by_schema_attempt(flatten_struct_columns(payload))
+        persisted = getattr(routed, "_persisted_frame", None)
         if template_mode:
             # Keep ``attempt`` as its own staging partition column: the
             # finalize step renders it either folded into ${filename} or
@@ -203,6 +204,8 @@ def _write_topic(
         if codec:
             writer = writer.option("compression", codec)
         writer.csv(dest)
+        if persisted is not None:
+            persisted.unpersist()
     else:
         if template_mode:
             # JSON records never split by header shape (nested output always
