@@ -54,6 +54,8 @@ BENCH_QUERIES = [
     "dedup_exact_docs",
     "minhash_lsh_pairs",
     "substring_dedup",
+    "sequence_packing",
+    "lm_perplexity",
     "simhash",
     "simhash_near_dup",
     "near_dup_groups",

@@ -1,0 +1,77 @@
+"""Sequence packing: assign documents to fixed-token-budget training
+sequences (GPT-style concat-and-chunk batch prep).
+
+A training pipeline tokenizes documents, concatenates them in a
+deterministic order, and slices the stream into fixed-length sequences
+("packs"); every document therefore has a start offset in the stream and a
+first pack, and may span several packs.  A global concatenation order would
+need a total sort, so documents are first hash-routed into buckets (Knuth
+multiplicative hash — the same engine-reproducible scheme as
+operators/sampling.py) and each bucket is packed independently:
+
+  bucket    = (id * 2654435761) mod 2^32 mod n_buckets
+  start_off = exclusive running sum of n_tokens within the bucket,
+              ordered by (hash, id)
+  pack      = start_off div budget           (within the bucket)
+
+Scale shape: ONE hash shuffle on ``bucket``; each bucket is an independent
+window cumsum (Spark external-sorts a bucket's rows inside its task).
+``n_buckets`` should scale with the cluster — at 100 TB pick
+total_tokens / (budget * packs_per_task) so a bucket's sort fits a task;
+hash routing makes bucket skew statistically impossible.  All arithmetic is
+int64-exact, so results are engine- and partitioning-independent (no
+floating point anywhere).
+
+Note: ``id * KNUTH`` stays inside int64 for ids < 2^31; for wider id
+domains hash the id to 32 bits first (xxhash64 & 0xffffffff) — the driver
+tables' ids are dense small ints, so the multiplicative form keeps the
+DuckDB oracle trivially identical.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+KNUTH = 2654435761
+M32 = 2**32
+
+
+def pack_sequences(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    n_tokens_col: str = "n_tokens",
+    budget: int = 2048,
+    n_buckets: int = 16,
+) -> DataFrame:
+    """Per-document pack assignment: ``(id, bucket, start_off, pack_id,
+    n_tokens, n_packs_spanned)``.
+
+    ``pack_id`` is globalized as ``bucket * 2^31 + pack-within-bucket``;
+    ``n_packs_spanned`` counts the fixed-size sequences the document's
+    tokens cross (a zero-token document occupies its start pack).  Rows
+    with NULL token counts are treated as zero-token documents.
+    """
+    h = ((F.col(id_col) * F.lit(KNUTH)) % F.lit(M32)).cast("bigint")
+    n_tok = F.coalesce(F.col(n_tokens_col).cast("bigint"), F.lit(0))
+    w = (
+        Window.partitionBy("bucket")
+        .orderBy("__h", id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    staged = (
+        docs.withColumn("__h", h)
+        .withColumn("bucket", (F.col("__h") % F.lit(n_buckets)).cast("bigint"))
+        .withColumn("__n", n_tok)
+        .withColumn("start_off", (F.sum("__n").over(w) - F.col("__n")).cast("bigint"))
+    )
+    first = F.expr(f"start_off div {budget}")
+    last = F.expr(f"(start_off + greatest(__n, 1L) - 1L) div {budget}")
+    return staged.select(
+        F.col(id_col),
+        F.col("bucket"),
+        F.col("start_off"),
+        (F.col("bucket") * F.lit(2**31) + first).cast("bigint").alias("pack_id"),
+        F.col("__n").alias("n_tokens"),
+        (last - first + F.lit(1)).cast("bigint").alias("n_packs_spanned"),
+    )

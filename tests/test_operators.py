@@ -866,3 +866,81 @@ def test_embedding_near_dup_groups_exact_matches_closure(spark):
     # Sanity: the corpus actually contains non-trivial groups at this τ.
     n_groups = len({g for _, g in got})
     assert n_groups < len(got)
+
+
+def test_pack_sequences_semantics(spark):
+    """Brute-force reconstruction: within each bucket, docs ordered by
+    (knuth hash, id) concatenate into a token stream; start_off is the
+    exclusive cumsum, pack_id the budget-quantized start, span count the
+    number of budget windows the doc's tokens touch."""
+    from restructure_hdfs_topic_spark.operators.packing import (
+        KNUTH,
+        M32,
+        pack_sequences,
+    )
+
+    budget, n_buckets = 16, 4
+    rows = [(i, (i * 37) % 53) for i in range(200)]  # (doc_id, n_tokens)
+    df = spark.createDataFrame(rows, "doc_id long, n_tokens long")
+    got = {
+        r["doc_id"]: r
+        for r in pack_sequences(
+            df, budget=budget, n_buckets=n_buckets
+        ).collect()
+    }
+    assert len(got) == 200
+
+    buckets: dict[int, list[tuple[int, int, int]]] = {}
+    for i, n in rows:
+        h = (i * KNUTH) % M32
+        buckets.setdefault(h % n_buckets, []).append((h, i, n))
+    for b, members in buckets.items():
+        off = 0
+        for h, i, n in sorted(members):
+            r = got[i]
+            assert r["bucket"] == b
+            assert r["start_off"] == off
+            assert r["pack_id"] == b * 2**31 + off // budget
+            assert r["n_tokens"] == n
+            last = (off + max(n, 1) - 1) // budget
+            assert r["n_packs_spanned"] == last - off // budget + 1
+            off += n
+    # Packing must be non-trivial at these sizes: some doc spans >1 pack.
+    assert any(r["n_packs_spanned"] > 1 for r in got.values())
+
+
+def test_lm_cross_entropy_brute_force(spark):
+    """Per-doc bits/token equals the hand-computed unigram cross-entropy;
+    empty docs drop out."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from restructure_hdfs_topic_spark.functions.text import tokens
+    from restructure_hdfs_topic_spark.operators.lm import lm_cross_entropy
+
+    corpus = [
+        (1, "the cat sat"),
+        (2, "the dog sat on the mat"),
+        (3, "zyzzyva"),
+        (4, "   "),
+    ]
+    df = spark.createDataFrame(corpus, "doc_id long, text string")
+    got = {
+        r["doc_id"]: r
+        for r in lm_cross_entropy(df, tokens(F.col("text"))).collect()
+    }
+    assert set(got) == {1, 2, 3}
+
+    toks = {i: t.lower().split() for i, t in corpus if t.strip()}
+    cnt: dict[str, int] = {}
+    for ts in toks.values():
+        for t in ts:
+            cnt[t] = cnt.get(t, 0) + 1
+    total = sum(cnt.values())
+    for i, ts in toks.items():
+        want = -sum(math.log2(cnt[t] / total) for t in ts) / len(ts)
+        assert got[i]["n_tokens"] == len(ts)
+        assert abs(got[i]["bits_per_token"] - round(want, 4)) < 1e-9
+    # Rare-token doc must score strictly worse than common-token docs.
+    assert got[3]["bits_per_token"] > got[1]["bits_per_token"]

@@ -505,15 +505,13 @@ def test_query_registry_consistency():
     rows_only = set(q) - o
     assert rows_only == {
         "ann_ivf_topk",
-        "ann_lsh_topk",
-        "approx_quantiles",
     }, f"unexpected rows-only set: {sorted(rows_only)}"
     assert len(q) == len(set(q)) == 50, (
         f"registry has {len(q)} entries; the driver harness witnesses at "
         "most 50 — every oracled query must sit inside that window"
     )
-    assert q[-1] in rows_only and q[-2] in rows_only, (
-        "keep rows-only queries in the last two registry positions so a "
+    assert q[-1] in rows_only, (
+        "keep a rows-only query in the last registry position so a "
         "harness drop of the tail cannot silently unwitness an oracle"
     )
     extra = set(e.extra_queries().keys())
@@ -522,6 +520,8 @@ def test_query_registry_consistency():
         "embedding_near_dup_lsh",
         "embedding_near_dup_groups",
         "approx_distinct_users",
+        "ann_lsh_topk",
+        "approx_quantiles",
     }
     assert extra.isdisjoint(q), "bench-only queries must stay unregistered"
 
