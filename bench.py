@@ -88,7 +88,16 @@ def main() -> None:
         .master(f"local[{CPUS}]")
         .config("spark.sql.shuffle.partitions", str(2 * int(CPUS) if CPUS.isdigit() else 64))
         .config("spark.sql.adaptive.enabled", "true")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+        # 32g + throughput GC: on this box a 16g G1 heap produced multi-second
+        # roaming GC stalls across a 50-query session (measured 88-112 s
+        # totals with 5-10 s spikes on trivial projections; 32g+ParallelGC
+        # runs the same list in ~60 s with no outliers).  The bench is a
+        # batch-throughput workload — pause-time-oriented G1 buys nothing.
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "32g"))
+        .config(
+            "spark.driver.extraJavaOptions",
+            os.environ.get("SPARK_GRAFT_JAVA_OPTS", "-XX:+UseParallelGC"),
+        )
         .config("spark.ui.enabled", "false")
         .getOrCreate()
     )
