@@ -814,6 +814,22 @@ def q_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lm_cross_entropy(docs, tokens(F.col("text")), id_col="doc_id")
 
 
+def q_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mixture rebalancing (Pile/DoReMi-style): largest deterministic
+    sample of `documents` whose language proportions hit 4:2:2:1:1
+    (en:de:es:fr:zh) without oversampling any language.  One bounded
+    stratum-count collect + one narrow hash-threshold filter — no shuffle.
+    Correctness: exact DuckDB cross-check in tests/test_operators.py
+    (bench/extras surface; the 50-slot driver registry is full)."""
+    from restructure_hdfs_topic_spark.operators.sampling import mixture_sample
+
+    _conf(spark)
+    docs = _t(spark, sf_dir, "documents")
+    return mixture_sample(
+        docs, "doc_id", "lang", {"en": 4, "de": 2, "es": 2, "fr": 1, "zh": 1}
+    ).select("doc_id", "lang")
+
+
 def q_embedding_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-5 neighbors per vector; int-quantized dot
     products make the result engine- and partitioning-exact."""
@@ -1168,6 +1184,9 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # rel-err), so a rows-only driver row added little on top.
         "ann_lsh_topk": q_ann_lsh_topk,
         "approx_quantiles": q_approx_quantiles,
+        # Exact-deterministic but the 50-slot registry is full; DuckDB
+        # cross-check lives in tests/test_operators.py instead.
+        "mixture_sample": q_mixture_sample,
     }
 
 

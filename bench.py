@@ -47,6 +47,7 @@ BENCH_QUERIES = [
     "vocab_topk",
     "redact_pii",
     "stratified_sample",
+    "mixture_sample",
     "chunk_documents",
     "text_repetition",
     "contamination_check",

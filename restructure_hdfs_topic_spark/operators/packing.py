@@ -22,10 +22,10 @@ hash routing makes bucket skew statistically impossible.  All arithmetic is
 int64-exact, so results are engine- and partitioning-independent (no
 floating point anywhere).
 
-Note: ``id * KNUTH`` stays inside int64 for ids < 2^31; for wider id
-domains hash the id to 32 bits first (xxhash64 & 0xffffffff) — the driver
-tables' ids are dense small ints, so the multiplicative form keeps the
-DuckDB oracle trivially identical.
+The hash is ``operators.sampling.hash_bucket`` — the overflow-safe 16-bit
+split form, bit-identical to ``id * KNUTH mod 2^32`` in unbounded
+arithmetic, so the DuckDB oracle can use the plain multiplicative
+expression for any id domain DuckDB's int64 covers.
 """
 
 from __future__ import annotations
@@ -33,7 +33,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-KNUTH = 2654435761
+from restructure_hdfs_topic_spark.operators.sampling import KNUTH, hash_bucket
+
 M32 = 2**32
 
 
@@ -52,7 +53,7 @@ def pack_sequences(
     tokens cross (a zero-token document occupies its start pack).  Rows
     with NULL token counts are treated as zero-token documents.
     """
-    h = ((F.col(id_col) * F.lit(KNUTH)) % F.lit(M32)).cast("bigint")
+    h = hash_bucket(id_col).cast("bigint")
     n_tok = F.coalesce(F.col(n_tokens_col).cast("bigint"), F.lit(0))
     w = (
         Window.partitionBy("bucket")

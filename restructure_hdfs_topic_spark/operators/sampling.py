@@ -59,3 +59,54 @@ def stratified_hash_sample(
             F.col(strata_col) == value, F.lit(int(rate * MOD))
         ).otherwise(threshold)
     return df.filter(hash_bucket(id_col) < threshold)
+
+
+def mixture_sample(
+    df: DataFrame,
+    id_col: str,
+    strata_col: str,
+    target_weights: dict[str, int],
+    max_rows: int | None = None,
+) -> DataFrame:
+    """Rebalance a corpus to a target source mixture (the Pile/DoReMi-style
+    domain-weighting step): given integer target weights per stratum (e.g.
+    ``{"web": 5, "books": 3, "code": 2}``), take the LARGEST deterministic
+    sample whose stratum proportions match the weights without oversampling
+    any stratum (every rate ≤ 1; the scarcest weighted stratum is kept
+    whole).  Strata absent from ``target_weights`` are dropped.
+
+    Shape: one map-side-combined count per stratum (|strata| rows — the
+    same bounded-metadata contract as the offset-interval state), exact
+    bigint threshold math driver-side (Python integers never overflow),
+    then ONE narrow hash-threshold filter over the corpus — no shuffle,
+    no join, partitioning untouched.  Thresholds are monotone in
+    ``max_rows``, so shrinking the budget yields a subset of the larger
+    sample (staged-experiment comparability, like ``hash_sample``).
+    """
+    weights = {k: int(v) for k, v in target_weights.items() if int(v) > 0}
+    if not weights:
+        raise ValueError("target_weights must contain a positive weight")
+    den = sum(weights.values())
+    counts = {
+        r[strata_col]: r["n"]
+        for r in df.filter(F.col(strata_col).isin(list(weights)))
+        .groupBy(strata_col)
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    # Largest feasible output size: stratum s contributes w_s/den of the
+    # output, so n_out ≤ n_s * den / w_s for every s (and the cap).
+    n_out = min(counts.get(s, 0) * den // w for s, w in weights.items())
+    if max_rows is not None:
+        n_out = min(n_out, int(max_rows))
+    # keep iff bucket < w_s * n_out * 2^32 / (den * n_s): exact expected
+    # stratum share w_s/den of n_out.  Pure-int driver math; the per-row
+    # predicate is one CASE + compare, fully codegen'd.
+    threshold = F.lit(-1).cast("long")
+    for s, w in sorted(weights.items()):
+        n_s = counts.get(s, 0)
+        t = MOD if n_s == 0 else w * n_out * MOD // (den * n_s)
+        threshold = F.when(F.col(strata_col) == s, F.lit(int(t))).otherwise(
+            threshold
+        )
+    return df.filter(hash_bucket(id_col) < threshold)

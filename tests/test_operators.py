@@ -944,3 +944,80 @@ def test_lm_cross_entropy_brute_force(spark):
         assert abs(got[i]["bits_per_token"] - round(want, 4)) < 1e-9
     # Rare-token doc must score strictly worse than common-token docs.
     assert got[3]["bits_per_token"] > got[1]["bits_per_token"]
+
+
+def test_mixture_sample_duckdb_cross_check(spark):
+    """mixture_sample's kept-id set equals an independent DuckDB evaluation
+    of the same integer thresholds; proportions track the target weights;
+    no stratum is oversampled; a max_rows budget yields a SUBSET."""
+    import duckdb
+
+    from restructure_hdfs_topic_spark.operators.sampling import (
+        KNUTH,
+        MOD,
+        mixture_sample,
+    )
+    from restructure_hdfs_topic_spark.sources.tables import load_table
+
+    sf_dir = "/root/testdata/sf0.01"
+    weights = {"en": 4, "de": 2, "es": 2, "fr": 1, "zh": 1}
+    den = sum(weights.values())
+    docs = load_table(spark, sf_dir, "documents")
+    got = {
+        (r["doc_id"], r["lang"])
+        for r in mixture_sample(docs, "doc_id", "lang", weights)
+        .select("doc_id", "lang")
+        .collect()
+    }
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{sf_dir}/documents.parquet')"
+    )
+    counts = dict(
+        con.execute(
+            "SELECT lang, count(*) FROM documents GROUP BY lang"
+        ).fetchall()
+    )
+    n_out = min(counts[s] * den // w for s, w in weights.items())
+    thresholds = {
+        s: w * n_out * MOD // (den * counts[s]) for s, w in weights.items()
+    }
+    case = " ".join(
+        f"WHEN lang = '{s}' THEN {t}" for s, t in thresholds.items()
+    )
+    want = set(
+        map(
+            tuple,
+            con.execute(
+                f"""SELECT doc_id, lang FROM documents
+                    WHERE (doc_id * {KNUTH}) % {MOD} < CASE {case} ELSE -1 END"""
+            ).fetchall(),
+        )
+    )
+    assert got == want
+
+    # Proportions: every stratum within 2/sqrt(n_s) of its target share,
+    # and never above its population (no oversampling by construction).
+    by_lang: dict[str, int] = {}
+    for _, lang in got:
+        by_lang[lang] = by_lang.get(lang, 0) + 1
+    for s, w in weights.items():
+        assert by_lang.get(s, 0) <= counts[s]
+        expect = w * n_out / den
+        assert abs(by_lang.get(s, 0) - expect) <= 2 * max(expect, 1) ** 0.5 + 1
+    # The scarcest weighted stratum pins n_out: its rate is ~1.
+    pin = min(weights, key=lambda s: counts[s] * den // weights[s])
+    assert thresholds[pin] >= MOD - den * counts[pin]
+
+    # Budgeted sample is a subset (monotone thresholds).
+    small = {
+        (r["doc_id"], r["lang"])
+        for r in mixture_sample(
+            docs, "doc_id", "lang", weights, max_rows=n_out // 2
+        )
+        .select("doc_id", "lang")
+        .collect()
+    }
+    assert small <= got
+    assert len(small) < len(got)

@@ -522,6 +522,7 @@ def test_query_registry_consistency():
         "approx_distinct_users",
         "ann_lsh_topk",
         "approx_quantiles",
+        "mixture_sample",
     }
     assert extra.isdisjoint(q), "bench-only queries must stay unregistered"
 
