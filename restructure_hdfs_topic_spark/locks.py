@@ -163,7 +163,14 @@ class StorageLockManager:
             # atomicity is weaker than HDFS, confirm the stored owner is us
             # before treating the lease as held.
             meta = self._read(path)
-            if meta is None or meta.get("owner") != self.owner:
+            if meta is None:
+                # Unreadable right after OUR create (transient FS error):
+                # abandoning the file would wedge the topic for the full
+                # TTL with a lock nobody holds.  We created it under the
+                # break mutex, so it is ours — remove it and walk away.
+                self._fs.delete(path, False)
+                return None
+            if meta.get("owner") != self.owner:
                 return None
             return StorageLock(self, name)
         finally:

@@ -1110,7 +1110,13 @@ def strip_duplicated_spans(
         .withColumn("__spans", F.coalesce(F.col("__spans"), F.array()))
         .withColumn(
             text_col,
-            F.when(F.trim(F.col(text_col)) == "", F.col(text_col)).otherwise(
+            # Untouched documents keep their ORIGINAL text byte-for-byte —
+            # the whitespace-normalizing rebuild only runs where a span
+            # actually hit (rebuilding everything would silently rewrite
+            # tabs/newlines corpus-wide).
+            F.when(
+                F.size(F.col("__spans")) == 0, F.col(text_col)
+            ).otherwise(
                 F.array_join(F.transform(indexed, lambda s: s["t"]), " ")
             ),
         )

@@ -166,7 +166,7 @@ def _header_contains(wide: dict, narrow: dict) -> bool:
     return True
 
 
-def route_by_schema_attempt(df: DataFrame) -> DataFrame:
+def route_by_schema_attempt(df: DataFrame) -> tuple[DataFrame, DataFrame]:
     """Assign each record its attempt index, mirroring
     RecordPathFactory.kt:56-75's retry loop set-wise: distinct header
     shapes are processed in first-occurrence order, each routed to the
@@ -175,7 +175,12 @@ def route_by_schema_attempt(df: DataFrame) -> DataFrame:
     CsvAvroConverterTest.kt:88-157), else to a new attempt.
 
     Driver state is one row per DISTINCT header shape (bounded by schema
-    variance, not record count); the subset scan is O(shapes²)."""
+    variance, not record count); the subset scan is O(shapes²).
+
+    Returns ``(routed, persisted)``: the routed frame plus the persisted
+    intermediate it is built on.  The CALLER must ``persisted.unpersist()``
+    after the last action over ``routed`` (in a try/finally — a failed sink
+    must not leak one cached lineage per topic iteration)."""
     import json as _json
 
     from pyspark import StorageLevel
@@ -207,9 +212,4 @@ def route_by_schema_attempt(df: DataFrame) -> DataFrame:
         rows.append((r["__fp"], attempt))
     mapping = df.sparkSession.createDataFrame(rows, "__fp string, attempt int")
     out = fp.join(F.broadcast(mapping), "__fp").drop("__fp", "__mid")
-    # Expose the persisted frame so the write path can unpersist once its
-    # last consumer (the sink action) finishes — a long-running service
-    # would otherwise accumulate one cached lineage per topic iteration
-    # until the GC-driven ContextCleaner gets to it.
-    out._persisted_frame = fp
-    return out
+    return out, fp

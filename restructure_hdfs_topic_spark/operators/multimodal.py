@@ -31,12 +31,10 @@ from pyspark.sql.types import (
 
 try:  # optional extra: pillow-backed real image decode (VERDICT r4 #7)
     from PIL import Image as _PILImage
-    from PIL import ImageSequence as _PILImageSequence
 
     HAS_PIL = True
 except ImportError:  # container ships no media libs — stub kernels run
     _PILImage = None
-    _PILImageSequence = None
     HAS_PIL = False
 
 
@@ -99,8 +97,14 @@ def decode_media(media: DataFrame, real_decode: bool = False) -> DataFrame:
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         def features(mime: str, b: bytes) -> tuple[int, int]:
             if real_decode and mime.startswith("image/"):
-                px = list(_pil_open(b).convert("L").getdata())
-                return (px[0] if px else -1, sum(px) % 2147483647)
+                try:
+                    px = list(_pil_open(b).convert("L").getdata())
+                    return (px[0] if px else -1, sum(px) % 2147483647)
+                except Exception:
+                    # Corrupt/truncated payloads degrade to the byte-level
+                    # features instead of failing the whole job — a scraped
+                    # corpus always contains a few undecodable blobs.
+                    pass
             return (b[0] if len(b) else -1, sum(b) % 2147483647)
 
         for pdf in it:
@@ -177,12 +181,17 @@ def resize_media(
                     out += b[i : i + scale_num]
                 return bytes(out)
 
+            def resize_one(m: str, b: bytes) -> bytes:
+                if m.startswith("image/"):
+                    try:
+                        return pil_resize(b)
+                    except Exception:
+                        pass  # undecodable image → byte-level downsample
+                return shrink(b)
+
             if real_decode:
                 payloads = pd.Series(
-                    [
-                        pil_resize(b) if m.startswith("image/") else shrink(b)
-                        for m, b in zip(pdf["mime"], pdf["payload"])
-                    ],
+                    [resize_one(m, b) for m, b in zip(pdf["mime"], pdf["payload"])],
                     dtype="object",
                     index=pdf.index,  # align with pdf columns in the yield
                 )
@@ -229,16 +238,20 @@ def sample_frames(
             from io import BytesIO
 
             img = _pil_open(payload)
-            all_frames = list(_PILImageSequence.Iterator(img))
+            # NB: ImageSequence.Iterator yields the SAME Image object
+            # seeked in place — list()-ing it gives N references to the
+            # final frame.  seek() per sampled index decodes each frame.
+            n_frames = getattr(img, "n_frames", 1)
             out = []
-            for fi in range(0, len(all_frames), every_nth):
-                frame = all_frames[fi].convert("L")
+            for fi in range(0, n_frames, every_nth):
+                img.seek(fi)
+                frame = img.convert("L")
                 buf = BytesIO()
                 frame.save(buf, format="PNG")
                 out.append(
                     (fi, buf.getvalue(), sum(frame.getdata()) % 2147483647)
                 )
-            return len(all_frames), out
+            return n_frames, out
 
         for pdf in it:
             ids, idxs, totals, frames, sums = [], [], [], [], []
@@ -246,14 +259,18 @@ def sample_frames(
                 pdf["media_id"], pdf["mime"], pdf["payload"]
             ):
                 if real_decode and mime.startswith("image/"):
-                    n_frames, decoded = pil_frames(payload)
-                    for fi, png, ck in decoded:
-                        ids.append(mid)
-                        idxs.append(fi)
-                        totals.append(n_frames)
-                        frames.append(png)
-                        sums.append(ck)
-                    continue
+                    try:
+                        n_frames, decoded = pil_frames(payload)
+                    except Exception:
+                        decoded = None  # corrupt image → chunk fallback
+                    if decoded is not None:
+                        for fi, png, ck in decoded:
+                            ids.append(mid)
+                            idxs.append(fi)
+                            totals.append(n_frames)
+                            frames.append(png)
+                            sums.append(ck)
+                        continue
                 n_frames = (len(payload) + frame_bytes - 1) // frame_bytes
                 for fi in range(0, n_frames, every_nth):
                     chunk = payload[fi * frame_bytes : (fi + 1) * frame_bytes]

@@ -94,9 +94,18 @@ def mixture_sample(
         .agg(F.count(F.lit(1)).alias("n"))
         .collect()
     }
+    # A weighted stratum with zero corpus rows would silently zero the
+    # WHOLE sample (n_out = 0) — almost always a typo'd stratum key or a
+    # wrong column; fail loudly instead.
+    missing = sorted(s for s in weights if counts.get(s, 0) == 0)
+    if missing:
+        raise ValueError(
+            f"target_weights name strata with no rows in {strata_col!r}: "
+            f"{missing} (present: {sorted(counts)})"
+        )
     # Largest feasible output size: stratum s contributes w_s/den of the
     # output, so n_out ≤ n_s * den / w_s for every s (and the cap).
-    n_out = min(counts.get(s, 0) * den // w for s, w in weights.items())
+    n_out = min(counts[s] * den // w for s, w in weights.items())
     if max_rows is not None:
         n_out = min(n_out, int(max_rows))
     # keep iff bucket < w_s * n_out * 2^32 / (den * n_s): exact expected
@@ -104,8 +113,7 @@ def mixture_sample(
     # predicate is one CASE + compare, fully codegen'd.
     threshold = F.lit(-1).cast("long")
     for s, w in sorted(weights.items()):
-        n_s = counts.get(s, 0)
-        t = MOD if n_s == 0 else w * n_out * MOD // (den * n_s)
+        t = w * n_out * MOD // (den * counts[s])
         threshold = F.when(F.col(strata_col) == s, F.lit(int(t))).otherwise(
             threshold
         )

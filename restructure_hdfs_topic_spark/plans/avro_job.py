@@ -175,8 +175,7 @@ def _write_topic(
             route_by_schema_attempt,
         )
 
-        routed = route_by_schema_attempt(flatten_struct_columns(payload))
-        persisted = getattr(routed, "_persisted_frame", None)
+        routed, persisted = route_by_schema_attempt(flatten_struct_columns(payload))
         if template_mode:
             # Keep ``attempt`` as its own staging partition column: the
             # finalize step renders it either folded into ${filename} or
@@ -191,20 +190,23 @@ def _write_topic(
             ).drop("attempt")
             part_cols = PARTITION_COLS
         flat = flatten_for_csv(routed)
-        writer = (
-            flat.repartition(*[F.col(f"`{c}`") for c in part_cols])
-            .write.mode("append")
-            .partitionBy(*part_cols)
-            .option("header", "true")
-            # The reference's CSV writer leaves empty fields unquoted
-            # (golden fixtures show `...,CONNECTED,` for a null ipAddress);
-            # Spark's default emptyValue would emit `""`.
-            .option("emptyValue", "")
-        )
-        if codec:
-            writer = writer.option("compression", codec)
-        writer.csv(dest)
-        if persisted is not None:
+        try:
+            writer = (
+                flat.repartition(*[F.col(f"`{c}`") for c in part_cols])
+                .write.mode("append")
+                .partitionBy(*part_cols)
+                .option("header", "true")
+                # The reference's CSV writer leaves empty fields unquoted
+                # (golden fixtures show `...,CONNECTED,` for a null
+                # ipAddress); Spark's default emptyValue would emit `""`.
+                .option("emptyValue", "")
+            )
+            if codec:
+                writer = writer.option("compression", codec)
+            writer.csv(dest)
+        finally:
+            # A failed sink must not leak one cached lineage per topic
+            # iteration in a long-running service.
             persisted.unpersist()
     else:
         if template_mode:

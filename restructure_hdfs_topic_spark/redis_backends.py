@@ -84,7 +84,12 @@ def _to_str(value) -> str:
 
 
 def _iso(ts) -> str:
-    dt = ts if ts.tzinfo is not None else ts.replace(tzinfo=timezone.utc)
+    # Spark's collect() yields NAIVE datetimes in the driver's LOCAL zone
+    # (TimestampType.fromInternal goes through fromtimestamp) — labelling
+    # them UTC directly would shift lastProcessed by the host's UTC offset
+    # on every write.  A naive .astimezone() interprets local wall time,
+    # which round-trips correctly on any driver timezone.
+    dt = ts if ts.tzinfo is not None else ts.astimezone()
     return dt.astimezone(timezone.utc).isoformat().replace("+00:00", "Z")
 
 

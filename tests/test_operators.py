@@ -821,6 +821,14 @@ def test_duplicated_window_spans_semantics(spark):
     assert stripped[4] == rows[3][1]  # untouched
     assert stripped[5] == "" and stripped[6] is None
 
+    # Documents with no duplicated span keep their text BYTE-FOR-BYTE —
+    # tabs/newlines/trailing whitespace must survive (the normalizing
+    # rebuild may only run where a span actually hit).
+    raw = "a\tb\n\nc "
+    df3 = spark.createDataFrame([(1, raw)], "doc_id long, text string")
+    out3 = strip_duplicated_spans(df3, "doc_id", "text", k=4).collect()
+    assert out3[0]["text"] == raw
+
 
 def test_embedding_near_dup_groups_exact_matches_closure(spark):
     """SemDeDup-style composition: connected components over the EXACT

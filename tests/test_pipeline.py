@@ -103,13 +103,16 @@ def test_attempt_routing_groups_by_header_shape(spark):
         ],
         "id int, x string, m map<string,double>, arr array<int>",
     )
-    out = route_by_schema_attempt(df)
+    out, persisted = route_by_schema_attempt(df)
     attempts = {r.id: r.attempt for r in out.collect()}
+    persisted.unpersist()
     assert attempts[1] == attempts[2] == 0
     assert sorted({attempts[3], attempts[4]}) == [1, 2]
     # Schema-constant headers (no maps/arrays) never split.
     flat = spark.createDataFrame([(1, "a", None), (2, None, "z")], "id int, x string, y string")
-    assert {r.attempt for r in route_by_schema_attempt(flat).collect()} == {0}
+    out2, persisted2 = route_by_schema_attempt(flat)
+    assert {r.attempt for r in out2.collect()} == {0}
+    persisted2.unpersist()
 
 
 def test_streaming_available_now(spark, tmp_path):
@@ -582,7 +585,9 @@ def test_attempt_routing_absorbs_sub_schema(spark):
         ],
         "id int, m map<string,double>, arr array<int>",
     )
-    attempts = {r.id: r.attempt for r in route_by_schema_attempt(df).collect()}
+    routed, persisted = route_by_schema_attempt(df)
+    attempts = {r.id: r.attempt for r in routed.collect()}
+    persisted.unpersist()
     assert attempts[1] == attempts[2] == attempts[3] == 0
     assert attempts[4] == 1
     assert attempts[5] == 2
