@@ -73,6 +73,9 @@ CONSISTENCY_QUERIES = [
     # partitioning-independent (VERDICT r4 #4).
     "seen_file_filter",
     "seen_record_filter",
+    # r5: mixture rebalancing is exact-deterministic (integer thresholds)
+    # — digests must match across partitionings at sf1.
+    "mixture_sample",
 ]
 
 
