@@ -32,7 +32,10 @@ from pyspark.sql import functions as F
 def unigram_logprobs(tokens_df: DataFrame, token_col: str = "token") -> DataFrame:
     """``(token, cnt, logp)`` — corpus log2-probability per distinct token."""
     counts = tokens_df.groupBy(token_col).agg(F.count(F.lit(1)).alias("cnt"))
-    total = counts.agg(F.sum("cnt").alias("__total"))
+    # The normalizer is just the token-stream length: a count-star over the
+    # un-aggregated stream (partial counts, no shuffle payload) — NOT a
+    # second groupBy-then-sum over the vocabulary.
+    total = tokens_df.agg(F.count(F.lit(1)).alias("__total"))
     return counts.crossJoin(F.broadcast(total)).select(
         token_col,
         "cnt",
@@ -45,6 +48,7 @@ def lm_cross_entropy(
     tokens_expr: Column,
     id_col: str = "doc_id",
     round_digits: int = 4,
+    broadcast_vocab: bool = True,
 ) -> DataFrame:
     """Per-document unigram cross-entropy: ``(id, n_tokens,
     bits_per_token)``.  ``tokens_expr`` is the tokenizer column (an
@@ -52,9 +56,18 @@ def lm_cross_entropy(
     oracle can reproduce it exactly; documents with no tokens drop out
     (their explode is empty — no 0/0 average).  ``bits_per_token`` is
     rounded so the last-ulp float wobble of cross-engine log2/summation
-    order cannot flip a value hash."""
+    order cannot flip a value hash.
+
+    ``broadcast_vocab`` (default on) pins the count table as the join's
+    build side: a natural-language unigram vocabulary is bounded (millions
+    of rows ≈ tens of MB) while the token stream is corpus-sized, and
+    Catalyst's file-size estimate would otherwise pick the WRONG side on a
+    small sample (observed: it broadcast the exploded corpus).  Pass False
+    for open-ended token domains to let the join fall back to shuffle."""
     tok = docs.select(F.col(id_col), F.explode(tokens_expr).alias("token"))
     probs = unigram_logprobs(tok).drop("cnt")
+    if broadcast_vocab:
+        probs = F.broadcast(probs)
     return (
         tok.join(probs, "token")
         .groupBy(id_col)
