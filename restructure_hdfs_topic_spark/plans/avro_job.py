@@ -396,6 +396,13 @@ def _read_zip_target_times(
                     return float(v)
                 if kind == "ms":
                     return float(v) / 1000.0
+                # iso / date strings — same coalesce as the CSV twin
+                # (flat_seconds); skipping them left t_seconds NULL for
+                # topics whose only time field is ISO, so the cleaner's
+                # verification could never match.
+                ts = pd.to_datetime(v, errors="coerce", utc=True)
+                if not pd.isna(ts):
+                    return ts.timestamp()
             return None
 
         for pdf in batches:
@@ -572,7 +579,18 @@ def run_avro_cleaner_job(
         rb = spark.createDataFrame(
             rollback_ranges, "topic string, partition int, offset_from long, offset_to long"
         )
-        replace_offsets(spark, config.state_dir, remove_offsets(state, rb))
+        # Subtract the rollbacks from the CURRENT state, not the snapshot
+        # read at job start: a concurrent restructure app (the two-apps
+        # deployment lock_enable serves) may have committed new intervals
+        # while this cleaner verified topics, and swapping in the stale
+        # snapshot would erase those commits.  (The read→swap window that
+        # remains is the reference's own non-transactional accountant
+        # semantics; per-topic locks keep the verdicts themselves stable.)
+        replace_offsets(
+            spark,
+            config.state_dir,
+            remove_offsets(read_offsets(spark, config.state_dir), rb),
+        )
     return counters
 
 
@@ -642,11 +660,14 @@ def _process_topic(spark, topic, aged, config, mode, counters) -> None:
     a try/finally)."""
     state = read_offsets(spark, config.state_dir)
     manifest = manifest_df(spark, aged)
-    # Join output order is nondeterministic — sort by path (partition +
-    # offset order) so the maxFilesPerTopic cap always takes the
-    # EARLIEST pending files, like the reference's ordered walk + take.
+    # Join output order is nondeterministic — sort NUMERICALLY by
+    # (partition, offset) so the maxFilesPerTopic cap always takes the
+    # EARLIEST pending files, like the reference's ordered walk + take
+    # (lexicographic path order would put `+10000.avro` before
+    # `+9000.avro`, inverting keep-last-by-offset across iterations).
     all_pending = sorted(
-        filter_unseen_files(manifest, state).collect(), key=lambda r: r["path"]
+        filter_unseen_files(manifest, state).collect(),
+        key=lambda r: (r["partition"], r["offset_from"], r["path"]),
     )
     pending_rows = all_pending
     if config.worker.max_files_per_topic:

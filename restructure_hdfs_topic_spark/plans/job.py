@@ -174,9 +174,16 @@ def run_cleaner_job(
     old = records.filter(
         F.col("mtime") < now_col - F.expr(f"INTERVAL {config.cleaner.age_days} DAYS")
     )
+    # The written userId is SANITIZED (restructure_records → sanitize_id);
+    # joining the raw source id would never match users whose ids contain
+    # characters outside [A-Za-z0-9_-], permanently rolling their files
+    # back — apply the same sanitize on the source side.
+    from restructure_hdfs_topic_spark.functions.paths import sanitize_id
+
     joined = old.join(
         target_times,
-        (old["user_id"].cast("string") == F.col("t_user")) & (old["ts"] == F.col("t_ts")),
+        (sanitize_id(old["user_id"].cast("string"), "unknown-user") == F.col("t_user"))
+        & (old["ts"] == F.col("t_ts")),
         "left",
     )
     per_file = (

@@ -175,28 +175,21 @@ def template_read_pattern(template: str, topic: str, fmt: str) -> tuple[str, str
     return "".join(glob_parts), "".join(rx_parts) + "$", gi_proj, gi_user
 
 
-def _merge_csv_like(chunks: list[bytes], is_csv: bool, codec: str | None) -> bytes:
-    """Reference-style append: decompress every chunk, keep the first CSV
-    header only, recompress the concatenation."""
-    texts = []
-    for raw in chunks:
-        if codec == "gz":
-            import gzip
+def _decompress_chunk(raw: bytes, codec: str | None) -> str:
+    if codec == "gz":
+        import gzip
 
-            raw = gzip.decompress(raw)
-        elif codec == "zip":
-            import zipfile
+        raw = gzip.decompress(raw)
+    elif codec == "zip":
+        import zipfile
 
-            with zipfile.ZipFile(io.BytesIO(raw)) as zf:
-                raw = zf.read(zf.namelist()[0])
-        texts.append(raw.decode())
-    merged_lines: list[str] = []
-    for i, text in enumerate(texts):
-        lines = text.splitlines()
-        if is_csv and i > 0 and lines:
-            lines = lines[1:]  # drop the duplicate header
-        merged_lines.extend(lines)
-    out = ("\n".join(merged_lines) + "\n").encode()
+        with zipfile.ZipFile(io.BytesIO(raw)) as zf:
+            raw = zf.read(zf.namelist()[0])
+    return raw.decode()
+
+
+def _compress_text(text: str, codec: str | None) -> bytes:
+    out = text.encode()
     if codec == "gz":
         import gzip
 
@@ -209,6 +202,26 @@ def _merge_csv_like(chunks: list[bytes], is_csv: bool, codec: str | None) -> byt
             zf.writestr("data", out)
         out = buf.getvalue()
     return out
+
+
+def _merge_csv_like(chunks: list[bytes], is_csv: bool, codec: str | None) -> bytes:
+    """Reference-style append: decompress every chunk, keep the first CSV
+    header only, recompress the concatenation.  Callers must ensure CSV
+    chunks share one header (``_csv_header``) — blind header-dropping on
+    mismatched headers would silently misalign rows."""
+    texts = [_decompress_chunk(raw, codec) for raw in chunks]
+    merged_lines: list[str] = []
+    for i, text in enumerate(texts):
+        lines = text.splitlines()
+        if is_csv and i > 0 and lines:
+            lines = lines[1:]  # drop the duplicate header
+        merged_lines.extend(lines)
+    return _compress_text("\n".join(merged_lines) + "\n", codec)
+
+
+def _csv_header(raw: bytes, codec: str | None) -> str:
+    text = _decompress_chunk(raw, codec)
+    return text.splitlines()[0] if text else ""
 
 
 def finalize_template_layout(
@@ -266,6 +279,28 @@ def finalize_template_layout(
 
     final_paths: list[str] = []
     sidecar_dirs: set[str] = set()
+    # Templates without ${attempt} can render the SAME dest for two staged
+    # groups; serialize per rendered path so racing place() calls cannot
+    # both pass the exists() check and lose one group's rows.
+    import threading
+
+    dest_locks: dict[str, threading.Lock] = {}
+    dest_locks_guard = threading.Lock()
+
+    def _lock_for(dest_str: str) -> threading.Lock:
+        with dest_locks_guard:
+            return dest_locks.setdefault(dest_str, threading.Lock())
+
+    def _bumped(orig_dest, n: int):
+        """``orig_dest`` with attempt suffix ``_n`` APPENDED to its base
+        (reference retry naming, RecordPathFactory.kt:56-75).  Appending —
+        never stripping — keeps bins whose own name ends in digits (e.g.
+        ``20240101_0000``) intact."""
+        name = orig_dest.getName()
+        ext = _PART_EXT_RE.search(name).group(0)
+        return HPath(
+            orig_dest.getParent(), f"{name[: -len(ext)]}_{n}{ext}"
+        )
 
     def place(key: tuple[tuple[str, str], ...], parts: list[tuple[str, str]]) -> str:
         kv = dict(key)
@@ -275,28 +310,52 @@ def finalize_template_layout(
         dest = HPath(target_dir, rel)
         fs.mkdirs(dest.getParent())
         sidecar_dirs.add(dest.getParent().toString())
-        if len(parts) == 1 and not fs.exists(dest):
-            fs.rename(HPath(parts[0][0]), dest)  # metadata-only on HDFS
-            return dest.toString()
-        # Append/merge path (existing destination or a bin split across
-        # parts): reference-parity decompress-append-recompress, O(file).
-        chunks: list[bytes] = []
-        if fs.exists(dest):
-            chunks.append(_read_bytes(fs, dest))
-        for p, _e in parts:
-            chunks.append(_read_bytes(fs, HPath(p)))
         codec = ext.rsplit(".", 1)[1] if ext.count(".") > 1 else None
-        merged = _merge_csv_like(chunks, is_csv=".csv" in ext, codec=codec)
-        tmp = HPath(dest.getParent(), f".{dest.getName()}.tmp")
-        out = fs.create(tmp, True)
-        try:
-            out.write(bytearray(merged))
-        finally:
-            out.close()
-        if fs.exists(dest):
-            fs.delete(dest, False)
-        fs.rename(tmp, dest)
-        return dest.toString()
+        is_csv = ".csv" in ext
+        with _lock_for(dest.toString()):
+            # A later batch's records for an old bin may carry a DIFFERENT
+            # CSV header (new map keys ⇒ new columns); blindly appending
+            # would misalign rows.  Divert to the reference's attempt
+            # naming: the first ``_N`` destination whose header matches or
+            # that does not exist yet.
+            if is_csv and fs.exists(dest):
+                part_header = _csv_header(
+                    _read_bytes(fs, HPath(parts[0][0])), codec
+                )
+                orig_dest, n = dest, 0
+                while fs.exists(dest) and _csv_header(
+                    _read_bytes(fs, dest), codec
+                ) != part_header:
+                    n += 1
+                    dest = _bumped(orig_dest, n)
+            if len(parts) == 1 and not fs.exists(dest):
+                # Metadata-only on HDFS; rename signals failure by
+                # RETURNING false (it does not raise) — fall through to
+                # the copy path rather than silently dropping the part.
+                if fs.rename(HPath(parts[0][0]), dest):
+                    return dest.toString()
+            # Append/merge path (existing destination or a bin split
+            # across parts): reference-parity
+            # decompress-append-recompress, O(file).
+            chunks: list[bytes] = []
+            if fs.exists(dest):
+                chunks.append(_read_bytes(fs, dest))
+            for p, _e in parts:
+                chunks.append(_read_bytes(fs, HPath(p)))
+            merged = _merge_csv_like(chunks, is_csv=is_csv, codec=codec)
+            tmp = HPath(dest.getParent(), f".{dest.getName()}.tmp")
+            out = fs.create(tmp, True)
+            try:
+                out.write(bytearray(merged))
+            finally:
+                out.close()
+            if fs.exists(dest):
+                fs.delete(dest, False)
+            if not fs.rename(tmp, dest):
+                raise RuntimeError(
+                    f"finalize_template_layout: rename {tmp} -> {dest} failed"
+                )
+            return dest.toString()
 
     # py4j is thread-safe (one gateway connection per thread); object-store
     # rename latency, not CPU, is the bottleneck this pool hides.

@@ -26,9 +26,20 @@ from pyspark.sql import SparkSession
 
 def _validate_bytes(name: str, data: bytes, fmt: str) -> str | None:
     """Return an error string if the file bytes are corrupt, else None."""
+    import zipfile
+
     try:
         if name.endswith(".gz"):
             data = gzip.decompress(data)
+        elif name.endswith(".zip"):
+            # compression='zip' targets are single-entry archives
+            # (compression.repack_to_zip); validate the INNER payload —
+            # raw deflate bytes would fail every text check below.
+            with zipfile.ZipFile(io.BytesIO(data)) as zf:
+                names = zf.namelist()
+                if len(names) != 1:
+                    return f"zip entries: {len(names)}"
+                data = zf.read(names[0])
         if fmt == "json":
             for line in io.BytesIO(data).read().splitlines():
                 if line.strip():
@@ -61,6 +72,12 @@ def find_corrupt_targets(spark: SparkSession, target_dir: str, fmt: str) -> list
         status = it.next()
         name = status.getPath().getName()
         if name.startswith(("_", ".")) or ".corrupted" in name:
+            continue
+        if name.startswith("schema-"):
+            # Schema sidecars are pretty-printed whole-file JSON documents,
+            # not data files — the reference's quarantine (FileCache.kt's
+            # append path) never touches them, and validating them as
+            # JSON-lines would quarantine every healthy sidecar.
             continue
         if ext is not None and ext not in name:
             continue

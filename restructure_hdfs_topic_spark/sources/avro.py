@@ -800,16 +800,7 @@ def read_avro(
             if mode == "spark-avro":
                 raise
     # --- pure-Python distributed decode -----------------------------------
-    # Per-file header reads are a few KB each (driver-side, path count is
-    # bounded by maxFilesPerTopic); distinct headers union by name so a
-    # topic whose schema evolved mid-stream loses no fields.  URI paths
-    # (hdfs://, s3a://, file://) read through the cluster FileSystem.
-    headers = {}
-    for p in paths:
-        opener = _hadoop_opener(spark) if _URI_RE.match(p) else open
-        headers.setdefault(json.dumps(read_schema(p, opener), sort_keys=True), p)
-    schemas = [json.loads(s) for s in headers]
-    schema = schemas[0] if len(schemas) == 1 else union_avro_schemas(schemas)
+    schema = union_schema_for_paths(spark, paths)
     decode, out_schema = make_avro_decoder(schema)
     binary = (
         spark.read.format("binaryFile")
@@ -817,6 +808,23 @@ def read_avro(
         .select("path", "modificationTime", "content")
     )
     return binary.mapInPandas(decode, schema=out_schema)
+
+
+def union_schema_for_paths(spark: SparkSession, paths: list[str]):
+    """Union the embedded writer schemas of the given container files.
+
+    Per-file header reads are a few KB each (driver-side, path count is
+    bounded by maxFilesPerTopic); distinct headers union by name so a
+    topic whose schema evolved mid-stream loses no fields.  URI paths
+    (hdfs://, s3a://, file://) read through the cluster FileSystem.
+    Shared by the batch reader (``read_avro``) and the Structured
+    Streaming source (``streaming.service.read_avro_stream``)."""
+    headers = {}
+    for p in paths:
+        opener = _hadoop_opener(spark) if _URI_RE.match(p) else open
+        headers.setdefault(json.dumps(read_schema(p, opener), sort_keys=True), p)
+    schemas = [json.loads(s) for s in headers]
+    return schemas[0] if len(schemas) == 1 else union_avro_schemas(schemas)
 
 
 def make_avro_decoder(avro_schema):

@@ -104,6 +104,15 @@ def start_template_service(
       ``streaming_seen_record_filter`` (stateful exactly-once) closes it
       when exact delivery matters.
     """
+    if getattr(config.paths, "layout", None) != "template":
+        # _write_topic branches on the config layout; silently producing a
+        # Hive partition-column tree from a function that promises the
+        # rendered template tree would be a data-layout surprise.
+        raise ValueError(
+            "start_template_service requires config.paths.layout='template' "
+            f"(got {getattr(config.paths, 'layout', None)!r}); use "
+            "start_service for the Hive layout"
+        )
     cfg = config
 
     def _sink(batch_df: DataFrame, batch_id: int) -> None:
@@ -151,16 +160,11 @@ def read_avro_stream(
         TimestampType,
     )
 
-    import json
-
     from restructure_hdfs_topic_spark.sources.avro import (
         make_avro_decoder,
-        read_schema,
-        union_avro_schemas,
+        union_schema_for_paths,
         walk_topics,
     )
-
-    from restructure_hdfs_topic_spark.sources.avro import _URI_RE, _hadoop_opener
 
     topics = walk_topics(topic_dir, spark=spark)
     if not topics:
@@ -169,16 +173,10 @@ def read_avro_stream(
     # before the stream started loses no fields (files arriving later with
     # NEW fields still project onto this fixed stream schema — restart the
     # stream to pick them up; Structured Streaming schemas are static).
-    headers = {}
-    for files in topics.values():
-        for f in files:
-            opener = _hadoop_opener(spark) if _URI_RE.match(f.path) else open
-            headers.setdefault(
-                json.dumps(read_schema(f.path, opener), sort_keys=True), None
-            )
-    schemas = [json.loads(s) for s in headers]
     decode, out_schema = make_avro_decoder(
-        schemas[0] if len(schemas) == 1 else union_avro_schemas(schemas)
+        union_schema_for_paths(
+            spark, [f.path for files in topics.values() for f in files]
+        )
     )
     bin_schema = StructType(
         [

@@ -54,3 +54,28 @@ def test_plugin_loading_builtin_and_spec():
         raise AssertionError("expected ValueError")
     except ValueError:
         pass
+
+
+def test_quarantine_spares_sidecars_and_zip_targets(spark, tmp_path):
+    """Schema sidecars (pretty-printed whole-file JSON) and healthy
+    single-entry .csv.zip targets must NOT be quarantined; a genuinely
+    corrupt zip must be."""
+    import json
+    import zipfile
+
+    out = tmp_path / "out"
+    out.mkdir()
+    # Pretty-printed sidecar — valid JSON document, NOT JSON-lines.
+    (out / "schema-topic.json").write_text(
+        json.dumps({"type": "struct", "fields": [{"name": "a"}]}, indent=2)
+    )
+    # Healthy single-entry zip CSV (compression.repack_to_zip shape).
+    with zipfile.ZipFile(out / "part-0.csv.zip", "w", zipfile.ZIP_DEFLATED) as zf:
+        zf.writestr("part-0.csv", "a,b\n1,2\n")
+    assert find_corrupt_targets(spark, str(out), "json") == []
+    assert find_corrupt_targets(spark, str(out), "csv") == []
+    # Truncated zip → corrupt.
+    blob = (out / "part-0.csv.zip").read_bytes()
+    (out / "part-1.csv.zip").write_bytes(blob[: len(blob) // 2])
+    bad = find_corrupt_targets(spark, str(out), "csv")
+    assert len(bad) == 1 and bad[0].endswith("part-1.csv.zip")

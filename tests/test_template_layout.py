@@ -226,3 +226,45 @@ def test_template_layout_time_pattern_and_source_tree(spark, tmp_path):
     result2 = run_avro_restructure_job(spark, FIXTURES, cfg, mode="python")
     assert result2["records_written"] == 0
     assert _tree(cfg.target_dir) == files
+
+
+def test_finalize_diverts_on_csv_header_mismatch(spark, tmp_path):
+    """A later batch whose CSV header differs from the existing destination
+    must NOT be blind-appended (misaligned rows); it lands at the next
+    attempt-suffixed file, and a matching-header batch still appends."""
+    from restructure_hdfs_topic_spark.plans.layout import finalize_template_layout
+
+    target = tmp_path / "target"
+    dest_dir = target / "p" / "u" / "t"
+    dest_dir.mkdir(parents=True)
+    (dest_dir / "20240101_0000.csv").write_text("a,b\n1,2\n")
+
+    def stage(header_rows: str) -> str:
+        staging = tmp_path / "staging"
+        part = (
+            staging / "projectId=p" / "userId=u" / "topic=t" / "bin=20240101_0000"
+        )
+        part.mkdir(parents=True)
+        (part / "part-00000.csv").write_text(header_rows)
+        return str(staging)
+
+    template = "${projectId}/${userId}/${topic}/${filename}"
+    # Mismatched header → diverted to _1, original untouched.
+    out = finalize_template_layout(
+        spark, stage("a,b,c\nx,y,z\n"), str(target), "t", template
+    )
+    assert out == [str(dest_dir / "20240101_0000_1.csv")]
+    assert (dest_dir / "20240101_0000.csv").read_text() == "a,b\n1,2\n"
+    assert (dest_dir / "20240101_0000_1.csv").read_text() == "a,b,c\nx,y,z\n"
+    # Matching header → appended into the original, _1 untouched.
+    out2 = finalize_template_layout(
+        spark, stage("a,b\n3,4\n"), str(target), "t", template
+    )
+    assert out2 == [str(dest_dir / "20240101_0000.csv")]
+    assert (dest_dir / "20240101_0000.csv").read_text() == "a,b\n1,2\n3,4\n"
+    assert (dest_dir / "20240101_0000_1.csv").read_text() == "a,b,c\nx,y,z\n"
+    # A third distinct header skips past BOTH existing attempts.
+    out3 = finalize_template_layout(
+        spark, stage("a,d\nq,r\n"), str(target), "t", template
+    )
+    assert out3 == [str(dest_dir / "20240101_0000_2.csv")]
