@@ -20,7 +20,13 @@ from pyspark.sql import functions as F
 
 SANITIZE_PATTERN = "[^a-zA-Z0-9_-]+"
 
-FILENAME_RE = r"^(?:.*/)?([^/]+?)\+(\d+)\+(\d+)(?:\+(\d+))?\.avro$"
+# Kafka topic names cannot contain '+' ([a-zA-Z0-9._-] only), and excluding
+# it from the topic class keeps this regex EXACTLY equivalent to the
+# '+'-split parse in with_parsed_filenames — a lazy [^/]+? would accept
+# 'a+b+0+1+2.avro' as topic 'a+b' while the split assigns topic 'a' and
+# then casts 'b' to int (a job-killing error under ANSI mode).  Single
+# source of truth: sources/avro.py compiles this same string.
+FILENAME_RE = r"^(?:.*/)?([^/+]+)\+(\d+)\+(\d+)(?:\+(\d+))?\.avro$"
 
 
 def sanitize_id(col: Column, default: str) -> Column:

@@ -33,8 +33,11 @@ STOPWORDS = ["the", "a", "and", "of", "to", "in", "is", "it", "that", "for"]
 
 
 def tokens(text: Column) -> Column:
-    """Whitespace tokens of trimmed lowercased text; empty text → []."""
-    t = F.lower(F.trim(text))
+    """Whitespace tokens of trimmed lowercased text; empty OR NULL text →
+    [] (a NULL would otherwise propagate through token_count /
+    quality_score / gopher metrics and silently drop rows from boolean
+    gates instead of scoring them as empty)."""
+    t = F.lower(F.trim(F.coalesce(text, F.lit(""))))
     return F.when(t == "", F.array().cast("array<string>")).otherwise(
         F.split(t, r"\s+")
     )

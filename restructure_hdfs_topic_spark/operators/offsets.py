@@ -328,16 +328,132 @@ def commit_offsets(
     MUST be called only after the data write action has succeeded
     (commit-after-store ordering, worker/FileCache.kt:128-158).
     """
-    existing = read_offsets(spark, state_dir)
-    merged = merge_offset_intervals(existing.unionByName(new_ranges, allowMissingColumns=True))
-    return replace_offsets(spark, state_dir, merged)
+    for _ in range(64):
+        existing = read_offsets(spark, state_dir)
+        merged = merge_offset_intervals(
+            existing.unionByName(new_ranges, allowMissingColumns=True)
+        )
+        nxt = (_current_version(state_dir, spark) or 0) + 1
+        if not _claim_version(spark, state_dir, nxt):
+            # Another committer (a second engine instance on a different
+            # topic) claimed this version: RE-READ so its freshly committed
+            # intervals are included in our merge, then contend again —
+            # without the claim both would write the SAME version directory
+            # concurrently and the pointer swap would silently drop one
+            # merge.  A claim whose owner crashed is broken after a TTL so
+            # commits cannot deadlock on it.
+            _break_stale_claim(spark, state_dir, nxt)
+            continue
+        return _replace_at(spark, state_dir, merged, nxt)
+    raise RuntimeError(f"commit_offsets: version contention in {state_dir}")
+
+
+def _claim_version(spark: SparkSession, state_dir: str, nxt: int) -> bool:
+    """Atomically claim version ``nxt`` via create-NX of a claim marker —
+    the serialization point that keeps two concurrent committers out of one
+    version directory.  Claim files are pruned with their versions."""
+    if "://" not in state_dir:
+        root = os.path.join(state_dir, "offsets")
+        os.makedirs(root, exist_ok=True)
+        try:
+            with open(os.path.join(root, f".claim.v{nxt:08d}"), "x"):
+                return True
+        except FileExistsError:
+            return False
+    jvm, fs, _ = _hfs(spark, state_dir)
+    path = jvm.org.apache.hadoop.fs.Path(
+        state_dir, f"offsets/.claim.v{nxt:08d}"
+    )
+    try:
+        fs.create(path, False).close()
+        return True
+    except Exception:
+        return False
 
 
 def replace_offsets(spark: SparkSession, state_dir: str, state: DataFrame) -> DataFrame:
     """Atomically swap the committed state to ``state`` (steps 1-3 above).
-    Used by commit (merge) and by the cleaner's rollback (remove)."""
-    cur = _current_version(state_dir, spark)
-    nxt = (cur or 0) + 1
+    Used by commit (merge) and by the cleaner's rollback (remove).  The
+    version claim serializes the physical write; content-level conflicts
+    with a concurrent commit are the caller's to minimize (the cleaner
+    re-reads current state right before computing its rollback)."""
+    for _ in range(64):
+        nxt = (_current_version(state_dir, spark) or 0) + 1
+        if _claim_version(spark, state_dir, nxt):
+            return _replace_at(spark, state_dir, state, nxt)
+        _break_stale_claim(spark, state_dir, nxt)
+    raise RuntimeError(f"replace_offsets: version contention in {state_dir}")
+
+
+CLAIM_TTL_S = 600.0
+
+
+def _break_stale_claim(
+    spark: SparkSession, state_dir: str, nxt: int, ttl_s: float = CLAIM_TTL_S
+) -> None:
+    """Recover from a committer that claimed version ``nxt`` and died.
+
+    A claim older than ``ttl_s`` whose version never became CURRENT is
+    broken by TOMBSTONE-RENAME (exactly one breaker's rename succeeds — a
+    delete+recreate pair would let two breakers re-create the two-writer
+    race the claim exists to prevent); the orphaned version directory, if
+    any, is deleted — it was never pointed at, so its commit never
+    happened durably.  A >TTL-stalled committer that later wakes loses its
+    claim, mirroring the lease semantics of ``locks.py``."""
+    import time as _time
+    import uuid as _uuid
+
+    name = f".claim.v{nxt:08d}"
+    if "://" not in state_dir:
+        path = os.path.join(state_dir, "offsets", name)
+        try:
+            age = _time.time() - os.path.getmtime(path)
+        except OSError:
+            return
+        if age < ttl_s or (_current_version(state_dir) or 0) >= nxt:
+            return
+        tomb = f"{path}.broken.{_uuid.uuid4().hex}"
+        try:
+            os.rename(path, tomb)
+        except OSError:
+            return  # another breaker won
+        import shutil
+
+        try:
+            os.remove(tomb)
+        except OSError:
+            pass
+        shutil.rmtree(
+            os.path.join(state_dir, "offsets", f"v{nxt:08d}"), ignore_errors=True
+        )
+        return
+    jvm, fs, _ = _hfs(spark, state_dir)
+    path = jvm.org.apache.hadoop.fs.Path(state_dir, f"offsets/{name}")
+    try:
+        mtime_ms = fs.getFileStatus(path).getModificationTime()
+    except Exception:
+        return
+    if _time.time() * 1000 - mtime_ms < ttl_s * 1000:
+        return
+    if (_current_version(state_dir, spark) or 0) >= nxt:
+        return
+    tomb = jvm.org.apache.hadoop.fs.Path(
+        state_dir, f"offsets/{name}.broken.{_uuid.uuid4().hex}"
+    )
+    try:
+        if not fs.rename(path, tomb):
+            return
+    except Exception:
+        return
+    fs.delete(tomb, False)
+    fs.delete(
+        jvm.org.apache.hadoop.fs.Path(state_dir, f"offsets/v{nxt:08d}"), True
+    )
+
+
+def _replace_at(
+    spark: SparkSession, state_dir: str, state: DataFrame, nxt: int
+) -> DataFrame:
     version_dir = f"{state_dir}/offsets/v{nxt:08d}"
     state.write.mode("overwrite").parquet(version_dir)
     if "://" not in state_dir:
@@ -350,8 +466,17 @@ def replace_offsets(spark: SparkSession, state_dir: str, state: DataFrame) -> Da
         os.replace(tmp, os.path.join(state_dir, _POINTER))
         versions_root = os.path.join(state_dir, "offsets")
         for v in os.listdir(versions_root):
-            if v.startswith("v") and int(v[1:]) < nxt - 1:
+            # digit guard: a stray user entry like `v1.bak` must not crash
+            # every future commit
+            if v.startswith("v") and v[1:].isdigit() and int(v[1:]) < nxt - 1:
                 shutil.rmtree(os.path.join(versions_root, v), ignore_errors=True)
+            elif v.startswith(".claim.v") and v[8:].lstrip("v").isdigit() and int(
+                v[8:].lstrip("v")
+            ) < nxt - 1:
+                try:
+                    os.remove(os.path.join(versions_root, v))
+                except OSError:
+                    pass
         legacy = os.path.join(state_dir, "offsets.parquet")
         if os.path.exists(legacy):  # migration: drop pre-pointer layout
             shutil.rmtree(legacy, ignore_errors=True)
@@ -386,8 +511,12 @@ def replace_offsets(spark: SparkSession, state_dir: str, state: DataFrame) -> Da
     versions_root = jvm.org.apache.hadoop.fs.Path(state_dir, "offsets")
     for st in fs.listStatus(versions_root):
         name = st.getPath().getName()
-        if name.startswith("v") and int(name[1:]) < nxt - 1:
+        if name.startswith("v") and name[1:].isdigit() and int(name[1:]) < nxt - 1:
             fs.delete(st.getPath(), True)
+        elif name.startswith(".claim.v") and name[8:].lstrip("v").isdigit() and int(
+            name[8:].lstrip("v")
+        ) < nxt - 1:
+            fs.delete(st.getPath(), False)
     return read_offsets(spark, state_dir)
 
 

@@ -62,7 +62,9 @@ MAGIC = b"Obj\x01"
 
 # Kafka Connect S3 sink filename: <topic>+<partition>+<offsetFrom>[+<offsetTo>].avro
 # (accounting/TopicPartitionOffsetRange.kt:50-61)
-FILENAME_RE = re.compile(r"^(?:.*/)?([^/]+?)\+(\d+)\+(\d+)(?:\+(\d+))?\.avro$")
+from restructure_hdfs_topic_spark.functions.paths import FILENAME_RE as _FILENAME_RE_STR
+
+FILENAME_RE = re.compile(_FILENAME_RE_STR)
 
 
 # ---------------------------------------------------------------------------
@@ -369,7 +371,7 @@ def avro_type_to_spark(schema: Any) -> tuple[DataType, bool]:
         return (
             StructType(
                 [
-                    StructField(f["name"], *_swap(avro_type_to_spark(f["type"])))
+                    StructField(f["name"], *avro_type_to_spark(f["type"]))
                     for f in schema["fields"]
                 ]
             ),
@@ -386,11 +388,6 @@ def avro_type_to_spark(schema: Any) -> tuple[DataType, bool]:
         vt, nullable = avro_type_to_spark(schema["values"])
         return MapType(StringType(), vt, valueContainsNull=nullable), False
     return avro_type_to_spark(t)
-
-
-def _swap(pair):
-    t, nullable = pair
-    return t, nullable
 
 
 # ---------------------------------------------------------------------------
@@ -724,7 +721,10 @@ def read_schema(path: str, opener=open) -> Any:
         head = fh.read(65536)
     try:
         return AvroContainer.parse(head).schema
-    except EOFError:
+    except (EOFError, IndexError):
+        # IndexError: the 64KB cut can land mid-varint inside a large
+        # header (big evolved schema JSON) — the decoder indexes past the
+        # buffer instead of raising EOFError; both mean "need more bytes".
         with opener(path, "rb") as fh:
             return AvroContainer.parse(fh.read()).schema
 
@@ -785,16 +785,31 @@ def read_avro(
                 parse_source_filename,
             )
 
-            parsed = parse_source_filename(fname)
+            # Expose the BASENAME, matching the pure-Python decode mode —
+            # a full input URI here would silently break every
+            # filename-keyed consumer (offset assignment, cleaner verdict
+            # maps, persisted state) whenever `auto` flips modes between
+            # runs.  The window still partitions on the full path.
+            base = F.element_at(F.split(fname, "/"), -1)
+            parsed = parse_source_filename(base)
             from pyspark.sql import Window
 
             w = Window.partitionBy(fname).orderBy(F.monotonically_increasing_id())
+            mtimes = spark.createDataFrame(
+                _path_mtimes(spark, paths), "filename string, __mtime_ms long"
+            )
             return (
-                df.withColumn("filename", fname)
+                df.withColumn("filename", base)
                 .select("*", *parsed)
                 .withColumn("offset", F.col("offset_from") + F.row_number().over(w) - 1)
                 .drop("offset_from", "offset_to")
-                .withColumn("mtime", F.lit(None).cast("timestamp"))
+                # Real file mtimes (driver-side stat, path count bounded by
+                # maxFilesPerTopic): a NULL mtime would leave the O5
+                # seen-record filter's mtime dimension inoperative in this
+                # mode (NULL comparison ⇒ never seen ⇒ duplicates on rerun).
+                .join(F.broadcast(mtimes), "filename", "left")
+                .withColumn("mtime", F.timestamp_millis(F.col("__mtime_ms")))
+                .drop("__mtime_ms")
             )
         except Exception:
             if mode == "spark-avro":
@@ -808,6 +823,22 @@ def read_avro(
         .select("path", "modificationTime", "content")
     )
     return binary.mapInPandas(decode, schema=out_schema)
+
+
+def _path_mtimes(spark: SparkSession, paths: list[str]) -> list[tuple[str, int]]:
+    """(basename, mtime-millis) per input file — driver-side stat, URI
+    paths through the cluster FileSystem."""
+    rows: list[tuple[str, int]] = []
+    for p in paths:
+        if _URI_RE.match(p):
+            jvm = spark._jvm
+            hp = jvm.org.apache.hadoop.fs.Path(p)
+            fs = hp.getFileSystem(spark._jsc.hadoopConfiguration())
+            ms = int(fs.getFileStatus(hp).getModificationTime())
+        else:
+            ms = int(os.path.getmtime(p) * 1000)
+        rows.append((p.rsplit("/", 1)[-1], ms))
+    return rows
 
 
 def union_schema_for_paths(spark: SparkSession, paths: list[str]):
@@ -880,7 +911,9 @@ def read_topic(
 ) -> DataFrame:
     """Read every record of one topic under ``root`` (or only ``files``)."""
     if files is None:
-        files = walk_topics(root).get(topic, [])
+        # Forward the session so Hadoop-FS URI roots (hdfs://, s3a://) walk
+        # through the cluster FileSystem — os.walk finds nothing there.
+        files = walk_topics(root, spark=spark).get(topic, [])
     return read_avro(spark, [f.path for f in files], mode=mode)
 
 

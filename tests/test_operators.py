@@ -1029,3 +1029,76 @@ def test_mixture_sample_duckdb_cross_check(spark):
     }
     assert small <= got
     assert len(small) < len(got)
+
+
+def test_offsets_commit_claim_protocol(spark, tmp_path):
+    """Version claims serialize committers: a live claim forces a retry, a
+    stale claim (crashed committer) is broken and its orphan version dir
+    discarded, and normal commits still round-trip."""
+    import os
+    import time
+
+    from restructure_hdfs_topic_spark.operators.offsets import (
+        _break_stale_claim,
+        _claim_version,
+        commit_offsets,
+        read_offsets,
+    )
+
+    sd = str(tmp_path / "state")
+    os.makedirs(sd)
+    df = spark.createDataFrame(
+        [("t", 0, 0, 9)], "topic string, partition int, offset_from long, offset_to long"
+    )
+    commit_offsets(spark, sd, df)
+    assert read_offsets(spark, sd).count() == 1
+
+    # Claim for the NEXT version is exclusive.
+    assert _claim_version(spark, sd, 3)
+    assert not _claim_version(spark, sd, 3)
+    # Fresh claim: break refuses (owner may be alive).
+    _break_stale_claim(spark, sd, 3)
+    assert not _claim_version(spark, sd, 3)
+    # Aged claim + orphan version dir: break succeeds, orphan removed.
+    claim = os.path.join(sd, "offsets", ".claim.v00000003")
+    orphan = os.path.join(sd, "offsets", "v00000003")
+    os.makedirs(orphan)
+    old = time.time() - 3600
+    os.utime(claim, (old, old))
+    _break_stale_claim(spark, sd, 3)
+    assert not os.path.exists(claim) and not os.path.exists(orphan)
+    # A later commit (which claims v2 then v3 ranges forward) still works.
+    df2 = spark.createDataFrame(
+        [("t", 0, 20, 29)], "topic string, partition int, offset_from long, offset_to long"
+    )
+    commit_offsets(spark, sd, df2)
+    got = {
+        (r["offset_from"], r["offset_to"])
+        for r in read_offsets(spark, sd).collect()
+    }
+    assert got == {(0, 9), (20, 29)}
+    # A stray non-numeric version entry must not break pruning.
+    os.makedirs(os.path.join(sd, "offsets", "v1.bak"), exist_ok=True)
+    commit_offsets(spark, sd, df2)
+    assert os.path.isdir(os.path.join(sd, "offsets", "v1.bak"))
+
+
+def test_filename_parse_rejects_plus_in_topic(spark):
+    """The validity regex and the '+'-split must AGREE: a '+' inside the
+    topic segment is not a legal Kafka name — such a file parses as
+    invalid everywhere instead of crashing the ANSI cast or misassigning
+    parts."""
+    from restructure_hdfs_topic_spark.functions.paths import (
+        with_parsed_filenames,
+    )
+    from restructure_hdfs_topic_spark.sources.avro import parse_filename
+
+    df = spark.createDataFrame(
+        [("a+b+0+1+2.avro",), ("good+3+10+19.avro",)], "filename string"
+    )
+    rows = {r["filename"]: r for r in with_parsed_filenames(df).collect()}
+    assert rows["good+3+10+19.avro"]["topic"] == "good"
+    assert rows["good+3+10+19.avro"]["partition"] == 3
+    assert rows["a+b+0+1+2.avro"]["topic"] == ""  # invalid, not 'a'/'a+b'
+    assert rows["a+b+0+1+2.avro"]["partition"] is None
+    assert parse_filename("a+b+0+1+2.avro") is None

@@ -360,8 +360,13 @@ def test_offsets_commit_hadoop_fs_uri(spark, tmp_path):
         for r in read_offsets(spark, state_dir).collect()
     ]
     assert got == [("t", 0, 0, 19)]  # adjacent ranges merged across commits
-    versions = sorted(p.name for p in (tmp_path / "state" / "offsets").iterdir())
+    entries = sorted(p.name for p in (tmp_path / "state" / "offsets").iterdir())
+    versions = [n for n in entries if n.startswith("v")]
     assert versions == ["v00000001", "v00000002"]  # one-deep history kept
+    # Claim markers for the kept versions remain on purpose: they guard
+    # live version directories against a stale contender's overwrite.
+    claims = [n for n in entries if n.startswith(".claim.v")]
+    assert claims == [".claim.v00000001", ".claim.v00000002"]
     assert (tmp_path / "state" / "offsets.CURRENT").read_text() == "v00000002"
 
 def test_streaming_stateful_state_survives_restart(spark, tmp_path):
