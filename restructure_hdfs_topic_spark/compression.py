@@ -45,9 +45,15 @@ def repack_to_zip(target_dir: str, extensions: tuple[str, ...] = (".csv", ".json
             with zipfile.ZipFile(dst, "w", zipfile.ZIP_DEFLATED, compresslevel=7) as zf:
                 zf.write(src, arcname=fname)
             os.remove(src)
-            crc = src + ".crc"  # local-FS checksum sidecar, if any
-            if os.path.exists(crc):
-                os.remove(crc)
+            # Hadoop's local ChecksumFileSystem writes DOT-PREFIXED
+            # sidecars (.<name>.crc); check both spellings so no stale
+            # checksum survives to poison a later same-named write.
+            for crc in (
+                src + ".crc",
+                os.path.join(dirpath, f".{fname}.crc"),
+            ):
+                if os.path.exists(crc):
+                    os.remove(crc)
             created.append(dst)
     return created
 

@@ -110,6 +110,11 @@ class RestructureConfig:
             "compression",
             "dedup_enable",
             "lock_enable",
+            # Global dedup-key config (RestructureConfig.kt:248-265);
+            # dropping these silently turned subset-key dedup into
+            # full-row dedup.
+            "dedup_distinct_fields",
+            "dedup_ignore_fields",
         ):
             if k in d:
                 setattr(cfg, k, d[k])
@@ -163,5 +168,15 @@ class RestructureConfig:
         distinct = tc.dedup_distinct_fields or self.dedup_distinct_fields
         ignore = tc.dedup_ignore_fields or self.dedup_ignore_fields
         if distinct:
-            return [c for c in all_columns if c in distinct]
+            key = [c for c in all_columns if c in distinct]
+            if not key:
+                # An empty key would be reinterpreted downstream as
+                # full-row dedup (keep_last_dedup's [] sentinel) — a typo'd
+                # field name must fail loudly, not silently change
+                # semantics.
+                raise ValueError(
+                    f"dedup_distinct_fields {distinct} match no columns of "
+                    f"topic {name!r} (columns: {all_columns})"
+                )
+            return key
         return [c for c in all_columns if c not in ignore]

@@ -150,7 +150,23 @@ class StorageLockManager:
         if not self._try_create(brk):
             mt = self._mtime_s(brk)
             if mt is not None and mt + BREAK_TTL_S < time.time():
-                self._fs.delete(brk, False)  # crashed breaker; next attempt contends
+                # Crashed-breaker reclaim.  NOT a plain delete: between our
+                # stat and the delete another breaker may have reclaimed
+                # and re-created a FRESH mutex, and deleting that would let
+                # two breakers into the critical section.  Tombstone-rename
+                # (one winner), re-check the preserved mtime, and restore
+                # the file if we actually stole a live mutex.
+                tomb = self._HPath(self._dir, f"{name}.break.{self.owner}")
+                try:
+                    renamed = self._fs.rename(brk, tomb)
+                except Exception:
+                    renamed = False
+                if renamed:
+                    tmt = self._mtime_s(tomb)
+                    if tmt is not None and tmt + BREAK_TTL_S < time.time():
+                        self._fs.delete(tomb, False)  # truly stale
+                    elif not self._fs.rename(tomb, brk):
+                        self._fs.delete(tomb, False)  # holder re-created; drop ours
             return None
         try:
             meta = self._read(path)

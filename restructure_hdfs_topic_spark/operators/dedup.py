@@ -349,11 +349,14 @@ def lsh_near_dup_pairs(
     # document — far smaller than the text it derives from.
     from pyspark.storagelevel import StorageLevel
 
+    id_type = df.schema[id_col].dataType.simpleString()
     hashed = (
         df.select(F.col(id_col).alias("id"), F.col(text_col).cast("string").alias("text"))
         .mapInPandas(
             _minhash_kernel(n, num_hashes),
-            schema="id long, hashed array<long>, sig array<long>",
+            # schema follows the id column's actual type (string ids are
+            # legal), matching the simhash/substring kernels
+            schema=f"id {id_type}, hashed array<long>, sig array<long>",
         )
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
@@ -887,6 +890,16 @@ def connected_components(
             .localCheckpoint(eager=False)
         )
         n_edges = E.count()
+    if n_edges > max(tail_edges, 1):
+        # max_iters exhausted with the graph still above the tail budget
+        # (or tail_edges=0 with edges left): collecting here would break
+        # the documented bound and can OOM the driver at corpus scale —
+        # fail loudly instead.
+        raise RuntimeError(
+            f"connected_components: {n_edges} edges remain after "
+            f"{max_iters} contraction rounds (tail_edges={tail_edges}); "
+            "raise max_iters or tail_edges"
+        )
     if n_edges > 0:
         # Bounded local tail: union-find over ≤ tail_edges edges (or the
         # max_iters remainder), re-labeled by component min so tail labels
@@ -1093,7 +1106,10 @@ def strip_duplicated_spans(
             F.collect_list(F.struct("span_start", "span_end")).alias("__spans")
         )
     )
-    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    # Token indices must match the span kernel's (str.split(): \S+ runs).
+    # F.trim strips only SPACES, so a leading tab/newline would leave a ""
+    # first token and shift every index by one — filter empties instead.
+    toks = F.filter(F.split(F.col(text_col), r"\s+"), lambda t: t != F.lit(""))
     indexed = F.filter(
         F.zip_with(
             toks,

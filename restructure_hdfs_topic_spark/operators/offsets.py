@@ -420,6 +420,13 @@ def _break_stale_claim(
         import shutil
 
         try:
+            # Rename preserves mtime: re-check on the tombstone so a claim
+            # that was broken-and-recreated FRESH between our stat and
+            # rename is restored rather than destroyed (the re-claimer may
+            # be mid-commit).
+            if _time.time() - os.path.getmtime(tomb) < ttl_s:
+                os.rename(tomb, path)
+                return
             os.remove(tomb)
         except OSError:
             pass
@@ -445,6 +452,14 @@ def _break_stale_claim(
             return
     except Exception:
         return
+    try:
+        # Rename preserves mtime: restore a claim that turned out FRESH
+        # (broken and re-created between our stat and rename).
+        if _time.time() * 1000 - fs.getFileStatus(tomb).getModificationTime() < ttl_s * 1000:
+            fs.rename(tomb, path)
+            return
+    except Exception:
+        pass
     fs.delete(tomb, False)
     fs.delete(
         jvm.org.apache.hadoop.fs.Path(state_dir, f"offsets/v{nxt:08d}"), True

@@ -164,8 +164,11 @@ def lsh_cosine_near_dup_pairs(
         planes = max(4, min(24, int(math.ceil(math.log2(max(n, 2) / target_bucket_size)))))
     if tables is None:
         p1 = 1.0 - math.acos(max(min(threshold, 1.0), -1.0)) / math.pi
-        p_table = max(p1**planes, 1e-9)
-        tables = max(2, min(24, int(math.ceil(math.log(1.0 - target_recall) / math.log(1.0 - p_table)))))
+        # Clamp BOTH ends: p_table→1 (threshold=1.0, exact duplicates) and
+        # target_recall→1 would feed log(0) a math domain error.
+        p_table = min(max(p1**planes, 1e-9), 1.0 - 1e-9)
+        recall = min(max(target_recall, 1e-9), 1.0 - 1e-9)
+        tables = max(2, min(24, int(math.ceil(math.log(1.0 - recall) / math.log(1.0 - p_table)))))
 
     def tag(batches):
         import numpy as np

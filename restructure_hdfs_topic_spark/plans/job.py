@@ -105,7 +105,13 @@ def run_restructure_job(
         todo, user_col=user_col, topic=topic, time_col=time_col,
         bin_format=config.paths.bin_format,
     )
-    dedup_key = config.dedup_key_for(topic, organized.columns)
+    # Exclude per-record accounting columns from the default dedup key —
+    # `offset` is unique per record, so including it makes full-row dedup a
+    # guaranteed no-op (same exclusion as the Avro job's).
+    accounting = {order_col, "offset", "filename", "mtime", "partition", "time"}
+    dedup_key = config.dedup_key_for(
+        topic, [c for c in organized.columns if c not in accounting]
+    )
     if dedup_key is not None:
         organized = keep_last_dedup(organized, dedup_key, order_col)
 

@@ -37,8 +37,15 @@ def load_plugin(spec: str, properties: dict | None = None, builtins: dict | None
     mod = importlib.import_module(mod_name)
     obj = getattr(mod, attr)
     if callable(obj):
+        # Decide the calling convention from the SIGNATURE, not by
+        # catching TypeError — a TypeError raised INSIDE the plugin's
+        # constructor must propagate, not silently retry without the
+        # user's configured properties.
+        import inspect
+
         try:
-            return obj(properties or {})
-        except TypeError:
-            return obj()
+            takes_props = bool(inspect.signature(obj).parameters)
+        except (TypeError, ValueError):  # builtins without signatures
+            takes_props = True
+        return obj(properties or {}) if takes_props else obj()
     return obj
