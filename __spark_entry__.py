@@ -31,18 +31,14 @@ from restructure_hdfs_topic_spark.functions.paths import (
     sanitize_id,
 )
 from restructure_hdfs_topic_spark.functions.text import (
-    lang_id,
     poly_hash,
     punct_ratio,
-    quality_score,
     stopword_ratio,
     token_count,
 )
 from restructure_hdfs_topic_spark.operators.dedup import (
     exact_dedup,
     keep_last_dedup,
-    lsh_candidate_pairs,
-    minhash_signatures,
     ngram_jaccard_pairs,
     simhash,
 )
@@ -520,13 +516,26 @@ def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     _conf(spark)
     docs = _t(spark, sf_dir, "documents")
-    n_docs = docs.filter(F.trim(F.col("text")) != "").count()
+    # N rides as a 1-row broadcast INSIDE the plan — an eager .count() here
+    # would pay a full extra corpus scan per invocation (cf. operators/lm).
+    n_docs = docs.filter(F.trim(F.col("text")) != "").agg(
+        F.count(F.lit(1)).alias("__n_docs")
+    )
     toks = docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("token"))
     tf = toks.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
     df_ = toks.groupBy("token").agg(F.countDistinct("doc_id").alias("df"))
-    scored = tf.join(F.broadcast(df_), "token").withColumn(
-        "tfidf",
-        F.round(F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 6),
+    scored = (
+        tf.join(F.broadcast(df_), "token")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "tfidf",
+            F.round(
+                F.col("tf")
+                * F.log(F.col("__n_docs").cast("double") / F.col("df")),
+                6,
+            ),
+        )
+        .drop("__n_docs")
     )
     w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), F.col("token"))
     return (
@@ -1004,9 +1013,11 @@ def q_record_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("user_id").alias("t_user"), F.col("ts").alias("t_ts")
     )
     records = ev.select("event_id", "user_id", "ts")
-    return contains_records(target, records, [("user_id", "t_user"), ("ts", "t_ts")]).select(
-        "event_id"
-    )
+    # null_safe=False: the DuckDB oracle's plain-equality join must agree
+    # if a NULL ever reaches a join column.
+    return contains_records(
+        target, records, [("user_id", "t_user"), ("ts", "t_ts")], null_safe=False
+    ).select("event_id")
 
 
 def q_regex_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -107,7 +107,15 @@ def main(argv: list[str] | None = None, spark=None) -> dict:
     for root in args.input_paths:
         if cfg.service.enable:
             results["runs"].extend(
-                run_service(spark, root, cfg, max_iterations=args.max_iterations)
+                run_service(
+                    spark,
+                    root,
+                    cfg,
+                    max_iterations=args.max_iterations,
+                    # --no-restructure + --service = clean-only polling
+                    # (the flag was previously ignored in service mode).
+                    restructure=not args.no_restructure,
+                )
             )
             continue
         if not args.no_restructure:

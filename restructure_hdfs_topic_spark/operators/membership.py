@@ -15,34 +15,45 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _join_cond(target, records, on, null_safe: bool):
+    pairs = [(c, c) if isinstance(c, str) else c for c in on]
+    cond = None
+    for rc, tc in pairs:
+        clause = (
+            records[rc].eqNullSafe(target[tc])
+            if null_safe
+            else records[rc] == target[tc]
+        )
+        cond = clause if cond is None else cond & clause
+    return cond
+
+
 def contains_records(
     target: DataFrame,
     records: DataFrame,
     on: list[str] | list[tuple[str, str]],
+    null_safe: bool = True,
 ) -> DataFrame:
     """Rows of ``records`` present in ``target`` on the given columns.
 
     ``on``: column names shared by both frames, or (record_col, target_col)
-    pairs when names differ.
-    """
-    pairs = [(c, c) if isinstance(c, str) else c for c in on]
-    cond = None
-    for rc, tc in pairs:
-        clause = records[rc].eqNullSafe(target[tc])
-        cond = clause if cond is None else cond & clause
-    return records.join(target, cond, "left_semi")
+    pairs when names differ.  ``null_safe`` (default) matches NULL=NULL —
+    the cleaner's round-trip check wants a written NULL field to verify;
+    pass False for ANSI-SQL equality (a NULL never matches), which is what
+    a SQL oracle computes."""
+    return records.join(
+        target, _join_cond(target, records, on, null_safe), "left_semi"
+    )
 
 
 def missing_records(
     target: DataFrame,
     records: DataFrame,
     on: list[str] | list[tuple[str, str]],
+    null_safe: bool = True,
 ) -> DataFrame:
     """Complement: rows of ``records`` NOT present in ``target`` (anti join) —
     the cleaner's not-fully-extracted evidence."""
-    pairs = [(c, c) if isinstance(c, str) else c for c in on]
-    cond = None
-    for rc, tc in pairs:
-        clause = records[rc].eqNullSafe(target[tc])
-        cond = clause if cond is None else cond & clause
-    return records.join(target, cond, "left_anti")
+    return records.join(
+        target, _join_cond(target, records, on, null_safe), "left_anti"
+    )

@@ -71,14 +71,29 @@ def asof_join(
     tie behavior is deterministic.  Matches DuckDB's ``ASOF LEFT JOIN ...
     ON l.key = r.key AND l.t >= r.t`` semantics (equal timestamps match).
     """
-    l_tag = left.withColumn("__side", F.lit(1))
-    for c in value_cols:
-        l_tag = l_tag.withColumn(f"__r_{c}", F.lit(None).cast(right.schema[c].dataType))
-    r_tag = right.select(
-        *key_cols,
-        time_col,
-        *[F.col(c).alias(f"__r_{c}") for c in value_cols],
-    ).withColumn("__side", F.lit(0))
+    from pyspark.sql import types as T
+
+    # All carried fields ride in ONE struct marker: the marker is NULL for
+    # left rows and NON-NULL for every right row, so last(ignorenulls)
+    # carries the MATCHED ROW even when its value fields are genuinely
+    # NULL (per-column last() would skip it and surface an older value —
+    # diverging from SQL ASOF semantics).  Right rows with a NULL
+    # timestamp are dropped up front: `l.t >= NULL` never matches, and
+    # NULLS-FIRST ordering would otherwise carry them into every row.
+    row_type = T.StructType([T.StructField(c, right.schema[c].dataType) for c in value_cols])
+    l_tag = (
+        left.withColumn("__side", F.lit(1))
+        .withColumn("__r_row", F.lit(None).cast(row_type))
+    )
+    r_tag = (
+        right.filter(F.col(time_col).isNotNull())
+        .select(
+            *key_cols,
+            time_col,
+            F.struct(*[F.col(c).alias(c) for c in value_cols]).alias("__r_row"),
+        )
+        .withColumn("__side", F.lit(0))
+    )
     for c in left.columns:
         if c not in r_tag.columns:
             r_tag = r_tag.withColumn(c, F.lit(None).cast(left.schema[c].dataType))
@@ -91,15 +106,10 @@ def asof_join(
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     carried = u.select(
-        "*",
-        *[
-            F.last(f"__r_{c}", ignorenulls=True).over(w).alias(f"__asof_{c}")
-            for c in value_cols
-        ],
+        "*", F.last("__r_row", ignorenulls=True).over(w).alias("__asof_row")
     )
-    out = carried.filter(F.col("__side") == 1).drop(
-        "__side", *[f"__r_{c}" for c in value_cols]
+    out = carried.filter(F.col("__side") == 1).select(
+        *left.columns,
+        *[F.col("__asof_row").getField(c).alias(f"asof_{c}") for c in value_cols],
     )
-    for c in value_cols:
-        out = out.withColumnRenamed(f"__asof_{c}", f"asof_{c}")
     return out

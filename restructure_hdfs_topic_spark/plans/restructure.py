@@ -44,7 +44,9 @@ def organize_events(events: DataFrame, topic: str = "events") -> DataFrame:
     ``projectId/userId/topic/yyyyMMdd_HH00`` (path/FormattedPathFactory.kt:111).
     """
     return (
-        events.withColumn("time", event_time(time_s=F.unix_timestamp("ts")))
+        # cast('double') keeps sub-second precision; unix_timestamp would
+        # truncate to whole seconds before event_time re-expands it.
+        events.withColumn("time", event_time(time_s=F.col("ts").cast("double")))
         .withColumn("bin", time_bin(F.col("ts")))
         .withColumn("projectId", sanitize_id(F.lit(None).cast("string"), "unknown-project"))
         .withColumn("userId", sanitize_id(F.col("user_id"), "unknown-user"))
@@ -97,11 +99,21 @@ def write_restructured(
         .write.mode("append")
         .partitionBy(*PARTITION_COLS)
     )
-    if compression:
-        writer = writer.option("compression", compression)
+    from restructure_hdfs_topic_spark.compression import writer_compression
+
+    # zip is not a Spark writer codec: write uncompressed, repack below —
+    # the same two-phase shape as the Avro job (passing 'zip' through
+    # would throw IllegalArgumentException at write time).
+    codec = writer_compression(compression)
+    if codec and codec != "none":
+        writer = writer.option("compression", codec)
     if max_records_per_file:
         writer = writer.option("maxRecordsPerFile", str(max_records_per_file))
     getattr(writer, fmt)(output_dir)
+    if compression == "zip":
+        from restructure_hdfs_topic_spark.compression import repack_to_zip
+
+        repack_to_zip(output_dir, extensions=(f".{fmt}",))
     _write_schema_sidecar(organized, output_dir, topics)
 
 
@@ -127,7 +139,14 @@ def _write_schema_sidecar(
     for topic in topics:
         path = jvm.org.apache.hadoop.fs.Path(output_dir, f"schema-{topic}.json")
         if not fs.exists(path):
-            stream = fs.create(path, False)
+            try:
+                stream = fs.create(path, False)
+            except Exception:
+                # Exists-then-create is a TOCTOU window: a concurrent
+                # instance winning the sidecar create is benign — the data
+                # write already succeeded and the sidecar content is
+                # identical.
+                continue
             try:
                 stream.write(bytearray(schema_json, "utf-8"))
             finally:

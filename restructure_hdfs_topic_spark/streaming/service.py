@@ -205,6 +205,7 @@ def run_service(
     max_iterations: int | None = None,
     sleep_fn=None,
     clock=None,
+    restructure: bool = True,
 ) -> list[dict]:
     """O27 batch-job scheduler (Application.kt:100-119, worker/Job.kt:12-46):
     run the Avro restructure job every ``service.interval_s`` and — when
@@ -230,9 +231,10 @@ def run_service(
     iteration = 0
     while max_iterations is None or iteration < max_iterations:
         iteration += 1
-        out = run_avro_restructure_job(spark, input_root, config, now_s=clock())
-        out["job"] = "restructure"
-        results.append(out)
+        if restructure:
+            out = run_avro_restructure_job(spark, input_root, config, now_s=clock())
+            out["job"] = "restructure"
+            results.append(out)
         if config.cleaner.enable and clock() - last_clean >= config.cleaner.interval_s:
             cleaned = run_avro_cleaner_job(spark, input_root, config, now_s=clock())
             cleaned["job"] = "clean"

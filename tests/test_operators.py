@@ -1102,3 +1102,26 @@ def test_filename_parse_rejects_plus_in_topic(spark):
     assert rows["a+b+0+1+2.avro"]["topic"] == ""  # invalid, not 'a'/'a+b'
     assert rows["a+b+0+1+2.avro"]["partition"] is None
     assert parse_filename("a+b+0+1+2.avro") is None
+
+
+def test_asof_join_null_semantics(spark):
+    """SQL-ASOF parity on nullable inputs: a matched right row with a NULL
+    value yields NULL (not an older carried value), and right rows with a
+    NULL timestamp never match anything."""
+    from datetime import datetime
+
+    from restructure_hdfs_topic_spark.operators.temporal import asof_join
+
+    t = lambda h, m=0: datetime(2024, 1, 1, h, m)  # noqa: E731
+    left = spark.createDataFrame(
+        [(1, "u1", t(10, 30)), (2, "u2", t(11))], "id long, u string, ts timestamp"
+    )
+    right = spark.createDataFrame(
+        [("u1", t(9), 5.0), ("u1", t(10), None), ("u2", None, 7.0)],
+        "u string, ts timestamp, v double",
+    )
+    got = {
+        r["id"]: r["asof_v"]
+        for r in asof_join(left, right, ["u"], "ts", ["v"]).collect()
+    }
+    assert got == {1: None, 2: None}
