@@ -187,7 +187,12 @@ def main() -> None:
     for name in BENCH_QUERIES:
         fn = qs.get(name)
         if fn is None:
-            continue
+            # Fail loudly: a silently skipped (renamed/removed) query would
+            # shrink the total and make round-over-round numbers
+            # incomparable with no signal.
+            raise KeyError(
+                f"bench query {name!r} missing from queries()/extra_queries()"
+            )
         t0 = time.time()
         rows = run_once(fn)
         timings[name] = round(time.time() - t0, 3)
@@ -260,26 +265,32 @@ def measure_recall(spark) -> dict:
 
     out: dict = {}
     configure(spark)
+    exact = denom = None
     try:
         emb = load_table(spark, SF_DIR, "embeddings")
         sample = emb.orderBy("vec_id").limit(200)
-        exact = cosine_topk(emb, k=5, queries=sample)
+        # ONE exact-cosine baseline, persisted and shared by the LSH and
+        # IVF blocks — recomputing it per block doubled the recall pass's
+        # dominant cost.
+        exact = cosine_topk(emb, k=5, queries=sample).persist()
+        denom = exact.count()
         approx = lsh_ann_topk(emb, k=5)
         hits = exact.join(approx, ["query_id", "neighbor_id"], "left_semi").count()
-        denom = exact.count()
         out["ann_lsh_topk@5"] = round(hits / denom, 4) if denom else None
     except Exception as exc:  # pragma: no cover - recall is best-effort
         out["ann_lsh_topk@5"] = f"error: {exc}"
     try:
+        if exact is None or not denom:
+            raise RuntimeError("no exact baseline")
         emb = load_table(spark, SF_DIR, "embeddings")
-        sample = emb.orderBy("vec_id").limit(200)
-        exact = cosine_topk(emb, k=5, queries=sample)
         approx = ivf_ann_topk(emb, k=5)
         hits = exact.join(approx, ["query_id", "neighbor_id"], "left_semi").count()
-        denom = exact.count()
         out["ann_ivf_topk@5"] = round(hits / denom, 4) if denom else None
     except Exception as exc:  # pragma: no cover
         out["ann_ivf_topk@5"] = f"error: {exc}"
+    finally:
+        if exact is not None:
+            exact.unpersist()
     try:
         from restructure_hdfs_topic_spark.operators.similarity import (
             cosine_near_dup_pairs,

@@ -40,15 +40,20 @@ def flatten_struct_columns(df: DataFrame, sep: str = ".") -> DataFrame:
     intact (see flatten_for_csv for the data-dependent expansion)."""
     cols: list[Column] = []
 
+    def q(name: str) -> str:
+        # same backtick-doubling as _qcol — a literal backtick in a field
+        # name must not terminate the quote
+        return "`" + name.replace("`", "``") + "`"
+
     def expand(prefix: str, dtype, path: str) -> None:
         if isinstance(dtype, StructType):
             for f in dtype.fields:
-                expand(f"{prefix}{sep}{f.name}", f.dataType, f"{path}.`{f.name}`")
+                expand(f"{prefix}{sep}{f.name}", f.dataType, f"{path}.{q(f.name)}")
         else:
             cols.append(F.expr(path).alias(prefix))
 
     for field in df.schema.fields:
-        expand(field.name, field.dataType, f"`{field.name}`")
+        expand(field.name, field.dataType, q(field.name))
     return df.select(*cols)
 
 
@@ -107,14 +112,34 @@ def flatten_for_csv(df: DataFrame, sep: str = ".") -> DataFrame:
         # discovered header, exactly the reference's empty-cell case.
         if isinstance(dtype, MapType):
             for key in dynamic.get(name, []):
+                inner = F.try_element_at(_qcol(name), F.lit(key))
+                if isinstance(dtype.valueType, BinaryType):
+                    # bytes inside maps get the same unpadded base64 as
+                    # top-level/array bytes (CsvAvroDataConverter.kt:94) —
+                    # a raw cast('string') would emit mojibake
+                    inner = base64_nopad(inner)
                 cols.append(
-                    F.coalesce(F.try_element_at(_qcol(name), F.lit(key)).cast("string"), F.lit("")).alias(f"{name}{sep}{key}")
+                    F.coalesce(inner.cast("string"), F.lit("")).alias(f"{name}{sep}{key}")
                 )
         elif isinstance(dtype, ArrayType):
             for i in dynamic.get(name, []):
                 inner = F.get(_qcol(name), i)
                 if isinstance(dtype.elementType, BinaryType):
                     inner = base64_nopad(inner)
+                if isinstance(dtype.elementType, StructType):
+                    # array<struct> recurses to per-field columns
+                    # (prefix.i.field), matching the reference's elementwise
+                    # record flattening instead of a struct-to-string blob
+                    for f2 in dtype.elementType.fields:
+                        inner2 = inner.getField(f2.name)
+                        if isinstance(f2.dataType, BinaryType):
+                            inner2 = base64_nopad(inner2)
+                        cols.append(
+                            F.coalesce(inner2.cast("string"), F.lit("")).alias(
+                                f"{name}{sep}{i}{sep}{f2.name}"
+                            )
+                        )
+                    continue
                 cols.append(F.coalesce(inner.cast("string"), F.lit("")).alias(f"{name}{sep}{i}"))
         elif isinstance(dtype, BinaryType):
             cols.append(F.coalesce(base64_nopad(_qcol(name)), F.lit("")).alias(name))
@@ -176,6 +201,15 @@ def route_by_schema_attempt(df: DataFrame) -> tuple[DataFrame, DataFrame]:
 
     Driver state is one row per DISTINCT header shape (bounded by schema
     variance, not record count); the subset scan is O(shapes²).
+
+    Attempt numbering is BATCH-LOCAL (first-occurrence order within this
+    frame) — nothing persists the canonical-header list across service
+    iterations, so append-mode re-runs may assign the same index to a
+    different shape.  Each part FILE still carries its own correct header
+    (Spark writes a header per file), and the template finalize path
+    additionally diverts on header mismatch at merge time
+    (plans/layout.py); a cross-run canonical-header store is the remaining
+    divergence from the reference's on-disk header check.
 
     Returns ``(routed, persisted)``: the routed frame plus the persisted
     intermediate it is built on.  The CALLER must ``persisted.unpersist()``

@@ -96,6 +96,9 @@ def decode_media(media: DataFrame, real_decode: bool = False) -> DataFrame:
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         def features(mime: str, b: bytes) -> tuple[int, int]:
+            # NULL payload/mime rows (a NULL text encodes to NULL) degrade
+            # like empty blobs — one bad row must not fail the task.
+            mime, b = mime or "", b or b""
             if real_decode and mime.startswith("image/"):
                 try:
                     px = list(_pil_open(b).convert("L").getdata())
@@ -115,7 +118,9 @@ def decode_media(media: DataFrame, real_decode: bool = False) -> DataFrame:
                 {
                     "media_id": pdf["media_id"],
                     "mime": pdf["mime"],
-                    "n_bytes": pdf["payload"].map(len).astype("int64"),
+                    "n_bytes": pdf["payload"]
+                    .map(lambda b: len(b or b""))
+                    .astype("int64"),
                     "first_byte": pd.Series([f[0] for f in feats], dtype="int64"),
                     # Deterministic "feature": stands in for an
                     # image-embedding/audio-fingerprint.
@@ -176,31 +181,43 @@ def resize_media(
         for pdf in it:
 
             def shrink(b: bytes) -> bytes:
+                b = b or b""
                 out = bytearray()
                 for i in range(0, len(b), scale_den):
                     out += b[i : i + scale_num]
                 return bytes(out)
 
-            def resize_one(m: str, b: bytes) -> bytes:
-                if m.startswith("image/"):
+            def resize_one(m: str, b: bytes) -> tuple[bytes, str]:
+                """(payload, mime): the PIL path TRANSCODES to PNG, so the
+                emitted mime must follow the bytes — advertising JPEG for
+                PNG payloads would mislead every content-type consumer."""
+                m = m or ""
+                if m.startswith("image/") and b:
                     try:
-                        return pil_resize(b)
+                        return pil_resize(b), "image/png"
                     except Exception:
                         pass  # undecodable image → byte-level downsample
-                return shrink(b)
+                return shrink(b), m
 
             if real_decode:
+                resized = [
+                    resize_one(m, b) for m, b in zip(pdf["mime"], pdf["payload"])
+                ]
                 payloads = pd.Series(
-                    [resize_one(m, b) for m, b in zip(pdf["mime"], pdf["payload"])],
+                    [p for p, _m in resized],
                     dtype="object",
                     index=pdf.index,  # align with pdf columns in the yield
                 )
+                mimes = pd.Series(
+                    [m for _p, m in resized], dtype="object", index=pdf.index
+                )
             else:
                 payloads = pdf["payload"].map(shrink)
+                mimes = pdf["mime"]
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
-                    "mime": pdf["mime"],
+                    "mime": mimes,
                     "payload": payloads,
                     "n_bytes": payloads.map(len).astype("int64"),
                     "scale_num": scale_num,
@@ -258,7 +275,8 @@ def sample_frames(
             for mid, mime, payload in zip(
                 pdf["media_id"], pdf["mime"], pdf["payload"]
             ):
-                if real_decode and mime.startswith("image/"):
+                mime, payload = mime or "", payload or b""
+                if real_decode and mime.startswith("image/") and payload:
                     try:
                         n_frames, decoded = pil_frames(payload)
                     except Exception:

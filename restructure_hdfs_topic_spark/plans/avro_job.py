@@ -176,34 +176,47 @@ def _write_topic(
         )
 
         routed, persisted = route_by_schema_attempt(flatten_struct_columns(payload))
-        if template_mode:
-            # Keep ``attempt`` as its own staging partition column: the
-            # finalize step renders it either folded into ${filename} or
-            # standalone as ${attempt} (FormattedPathFactory.kt:83-91).
-            part_cols = PARTITION_COLS + ["attempt"] + extra_names
-        else:
-            routed = routed.withColumn(
-                "bin",
-                F.when(F.col("attempt") == 0, F.col("bin")).otherwise(
-                    F.concat(F.col("bin"), F.lit("_"), F.col("attempt").cast("string"))
-                ),
-            ).drop("attempt")
-            part_cols = PARTITION_COLS
-        flat = flatten_for_csv(routed)
         try:
-            writer = (
-                flat.repartition(*[F.col(f"`{c}`") for c in part_cols])
-                .write.mode("append")
-                .partitionBy(*part_cols)
-                .option("header", "true")
-                # The reference's CSV writer leaves empty fields unquoted
-                # (golden fixtures show `...,CONNECTED,` for a null
-                # ipAddress); Spark's default emptyValue would emit `""`.
-                .option("emptyValue", "")
+            # One write PER ATTEMPT: dynamic-column discovery (map keys /
+            # array lengths) must run per attempt group, or every attempt's
+            # files would carry the identical union header and the schema
+            # split would be pointless — the reference writes each attempt
+            # file with ITS OWN header (RecordPathFactory.kt:56-75).
+            # Attempt count is bounded by schema variance (almost always 1).
+            attempts = sorted(
+                r["attempt"] for r in routed.select("attempt").distinct().collect()
             )
-            if codec:
-                writer = writer.option("compression", codec)
-            writer.csv(dest)
+            for a in attempts:
+                sub = routed.filter(F.col("attempt") == a)
+                if template_mode:
+                    # Keep ``attempt`` as its own staging partition column:
+                    # the finalize step renders it either folded into
+                    # ${filename} or standalone as ${attempt}
+                    # (FormattedPathFactory.kt:83-91).
+                    part_cols = PARTITION_COLS + ["attempt"] + extra_names
+                else:
+                    sub = sub.withColumn(
+                        "bin",
+                        F.when(F.col("attempt") == 0, F.col("bin")).otherwise(
+                            F.concat(F.col("bin"), F.lit("_"), F.col("attempt").cast("string"))
+                        ),
+                    ).drop("attempt")
+                    part_cols = PARTITION_COLS
+                flat = flatten_for_csv(sub)
+                writer = (
+                    flat.repartition(*[F.col(f"`{c}`") for c in part_cols])
+                    .write.mode("append")
+                    .partitionBy(*part_cols)
+                    .option("header", "true")
+                    # The reference's CSV writer leaves empty fields
+                    # unquoted (golden fixtures show `...,CONNECTED,` for a
+                    # null ipAddress); Spark's default emptyValue would
+                    # emit `""`.
+                    .option("emptyValue", "")
+                )
+                if codec:
+                    writer = writer.option("compression", codec)
+                writer.csv(dest)
         finally:
             # A failed sink must not leak one cached lineage per topic
             # iteration in a long-running service.

@@ -75,8 +75,16 @@ def main() -> int:
         # (Spark decimal(24,2) vs DuckDB decimal(38,2) hash differently even
         # when the values repr-match).
         try:
-            satypes = {f.name: str(f.type) for f in sdf.toArrow().schema}
-            datypes = {f.name: str(f.type) for f in con.execute(oracles[name]).arrow().schema}
+            # limit(0) / LIMIT 0: schemas only — re-executing both full
+            # queries here doubled suite runtime (the rows were already
+            # collected above).
+            satypes = {f.name: str(f.type) for f in sdf.limit(0).toArrow().schema}
+            datypes = {
+                f.name: str(f.type)
+                for f in con.execute(
+                    f"SELECT * FROM ({oracles[name]}) LIMIT 0"
+                ).arrow().schema
+            }
             def _canon(t):
                 # Spark session tz yields tz-aware arrow timestamps; DuckDB's
                 # are naive.  The driver's hash tolerates this (every ts

@@ -225,10 +225,18 @@ def consistency_pass() -> int:
         results = []
         for parts in ("64", "13"):
             out = f"/tmp/scale_check/{name}.{parts}.json"
-            proc = subprocess.run(
-                [sys.executable, runner, DERIVED, name, parts, out],
-                capture_output=True, timeout=1800, text=True,
-            )
+            try:
+                proc = subprocess.run(
+                    [sys.executable, runner, DERIVED, name, parts, out],
+                    capture_output=True, timeout=1800, text=True,
+                )
+            except subprocess.TimeoutExpired:
+                # One slow query is a recorded failure, not an abort of the
+                # whole scale check.
+                print(f"  {name} [{parts} parts]: TIMEOUT (1800s)")
+                failures += 1
+                results = None
+                break
             if proc.returncode != 0:
                 print(f"  {name} [{parts} parts]: ERROR\n{proc.stderr[-2000:]}")
                 failures += 1
