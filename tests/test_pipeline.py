@@ -613,3 +613,36 @@ def test_register_tables_sql_surface(spark):
     assert row["n_cust"] > 0
     ts = spark.sql("SELECT unix_micros(ts) AS u FROM events LIMIT 1").first()
     assert ts["u"] is not None
+
+
+def test_csv_attempt_files_carry_their_own_headers(spark, tmp_path):
+    """Each attempt's CSV files carry THEIR OWN dynamic header: attempt-0
+    files must not gain the incomparable attempt-1 group's map keys as
+    empty union columns (the reference writes each attempt file with its
+    own header)."""
+    import glob
+
+    from restructure_hdfs_topic_spark.config import RestructureConfig
+    from restructure_hdfs_topic_spark.plans.avro_job import _write_topic
+
+    df = spark.createDataFrame(
+        [
+            ("p", "u", "t", "b1", {"k1": 1.0}),
+            ("p", "u", "t", "b1", {"k3": 2.0}),  # incomparable → attempt 1
+        ],
+        "projectId string, userId string, topic string, bin string, m map<string,double>",
+    )
+    cfg = RestructureConfig(
+        target_dir=str(tmp_path / "out"),
+        state_dir=str(tmp_path / "state"),
+        format="csv",
+    )
+    _write_topic(df, cfg, "t")
+    by_bin: dict[str, str] = {}
+    for p in glob.glob(str(tmp_path / "out" / "**" / "*.csv"), recursive=True):
+        key = "attempt1" if "bin=b1_1" in p else "attempt0"
+        with open(p) as fh:
+            by_bin[key] = fh.readline().strip()
+    assert set(by_bin) == {"attempt0", "attempt1"}
+    assert "m.k1" in by_bin["attempt0"] and "m.k3" not in by_bin["attempt0"]
+    assert "m.k3" in by_bin["attempt1"] and "m.k1" not in by_bin["attempt1"]
