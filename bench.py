@@ -163,6 +163,20 @@ def main() -> None:
 
     do_hygiene = os.environ.get("SPARK_GRAFT_HYGIENE", "1") != "0"
     warm_pass = os.environ.get("SPARK_GRAFT_WARM_PASS", "1") != "0"
+    # Variance guard (VERDICT r5 #1): one warm sample per query cannot
+    # distinguish a plan regression from a GC pause or host-contention
+    # blip (r5's official bench recorded a 5.7x single-query swing that
+    # the solo bench could not reproduce).  Run >=3 warm iterations and
+    # report median + min/max spread, plus per-query driver-JVM GC time so
+    # a pause is attributable.
+    warm_iters = max(1, int(os.environ.get("SPARK_GRAFT_WARM_ITERS", "3")))
+
+    gc_beans = spark._jvm.java.lang.management.ManagementFactory.getGarbageCollectorMXBeans()
+
+    def gc_ms() -> int:
+        # Cumulative stop-the-world GC milliseconds across all collectors of
+        # the driver JVM (== the whole cluster in local mode).
+        return sum(b.getCollectionTime() for b in gc_beans)
 
     # Fixed per-query harness cost (Observation setup, noop-write job
     # launch, gc + clearCache): median of 5 no-op queries measured with the
@@ -184,6 +198,8 @@ def main() -> None:
     qs = {**entry.queries(), **entry.extra_queries()}
     timings: dict[str, float] = {}
     timings_warm: dict[str, float] = {}
+    warm_stats: dict[str, dict] = {}
+    gc_cold_ms: dict[str, int] = {}
     for name in BENCH_QUERIES:
         fn = qs.get(name)
         if fn is None:
@@ -193,19 +209,46 @@ def main() -> None:
             raise KeyError(
                 f"bench query {name!r} missing from queries()/extra_queries()"
             )
+        g0 = gc_ms()
         t0 = time.time()
         rows = run_once(fn)
         timings[name] = round(time.time() - t0, 3)
+        gc_cold_ms[name] = gc_ms() - g0
         if warm_pass:
-            # Immediate re-run with all session state warm (JIT, shuffle
+            # Immediate re-runs with all session state warm (JIT, shuffle
             # files, page cache) — the steady-state number a long-running
-            # job sees.  The first (cold) run follows a gc+clearCache.
-            t0 = time.time()
-            run_once(fn)
-            timings_warm[name] = round(time.time() - t0, 3)
+            # job sees.  Median over >=3 iterations so one GC pause or
+            # host blip cannot masquerade as a plan regression.
+            samples: list[float] = []
+            gcs: list[int] = []
+            for _ in range(warm_iters):
+                g0 = gc_ms()
+                t0 = time.time()
+                run_once(fn)
+                samples.append(time.time() - t0)
+                gcs.append(gc_ms() - g0)
+            srt = sorted(samples)
+            med = srt[len(srt) // 2]
+            timings_warm[name] = round(med, 3)
+            warm_stats[name] = {
+                "median": round(med, 3),
+                "min": round(srt[0], 3),
+                "max": round(srt[-1], 3),
+                "spread_pct": round(100.0 * (srt[-1] - srt[0]) / med, 1)
+                if med > 0
+                else 0.0,
+                "iters": warm_iters,
+                "gc_ms_median": sorted(gcs)[len(gcs) // 2],
+            }
         print(
-            f"# {name}: cold {timings[name]}s"
-            + (f" / warm {timings_warm[name]}s" if name in timings_warm else "")
+            f"# {name}: cold {timings[name]}s (gc {gc_cold_ms[name]}ms)"
+            + (
+                f" / warm med {timings_warm[name]}s"
+                f" [{warm_stats[name]['min']}-{warm_stats[name]['max']},"
+                f" gc {warm_stats[name]['gc_ms_median']}ms]"
+                if name in timings_warm
+                else ""
+            )
             + f" ({rows} rows)",
             file=sys.stderr,
         )
@@ -224,9 +267,12 @@ def main() -> None:
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "harness_overhead_s": harness_overhead,
     }
+    result["queries_gc_ms"] = gc_cold_ms
     if warm_pass:
         result["queries_warm"] = timings_warm
         result["total_warm_s"] = round(sum(timings_warm.values()), 3)
+        result["queries_warm_stats"] = warm_stats
+        result["warm_iters"] = warm_iters
     # The driver's log capture can truncate the stderr per-query lines
     # (VERDICT r4 #5), so also persist the full parsed JSON as a sibling
     # artifact committed with the round — readable without log archaeology.

@@ -157,10 +157,22 @@ class RestructureConfig:
     def topic(self, name: str) -> TopicConfig:
         return self.topics.get(name, TopicConfig())
 
-    def dedup_key_for(self, name: str, all_columns: list[str]) -> list[str] | None:
+    def dedup_key_for(
+        self,
+        name: str,
+        all_columns: list[str],
+        default_exclude: frozenset[str] | set[str] = frozenset(),
+    ) -> list[str] | None:
         """Resolve the dedup key set for a topic: distinctFields subset, or
         all minus ignoreFields, or None when dedup is off
-        (CsvAvroConverterFactory.kt:158-171)."""
+        (CsvAvroConverterFactory.kt:158-171).
+
+        ``default_exclude`` (per-record accounting columns like ``offset``)
+        is subtracted ONLY on the default full-row path: explicitly
+        configured distinct fields are honored verbatim, so a config naming
+        ``["time", "user_id"]`` keys on both instead of being silently
+        narrowed.
+        """
         tc = self.topic(name)
         enabled = tc.dedup_enable if tc.dedup_enable is not None else self.dedup_enable
         if not enabled:
@@ -179,4 +191,6 @@ class RestructureConfig:
                     f"topic {name!r} (columns: {all_columns})"
                 )
             return key
-        return [c for c in all_columns if c not in ignore]
+        return [
+            c for c in all_columns if c not in ignore and c not in default_exclude
+        ]

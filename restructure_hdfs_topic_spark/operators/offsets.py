@@ -136,8 +136,15 @@ def _covering_interval(probes: DataFrame, state: DataFrame, pos_col: str) -> Dat
 
     fields = "f long, t long" + (", m long" if has_mtime else "")
 
+    # Ship the index as a SparkContext broadcast, not inside the UDF
+    # closure: the closure is pickled per Python worker, so at an extreme
+    # interval count every worker would hold a private copy — the broadcast
+    # is fetched once per executor and shared (the handle itself is tiny).
+    bc_index = probes.sparkSession.sparkContext.broadcast(index)
+
     @F.pandas_udf(f"struct<{fields}>")
     def lookup(topic, partition, pos):
+        index = bc_index.value
         n = len(pos)
         out_f = np.full(n, np.nan)
         out_t = np.full(n, np.nan)
@@ -328,12 +335,24 @@ def commit_offsets(
     MUST be called only after the data write action has succeeded
     (commit-after-store ordering, worker/FileCache.kt:128-158).
     """
-    for _ in range(64):
-        existing = read_offsets(spark, state_dir)
+    import random
+    import time as _time
+
+    for attempt in range(64):
+        # True compare-and-swap: resolve the current version EXACTLY once,
+        # read the merge snapshot from that same version, and claim cur+1.
+        # (Reading via read_offsets and re-resolving the pointer for nxt
+        # opened a TOCTOU: a concurrent committer flipping the pointer
+        # between the two resolves let this committer claim the now-free
+        # higher version with a merge built on the STALE snapshot, erasing
+        # the peer's intervals.)  A concurrent pointer bump now makes the
+        # claim of cur+1 fail, forcing the re-read/retry path.
+        cur = _current_version(state_dir, spark)
+        existing = _read_state_at(spark, state_dir, cur)
         merged = merge_offset_intervals(
             existing.unionByName(new_ranges, allowMissingColumns=True)
         )
-        nxt = (_current_version(state_dir, spark) or 0) + 1
+        nxt = (cur or 0) + 1
         if not _claim_version(spark, state_dir, nxt):
             # Another committer (a second engine instance on a different
             # topic) claimed this version: RE-READ so its freshly committed
@@ -343,6 +362,15 @@ def commit_offsets(
             # merge.  A claim whose owner crashed is broken after a TTL so
             # commits cannot deadlock on it.
             _break_stale_claim(spark, state_dir, nxt)
+            if _claim_exists(spark, state_dir, nxt):
+                # A LIVE peer holds this claim: its commit includes a
+                # parquet write that can take seconds, while our retry
+                # iteration is fast driver-side work — back off with
+                # jitter so the 64-attempt budget spans at least one full
+                # peer-commit duration instead of exhausting spuriously.
+                _time.sleep(
+                    min(2.0, 0.05 * (attempt + 1)) * (0.5 + random.random())
+                )
             continue
         return _replace_at(spark, state_dir, merged, nxt)
     raise RuntimeError(f"commit_offsets: version contention in {state_dir}")
@@ -371,17 +399,32 @@ def _claim_version(spark: SparkSession, state_dir: str, nxt: int) -> bool:
         return False
 
 
+def _claim_exists(spark: SparkSession, state_dir: str, nxt: int) -> bool:
+    """True if the claim marker for version ``nxt`` is still present (used
+    after a break attempt to distinguish a live peer from a broken claim)."""
+    name = f"offsets/.claim.v{nxt:08d}"
+    if "://" not in state_dir:
+        return os.path.exists(os.path.join(state_dir, name))
+    jvm, fs, _ = _hfs(spark, state_dir)
+    return fs.exists(jvm.org.apache.hadoop.fs.Path(state_dir, name))
+
+
 def replace_offsets(spark: SparkSession, state_dir: str, state: DataFrame) -> DataFrame:
     """Atomically swap the committed state to ``state`` (steps 1-3 above).
     Used by commit (merge) and by the cleaner's rollback (remove).  The
     version claim serializes the physical write; content-level conflicts
     with a concurrent commit are the caller's to minimize (the cleaner
     re-reads current state right before computing its rollback)."""
-    for _ in range(64):
+    import random
+    import time as _time
+
+    for attempt in range(64):
         nxt = (_current_version(state_dir, spark) or 0) + 1
         if _claim_version(spark, state_dir, nxt):
             return _replace_at(spark, state_dir, state, nxt)
         _break_stale_claim(spark, state_dir, nxt)
+        if _claim_exists(spark, state_dir, nxt):
+            _time.sleep(min(2.0, 0.05 * (attempt + 1)) * (0.5 + random.random()))
     raise RuntimeError(f"replace_offsets: version contention in {state_dir}")
 
 
@@ -541,7 +584,14 @@ def read_offsets(spark: SparkSession, state_dir: str) -> DataFrame:
     Resolves the ``offsets.CURRENT`` pointer; falls back to the legacy
     single-directory layout for pre-pointer state dirs.
     """
-    cur = _current_version(state_dir, spark)
+    return _read_state_at(spark, state_dir, _current_version(state_dir, spark))
+
+
+def _read_state_at(
+    spark: SparkSession, state_dir: str, cur: int | None
+) -> DataFrame:
+    """State at an explicitly resolved version (so commit_offsets can pin
+    its merge snapshot to the same version it claims against)."""
     if cur is not None:
         return spark.read.parquet(f"{state_dir}/offsets/v{cur:08d}")
     legacy = os.path.join(state_dir, "offsets.parquet")

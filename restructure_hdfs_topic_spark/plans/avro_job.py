@@ -705,13 +705,13 @@ def _process_topic(spark, topic, aged, config, mode, counters) -> None:
     accounting = {"offset", "filename", "mtime", "partition", "time"}
     leaves = []
     for f in organized.schema.fields:
-        if f.name in accounting:
-            continue
         if isinstance(f.dataType, StructType):
             leaves.extend(f"{f.name}.{c}" for c in f.dataType.fieldNames())
         else:
             leaves.append(f.name)
-    dedup_key = config.dedup_key_for(topic, leaves)
+    # Accounting columns are excluded only from the DEFAULT full-row key;
+    # explicitly configured distinct fields are honored verbatim.
+    dedup_key = config.dedup_key_for(topic, leaves, default_exclude=accounting)
     if dedup_key is not None:
         organized = keep_last_dedup(organized, dedup_key, "offset")
     from pyspark.sql import Observation

@@ -105,12 +105,14 @@ def run_restructure_job(
         todo, user_col=user_col, topic=topic, time_col=time_col,
         bin_format=config.paths.bin_format,
     )
-    # Exclude per-record accounting columns from the default dedup key —
+    # Exclude per-record accounting columns from the DEFAULT dedup key —
     # `offset` is unique per record, so including it makes full-row dedup a
-    # guaranteed no-op (same exclusion as the Avro job's).
+    # guaranteed no-op (same exclusion as the Avro job's).  Explicitly
+    # configured distinct fields see the full column list, so a config
+    # naming an accounting column keys on it as written.
     accounting = {order_col, "offset", "filename", "mtime", "partition", "time"}
     dedup_key = config.dedup_key_for(
-        topic, [c for c in organized.columns if c not in accounting]
+        topic, list(organized.columns), default_exclude=accounting
     )
     if dedup_key is not None:
         organized = keep_last_dedup(organized, dedup_key, order_col)

@@ -307,55 +307,86 @@ def finalize_template_layout(
         parts = sorted(parts)
         ext = parts[0][1]
         rel = render_final_path(template, topic, kv, ext)
-        dest = HPath(target_dir, rel)
-        fs.mkdirs(dest.getParent())
-        sidecar_dirs.add(dest.getParent().toString())
+        orig_dest = HPath(target_dir, rel)
+        fs.mkdirs(orig_dest.getParent())
+        sidecar_dirs.add(orig_dest.getParent().toString())
         codec = ext.rsplit(".", 1)[1] if ext.count(".") > 1 else None
         is_csv = ".csv" in ext
-        with _lock_for(dest.toString()):
+        part_header: list[bytes | None] = [None]
+
+        def _divert(d):
             # A later batch's records for an old bin may carry a DIFFERENT
             # CSV header (new map keys ⇒ new columns); blindly appending
             # would misalign rows.  Divert to the reference's attempt
             # naming: the first ``_N`` destination whose header matches or
             # that does not exist yet.
-            if is_csv and fs.exists(dest):
-                part_header = _csv_header(
+            if not (is_csv and fs.exists(d)):
+                return d
+            if part_header[0] is None:
+                part_header[0] = _csv_header(
                     _read_bytes(fs, HPath(parts[0][0])), codec
                 )
-                orig_dest, n = dest, 0
-                while fs.exists(dest) and _csv_header(
-                    _read_bytes(fs, dest), codec
-                ) != part_header:
-                    n += 1
-                    dest = _bumped(orig_dest, n)
-            if len(parts) == 1 and not fs.exists(dest):
-                # Metadata-only on HDFS; rename signals failure by
-                # RETURNING false (it does not raise) — fall through to
-                # the copy path rather than silently dropping the part.
-                if fs.rename(HPath(parts[0][0]), dest):
-                    return dest.toString()
-            # Append/merge path (existing destination or a bin split
-            # across parts): reference-parity
-            # decompress-append-recompress, O(file).
-            chunks: list[bytes] = []
-            if fs.exists(dest):
-                chunks.append(_read_bytes(fs, dest))
-            for p, _e in parts:
-                chunks.append(_read_bytes(fs, HPath(p)))
-            merged = _merge_csv_like(chunks, is_csv=is_csv, codec=codec)
-            tmp = HPath(dest.getParent(), f".{dest.getName()}.tmp")
-            out = fs.create(tmp, True)
-            try:
-                out.write(bytearray(merged))
-            finally:
-                out.close()
-            if fs.exists(dest):
-                fs.delete(dest, False)
-            if not fs.rename(tmp, dest):
-                raise RuntimeError(
-                    f"finalize_template_layout: rename {tmp} -> {dest} failed"
-                )
-            return dest.toString()
+            n, cand = 0, d
+            while fs.exists(cand) and _csv_header(
+                _read_bytes(fs, cand), codec
+            ) != part_header[0]:
+                n += 1
+                cand = _bumped(d, n)
+            return cand
+
+        # Lock on the FINAL (possibly bumped) destination: holding only the
+        # original path's lock while writing a bumped path races with a
+        # concurrent place() whose own rendered-or-diverted destination is
+        # that bumped path (it holds a different lock; both could pass the
+        # exists()/read-merge-write sequence and drop one group's rows).
+        # Re-run the divert under each newly acquired lock — conditions may
+        # have changed between the handoff.
+        lock = _lock_for(orig_dest.toString())
+        lock.acquire()
+        locked_path = orig_dest.toString()
+        try:
+            while True:
+                dest = _divert(orig_dest)
+                if dest.toString() == locked_path:
+                    break
+                nxt = _lock_for(dest.toString())
+                lock.release()
+                lock = nxt
+                lock.acquire()
+                locked_path = dest.toString()
+            return _write_parts(dest, parts, is_csv, codec)
+        finally:
+            lock.release()
+
+    def _write_parts(dest, parts, is_csv, codec) -> str:
+        if len(parts) == 1 and not fs.exists(dest):
+            # Metadata-only on HDFS; rename signals failure by
+            # RETURNING false (it does not raise) — fall through to
+            # the copy path rather than silently dropping the part.
+            if fs.rename(HPath(parts[0][0]), dest):
+                return dest.toString()
+        # Append/merge path (existing destination or a bin split
+        # across parts): reference-parity
+        # decompress-append-recompress, O(file).
+        chunks: list[bytes] = []
+        if fs.exists(dest):
+            chunks.append(_read_bytes(fs, dest))
+        for p, _e in parts:
+            chunks.append(_read_bytes(fs, HPath(p)))
+        merged = _merge_csv_like(chunks, is_csv=is_csv, codec=codec)
+        tmp = HPath(dest.getParent(), f".{dest.getName()}.tmp")
+        out = fs.create(tmp, True)
+        try:
+            out.write(bytearray(merged))
+        finally:
+            out.close()
+        if fs.exists(dest):
+            fs.delete(dest, False)
+        if not fs.rename(tmp, dest):
+            raise RuntimeError(
+                f"finalize_template_layout: rename {tmp} -> {dest} failed"
+            )
+        return dest.toString()
 
     # py4j is thread-safe (one gateway connection per thread); object-store
     # rename latency, not CPU, is the bottleneck this pool hides.

@@ -827,9 +827,16 @@ def read_avro(
 
 def _path_mtimes(spark: SparkSession, paths: list[str]) -> list[tuple[str, int]]:
     """(basename, mtime-millis) per input file — driver-side stat, URI
-    paths through the cluster FileSystem."""
-    rows: list[tuple[str, int]] = []
-    for p in paths:
+    paths through the cluster FileSystem.
+
+    The result joins records on BASENAME (the filename column the decode
+    modes agree on), so basenames must be unique within one read_avro
+    call: a duplicate key would fan out every record of that file through
+    the broadcast join, silently duplicating data.  Two distinct paths
+    sharing a basename (the same Kafka file mirrored under two roots)
+    raise instead."""
+    seen: dict[str, tuple[str, int]] = {}
+    for p in dict.fromkeys(paths):
         if _URI_RE.match(p):
             jvm = spark._jvm
             hp = jvm.org.apache.hadoop.fs.Path(p)
@@ -837,8 +844,16 @@ def _path_mtimes(spark: SparkSession, paths: list[str]) -> list[tuple[str, int]]
             ms = int(fs.getFileStatus(hp).getModificationTime())
         else:
             ms = int(os.path.getmtime(p) * 1000)
-        rows.append((p.rsplit("/", 1)[-1], ms))
-    return rows
+        base = p.rsplit("/", 1)[-1]
+        if base in seen and seen[base][0] != p:
+            raise ValueError(
+                f"read_avro: duplicate basename {base!r} across input roots "
+                f"({seen[base][0]!r} vs {p!r}) — records would duplicate "
+                "through the basename-keyed mtime join; pass each mirrored "
+                "root in its own read_avro call"
+            )
+        seen[base] = (p, ms)
+    return [(b, ms) for b, (_p, ms) in seen.items()]
 
 
 def union_schema_for_paths(spark: SparkSession, paths: list[str]):

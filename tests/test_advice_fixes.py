@@ -304,3 +304,90 @@ def test_committed_range_index_matches_bruteforce_and_scales():
     elapsed = time.time() - t0
     assert elapsed < 5.0, f"index build+probe took {elapsed:.2f}s"
     assert n_hit > 0
+
+
+def test_commit_offsets_cas_no_lost_update(spark, tmp_path, monkeypatch):
+    """ADVICE r5 #1: commit_offsets must resolve the current version EXACTLY
+    once (snapshot + claim from the same resolve).  A concurrent committer
+    flipping the pointer between the victim's snapshot read and its claim
+    must force a re-read, never a stale-merge overwrite that erases the
+    concurrent commit's intervals."""
+    from restructure_hdfs_topic_spark.operators import offsets as O
+
+    state_dir = str(tmp_path / "state")
+    import os as _os
+
+    _os.makedirs(state_dir)
+    mk = lambda lo, hi: spark.createDataFrame(
+        [("t", 0, lo, hi, None)], O.STATE_SCHEMA
+    )
+    O.commit_offsets(spark, state_dir, mk(0, 9))
+
+    real_merge = O.merge_offset_intervals
+    fired = []
+
+    def hooked_merge(ranges):
+        # First (victim) merge: interleave a full concurrent peer commit
+        # BETWEEN the victim's snapshot read and its version claim — the
+        # exact TOCTOU window of the old two-resolve code.
+        if not fired:
+            fired.append(1)
+            monkeypatch.setattr(O, "merge_offset_intervals", real_merge)
+            O.commit_offsets(spark, state_dir, mk(100, 109))
+            monkeypatch.setattr(O, "merge_offset_intervals", hooked_merge)
+        return real_merge(ranges)
+
+    monkeypatch.setattr(O, "merge_offset_intervals", hooked_merge)
+    O.commit_offsets(spark, state_dir, mk(200, 209))
+    monkeypatch.setattr(O, "merge_offset_intervals", real_merge)
+
+    final = {
+        (r.offset_from, r.offset_to)
+        for r in O.read_offsets(spark, state_dir).collect()
+    }
+    assert final == {(0, 9), (100, 109), (200, 209)}
+
+
+def test_dedup_distinct_fields_not_narrowed_by_accounting(tmp_path):
+    """ADVICE r5 #2: explicitly configured dedup_distinct_fields must be
+    honored verbatim — the accounting-column exclusion applies only to the
+    default full-row key."""
+    from restructure_hdfs_topic_spark.config import RestructureConfig
+
+    cfg = RestructureConfig(
+        source_dir="/x", target_dir="/y", state_dir="/z",
+        dedup_enable=True, dedup_distinct_fields=["time", "user_id"],
+    )
+    cols = ["user_id", "time", "offset", "value"]
+    acct = {"offset", "time"}
+    assert cfg.dedup_key_for("t", cols, default_exclude=acct) == [
+        "user_id", "time"
+    ] or cfg.dedup_key_for("t", cols, default_exclude=acct) == [
+        "time", "user_id"
+    ]
+
+    # Default path still excludes accounting columns.
+    cfg2 = RestructureConfig(
+        source_dir="/x", target_dir="/y", state_dir="/z", dedup_enable=True
+    )
+    assert cfg2.dedup_key_for("t", cols, default_exclude=acct) == [
+        "user_id", "value"
+    ]
+
+
+def test_path_mtimes_basename_collision_raises(spark, tmp_path):
+    """ADVICE r5 #4: duplicate basenames across roots would fan out the
+    broadcast mtime join — raise instead; a literally duplicated path
+    dedupes silently."""
+    from restructure_hdfs_topic_spark.sources.avro import _path_mtimes
+
+    a = tmp_path / "rootA" / "f+0+1+2.avro"
+    b = tmp_path / "rootB" / "f+0+1+2.avro"
+    for p in (a, b):
+        p.parent.mkdir(parents=True)
+        p.write_bytes(b"x")
+    # Same path twice: fine, deduped.
+    got = _path_mtimes(spark, [str(a), str(a)])
+    assert len(got) == 1 and got[0][0] == "f+0+1+2.avro"
+    with pytest.raises(ValueError, match="duplicate basename"):
+        _path_mtimes(spark, [str(a), str(b)])
