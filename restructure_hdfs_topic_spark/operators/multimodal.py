@@ -2,10 +2,12 @@
 
 Image/audio/video payloads are opaque ``binary`` columns paired with a
 typed metadata struct; decode / feature-extraction / resize / frame-sample
-run as Arrow-batched pandas functions over ``mapInPandas``.  The media
-libraries are not in this container, so the decode kernels are STUBBED
-(deterministic fake features, clearly marked) — the Spark-side plumbing
-(schema, batch shape, partitioning) is real and tested.
+run as Arrow-batched pandas functions over ``mapInPandas``.  Two decode
+modes: the default deterministic byte-level stand-in kernels (no media
+libraries needed), and ``real_decode=True``, which decodes ``image/*``
+payloads with pillow when installed or the builtin pure-Python
+BMP/PGM/PPM codec (``operators/imagecodec.py``) otherwise — so the real
+path runs, and is tested, even in containers without media libraries.
 
 At 100 TB: binaries stay columnar in parquet; mapInPandas streams Arrow
 record batches so one task never materializes more than a batch; metadata
@@ -33,18 +35,20 @@ try:  # optional extra: pillow-backed real image decode (VERDICT r4 #7)
     from PIL import Image as _PILImage
 
     HAS_PIL = True
-except ImportError:  # container ships no media libs — stub kernels run
-    _PILImage = None
+except ImportError:
+    # No pillow: fall back to the builtin pure-Python codec (uncompressed
+    # BMP / binary PGM/PPM — formats pillow also reads, so fixtures and
+    # features are decoder-independent).  Payloads in formats the builtin
+    # cannot parse degrade per-record to byte-level features through the
+    # kernels' existing corrupt-media handling.
+    from restructure_hdfs_topic_spark.operators import imagecodec as _PILImage
+
     HAS_PIL = False
 
-
-def _require_pil() -> None:
-    if not HAS_PIL:
-        raise NotImplementedError(
-            "real media decode requires pillow (pip install pillow); "
-            "this environment has no media libraries — use the default "
-            "real_decode=False deterministic stand-in kernels"
-        )
+# Transcoded outputs follow the encoder that is actually available:
+# pillow writes PNG; the builtin codec writes binary netpbm.
+_OUT_FORMAT = "PNG" if HAS_PIL else "PPM"
+_OUT_MIME = "image/png" if HAS_PIL else "image/x-portable-anymap"
 
 
 def _pil_open(payload: bytes):
@@ -86,13 +90,11 @@ def documents_as_media(documents: DataFrame) -> DataFrame:
 
 def decode_media(media: DataFrame, real_decode: bool = False) -> DataFrame:
     """Feature-extraction over binary payloads via mapInPandas (Arrow
-    batches).  ``real_decode=True`` decodes ``image/*`` payloads with
-    pillow when installed (first_byte = first grayscale pixel, checksum =
-    pixel sum — the slots an image embedding would fill); raises
-    NotImplementedError when pillow is absent.  Non-image mimes keep the
-    byte-level features either way."""
-    if real_decode:
-        _require_pil()
+    batches).  ``real_decode=True`` decodes ``image/*`` payloads —
+    pillow when installed, else the builtin BMP/PGM/PPM codec —
+    (first_byte = first grayscale pixel, checksum = pixel sum — the slots
+    an image embedding would fill).  Non-image mimes, and image formats
+    the active decoder cannot parse, keep the byte-level features."""
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         def features(mime: str, b: bytes) -> tuple[int, int]:
@@ -164,8 +166,6 @@ def resize_media(
     """
     if not (0 < scale_num <= scale_den):
         raise ValueError("scale must satisfy 0 < num <= den")
-    if real_decode:
-        _require_pil()
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         def pil_resize(b: bytes) -> bytes:
@@ -175,7 +175,7 @@ def resize_media(
             w = max(1, img.width * scale_num // scale_den)
             h = max(1, img.height * scale_num // scale_den)
             out = BytesIO()
-            img.resize((w, h)).save(out, format="PNG")
+            img.resize((w, h)).save(out, format=_OUT_FORMAT)
             return out.getvalue()
 
         for pdf in it:
@@ -194,7 +194,7 @@ def resize_media(
                 m = m or ""
                 if m.startswith("image/") and b:
                     try:
-                        return pil_resize(b), "image/png"
+                        return pil_resize(b), _OUT_MIME
                     except Exception:
                         pass  # undecodable image → byte-level downsample
                 return shrink(b), m
@@ -243,8 +243,6 @@ def sample_frames(
     """
     if frame_bytes <= 0 or every_nth <= 0:
         raise ValueError("frame_bytes and every_nth must be positive")
-    if real_decode:
-        _require_pil()
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         def pil_frames(payload: bytes) -> tuple[int, list[tuple[int, bytes, int]]]:
@@ -264,7 +262,7 @@ def sample_frames(
                 img.seek(fi)
                 frame = img.convert("L")
                 buf = BytesIO()
-                frame.save(buf, format="PNG")
+                frame.save(buf, format=_OUT_FORMAT)
                 out.append(
                     (fi, buf.getvalue(), sum(frame.getdata()) % 2147483647)
                 )

@@ -1,0 +1,132 @@
+"""End-to-end LLM-corpus curation pipeline (north-star composition).
+
+Chains the individually-tested curation operators the way a real
+100 TB training-data run uses them — one composed lazy plan per stage
+boundary, no driver materialization between stages:
+
+1. **Quality gate** — Gopher rules (Rae et al. 2021 table A1) as codegen
+   projections, no shuffle (``functions/text.py``).
+2. **Exact-substring scrub** — duplicated k-token spans removed from the
+   surviving documents (Lee et al. 2021; ``strip_duplicated_spans``).
+3. **Near-dup drop** — MinHash+LSH candidate pairs over the scrubbed
+   text; the larger id of each verified pair is dropped (keep-first) so
+   every near-dup cluster retains at least one member.
+4. **Mixture sampling** — Pile/DoReMi-style source rebalancing to integer
+   target weights (``mixture_sample``; shuffle-free threshold filter).
+5. **Sequence packing** — GPT-style pack assignment over the final
+   corpus's token counts (``pack_sequences``; one hash shuffle).
+
+Scale shape: stages 1/4 are narrow projections/filters; stage 2 is the
+one-count-shuffle span pipeline; stage 3 is banded LSH (never all-pairs);
+stage 5 is one hash shuffle + per-bucket window.  Nothing collects rows
+to the driver except stage 4's bounded per-stratum counts.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from restructure_hdfs_topic_spark.functions.text import (
+    gopher_metrics,
+    gopher_passes,
+    token_count,
+)
+from restructure_hdfs_topic_spark.operators.dedup import (
+    lsh_near_dup_pairs,
+    strip_duplicated_spans,
+)
+from restructure_hdfs_topic_spark.operators.packing import pack_sequences
+from restructure_hdfs_topic_spark.operators.sampling import mixture_sample
+
+
+def curate_corpus(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    strata_col: str = "source",
+    mixture_weights: dict[str, int] | None = None,
+    span_k: int = 8,
+    jaccard_threshold: float = 0.5,
+    pack_budget: int = 2048,
+) -> DataFrame:
+    """The full curation chain as ONE composed DataFrame.
+
+    Returns one row per surviving document:
+    ``(id, strata, n_tokens, bucket, start_off, pack_id, n_packs_spanned)``
+    — the manifest a training loader consumes (which pack, at which token
+    offset, each document landed in).
+    """
+    # 1. Gopher quality gate (keep original columns; metrics are transient).
+    metrics = gopher_metrics(F.col(text_col))
+    gated = (
+        docs.select(*docs.columns, *[c.alias(n) for n, c in metrics])
+        .filter(gopher_passes(*[F.col(n) for n, _ in metrics]))
+        .select(*docs.columns)
+    )
+
+    # 2. Exact-substring span scrub over the gated survivors.
+    scrubbed = strip_duplicated_spans(gated, id_col, text_col, k=span_k)
+
+    # 3. Near-dup drop: for each verified pair (id_a < id_b) drop id_b —
+    # keep-first guarantees one survivor per duplicate cluster.  The drop
+    # list is a DISTINCT id set (metadata-scale), anti-joined broadcast.
+    pairs = lsh_near_dup_pairs(
+        scrubbed, id_col, text_col, threshold=jaccard_threshold
+    )
+    losers = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    deduped = scrubbed.join(F.broadcast(losers), on=id_col, how="left_anti")
+
+    # 4. Domain-mixture rebalance (optional — identity when no weights).
+    if mixture_weights:
+        mixed = mixture_sample(deduped, id_col, strata_col, mixture_weights)
+    else:
+        mixed = deduped
+
+    # 5. Pack assignment over post-scrub token counts.
+    counted = mixed.select(
+        id_col, strata_col, token_count(F.col(text_col)).alias("n_tokens")
+    )
+    packed = pack_sequences(counted, id_col=id_col, n_tokens_col="n_tokens",
+                            budget=pack_budget)
+    return packed.join(
+        counted.select(id_col, strata_col), on=id_col, how="inner"
+    ).select(
+        id_col, strata_col, "n_tokens", "bucket", "start_off", "pack_id",
+        "n_packs_spanned",
+    )
+
+
+def curation_stage_counts(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    strata_col: str = "source",
+    mixture_weights: dict[str, int] | None = None,
+    span_k: int = 8,
+    jaccard_threshold: float = 0.5,
+) -> dict[str, int]:
+    """Per-stage survivor counts (monitoring/attrition report) — each stage
+    evaluated once; used by the e2e test to assert monotone attrition."""
+    metrics = gopher_metrics(F.col(text_col))
+    gated = (
+        docs.select(*docs.columns, *[c.alias(n) for n, c in metrics])
+        .filter(gopher_passes(*[F.col(n) for n, _ in metrics]))
+        .select(*docs.columns)
+    )
+    scrubbed = strip_duplicated_spans(gated, id_col, text_col, k=span_k)
+    pairs = lsh_near_dup_pairs(
+        scrubbed, id_col, text_col, threshold=jaccard_threshold
+    )
+    losers = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    deduped = scrubbed.join(F.broadcast(losers), on=id_col, how="left_anti")
+    out = {
+        "input": docs.count(),
+        "after_quality_gate": gated.count(),
+        "after_near_dup_drop": deduped.count(),
+    }
+    if mixture_weights:
+        out["after_mixture_sample"] = mixture_sample(
+            deduped, id_col, strata_col, mixture_weights
+        ).count()
+    return out

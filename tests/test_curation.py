@@ -1,0 +1,91 @@
+"""End-to-end curation pipeline (VERDICT r5 #6): gopher gate →
+substring-span scrub → minhash near-dup drop → mixture sample → sequence
+packing composed as ONE plan over the sf0.1 documents table, with
+attrition and partitioning-independence assertions."""
+
+import os
+import sys
+
+import pytest
+
+sys.path.insert(0, "/root/repo")
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(SF_DIR), reason=f"testdata {SF_DIR} missing"
+)
+
+WEIGHTS = {"src0": 3, "src1": 2, "src2": 1}
+
+
+def _docs(spark):
+    from restructure_hdfs_topic_spark.sources.tables import configure, load_table
+
+    configure(spark)
+    return load_table(spark, SF_DIR, "documents")
+
+
+def _digest(df):
+    """Order-insensitive distributed digest (same shape as scale_check's):
+    sum of per-row xxhash64 over stringified columns + row count."""
+    from pyspark.sql import functions as F
+
+    cols = [F.col(f.name).cast("string") for f in df.schema.fields]
+    agg = df.select(
+        F.sum(F.xxhash64(*cols).cast("decimal(38,0)")).alias("d"),
+        F.count(F.lit(1)).alias("n"),
+    ).collect()[0]
+    return (str(agg["d"]), agg["n"])
+
+
+def test_curation_pipeline_attrition_and_packing(spark):
+    from restructure_hdfs_topic_spark.plans.curation import (
+        curate_corpus,
+        curation_stage_counts,
+    )
+
+    docs = _docs(spark)
+    counts = curation_stage_counts(docs, mixture_weights=WEIGHTS)
+    # Monotone attrition, nothing degenerate (the synthetic corpus has
+    # both passing docs and planted near-dups).
+    assert counts["input"] > 0
+    assert 0 < counts["after_quality_gate"] <= counts["input"]
+    assert 0 < counts["after_near_dup_drop"] <= counts["after_quality_gate"]
+    assert 0 < counts["after_mixture_sample"] <= counts["after_near_dup_drop"]
+
+    manifest = curate_corpus(docs, mixture_weights=WEIGHTS)
+    rows = manifest.collect()
+    assert len(rows) == counts["after_mixture_sample"]
+    # Only weighted strata survive the mixture stage.
+    assert {r["source"] for r in rows} <= set(WEIGHTS)
+    # Pack invariants: offsets non-negative, pack ids consistent with
+    # bucket (pack_id div 2^31 == bucket), spans cover the token count.
+    budget = 2048
+    for r in rows:
+        assert r["start_off"] >= 0 and r["n_tokens"] >= 0
+        assert r["pack_id"] // 2**31 == r["bucket"]
+        first = r["start_off"] // budget
+        last = (r["start_off"] + max(r["n_tokens"], 1) - 1) // budget
+        assert r["n_packs_spanned"] == last - first + 1
+    # Within each bucket, documents tile the token stream contiguously.
+    by_bucket: dict = {}
+    for r in rows:
+        by_bucket.setdefault(r["bucket"], []).append(r)
+    for members in by_bucket.values():
+        members.sort(key=lambda r: r["start_off"])
+        off = 0
+        for r in members:
+            assert r["start_off"] == off
+            off += r["n_tokens"]
+
+
+def test_curation_pipeline_partitioning_independent(spark):
+    from restructure_hdfs_topic_spark.plans.curation import curate_corpus
+
+    docs = _docs(spark)
+    a = _digest(curate_corpus(docs, mixture_weights=WEIGHTS))
+    b = _digest(
+        curate_corpus(docs.repartition(7), mixture_weights=WEIGHTS)
+    )
+    assert a == b and a[1] > 0

@@ -81,52 +81,115 @@ def test_multimodal_partitioning_independence(spark):
     assert a == b and a
 
 
-def test_real_decode_raises_without_pil(spark):
-    from restructure_hdfs_topic_spark.operators.multimodal import HAS_PIL
-
-    if HAS_PIL:
-        pytest.skip("pillow installed — the real decode path is live")
-    # Driver-side fail-fast (no Spark job launched for a doomed plan).
-    with pytest.raises(NotImplementedError, match="pillow"):
-        decode_media(_media(spark), real_decode=True)
-    with pytest.raises(NotImplementedError, match="pillow"):
-        resize_media(_media(spark), real_decode=True)
-    with pytest.raises(NotImplementedError, match="pillow"):
-        sample_frames(_media(spark), real_decode=True)
+def _pgm(color, w=8, h=8):
+    """Uniform 8-bit grayscale PGM — decodable by pillow AND the builtin
+    codec, so these tests run (not skip) in any environment."""
+    return b"P5\n%d %d\n255\n" % (w, h) + bytes([color]) * (w * h)
 
 
-def test_real_decode_with_pil(spark):
-    """Exercised only where pillow exists (skips cleanly otherwise): real
-    image decode fills the same schema slots the stub stands in for."""
-    pytest.importorskip("PIL")
-    from io import BytesIO
+def _bmp24(w=4, h=4):
+    """Uncompressed 24-bit BMP with a distinct top-left pixel (255,255,255),
+    all others (0,0,0) — pins row order (bottom-up raster) in the decoder."""
+    import struct
 
-    from PIL import Image
+    stride = (w * 3 + 3) & ~3
+    raster = bytearray(stride * h)
+    # BMP rows are bottom-up: top-left pixel lives in the LAST stored row.
+    top_row_off = (h - 1) * stride
+    raster[top_row_off : top_row_off + 3] = b"\xff\xff\xff"
+    header = struct.pack("<2sIHHI", b"BM", 54 + len(raster), 0, 0, 54)
+    dib = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(raster), 0, 0, 0, 0)
+    return bytes(header + dib + raster)
 
+
+def test_real_decode_image_features(spark):
+    """real_decode=True decodes image payloads with whichever decoder is
+    available (pillow or the builtin BMP/PGM/PPM codec) — identical
+    grayscale features either way (same ITU-R 601-2 integer formula)."""
     from pyspark.sql import functions as F
 
-    def png(color):
-        img = Image.new("L", (8, 8), color)
-        buf = BytesIO()
-        img.save(buf, format="PNG")
-        return buf.getvalue()
-
-    rows = [(1, png(0)), (2, png(200))]
+    rows = [(1, _pgm(0)), (2, _pgm(200)), (3, _bmp24())]
     media = spark.createDataFrame(rows, "media_id long, payload binary").select(
         "media_id",
         "payload",
-        F.lit("image/png").alias("mime"),
+        F.lit("image/x-test").alias("mime"),
         F.octet_length("payload").cast("long").alias("n_bytes"),
     )
     feats = {r["media_id"]: r for r in decode_media(media, real_decode=True).collect()}
     assert feats[1]["first_byte"] == 0 and feats[1]["checksum"] == 0
     assert feats[2]["first_byte"] == 200
     assert feats[2]["checksum"] == (200 * 64) % 2147483647
+    # BMP: first getdata() pixel is the TOP-left; L(255,255,255) = 255.
+    assert feats[3]["first_byte"] == 255
+    assert feats[3]["checksum"] == 255
 
-    resized = {r["media_id"]: r for r in resize_media(media, 1, 2, real_decode=True).collect()}
-    out = Image.open(BytesIO(bytes(resized[2]["payload"])))
-    assert out.size == (4, 4)
+
+def test_real_decode_resize_and_frames(spark):
+    """Resize halves the decoded dimensions and transcodes (mime follows
+    the bytes); frame sampling emits one row per sampled frame."""
+    from io import BytesIO
+
+    from pyspark.sql import functions as F
+
+    from restructure_hdfs_topic_spark.operators import multimodal as mm
+
+    rows = [(1, _pgm(50)), (2, _pgm(200))]
+    media = spark.createDataFrame(rows, "media_id long, payload binary").select(
+        "media_id",
+        "payload",
+        F.lit("image/x-test").alias("mime"),
+        F.octet_length("payload").cast("long").alias("n_bytes"),
+    )
+    resized = {
+        r["media_id"]: r
+        for r in resize_media(media, 1, 2, real_decode=True).collect()
+    }
+    assert resized[2]["mime"] == mm._OUT_MIME
+    payload = bytes(resized[2]["payload"])
+    if payload[:2] in (b"P5", b"P6"):
+        from restructure_hdfs_topic_spark.operators import imagecodec
+
+        out = imagecodec.open(payload)
+    else:  # PNG ⇒ pillow wrote it ⇒ pillow is importable
+        from PIL import Image
+
+        out = Image.open(BytesIO(payload))
+    assert (out.width, out.height) == (4, 4)
 
     frames = sample_frames(media, real_decode=True).collect()
     assert {(r["media_id"], r["frame_index"]) for r in frames} == {(1, 0), (2, 0)}
     assert all(r["n_frames"] == 1 for r in frames)
+    f2 = next(r for r in frames if r["media_id"] == 2)
+    assert f2["checksum"] == (200 * 64) % 2147483647
+
+
+def test_builtin_codec_multiframe_and_unsupported():
+    """The builtin codec directly: concatenated netpbm documents are
+    frames; unsupported formats raise (⇒ the kernels degrade per-record)."""
+    import pytest as _pytest
+
+    from restructure_hdfs_topic_spark.operators import imagecodec
+
+    anim = _pgm(10) + _pgm(20) + _pgm(30)
+    img = imagecodec.open(anim)
+    assert img.n_frames == 3
+    img.seek(2)
+    assert img.getdata()[0] == 30
+    img.seek(0)
+    assert img.convert("L").getdata()[0] == 10
+    with _pytest.raises(EOFError):
+        img.seek(3)
+    with _pytest.raises(ValueError):
+        imagecodec.open(b"\x89PNG\r\n\x1a\nnot-actually-png")
+    # Resize: nearest-neighbor keeps uniform images uniform.
+    small = imagecodec.open(_pgm(77, 8, 8)).resize((3, 5))
+    assert (small.width, small.height) == (3, 5)
+    assert set(small.getdata()) == {77}
+    # RGB roundtrip through save().
+    from io import BytesIO
+
+    rgb = imagecodec.open(_bmp24())
+    buf = BytesIO()
+    rgb.save(buf, format="PPM")
+    again = imagecodec.open(buf.getvalue())
+    assert again.mode == "RGB" and again.getdata()[0] == (255, 255, 255)
