@@ -372,6 +372,13 @@ def ivf_ann_topk(
     quant = embeddings.select(
         F.col(id_col).alias("id"), _quantize(F.col(vec_col)).alias("vec")
     )
+    # The quantized corpus feeds 2+lloyd_iters separate jobs (seed-pool
+    # collect, each Lloyd pass, the fused assignment).  Persist it once
+    # (MEMORY_AND_DISK: spills instead of OOMing at n×dim×8 bytes) so the
+    # parquet scan + quantization projection run once, not per pass.
+    from pyspark import StorageLevel
+
+    quant = quant.persist(StorageLevel.MEMORY_AND_DISK)
     # One hash-selected collect serves both the centroid seeds (lowest
     # n_centroids hashes) and the calibration sample — order-independent,
     # and O(max(C, sample) × dim) driver bytes regardless of corpus size.
@@ -406,6 +413,7 @@ def ivf_ann_topk(
         # hyperplane-LSH path, which reaches the same target at
         # near-constant bucket work on exactly these unclustered corpora.
         # Callers wanting pure IVF regardless pass nprobe explicitly.
+        quant.unpersist()
         return lsh_ann_topk(embeddings, k=k, id_col=id_col, vec_col=vec_col)
 
     def _affinity(cents: np.ndarray):
