@@ -899,6 +899,27 @@ def q_ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental corpus dedup: filter a new crawl batch (doc_id%10<4)
+    against the fingerprint state of the already-ingested corpus (the
+    rest) — one 8-byte hash anti-join + in-batch keep-first on the same
+    exchange, the shape a growing 100 TB corpus runs per increment.
+    DuckDB cross-check + ingest-protocol tests in
+    tests/test_incremental.py (bench/extras surface)."""
+    from restructure_hdfs_topic_spark.operators.incremental import (
+        document_fingerprints,
+        filter_novel_documents,
+    )
+
+    _conf(spark)
+    docs = _t(spark, sf_dir, "documents")
+    seen = docs.filter(F.col("doc_id") % 10 >= 4)
+    batch = docs.filter(F.col("doc_id") % 10 < 4)
+    return filter_novel_documents(batch, document_fingerprints(seen)).select(
+        "doc_id", "source"
+    )
+
+
 def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full curation chain composed as ONE plan (VERDICT r5 #6): gopher
     quality gate → exact-substring span scrub → minhash near-dup drop →
@@ -1281,6 +1302,9 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # Composed end-to-end curation chain (gate → scrub → near-dup drop
         # → mixture → packing); e2e-tested in tests/test_curation.py.
         "curation_pipeline": q_curation_pipeline,
+        # Incremental (cross-batch) corpus dedup; DuckDB cross-check +
+        # ingest-protocol tests in tests/test_incremental.py.
+        "incremental_dedup": q_incremental_dedup,
     }
 
 

@@ -58,6 +58,7 @@ BENCH_QUERIES = [
     "sequence_packing",
     "lm_perplexity",
     "curation_pipeline",
+    "incremental_dedup",
     "simhash",
     "simhash_near_dup",
     "near_dup_groups",

@@ -1,0 +1,149 @@
+"""Incremental corpus dedup: novelty filter semantics (DuckDB
+cross-check), commit-after-store ingest protocol, idempotent reruns,
+state round-trips, partitioning independence."""
+
+import sys
+
+import pytest
+
+sys.path.insert(0, "/root/repo")
+
+from restructure_hdfs_topic_spark.operators.incremental import (
+    commit_fingerprints,
+    document_fingerprints,
+    filter_novel_documents,
+    ingest_batch,
+    read_fingerprints,
+)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_filter_novel_semantics(spark):
+    """Keep-first within the batch; drop anything the state already
+    fingerprints; pass original columns through."""
+    corpus = _docs(spark, [(1, "alpha"), (2, "beta")])
+    state = document_fingerprints(corpus)
+    batch = _docs(
+        spark,
+        [
+            (10, "alpha"),   # dup of corpus -> dropped
+            (11, "gamma"),   # novel
+            (12, "gamma"),   # in-batch dup -> dropped (11 wins)
+            (13, "delta"),   # novel
+        ],
+    )
+    got = sorted(r["doc_id"] for r in filter_novel_documents(batch, state).collect())
+    assert got == [11, 13]
+
+
+def test_filter_novel_duckdb_cross_check(spark):
+    """Over the real documents table: fingerprint novelty == DuckDB's
+    text-level anti-join + keep-min evaluation of the same split."""
+    import duckdb
+
+    from restructure_hdfs_topic_spark.sources.tables import configure, load_table
+
+    sf_dir = "/root/testdata/sf0.01"
+    configure(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    from pyspark.sql import functions as F
+
+    seen = docs.filter(F.col("doc_id") % 10 >= 4)
+    batch = docs.filter(F.col("doc_id") % 10 < 4)
+    got = sorted(
+        r["doc_id"]
+        for r in filter_novel_documents(
+            batch, document_fingerprints(seen)
+        ).collect()
+    )
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{sf_dir}/documents.parquet')"
+    )
+    want = [
+        r[0]
+        for r in con.execute(
+            """
+            WITH seen AS (SELECT text FROM documents WHERE doc_id % 10 >= 4),
+                 batch AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 < 4)
+            SELECT doc_id FROM batch b
+            WHERE NOT EXISTS (SELECT 1 FROM seen s WHERE s.text = b.text)
+              AND doc_id = (SELECT min(doc_id) FROM batch b2 WHERE b2.text = b.text)
+            ORDER BY doc_id
+            """
+        ).fetchall()
+    ]
+    assert got == want and got
+
+
+def test_state_roundtrip_and_merge(spark, tmp_path):
+    state_dir = str(tmp_path / "fps")
+    assert read_fingerprints(spark, state_dir).count() == 0
+    commit_fingerprints(
+        spark, state_dir, document_fingerprints(_docs(spark, [(1, "a"), (2, "b")]))
+    )
+    assert read_fingerprints(spark, state_dir).count() == 2
+    # Merge is union-distinct: overlapping recommit adds only the new one.
+    commit_fingerprints(
+        spark, state_dir, document_fingerprints(_docs(spark, [(3, "b"), (4, "c")]))
+    )
+    assert read_fingerprints(spark, state_dir).count() == 3
+
+
+def test_ingest_batch_commit_after_store_and_idempotent(spark, tmp_path):
+    state_dir = str(tmp_path / "fps")
+    written: list[list] = []
+
+    def write(df):
+        written.append(sorted(r["doc_id"] for r in df.collect()))
+
+    b1 = _docs(spark, [(1, "a"), (2, "b"), (3, "a")])
+    stats = ingest_batch(spark, state_dir, b1, write)
+    assert stats == {"batch_rows": 3, "accepted_rows": 2}
+    assert written[-1] == [1, 2]
+
+    # Re-offering the same batch (crash-before-commit replay) is a no-op.
+    stats = ingest_batch(spark, state_dir, b1, write)
+    assert stats["accepted_rows"] == 0 and written[-1] == []
+
+    # Next increment: only genuinely new content survives.
+    b2 = _docs(spark, [(10, "b"), (11, "c")])
+    stats = ingest_batch(spark, state_dir, b2, write)
+    assert stats["accepted_rows"] == 1 and written[-1] == [11]
+    assert read_fingerprints(spark, state_dir).count() == 3
+
+    # A write failure leaves the state uncommitted -> batch re-offers.
+    b3 = _docs(spark, [(20, "d")])
+    with pytest.raises(RuntimeError, match="sink down"):
+        ingest_batch(
+            spark, state_dir, b3, lambda df: (_ for _ in ()).throw(RuntimeError("sink down"))
+        )
+    assert read_fingerprints(spark, state_dir).count() == 3
+    stats = ingest_batch(spark, state_dir, b3, write)
+    assert stats["accepted_rows"] == 1
+
+
+def test_filter_novel_partitioning_independent(spark):
+    from pyspark.sql import functions as F
+
+    from restructure_hdfs_topic_spark.sources.tables import configure, load_table
+
+    configure(spark)
+    docs = load_table(spark, "/root/testdata/sf0.01", "documents")
+    seen = docs.filter(F.col("doc_id") % 10 >= 4)
+    batch = docs.filter(F.col("doc_id") % 10 < 4)
+    a = sorted(
+        r["doc_id"]
+        for r in filter_novel_documents(batch, document_fingerprints(seen)).collect()
+    )
+    b = sorted(
+        r["doc_id"]
+        for r in filter_novel_documents(
+            batch.repartition(7), document_fingerprints(seen.repartition(3))
+        ).collect()
+    )
+    assert a == b and a

@@ -531,6 +531,7 @@ def test_query_registry_consistency():
         "approx_quantiles",
         "mixture_sample",
         "curation_pipeline",
+        "incremental_dedup",
     }
     assert extra.isdisjoint(q), "bench-only queries must stay unregistered"
 
