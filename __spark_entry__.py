@@ -899,6 +899,21 @@ def q_ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_lm_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated bigram cross-entropy per document (Jelinek-Mercer
+    smoothed, <s> sentinel context) — the next step up the CCNet ladder
+    from the unigram lm_perplexity.  Pair stream built JVM-side via
+    shifted-array zip_with (no positional self-join), one explode, three
+    partial-aggregated count shuffles.  DuckDB cross-check in
+    tests/test_lm_bigram.py (bench/extras surface)."""
+    from restructure_hdfs_topic_spark.functions.text import tokens
+    from restructure_hdfs_topic_spark.operators.lm import lm_bigram_cross_entropy
+
+    _conf(spark)
+    docs = _t(spark, sf_dir, "documents")
+    return lm_bigram_cross_entropy(docs, tokens(F.col("text")), id_col="doc_id")
+
+
 def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental corpus dedup: filter a new crawl batch (doc_id%10<4)
     against the fingerprint state of the already-ingested corpus (the
@@ -1305,6 +1320,9 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # Incremental (cross-batch) corpus dedup; DuckDB cross-check +
         # ingest-protocol tests in tests/test_incremental.py.
         "incremental_dedup": q_incremental_dedup,
+        # Interpolated bigram LM scoring; DuckDB cross-check in
+        # tests/test_lm_bigram.py.
+        "lm_bigram": q_lm_bigram,
     }
 
 

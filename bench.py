@@ -59,6 +59,7 @@ BENCH_QUERIES = [
     "lm_perplexity",
     "curation_pipeline",
     "incremental_dedup",
+    "lm_bigram",
     "simhash",
     "simhash_near_dup",
     "near_dup_groups",

@@ -76,3 +76,71 @@ def lm_cross_entropy(
             F.round(-F.avg("logp"), round_digits).alias("bits_per_token"),
         )
     )
+
+
+BOS = "<s>"
+
+
+def lm_bigram_cross_entropy(
+    docs: DataFrame,
+    tokens_expr: Column,
+    id_col: str = "doc_id",
+    lam: float = 0.7,
+    round_digits: int = 4,
+) -> DataFrame:
+    """Interpolated BIGRAM cross-entropy per document: ``(id, n_tokens,
+    bits_per_token)`` under
+
+        p(t_i | t_{i-1}) = lam * cnt(t_{i-1}, t_i) / cnt_left(t_{i-1})
+                         + (1 - lam) * p_unigram(t_i)
+
+    with a ``<s>`` sentinel as every document's first left context — the
+    next step up the CCNet ladder from ``lm_cross_entropy`` (Wenzek et
+    al. 2020 score with a KenLM n-gram model; the interpolation makes
+    unseen bigrams fall back to the unigram floor instead of -inf, the
+    textbook Jelinek-Mercer smoothing).
+
+    Plan shape: the (prev, cur) pair stream is built JVM-side from the
+    token array (shifted-array ``zip_with`` — no positional self-join)
+    and exploded ONCE; three aggregations over it (bigram counts, left-
+    context counts, unigram counts) are ordinary partial-aggregated
+    shuffles; scoring is joins on the pair stream.  Unlike the unigram
+    vocabulary the bigram table is NOT force-broadcast — it grows with
+    corpus diversity, so the join side is left to Catalyst/AQE (shuffle
+    join at 100 TB, broadcast while small).
+    """
+    toks = tokens_expr
+    prevs = F.concat(
+        F.array(F.lit(BOS)),
+        F.slice(toks, 1, F.greatest(F.size(toks) - 1, F.lit(0))),
+    )
+    pairs = F.zip_with(
+        prevs,
+        toks,
+        lambda p, c: F.struct(p.alias("prev"), c.alias("cur")),
+    )
+    bi = (
+        docs.select(F.col(id_col), F.explode(pairs).alias("pc"))
+        .select(F.col(id_col), F.col("pc.prev").alias("prev"), F.col("pc.cur").alias("cur"))
+        # zip_with pads the longer side with NULL: an empty document
+        # contributes a (<s>, NULL) pair — not a token, drop it.
+        .filter(F.col("cur").isNotNull())
+    )
+    bi_counts = bi.groupBy("prev", "cur").agg(F.count(F.lit(1)).alias("cnt_bi"))
+    left_counts = bi.groupBy("prev").agg(F.count(F.lit(1)).alias("cnt_left"))
+    uni_counts = bi.groupBy("cur").agg(F.count(F.lit(1)).alias("cnt_uni"))
+    total = bi.agg(F.count(F.lit(1)).alias("__total"))
+    p_bi = F.col("cnt_bi") / F.col("cnt_left")
+    p_uni = F.col("cnt_uni") / F.col("__total")
+    p = F.lit(lam) * p_bi + F.lit(1.0 - lam) * p_uni
+    return (
+        bi.join(bi_counts, ["prev", "cur"])
+        .join(left_counts, "prev")
+        .join(uni_counts, "cur")
+        .crossJoin(F.broadcast(total))
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(-F.avg(F.log2(p)), round_digits).alias("bits_per_token"),
+        )
+    )

@@ -76,6 +76,10 @@ CONSISTENCY_QUERIES = [
     # r5: mixture rebalancing is exact-deterministic (integer thresholds)
     # — digests must match across partitionings at sf1.
     "mixture_sample",
+    # r6: the composed curation chain and the cross-batch incremental
+    # dedup must be partitioning-independent end-to-end at sf1.
+    "curation_pipeline",
+    "incremental_dedup",
 ]
 
 

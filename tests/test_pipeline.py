@@ -532,6 +532,7 @@ def test_query_registry_consistency():
         "mixture_sample",
         "curation_pipeline",
         "incremental_dedup",
+        "lm_bigram",
     }
     assert extra.isdisjoint(q), "bench-only queries must stay unregistered"
 
