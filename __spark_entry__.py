@@ -899,6 +899,19 @@ def q_ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4/CCNet-style text canonicalization before fingerprinting:
+    control/zero-width strip, quote/dash unification, whitespace squeeze,
+    full trim — one JVM regexp/translate chain, codegen, no shuffle.
+    DuckDB cross-check in tests/test_text_normalize.py (bench/extras
+    surface)."""
+    from restructure_hdfs_topic_spark.functions.text import normalize_text
+
+    _conf(spark)
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", normalize_text(F.col("text")).alias("norm_text"))
+
+
 def q_lm_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Interpolated bigram cross-entropy per document (Jelinek-Mercer
     smoothed, <s> sentinel context) — the next step up the CCNet ladder
@@ -1323,6 +1336,9 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # Interpolated bigram LM scoring; DuckDB cross-check in
         # tests/test_lm_bigram.py.
         "lm_bigram": q_lm_bigram,
+        # Pre-dedup text canonicalization; DuckDB cross-check in
+        # tests/test_text_normalize.py.
+        "text_normalize": q_text_normalize,
     }
 
 

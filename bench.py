@@ -60,6 +60,7 @@ BENCH_QUERIES = [
     "curation_pipeline",
     "incremental_dedup",
     "lm_bigram",
+    "text_normalize",
     "simhash",
     "simhash_near_dup",
     "near_dup_groups",

@@ -365,3 +365,71 @@ def gopher_passes(
         & (alpha_word_ratio >= 0.8)
         & (n_stopword_kinds >= 2)
     )
+
+
+# --- Text normalization (C4/CCNet-style pre-dedup canonicalization) -------
+
+def normalize_text(text: Column) -> Column:
+    """Canonicalize text before fingerprinting/dedup — the C4/CCNet-style
+    cleanup that stops trivially-different encodings of the same content
+    from defeating exact dedup:
+
+    - strip C0/C1 control characters (except \\t \\n) and zero-width/
+      BOM code points (ZWSP/ZWNJ/ZWJ/FEFF);
+    - unify curly quotes and long dashes to their ASCII forms;
+    - squeeze horizontal whitespace runs to one space, trim line edges,
+      collapse 3+ newlines to 2 (paragraph break), trim the document.
+
+    Pure JVM expression chain (regexp_replace + translate — codegen, no
+    shuffle, no Python).  Unicode NFC composition is the one step Spark
+    SQL cannot express; `nfc_normalize_text` adds it via an Arrow batch.
+    """
+    t = F.regexp_replace(text, "[\\x00-\\x08\\x0B-\\x1F\\x7F\\u0080-\\u009F\\u200B\\u200C\\u200D\\uFEFF]", "")
+    t = F.translate(t, "‘’“”–—", "''\"\"--")
+    t = F.regexp_replace(t, "[ \\t]+", " ")
+    t = F.regexp_replace(t, " ?\\n ?", "\n")
+    t = F.regexp_replace(t, "\\n{3,}", "\n\n")
+    # Full whitespace trim (F.trim strips only spaces, not newlines).
+    return F.regexp_replace(t, "^\\s+|\\s+$", "")
+
+
+def nfc_normalize_text(text: Column) -> Column:
+    """Unicode NFC composition (é as one code point, not e+◌́) — the only
+    normalization step with no Spark SQL builtin, so it crosses to Python
+    ONCE as an Arrow-batched series op (`unicodedata` is stdlib; ~GB/s,
+    no per-row interpreter work beyond the C call)."""
+    from pyspark.sql.functions import PandasUDFType
+
+    # No type hints on the kernel: `from __future__ import annotations`
+    # stringifies them and PySpark's hint parser cannot resolve a local
+    # `pd` — the explicit SCALAR form sidesteps inference entirely.
+    @F.pandas_udf("string", PandasUDFType.SCALAR)
+    def _nfc(s):
+        import unicodedata
+
+        return s.map(
+            lambda v: unicodedata.normalize("NFC", v) if v is not None else None
+        )
+
+    return _nfc(text)
+
+
+_URL_RE = r"https?://[\w\.\-]+(?::\d+)?(?:/[^\s]*)?"
+
+
+def extract_url_domains(text: Column) -> Column:
+    """array<string> of the registrable-ish domains (host, lowercased,
+    port/path stripped, leading www. removed) of every http(s) URL in the
+    text — the key for domain-based corpus filtering/blocklists.  JVM
+    regexp_extract_all + transform, no Python, no shuffle."""
+    urls = F.regexp_extract_all(text, F.lit(f"({_URL_RE})"), 1)
+    return F.transform(
+        urls,
+        lambda u: F.regexp_replace(
+            F.lower(
+                F.regexp_extract(u, r"https?://([\w\.\-]+)", 1)
+            ),
+            r"^www\.",
+            "",
+        ),
+    )

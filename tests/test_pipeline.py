@@ -533,6 +533,7 @@ def test_query_registry_consistency():
         "curation_pipeline",
         "incremental_dedup",
         "lm_bigram",
+        "text_normalize",
     }
     assert extra.isdisjoint(q), "bench-only queries must stay unregistered"
 

@@ -1,0 +1,114 @@
+"""Text normalization + URL domain extraction: hand-built fixtures,
+NFC behavior, DuckDB cross-check of the JVM normalization chain."""
+
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+from pyspark.sql import functions as F
+
+from restructure_hdfs_topic_spark.functions.text import (
+    extract_url_domains,
+    nfc_normalize_text,
+    normalize_text,
+)
+
+
+def _norm(spark, raw: str) -> str:
+    df = spark.createDataFrame([(raw,)], "text string")
+    return df.select(normalize_text(F.col("text")).alias("t")).collect()[0]["t"]
+
+
+def test_normalize_controls_quotes_whitespace(spark):
+    assert _norm(spark, "a\x00b\x1fc​d") == "abcd"
+    assert _norm(spark, "“q” ‘x’ – —") == "\"q\" 'x' - -"
+    assert _norm(spark, "a\t\t b   c") == "a b c"
+    assert _norm(spark, "line1   \n   line2") == "line1\nline2"
+    assert _norm(spark, "p1\n\n\n\n\np2") == "p1\n\np2"
+    assert _norm(spark, "  \n\n hello \n ") == "hello"
+    # Tabs and newlines inside text survive as structure, NULs never.
+    assert _norm(spark, "keep\nnewline") == "keep\nnewline"
+
+
+def test_normalize_idempotent_and_dedup_enabling(spark):
+    """Normalizing twice is a fixpoint, and two trivially-different
+    encodings of the same content collide after normalization (the whole
+    point: exact dedup catches them)."""
+    a = "The  quick​ “brown”  fox\n\n\n\njumps"
+    b = 'The quick "brown" fox\n\njumps'
+    na, nb = _norm(spark, a), _norm(spark, b)
+    assert na == nb
+    assert _norm(spark, na) == na
+
+
+def test_nfc_normalization(spark):
+    decomposed = "Café"  # e + combining acute
+    composed = "Café"
+    df = spark.createDataFrame([(1, decomposed), (2, composed), (3, None)],
+                               "id long, text string")
+    out = {r["id"]: r["t"] for r in df.select("id", nfc_normalize_text(F.col("text")).alias("t")).collect()}
+    assert out[1] == composed == out[2]
+    assert out[3] is None
+
+
+def test_extract_url_domains(spark):
+    rows = [
+        (1, "see https://www.Example.COM/path?q=1 and http://sub.site.org:8080/x"),
+        (2, "no urls here"),
+        (3, "dup https://a.io/1 https://a.io/2"),
+        (4, None),
+    ]
+    df = spark.createDataFrame(rows, "id long, text string")
+    out = {
+        r["id"]: r["d"]
+        for r in df.select(
+            "id", extract_url_domains(F.col("text")).alias("d")
+        ).collect()
+    }
+    assert out[1] == ["example.com", "sub.site.org"]
+    assert out[2] == []
+    assert out[3] == ["a.io", "a.io"]
+    assert out[4] is None or out[4] == []
+
+
+def test_normalize_duckdb_cross_check(spark):
+    """The full JVM chain reproduces in DuckDB over the real documents
+    table (same regex semantics both engines)."""
+    import duckdb
+
+    from restructure_hdfs_topic_spark.sources.tables import configure, load_table
+
+    sf_dir = "/root/testdata/sf0.01"
+    configure(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    got = {
+        r["doc_id"]: r["norm_text"]
+        for r in docs.select(
+            "doc_id", normalize_text(F.col("text")).alias("norm_text")
+        ).collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{sf_dir}/documents.parquet')"
+    )
+    rows = con.execute(
+        r"""
+        SELECT doc_id,
+          regexp_replace(
+            regexp_replace(
+              regexp_replace(
+                regexp_replace(
+                  translate(
+                    regexp_replace(text,
+                      '[\x00-\x08\x0B-\x1F\x7F]|[\x{0080}-\x{009F}]|[\x{200B}-\x{200D}]|\x{FEFF}',
+                      '', 'g'),
+                    '‘’“”–—', '''''""--'),
+                  '[ \t]+', ' ', 'g'),
+                ' ?\n ?', '\n', 'g'),
+              '\n{3,}', '\n\n', 'g'),
+            '^\s+|\s+$', '', 'g') AS norm_text
+        FROM documents
+        """
+    ).fetchall()
+    want = {r[0]: r[1] for r in rows}
+    assert got == want
