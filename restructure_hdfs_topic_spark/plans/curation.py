@@ -65,8 +65,16 @@ def curate_corpus(
         .select(*docs.columns)
     )
 
-    # 2. Exact-substring span scrub over the gated survivors.
-    scrubbed = strip_duplicated_spans(gated, id_col, text_col, k=span_k)
+    # 2. Exact-substring span scrub over the gated survivors.  Persisted:
+    # stages 3a (LSH pair generation) and 3b (the anti-join) BOTH consume
+    # the scrubbed corpus, and the scrub itself is a two-shuffle pipeline
+    # — MEMORY_AND_DISK trades one cache write for a full recompute (and
+    # spills instead of OOMing at corpus scale).
+    from pyspark import StorageLevel
+
+    scrubbed = strip_duplicated_spans(gated, id_col, text_col, k=span_k).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
 
     # 3. Near-dup drop: for each verified pair (id_a < id_b) drop id_b —
     # keep-first guarantees one survivor per duplicate cluster.  The drop
