@@ -150,3 +150,61 @@ def test_substring_spans_equal_brute_force(spark, docs_tokens):
             want[i] = spans
     got_sorted = {d: sorted(v) for d, v in got.items()}
     assert got_sorted == want, (docs, got_sorted, want)
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(
+    st.lists(  # left rows: (key, time or None)
+        st.tuples(
+            st.integers(min_value=0, max_value=3),
+            st.one_of(st.none(), st.integers(min_value=0, max_value=50)),
+        ),
+        min_size=1,
+        max_size=25,
+    ),
+    st.lists(  # right rows: (key, time or None, value or None)
+        st.tuples(
+            st.integers(min_value=0, max_value=3),
+            st.one_of(st.none(), st.integers(min_value=0, max_value=50)),
+            st.one_of(st.none(), st.integers(min_value=-5, max_value=5)),
+        ),
+        min_size=0,
+        max_size=25,
+    ),
+)
+def test_asof_join_equals_brute_force(spark, left_rows, right_rows):
+    """asof_join vs a brute-force model over randomized inputs INCLUDING
+    NULL timestamps and NULL carried values (the r5 parity bug class):
+    each left row gains the right row with the greatest time <= its time
+    for the same key; a right row with NULL time never matches; a matched
+    row carries its value even when that value is NULL."""
+    from restructure_hdfs_topic_spark.operators.temporal import asof_join
+
+    # Right must be unique per (key, time): keep the last generated.
+    r_dedup = {}
+    for k, t, v in right_rows:
+        if t is not None:
+            r_dedup[(k, t)] = v
+    l_df = spark.createDataFrame(
+        [(i, k, t) for i, (k, t) in enumerate(left_rows)],
+        "lid long, k long, t long",
+    )
+    r_df = spark.createDataFrame(
+        [(k, t, v) for (k, t), v in r_dedup.items()] or [],
+        "k long, t long, v long",
+    )
+    got = {
+        r["lid"]: r["asof_v"]
+        for r in asof_join(l_df, r_df, ["k"], "t", ["v"]).collect()
+    }
+    for i, (k, t) in enumerate(left_rows):
+        if t is None:
+            want = None  # NULL left time matches nothing (t >= r.t is never true)
+        else:
+            candidates = [(rt, v) for (rk, rt), v in r_dedup.items() if rk == k and rt <= t]
+            want = max(candidates)[1] if candidates else None
+        assert got[i] == want, (i, k, t, got[i], want, sorted(r_dedup.items()))
