@@ -104,6 +104,167 @@ def commit_fingerprints(
     raise RuntimeError(f"commit_fingerprints: version contention in {state_dir}")
 
 
+SIG_STATE_SUBDIR = "minhash_sigs"
+
+
+def batch_minhash_signatures(
+    batch: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 32,
+) -> DataFrame:
+    """``(id, sig array<long>)`` MinHash signatures of a batch — the same
+    Arrow kernel as the batch LSH path, hashed-shingle column dropped
+    (signatures alone are what the incremental state keeps)."""
+    from restructure_hdfs_topic_spark.operators.dedup import _minhash_kernel
+
+    id_type = batch.schema[id_col].dataType.simpleString()
+    return (
+        batch.select(
+            F.col(id_col).alias("id"), F.col(text_col).cast("string").alias("text")
+        )
+        .mapInPandas(
+            _minhash_kernel(n, num_hashes),
+            schema=f"id {id_type}, hashed array<long>, sig array<long>",
+        )
+        .select("id", "sig")
+    )
+
+
+def _sig_bands(sigs: DataFrame, bands: int, rows_per_band: int) -> DataFrame:
+    return sigs.select(
+        "id",
+        "sig",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.slice("sig", b * rows_per_band + 1, rows_per_band)
+                        .cast("array<long>")
+                        .alias("key"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select("id", "sig", "bk.band", "bk.key")
+
+
+def _sig_agreement(a, b, num_hashes: int):
+    """MinHash Jaccard estimate: fraction of agreeing signature rows."""
+    return (
+        F.size(F.filter(F.zip_with(a, b, lambda x, y: x == y), lambda m: m)).cast(
+            "double"
+        )
+        / F.lit(float(num_hashes))
+    )
+
+
+def filter_novel_near_dup(
+    batch: DataFrame,
+    state_sigs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 32,
+    bands: int = 16,
+    rows_per_band: int = 2,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """NEAR-dup novelty filter for a new batch against corpus history:
+    drop batch documents whose estimated Jaccard to any already-ingested
+    document — or to a kept lower-id document of the same batch — is
+    ``>= threshold``.
+
+    The state holds SIGNATURES only (``num_hashes`` int64 per document,
+    ~256 B at the default — the corpus's shingle sets would rival the
+    corpus itself), so verification here uses the standard MinHash
+    agreement estimate rather than the batch path's exact hashed-shingle
+    Jaccard; E[estimate] equals true Jaccard with σ = sqrt(J(1-J)/k).
+    Candidate generation is LSH banding on (band, key) — batch bands join
+    state bands, never all-pairs.  Within-batch survivors use the same
+    keep-first greedy as ``curate_corpus`` (drop the larger id of a
+    matched pair).
+    """
+    from pyspark import StorageLevel
+
+    sigs = batch_minhash_signatures(
+        batch, id_col, text_col, n, num_hashes
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    b_bands = _sig_bands(sigs, bands, rows_per_band)
+    s_bands = _sig_bands(state_sigs, bands, rows_per_band)
+    est = _sig_agreement(F.col("b_sig"), F.col("s_sig"), num_hashes)
+    cross_hits = (
+        b_bands.select("band", "key", F.col("id").alias("b_id"), F.col("sig").alias("b_sig"))
+        .join(
+            s_bands.select("band", "key", F.col("sig").alias("s_sig")),
+            ["band", "key"],
+        )
+        .filter(est >= threshold)
+        .select(F.col("b_id").alias(id_col))
+        .distinct()
+    )
+    within = (
+        b_bands.alias("l")
+        .join(
+            b_bands.alias("r"),
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.key") == F.col("r.key"))
+            & (F.col("l.id") < F.col("r.id")),
+        )
+        .filter(_sig_agreement(F.col("l.sig"), F.col("r.sig"), num_hashes) >= threshold)
+        .select(F.col("r.id").alias(id_col))
+        .distinct()
+    )
+    dropped = cross_hits.unionByName(within).distinct()
+    return batch.join(F.broadcast(dropped), on=id_col, how="left_anti")
+
+
+def read_signatures(spark: SparkSession, state_dir: str) -> DataFrame:
+    """Committed signature state (empty when none yet)."""
+    sub = f"{state_dir.rstrip('/')}/{SIG_STATE_SUBDIR}"
+    cur = _off._current_version(sub, spark)
+    if cur is None:
+        return spark.createDataFrame([], "id long, sig array<long>")
+    return spark.read.parquet(f"{sub}/offsets/v{cur:08d}")
+
+
+def commit_signatures(
+    spark: SparkSession, state_dir: str, new_sigs: DataFrame
+) -> DataFrame:
+    """Append signatures of accepted documents to the committed state —
+    same resolve-once CAS as ``commit_fingerprints`` (claim cur+1 against
+    the snapshot version).  Call after the accepted documents are durably
+    written (commit-after-store)."""
+    import os as _os
+    import random
+    import time as _time
+
+    sub = f"{state_dir.rstrip('/')}/{SIG_STATE_SUBDIR}"
+    if "://" not in sub:
+        _os.makedirs(sub, exist_ok=True)
+    for attempt in range(64):
+        cur = _off._current_version(sub, spark)
+        existing = (
+            spark.read.parquet(f"{sub}/offsets/v{cur:08d}")
+            if cur is not None
+            else spark.createDataFrame([], new_sigs.schema)
+        )
+        merged = existing.unionByName(new_sigs).dropDuplicates(["id"])
+        nxt = (cur or 0) + 1
+        if not _off._claim_version(spark, sub, nxt):
+            _off._break_stale_claim(spark, sub, nxt)
+            if _off._claim_exists(spark, sub, nxt):
+                _time.sleep(
+                    min(2.0, 0.05 * (attempt + 1)) * (0.5 + random.random())
+                )
+            continue
+        return _off._replace_at(spark, sub, merged, nxt)
+    raise RuntimeError(f"commit_signatures: version contention in {sub}")
+
+
 def ingest_batch(
     spark: SparkSession,
     state_dir: str,

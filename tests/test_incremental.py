@@ -225,3 +225,50 @@ def test_fingerprint_kernel_cross_chunk(spark):
     # Second batch: state now filters everything seen.
     out2 = list(kernel(None, iter([pd.DataFrame({"doc_id": [9], "__fp": [200]})]), st))
     assert out2 == []
+
+
+def test_near_dup_novelty_filter(spark, tmp_path):
+    """Near-dup incremental path: batch docs near-duplicating the corpus
+    (or a kept lower-id batch doc) are dropped; novel docs survive;
+    signature state round-trips through the CAS store."""
+    from restructure_hdfs_topic_spark.operators.incremental import (
+        batch_minhash_signatures,
+        commit_signatures,
+        filter_novel_near_dup,
+        read_signatures,
+    )
+
+    base = " ".join(f"tok{i}" for i in range(30)) + " the quick brown fox jumps over the lazy dog"
+    corpus = _docs(spark, [(1, base), (2, "completely different content about spark plans and shuffles here")])
+    state_dir = str(tmp_path / "nd")
+    commit_signatures(spark, state_dir, batch_minhash_signatures(corpus))
+    assert read_signatures(spark, state_dir).count() == 2
+
+    near = base.replace("lazy", "sleepy")          # near-dup of corpus doc 1
+    novel = "entirely new text with its own vocabulary and no overlap at all whatsoever"
+    batch = _docs(
+        spark,
+        [
+            (10, base),     # exact dup of corpus -> dropped (estimate 1.0)
+            (11, near),     # near-dup of corpus -> dropped
+            (12, novel),    # novel -> kept
+            (13, novel),    # within-batch dup of 12 -> dropped (keep-first)
+        ],
+    )
+    state = read_signatures(spark, state_dir)
+    kept = sorted(
+        r["doc_id"]
+        for r in filter_novel_near_dup(batch, state, threshold=0.5).collect()
+    )
+    assert kept == [12]
+
+    # Commit the survivor; re-offering the batch is then a no-op.
+    survivors = batch.filter(batch.doc_id == 12)
+    commit_signatures(spark, state_dir, batch_minhash_signatures(survivors))
+    state = read_signatures(spark, state_dir)
+    assert state.count() == 3
+    kept2 = sorted(
+        r["doc_id"]
+        for r in filter_novel_near_dup(batch, state, threshold=0.5).collect()
+    )
+    assert kept2 == []
