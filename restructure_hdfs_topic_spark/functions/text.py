@@ -398,13 +398,14 @@ def nfc_normalize_text(text: Column) -> Column:
     normalization step with no Spark SQL builtin, so it crosses to Python
     ONCE as an Arrow-batched series op (`unicodedata` is stdlib; ~GB/s,
     no per-row interpreter work beyond the C call)."""
-    from pyspark.sql.functions import PandasUDFType
+    import pandas as pd
 
-    # No type hints on the kernel: `from __future__ import annotations`
-    # stringifies them and PySpark's hint parser cannot resolve a local
-    # `pd` — the explicit SCALAR form sidesteps inference entirely.
-    @F.pandas_udf("string", PandasUDFType.SCALAR)
-    def _nfc(s):
+    # The Series hints must resolve in this module's globals (PEP 563
+    # stringifies them), so bind pd into module scope before defining.
+    globals()["pd"] = pd
+
+    @F.pandas_udf("string")
+    def _nfc(s: pd.Series) -> pd.Series:
         import unicodedata
 
         return s.map(
