@@ -80,6 +80,10 @@ CONSISTENCY_QUERIES = [
     # dedup must be partitioning-independent end-to-end at sf1.
     "curation_pipeline",
     "incremental_dedup",
+    # r6 late additions (extras-only surfaces — the digest is their
+    # distributed witness).
+    "lm_bigram",
+    "text_normalize",
 ]
 
 
