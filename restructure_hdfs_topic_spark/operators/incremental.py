@@ -265,6 +265,44 @@ def commit_signatures(
     raise RuntimeError(f"commit_signatures: version contention in {sub}")
 
 
+def ingest_batch_near_dup(
+    spark: SparkSession,
+    state_dir: str,
+    batch: DataFrame,
+    write_accepted,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.5,
+    **lsh_kwargs,
+) -> dict:
+    """Near-dup flavor of ``ingest_batch``: filter the batch against the
+    corpus signature state, durably write the accepted documents, then
+    commit their signatures (commit-after-store; idempotent on replay up
+    to MinHash estimate noise on borderline pairs)."""
+    state = read_signatures(spark, state_dir)
+    accepted = filter_novel_near_dup(
+        batch, state, id_col, text_col, threshold=threshold, **lsh_kwargs
+    )
+    from pyspark import StorageLevel
+
+    accepted = accepted.persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        n_accepted = accepted.count()
+        write_accepted(accepted)
+        if n_accepted:
+            sigs = batch_minhash_signatures(
+                accepted,
+                id_col,
+                text_col,
+                n=lsh_kwargs.get("n", 3),
+                num_hashes=lsh_kwargs.get("num_hashes", 32),
+            )
+            commit_signatures(spark, state_dir, sigs)
+        return {"batch_rows": batch.count(), "accepted_rows": n_accepted}
+    finally:
+        accepted.unpersist()
+
+
 def ingest_batch(
     spark: SparkSession,
     state_dir: str,

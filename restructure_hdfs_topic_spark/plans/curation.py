@@ -105,6 +105,52 @@ def curate_corpus(
     )
 
 
+def filter_blocked_domains(
+    docs: DataFrame,
+    blocked_domains: list[str],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Drop documents containing a URL under any blocked domain (exact
+    host or any subdomain) — the blocklist step of a crawl-curation
+    pipeline.
+
+    Spark-first shape: each extracted host explodes into its dot-suffix
+    chain (``a.b.c`` → ``a.b.c``, ``b.c``, ``c``), which turns subdomain
+    matching into an EQUI-join against the broadcast blocklist — no
+    ``endswith`` non-equi join (a broadcast nested loop at scale).  The
+    suffix fan-out is bounded by label count (~4 per host).
+    """
+    from restructure_hdfs_topic_spark.functions.text import extract_url_domains
+
+    spark = docs.sparkSession
+    blocked = spark.createDataFrame(
+        [(d.lower().lstrip("."),) for d in blocked_domains], "domain string"
+    )
+    host = F.explode(extract_url_domains(F.col(text_col))).alias("host")
+    suffixes = F.explode(
+        F.transform(
+            F.split(F.col("host"), r"\."),
+            lambda _part, i: F.array_join(
+                F.slice(
+                    F.split(F.col("host"), r"\."),
+                    i + 1,
+                    F.size(F.split(F.col("host"), r"\.")),
+                ),
+                ".",
+            ),
+        )
+    )
+    hits = (
+        docs.select(F.col(id_col), host)
+        .select(id_col, suffixes.alias("domain"))
+        .join(F.broadcast(blocked), "domain")
+        .select(id_col)
+        .distinct()
+    )
+    return docs.join(F.broadcast(hits), on=id_col, how="left_anti")
+
+
 def curation_stage_counts(
     docs: DataFrame,
     id_col: str = "doc_id",

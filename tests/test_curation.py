@@ -89,3 +89,53 @@ def test_curation_pipeline_partitioning_independent(spark):
         curate_corpus(docs.repartition(7), mixture_weights=WEIGHTS)
     )
     assert a == b and a[1] > 0
+
+
+def test_filter_blocked_domains(spark):
+    from restructure_hdfs_topic_spark.plans.curation import filter_blocked_domains
+
+    rows = [
+        (1, "visit https://ads.tracker.example.com/x now"),   # subdomain hit
+        (2, "see https://example.com/page"),                  # exact hit
+        (3, "fine https://docs.example.org/ok here"),         # different TLD
+        (4, "no urls at all"),
+        (5, "mixed https://good.net/a and https://www.Example.com/b"),  # one hit
+        (6, "https://notexample.com/x"),                      # NOT a subdomain
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    kept = sorted(
+        r["doc_id"]
+        for r in filter_blocked_domains(docs, ["example.com"]).collect()
+    )
+    assert kept == [3, 4, 6]
+
+
+def test_near_dup_ingest_protocol(spark, tmp_path):
+    from restructure_hdfs_topic_spark.operators.incremental import (
+        ingest_batch_near_dup,
+        read_signatures,
+    )
+
+    state_dir = str(tmp_path / "nd")
+    written: list[list] = []
+
+    def write(df):
+        written.append(sorted(r["doc_id"] for r in df.collect()))
+
+    base = " ".join(f"w{i}" for i in range(25))
+    b1 = spark.createDataFrame(
+        [(1, base), (2, "another totally distinct set of words entirely")],
+        "doc_id long, text string",
+    )
+    stats = ingest_batch_near_dup(spark, state_dir, b1, write)
+    assert stats == {"batch_rows": 2, "accepted_rows": 2}
+    assert read_signatures(spark, state_dir).count() == 2
+
+    # Near-dup replay batch: one near-dup of doc 1, one novel.
+    b2 = spark.createDataFrame(
+        [(10, base.replace("w3", "changed")), (11, "fresh content nothing shares")],
+        "doc_id long, text string",
+    )
+    stats = ingest_batch_near_dup(spark, state_dir, b2, write)
+    assert stats["accepted_rows"] == 1 and written[-1] == [11]
+    assert read_signatures(spark, state_dir).count() == 3
