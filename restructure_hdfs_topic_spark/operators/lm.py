@@ -144,3 +144,33 @@ def lm_bigram_cross_entropy(
             F.round(-F.avg(F.log2(p)), round_digits).alias("bits_per_token"),
         )
     )
+
+
+def curriculum_bins(
+    scored: DataFrame,
+    score_col: str = "bits_per_token",
+    n_bins: int = 10,
+    accuracy: int = 10_000,
+) -> DataFrame:
+    """Assign each document a difficulty bin (0 = easiest) by quantiles of
+    a quality/perplexity score — the data-ordering step of curriculum
+    training.
+
+    Scale shape: a global ``ntile`` would total-sort the corpus; instead
+    the n_bins-1 boundaries come from one constant-memory
+    ``percentile_approx`` aggregate (Greenwald-Khanna, driver gets a
+    single tiny row) and binning is a shuffle-free comparison chain over
+    the broadcast boundaries.  Bin populations are equal up to sketch
+    accuracy (1/accuracy relative rank error); determinism follows from
+    the sketch's determinism on the same data.
+    """
+    if n_bins < 2:
+        raise ValueError("n_bins must be >= 2")
+    qs = [i / n_bins for i in range(1, n_bins)]
+    bounds = scored.agg(
+        F.percentile_approx(score_col, qs, accuracy).alias("b")
+    ).collect()[0]["b"]
+    bin_expr = F.lit(0)
+    for b in bounds:
+        bin_expr = bin_expr + (F.col(score_col) > F.lit(float(b))).cast("int")
+    return scored.withColumn("curriculum_bin", bin_expr.cast("bigint"))

@@ -76,3 +76,81 @@ def pack_sequences(
         F.col("__n").alias("n_tokens"),
         (last - first + F.lit(1)).cast("bigint").alias("n_packs_spanned"),
     )
+
+
+def materialize_packs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    budget: int = 2048,
+    n_buckets: int = 16,
+) -> DataFrame:
+    """Materialize the packed sequences themselves: concatenate each
+    bucket's token stream (order = the ``pack_sequences`` assignment) and
+    slice it into fixed-``budget`` sequences, documents SPLITTING across
+    pack boundaries exactly as a GPT-style loader consumes them.
+
+    Output: ``(pack_id, tokens array<string>, n_tokens)`` — every pack is
+    exactly ``budget`` tokens except possibly each bucket's last.
+
+    Plan shape: per (doc, spanned-pack) slice bounds are pure int64
+    arithmetic off the ``pack_sequences`` columns; the doc's token array
+    slices JVM-side (``F.slice`` — no Python crossing), one row per
+    (doc, pack) via ``explode(sequence(first, last))``; assembly is ONE
+    groupBy on ``pack_id`` with an order-insensitive ``sort_array`` over
+    (start_off, slice) structs + ``flatten`` — deterministic under any
+    partitioning.  Token arrays shuffle once, keyed by pack.
+    """
+    toks = F.filter(
+        F.split(F.trim(F.coalesce(F.col(text_col), F.lit(""))), r"\s+"),
+        lambda t: t != F.lit(""),
+    )
+    counted = docs.select(
+        F.col(id_col), toks.alias("__toks"), F.size(toks).cast("bigint").alias("n_tokens")
+    )
+    assign = pack_sequences(
+        counted, id_col=id_col, n_tokens_col="n_tokens", budget=budget,
+        n_buckets=n_buckets,
+    )
+    joined = counted.join(assign, on=id_col)
+    first = F.col("pack_id")
+    parts = joined.select(
+        F.col(id_col),
+        "__toks",
+        "start_off",
+        F.explode(
+            F.sequence(first, first + F.col("n_packs_spanned") - 1)
+        ).alias("pack_id"),
+    ).filter(F.size("__toks") > 0)
+    # Token range of this doc that lands in this pack (0-based within doc):
+    # pack p covers stream offsets [p%2^31 … +budget); doc occupies
+    # [start_off, start_off + n).  F.slice is 1-based.
+    pack_start = (F.col("pack_id") % F.lit(2**31)) * F.lit(budget)
+    lo = F.greatest(pack_start - F.col("start_off"), F.lit(0))
+    hi_excl = F.least(
+        pack_start + F.lit(budget) - F.col("start_off"),
+        F.size("__toks").cast("bigint"),
+    )
+    sliced = parts.select(
+        "pack_id",
+        "start_off",
+        F.slice(
+            "__toks", (lo + 1).cast("int"), (hi_excl - lo).cast("int")
+        ).alias("__part"),
+    )
+    return (
+        sliced.groupBy("pack_id")
+        .agg(
+            F.flatten(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("start_off", "__part"))
+                    ),
+                    lambda s: s["__part"],
+                )
+            ).alias("tokens")
+        )
+        .select(
+            "pack_id", "tokens", F.size("tokens").cast("bigint").alias("n_tokens")
+        )
+    )

@@ -139,3 +139,58 @@ def test_near_dup_ingest_protocol(spark, tmp_path):
     stats = ingest_batch_near_dup(spark, state_dir, b2, write)
     assert stats["accepted_rows"] == 1 and written[-1] == [11]
     assert read_signatures(spark, state_dir).count() == 3
+
+
+def test_materialize_packs_matches_model(spark):
+    """materialize_packs vs a direct Python model: per bucket, concat
+    tokens in (hash, id) order and slice into budget-sized sequences;
+    docs split across pack boundaries."""
+    from restructure_hdfs_topic_spark.operators.packing import materialize_packs
+    from restructure_hdfs_topic_spark.operators.sampling import KNUTH
+
+    budget, n_buckets = 7, 3
+    rows = [(i, " ".join(f"d{i}t{j}" for j in range(i % 11))) for i in range(1, 30)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["pack_id"]: list(r["tokens"])
+        for r in materialize_packs(
+            docs, budget=budget, n_buckets=n_buckets
+        ).collect()
+    }
+    assert all(
+        r["n_tokens"] == len(r["tokens"])
+        for r in materialize_packs(docs, budget=budget, n_buckets=n_buckets).collect()
+    )
+
+    # Model.
+    def h(i):
+        return (i * KNUTH) % (2**32)
+
+    buckets: dict[int, list[tuple]] = {}
+    for i, text in rows:
+        buckets.setdefault(h(i) % n_buckets, []).append((h(i), i, text.split()))
+    want: dict[int, list] = {}
+    for b, members in buckets.items():
+        stream: list[str] = []
+        for _hh, _i, toks in sorted(members):
+            stream.extend(toks)
+        for p in range((len(stream) + budget - 1) // budget):
+            want[b * 2**31 + p] = stream[p * budget : (p + 1) * budget]
+    assert got == want
+
+    # Every pack is exactly `budget` tokens except each bucket's last.
+    by_bucket: dict[int, list[int]] = {}
+    for pid, toks in got.items():
+        by_bucket.setdefault(pid // 2**31, []).append(pid)
+    for b, pids in by_bucket.items():
+        for pid in sorted(pids)[:-1]:
+            assert len(got[pid]) == budget
+
+    # Partitioning independence.
+    got2 = {
+        r["pack_id"]: list(r["tokens"])
+        for r in materialize_packs(
+            docs.repartition(5), budget=budget, n_buckets=n_buckets
+        ).collect()
+    }
+    assert got2 == got

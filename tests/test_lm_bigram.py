@@ -107,3 +107,29 @@ def test_bigram_duckdb_cross_check(spark):
         if got[k][0] != want[k][0] or abs(got[k][1] - want[k][1]) > 1e-3
     }
     assert not mismatches, list(mismatches.items())[:5]
+
+
+def test_curriculum_bins(spark):
+    """Bins are monotone in the score, near-equal in size, and
+    partitioning-independent."""
+    from restructure_hdfs_topic_spark.operators.lm import curriculum_bins
+
+    rows = [(i, float((i * 37) % 1000) / 10.0) for i in range(1000)]
+    df = spark.createDataFrame(rows, "doc_id long, bits_per_token double")
+    out = curriculum_bins(df, n_bins=5).collect()
+    by_id = {r["doc_id"]: (r["bits_per_token"], r["curriculum_bin"]) for r in out}
+    # Monotone: a higher score never lands in a lower bin.
+    ordered = sorted(by_id.values())
+    for (s1, b1), (s2, b2) in zip(ordered, ordered[1:]):
+        assert b1 <= b2
+    # Near-equal populations (exact quantiles on 1000 distinct values).
+    from collections import Counter
+
+    sizes = Counter(b for _s, b in by_id.values())
+    assert set(sizes) == {0, 1, 2, 3, 4}
+    assert all(150 <= sizes[b] <= 250 for b in sizes)
+    # Partitioning independence.
+    out2 = curriculum_bins(df.repartition(7), n_bins=5).collect()
+    assert {r["doc_id"]: r["curriculum_bin"] for r in out2} == {
+        i: b for i, (_s, b) in by_id.items()
+    }
