@@ -899,6 +899,37 @@ def q_ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pack_materialize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized GPT-style packs: fixed-budget token sequences with
+    documents split across pack boundaries (the loader-ready output of
+    sequence_packing).  Exact-model verification + partitioning
+    independence in tests/test_curation.py (bench/extras surface)."""
+    from restructure_hdfs_topic_spark.operators.packing import materialize_packs
+
+    _conf(spark)
+    docs = _t(spark, sf_dir, "documents")
+    return materialize_packs(docs, budget=2048)
+
+
+def q_lm_curriculum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum difficulty bins over unigram LM scores: percentile_approx
+    boundaries + shuffle-free comparison binning (no global ntile sort).
+    Monotonicity/population tests in tests/test_lm_bigram.py (bench/extras
+    surface)."""
+    from restructure_hdfs_topic_spark.functions.text import tokens
+    from restructure_hdfs_topic_spark.operators.lm import (
+        curriculum_bins,
+        lm_cross_entropy,
+    )
+
+    _conf(spark)
+    docs = _t(spark, sf_dir, "documents")
+    scored = lm_cross_entropy(docs, tokens(F.col("text")), id_col="doc_id")
+    return curriculum_bins(scored, n_bins=10).select(
+        "doc_id", "bits_per_token", "curriculum_bin"
+    )
+
+
 def q_text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C4/CCNet-style text canonicalization before fingerprinting:
     control/zero-width strip, quote/dash unification, whitespace squeeze,
@@ -1339,6 +1370,12 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # Pre-dedup text canonicalization; DuckDB cross-check in
         # tests/test_text_normalize.py.
         "text_normalize": q_text_normalize,
+        # Loader-ready packed sequences; exact-model verification in
+        # tests/test_curation.py.
+        "pack_materialize": q_pack_materialize,
+        # Curriculum difficulty binning over LM scores; tests in
+        # tests/test_lm_bigram.py.
+        "lm_curriculum": q_lm_curriculum,
     }
 
 

@@ -61,6 +61,8 @@ BENCH_QUERIES = [
     "incremental_dedup",
     "lm_bigram",
     "text_normalize",
+    "pack_materialize",
+    "lm_curriculum",
     "simhash",
     "simhash_near_dup",
     "near_dup_groups",

@@ -108,9 +108,13 @@ def materialize_packs(
     counted = docs.select(
         F.col(id_col), toks.alias("__toks"), F.size(toks).cast("bigint").alias("n_tokens")
     )
+    # Assignment sees ONLY (id, n_tokens): its per-bucket cumsum sorts and
+    # shuffles 16-byte rows, never the token arrays (dragging __toks
+    # through that window shuffled the whole corpus twice).  The arrays
+    # join back on the id afterwards.
     assign = pack_sequences(
-        counted, id_col=id_col, n_tokens_col="n_tokens", budget=budget,
-        n_buckets=n_buckets,
+        counted.select(id_col, "n_tokens"), id_col=id_col,
+        n_tokens_col="n_tokens", budget=budget, n_buckets=n_buckets,
     )
     joined = counted.join(assign, on=id_col)
     first = F.col("pack_id")

@@ -84,6 +84,8 @@ CONSISTENCY_QUERIES = [
     # distributed witness).
     "lm_bigram",
     "text_normalize",
+    "pack_materialize",
+    "lm_curriculum",
 ]
 
 

@@ -534,6 +534,8 @@ def test_query_registry_consistency():
         "incremental_dedup",
         "lm_bigram",
         "text_normalize",
+        "pack_materialize",
+        "lm_curriculum",
     }
     assert extra.isdisjoint(q), "bench-only queries must stay unregistered"
 
