@@ -1,0 +1,51 @@
+"""Generation-scoped DataFrame persistence.
+
+``DataFrame.persist()`` registers the plan in the session's CacheManager,
+which holds a strong reference until an explicit ``unpersist()`` — Spark's
+ContextCleaner never reclaims SQL-cache entries on its own.  Operators that
+persist an intermediate *inside* a returned lazy plan (the LSH shingle
+frame, the curation scrub, incremental-dedup signatures) therefore leak one
+cache generation per call in any repeated context: a bench loop re-running
+a query warm, a long-lived service curating batch after batch.
+
+``scoped_persist`` bounds that to ONE live generation per named scope: each
+call releases the previous call's handle (non-blocking) before persisting
+the new frame.  Unpersisting an earlier generation is always
+correctness-safe — a consumer still holding the old plan just recomputes —
+so the trade is bounded memory/disk for a possible recompute of a stale
+plan nobody normally re-evaluates.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.storagelevel import StorageLevel
+
+_LIVE: dict[str, DataFrame] = {}
+
+
+def scoped_persist(
+    df: DataFrame,
+    scope: str,
+    level: StorageLevel = StorageLevel.MEMORY_AND_DISK,
+) -> DataFrame:
+    """Persist ``df``, releasing the persist of the PRIOR call in ``scope``."""
+    old = _LIVE.pop(scope, None)
+    if old is not None:
+        try:
+            old.unpersist(blocking=False)
+        except Exception:
+            pass  # session may be gone; nothing to release
+    handle = df.persist(level)
+    _LIVE[scope] = handle
+    return handle
+
+
+def release_scope(scope: str) -> None:
+    """Explicitly release a scope's live persist (e.g. at service shutdown)."""
+    old = _LIVE.pop(scope, None)
+    if old is not None:
+        try:
+            old.unpersist(blocking=False)
+        except Exception:
+            pass

@@ -346,19 +346,21 @@ def lsh_near_dup_pairs(
     # The hashed-shingle frame feeds three plan branches (signatures + both
     # verification sides); persist it spill-safely instead of recomputing.
     # At cluster scale this is an executor-local cache of one long array per
-    # document — far smaller than the text it derives from.
-    from pyspark.storagelevel import StorageLevel
+    # document — far smaller than the text it derives from.  Scoped so a
+    # repeated caller (bench warm loop, a service) holds ONE generation,
+    # not one per call (CacheManager never self-reclaims).
+    from restructure_hdfs_topic_spark.caching import scoped_persist
 
     id_type = df.schema[id_col].dataType.simpleString()
-    hashed = (
+    hashed = scoped_persist(
         df.select(F.col(id_col).alias("id"), F.col(text_col).cast("string").alias("text"))
         .mapInPandas(
             _minhash_kernel(n, num_hashes),
             # schema follows the id column's actual type (string ids are
             # legal), matching the simhash/substring kernels
             schema=f"id {id_type}, hashed array<long>, sig array<long>",
-        )
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        ),
+        scope="dedup.lsh_near_dup_pairs.hashed",
     )
     cands = lsh_candidate_pairs(hashed.select("id", "sig"), bands, rows_per_band)
     a = hashed.select(F.col("id").alias("id_a"), F.col("hashed").alias("sh_a"))
@@ -493,10 +495,13 @@ def simhash_near_dup_pairs(
         pos += base + (1 if b < extra else 0)
     widths = [starts[b + 1] - starts[b] if b + 1 < bands else bits - starts[b] for b in range(bands)]
     # One (id, simhash) row per document feeds both join sides — persist so
-    # the interpreted bit-vote folds run once, not once per side.
-    from pyspark.storagelevel import StorageLevel
+    # the interpreted bit-vote folds run once, not once per side.  Scoped:
+    # one live cache generation across repeated calls.
+    from restructure_hdfs_topic_spark.caching import scoped_persist
 
-    sims = simhash(df, id_col, text_col, bits).persist(StorageLevel.MEMORY_AND_DISK)
+    sims = scoped_persist(
+        simhash(df, id_col, text_col, bits), scope="dedup.simhash_pairs.sims"
+    )
     banded = sims.select(
         "id",
         "simhash",

@@ -175,8 +175,9 @@ def filter_novel_near_dup(
 ) -> DataFrame:
     """NEAR-dup novelty filter for a new batch against corpus history:
     drop batch documents whose estimated Jaccard to any already-ingested
-    document — or to a kept lower-id document of the same batch — is
-    ``>= threshold``.
+    document — or to any LOWER-ID banded match of the same batch — is
+    ``>= threshold`` (the same drop-the-larger-id-of-each-pair convention
+    as ``curate_corpus``; the lower-id match need not itself survive).
 
     The state holds SIGNATURES only (``num_hashes`` int64 per document,
     ~256 B at the default — the corpus's shingle sets would rival the
@@ -188,11 +189,14 @@ def filter_novel_near_dup(
     keep-first greedy as ``curate_corpus`` (drop the larger id of a
     matched pair).
     """
-    from pyspark import StorageLevel
+    from restructure_hdfs_topic_spark.caching import scoped_persist
 
-    sigs = batch_minhash_signatures(
-        batch, id_col, text_col, n, num_hashes
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    # Scoped persist: one live cache generation across repeated ingests
+    # (CacheManager never self-reclaims an in-plan persist).
+    sigs = scoped_persist(
+        batch_minhash_signatures(batch, id_col, text_col, n, num_hashes),
+        scope="incremental.filter_novel_near_dup.sigs",
+    )
     b_bands = _sig_bands(sigs, bands, rows_per_band)
     s_bands = _sig_bands(state_sigs, bands, rows_per_band)
     est = _sig_agreement(F.col("b_sig"), F.col("s_sig"), num_hashes)
@@ -218,8 +222,11 @@ def filter_novel_near_dup(
         .select(F.col("r.id").alias(id_col))
         .distinct()
     )
+    # The drop set scales with the batch's duplicate fraction — leave the
+    # anti-join side to AQE (broadcast while small) rather than forcing a
+    # batch-sized id set onto every executor.
     dropped = cross_hits.unionByName(within).distinct()
-    return batch.join(F.broadcast(dropped), on=id_col, how="left_anti")
+    return batch.join(dropped, on=id_col, how="left_anti")
 
 
 def read_signatures(spark: SparkSession, state_dir: str) -> DataFrame:

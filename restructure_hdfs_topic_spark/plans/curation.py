@@ -69,21 +69,26 @@ def curate_corpus(
     # stages 3a (LSH pair generation) and 3b (the anti-join) BOTH consume
     # the scrubbed corpus, and the scrub itself is a two-shuffle pipeline
     # — MEMORY_AND_DISK trades one cache write for a full recompute (and
-    # spills instead of OOMing at corpus scale).
-    from pyspark import StorageLevel
+    # spills instead of OOMing at corpus scale).  Scoped so repeated runs
+    # (bench warm loop, a batch-after-batch service) hold one generation.
+    from restructure_hdfs_topic_spark.caching import scoped_persist
 
-    scrubbed = strip_duplicated_spans(gated, id_col, text_col, k=span_k).persist(
-        StorageLevel.MEMORY_AND_DISK
+    scrubbed = scoped_persist(
+        strip_duplicated_spans(gated, id_col, text_col, k=span_k),
+        scope="curation.curate_corpus.scrubbed",
     )
 
     # 3. Near-dup drop: for each verified pair (id_a < id_b) drop id_b —
     # keep-first guarantees one survivor per duplicate cluster.  The drop
-    # list is a DISTINCT id set (metadata-scale), anti-joined broadcast.
+    # list is an 8-byte-key DISTINCT id set; its size scales with the
+    # corpus's duplicate fraction, so the join side is left to AQE
+    # (broadcast while small, shuffle anti-join at 100 TB — a forced
+    # broadcast would ship a corpus-sized id set to every executor).
     pairs = lsh_near_dup_pairs(
         scrubbed, id_col, text_col, threshold=jaccard_threshold
     )
     losers = pairs.select(F.col("id_b").alias(id_col)).distinct()
-    deduped = scrubbed.join(F.broadcast(losers), on=id_col, how="left_anti")
+    deduped = scrubbed.join(losers, on=id_col, how="left_anti")
 
     # 4. Domain-mixture rebalance (optional — identity when no weights).
     if mixture_weights:
@@ -148,7 +153,9 @@ def filter_blocked_domains(
         .select(id_col)
         .distinct()
     )
-    return docs.join(F.broadcast(hits), on=id_col, how="left_anti")
+    # The hit set scales with how much of the corpus is blocked — leave the
+    # anti-join side to AQE rather than force-broadcasting it.
+    return docs.join(hits, on=id_col, how="left_anti")
 
 
 def curation_stage_counts(
@@ -173,7 +180,7 @@ def curation_stage_counts(
         scrubbed, id_col, text_col, threshold=jaccard_threshold
     )
     losers = pairs.select(F.col("id_b").alias(id_col)).distinct()
-    deduped = scrubbed.join(F.broadcast(losers), on=id_col, how="left_anti")
+    deduped = scrubbed.join(losers, on=id_col, how="left_anti")
     out = {
         "input": docs.count(),
         "after_quality_gate": gated.count(),
