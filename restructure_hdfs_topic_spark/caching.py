@@ -29,9 +29,19 @@ def scoped_persist(
     scope: str,
     level: StorageLevel = StorageLevel.MEMORY_AND_DISK,
 ) -> DataFrame:
-    """Persist ``df``, releasing the persist of the PRIOR call in ``scope``."""
-    old = _LIVE.pop(scope, None)
+    """Persist ``df``, releasing the persist of the PRIOR call in ``scope``.
+
+    If the prior call's plan is semantically identical (a warm re-run of
+    the same query), its still-cached handle is returned instead — the
+    repeat run hits the populated cache rather than recomputing it."""
+    old = _LIVE.get(scope)
     if old is not None:
+        try:
+            if df.sameSemantics(old):
+                return old
+        except Exception:
+            pass  # old handle's session gone — fall through and replace
+        _LIVE.pop(scope, None)
         try:
             old.unpersist(blocking=False)
         except Exception:
