@@ -943,6 +943,31 @@ def q_text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", normalize_text(F.col("text")).alias("norm_text"))
 
 
+def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RefinedWeb/C4-style LINE-level corpus dedup: strip every line whose
+    trimmed form occurs >=2 times corpus-wide (boilerplate headers /
+    footers / nav).  The raw testdata texts are single-line, so the query
+    derives a line-structured corpus (per-source header + corpus-wide
+    footer around each text) — the headers dedup within a source, the
+    footer everywhere, the unique bodies survive.  One partial-aggregated
+    count shuffle on an 8-byte line hash + one per-doc regroup; line text
+    never shuffles.  DuckDB cross-check in tests/test_line_dedup.py
+    (bench/extras surface)."""
+    from restructure_hdfs_topic_spark.operators.dedup import strip_duplicated_lines
+
+    _conf(spark)
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.concat_ws(" ", F.lit("from source"), F.col("source")),
+            F.lit("\n"),
+            F.col("text"),
+            F.lit("\nsubscribe to our newsletter"),
+        ).alias("text"),
+    )
+    return strip_duplicated_lines(docs, "doc_id", "text").select("doc_id", "text")
+
+
 def q_lm_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Interpolated bigram cross-entropy per document (Jelinek-Mercer
     smoothed, <s> sentinel context) — the next step up the CCNet ladder
@@ -1370,6 +1395,9 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # Pre-dedup text canonicalization; DuckDB cross-check in
         # tests/test_text_normalize.py.
         "text_normalize": q_text_normalize,
+        # Line-level corpus dedup; DuckDB cross-check in
+        # tests/test_line_dedup.py.
+        "line_dedup": q_line_dedup,
         # Loader-ready packed sequences; exact-model verification in
         # tests/test_curation.py.
         "pack_materialize": q_pack_materialize,

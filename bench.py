@@ -61,6 +61,7 @@ BENCH_QUERIES = [
     "incremental_dedup",
     "lm_bigram",
     "text_normalize",
+    "line_dedup",
     "pack_materialize",
     "lm_curriculum",
     "simhash",

@@ -1144,3 +1144,81 @@ def strip_duplicated_spans(
         .drop("__spans")
     )
     return out
+
+
+# --- Line-level corpus dedup (C4 / RefinedWeb-style) ----------------------
+
+def duplicated_lines(
+    df: DataFrame, id_col: str, text_col: str, min_count: int = 2
+) -> DataFrame:
+    """Corpus-wide duplicated LINES (the RefinedWeb / C4 line-wise dedup
+    unit — boilerplate navigation, cookie banners, repeated headers): one
+    row per (document, line index) whose whitespace-trimmed line occurs
+    ``>= min_count`` times across the whole corpus (any document, including
+    repeats within one document).  Blank lines never count as duplication.
+
+    Returns ``(id, line_idx, cnt)`` with ``line_idx`` 0-based over the
+    document's ``\\n``-split lines and ``cnt`` the corpus-wide occurrence
+    count of that trimmed line.
+
+    Plan shape (100 TB): lines explode to (id, idx, h) with an 8-byte
+    ``xxhash64(trimmed)`` key; occurrence counting is a partial-aggregated
+    ``groupBy(h)`` — map-side combine collapses the heavy duplicates
+    (exactly the skewed keys) BEFORE the shuffle, which is why this uses
+    agg+join rather than the window-count the span pipeline uses; the join
+    back to the line stream is an equi-join on ``h`` that AQE sides/splits.
+    Line text never shuffles — only hashes and indices.
+    """
+    lines = F.split(F.col(text_col), "\n")
+    trimmed = lambda l: F.regexp_replace(l, r"^\s+|\s+$", "")  # noqa: E731
+    stream = (
+        df.select(F.col(id_col), F.posexplode(lines).alias("line_idx", "__line"))
+        .withColumn("__t", trimmed(F.col("__line")))
+        .filter(F.col("__t") != "")
+        .select(id_col, "line_idx", F.xxhash64("__t").alias("h"))
+    )
+    counts = (
+        stream.groupBy("h")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .filter(F.col("cnt") >= min_count)
+    )
+    return stream.join(counts, "h").select(id_col, "line_idx", "cnt")
+
+
+def strip_duplicated_lines(
+    df: DataFrame, id_col: str, text_col: str, min_count: int = 2
+) -> DataFrame:
+    """Remove every corpus-duplicated line from every document (ALL
+    occurrences — the same conservative choice as
+    ``strip_duplicated_spans``; keep-one-canonical is a downstream
+    keep-first over ``duplicated_lines``).  Untouched documents keep their
+    text byte-for-byte; touched documents are rebuilt by dropping whole
+    lines and re-joining with ``\\n`` — surviving lines keep their exact
+    bytes (unlike the token-span scrub, no whitespace normalization is
+    needed: the line split is lossless).
+    """
+    dup = (
+        duplicated_lines(df, id_col, text_col, min_count)
+        .groupBy(id_col)
+        .agg(F.collect_list("line_idx").alias("__dup_idx"))
+    )
+    lines = F.split(F.col(text_col), "\n")
+    kept = F.filter(
+        F.zip_with(
+            lines,
+            F.sequence(F.lit(0), F.greatest(F.size(lines) - 1, F.lit(0))),
+            lambda l, i: F.struct(l.alias("l"), i.alias("i")),
+        ),
+        lambda s: ~F.array_contains(F.col("__dup_idx"), s["i"]),
+    )
+    return (
+        df.join(dup, on=id_col, how="left")
+        .withColumn("__dup_idx", F.coalesce(F.col("__dup_idx"), F.array()))
+        .withColumn(
+            text_col,
+            F.when(F.size("__dup_idx") == 0, F.col(text_col)).otherwise(
+                F.array_join(F.transform(kept, lambda s: s["l"]), "\n")
+            ),
+        )
+        .drop("__dup_idx")
+    )
