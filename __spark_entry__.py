@@ -968,6 +968,27 @@ def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return strip_duplicated_lines(docs, "doc_id", "text").select("doc_id", "text")
 
 
+def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer induction + corpus encoding: learn 50 merges from the
+    corpus's word-frequency table (distributed map-side-combined count;
+    driver merge loop over the bounded vocabulary with incremental pair
+    bookkeeping), then encode every document in one Arrow kernel with a
+    per-batch word cache.  Not SQL-expressible (iterative vocabulary
+    state); correctness pinned by the naive-reference equivalence tests in
+    tests/test_bpe.py (bench/extras surface)."""
+    from restructure_hdfs_topic_spark.operators.bpe import bpe_encode, learn_bpe
+
+    _conf(spark)
+    docs = _t(spark, sf_dir, "documents")
+    merges = learn_bpe(docs, n_merges=50)
+    enc = bpe_encode(docs, merges)
+    return enc.select(
+        F.col("id").alias("doc_id"),
+        "n_tokens",
+        F.xxhash64(F.concat_ws("", "tokens")).alias("tokens_hash"),
+    )
+
+
 def q_lm_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Interpolated bigram cross-entropy per document (Jelinek-Mercer
     smoothed, <s> sentinel context) — the next step up the CCNet ladder
@@ -1398,6 +1419,9 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # Line-level corpus dedup; DuckDB cross-check in
         # tests/test_line_dedup.py.
         "line_dedup": q_line_dedup,
+        # BPE tokenizer induction + encoding; reference-equivalence tests
+        # in tests/test_bpe.py (iterative — not SQL-expressible).
+        "bpe_encode": q_bpe_encode,
         # Loader-ready packed sequences; exact-model verification in
         # tests/test_curation.py.
         "pack_materialize": q_pack_materialize,

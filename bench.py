@@ -62,6 +62,7 @@ BENCH_QUERIES = [
     "lm_bigram",
     "text_normalize",
     "line_dedup",
+    "bpe_encode",
     "pack_materialize",
     "lm_curriculum",
     "simhash",

@@ -1,0 +1,205 @@
+"""Byte-pair-encoding tokenizer induction + corpus encoding.
+
+The missing piece between raw curated text and a training run: LEARN a
+subword vocabulary from the corpus (Sennrich et al. 2016 — iteratively
+merge the most frequent adjacent symbol pair) and ENCODE the corpus with
+it.  The repo's other token ops (``bpe_token_count``'s GPT-2 pre-tokenizer
+regex, ``vocab_topk``) assume an existing tokenizer; this one builds one.
+
+Spark-first split of the work:
+
+- **Counting is distributed.**  ``word_frequencies`` is a map-side-combined
+  ``groupBy`` over whitespace words — the Zipf head collapses inside each
+  task before the shuffle, so the exchange carries the VOCABULARY, not the
+  corpus.
+- **Merge learning runs on the driver over the word-frequency table.**
+  BPE's loop state is the (word-pieces → count) dict — vocabulary-scale,
+  not corpus-scale (the standard formulation operates on exactly this
+  table).  A 100 TB corpus's distinct-word table is bounded by
+  ``max_vocab`` (most-frequent-first, an EXPLICIT cap — the tail it drops
+  is exactly what BPE's merges would never touch) so the collect is a
+  bounded metadata-scale collect, same contract as the mixture sampler's
+  stratum counts.
+- **Encoding is distributed.**  ``bpe_encode`` applies the learned merge
+  ranks in one Arrow ``mapInPandas`` kernel with a per-batch word cache —
+  each DISTINCT word is encoded once per batch (Zipf again: the cache hit
+  rate is the duplicate word rate), no JVM<->Python chatter beyond the
+  batch stream.
+
+No end-of-word marker is used: token concatenation reproduces the word
+byte-for-byte, which keeps the oracle story trivial
+(``concat(tokens) == word``) and matches byte-level BPE practice of
+handling word boundaries in the pre-tokenizer, not the vocab.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def word_frequencies(
+    docs: DataFrame, text_col: str = "text", max_vocab: int | None = None
+) -> DataFrame:
+    """``(word, cnt)`` over whitespace-split words, most frequent first.
+    ``max_vocab`` keeps the top-N by (cnt desc, word) — deterministic, and
+    NOT silent: learn_bpe logs when the cap truncates."""
+    words = docs.select(
+        F.explode(
+            F.filter(
+                F.split(F.col(text_col), r"\s+"), lambda w: w != F.lit("")
+            )
+        ).alias("word")
+    )
+    freqs = words.groupBy("word").agg(F.count(F.lit(1)).alias("cnt"))
+    if max_vocab is not None:
+        freqs = freqs.orderBy(F.desc("cnt"), "word").limit(max_vocab)
+    return freqs
+
+
+def learn_bpe(
+    docs: DataFrame,
+    n_merges: int,
+    text_col: str = "text",
+    min_pair_count: int = 2,
+    max_vocab: int = 1_000_000,
+) -> list[tuple[str, str]]:
+    """Learn ``n_merges`` BPE merges from the corpus; returns them in
+    application order.  Deterministic: ties break by pair lexicographic
+    order, independent of partitioning or dict iteration order.
+
+    Stops early (possibly fewer than ``n_merges``) when no remaining pair
+    reaches ``min_pair_count`` — merging hapax pairs only memorizes the
+    corpus."""
+    import heapq
+    import logging
+
+    rows = word_frequencies(docs, text_col, max_vocab=max_vocab + 1).collect()
+    if len(rows) > max_vocab:
+        logging.getLogger(__name__).warning(
+            "learn_bpe: vocabulary truncated to the %d most frequent words "
+            "(the dropped tail cannot influence the first merges)", max_vocab
+        )
+        rows = rows[:max_vocab]
+
+    words: list[list[str]] = [list(r["word"]) for r in rows]
+    counts: list[int] = [r["cnt"] for r in rows]
+
+    # Incremental pair bookkeeping (the subword-nmt optimization): a merge
+    # touches only the words that contain its pair, and the best pair comes
+    # off a lazy-invalidation heap — O(affected words + log P) per merge
+    # instead of a full vocabulary recount.
+    pair_counts: dict[tuple[str, str], int] = {}
+    pair_words: dict[tuple[str, str], set[int]] = {}
+    for widx, (pieces, cnt) in enumerate(zip(words, counts)):
+        for p in zip(pieces, pieces[1:]):
+            pair_counts[p] = pair_counts.get(p, 0) + cnt
+            pair_words.setdefault(p, set()).add(widx)
+    heap = [(-c, p) for p, c in pair_counts.items()]
+    heapq.heapify(heap)
+
+    def bump(p: tuple[str, str], delta: int, widx: int) -> None:
+        c = pair_counts.get(p, 0) + delta
+        if c <= 0:
+            pair_counts.pop(p, None)
+        else:
+            pair_counts[p] = c
+            # Push on EVERY change (including decrements): a pair whose
+            # count only ever went down would otherwise have no heap entry
+            # matching its current count and could never be popped again.
+            # Old entries go stale; the pop-time verification skips them.
+            heapq.heappush(heap, (-c, p))
+            if delta > 0:
+                pair_words.setdefault(p, set()).add(widx)
+
+    merges: list[tuple[str, str]] = []
+    while len(merges) < n_merges and heap:
+        negc, pair = heapq.heappop(heap)
+        cur = pair_counts.get(pair)
+        if cur is None or cur != -negc:
+            continue  # stale entry (count changed since push)
+        if cur < min_pair_count:
+            break  # heap top = global max; nothing else qualifies either
+        merged = pair[0] + pair[1]
+        for widx in list(pair_words.pop(pair, ())):
+            pieces, cnt = words[widx], counts[widx]
+            if pair not in zip(pieces, pieces[1:]):
+                continue  # stale membership (word rewritten since added)
+            for p in zip(pieces, pieces[1:]):
+                bump(p, -cnt, widx)
+            out, i = [], 0
+            while i < len(pieces):
+                if (
+                    i + 1 < len(pieces)
+                    and pieces[i] == pair[0]
+                    and pieces[i + 1] == pair[1]
+                ):
+                    out.append(merged)
+                    i += 2
+                else:
+                    out.append(pieces[i])
+                    i += 1
+            words[widx] = out
+            for p in zip(out, out[1:]):
+                bump(p, cnt, widx)
+        pair_counts.pop(pair, None)
+        merges.append(pair)
+    return merges
+
+
+def _encode_word(word: str, ranks: dict[tuple[str, str], int]) -> list[str]:
+    """Classic greedy BPE: repeatedly merge the best-ranked adjacent pair."""
+    pieces = list(word)
+    while len(pieces) > 1:
+        best_rank, best_i = None, -1
+        for i, pair in enumerate(zip(pieces, pieces[1:])):
+            r = ranks.get(pair)
+            if r is not None and (best_rank is None or r < best_rank):
+                best_rank, best_i = r, i
+        if best_rank is None:
+            break
+        pieces[best_i : best_i + 2] = [pieces[best_i] + pieces[best_i + 1]]
+    return pieces
+
+
+def bpe_encode(
+    docs: DataFrame,
+    merges: list[tuple[str, str]],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Encode every document with a learned merge list: ``(id, tokens
+    array<string>, n_tokens)``.  Tokens concatenate back to the
+    whitespace-split words exactly (no markers).  One Arrow crossing; a
+    per-batch cache encodes each distinct word once (Zipf does the rest).
+    NULL text encodes to an empty token array."""
+    ranks = {tuple(p): i for i, p in enumerate(merges)}
+    id_type = docs.schema[id_col].dataType.simpleString()
+
+    def kernel(batches):
+        cache: dict[str, list[str]] = {}
+
+        def enc(text):
+            out = []
+            if text:
+                for w in text.split():
+                    toks = cache.get(w)
+                    if toks is None:
+                        toks = _encode_word(w, ranks)
+                        cache[w] = toks
+                    out.extend(toks)
+            return out
+
+        for pdf in batches:
+            toks = pdf[text_col].map(enc)
+            yield __import__("pandas").DataFrame(
+                {
+                    "id": pdf[id_col],
+                    "tokens": toks,
+                    "n_tokens": toks.map(len),
+                }
+            )
+
+    return docs.select(id_col, text_col).mapInPandas(
+        kernel, schema=f"id {id_type}, tokens array<string>, n_tokens long"
+    )
