@@ -37,7 +37,12 @@ def scoped_persist(
     old = _LIVE.get(scope)
     if old is not None:
         try:
-            if df.sameSemantics(old):
+            # Reuse only if still actually cached — an external
+            # clearCache() (e.g. bench inter-query hygiene) empties the
+            # CacheManager without our knowledge, and returning a
+            # no-longer-cached handle would silently lose caching.
+            still_cached = old.storageLevel.useMemory or old.storageLevel.useDisk
+            if still_cached and df.sameSemantics(old):
                 return old
         except Exception:
             pass  # old handle's session gone — fall through and replace

@@ -47,3 +47,14 @@ def test_release_scope(spark):
     release_scope("t.scope")
     assert not h.storageLevel.useMemory
     assert "t.scope" not in _LIVE
+
+
+def test_clearcache_invalidates_reuse(spark):
+    df = spark.range(30).selectExpr("id", "id + 1 AS v")
+    h1 = scoped_persist(df, "t.scope")
+    h1.count()
+    spark.catalog.clearCache()
+    h2 = scoped_persist(spark.range(30).selectExpr("id", "id + 1 AS v"), "t.scope")
+    # The externally-uncached old handle must NOT be returned as-is.
+    h2.count()
+    assert h2.storageLevel.useMemory
