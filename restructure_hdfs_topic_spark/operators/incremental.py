@@ -93,14 +93,18 @@ def commit_fingerprints(
         )
         merged = existing.select("fp").unionByName(new_fps.select("fp")).distinct()
         nxt = (cur or 0) + 1
-        if not _off._claim_version(spark, state_dir, nxt):
+        token = _off._claim_version(spark, state_dir, nxt)
+        if not token:
             _off._break_stale_claim(spark, state_dir, nxt)
             if _off._claim_exists(spark, state_dir, nxt):
                 _time.sleep(
                     min(2.0, 0.05 * (attempt + 1)) * (0.5 + random.random())
                 )
             continue
-        return _off._replace_at(spark, state_dir, merged, nxt)
+        try:
+            return _off._replace_at(spark, state_dir, merged, nxt, token)
+        except _off.ClaimLost:
+            continue
     raise RuntimeError(f"commit_fingerprints: version contention in {state_dir}")
 
 
@@ -261,14 +265,18 @@ def commit_signatures(
         )
         merged = existing.unionByName(new_sigs).dropDuplicates(["id"])
         nxt = (cur or 0) + 1
-        if not _off._claim_version(spark, sub, nxt):
+        token = _off._claim_version(spark, sub, nxt)
+        if not token:
             _off._break_stale_claim(spark, sub, nxt)
             if _off._claim_exists(spark, sub, nxt):
                 _time.sleep(
                     min(2.0, 0.05 * (attempt + 1)) * (0.5 + random.random())
                 )
             continue
-        return _off._replace_at(spark, sub, merged, nxt)
+        try:
+            return _off._replace_at(spark, sub, merged, nxt, token)
+        except _off.ClaimLost:
+            continue
     raise RuntimeError(f"commit_signatures: version contention in {sub}")
 
 

@@ -353,7 +353,8 @@ def commit_offsets(
             existing.unionByName(new_ranges, allowMissingColumns=True)
         )
         nxt = (cur or 0) + 1
-        if not _claim_version(spark, state_dir, nxt):
+        token = _claim_version(spark, state_dir, nxt)
+        if not token:
             # Another committer (a second engine instance on a different
             # topic) claimed this version: RE-READ so its freshly committed
             # intervals are included in our merge, then contend again —
@@ -372,31 +373,77 @@ def commit_offsets(
                     min(2.0, 0.05 * (attempt + 1)) * (0.5 + random.random())
                 )
             continue
-        return _replace_at(spark, state_dir, merged, nxt)
+        try:
+            return _replace_at(spark, state_dir, merged, nxt, token)
+        except ClaimLost:
+            # Our claim was TTL-broken while we were writing (stall) — the
+            # peer's commit is durable; retry against the fresh snapshot.
+            continue
     raise RuntimeError(f"commit_offsets: version contention in {state_dir}")
 
 
-def _claim_version(spark: SparkSession, state_dir: str, nxt: int) -> bool:
+class ClaimLost(RuntimeError):
+    """The committer's version claim was broken (TTL-expired and taken
+    over by a peer) between claiming and committing — the commit must be
+    retried against a fresh snapshot."""
+
+
+def _claim_version(spark: SparkSession, state_dir: str, nxt: int) -> str | None:
     """Atomically claim version ``nxt`` via create-NX of a claim marker —
     the serialization point that keeps two concurrent committers out of one
-    version directory.  Claim files are pruned with their versions."""
+    version directory.  The marker carries an OWNER TOKEN which
+    ``_replace_at`` re-verifies before making the claimed version visible:
+    a committer stalled past the claim TTL whose claim was broken and
+    re-claimed by a peer fails that check instead of silently overwriting
+    the peer's committed state.  Returns the token, or None if the claim
+    is already held.  Claim files are pruned with their versions."""
+    import uuid as _uuid
+
+    token = _uuid.uuid4().hex
     if "://" not in state_dir:
         root = os.path.join(state_dir, "offsets")
         os.makedirs(root, exist_ok=True)
         try:
-            with open(os.path.join(root, f".claim.v{nxt:08d}"), "x"):
-                return True
+            with open(os.path.join(root, f".claim.v{nxt:08d}"), "x") as fh:
+                fh.write(token)
+                return token
         except FileExistsError:
-            return False
+            return None
     jvm, fs, _ = _hfs(spark, state_dir)
     path = jvm.org.apache.hadoop.fs.Path(
         state_dir, f"offsets/.claim.v{nxt:08d}"
     )
     try:
-        fs.create(path, False).close()
-        return True
+        stream = fs.create(path, False)
+        try:
+            stream.write(bytearray(token, "utf-8"))
+        finally:
+            stream.close()
+        return token
     except Exception:
-        return False
+        return None
+
+
+def _claim_owner(spark: SparkSession, state_dir: str, nxt: int) -> str | None:
+    """Owner token currently recorded in the claim marker (None if the
+    marker is missing or unreadable)."""
+    name = f"offsets/.claim.v{nxt:08d}"
+    if "://" not in state_dir:
+        try:
+            with open(os.path.join(state_dir, name)) as fh:
+                return fh.read().strip()
+        except OSError:
+            return None
+    jvm, fs, _ = _hfs(spark, state_dir)
+    path = jvm.org.apache.hadoop.fs.Path(state_dir, name)
+    try:
+        stream = fs.open(path)
+        try:
+            return bytes(stream.readAllBytes()).decode().strip()
+        finally:
+            stream.close()
+    except Exception:
+        return None
 
 
 def _claim_exists(spark: SparkSession, state_dir: str, nxt: int) -> bool:
@@ -420,8 +467,12 @@ def replace_offsets(spark: SparkSession, state_dir: str, state: DataFrame) -> Da
 
     for attempt in range(64):
         nxt = (_current_version(state_dir, spark) or 0) + 1
-        if _claim_version(spark, state_dir, nxt):
-            return _replace_at(spark, state_dir, state, nxt)
+        token = _claim_version(spark, state_dir, nxt)
+        if token:
+            try:
+                return _replace_at(spark, state_dir, state, nxt, token)
+            except ClaimLost:
+                continue
         _break_stale_claim(spark, state_dir, nxt)
         if _claim_exists(spark, state_dir, nxt):
             _time.sleep(min(2.0, 0.05 * (attempt + 1)) * (0.5 + random.random()))
@@ -510,14 +561,56 @@ def _break_stale_claim(
 
 
 def _replace_at(
-    spark: SparkSession, state_dir: str, state: DataFrame, nxt: int
+    spark: SparkSession, state_dir: str, state: DataFrame, nxt: int,
+    token: str | None = None,
 ) -> DataFrame:
+    """Make ``state`` visible as version ``nxt``: write to a UNIQUE staging
+    directory, re-verify claim ownership, rename staging into place, swap
+    the pointer, prune.
+
+    The staging + verify + rename sequence is what makes a broken claim
+    actually LOSE: a committer stalled past the claim TTL (slow parquet
+    write, GC pause, suspended VM) whose claim a peer broke and re-claimed
+    would otherwise wake and overwrite the peer's committed version
+    directory with a merge built on a stale snapshot — erasing the peer's
+    intervals AND clobbering parquet data the live pointer references.
+    With staging, the stalled committer's write lands in its own scratch
+    dir; the ownership check (and the rename's refusal to replace an
+    existing version dir) turns the wake-up into a clean ``ClaimLost``
+    retry instead of a lost update."""
+    import uuid as _uuid
+
+    suffix = token or _uuid.uuid4().hex
+    staging = f"{state_dir}/offsets/.staging.v{nxt:08d}.{suffix}"
     version_dir = f"{state_dir}/offsets/v{nxt:08d}"
-    state.write.mode("overwrite").parquet(version_dir)
+    state.write.mode("overwrite").parquet(staging)
+
+    def _abort(reason: str) -> None:
+        import shutil
+
+        if "://" not in state_dir:
+            shutil.rmtree(staging, ignore_errors=True)
+        else:
+            jvm_, fs_, _ = _hfs(spark, state_dir)
+            try:
+                fs_.delete(jvm_.org.apache.hadoop.fs.Path(staging), True)
+            except Exception:
+                pass
+        raise ClaimLost(f"version v{nxt} claim lost ({reason}) in {state_dir}")
+
+    if token is not None and _claim_owner(spark, state_dir, nxt) != token:
+        _abort("owner token changed")
     if "://" not in state_dir:
         import shutil
         import tempfile
 
+        try:
+            # POSIX rename refuses to replace a non-empty directory —
+            # exactly the guard we want: if a peer's committed v{nxt}
+            # already exists, this committer's claim was broken.
+            os.rename(staging, version_dir)
+        except OSError:
+            _abort("version directory already exists")
         fd, tmp = tempfile.mkstemp(dir=state_dir, prefix=".offsets.CURRENT.")
         with os.fdopen(fd, "w") as fh:
             fh.write(f"v{nxt:08d}")
@@ -535,6 +628,12 @@ def _replace_at(
                     os.remove(os.path.join(versions_root, v))
                 except OSError:
                     pass
+            elif v.startswith(".staging.v") and _staging_version(v) is not None and (
+                _staging_version(v) < nxt - 1
+            ):
+                # Scratch left by a committer that died (or lost its claim)
+                # long ago — unreferenced by construction.
+                shutil.rmtree(os.path.join(versions_root, v), ignore_errors=True)
         legacy = os.path.join(state_dir, "offsets.parquet")
         if os.path.exists(legacy):  # migration: drop pre-pointer layout
             shutil.rmtree(legacy, ignore_errors=True)
@@ -545,6 +644,16 @@ def _replace_at(
     # crash window with NO pointer, which ``_recover_version`` closes by
     # adopting the highest fully-written offsets/v* directory.
     jvm, fs, _ = _hfs(spark, state_dir)
+    staging_path = jvm.org.apache.hadoop.fs.Path(staging)
+    version_path = jvm.org.apache.hadoop.fs.Path(version_dir)
+    # Hadoop FileSystem.rename moves src INTO an existing dst directory
+    # instead of failing — check-then-rename (the residual race is the
+    # rename itself; the ownership check above already shrank the window
+    # from the whole parquet write to this metadata op).
+    if fs.exists(version_path):
+        _abort("version directory already exists")
+    if not fs.rename(staging_path, version_path):
+        _abort("staging rename refused")
     tmp = jvm.org.apache.hadoop.fs.Path(state_dir, f".offsets.CURRENT.v{nxt:08d}")
     stream = fs.create(tmp, True)
     try:
@@ -575,7 +684,20 @@ def _replace_at(
             name[8:].lstrip("v")
         ) < nxt - 1:
             fs.delete(st.getPath(), False)
+        elif name.startswith(".staging.v") and _staging_version(name) is not None and (
+            _staging_version(name) < nxt - 1
+        ):
+            fs.delete(st.getPath(), True)
     return read_offsets(spark, state_dir)
+
+
+def _staging_version(name: str) -> int | None:
+    """Version number of a ``.staging.v{N}.{token}`` scratch dir name."""
+    parts = name.split(".")
+    # ["", "staging", "v{N}", "{token}"]
+    if len(parts) >= 3 and parts[2].startswith("v") and parts[2][1:].isdigit():
+        return int(parts[2][1:])
+    return None
 
 
 def read_offsets(spark: SparkSession, state_dir: str) -> DataFrame:

@@ -391,3 +391,62 @@ def test_path_mtimes_basename_collision_raises(spark, tmp_path):
     assert len(got) == 1 and got[0][0] == "f+0+1+2.avro"
     with pytest.raises(ValueError, match="duplicate basename"):
         _path_mtimes(spark, [str(a), str(b)])
+
+
+def test_stalled_committer_cannot_clobber_peer_commit(spark, tmp_path):
+    """A committer stalled past CLAIM_TTL (slow write / GC pause / paused
+    VM) whose claim a peer broke and re-claimed must fail with ClaimLost on
+    wake-up — NOT overwrite the peer's committed version directory with a
+    merge built on the stale snapshot (lost update + clobbered parquet the
+    live pointer references)."""
+    import os as _os
+    import time as _time
+
+    import pytest as _pytest
+
+    from restructure_hdfs_topic_spark.operators import offsets as O
+
+    state_dir = str(tmp_path / "state")
+    _os.makedirs(state_dir)
+    mk = lambda lo, hi: spark.createDataFrame(  # noqa: E731
+        [("t", 0, lo, hi, None)], O.STATE_SCHEMA
+    )
+    O.commit_offsets(spark, state_dir, mk(0, 9))  # v1
+
+    # Victim A: resolves cur=1, claims v2 ... then stalls past the TTL.
+    token_a = O._claim_version(spark, state_dir, 2)
+    assert token_a
+    victim_merge = O.merge_offset_intervals(
+        O._read_state_at(spark, state_dir, 1).unionByName(mk(200, 209))
+    )
+    claim = _os.path.join(state_dir, "offsets", ".claim.v00000002")
+    old = _time.time() - O.CLAIM_TTL_S - 5
+    _os.utime(claim, (old, old))
+
+    # Peer B: breaks the stale claim, takes v2, commits durably.
+    O.commit_offsets(spark, state_dir, mk(100, 109))
+    assert O._current_version(state_dir) == 2
+
+    # A wakes and finishes its attempt with its stale token + merge.
+    with _pytest.raises(O.ClaimLost):
+        O._replace_at(spark, state_dir, victim_merge, 2, token_a)
+
+    final = {
+        (r.offset_from, r.offset_to)
+        for r in O.read_offsets(spark, state_dir).collect()
+    }
+    assert final == {(0, 9), (100, 109)}  # B's commit intact, no stale merge
+    # No staging scratch left behind by the aborted attempt.
+    leftovers = [
+        n for n in _os.listdir(_os.path.join(state_dir, "offsets"))
+        if n.startswith(".staging.")
+    ]
+    assert leftovers == []
+
+    # A's proper retry path (fresh snapshot) lands its intervals on v3.
+    O.commit_offsets(spark, state_dir, mk(200, 209))
+    final = {
+        (r.offset_from, r.offset_to)
+        for r in O.read_offsets(spark, state_dir).collect()
+    }
+    assert final == {(0, 9), (100, 109), (200, 209)}

@@ -534,6 +534,8 @@ def test_query_registry_consistency():
         "incremental_dedup",
         "lm_bigram",
         "text_normalize",
+        "line_dedup",
+        "bpe_encode",
         "pack_materialize",
         "lm_curriculum",
     }
