@@ -968,6 +968,19 @@ def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return strip_duplicated_lines(docs, "doc_id", "text").select("doc_id", "text")
 
 
+def q_corpus_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source corpus profile (docs, token totals, exact length
+    percentiles, hash-keyed distinct-text rate, Gopher pass rate) — the
+    monitoring aggregate a curation pipeline runs around every stage.  One
+    projection + one map-side-combined groupBy; output is strata-
+    cardinality rows.  DuckDB cross-check in tests/test_profile.py
+    (bench/extras surface)."""
+    from restructure_hdfs_topic_spark.operators.profile import corpus_profile
+
+    _conf(spark)
+    return corpus_profile(_t(spark, sf_dir, "documents"))
+
+
 def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BPE tokenizer induction + corpus encoding: learn 50 merges from the
     corpus's word-frequency table (distributed map-side-combined count;
@@ -1422,6 +1435,9 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # BPE tokenizer induction + encoding; reference-equivalence tests
         # in tests/test_bpe.py (iterative — not SQL-expressible).
         "bpe_encode": q_bpe_encode,
+        # Per-source corpus profile; DuckDB cross-check in
+        # tests/test_profile.py.
+        "corpus_profile": q_corpus_profile,
         # Loader-ready packed sequences; exact-model verification in
         # tests/test_curation.py.
         "pack_materialize": q_pack_materialize,

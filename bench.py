@@ -63,6 +63,7 @@ BENCH_QUERIES = [
     "text_normalize",
     "line_dedup",
     "bpe_encode",
+    "corpus_profile",
     "pack_materialize",
     "lm_curriculum",
     "simhash",

@@ -1,0 +1,56 @@
+"""Per-source corpus profiling: the monitoring aggregate a curation
+pipeline runs before/after every stage (what's in this corpus, how long
+are its documents, how much of it is duplicated or below the quality
+gate — per source, so mixture decisions have numbers behind them).
+
+One projection + ONE map-side-combined ``groupBy(source)`` over the
+corpus: token counts, exact-percentile length distribution, hash-keyed
+distinct-text rate (the text itself never shuffles), Gopher-gate pass
+rate.  At 100 TB the shuffle carries a handful of aggregation buffers per
+source — the output is strata-cardinality rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from restructure_hdfs_topic_spark.functions.text import (
+    gopher_metrics,
+    gopher_passes,
+    token_count,
+)
+
+
+def corpus_profile(
+    docs: DataFrame,
+    text_col: str = "text",
+    strata_col: str = "source",
+) -> DataFrame:
+    """One row per source: ``(source, n_docs, total_tokens, avg_tokens,
+    p50_tokens, p95_tokens, distinct_text_rate, gopher_pass_rate)``.
+
+    ``distinct_text_rate`` counts distinct ``xxhash64(text)`` (8-byte
+    shuffle key; equals distinct texts modulo a 2^-64-per-pair collision);
+    percentiles are EXACT (linear interpolation — cross-engine stable and
+    the per-group sort is over token-count ints, not documents); floats
+    are rounded so aggregation order cannot flip a value hash."""
+    metrics = gopher_metrics(F.col(text_col))
+    staged = docs.select(
+        F.col(strata_col).alias("source"),
+        token_count(F.col(text_col)).alias("__n_tok"),
+        F.xxhash64(F.col(text_col)).alias("__fp"),
+        gopher_passes(*[c for _, c in metrics]).cast("int").alias("__pass"),
+    )
+    n = F.count(F.lit(1))
+    return staged.groupBy("source").agg(
+        n.alias("n_docs"),
+        F.sum("__n_tok").cast("bigint").alias("total_tokens"),
+        F.round(F.avg("__n_tok"), 4).alias("avg_tokens"),
+        F.round(F.percentile("__n_tok", F.lit(0.5)), 4).alias("p50_tokens"),
+        F.round(F.percentile("__n_tok", F.lit(0.95)), 4).alias("p95_tokens"),
+        F.round(
+            F.count_distinct(F.col("__fp")).cast("double") / n, 6
+        ).alias("distinct_text_rate"),
+        F.round(F.avg("__pass"), 6).alias("gopher_pass_rate"),
+    )

@@ -536,6 +536,7 @@ def test_query_registry_consistency():
         "text_normalize",
         "line_dedup",
         "bpe_encode",
+        "corpus_profile",
         "pack_materialize",
         "lm_curriculum",
     }
