@@ -968,6 +968,26 @@ def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return strip_duplicated_lines(docs, "doc_id", "text").select("doc_id", "text")
 
 
+def q_token_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budgeted subset selection ("a 2000-token slice per source"):
+    deterministic hash-order prefix per stratum until the budget, computed
+    as ONE bounded coarse-bucket aggregate + a narrow filter — only the
+    boundary bucket (1/65536 of a stratum) pays a window cumsum, never a
+    per-stratum total sort.  DuckDB window cross-check + exact-model tests
+    in tests/test_token_budget.py (bench/extras surface)."""
+    from restructure_hdfs_topic_spark.functions.text import token_count
+    from restructure_hdfs_topic_spark.operators.sampling import token_budget_sample
+
+    _conf(spark)
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "source", token_count(F.col("text")).alias("n_tokens")
+    )
+    budgets = {f"src{i}": 2000 for i in range(20)}
+    return token_budget_sample(docs, "doc_id", "source", budgets).select(
+        "doc_id", "source", "n_tokens"
+    )
+
+
 def q_corpus_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source corpus profile (docs, token totals, exact length
     percentiles, hash-keyed distinct-text rate, Gopher pass rate) — the
@@ -1438,6 +1458,9 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # Per-source corpus profile; DuckDB cross-check in
         # tests/test_profile.py.
         "corpus_profile": q_corpus_profile,
+        # Token-budgeted subset selection; DuckDB cross-check in
+        # tests/test_token_budget.py.
+        "token_budget_sample": q_token_budget_sample,
         # Loader-ready packed sequences; exact-model verification in
         # tests/test_curation.py.
         "pack_materialize": q_pack_materialize,

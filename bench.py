@@ -64,6 +64,7 @@ BENCH_QUERIES = [
     "line_dedup",
     "bpe_encode",
     "corpus_profile",
+    "token_budget_sample",
     "pack_materialize",
     "lm_curriculum",
     "simhash",

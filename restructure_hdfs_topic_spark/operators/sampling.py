@@ -118,3 +118,93 @@ def mixture_sample(
             threshold
         )
     return df.filter(hash_bucket(id_col) < threshold)
+
+
+_COARSE_BITS = 16
+
+
+def token_budget_sample(
+    df: DataFrame,
+    id_col: str,
+    strata_col: str,
+    budgets: dict[str, int],
+    n_tokens_col: str = "n_tokens",
+) -> DataFrame:
+    """TOKEN-budgeted subset selection ("take a 10B-token slice of web,
+    2B of code"): per stratum, documents are taken in deterministic hash
+    order until the running token total reaches the budget — keep a doc
+    iff the token sum of the docs BEFORE it (hash order, id tie-break) is
+    still under the stratum's budget.  The boundary-crossing doc is kept,
+    so the sample reaches its budget exactly when the stratum can supply
+    it (total ≤ budget + one document).  Strata without a budget drop.
+
+    Monotone: a larger budget's sample is a superset (same order, longer
+    prefix) — staged token-scaling experiments stay comparable.
+
+    Scale shape — the naive form is a per-stratum TOTAL sort (one task
+    sorts a whole stratum at 100 TB); instead:
+
+    1. one map-side-combined count of token sums per (stratum, coarse
+       bucket = top 16 hash bits) — a bounded |strata|·65536-row collect,
+       the same metadata contract as ``mixture_sample``;
+    2. driver-side prefix sums find each stratum's boundary bucket B and
+       the in-bucket remainder;
+    3. buckets < B keep entirely (narrow filter, no shuffle); ONLY bucket
+       B — 1/65536 of the stratum — pays a window cumsum.
+
+    The result is row-identical to the naive per-document rule (including
+    zero-token documents at the exact boundary, which follow the strict
+    ``sum-before < budget`` comparison).
+    """
+    budgets = {k: int(v) for k, v in budgets.items()}
+    if not budgets:
+        raise ValueError("budgets must name at least one stratum")
+    b = hash_bucket(id_col)
+    coarse = F.shiftright(b, 32 - _COARSE_BITS)
+    tagged = df.filter(F.col(strata_col).isin(list(budgets)))
+    per: dict[str, dict[int, int]] = {}
+    for r in (
+        tagged.groupBy(F.col(strata_col).alias("__s"), coarse.alias("__c"))
+        .agg(F.sum(F.coalesce(F.col(n_tokens_col).cast("long"), F.lit(0))).alias("__t"))
+        .collect()
+    ):
+        per.setdefault(r["__s"], {})[r["__c"]] = r["__t"]
+    n_buckets = 1 << _COARSE_BITS
+    boundary: dict[str, int] = {}
+    remainder: dict[str, int] = {}
+    for s, bud in budgets.items():
+        cum, bnd, rem = 0, n_buckets, 0  # default: budget >= total, keep all
+        for c in sorted(per.get(s, {})):
+            t = per[s][c]
+            if cum + t >= bud:
+                bnd, rem = c, bud - cum
+                break
+            cum += t
+        boundary[s] = bnd
+        remainder[s] = rem
+    bnd_expr = F.lit(-1).cast("long")
+    rem_expr = F.lit(0).cast("long")
+    for s in sorted(budgets):
+        bnd_expr = F.when(F.col(strata_col) == s, F.lit(boundary[s])).otherwise(bnd_expr)
+        rem_expr = F.when(F.col(strata_col) == s, F.lit(remainder[s])).otherwise(rem_expr)
+    bulk = tagged.filter(coarse < bnd_expr).select(*df.columns)
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy(strata_col)
+        .orderBy(b.asc(), F.col(id_col).asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    edge = (
+        tagged.filter(coarse == bnd_expr)
+        .withColumn(
+            "__cum",
+            F.coalesce(
+                F.sum(F.coalesce(F.col(n_tokens_col).cast("long"), F.lit(0))).over(w),
+                F.lit(0),
+            ),
+        )
+        .filter(F.col("__cum") < rem_expr)
+        .select(*df.columns)
+    )
+    return bulk.unionByName(edge)

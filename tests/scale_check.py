@@ -86,6 +86,13 @@ CONSISTENCY_QUERIES = [
     "text_normalize",
     "pack_materialize",
     "lm_curriculum",
+    # r6 session additions: line-level dedup, BPE encode (driver-learned
+    # merges must be partitioning-independent end-to-end), per-source
+    # profile.
+    "line_dedup",
+    "bpe_encode",
+    "corpus_profile",
+    "token_budget_sample",
 ]
 
 

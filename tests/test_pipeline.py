@@ -537,6 +537,7 @@ def test_query_registry_consistency():
         "line_dedup",
         "bpe_encode",
         "corpus_profile",
+        "token_budget_sample",
         "pack_materialize",
         "lm_curriculum",
     }
