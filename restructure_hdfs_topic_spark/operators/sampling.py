@@ -120,6 +120,24 @@ def mixture_sample(
     return df.filter(hash_bucket(id_col) < threshold)
 
 
+def weighted_hash_sample(
+    df: DataFrame, id_col: str, weight_col: str
+) -> DataFrame:
+    """Deterministic importance sampling: keep a row with probability equal
+    to its ``weight_col`` value in [0, 1] — the CCNet-style "keep
+    probability follows the quality score" primitive, reproducible across
+    runs/engines/partitionings because the coin is the row's own hash
+    bucket (keep iff ``bucket < weight·2^32``).  NULL or ≤0 weights drop
+    the row; weights ≥1 always keep.  One narrow codegen filter, no
+    shuffle.  Monotone per-row: raising a row's weight can only flip it
+    from dropped to kept."""
+    w = F.coalesce(F.col(weight_col).cast("double"), F.lit(0.0))
+    threshold = F.least(
+        F.greatest((w * F.lit(float(MOD))), F.lit(0.0)), F.lit(float(MOD))
+    ).cast("long")
+    return df.filter(hash_bucket(id_col) < threshold)
+
+
 _COARSE_BITS = 16
 
 

@@ -128,3 +128,36 @@ def test_partitioning_independence(spark):
         ).collect()
     )
     assert a == b
+
+
+def test_weighted_hash_sample(spark):
+    import duckdb
+
+    from restructure_hdfs_topic_spark.operators.sampling import weighted_hash_sample
+
+    rows = [(i, [0.0, 0.25, 0.5, 1.0, None, 1.7, -0.3][i % 7]) for i in range(2000)]
+    df = spark.createDataFrame(rows, "doc_id long, w double")
+    got = sorted(r["doc_id"] for r in weighted_hash_sample(df, "doc_id", "w").collect())
+    # DuckDB reproduces the exact keep set (engine-portable hash coin).
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (doc_id BIGINT, w DOUBLE)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", rows)
+    want = [
+        r[0]
+        for r in con.execute(
+            """SELECT doc_id FROM t
+               WHERE (doc_id * 2654435761) % 4294967296 <
+                     CAST(least(greatest(coalesce(w, 0.0), 0.0), 1.0)
+                          * 4294967296 AS BIGINT)
+               ORDER BY doc_id"""
+        ).fetchall()
+    ]
+    assert got == want
+    # weight 1.0 rows always kept, <=0 / NULL rows never.
+    kept = set(got)
+    assert all(i in kept for i in range(2000) if i % 7 == 3)
+    assert all(i not in kept for i in range(2000) if i % 7 in (0, 4, 6))
+    # rate roughly follows the weight for the 0.5 class.
+    half = [i for i in range(2000) if i % 7 == 2]
+    frac = sum(i in kept for i in half) / len(half)
+    assert 0.35 < frac < 0.65
