@@ -968,6 +968,24 @@ def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return strip_duplicated_lines(docs, "doc_id", "text").select("doc_id", "text")
 
 
+def q_feature_hash_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashing-trick document embeddings (Weinberger et al. 2009): the
+    model-free embed step feeding the cosine/ANN/SemDeDup consumers — one
+    Arrow crossing with a per-batch token-hash cache; engine-reproducible
+    (shared polynomial token hash), DuckDB bit-for-bit cross-check in
+    tests/test_embed.py (bench/extras surface)."""
+    from restructure_hdfs_topic_spark.operators.embed import feature_hash_embed
+
+    _conf(spark)
+    docs = _t(spark, sf_dir, "documents")
+    emb = feature_hash_embed(docs, dim=64)
+    return emb.select(
+        F.col("id").alias("doc_id"),
+        F.xxhash64(F.concat_ws(",", F.transform("vec", lambda x: x.cast("string"))))
+        .alias("vec_hash"),
+    )
+
+
 def q_token_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token-budgeted subset selection ("a 2000-token slice per source"):
     deterministic hash-order prefix per stratum until the budget, computed
@@ -1461,6 +1479,9 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # Token-budgeted subset selection; DuckDB cross-check in
         # tests/test_token_budget.py.
         "token_budget_sample": q_token_budget_sample,
+        # Hashing-trick embeddings; DuckDB cross-check in
+        # tests/test_embed.py.
+        "feature_hash_embed": q_feature_hash_embed,
         # Loader-ready packed sequences; exact-model verification in
         # tests/test_curation.py.
         "pack_materialize": q_pack_materialize,

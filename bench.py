@@ -65,6 +65,7 @@ BENCH_QUERIES = [
     "bpe_encode",
     "corpus_profile",
     "token_budget_sample",
+    "feature_hash_embed",
     "pack_materialize",
     "lm_curriculum",
     "simhash",

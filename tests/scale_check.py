@@ -93,6 +93,7 @@ CONSISTENCY_QUERIES = [
     "bpe_encode",
     "corpus_profile",
     "token_budget_sample",
+    "feature_hash_embed",
 ]
 
 

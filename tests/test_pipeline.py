@@ -538,6 +538,7 @@ def test_query_registry_consistency():
         "bpe_encode",
         "corpus_profile",
         "token_budget_sample",
+        "feature_hash_embed",
         "pack_materialize",
         "lm_curriculum",
     }
