@@ -1,0 +1,174 @@
+"""Fluent corpus-curation facade.
+
+Thin chainable wrapper over the operator modules so a pipeline reads the
+way it runs — each step returns a new ``Corpus`` over a lazy DataFrame
+(nothing executes until an action), and ``df`` unwraps at any point:
+
+    from restructure_hdfs_topic_spark.corpus import Corpus
+
+    packed = (
+        Corpus(docs)                       # (doc_id, source, text, ...)
+        .normalize()
+        .gopher_gate()
+        .strip_duplicated_lines()
+        .strip_duplicated_spans(k=8)
+        .near_dup_drop(threshold=0.5)
+        .mixture_sample({"web": 5, "books": 3})
+        .pack(budget=2048)                 # -> pack manifest DataFrame
+    )
+
+Every method delegates to the tested operator (same defaults, same scale
+shapes); this module adds NO semantics of its own.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+class Corpus:
+    """A document corpus: a DataFrame with an id column, a text column,
+    and optionally a strata/source column."""
+
+    def __init__(
+        self,
+        df: DataFrame,
+        id_col: str = "doc_id",
+        text_col: str = "text",
+        strata_col: str = "source",
+    ):
+        self.df = df
+        self.id_col = id_col
+        self.text_col = text_col
+        self.strata_col = strata_col
+
+    def _wrap(self, df: DataFrame) -> "Corpus":
+        return Corpus(df, self.id_col, self.text_col, self.strata_col)
+
+    # -- text hygiene -----------------------------------------------------
+    def normalize(self, nfc: bool = False) -> "Corpus":
+        from restructure_hdfs_topic_spark.functions.text import (
+            nfc_normalize_text,
+            normalize_text,
+        )
+
+        t = normalize_text(F.col(self.text_col))
+        if nfc:
+            t = nfc_normalize_text(t)
+        return self._wrap(self.df.withColumn(self.text_col, t))
+
+    def redact_pii(self) -> "Corpus":
+        from restructure_hdfs_topic_spark.functions.text import redact_pii
+
+        return self._wrap(
+            self.df.withColumn(self.text_col, redact_pii(F.col(self.text_col)))
+        )
+
+    # -- quality gates ----------------------------------------------------
+    def gopher_gate(self, **kwargs) -> "Corpus":
+        from restructure_hdfs_topic_spark.functions.text import (
+            gopher_metrics,
+            gopher_passes,
+        )
+
+        metrics = gopher_metrics(F.col(self.text_col))
+        return self._wrap(
+            self.df.filter(gopher_passes(*[c for _, c in metrics], **kwargs))
+        )
+
+    def filter_blocked_domains(self, blocked: list[str]) -> "Corpus":
+        from restructure_hdfs_topic_spark.plans.curation import (
+            filter_blocked_domains,
+        )
+
+        return self._wrap(
+            filter_blocked_domains(self.df, blocked, self.id_col, self.text_col)
+        )
+
+    # -- dedup ------------------------------------------------------------
+    def exact_dedup(self) -> "Corpus":
+        """Keep the lowest-id copy of each distinct text."""
+        from pyspark.sql import Window
+
+        w = Window.partitionBy(F.xxhash64(F.col(self.text_col))).orderBy(self.id_col)
+        return self._wrap(
+            self.df.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+
+    def strip_duplicated_lines(self, min_count: int = 2) -> "Corpus":
+        from restructure_hdfs_topic_spark.operators.dedup import (
+            strip_duplicated_lines,
+        )
+
+        return self._wrap(
+            strip_duplicated_lines(self.df, self.id_col, self.text_col, min_count)
+        )
+
+    def strip_duplicated_spans(self, k: int = 8) -> "Corpus":
+        from restructure_hdfs_topic_spark.operators.dedup import (
+            strip_duplicated_spans,
+        )
+
+        return self._wrap(
+            strip_duplicated_spans(self.df, self.id_col, self.text_col, k=k)
+        )
+
+    def near_dup_drop(self, threshold: float = 0.5, **lsh_kwargs) -> "Corpus":
+        """MinHash-LSH near-dup removal, keep-first (drop the larger id of
+        each verified pair) — the curate_corpus convention."""
+        from restructure_hdfs_topic_spark.operators.dedup import lsh_near_dup_pairs
+
+        pairs = lsh_near_dup_pairs(
+            self.df, self.id_col, self.text_col, threshold=threshold, **lsh_kwargs
+        )
+        losers = pairs.select(F.col("id_b").alias(self.id_col)).distinct()
+        return self._wrap(self.df.join(losers, on=self.id_col, how="left_anti"))
+
+    # -- sampling ---------------------------------------------------------
+    def mixture_sample(self, weights: dict[str, int], **kwargs) -> "Corpus":
+        from restructure_hdfs_topic_spark.operators.sampling import mixture_sample
+
+        return self._wrap(
+            mixture_sample(self.df, self.id_col, self.strata_col, weights, **kwargs)
+        )
+
+    def token_budget_sample(self, budgets: dict[str, int]) -> "Corpus":
+        from restructure_hdfs_topic_spark.functions.text import token_count
+        from restructure_hdfs_topic_spark.operators.sampling import (
+            token_budget_sample,
+        )
+
+        counted = self.df.withColumn(
+            "__n_tokens", token_count(F.col(self.text_col))
+        )
+        out = token_budget_sample(
+            counted, self.id_col, self.strata_col, budgets, "__n_tokens"
+        ).drop("__n_tokens")
+        return self._wrap(out)
+
+    # -- terminal steps ---------------------------------------------------
+    def profile(self) -> DataFrame:
+        from restructure_hdfs_topic_spark.operators.profile import corpus_profile
+
+        return corpus_profile(self.df, self.text_col, self.strata_col)
+
+    def embed(self, dim: int = 64) -> DataFrame:
+        from restructure_hdfs_topic_spark.operators.embed import feature_hash_embed
+
+        return feature_hash_embed(self.df, self.id_col, self.text_col, dim=dim)
+
+    def pack(self, budget: int = 2048, n_buckets: int = 16) -> DataFrame:
+        """Pack manifest over post-pipeline token counts."""
+        from restructure_hdfs_topic_spark.functions.text import token_count
+        from restructure_hdfs_topic_spark.operators.packing import pack_sequences
+
+        counted = self.df.select(
+            self.id_col, token_count(F.col(self.text_col)).alias("n_tokens")
+        )
+        return pack_sequences(
+            counted, id_col=self.id_col, n_tokens_col="n_tokens",
+            budget=budget, n_buckets=n_buckets,
+        )

@@ -1,0 +1,68 @@
+"""Corpus facade: each chainable step delegates to its tested operator —
+verify the chain composes lazily and matches calling the operators
+directly."""
+
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+from pyspark.sql import functions as F
+
+from restructure_hdfs_topic_spark.corpus import Corpus
+
+
+def _docs(spark):
+    from restructure_hdfs_topic_spark.sources.tables import configure, load_table
+
+    configure(spark)
+    return load_table(spark, "/root/testdata/sf0.01", "documents")
+
+
+def test_chain_matches_direct_operators(spark):
+    docs = _docs(spark)
+    chained = (
+        Corpus(docs)
+        .normalize()
+        .strip_duplicated_lines()
+        .near_dup_drop(threshold=0.5)
+        .df
+    )
+    from restructure_hdfs_topic_spark.functions.text import normalize_text
+    from restructure_hdfs_topic_spark.operators.dedup import (
+        lsh_near_dup_pairs,
+        strip_duplicated_lines,
+    )
+
+    direct = docs.withColumn("text", normalize_text(F.col("text")))
+    direct = strip_duplicated_lines(direct, "doc_id", "text", 2)
+    pairs = lsh_near_dup_pairs(direct, "doc_id", "text", threshold=0.5)
+    losers = pairs.select(F.col("id_b").alias("doc_id")).distinct()
+    direct = direct.join(losers, on="doc_id", how="left_anti")
+    a = sorted((r["doc_id"], r["text"]) for r in chained.collect())
+    b = sorted((r["doc_id"], r["text"]) for r in direct.collect())
+    assert a == b
+
+
+def test_exact_dedup_and_terminals(spark):
+    rows = [(1, "s", "same text"), (2, "s", "same text"), (3, "t", "other words")]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    c = Corpus(df).exact_dedup()
+    assert sorted(r["doc_id"] for r in c.df.collect()) == [1, 3]
+    prof = {r["source"]: r["n_docs"] for r in c.profile().collect()}
+    assert prof == {"s": 1, "t": 1}
+    emb = c.embed(dim=8).collect()
+    assert len(emb) == 2 and all(len(r["vec"]) == 8 for r in emb)
+    manifest = c.pack(budget=4).collect()
+    assert {r[0] for r in manifest} == {1, 3}
+
+
+def test_token_budget_and_mixture(spark):
+    rows = [(i, f"s{i % 2}", f"w{i} " * 5) for i in range(100)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    tb = Corpus(df).token_budget_sample({"s0": 50, "s1": 10_000}).df
+    assert "__n_tokens" not in tb.columns
+    n0 = tb.filter(F.col("source") == "s0").count()
+    assert 0 < n0 < 50  # 50-token budget over 5-token docs ~ 10 docs
+    assert tb.filter(F.col("source") == "s1").count() == 50
+    mx = Corpus(df).mixture_sample({"s0": 1, "s1": 1}).df
+    assert mx.count() > 0
