@@ -968,6 +968,29 @@ def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return strip_duplicated_lines(docs, "doc_id", "text").select("doc_id", "text")
 
 
+def q_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML -> text extraction (Common-Crawl-style ingestion): drop
+    script/style/comments, strip tags keeping block structure as
+    newlines, decode entities, squeeze whitespace — one JVM regexp chain,
+    codegen, no shuffle, RE2-portable (no backreferences).  The query
+    derives HTML from the documents table.  DuckDB cross-check in
+    tests/test_text_normalize.py (bench/extras surface)."""
+    from restructure_hdfs_topic_spark.functions.text import strip_html
+
+    _conf(spark)
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.lit("<html><script>var x = 1;</script><h1>"),
+            F.col("source"),
+            F.lit("</h1><p>"),
+            F.col("text"),
+            F.lit(" &amp; tail</p></html>"),
+        ).alias("html"),
+    )
+    return docs.select("doc_id", strip_html(F.col("html")).alias("text"))
+
+
 def q_feature_hash_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hashing-trick document embeddings (Weinberger et al. 2009): the
     model-free embed step feeding the cosine/ANN/SemDeDup consumers — one
@@ -1482,6 +1505,9 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # Hashing-trick embeddings; DuckDB cross-check in
         # tests/test_embed.py.
         "feature_hash_embed": q_feature_hash_embed,
+        # HTML -> text extraction; DuckDB cross-check in
+        # tests/test_text_normalize.py.
+        "html_extract": q_html_extract,
         # Loader-ready packed sequences; exact-model verification in
         # tests/test_curation.py.
         "pack_materialize": q_pack_materialize,

@@ -66,6 +66,7 @@ BENCH_QUERIES = [
     "corpus_profile",
     "token_budget_sample",
     "feature_hash_embed",
+    "html_extract",
     "pack_materialize",
     "lm_curriculum",
     "simhash",

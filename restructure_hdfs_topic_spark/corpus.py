@@ -47,6 +47,13 @@ class Corpus:
         return Corpus(df, self.id_col, self.text_col, self.strata_col)
 
     # -- text hygiene -----------------------------------------------------
+    def strip_html(self) -> "Corpus":
+        from restructure_hdfs_topic_spark.functions.text import strip_html
+
+        return self._wrap(
+            self.df.withColumn(self.text_col, strip_html(F.col(self.text_col)))
+        )
+
     def normalize(self, nfc: bool = False) -> "Corpus":
         from restructure_hdfs_topic_spark.functions.text import (
             nfc_normalize_text,

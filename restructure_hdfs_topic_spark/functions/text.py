@@ -415,6 +415,34 @@ def nfc_normalize_text(text: Column) -> Column:
     return _nfc(text)
 
 
+def strip_html(text: Column) -> Column:
+    """HTML → text extraction (the Common-Crawl-style ingestion step
+    before any text operator): drop ``<script>``/``<style>`` blocks and
+    comments, strip tags, decode the common entities, squeeze whitespace.
+    A JVM regexp chain (codegen, no shuffle, no parser dependency) — an
+    intentionally simple boilerplate-remover, not a browser; patterns
+    avoid backreferences so RE2-based engines (DuckDB) reproduce them
+    exactly.  Block-level closing tags become newlines so paragraph
+    structure survives for the line/quality operators."""
+    t = F.regexp_replace(text, r"(?is)<script[^>]*>.*?</script>", " ")
+    t = F.regexp_replace(t, r"(?is)<style[^>]*>.*?</style>", " ")
+    t = F.regexp_replace(t, r"(?s)<!--.*?-->", " ")
+    # Paragraph-ish boundaries -> newline BEFORE generic tag strip.
+    t = F.regexp_replace(
+        t, r"(?i)</(p|div|li|h[1-6]|tr|table|blockquote)>|<br[^>]*>", "\n"
+    )
+    t = F.regexp_replace(t, r"(?s)<[^>]+>", " ")
+    for ent, rep in (
+        ("&nbsp;", " "), ("&amp;", "&"), ("&lt;", "<"), ("&gt;", ">"),
+        ("&quot;", "\""), ("&#39;", "'"), ("&apos;", "'"),
+    ):
+        t = F.replace(t, F.lit(ent), F.lit(rep))
+    t = F.regexp_replace(t, r"[ \t]+", " ")
+    t = F.regexp_replace(t, r" ?\n ?", "\n")
+    t = F.regexp_replace(t, r"\n{3,}", "\n\n")
+    return F.regexp_replace(t, r"^\s+|\s+$", "")
+
+
 _URL_RE = r"https?://[\w\.\-]+(?::\d+)?(?:/[^\s]*)?"
 
 

@@ -539,6 +539,7 @@ def test_query_registry_consistency():
         "corpus_profile",
         "token_budget_sample",
         "feature_hash_embed",
+        "html_extract",
         "pack_materialize",
         "lm_curriculum",
     }

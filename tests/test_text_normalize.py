@@ -112,3 +112,92 @@ def test_normalize_duckdb_cross_check(spark):
     ).fetchall()
     want = {r[0]: r[1] for r in rows}
     assert got == want
+
+
+def test_strip_html(spark):
+    from restructure_hdfs_topic_spark.functions.text import strip_html
+
+    def s(raw):
+        df = spark.createDataFrame([(raw,)], "text string")
+        return df.select(strip_html(F.col("text")).alias("t")).collect()[0]["t"]
+
+    html = (
+        "<html><head><style>body { color: red }</style>"
+        "<script type='text/javascript'>var x = '<p>not text</p>';</script>"
+        "</head><body><!-- comment --><h1>Title</h1>"
+        "<p>First &amp; second &lt;para&gt;.</p>"
+        "<div>Item&nbsp;one<br/>Item two</div>"
+        "<ul><li>a</li><li>b</li></ul></body></html>"
+    )
+    out = s(html)
+    assert "color: red" not in out and "var x" not in out and "comment" not in out
+    assert "Title" in out and "First & second <para>." in out
+    assert "Item one\nItem two" in out
+    # block closings keep line structure
+    assert out.splitlines()[0] == "Title"
+    assert s("no markup at all") == "no markup at all"
+    assert s("<p></p>") == ""
+
+
+def test_strip_html_duckdb_cross_check(spark):
+    """The chain reproduces in DuckDB (RE2) over HTML derived from the
+    documents table — no backreferences, shared flags."""
+    import duckdb
+
+    from restructure_hdfs_topic_spark.functions.text import strip_html
+    from restructure_hdfs_topic_spark.sources.tables import configure, load_table
+
+    sf_dir = "/root/testdata/sf0.01"
+    configure(spark)
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.lit("<html><script>skip '</p>' me</script><h1>"),
+            F.col("source"),
+            F.lit("</h1><p>"),
+            F.col("text"),
+            F.lit(" &amp; tail</p></html>"),
+        ).alias("text"),
+    )
+    got = {
+        r["doc_id"]: r["t"]
+        for r in docs.select("doc_id", strip_html(F.col("text")).alias("t")).collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{sf_dir}/documents.parquet')"
+    )
+    rows = con.execute(
+        r"""
+        WITH d AS (
+          SELECT doc_id,
+                 '<html><script>skip ''</p>'' me</script><h1>' || source ||
+                 '</h1><p>' || text || ' &amp; tail</p></html>' AS text
+          FROM documents
+        )
+        SELECT doc_id,
+          regexp_replace(
+           regexp_replace(
+            regexp_replace(
+             regexp_replace(
+              replace(replace(replace(replace(replace(replace(replace(
+               regexp_replace(
+                regexp_replace(
+                 regexp_replace(
+                  regexp_replace(
+                   regexp_replace(text, '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
+                   '(?is)<style[^>]*>.*?</style>', ' ', 'g'),
+                  '(?s)<!--.*?-->', ' ', 'g'),
+                 '(?i)</(p|div|li|h[1-6]|tr|table|blockquote)>|<br[^>]*>', chr(10), 'g'),
+                '(?s)<[^>]+>', ' ', 'g'),
+               '&nbsp;', ' '), '&amp;', '&'), '&lt;', '<'), '&gt;', '>'),
+               '&quot;', '"'), '&#39;', ''''), '&apos;', ''''),
+              '[ '||chr(9)||']+', ' ', 'g'),
+             ' ?'||chr(10)||' ?', chr(10), 'g'),
+            chr(10)||'{3,}', chr(10)||chr(10), 'g'),
+           '^\s+|\s+$', '', 'g') AS t
+        FROM d
+        """
+    ).fetchall()
+    want = {r[0]: r[1] for r in rows}
+    assert got == want
