@@ -94,6 +94,7 @@ CONSISTENCY_QUERIES = [
     "corpus_profile",
     "token_budget_sample",
     "feature_hash_embed",
+    "html_extract",
 ]
 
 
