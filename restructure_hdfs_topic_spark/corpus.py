@@ -134,6 +134,20 @@ class Corpus:
         losers = pairs.select(F.col("id_b").alias(self.id_col)).distinct()
         return self._wrap(self.df.join(losers, on=self.id_col, how="left_anti"))
 
+    def dedup_representatives(
+        self, quality_col: str | None = None, **kwargs
+    ) -> "Corpus":
+        """Keep the highest-quality member of each near-dup cluster."""
+        from restructure_hdfs_topic_spark.operators.dedup import (
+            dedup_representatives,
+        )
+
+        return self._wrap(
+            dedup_representatives(
+                self.df, self.id_col, self.text_col, quality_col, **kwargs
+            )
+        )
+
     # -- sampling ---------------------------------------------------------
     def mixture_sample(self, weights: dict[str, int], **kwargs) -> "Corpus":
         from restructure_hdfs_topic_spark.operators.sampling import mixture_sample

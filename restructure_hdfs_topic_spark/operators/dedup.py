@@ -1222,3 +1222,49 @@ def strip_duplicated_lines(
         )
         .drop("__dup_idx")
     )
+
+
+def dedup_representatives(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    quality_col: str | None = None,
+    bits: int = 32,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """One representative per near-duplicate cluster, chosen by HIGHEST
+    quality (tie → lowest id) — the real-world refinement of keep-first:
+    when a cluster holds a cleaner and a noisier copy of the same
+    content, keep the cleaner one.  ``quality_col=None`` falls back to
+    the built-in composite ``quality_score``.
+
+    Composition of tested pieces: ``near_dup_groups`` (lossless banded
+    simhash pairs → transitive closure) labels each doc with its cluster;
+    the winner per cluster is one ``row_number`` window over
+    (quality desc, id asc).  Docs outside any cluster (singleton groups)
+    pass through — every input doc is in exactly one group (its own, when
+    no near-dup exists), so the output is the input minus non-winning
+    cluster members.
+
+    Scale shape: groups via the audited banded/CC path; selection is ONE
+    shuffle on ``group_id``.  The quality expression is a codegen
+    projection, computed once per doc.
+    """
+    from restructure_hdfs_topic_spark.functions.text import quality_score
+
+    groups = near_dup_groups(df, id_col, text_col, bits=bits, max_hamming=max_hamming)
+    q = (
+        F.col(quality_col)
+        if quality_col is not None
+        else quality_score(F.col(text_col))
+    )
+    w = Window.partitionBy("group_id").orderBy(
+        F.col("__q").desc(), F.col(id_col).asc()
+    )
+    return (
+        df.withColumn("__q", q)
+        .join(groups, on=id_col)
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__q", "__rn", "group_id")
+    )

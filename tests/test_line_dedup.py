@@ -147,3 +147,37 @@ def test_partitioning_independence(spark):
     assert sorted((r["doc_id"], r["text"]) for r in a) == sorted(
         (r["doc_id"], r["text"]) for r in b
     )
+
+
+def test_dedup_representatives(spark):
+    """Highest-quality member survives per near-dup cluster; singletons
+    pass through; explicit quality column honored."""
+    from restructure_hdfs_topic_spark.operators.dedup import dedup_representatives
+
+    base = "the quick brown fox jumps over the lazy dog again and again " * 3
+    rows = [
+        (1, base + "x!!!###"),            # noisy copy
+        (2, base + "x"),                  # clean copy (higher quality)
+        (3, "completely unrelated text about other things entirely"),
+        (4, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    kept = sorted(
+        r["doc_id"] for r in dedup_representatives(df, "doc_id", "text").collect()
+    )
+    # 1 and 2 cluster; the clean copy (2) wins despite the higher id.
+    assert 2 in kept and 1 not in kept
+    assert 3 in kept and 4 in kept
+
+    # Explicit quality column flips the winner.
+    df2 = spark.createDataFrame(
+        [(i, t, float(10 - (i or 0))) for i, t, in rows], "doc_id long, text string, q double"
+    )
+    kept2 = sorted(
+        r["doc_id"]
+        for r in dedup_representatives(df2, "doc_id", "text", quality_col="q").collect()
+    )
+    assert 1 in kept2 and 2 not in kept2
+    # original columns preserved, helpers dropped
+    out = dedup_representatives(df, "doc_id", "text")
+    assert out.columns == ["doc_id", "text"]
