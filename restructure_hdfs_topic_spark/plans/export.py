@@ -1,0 +1,63 @@
+"""Training-loader export: hash-sharded JSONL (or parquet) + manifest.
+
+The last mile of a curation pipeline: materialize the curated corpus as
+N balanced shards a data loader streams independently, with a manifest
+(rows + token totals per shard) the loader uses for planning.  Sharding
+is the repo's deterministic Knuth hash — shard membership is reproducible
+across runs and engines, and decorrelated from source order (the
+"shuffle" a training run needs, without a global sort).
+
+Scale shape: ONE repartition on the shard id (each output file written by
+exactly one task — no tiny-file explosion, no two-task contention on one
+shard), then Spark's native committer handles atomicity (_SUCCESS, task
+retries).  The manifest is a |shards|-row aggregate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from restructure_hdfs_topic_spark.operators.sampling import hash_bucket
+
+
+def export_jsonl_shards(
+    df: DataFrame,
+    path: str,
+    n_shards: int = 16,
+    id_col: str = "doc_id",
+    token_count_col: str | None = None,
+    fmt: str = "json",
+) -> DataFrame:
+    """Write ``df`` as ``n_shards`` hash-balanced shards under
+    ``path/data`` (Hive layout ``shard=K/``) and a single-file manifest
+    under ``path/manifest``; returns the manifest DataFrame
+    ``(shard, n_rows[, n_tokens])``.
+
+    ``fmt`` is any Spark batch sink format ("json" → JSONL, "parquet",
+    "csv").  Pick ``n_shards`` so one shard ≈ one loader worker's slice;
+    at 100 TB that's thousands — still one row-group of driver state.
+    """
+    if n_shards < 1:
+        raise ValueError("n_shards must be >= 1")
+    shard = (hash_bucket(id_col) % F.lit(n_shards)).cast("int").alias("shard")
+    tagged = df.select("*", shard)
+    (
+        tagged.repartition(n_shards, "shard")
+        .write.partitionBy("shard")
+        .format(fmt)
+        .mode("overwrite")
+        .save(f"{path}/data")
+    )
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    if token_count_col is not None:
+        aggs.append(
+            F.sum(F.coalesce(F.col(token_count_col).cast("long"), F.lit(0))).alias(
+                "n_tokens"
+            )
+        )
+    manifest = tagged.groupBy("shard").agg(*aggs).orderBy("shard")
+    manifest.coalesce(1).write.format("json").mode("overwrite").save(
+        f"{path}/manifest"
+    )
+    return manifest

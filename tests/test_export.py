@@ -1,0 +1,47 @@
+"""export_jsonl_shards: roundtrip, shard determinism, manifest totals."""
+
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+from pyspark.sql import functions as F
+
+from restructure_hdfs_topic_spark.operators.sampling import KNUTH, MOD
+from restructure_hdfs_topic_spark.plans.export import export_jsonl_shards
+
+
+def test_roundtrip_and_manifest(spark, tmp_path):
+    rows = [(i, f"text number {i}", (i % 7) + 1) for i in range(500)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, n_tokens long")
+    out = str(tmp_path / "export")
+    manifest = export_jsonl_shards(
+        df, out, n_shards=8, token_count_col="n_tokens"
+    ).collect()
+    assert sum(r["n_rows"] for r in manifest) == 500
+    assert sum(r["n_tokens"] for r in manifest) == sum(r[2] for r in rows)
+    assert len(manifest) <= 8 and all(r["n_rows"] > 0 for r in manifest)
+
+    back = spark.read.json(f"{out}/data")
+    assert back.count() == 500
+    # shard assignment is the deterministic Knuth hash
+    got = {(r["doc_id"], r["shard"]) for r in back.select("doc_id", "shard").collect()}
+    want = {(i, (i * KNUTH) % MOD % 8) for i in range(500)}
+    assert got == want
+    # every row's content survives
+    sample = back.filter(F.col("doc_id") == 42).collect()[0]
+    assert sample["text"] == "text number 42"
+    # manifest matches per-shard reality
+    per_shard = {r["shard"]: r["n_rows"] for r in manifest}
+    for s, n in per_shard.items():
+        assert back.filter(F.col("shard") == s).count() == n
+    # manifest written as a single json part
+    mf = spark.read.json(f"{out}/manifest")
+    assert {r["shard"] for r in mf.collect()} == set(per_shard)
+
+
+def test_parquet_format_and_no_tokens(spark, tmp_path):
+    df = spark.createDataFrame([(i, f"t{i}") for i in range(50)], "doc_id long, text string")
+    out = str(tmp_path / "p")
+    manifest = export_jsonl_shards(df, out, n_shards=4, fmt="parquet").collect()
+    assert "n_tokens" not in manifest[0].asDict()
+    assert spark.read.parquet(f"{out}/data").count() == 50
