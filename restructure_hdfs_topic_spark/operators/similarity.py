@@ -713,3 +713,205 @@ def embedding_near_dup_groups(
     return connected_components(vertices, pairs.select("id_a", "id_b")).select(
         F.col("id").alias(id_col), "group_id"
     )
+
+
+def kmeans_clusters(
+    embeddings: DataFrame,
+    n_clusters: int | None = None,
+    lloyd_iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Deterministic k-means cluster labels: ``(id, cluster)`` — the
+    pre-clustering step of SemDeDup-style semantic dedup (cluster the
+    corpus, then dedup WITHIN clusters) and a first-class corpus-analysis
+    output in its own right.
+
+    Same audited machinery as ``ivf_ann_topk``'s coarse quantizer
+    (seeds = lowest-xxhash vectors via a no-exchange hash-threshold
+    filter; exact int64 Lloyd with in-kernel partial aggregation so the
+    shuffle carries O(batches·C·dim) rows; floor-divided integer means) —
+    results are engine- and partitioning-independent.  Default
+    ``n_clusters`` = √n capped at 65536.
+    """
+    import math
+
+    import numpy as np
+    import pandas as pd
+
+    from restructure_hdfs_topic_spark.caching import scoped_persist
+
+    n = embeddings.count()
+    if n == 0:
+        return embeddings.sparkSession.createDataFrame([], "id long, cluster long")
+    if n_clusters is None:
+        n_clusters = max(2, min(65536, int(math.isqrt(n))))
+    n_clusters = min(n_clusters, n)
+    quant = scoped_persist(
+        embeddings.select(
+            F.col(id_col).alias("id"), _quantize(F.col(vec_col)).alias("vec")
+        ),
+        scope="similarity.kmeans_clusters.quant",
+    )
+    hashed = quant.withColumn("h", F.xxhash64(F.col("id")))
+    frac = min(1.0, (8.0 * n_clusters) / max(n, 1))
+    cutoff = min((-(1 << 63)) + int((1 << 64) * frac), (1 << 63) - 1)
+    rows = hashed.filter(F.col("h") < F.lit(cutoff)).select("h", "vec").collect()
+    if len(rows) < min(n_clusters, n):
+        rows = hashed.orderBy("h").limit(8 * n_clusters).select("h", "vec").collect()
+    rows.sort(key=lambda r: r["h"])
+    pool = np.stack([np.asarray(r["vec"], dtype=np.int64) for r in rows])
+    # Farthest-first (maximin) seeding over the hash pool: lowest-hash
+    # vector first, then greedily the pool vector with the smallest max
+    # cosine to the seeds so far — deterministic (pool order is hash
+    # order, ties break to the earlier index via argmin), and unlike raw
+    # lowest-k-hashes it cannot put two seeds inside one tight cluster
+    # while another cluster goes unseeded (which Lloyd cannot repair:
+    # the unseeded cluster's points just split among the others).
+    pf = pool.astype(np.float64)
+    pn = np.sqrt((pf**2).sum(axis=1))
+    pn[pn == 0] = 1.0
+    pf = pf / pn[:, None]
+    chosen = [0]
+    max_sim = pf @ pf[0]
+    while len(chosen) < min(n_clusters, len(pool)):
+        nxt = int(np.argmin(max_sim))
+        chosen.append(nxt)
+        max_sim = np.maximum(max_sim, pf @ pf[nxt])
+    centroids = pool[chosen].copy()
+
+    def partials(cents: np.ndarray):
+        cf = cents.astype(np.float64)
+        cn = np.sqrt((cf**2).sum(axis=1))
+        cn[cn == 0] = 1.0
+        n_c, dim = cents.shape
+
+        def agg_batches(batches):
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                vv = np.stack(pdf["vec"].to_numpy()).astype(np.int64).astype(np.float64)
+                vn = np.sqrt((vv**2).sum(axis=1))
+                vn[vn == 0] = 1.0
+                best = np.argmax((vv @ cf.T) / (vn[:, None] * cn[None, :]), axis=1)
+                sums = np.zeros((n_c, dim), dtype=np.int64)
+                np.add.at(sums, best, np.stack(pdf["vec"].to_numpy()).astype(np.int64))
+                cnts = np.bincount(best, minlength=n_c)
+                nz = np.nonzero(cnts)[0]
+                yield pd.DataFrame(
+                    {
+                        "cluster": np.repeat(nz, dim),
+                        "pos": np.tile(np.arange(dim, dtype=np.int64), len(nz)),
+                        "s": sums[nz].ravel(),
+                        "c": np.repeat(cnts[nz], dim),
+                    }
+                )
+
+        return agg_batches
+
+    for _ in range(lloyd_iters):
+        agg = (
+            quant.mapInPandas(
+                partials(centroids), schema="cluster long, pos long, s long, c long"
+            )
+            .groupBy("cluster", "pos")
+            .agg(F.sum("s").alias("s"), F.sum("c").alias("c"))
+            .collect()
+        )
+        new_cents = centroids.copy()
+        for r in agg:
+            new_cents[r["cluster"], r["pos"]] = r["s"] // r["c"]
+        centroids = new_cents
+
+    def label(cents: np.ndarray):
+        cf = cents.astype(np.float64)
+        cn = np.sqrt((cf**2).sum(axis=1))
+        cn[cn == 0] = 1.0
+
+        def assign(batches):
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                vv = np.stack(pdf["vec"].to_numpy()).astype(np.float64)
+                vn = np.sqrt((vv**2).sum(axis=1))
+                vn[vn == 0] = 1.0
+                best = np.argmax((vv @ cf.T) / (vn[:, None] * cn[None, :]), axis=1)
+                yield pd.DataFrame(
+                    {"id": pdf["id"].to_numpy(), "cluster": best.astype(np.int64)}
+                )
+
+        return assign
+
+    id_type = embeddings.schema[id_col].dataType.simpleString()
+    return quant.mapInPandas(label(centroids), schema=f"id {id_type}, cluster long")
+
+
+def semdedup_groups(
+    embeddings: DataFrame,
+    threshold: float = 0.9,
+    n_clusters: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    lloyd_iters: int = 2,
+) -> DataFrame:
+    """SemDeDup exactly as the paper runs it (Abbas et al. 2023): k-means
+    the embedding space, then EXACT pairwise cosine within each cluster,
+    transitive closure per cluster, one ``group_id`` (min member id) per
+    semantic-duplicate group.  Near-dups straddling a cluster boundary are
+    missed by construction — the paper's accepted approximation (the
+    LSH-bucketed alternative ``embedding_near_dup_groups`` trades that for
+    probabilistic recall instead).
+
+    Scale: within-cluster work is quadratic in cluster size — size
+    ``n_clusters`` so n/√k stays in-memory per task (the paper uses ~50k
+    clusters at 100M+ docs).  One kernel per cluster via
+    ``applyInPandas``; closure is a local union-find (clusters partition
+    the space, so no cross-cluster merging exists to do).
+    """
+    import pandas as pd
+
+    labels = kmeans_clusters(
+        embeddings, n_clusters=n_clusters, lloyd_iters=lloyd_iters,
+        id_col=id_col, vec_col=vec_col,
+    )
+    joined = embeddings.select(
+        F.col(id_col).alias("id"), _quantize(F.col(vec_col)).alias("vec")
+    ).join(labels, "id")
+
+    def cluster_groups(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        ids = pdf["id"].to_numpy()
+        x = np.stack(pdf["vec"].to_numpy()).astype(np.float64)
+        nrm = np.sqrt((x**2).sum(axis=1))
+        nrm[nrm == 0] = 1.0
+        x = x / nrm[:, None]
+        m = len(ids)
+        parent = np.arange(m)
+
+        def find(i):
+            while parent[i] != i:
+                parent[i] = parent[parent[i]]
+                i = parent[i]
+            return i
+
+        # Blocked pairwise pass bounds the temporary to block × m.
+        blk = max(1, min(m, 4096))
+        for s in range(0, m, blk):
+            sims = x[s : s + blk] @ x.T
+            for a, b in zip(*np.nonzero(sims >= threshold)):
+                i, j = s + int(a), int(b)
+                if i < j:
+                    ri, rj = find(i), find(j)
+                    if ri != rj:
+                        parent[max(ri, rj)] = min(ri, rj)
+        roots = np.array([find(i) for i in range(m)])
+        # group id = min member id of the component (ids may be unsorted).
+        out = pd.DataFrame({"id": ids, "root": roots})
+        gmin = out.groupby("root")["id"].transform("min")
+        return pd.DataFrame({"id": ids, "group_id": gmin.to_numpy()})
+
+    id_type = embeddings.schema[id_col].dataType.simpleString()
+    return joined.groupBy("cluster").applyInPandas(
+        cluster_groups, schema=f"id {id_type}, group_id {id_type}"
+    )
