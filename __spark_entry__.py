@@ -968,6 +968,21 @@ def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return strip_duplicated_lines(docs, "doc_id", "text").select("doc_id", "text")
 
 
+def q_semdedup_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Paper-shape SemDeDup (Abbas et al. 2023): deterministic cosine
+    k-means partition (farthest-first seeds, exact int64 Lloyd) + exact
+    within-cluster pairwise closure, group_id = min member id.  Boundary-
+    straddling pairs missed by construction (the paper's trade); the
+    LSH-bucketed embedding_near_dup_groups is the probabilistic
+    alternative.  Determinism + recovery tests in tests/test_kmeans.py
+    (bench/extras surface)."""
+    from restructure_hdfs_topic_spark.operators.similarity import semdedup_groups
+
+    _conf(spark)
+    emb = _t(spark, sf_dir, "embeddings")
+    return semdedup_groups(emb, threshold=0.8, n_clusters=16)
+
+
 def q_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HTML -> text extraction (Common-Crawl-style ingestion): drop
     script/style/comments, strip tags keeping block structure as
@@ -1508,6 +1523,9 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # HTML -> text extraction; DuckDB cross-check in
         # tests/test_text_normalize.py.
         "html_extract": q_html_extract,
+        # Paper-shape SemDeDup (kmeans + within-cluster exact closure);
+        # tests in tests/test_kmeans.py.
+        "semdedup_kmeans": q_semdedup_kmeans,
         # Loader-ready packed sequences; exact-model verification in
         # tests/test_curation.py.
         "pack_materialize": q_pack_materialize,

@@ -67,6 +67,7 @@ BENCH_QUERIES = [
     "token_budget_sample",
     "feature_hash_embed",
     "html_extract",
+    "semdedup_kmeans",
     "pack_materialize",
     "lm_curriculum",
     "simhash",

@@ -95,6 +95,7 @@ CONSISTENCY_QUERIES = [
     "token_budget_sample",
     "feature_hash_embed",
     "html_extract",
+    "semdedup_kmeans",
 ]
 
 

@@ -540,6 +540,7 @@ def test_query_registry_consistency():
         "token_budget_sample",
         "feature_hash_embed",
         "html_extract",
+        "semdedup_kmeans",
         "pack_materialize",
         "lm_curriculum",
     }
