@@ -1074,7 +1074,11 @@ def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return enc.select(
         F.col("id").alias("doc_id"),
         "n_tokens",
-        F.xxhash64(F.concat_ws("", "tokens")).alias("tokens_hash"),
+        # \x01 separator so token BOUNDARIES enter the hash (tokens
+        # concatenate back to the words by construction, so a bare concat
+        # would be invariant to the learned merges); written as an escape —
+        # a literal control byte here reads as "" in most tooling.
+        F.xxhash64(F.concat_ws("\u0001", "tokens")).alias("tokens_hash"),
     )
 
 

@@ -18,10 +18,13 @@ plan nobody normally re-evaluates.
 
 from __future__ import annotations
 
+import threading
+
 from pyspark.sql import DataFrame
 from pyspark.storagelevel import StorageLevel
 
 _LIVE: dict[str, DataFrame] = {}
+_LOCK = threading.Lock()
 
 
 def scoped_persist(
@@ -33,32 +36,41 @@ def scoped_persist(
 
     If the prior call's plan is semantically identical (a warm re-run of
     the same query), its still-cached handle is returned instead — the
-    repeat run hits the populated cache rather than recomputing it."""
-    old = _LIVE.get(scope)
-    if old is not None:
-        try:
-            # Reuse only if still actually cached — an external
-            # clearCache() (e.g. bench inter-query hygiene) empties the
-            # CacheManager without our knowledge, and returning a
-            # no-longer-cached handle would silently lose caching.
-            still_cached = old.storageLevel.useMemory or old.storageLevel.useDisk
-            if still_cached and df.sameSemantics(old):
-                return old
-        except Exception:
-            pass  # old handle's session gone — fall through and replace
-        _LIVE.pop(scope, None)
-        try:
-            old.unpersist(blocking=False)
-        except Exception:
-            pass  # session may be gone; nothing to release
-    handle = df.persist(level)
-    _LIVE[scope] = handle
-    return handle
+    repeat run hits the populated cache rather than recomputing it.
+
+    Building a SECOND, different plan in the same scope before executing
+    the first releases the first plan's cache early: that pending plan
+    still computes correctly, it just recomputes the intermediate — the
+    documented bounded-memory trade.  The registry is lock-guarded so
+    concurrent callers cannot each persist a generation and strand one
+    handle outside the registry (which would reintroduce the leak)."""
+    with _LOCK:
+        old = _LIVE.get(scope)
+        if old is not None:
+            try:
+                # Reuse only if still actually cached — an external
+                # clearCache() (e.g. bench inter-query hygiene) empties the
+                # CacheManager without our knowledge, and returning a
+                # no-longer-cached handle would silently lose caching.
+                still_cached = old.storageLevel.useMemory or old.storageLevel.useDisk
+                if still_cached and df.sameSemantics(old):
+                    return old
+            except Exception:
+                pass  # old handle's session gone — fall through and replace
+            _LIVE.pop(scope, None)
+            try:
+                old.unpersist(blocking=False)
+            except Exception:
+                pass  # session may be gone; nothing to release
+        handle = df.persist(level)
+        _LIVE[scope] = handle
+        return handle
 
 
 def release_scope(scope: str) -> None:
     """Explicitly release a scope's live persist (e.g. at service shutdown)."""
-    old = _LIVE.pop(scope, None)
+    with _LOCK:
+        old = _LIVE.pop(scope, None)
     if old is not None:
         try:
             old.unpersist(blocking=False)

@@ -432,9 +432,13 @@ def strip_html(text: Column) -> Column:
         t, r"(?i)</(p|div|li|h[1-6]|tr|table|blockquote)>|<br[^>]*>", "\n"
     )
     t = F.regexp_replace(t, r"(?s)<[^>]+>", " ")
+    # '&amp;' decodes LAST: decoding it first would re-expose entity
+    # references the author escaped ('a &amp;lt; b' must extract as
+    # 'a &lt; b', not 'a < b' — double-decoding diverges from what any
+    # parser renders).
     for ent, rep in (
-        ("&nbsp;", " "), ("&amp;", "&"), ("&lt;", "<"), ("&gt;", ">"),
-        ("&quot;", "\""), ("&#39;", "'"), ("&apos;", "'"),
+        ("&nbsp;", " "), ("&lt;", "<"), ("&gt;", ">"),
+        ("&quot;", "\""), ("&#39;", "'"), ("&apos;", "'"), ("&amp;", "&"),
     ):
         t = F.replace(t, F.lit(ent), F.lit(rep))
     t = F.regexp_replace(t, r"[ \t]+", " ")

@@ -1197,30 +1197,52 @@ def strip_duplicated_lines(
     bytes (unlike the token-span scrub, no whitespace normalization is
     needed: the line split is lossless).
     """
-    dup = (
-        duplicated_lines(df, id_col, text_col, min_count)
-        .groupBy(id_col)
-        .agg(F.collect_list("line_idx").alias("__dup_idx"))
-    )
-    lines = F.split(F.col(text_col), "\n")
-    kept = F.filter(
-        F.zip_with(
-            lines,
-            F.sequence(F.lit(0), F.greatest(F.size(lines) - 1, F.lit(0))),
-            lambda l, i: F.struct(l.alias("l"), i.alias("i")),
+    from restructure_hdfs_topic_spark.caching import scoped_persist
+
+    # The dup stream feeds two plan branches (the touched-doc set and the
+    # line-level anti-join) — persist so the count shuffle runs once.
+    dup = scoped_persist(
+        duplicated_lines(df, id_col, text_col, min_count).select(
+            id_col, "line_idx"
         ),
-        lambda s: ~F.array_contains(F.col("__dup_idx"), s["i"]),
+        scope="dedup.strip_duplicated_lines.dup",
+    )
+    touched = dup.groupBy(id_col).agg(F.count(F.lit(1)).alias("__n_dropped"))
+    lines = F.split(F.col(text_col), "\n")
+    # Rebuild ONLY the touched documents, and drop their lines via an
+    # equi-anti-join on (id, line index) rather than a per-line
+    # array_contains over the doc's dup list: boilerplate-heavy pages —
+    # exactly this operator's target — can have most of their lines
+    # duplicated, and the membership-scan form is O(lines × dup_lines)
+    # per document.  Untouched documents never explode or shuffle.
+    exploded = (
+        df.join(touched.select(id_col), on=id_col)
+        .select(F.col(id_col), F.posexplode(lines).alias("line_idx", "__line"))
+    )
+    rebuilt = (
+        exploded.join(dup, on=[id_col, "line_idx"], how="left_anti")
+        .groupBy(id_col)
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("line_idx", "__line"))),
+                    lambda s: s["__line"],
+                ),
+                "\n",
+            ).alias("__new_text")
+        )
     )
     return (
-        df.join(dup, on=id_col, how="left")
-        .withColumn("__dup_idx", F.coalesce(F.col("__dup_idx"), F.array()))
+        df.join(touched, on=id_col, how="left")
+        .join(rebuilt, on=id_col, how="left")
         .withColumn(
             text_col,
-            F.when(F.size("__dup_idx") == 0, F.col(text_col)).otherwise(
-                F.array_join(F.transform(kept, lambda s: s["l"]), "\n")
+            F.when(F.col("__n_dropped").isNull(), F.col(text_col)).otherwise(
+                # A doc whose EVERY line was dropped has no rebuilt row.
+                F.coalesce(F.col("__new_text"), F.lit(""))
             ),
         )
-        .drop("__dup_idx")
+        .drop("__n_dropped", "__new_text")
     )
 
 

@@ -71,7 +71,13 @@ def feature_hash_embed(
                     h = np.fromiter(
                         (phash(tk) for tk in toks), dtype=np.int64, count=len(toks)
                     )
-                    np.add.at(v, h % dim, np.where(h % 2 == 1, 1.0, -1.0))
+                    # Sign from a bit INDEPENDENT of the bucket index:
+                    # h % 2 would be fully determined by (h % dim) for even
+                    # dim, giving every token in a bucket the same sign —
+                    # colliding tokens would always add constructively
+                    # instead of cancelling in expectation, the exact bias
+                    # the Weinberger sign trick removes.
+                    np.add.at(v, h % dim, np.where((h // dim) % 2 == 1, 1.0, -1.0))
                     norm = float(np.linalg.norm(v))
                     if norm > 0.0:
                         v /= norm

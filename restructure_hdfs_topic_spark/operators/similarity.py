@@ -741,18 +741,24 @@ def kmeans_clusters(
 
     from restructure_hdfs_topic_spark.caching import scoped_persist
 
-    n = embeddings.count()
-    if n == 0:
-        return embeddings.sparkSession.createDataFrame([], "id long, cluster long")
-    if n_clusters is None:
-        n_clusters = max(2, min(65536, int(math.isqrt(n))))
-    n_clusters = min(n_clusters, n)
+    id_type = embeddings.schema[id_col].dataType.simpleString()
+    # Persist BEFORE the size count so the corpus scan that materializes
+    # the cache doubles as the count pass (a bare embeddings.count() would
+    # read the whole table once for n alone).
     quant = scoped_persist(
         embeddings.select(
             F.col(id_col).alias("id"), _quantize(F.col(vec_col)).alias("vec")
         ),
         scope="similarity.kmeans_clusters.quant",
     )
+    n = quant.count()
+    if n == 0:
+        return embeddings.sparkSession.createDataFrame(
+            [], f"id {id_type}, cluster long"
+        )
+    if n_clusters is None:
+        n_clusters = max(2, min(65536, int(math.isqrt(n))))
+    n_clusters = min(n_clusters, n)
     hashed = quant.withColumn("h", F.xxhash64(F.col("id")))
     frac = min(1.0, (8.0 * n_clusters) / max(n, 1))
     cutoff = min((-(1 << 63)) + int((1 << 64) * frac), (1 << 63) - 1)
@@ -842,7 +848,6 @@ def kmeans_clusters(
 
         return assign
 
-    id_type = embeddings.schema[id_col].dataType.simpleString()
     return quant.mapInPandas(label(centroids), schema=f"id {id_type}, cluster long")
 
 

@@ -40,8 +40,14 @@ def export_jsonl_shards(
     """
     if n_shards < 1:
         raise ValueError("n_shards must be >= 1")
+    from restructure_hdfs_topic_spark.caching import scoped_persist
+
     shard = (hash_bucket(id_col) % F.lit(n_shards)).cast("int").alias("shard")
-    tagged = df.select("*", shard)
+    # Persisted across the save action and the manifest aggregate: the
+    # input is typically the tail of a multi-shuffle curation pipeline,
+    # and recomputing that whole lineage just to count rows per shard
+    # would double the export's cluster cost.
+    tagged = scoped_persist(df.select("*", shard), scope="export.shards.tagged")
     (
         tagged.repartition(n_shards, "shard")
         .write.partitionBy("shard")

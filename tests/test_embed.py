@@ -66,7 +66,7 @@ def test_duckdb_cross_check(spark):
           SELECT doc_id, {tokhash} AS th FROM tok
         ), acc AS (
           SELECT doc_id, th % {dim} AS bucket,
-                 sum(CASE WHEN th % 2 = 1 THEN 1.0 ELSE -1.0 END) AS s
+                 sum(CASE WHEN (th // {dim}) % 2 = 1 THEN 1.0 ELSE -1.0 END) AS s
           FROM h GROUP BY doc_id, th % {dim}
         ), fl AS (
           SELECT d.doc_id, g.bucket, coalesce(a.s, 0.0) AS s

@@ -136,6 +136,9 @@ def test_strip_html(spark):
     # block closings keep line structure
     assert out.splitlines()[0] == "Title"
     assert s("no markup at all") == "no markup at all"
+    # author-escaped entity references survive single-decoded (no
+    # double-decode: '&amp;lt;' renders as '&lt;', not '<')
+    assert s("a &amp;lt; b") == "a &lt; b"
     assert s("<p></p>") == ""
 
 
@@ -190,8 +193,8 @@ def test_strip_html_duckdb_cross_check(spark):
                   '(?s)<!--.*?-->', ' ', 'g'),
                  '(?i)</(p|div|li|h[1-6]|tr|table|blockquote)>|<br[^>]*>', chr(10), 'g'),
                 '(?s)<[^>]+>', ' ', 'g'),
-               '&nbsp;', ' '), '&amp;', '&'), '&lt;', '<'), '&gt;', '>'),
-               '&quot;', '"'), '&#39;', ''''), '&apos;', ''''),
+               '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'),
+               '&quot;', '"'), '&#39;', ''''), '&apos;', ''''), '&amp;', '&'),
               '[ '||chr(9)||']+', ' ', 'g'),
              ' ?'||chr(10)||' ?', chr(10), 'g'),
             chr(10)||'{3,}', chr(10)||chr(10), 'g'),
