@@ -59,3 +59,54 @@ def test_strip_matches_model(spark, texts, min_count):
     }
     want = dict(enumerate(_model(texts, min_count)))
     assert got == want
+
+
+# --- token_budget_sample vs its naive model over random corpora -----------
+
+from restructure_hdfs_topic_spark.operators.sampling import (  # noqa: E402
+    KNUTH,
+    MOD,
+    token_budget_sample,
+)
+
+tb_rows = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=3),          # stratum
+        st.integers(min_value=0, max_value=25),         # n_tokens (0 incl.)
+    ),
+    min_size=1,
+    max_size=60,
+)
+tb_budgets = st.dictionaries(
+    st.sampled_from(["s0", "s1", "s2", "s3"]),
+    st.integers(min_value=0, max_value=300),
+    min_size=1,
+    max_size=4,
+)
+
+
+def _tb_model(rows, budgets):
+    keep = set()
+    for s, bud in budgets.items():
+        docs = sorted(
+            (r for r in rows if r[1] == s),
+            key=lambda r: ((r[0] * KNUTH) % MOD, r[0]),
+        )
+        cum = 0
+        for i, _s, n in docs:
+            if cum < bud:
+                keep.add(i)
+            cum += n
+    return keep
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(tb_rows, tb_budgets)
+def test_token_budget_matches_model(spark, raw, budgets):
+    rows = [(i, f"s{s}", n) for i, (s, n) in enumerate(raw)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, n_tokens long")
+    got = {
+        r["doc_id"]
+        for r in token_budget_sample(df, "doc_id", "source", budgets).collect()
+    }
+    assert got == _tb_model(rows, budgets)
