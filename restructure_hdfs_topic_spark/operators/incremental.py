@@ -263,7 +263,18 @@ def commit_signatures(
             if cur is not None
             else spark.createDataFrame([], new_sigs.schema)
         )
-        merged = existing.unionByName(new_sigs).dropDuplicates(["id"])
+        # Prefer the COMMITTED row when a re-ingested id reappears (possibly
+        # with different text): a bare dropDuplicates(["id"]) over the union
+        # keeps a partition-order-dependent survivor, making future near-dup
+        # decisions nondeterministic.  Anti-join first (state wins), and
+        # collapse intra-batch id conflicts to the lexicographically least
+        # signature (arrays are orderable) so the merge is a pure function
+        # of (state, batch) regardless of partitioning.
+        merged = existing.unionByName(
+            new_sigs.join(existing.select("id"), "id", "left_anti")
+            .groupBy("id")
+            .agg(F.min("sig").alias("sig"))
+        )
         nxt = (cur or 0) + 1
         token = _off._claim_version(spark, sub, nxt)
         if not token:

@@ -413,14 +413,26 @@ def _claim_version(spark: SparkSession, state_dir: str, nxt: int) -> str | None:
     path = jvm.org.apache.hadoop.fs.Path(
         state_dir, f"offsets/.claim.v{nxt:08d}"
     )
+    created = False
     try:
         stream = fs.create(path, False)
+        created = True
         try:
             stream.write(bytearray(token, "utf-8"))
         finally:
             stream.close()
         return token
     except Exception:
+        if created:
+            # The create-NX itself succeeded; a failure writing/closing
+            # would otherwise leave an ORPHANED, token-less claim that
+            # stalls every committer on this version for a full claim TTL
+            # (and reads as owner '').  Best-effort removal keeps the
+            # failure local to this committer.
+            try:
+                fs.delete(path, False)
+            except Exception:
+                pass
         return None
 
 
@@ -490,10 +502,20 @@ def _break_stale_claim(
     A claim older than ``ttl_s`` whose version never became CURRENT is
     broken by TOMBSTONE-RENAME (exactly one breaker's rename succeeds — a
     delete+recreate pair would let two breakers re-create the two-writer
-    race the claim exists to prevent); the orphaned version directory, if
-    any, is deleted — it was never pointed at, so its commit never
-    happened durably.  A >TTL-stalled committer that later wakes loses its
-    claim, mirroring the lease semantics of ``locks.py``."""
+    race the claim exists to prevent).  An orphaned ``v{nxt}`` directory,
+    if any, is ADOPTED, never deleted: under the staging protocol the
+    version directory only comes into existence via an atomic rename of a
+    fully-written parquet dir, so its presence means the stalled
+    committer's data write IS durable and only the pointer swap is
+    missing — commit-after-store ordering makes completing that swap
+    always safe (the same argument as ``_recover_version``).  The pre-r7
+    delete here destroyed committed data when the breaker fired inside a
+    >TTL-stalled peer's window between its staging rename and its pointer
+    write, leaving the peer's subsequent CURRENT write dangling.  Adoption
+    is also what unblocks successors: they would otherwise livelock on
+    rename-refused ``ClaimLost`` retries against the orphan.  A
+    >TTL-stalled committer that later wakes loses its claim, mirroring the
+    lease semantics of ``locks.py``."""
     import time as _time
     import uuid as _uuid
 
@@ -511,8 +533,6 @@ def _break_stale_claim(
             os.rename(path, tomb)
         except OSError:
             return  # another breaker won
-        import shutil
-
         try:
             # Rename preserves mtime: re-check on the tombstone so a claim
             # that was broken-and-recreated FRESH between our stat and
@@ -524,9 +544,7 @@ def _break_stale_claim(
             os.remove(tomb)
         except OSError:
             pass
-        shutil.rmtree(
-            os.path.join(state_dir, "offsets", f"v{nxt:08d}"), ignore_errors=True
-        )
+        _adopt_orphan_version(spark, state_dir, nxt)
         return
     jvm, fs, _ = _hfs(spark, state_dir)
     path = jvm.org.apache.hadoop.fs.Path(state_dir, f"offsets/{name}")
@@ -555,9 +573,75 @@ def _break_stale_claim(
     except Exception:
         pass
     fs.delete(tomb, False)
-    fs.delete(
-        jvm.org.apache.hadoop.fs.Path(state_dir, f"offsets/v{nxt:08d}"), True
+    _adopt_orphan_version(spark, state_dir, nxt)
+
+
+def _adopt_orphan_version(spark: SparkSession, state_dir: str, nxt: int) -> None:
+    """Finish a dead committer's commit: if a fully-written
+    ``offsets/v{nxt}`` exists but the pointer still trails it, swing the
+    pointer to it.  Safe by commit-after-store ordering (the data the
+    version records was durably stored before its committer ever wrote
+    parquet), idempotent with the stalled committer's own later pointer
+    write, and required to unblock successors (see ``_break_stale_claim``).
+    No-op when the version directory is absent or incomplete."""
+    if "://" not in state_dir:
+        vdir = os.path.join(state_dir, "offsets", f"v{nxt:08d}")
+        if not os.path.exists(os.path.join(vdir, "_SUCCESS")):
+            return
+        if (_current_version(state_dir) or 0) >= nxt:
+            return
+        _write_pointer(spark, state_dir, nxt)
+        return
+    jvm, fs, _ = _hfs(spark, state_dir)
+    success = jvm.org.apache.hadoop.fs.Path(
+        state_dir, f"offsets/v{nxt:08d}/_SUCCESS"
     )
+    try:
+        if not fs.exists(success):
+            return
+    except Exception:
+        return
+    if (_current_version(state_dir, spark) or 0) >= nxt:
+        return
+    _write_pointer(spark, state_dir, nxt)
+
+
+def _write_pointer(spark: SparkSession, state_dir: str, nxt: int) -> None:
+    """Atomically swap ``offsets.CURRENT`` to version ``nxt``: tempfile +
+    ``os.replace`` locally; temp object + ``FileContext`` rename with
+    ``Rename.OVERWRITE`` remotely (single atomic metadata op on HDFS),
+    falling back to delete+rename whose no-pointer crash window
+    ``_recover_version`` closes."""
+    if "://" not in state_dir:
+        import tempfile
+
+        fd, tmp = tempfile.mkstemp(dir=state_dir, prefix=".offsets.CURRENT.")
+        with os.fdopen(fd, "w") as fh:
+            fh.write(f"v{nxt:08d}")
+        os.replace(tmp, os.path.join(state_dir, _POINTER))
+        return
+    jvm, fs, _ = _hfs(spark, state_dir)
+    tmp = jvm.org.apache.hadoop.fs.Path(state_dir, f".offsets.CURRENT.v{nxt:08d}")
+    stream = fs.create(tmp, True)
+    try:
+        stream.write(bytearray(f"v{nxt:08d}", "utf-8"))
+    finally:
+        stream.close()
+    pointer = jvm.org.apache.hadoop.fs.Path(state_dir, _POINTER)
+    try:
+        gw = spark.sparkContext._gateway
+        rename_opts = gw.new_array(jvm.org.apache.hadoop.fs.Options.Rename, 1)
+        rename_opts[0] = jvm.org.apache.hadoop.fs.Options.Rename.OVERWRITE
+        fc = jvm.org.apache.hadoop.fs.FileContext.getFileContext(
+            pointer.toUri(), spark._jsc.hadoopConfiguration()
+        )
+        fc.rename(tmp, pointer, rename_opts)
+    except Exception:
+        # Store without FileContext support (some object-store connectors):
+        # non-atomic fallback, recoverable via _recover_version.
+        if fs.exists(pointer):
+            fs.delete(pointer, False)
+        fs.rename(tmp, pointer)
 
 
 def _replace_at(
@@ -596,13 +680,20 @@ def _replace_at(
                 fs_.delete(jvm_.org.apache.hadoop.fs.Path(staging), True)
             except Exception:
                 pass
+        # If the loss is because a fully-committed v{nxt} is sitting there
+        # with a trailing pointer (its committer died between rename and
+        # pointer write), finish that commit NOW — otherwise every retry
+        # recomputes the same nxt and re-aborts here until a TTL elapses.
+        try:
+            _adopt_orphan_version(spark, state_dir, nxt)
+        except Exception:
+            pass
         raise ClaimLost(f"version v{nxt} claim lost ({reason}) in {state_dir}")
 
     if token is not None and _claim_owner(spark, state_dir, nxt) != token:
         _abort("owner token changed")
     if "://" not in state_dir:
         import shutil
-        import tempfile
 
         try:
             # POSIX rename refuses to replace a non-empty directory —
@@ -611,10 +702,15 @@ def _replace_at(
             os.rename(staging, version_dir)
         except OSError:
             _abort("version directory already exists")
-        fd, tmp = tempfile.mkstemp(dir=state_dir, prefix=".offsets.CURRENT.")
-        with os.fdopen(fd, "w") as fh:
-            fh.write(f"v{nxt:08d}")
-        os.replace(tmp, os.path.join(state_dir, _POINTER))
+        # The rename succeeded, so v{nxt} is OURS.  If the version already
+        # visible is BEYOND nxt, a TTL-breaker adopted our orphan while we
+        # stalled and peers built on it — re-writing CURRENT here would
+        # regress their commits.  At exactly nxt the write is idempotent
+        # (and on a first commit _current_version recovers nxt from our own
+        # just-renamed directory, so `<= nxt` — not `< nxt` — is what still
+        # creates the pointer).
+        if (_current_version(state_dir) or 0) <= nxt:
+            _write_pointer(spark, state_dir, nxt)
         versions_root = os.path.join(state_dir, "offsets")
         for v in os.listdir(versions_root):
             # digit guard: a stray user entry like `v1.bak` must not crash
@@ -654,27 +750,12 @@ def _replace_at(
         _abort("version directory already exists")
     if not fs.rename(staging_path, version_path):
         _abort("staging rename refused")
-    tmp = jvm.org.apache.hadoop.fs.Path(state_dir, f".offsets.CURRENT.v{nxt:08d}")
-    stream = fs.create(tmp, True)
-    try:
-        stream.write(bytearray(f"v{nxt:08d}", "utf-8"))
-    finally:
-        stream.close()
-    pointer = jvm.org.apache.hadoop.fs.Path(state_dir, _POINTER)
-    try:
-        gw = spark.sparkContext._gateway
-        rename_opts = gw.new_array(jvm.org.apache.hadoop.fs.Options.Rename, 1)
-        rename_opts[0] = jvm.org.apache.hadoop.fs.Options.Rename.OVERWRITE
-        fc = jvm.org.apache.hadoop.fs.FileContext.getFileContext(
-            pointer.toUri(), spark._jsc.hadoopConfiguration()
-        )
-        fc.rename(tmp, pointer, rename_opts)
-    except Exception:
-        # Store without FileContext support (some object-store connectors):
-        # non-atomic fallback, recoverable via _recover_version.
-        if fs.exists(pointer):
-            fs.delete(pointer, False)
-        fs.rename(tmp, pointer)
+    # Same adoption guard as the local branch: a visible version PAST nxt
+    # means a TTL-breaker finished our commit and peers advanced — don't
+    # regress it.  At exactly nxt (breaker-adopted, or recovered from our
+    # own rename on a pointerless store) the write is idempotent/required.
+    if (_current_version(state_dir, spark) or 0) <= nxt:
+        _write_pointer(spark, state_dir, nxt)
     versions_root = jvm.org.apache.hadoop.fs.Path(state_dir, "offsets")
     for st in fs.listStatus(versions_root):
         name = st.getPath().getName()

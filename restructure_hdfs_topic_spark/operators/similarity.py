@@ -376,9 +376,13 @@ def ivf_ann_topk(
     # collect, each Lloyd pass, the fused assignment).  Persist it once
     # (MEMORY_AND_DISK: spills instead of OOMing at n×dim×8 bytes) so the
     # parquet scan + quantization projection run once, not per pass.
-    from pyspark import StorageLevel
+    # Scoped: a repeated caller (bench warm loop, long-lived service) must
+    # not strand one CacheManager generation per call — the registry keeps
+    # exactly one live handle per scope and reuses a still-warm same-plan
+    # cache across calls.
+    from restructure_hdfs_topic_spark.caching import scoped_persist
 
-    quant = quant.persist(StorageLevel.MEMORY_AND_DISK)
+    quant = scoped_persist(quant, scope="similarity.ivf_ann_topk.quant")
     # One hash-selected collect serves both the centroid seeds (lowest
     # n_centroids hashes) and the calibration sample — order-independent,
     # and O(max(C, sample) × dim) driver bytes regardless of corpus size.
@@ -413,7 +417,9 @@ def ivf_ann_topk(
         # hyperplane-LSH path, which reaches the same target at
         # near-constant bucket work on exactly these unclustered corpora.
         # Callers wanting pure IVF regardless pass nprobe explicitly.
-        quant.unpersist()
+        from restructure_hdfs_topic_spark.caching import release_scope
+
+        release_scope("similarity.ivf_ann_topk.quant")
         return lsh_ann_topk(embeddings, k=k, id_col=id_col, vec_col=vec_col)
 
     def _affinity(cents: np.ndarray):
@@ -715,6 +721,79 @@ def embedding_near_dup_groups(
     )
 
 
+def _collect_lloyd_partials(long_form: DataFrame):
+    """Reduce a ``(cluster, pos, s, c)`` Lloyd partial stream to ONE array
+    row per cluster and collect it.
+
+    The per-coordinate groupBy stays (pure longs, map-side combined —
+    scales with C·dim across reducers), but a second C-key regroup packs
+    each cluster's coordinates into ``array<long>`` BEFORE the collect: the
+    driver receives C rows instead of C·dim Row objects (~38M at the
+    SemDeDup operating point C=50k, dim=768 — VERDICT r6 #1), same bytes,
+    dim× fewer per-row driver allocations."""
+    return (
+        long_form.groupBy("cluster", "pos")
+        .agg(F.sum("s").alias("s"), F.sum("c").alias("c"))
+        .groupBy("cluster")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "s"))),
+                lambda x: x["s"],
+            ).alias("s"),
+            # c is the cluster's total count, identical across pos rows.
+            F.max("c").alias("c"),
+        )
+        .collect()
+    )
+
+
+MAXIMIN_POOL_CAP = 2048
+"""Seeds chosen by full farthest-first traversal before hash fill takes
+over.  Maximin costs O(seeds × window × dim) driver FLOPs; the cap bounds
+that to ~2.6e10 at dim=768 (seconds of numpy) where an uncapped run at the
+SemDeDup operating point (C≈50k) would be ~1e13 (hours — VERDICT r6 #1)."""
+
+
+def _seed_centroids(
+    pool, n_seeds: int, maximin_cap: int = MAXIMIN_POOL_CAP
+):
+    """Deterministic k-means seeds from a hash-ordered candidate pool.
+
+    Farthest-first (maximin) traversal gives well-spread seeds — unlike raw
+    lowest-k-hashes it cannot put two seeds inside one tight cluster while
+    another goes unseeded (which Lloyd cannot repair) — but is quadratic in
+    the seed count.  So, k-means‖-style split: the first
+    ``min(n_seeds, maximin_cap)`` seeds come from maximin over a candidate
+    window of ``8×maximin_cap`` pool vectors (spread coverage), and the
+    remainder are the next hash-ordered pool vectors not already chosen — a
+    uniform hash-sample (mass coverage, each additional seed lands in a
+    region with probability proportional to its point mass); the Lloyd
+    iterations then locally refine both kinds.  For ``n_seeds ≤
+    maximin_cap`` this is EXACTLY the pre-r7 full maximin (pool order is
+    hash order; ties break to the earlier index via argmin), so small-scale
+    results — every test/digest scale — are unchanged.
+    """
+    import numpy as np
+
+    n_seeds = min(n_seeds, len(pool))
+    window = pool if n_seeds <= maximin_cap else pool[: 8 * maximin_cap]
+    pf = window.astype(np.float64)
+    pn = np.sqrt((pf**2).sum(axis=1))
+    pn[pn == 0] = 1.0
+    pf = pf / pn[:, None]
+    chosen = [0]
+    max_sim = pf @ pf[0]
+    while len(chosen) < min(n_seeds, maximin_cap, len(window)):
+        nxt = int(np.argmin(max_sim))
+        chosen.append(nxt)
+        max_sim = np.maximum(max_sim, pf @ pf[nxt])
+    if len(chosen) < n_seeds:
+        taken = set(chosen)
+        fill = (i for i in range(len(pool)) if i not in taken)
+        chosen = chosen + [next(fill) for _ in range(n_seeds - len(chosen))]
+    return pool[chosen].copy()
+
+
 def kmeans_clusters(
     embeddings: DataFrame,
     n_clusters: int | None = None,
@@ -760,31 +839,23 @@ def kmeans_clusters(
         n_clusters = max(2, min(65536, int(math.isqrt(n))))
     n_clusters = min(n_clusters, n)
     hashed = quant.withColumn("h", F.xxhash64(F.col("id")))
-    frac = min(1.0, (8.0 * n_clusters) / max(n, 1))
+    # Candidate pool: 8× the maximin window plus one hash-fill vector per
+    # remaining seed (for C ≤ the cap this is the pre-r7 8·C pool).
+    need = (
+        8 * n_clusters
+        if n_clusters <= MAXIMIN_POOL_CAP
+        else 8 * MAXIMIN_POOL_CAP + (n_clusters - MAXIMIN_POOL_CAP)
+    )
+    frac = min(1.0, (1.0 * need) / max(n, 1))
     cutoff = min((-(1 << 63)) + int((1 << 64) * frac), (1 << 63) - 1)
     rows = hashed.filter(F.col("h") < F.lit(cutoff)).select("h", "vec").collect()
     if len(rows) < min(n_clusters, n):
-        rows = hashed.orderBy("h").limit(8 * n_clusters).select("h", "vec").collect()
+        rows = hashed.orderBy("h").limit(need).select("h", "vec").collect()
     rows.sort(key=lambda r: r["h"])
     pool = np.stack([np.asarray(r["vec"], dtype=np.int64) for r in rows])
-    # Farthest-first (maximin) seeding over the hash pool: lowest-hash
-    # vector first, then greedily the pool vector with the smallest max
-    # cosine to the seeds so far — deterministic (pool order is hash
-    # order, ties break to the earlier index via argmin), and unlike raw
-    # lowest-k-hashes it cannot put two seeds inside one tight cluster
-    # while another cluster goes unseeded (which Lloyd cannot repair:
-    # the unseeded cluster's points just split among the others).
-    pf = pool.astype(np.float64)
-    pn = np.sqrt((pf**2).sum(axis=1))
-    pn[pn == 0] = 1.0
-    pf = pf / pn[:, None]
-    chosen = [0]
-    max_sim = pf @ pf[0]
-    while len(chosen) < min(n_clusters, len(pool)):
-        nxt = int(np.argmin(max_sim))
-        chosen.append(nxt)
-        max_sim = np.maximum(max_sim, pf @ pf[nxt])
-    centroids = pool[chosen].copy()
+    # Capped maximin + hash fill (see _seed_centroids): spread-guaranteed
+    # seeds at bounded driver cost, exact pre-r7 behavior for C ≤ cap.
+    centroids = _seed_centroids(pool, n_clusters)
 
     def partials(cents: np.ndarray):
         cf = cents.astype(np.float64)
@@ -816,17 +887,16 @@ def kmeans_clusters(
         return agg_batches
 
     for _ in range(lloyd_iters):
-        agg = (
+        agg = _collect_lloyd_partials(
             quant.mapInPandas(
                 partials(centroids), schema="cluster long, pos long, s long, c long"
             )
-            .groupBy("cluster", "pos")
-            .agg(F.sum("s").alias("s"), F.sum("c").alias("c"))
-            .collect()
         )
         new_cents = centroids.copy()
         for r in agg:
-            new_cents[r["cluster"], r["pos"]] = r["s"] // r["c"]
+            new_cents[r["cluster"]] = (
+                np.asarray(r["s"], dtype=np.int64) // r["c"]
+            )
         centroids = new_cents
 
     def label(cents: np.ndarray):

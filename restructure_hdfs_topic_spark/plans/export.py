@@ -40,16 +40,48 @@ def export_jsonl_shards(
     """
     if n_shards < 1:
         raise ValueError("n_shards must be >= 1")
+    from pyspark.sql.functions import broadcast
+
     from restructure_hdfs_topic_spark.caching import scoped_persist
 
+    spark = df.sparkSession
     shard = (hash_bucket(id_col) % F.lit(n_shards)).cast("int").alias("shard")
     # Persisted across the save action and the manifest aggregate: the
     # input is typically the tail of a multi-shuffle curation pipeline,
     # and recomputing that whole lineage just to count rows per shard
     # would double the export's cluster cost.
     tagged = scoped_persist(df.select("*", shard), scope="export.shards.tagged")
+    # A raw repartition(n_shards, "shard") does NOT put one shard value per
+    # partition: HashPartitioning places shard k at pmod(murmur3(k), n),
+    # and that map has collisions (two shards in one task, empty tasks,
+    # two files in one shard=K dir).  Route instead through a per-shard
+    # key PRE-IMAGE: for each shard k, any int m_k with
+    # pmod(hash(m_k), n) == k — found by probing Spark's own hash (no
+    # Python reimplementation to drift), a |shards|-row driver table.
+    # Partition k then holds exactly shard k: one task, one file per dir.
+    probe = 64
+    rows = (
+        spark.range(0, probe * n_shards)
+        .select(
+            F.col("id").cast("int").alias("m"),
+            F.pmod(F.hash(F.col("id").cast("int")), F.lit(n_shards)).alias("b"),
+        )
+        .collect()
+    )
+    route: dict[int, int] = {}
+    for r in rows:
+        route.setdefault(r["b"], r["m"])
+    if len(route) < n_shards:  # P ≈ n·e^-64 — effectively never
+        raise RuntimeError("shard route probe under-delivered; raise probe")
+    route_df = broadcast(
+        spark.createDataFrame(
+            [(k, route[k]) for k in range(n_shards)], "shard int, _route int"
+        )
+    )
     (
-        tagged.repartition(n_shards, "shard")
+        tagged.join(route_df, "shard")
+        .repartition(n_shards, "_route")
+        .drop("_route")
         .write.partitionBy("shard")
         .format(fmt)
         .mode("overwrite")

@@ -7,6 +7,7 @@ import sys
 
 import pandas as pd
 import pytest
+from pyspark.sql import functions as F
 
 sys.path.insert(0, "/root/repo")
 
@@ -450,3 +451,136 @@ def test_stalled_committer_cannot_clobber_peer_commit(spark, tmp_path):
         for r in O.read_offsets(spark, state_dir).collect()
     }
     assert final == {(0, 9), (100, 109), (200, 209)}
+
+
+def test_breaker_adopts_orphan_committed_version(spark, tmp_path):
+    """ADVICE r6: a committer that renamed v{nxt} into place (durable data)
+    but died before the pointer write used to have its version DELETED by
+    the next breaker — destroying committed data and leaving the waking
+    peer's CURRENT write dangling.  The breaker must instead ADOPT the
+    orphan (finish the pointer write), and successors must build on it."""
+    import os as _os
+    import time as _time
+
+    from restructure_hdfs_topic_spark.operators import offsets as O
+
+    state_dir = str(tmp_path / "state")
+    _os.makedirs(state_dir)
+    mk = lambda lo, hi: spark.createDataFrame(  # noqa: E731
+        [("t", 0, lo, hi, None)], O.STATE_SCHEMA
+    )
+    O.commit_offsets(spark, state_dir, mk(0, 9))  # v1
+
+    # Simulate the dead committer: claim v2, write + rename the version
+    # directory, then die BEFORE the pointer write.
+    token = O._claim_version(spark, state_dir, 2)
+    assert token
+    merged = O.merge_offset_intervals(
+        O._read_state_at(spark, state_dir, 1).unionByName(mk(100, 109))
+    )
+    staging = f"{state_dir}/offsets/.staging.v00000002.{token}"
+    merged.write.mode("overwrite").parquet(staging)
+    _os.rename(staging, _os.path.join(state_dir, "offsets", "v00000002"))
+    # (no pointer write — the crash point; pointer still names v1)
+    assert (tmp_path / "state" / "offsets.CURRENT").read_text() == "v00000001"
+
+    # Age the claim past the TTL; a peer commit then contends on v2, breaks
+    # the stale claim, must ADOPT v2 (not delete it) and commit as v3.
+    claim = _os.path.join(state_dir, "offsets", ".claim.v00000002")
+    old = _time.time() - O.CLAIM_TTL_S - 5
+    _os.utime(claim, (old, old))
+    O.commit_offsets(spark, state_dir, mk(200, 209))
+
+    final = {
+        (r.offset_from, r.offset_to)
+        for r in O.read_offsets(spark, state_dir).collect()
+    }
+    # The orphan's intervals SURVIVE: adoption made them part of history.
+    assert final == {(0, 9), (100, 109), (200, 209)}
+    assert (tmp_path / "state" / "offsets.CURRENT").read_text() == "v00000003"
+
+
+def test_claim_version_failure_after_create_cleans_up(spark, tmp_path, monkeypatch):
+    """ADVICE r6: an HDFS-path claim that fails AFTER create-NX succeeded
+    must not leave an orphaned token-less claim file stalling peers for a
+    full TTL."""
+    import os as _os
+
+    from restructure_hdfs_topic_spark.operators import offsets as O
+
+    state_dir = f"file://{tmp_path}/state"
+    _os.makedirs(tmp_path / "state" / "offsets")
+
+    # Force the write-after-create to blow up by breaking bytearray usage:
+    # patch _hfs to return a wrapper whose create() yields a stream that
+    # raises on write.
+    real_hfs = O._hfs
+
+    class BoomStream:
+        def write(self, *_a):
+            raise IOError("disk full")
+
+        def close(self):
+            pass
+
+    class FsWrapper:
+        def __init__(self, fs):
+            self._fs = fs
+
+        def create(self, path, overwrite):
+            self._fs.create(path, overwrite).close()  # real create-NX lands
+            return BoomStream()
+
+        def __getattr__(self, name):
+            return getattr(self._fs, name)
+
+    def fake_hfs(spark_, dir_):
+        jvm, fs, p = real_hfs(spark_, dir_)
+        return jvm, FsWrapper(fs), p
+
+    monkeypatch.setattr(O, "_hfs", fake_hfs)
+    assert O._claim_version(spark, state_dir, 1) is None
+    monkeypatch.undo()
+    # The half-made claim was removed: a fresh claim succeeds immediately.
+    assert not _os.path.exists(tmp_path / "state" / "offsets" / ".claim.v00000001")
+    assert O._claim_version(spark, state_dir, 1) is not None
+
+
+def test_export_one_file_per_shard_dir(spark, tmp_path):
+    """ADVICE r6: repartition(n, 'shard') hash-collides shard values into
+    shared tasks — the route-key pre-image must restore exactly one data
+    file per shard directory."""
+    import os as _os
+
+    from restructure_hdfs_topic_spark.plans.export import export_jsonl_shards
+
+    df = spark.range(0, 2000).select(
+        F.col("id").alias("doc_id"), F.concat(F.lit("d"), F.col("id")).alias("text")
+    )
+    out = str(tmp_path / "exp")
+    n_shards = 7
+    manifest = export_jsonl_shards(df, out, n_shards=n_shards)
+    assert manifest.count() == n_shards
+    for k in range(n_shards):
+        d = _os.path.join(out, "data", f"shard={k}")
+        files = [n for n in _os.listdir(d) if n.startswith("part-")]
+        assert len(files) == 1, f"shard {k}: {files}"
+
+
+def test_commit_signatures_state_wins_and_deterministic(spark, tmp_path):
+    """ADVICE r6: re-ingesting an id with different text must keep the
+    COMMITTED signature (not a partition-order-dependent survivor)."""
+    from restructure_hdfs_topic_spark.operators import incremental as I
+
+    state_dir = str(tmp_path / "sigstate")
+    s1 = spark.createDataFrame([(1, [10, 11]), (2, [20, 21])], "id long, sig array<long>")
+    I.commit_signatures(spark, state_dir, s1)
+    # Conflicting re-ingest for id=2, plus an intra-batch conflict on id=3.
+    s2 = spark.createDataFrame(
+        [(2, [99, 99]), (3, [31, 32]), (3, [30, 39])], "id long, sig array<long>"
+    )
+    I.commit_signatures(spark, state_dir, s2)
+    got = {r["id"]: list(r["sig"]) for r in I.read_signatures(spark, state_dir).collect()}
+    assert got[2] == [20, 21]  # committed row wins
+    assert got[3] == [30, 39]  # lexicographic min of the batch conflict
+    assert got[1] == [10, 11]

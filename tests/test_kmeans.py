@@ -79,3 +79,57 @@ def test_semdedup_groups(spark):
             semdedup_groups(df.repartition(5), threshold=0.9999, n_clusters=2,
                             lloyd_iters=3).collect()}
     assert out == out2
+
+
+def test_seed_centroids_deterministic_at_large_c():
+    """VERDICT r6 #1: seeding must stay deterministic AND driver-cheap at
+    C >= 10k — capped maximin + hash fill, not an O(C^2 * dim) loop."""
+    import time
+
+    import numpy as np
+
+    from restructure_hdfs_topic_spark.operators.similarity import (
+        MAXIMIN_POOL_CAP,
+        _seed_centroids,
+    )
+
+    rng = np.random.default_rng(7)
+    n_seeds = 10_000
+    pool = rng.integers(-1000, 1000, size=(8 * MAXIMIN_POOL_CAP + n_seeds, 32)).astype(
+        np.int64
+    )
+    t0 = time.monotonic()
+    a = _seed_centroids(pool, n_seeds)
+    elapsed = time.monotonic() - t0
+    b = _seed_centroids(pool, n_seeds)
+    assert a.shape == (n_seeds, 32)
+    assert np.array_equal(a, b)
+    # No duplicate seed rows: maximin picks distinct window indices and the
+    # hash fill skips already-chosen ones.
+    assert len({tuple(r) for r in a}) == n_seeds
+    # Driver cost stays bounded (full maximin at this C would be minutes).
+    assert elapsed < 60
+
+
+def test_seed_centroids_small_c_matches_full_maximin():
+    """For C <= the cap the seeds must be EXACTLY the pre-r7 full maximin
+    traversal (digest compatibility at all test scales)."""
+    import numpy as np
+
+    from restructure_hdfs_topic_spark.operators.similarity import _seed_centroids
+
+    rng = np.random.default_rng(11)
+    pool = rng.integers(-1000, 1000, size=(400, 8)).astype(np.int64)
+    got = _seed_centroids(pool, 50)
+
+    pf = pool.astype(np.float64)
+    pn = np.sqrt((pf**2).sum(axis=1))
+    pn[pn == 0] = 1.0
+    pf = pf / pn[:, None]
+    chosen = [0]
+    max_sim = pf @ pf[0]
+    while len(chosen) < 50:
+        nxt = int(np.argmin(max_sim))
+        chosen.append(nxt)
+        max_sim = np.maximum(max_sim, pf @ pf[nxt])
+    assert np.array_equal(got, pool[chosen])
