@@ -1000,7 +1000,7 @@ def q_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("source"),
             F.lit("</h1><p>"),
             F.col("text"),
-            F.lit(" &amp; tail</p></html>"),
+            F.lit(" &#8212; &#x2713; &amp;#65; &amp; tail</p></html>"),
         ).alias("html"),
     )
     return docs.select("doc_id", strip_html(F.col("html")).alias("text"))

@@ -140,6 +140,19 @@ def test_strip_html(spark):
     # double-decode: '&amp;lt;' renders as '&lt;', not '<')
     assert s("a &amp;lt; b") == "a &lt; b"
     assert s("<p></p>") == ""
+    # numeric + hex character references (VERDICT r6 #2)
+    assert s("em&#8212;dash") == "em—dash"
+    assert s("A is &#65; and &#x41; and &#X41;") == "A is A and A and A"
+    assert s("astral &#x1F600;!") == "astral \U0001F600!"
+    assert s("&#0065;") == "A"  # leading zeros
+    # invalid references stay literal: zero, surrogate, beyond Unicode,
+    # unterminated, author-escaped
+    assert s("&#0; &#xD800; &#x110000; &#junk &#65 end") == (
+        "&#0; &#xD800; &#x110000; &#junk &#65 end"
+    )
+    assert s("a &amp;#65; b") == "a &#65; b"
+    # numeric entity split across the named pass cannot double-decode
+    assert s("&#38;lt;") == "&lt;"
 
 
 def test_strip_html_duckdb_cross_check(spark):
@@ -159,7 +172,8 @@ def test_strip_html_duckdb_cross_check(spark):
             F.col("source"),
             F.lit("</h1><p>"),
             F.col("text"),
-            F.lit(" &amp; tail</p></html>"),
+            F.lit(" &#8212; &#x1F600; ok &amp;#65; bad &#xD800;&#0;&#junk"
+                  " &amp; tail</p></html>"),
         ).alias("text"),
     )
     got = {
@@ -170,20 +184,69 @@ def test_strip_html_duckdb_cross_check(spark):
     con.execute(
         f"CREATE VIEW documents AS SELECT * FROM read_parquet('{sf_dir}/documents.parquet')"
     )
+    # Single-pass entity decoder, mirroring functions/text._decode_entities:
+    # split on '&', decode each tail's leading named or numeric reference,
+    # re-attach '&' verbatim otherwise; output never rescanned.
+    con.execute(
+        r"""
+        CREATE MACRO entpre(p) AS
+          regexp_extract(p, '^(#[xX][0-9a-fA-F]{1,6};|#[0-9]{1,7};)', 1);
+        """
+    )
+    con.execute(
+        r"""
+        CREATE MACRO entcp(p) AS (
+          CASE WHEN entpre(p) = '' THEN CAST(-1 AS BIGINT)
+               WHEN lower(substring(entpre(p), 2, 1)) = 'x' THEN
+                 list_reduce(
+                   list_transform(
+                     string_split(
+                       substring(lower(entpre(p)), 3, length(entpre(p)) - 3), ''),
+                     d -> CAST(strpos('0123456789abcdef', d) - 1 AS BIGINT)),
+                   (a, x) -> a * 16 + x)
+               ELSE CAST(substring(entpre(p), 2, length(entpre(p)) - 2) AS BIGINT)
+          END);
+        """
+    )
+    con.execute(
+        r"""
+        CREATE MACRO entdec(p) AS (
+          CASE
+            WHEN starts_with(p, 'nbsp;') THEN ' ' || substring(p, 6)
+            WHEN starts_with(p, 'lt;')   THEN '<' || substring(p, 4)
+            WHEN starts_with(p, 'gt;')   THEN '>' || substring(p, 4)
+            WHEN starts_with(p, 'quot;') THEN '"' || substring(p, 6)
+            WHEN starts_with(p, 'apos;') THEN '''' || substring(p, 6)
+            WHEN starts_with(p, 'amp;')  THEN '&' || substring(p, 5)
+            WHEN entpre(p) <> '' AND entcp(p) > 0 AND entcp(p) <= 1114111
+                 AND NOT (entcp(p) BETWEEN 55296 AND 57343)
+              THEN chr(CAST(entcp(p) AS INTEGER)) ||
+                   substring(p, length(entpre(p)) + 1)
+            ELSE '&' || p
+          END);
+        """
+    )
+    con.execute(
+        r"""
+        CREATE MACRO entall(s) AS (
+          (SELECT parts[1] || coalesce(
+                    list_aggregate(list_transform(parts[2:], p -> entdec(p)),
+                                   'string_agg', ''), '')
+           FROM (SELECT string_split(s, '&') AS parts))
+        );
+        """
+    )
     rows = con.execute(
         r"""
         WITH d AS (
           SELECT doc_id,
                  '<html><script>skip ''</p>'' me</script><h1>' || source ||
-                 '</h1><p>' || text || ' &amp; tail</p></html>' AS text
+                 '</h1><p>' || text ||
+                 ' &#8212; &#x1F600; ok &amp;#65; bad &#xD800;&#0;&#junk' ||
+                 ' &amp; tail</p></html>' AS text
           FROM documents
-        )
-        SELECT doc_id,
-          regexp_replace(
-           regexp_replace(
-            regexp_replace(
-             regexp_replace(
-              replace(replace(replace(replace(replace(replace(replace(
+        ), stripped AS (
+          SELECT doc_id,
                regexp_replace(
                 regexp_replace(
                  regexp_replace(
@@ -192,14 +255,19 @@ def test_strip_html_duckdb_cross_check(spark):
                    '(?is)<style[^>]*>.*?</style>', ' ', 'g'),
                   '(?s)<!--.*?-->', ' ', 'g'),
                  '(?i)</(p|div|li|h[1-6]|tr|table|blockquote)>|<br[^>]*>', chr(10), 'g'),
-                '(?s)<[^>]+>', ' ', 'g'),
-               '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'),
-               '&quot;', '"'), '&#39;', ''''), '&apos;', ''''), '&amp;', '&'),
+                '(?s)<[^>]+>', ' ', 'g') AS t
+          FROM d
+        )
+        SELECT doc_id,
+          regexp_replace(
+           regexp_replace(
+            regexp_replace(
+             regexp_replace(entall(t),
               '[ '||chr(9)||']+', ' ', 'g'),
              ' ?'||chr(10)||' ?', chr(10), 'g'),
             chr(10)||'{3,}', chr(10)||chr(10), 'g'),
            '^\s+|\s+$', '', 'g') AS t
-        FROM d
+        FROM stripped
         """
     ).fetchall()
     want = {r[0]: r[1] for r in rows}
