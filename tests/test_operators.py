@@ -1125,3 +1125,58 @@ def test_asof_join_null_semantics(spark):
         for r in asof_join(left, right, ["u"], "ts", ["v"]).collect()
     }
     assert got == {1: None, 2: None}
+
+
+def test_lsh_topk_window_dedup_equivalence(spark):
+    """r7 perf rework: the rank-first lag-dedup tail must return EXACTLY
+    the rows of the old distinct-then-row_number shape — per query: unique
+    neighbors, contiguous ranks from 1 ordered by (cosine desc,
+    neighbor_id), no duplicates despite multi-table/probe candidates."""
+    import random
+
+    from restructure_hdfs_topic_spark.operators.similarity import lsh_ann_topk
+
+    rng = random.Random(3)
+    # Tight corpus (few distinct directions): every pair collides in every
+    # table, maximizing duplicate candidates through the 4-table union.
+    rows = [
+        (i, [1.0 + rng.uniform(-0.01, 0.01), rng.uniform(-0.01, 0.01)])
+        for i in range(60)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = lsh_ann_topk(emb, k=4, n_rows=60).collect()
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r["query_id"], []).append(r)
+    assert set(by_q) == set(range(60))
+    for q, rs in by_q.items():
+        neigh = [r["neighbor_id"] for r in rs]
+        assert len(neigh) == len(set(neigh)), f"dup neighbor for q={q}"
+        ranks = sorted(r["rank"] for r in rs)
+        assert ranks == list(range(1, len(rs) + 1))
+        # rank order == (cosine desc, neighbor_id) order
+        ordered = sorted(rs, key=lambda r: (-r["cosine"], r["neighbor_id"]))
+        assert [r["rank"] for r in ordered] == ranks
+
+
+def test_ivf_route_memo_deterministic(spark):
+    """The route/centroid memo must return bit-identical results on a
+    repeated call (memo hit) vs a cold call (full train)."""
+    import random
+
+    from restructure_hdfs_topic_spark.operators import similarity as S
+
+    rng = random.Random(5)
+    rows = [
+        (i, [b + rng.uniform(-0.05, 0.05) for b in base])
+        for i, base in enumerate(
+            [bb for bb in ([1, 0, 0, 0], [0, 1, 0, 0], [0, 0, 1, 0], [0, 0, 0, 1])
+             for _ in range(30)]
+        )
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    S._IVF_MEMO.clear()
+    cold = sorted(map(tuple, S.ivf_ann_topk(emb, k=3, n_rows=120).collect()))
+    assert S._IVF_MEMO  # trained route recorded
+    warm = sorted(map(tuple, S.ivf_ann_topk(emb, k=3, n_rows=120).collect()))
+    assert cold == warm
