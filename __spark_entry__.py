@@ -1065,12 +1065,18 @@ def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-batch word cache.  Not SQL-expressible (iterative vocabulary
     state); correctness pinned by the naive-reference equivalence tests in
     tests/test_bpe.py (bench/extras surface)."""
-    from restructure_hdfs_topic_spark.operators.bpe import bpe_encode, learn_bpe
+    from restructure_hdfs_topic_spark.operators.bpe import (
+        bpe_encode,
+        learn_bpe_with_vocab,
+    )
 
     _conf(spark)
     docs = _t(spark, sf_dir, "documents")
-    merges = learn_bpe(docs, n_merges=50)
-    enc = bpe_encode(docs, merges)
+    # The learner's final word->pieces state rides along for free and is
+    # broadcast into the encoder: training-vocabulary words encode by
+    # lookup, no per-task re-derivation (VERDICT r6 #5).
+    merges, vocab = learn_bpe_with_vocab(docs, n_merges=50)
+    enc = bpe_encode(docs, merges, word_tokens=vocab)
     return enc.select(
         F.col("id").alias("doc_id"),
         "n_tokens",

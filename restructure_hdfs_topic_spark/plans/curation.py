@@ -46,6 +46,7 @@ def curate_corpus(
     text_col: str = "text",
     strata_col: str = "source",
     mixture_weights: dict[str, int] | None = None,
+    token_budgets: dict[str, int] | None = None,
     span_k: int = 8,
     jaccard_threshold: float = 0.5,
     pack_budget: int = 2048,
@@ -56,7 +57,18 @@ def curate_corpus(
     ``(id, strata, n_tokens, bucket, start_off, pack_id, n_packs_spanned)``
     — the manifest a training loader consumes (which pack, at which token
     offset, each document landed in).
+
+    Stage 4 takes ONE of two rebalance specs (real pretraining mixes are
+    stated either way): ``mixture_weights`` (integer per-stratum ratios,
+    ``mixture_sample``) or ``token_budgets`` (absolute per-stratum TOKEN
+    budgets — "10B web, 2B code" — ``token_budget_sample``; the token
+    counts it computes are reused for packing, so the text tokenizes
+    once).  Passing both is ambiguous and raises.
     """
+    if mixture_weights and token_budgets:
+        raise ValueError(
+            "pass mixture_weights OR token_budgets, not both"
+        )
     # 1. Gopher quality gate (keep original columns; metrics are transient).
     metrics = gopher_metrics(F.col(text_col))
     gated = (
@@ -90,16 +102,41 @@ def curate_corpus(
     losers = pairs.select(F.col("id_b").alias(id_col)).distinct()
     deduped = scrubbed.join(losers, on=id_col, how="left_anti")
 
-    # 4. Domain-mixture rebalance (optional — identity when no weights).
-    if mixture_weights:
-        mixed = mixture_sample(deduped, id_col, strata_col, mixture_weights)
-    else:
-        mixed = deduped
+    # 4. Rebalance (optional — identity when no spec given): ratio weights
+    # via mixture_sample, or absolute token budgets via token_budget_sample
+    # (which needs per-doc token counts — computed HERE and carried through
+    # so the corpus tokenizes exactly once either way).
+    if token_budgets:
+        from restructure_hdfs_topic_spark.operators.sampling import (
+            token_budget_sample,
+        )
 
-    # 5. Pack assignment over post-scrub token counts.
-    counted = mixed.select(
-        id_col, strata_col, token_count(F.col(text_col)).alias("n_tokens")
-    )
+        with_counts = deduped.select(
+            "*", token_count(F.col(text_col)).alias("_curate_n_tokens")
+        )
+        mixed = token_budget_sample(
+            with_counts, id_col, strata_col, token_budgets,
+            n_tokens_col="_curate_n_tokens",
+        )
+        counted_src = mixed.select(
+            id_col, strata_col, F.col("_curate_n_tokens").alias("n_tokens")
+        )
+    else:
+        mixed = (
+            mixture_sample(deduped, id_col, strata_col, mixture_weights)
+            if mixture_weights
+            else deduped
+        )
+        counted_src = mixed.select(
+            id_col, strata_col, token_count(F.col(text_col)).alias("n_tokens")
+        )
+
+    # 5. Pack assignment over post-scrub token counts.  Persisted (3
+    # narrow columns, id/strata/count — no text): pack_sequences and the
+    # final manifest join BOTH consume it, and without the cache each
+    # consumer re-runs the tokenize projection + the near-dup anti-join
+    # above the scrub cache (VERDICT r6 #6).
+    counted = scoped_persist(counted_src, scope="curation.curate_corpus.counted")
     packed = pack_sequences(counted, id_col=id_col, n_tokens_col="n_tokens",
                             budget=pack_budget)
     return packed.join(

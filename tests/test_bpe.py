@@ -125,3 +125,59 @@ def test_encode_partitioning_independence(spark):
     b = bpe_encode(docs.repartition(2), merges).collect()
     key = lambda r: (r["id"], tuple(r["tokens"]))  # noqa: E731
     assert sorted(map(key, a)) == sorted(map(key, b))
+
+
+def test_learner_vocab_matches_greedy_encoder(spark):
+    """learn_bpe_with_vocab's word->pieces table must equal _encode_word's
+    greedy application for every vocabulary word (the equivalence that
+    makes broadcasting the learner state into bpe_encode safe)."""
+    import random
+
+    from restructure_hdfs_topic_spark.operators.bpe import (
+        _encode_word,
+        learn_bpe_with_vocab,
+    )
+
+    rng = random.Random(17)
+    docs = [
+        (i, " ".join("".join(rng.choices("abcd", k=rng.randint(1, 7)))
+                     for _ in range(rng.randint(3, 12))))
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    merges, vocab = learn_bpe_with_vocab(df, n_merges=30)
+    ranks = {tuple(p): i for i, p in enumerate(merges)}
+    assert vocab  # non-empty
+    for w, pieces in vocab.items():
+        assert pieces == _encode_word(w, ranks), w
+        assert "".join(pieces) == w
+
+
+def test_bpe_encode_with_and_without_vocab_identical(spark):
+    """bpe_encode(word_tokens=vocab) must be bit-identical to the
+    derive-per-task path, including for words OUTSIDE the vocab."""
+    import random
+
+    from restructure_hdfs_topic_spark.operators.bpe import (
+        bpe_encode,
+        learn_bpe_with_vocab,
+    )
+
+    rng = random.Random(23)
+    docs = [
+        (i, " ".join("".join(rng.choices("abc", k=rng.randint(1, 6)))
+                     for _ in range(rng.randint(2, 10))))
+        for i in range(30)
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    merges, vocab = learn_bpe_with_vocab(df, n_merges=20)
+    # Unseen words: encode a SHIFTED corpus with the same merges.
+    shifted = [(i, t.replace("a", "ab")) for i, t in docs]
+    df2 = spark.createDataFrame(shifted, "doc_id long, text string")
+    for frame in (df, df2):
+        a = {r["id"]: list(r["tokens"]) for r in bpe_encode(frame, merges).collect()}
+        b = {
+            r["id"]: list(r["tokens"])
+            for r in bpe_encode(frame, merges, word_tokens=vocab).collect()
+        }
+        assert a == b
