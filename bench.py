@@ -58,6 +58,7 @@ BENCH_QUERIES = [
     "sequence_packing",
     "lm_perplexity",
     "curation_pipeline",
+    "html_ingest_pipeline",
     "incremental_dedup",
     "lm_bigram",
     "text_normalize",

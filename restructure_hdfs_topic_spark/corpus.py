@@ -114,6 +114,16 @@ class Corpus:
             strip_duplicated_lines(self.df, self.id_col, self.text_col, min_count)
         )
 
+    def cached(self, scope: str = "corpus.cached") -> "Corpus":
+        """Scope-persist the current frame — a stage boundary marker for
+        chains whose downstream step consumes its input more than once
+        (the span scrub's count + rebuild, near-dup's pairs + anti-join).
+        One live cache generation per scope (``caching.scoped_persist``);
+        a warm same-plan re-run reuses the populated cache."""
+        from restructure_hdfs_topic_spark.caching import scoped_persist
+
+        return self._wrap(scoped_persist(self.df, scope=scope))
+
     def strip_duplicated_spans(self, k: int = 8) -> "Corpus":
         from restructure_hdfs_topic_spark.operators.dedup import (
             strip_duplicated_spans,
@@ -125,14 +135,22 @@ class Corpus:
 
     def near_dup_drop(self, threshold: float = 0.5, **lsh_kwargs) -> "Corpus":
         """MinHash-LSH near-dup removal, keep-first (drop the larger id of
-        each verified pair) — the curate_corpus convention."""
+        each verified pair) — the curate_corpus convention.
+
+        The input frame is scope-persisted first: LSH pair generation and
+        the anti-join BOTH consume it, and in a fluent chain the input is
+        typically a multi-stage prefix (strip_html → gate → scrub) that
+        would otherwise re-execute once per consumer — the same persist
+        ``curate_corpus`` applies at this exact stage boundary."""
+        from restructure_hdfs_topic_spark.caching import scoped_persist
         from restructure_hdfs_topic_spark.operators.dedup import lsh_near_dup_pairs
 
+        src = scoped_persist(self.df, scope="corpus.near_dup_drop.src")
         pairs = lsh_near_dup_pairs(
-            self.df, self.id_col, self.text_col, threshold=threshold, **lsh_kwargs
+            src, self.id_col, self.text_col, threshold=threshold, **lsh_kwargs
         )
         losers = pairs.select(F.col("id_b").alias(self.id_col)).distinct()
-        return self._wrap(self.df.join(losers, on=self.id_col, how="left_anti"))
+        return self._wrap(src.join(losers, on=self.id_col, how="left_anti"))
 
     def dedup_representatives(
         self, quality_col: str | None = None, **kwargs
@@ -180,6 +198,23 @@ class Corpus:
         from restructure_hdfs_topic_spark.operators.embed import feature_hash_embed
 
         return feature_hash_embed(self.df, self.id_col, self.text_col, dim=dim)
+
+    def export_shards(
+        self, path: str, n_shards: int = 16, fmt: str = "json"
+    ) -> DataFrame:
+        """Materialize the curated corpus as hash-balanced training shards
+        + manifest (``plans/export.export_jsonl_shards``); returns the
+        manifest.  Token totals ride along so the loader can plan."""
+        from restructure_hdfs_topic_spark.functions.text import token_count
+        from restructure_hdfs_topic_spark.plans.export import export_jsonl_shards
+
+        with_counts = self.df.withColumn(
+            "n_tokens", token_count(F.col(self.text_col))
+        )
+        return export_jsonl_shards(
+            with_counts, path, n_shards=n_shards, id_col=self.id_col,
+            token_count_col="n_tokens", fmt=fmt,
+        )
 
     def pack(self, budget: int = 2048, n_buckets: int = 16) -> DataFrame:
         """Pack manifest over post-pipeline token counts."""
