@@ -143,6 +143,63 @@ def make_fingerprint_dedup_kernel(fp_col: str = "__fp"):
     return dedup
 
 
+def streaming_near_dup_sink(
+    state_dir: str,
+    accepted_path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.5,
+    **lsh_kwargs,
+):
+    """Streaming NEAR-dup suppression as a ``foreachBatch`` sink body:
+    each micro-batch is MinHash/LSH-filtered against the corpus signature
+    history and the survivors appended to ``accepted_path`` (parquet),
+    then their signatures are committed — exactly the batch
+    ``ingest_batch_near_dup`` protocol, driven by the stream.
+
+        stream.writeStream.foreachBatch(
+            streaming_near_dup_sink(state, out)
+        ).option("checkpointLocation", ckpt).start()
+
+    Why ``foreachBatch`` rather than ``applyInPandasWithState``: LSH
+    near-dup needs OR-voting across a document's L band buckets, i.e. one
+    keyed stateful pass to gather per-band matches and a second keyed pass
+    to combine votes per document — and Spark rejects chained
+    ``applyInPandasWithState`` operators outright ("Multiple
+    applyInPandasWithStates are not supported").  A single-band state-store
+    variant would decide locally but collapses recall to one band
+    (``s^r``).  ``foreachBatch`` runs the full multi-band batch operator
+    (banded candidate join + signature-agreement verification) per
+    micro-batch with NO semantic downgrade, and keeps the signature state
+    in the SHARED versioned store (``operators/incremental.py``): it
+    survives checkpoint deletion, is shared with batch backfills of the
+    same corpus, and carries the store's commit-after-store crash story.
+
+    Delivery: exactly-once on the signature state (replaying a committed
+    batch re-filters everything to zero); at-least-once on the accepted
+    sink — a crash between the parquet append and the signature commit
+    re-offers the batch, mirroring the reference's store-then-commit
+    ordering (worker/FileCache.kt:128-158), which prefers duplicate
+    delivery over loss."""
+    from restructure_hdfs_topic_spark.operators.incremental import (
+        ingest_batch_near_dup,
+    )
+
+    def body(batch_df: DataFrame, batch_id: int) -> None:
+        ingest_batch_near_dup(
+            batch_df.sparkSession,
+            state_dir,
+            batch_df,
+            lambda df: df.write.mode("append").parquet(accepted_path),
+            id_col=id_col,
+            text_col=text_col,
+            threshold=threshold,
+            **lsh_kwargs,
+        )
+
+    return body
+
+
 def streaming_dedup_documents(
     docs: DataFrame,
     text_col: str = "text",
