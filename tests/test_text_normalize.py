@@ -153,6 +153,11 @@ def test_strip_html(spark):
     assert s("a &amp;#65; b") == "a &#65; b"
     # numeric entity split across the named pass cannot double-decode
     assert s("&#38;lt;") == "&lt;"
+    # common-web named tail (r6 "missing" #2): typography, currency,
+    # accents decode; unknown names stay literal
+    assert s("a&mdash;b &copy;2024 caf&eacute; 5&euro; &hellip; &nosuch;") == (
+        "a—b ©2024 café 5€ … &nosuch;"
+    )
 
 
 def test_strip_html_duckdb_cross_check(spark):
@@ -173,6 +178,7 @@ def test_strip_html_duckdb_cross_check(spark):
             F.lit("</h1><p>"),
             F.col("text"),
             F.lit(" &#8212; &#x1F600; ok &amp;#65; bad &#xD800;&#0;&#junk"
+                  " &mdash;&hellip;&rsquo;&copy;&euro;&frac12;&eacute;&unknown;"
                   " &amp; tail</p></html>"),
         ).alias("text"),
     )
@@ -208,16 +214,28 @@ def test_strip_html_duckdb_cross_check(spark):
           END);
         """
     )
+    # The named-entity map is GENERATED from the implementation's own
+    # table (same name->char pairs), so the oracle cannot drift from the
+    # code; lookup mirrors the Spark side's regexp + literal-map probe.
+    from restructure_hdfs_topic_spark.functions.text import _NAMED_ENTITIES
+
+    names = ", ".join("'" + name[:-1] + "'" for name, _ in _NAMED_ENTITIES)
+    reps = ", ".join(
+        "'" + rep.replace("'", "''") + "'" for _, rep in _NAMED_ENTITIES
+    )
+    con.execute(
+        "CREATE MACRO entname(p) AS "
+        "regexp_extract(p, '^([a-zA-Z][a-zA-Z0-9]{0,31});', 1);"
+    )
+    con.execute(
+        f"CREATE MACRO entrep(p) AS (map([{names}], [{reps}])[entname(p)])[1];"
+    )
     con.execute(
         r"""
         CREATE MACRO entdec(p) AS (
           CASE
-            WHEN starts_with(p, 'nbsp;') THEN ' ' || substring(p, 6)
-            WHEN starts_with(p, 'lt;')   THEN '<' || substring(p, 4)
-            WHEN starts_with(p, 'gt;')   THEN '>' || substring(p, 4)
-            WHEN starts_with(p, 'quot;') THEN '"' || substring(p, 6)
-            WHEN starts_with(p, 'apos;') THEN '''' || substring(p, 6)
-            WHEN starts_with(p, 'amp;')  THEN '&' || substring(p, 5)
+            WHEN entrep(p) IS NOT NULL
+              THEN entrep(p) || substring(p, length(entname(p)) + 2)
             WHEN entpre(p) <> '' AND entcp(p) > 0 AND entcp(p) <= 1114111
                  AND NOT (entcp(p) BETWEEN 55296 AND 57343)
               THEN chr(CAST(entcp(p) AS INTEGER)) ||
@@ -243,6 +261,7 @@ def test_strip_html_duckdb_cross_check(spark):
                  '<html><script>skip ''</p>'' me</script><h1>' || source ||
                  '</h1><p>' || text ||
                  ' &#8212; &#x1F600; ok &amp;#65; bad &#xD800;&#0;&#junk' ||
+                 ' &mdash;&hellip;&rsquo;&copy;&euro;&frac12;&eacute;&unknown;' ||
                  ' &amp; tail</p></html>' AS text
           FROM documents
         ), stripped AS (
