@@ -692,6 +692,7 @@ def _replace_at(
 
     if token is not None and _claim_owner(spark, state_dir, nxt) != token:
         _abort("owner token changed")
+    _clear_incomplete_version(spark, state_dir, nxt)
     if "://" not in state_dir:
         import shutil
 
@@ -770,6 +771,42 @@ def _replace_at(
         ):
             fs.delete(st.getPath(), True)
     return read_offsets(spark, state_dir)
+
+
+def _clear_incomplete_version(spark: SparkSession, state_dir: str, nxt: int) -> None:
+    """Claim-holder-only debris sweep: remove a ``v{nxt}`` directory that
+    lacks ``_SUCCESS`` — pre-staging-protocol crash leftovers or external
+    interference, never committed data (staged dirs are fully written,
+    ``_SUCCESS`` included, BEFORE their atomic rename, so a committed
+    version always carries the marker).  While the caller holds the claim
+    no live peer may create ``v{nxt}`` (the staging rename re-verifies
+    ownership first), which makes the check-then-delete race-free at the
+    protocol's TTL granularity — the dangerous interleave (our claim
+    broken AND a new claimant fully committed between our check and the
+    delete) requires the claim TTL to elapse inside this metadata-op
+    window.  Without the sweep, debris livelocks every commit that
+    reaches version ``nxt``: the rename is refused, adoption no-ops on
+    the incomplete dir, and the ``ClaimLost`` retry recomputes the same
+    ``nxt`` forever."""
+    if "://" not in state_dir:
+        import shutil
+
+        vdir = os.path.join(state_dir, "offsets", f"v{nxt:08d}")
+        if os.path.isdir(vdir) and not os.path.exists(
+            os.path.join(vdir, "_SUCCESS")
+        ):
+            shutil.rmtree(vdir, ignore_errors=True)
+        return
+    jvm, fs, _ = _hfs(spark, state_dir)
+    vdir = jvm.org.apache.hadoop.fs.Path(state_dir, f"offsets/v{nxt:08d}")
+    success = jvm.org.apache.hadoop.fs.Path(
+        state_dir, f"offsets/v{nxt:08d}/_SUCCESS"
+    )
+    try:
+        if fs.exists(vdir) and not fs.exists(success):
+            fs.delete(vdir, True)
+    except Exception:
+        pass
 
 
 def _staging_version(name: str) -> int | None:

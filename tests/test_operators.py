@@ -1059,15 +1059,19 @@ def test_offsets_commit_claim_protocol(spark, tmp_path):
     # Fresh claim: break refuses (owner may be alive).
     _break_stale_claim(spark, sd, 3)
     assert not _claim_version(spark, sd, 3)
-    # Aged claim + orphan version dir: break succeeds, orphan removed.
+    # Aged claim + INCOMPLETE orphan version dir (no _SUCCESS — never a
+    # committed version): break removes the claim but does NOT delete the
+    # dir — the breaker never destroys a version directory (a committed
+    # one is adopted instead, see test_breaker_adopts_orphan_committed_
+    # version); incomplete debris is swept by the next claim HOLDER.
     claim = os.path.join(sd, "offsets", ".claim.v00000003")
     orphan = os.path.join(sd, "offsets", "v00000003")
     os.makedirs(orphan)
     old = time.time() - 3600
     os.utime(claim, (old, old))
     _break_stale_claim(spark, sd, 3)
-    assert not os.path.exists(claim) and not os.path.exists(orphan)
-    # A later commit (which claims v2 then v3 ranges forward) still works.
+    assert not os.path.exists(claim) and os.path.exists(orphan)
+    # A later commit (v2) still works...
     df2 = spark.createDataFrame(
         [("t", 0, 20, 29)], "topic string, partition int, offset_from long, offset_to long"
     )
@@ -1077,6 +1081,18 @@ def test_offsets_commit_claim_protocol(spark, tmp_path):
         for r in read_offsets(spark, sd).collect()
     }
     assert got == {(0, 9), (20, 29)}
+    # ...and the commit that REACHES version 3 sweeps the incomplete
+    # debris instead of livelocking on rename-refused ClaimLost retries.
+    df3 = spark.createDataFrame(
+        [("t", 0, 40, 49)], "topic string, partition int, offset_from long, offset_to long"
+    )
+    commit_offsets(spark, sd, df3)
+    assert os.path.exists(os.path.join(orphan, "_SUCCESS"))
+    got = {
+        (r["offset_from"], r["offset_to"])
+        for r in read_offsets(spark, sd).collect()
+    }
+    assert got == {(0, 9), (20, 29), (40, 49)}
     # A stray non-numeric version entry must not break pruning.
     os.makedirs(os.path.join(sd, "offsets", "v1.bak"), exist_ok=True)
     commit_offsets(spark, sd, df2)
