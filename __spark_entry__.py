@@ -1044,6 +1044,100 @@ def q_token_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_temperature_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature (alpha) mixture rebalancing, mT5-style q_s ∝ n_s^alpha
+    at alpha=0.3: one bounded count collect + one narrow hash-threshold
+    filter, no shuffle.  DuckDB cross-check in tests/test_new_ops_r7.py
+    (bench/extras surface)."""
+    from restructure_hdfs_topic_spark.operators.sampling import temperature_sample
+
+    _conf(spark)
+    docs = _t(spark, sf_dir, "documents")
+    return temperature_sample(docs, "doc_id", "source", alpha=0.3).select(
+        "doc_id", "source"
+    )
+
+
+def q_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-epoch training-order shuffle: (shard, pos) from
+    the seed-perturbed Knuth hash — one hash shuffle + per-shard local
+    sort, never a global total sort.  DuckDB cross-check in
+    tests/test_new_ops_r7.py (bench/extras surface)."""
+    from restructure_hdfs_topic_spark.operators.packing import epoch_shuffle
+
+    _conf(spark)
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    return epoch_shuffle(docs, "doc_id", n_shards=16, seed=1)
+
+
+def q_perplexity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style LM perplexity gate (keep bits/token <= threshold,
+    score attached).  DuckDB cross-check in tests/test_new_ops_r7.py
+    (bench/extras surface)."""
+    from restructure_hdfs_topic_spark.functions.text import tokens
+    from restructure_hdfs_topic_spark.operators.lm import perplexity_filter
+
+    _conf(spark)
+    docs = _t(spark, sf_dir, "documents")
+    return perplexity_filter(
+        docs, tokens(F.col("text")), "doc_id", max_bits=4.91
+    ).select("doc_id", "bits_per_token")
+
+
+def q_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document repeated-paragraph removal over a paragraphized
+    derivation of the documents table (first 20 chars repeated as a fake
+    nav block).  DuckDB cross-check in tests/test_new_ops_r7.py
+    (bench/extras surface)."""
+    from restructure_hdfs_topic_spark.operators.dedup import (
+        strip_repeated_paragraphs,
+    )
+
+    _conf(spark)
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .withColumn(
+            "text",
+            F.concat_ws(
+                "\n\n",
+                F.substring("text", 1, 20),
+                F.col("text"),
+                F.substring("text", 1, 20),
+            ),
+        )
+        .select("doc_id", "text")
+    )
+    return strip_repeated_paragraphs(docs, "doc_id", "text")
+
+
+def q_decontaminate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-3-style surgical span decontamination: remove 5-gram collisions
+    with a benchmark slice (doc_id % 97) instead of dropping documents.
+    DuckDB cross-check of the span table in tests/test_new_ops_r7.py
+    (bench/extras surface)."""
+    from restructure_hdfs_topic_spark.operators.dedup import decontaminate_spans
+
+    _conf(spark)
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    return decontaminate_spans(docs, bench, "doc_id", "text", n=5).select(
+        "doc_id", "text"
+    )
+
+
+def q_holdout_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/valid/test hash split — growth-stable
+    assignment, one codegen CASE, no shuffle.  DuckDB cross-check in
+    tests/test_new_ops_r7.py (bench/extras surface)."""
+    from restructure_hdfs_topic_spark.operators.sampling import holdout_split
+
+    _conf(spark)
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    return holdout_split(
+        docs, "doc_id", {"train": 0.98, "valid": 0.01, "test": 0.01}
+    )
+
+
 def q_corpus_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source corpus profile (docs, token totals, exact length
     percentiles, hash-keyed distinct-text rate, Gopher pass rate) — the
@@ -1590,6 +1684,24 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # Curriculum difficulty binning over LM scores; tests in
         # tests/test_lm_bigram.py.
         "lm_curriculum": q_lm_curriculum,
+        # r7: alpha-sampling mixture rebalance; DuckDB cross-check in
+        # tests/test_new_ops_r7.py.
+        "temperature_sample": q_temperature_sample,
+        # r7: deterministic per-epoch training order; DuckDB cross-check
+        # in tests/test_new_ops_r7.py.
+        "epoch_shuffle": q_epoch_shuffle,
+        # r7: CCNet LM perplexity gate; DuckDB cross-check in
+        # tests/test_new_ops_r7.py.
+        "perplexity_filter": q_perplexity_filter,
+        # r7: within-document paragraph dedup; DuckDB cross-check in
+        # tests/test_new_ops_r7.py.
+        "paragraph_dedup": q_paragraph_dedup,
+        # r7: benchmark span decontamination; DuckDB cross-check in
+        # tests/test_new_ops_r7.py.
+        "decontaminate_spans": q_decontaminate_spans,
+        # r7: deterministic train/valid/test split; DuckDB cross-check in
+        # tests/test_new_ops_r7.py.
+        "holdout_split": q_holdout_split,
     }
 
 

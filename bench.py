@@ -71,6 +71,12 @@ BENCH_QUERIES = [
     "semdedup_kmeans",
     "pack_materialize",
     "lm_curriculum",
+    "temperature_sample",
+    "epoch_shuffle",
+    "perplexity_filter",
+    "paragraph_dedup",
+    "decontaminate_spans",
+    "holdout_split",
     "simhash",
     "simhash_near_dup",
     "near_dup_groups",

@@ -133,6 +133,29 @@ class Corpus:
             strip_duplicated_spans(self.df, self.id_col, self.text_col, k=k)
         )
 
+    def strip_repeated_paragraphs(self, sep: str = "\n\n") -> "Corpus":
+        """Within-document repeated-paragraph removal (nav/banner blocks)."""
+        from restructure_hdfs_topic_spark.operators.dedup import (
+            strip_repeated_paragraphs,
+        )
+
+        return self._wrap(
+            strip_repeated_paragraphs(self.df, self.id_col, self.text_col, sep)
+        )
+
+    def decontaminate(
+        self, benchmark: DataFrame, n: int = 13, margin: int = 0
+    ) -> "Corpus":
+        """Surgically remove benchmark-colliding n-gram spans (GPT-3 §C
+        style) instead of dropping whole documents."""
+        from restructure_hdfs_topic_spark.operators.dedup import decontaminate_spans
+
+        return self._wrap(
+            decontaminate_spans(
+                self.df, benchmark, self.id_col, self.text_col, n, margin
+            )
+        )
+
     def near_dup_drop(self, threshold: float = 0.5, **lsh_kwargs) -> "Corpus":
         """MinHash-LSH near-dup removal, keep-first (drop the larger id of
         each verified pair) — the curate_corpus convention.
@@ -173,6 +196,56 @@ class Corpus:
         return self._wrap(
             mixture_sample(self.df, self.id_col, self.strata_col, weights, **kwargs)
         )
+
+    def temperature_sample(
+        self, alpha: float = 0.3, max_rows: int | None = None
+    ) -> "Corpus":
+        """Alpha-sampling mixture rebalance (q_s ∝ n_s^alpha, mT5-style)."""
+        from restructure_hdfs_topic_spark.operators.sampling import (
+            temperature_sample,
+        )
+
+        return self._wrap(
+            temperature_sample(
+                self.df, self.id_col, self.strata_col, alpha, max_rows
+            )
+        )
+
+    def perplexity_gate(
+        self,
+        max_bits: float | None = None,
+        min_bits: float | None = None,
+        lo_q: float | None = None,
+        hi_q: float | None = None,
+        per_stratum: bool = False,
+        model: str = "unigram",
+    ) -> "Corpus":
+        """CCNet-style LM quality gate: absolute bits/token bounds
+        (``max_bits``/``min_bits``) or a quantile band (``lo_q``/``hi_q``,
+        per ``strata_col`` when ``per_stratum``).  Keeps survivors with
+        their ``bits_per_token`` score attached."""
+        from restructure_hdfs_topic_spark.functions.text import tokens
+        from restructure_hdfs_topic_spark.operators.lm import (
+            perplexity_band,
+            perplexity_filter,
+        )
+
+        toks = tokens(F.col(self.text_col))
+        if lo_q is not None or hi_q is not None:
+            out = perplexity_band(
+                self.df,
+                toks,
+                self.id_col,
+                lo_q=0.0 if lo_q is None else lo_q,
+                hi_q=1.0 if hi_q is None else hi_q,
+                strata_col=self.strata_col if per_stratum else None,
+                model=model,
+            )
+        else:
+            out = perplexity_filter(
+                self.df, toks, self.id_col, max_bits, min_bits, model
+            )
+        return self._wrap(out)
 
     def token_budget_sample(self, budgets: dict[str, int]) -> "Corpus":
         from restructure_hdfs_topic_spark.functions.text import token_count
@@ -215,6 +288,19 @@ class Corpus:
             with_counts, path, n_shards=n_shards, id_col=self.id_col,
             token_count_col="n_tokens", fmt=fmt,
         )
+
+    def holdout_split(self, fractions: dict[str, float]) -> DataFrame:
+        """Deterministic train/valid/test tagging (``sampling.holdout_split``)."""
+        from restructure_hdfs_topic_spark.operators.sampling import holdout_split
+
+        return holdout_split(self.df, self.id_col, fractions)
+
+    def epoch_shuffle(self, n_shards: int = 16, seed: int = 0) -> DataFrame:
+        """Deterministic per-epoch training order: the corpus with
+        ``(shard, pos)`` columns attached (``packing.epoch_shuffle``)."""
+        from restructure_hdfs_topic_spark.operators.packing import epoch_shuffle
+
+        return epoch_shuffle(self.df, self.id_col, n_shards, seed)
 
     def pack(self, budget: int = 2048, n_buckets: int = 16) -> DataFrame:
         """Pack manifest over post-pipeline token counts."""

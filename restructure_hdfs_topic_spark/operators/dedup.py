@@ -1104,12 +1104,21 @@ def strip_duplicated_spans(
     one aggregation, and token filtering is ``exists`` over that small
     array.
     """
-    spans = (
-        duplicated_window_spans(df, id_col, text_col, k)
-        .groupBy(id_col)
-        .agg(
-            F.collect_list(F.struct("span_start", "span_end")).alias("__spans")
-        )
+    return _strip_token_spans(
+        df, duplicated_window_spans(df, id_col, text_col, k), id_col, text_col
+    )
+
+
+def _strip_token_spans(
+    df: DataFrame, span_rows: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """Shared span-removal rebuild: drop every token of ``df`` covered by a
+    ``(id, span_start, span_end)`` row of ``span_rows`` (end exclusive,
+    whitespace-token indices) and re-join the remainder with single
+    spaces; documents with no span keep their ORIGINAL text byte-for-byte.
+    Pure JVM higher-order functions — see ``strip_duplicated_spans``."""
+    spans = span_rows.groupBy(id_col).agg(
+        F.collect_list(F.struct("span_start", "span_end")).alias("__spans")
     )
     # Token indices must match the span kernel's (str.split(): \S+ runs).
     # F.trim strips only SPACES, so a leading tab/newline would leave a ""
@@ -1290,3 +1299,138 @@ def dedup_representatives(
         .filter(F.col("__rn") == 1)
         .drop("__q", "__rn", "group_id")
     )
+
+
+# --- Benchmark decontamination by SPAN (GPT-3-style surgical removal) -----
+
+
+def contaminated_spans(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 13,
+    margin: int = 0,
+) -> DataFrame:
+    """Token spans of ``corpus`` documents that collide with the benchmark:
+    every maximal token range covered by n-token shingles that also occur
+    in ``benchmark`` (GPT-3 §C removes a window around each collision
+    rather than the whole document — ``margin`` extends each collision by
+    that many tokens on both sides before merging, mirroring their
+    200-character buffer).  Returns (id, span_start, span_end, n_windows),
+    token indices with ``span_end`` exclusive, matching
+    ``duplicated_window_spans``'s contract so the same strip rebuild
+    applies.  Tokenization is the shared lowercased-whitespace ``tokens``
+    — contamination matching is case-insensitive, as published.
+
+    Scale shape: the benchmark's distinct shingle set is SMALL by
+    definition (eval sets, not corpora) — it broadcasts; the corpus side
+    explodes positional shingles and inner-joins map-side (corpus bytes
+    never shuffle), then one shuffle on the doc id runs the
+    gaps-and-islands merge.  No all-pairs work anywhere."""
+    from restructure_hdfs_topic_spark.functions.text import ngrams_from, tokens
+
+    if margin < 0:
+        raise ValueError("margin must be >= 0")
+
+    def positional_shingles(df: DataFrame) -> DataFrame:
+        toked = df.select(
+            F.col(id_col).alias("id"), tokens(F.col(text_col)).alias("toks")
+        )
+        return toked.select(
+            "id", F.posexplode(ngrams_from(F.col("toks"), n)).alias("idx", "shingle")
+        )
+
+    bench = (
+        positional_shingles(benchmark).select("shingle").distinct()
+    )
+    hits = (
+        positional_shingles(corpus)
+        .join(F.broadcast(bench), "shingle")
+        .select(F.col("id").alias(id_col), "idx")
+    )
+    # Merge collisions whose MARGIN-expanded [idx-margin, idx+n+margin)
+    # ranges overlap or touch: successive hits merge iff the gap between
+    # window starts is at most n + 2*margin.
+    w = Window.partitionBy(id_col).orderBy("idx")
+    reach = n + 2 * margin
+    return (
+        hits.withColumn(
+            "brk",
+            F.when(
+                F.col("idx") - F.lag("idx").over(w) <= F.lit(reach), F.lit(0)
+            ).otherwise(F.lit(1)),
+        )
+        .withColumn(
+            "grp", F.sum("brk").over(w.rowsBetween(Window.unboundedPreceding, 0))
+        )
+        .groupBy(id_col, "grp")
+        .agg(
+            F.greatest(F.min("idx") - F.lit(margin), F.lit(0)).alias("span_start"),
+            (F.max("idx") + F.lit(n + margin)).alias("span_end"),
+            F.count(F.lit(1)).alias("n_windows"),
+        )
+        .drop("grp")
+    )
+
+
+def decontaminate_spans(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 13,
+    margin: int = 0,
+) -> DataFrame:
+    """Surgically remove benchmark-colliding spans from the corpus instead
+    of dropping whole documents (``shingle_contamination`` is the
+    drop-the-document gate; this is the GPT-3 §C keep-the-document
+    variant): tokens covered by a ``contaminated_spans`` range are removed
+    and the remainder re-joined with single spaces; untouched documents
+    keep their original text byte-for-byte.  Same plan shape as
+    ``strip_duplicated_spans`` with the duplicate-count shuffle replaced
+    by the broadcast benchmark join."""
+    return _strip_token_spans(
+        corpus,
+        contaminated_spans(corpus, benchmark, id_col, text_col, n, margin),
+        id_col,
+        text_col,
+    )
+
+
+# --- Within-document paragraph dedup (C4-style boilerplate removal) -------
+
+
+def strip_repeated_paragraphs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    sep: str = "\n\n",
+) -> DataFrame:
+    """Drop repeated paragraphs WITHIN each document, keeping the first
+    occurrence in place (the within-page cousin of C4's dedup rules —
+    scraped pages repeat nav blocks, cookie banners, and footer text
+    several times in one document; corpus-level ``strip_duplicated_lines``
+    does not touch a string that repeats only inside a single page when
+    ``min_count`` exceeds its count there).  Empty paragraphs are KEPT
+    (they are formatting, not content — deduping them would collapse
+    ``sep``-run spacing), so a document with no repeated paragraph
+    round-trips byte-for-byte.
+
+    Scale shape: one narrow projection — split on ``sep``, an
+    order-preserving first-occurrence filter via JVM higher-order
+    functions (``array_position`` inside an indexed ``filter`` — the scan
+    is quadratic in the PARAGRAPH count of one document, a few dozen
+    entries), re-join.  No shuffle, no Python, partitioning untouched."""
+    import re as _re
+
+    paras = F.split(F.col(text_col), _re.escape(sep))
+    # Project the split as a REAL column first: Catalyst re-inlines
+    # multi-referenced expressions, and the lambda below references the
+    # array once per element — inlining would re-split per element.
+    tagged = df.withColumn("__paras", paras)
+    kept = F.filter(
+        F.col("__paras"),
+        lambda x, i: (x == F.lit("")) | (F.array_position(F.col("__paras"), x) - 1 == i),
+    )
+    return tagged.withColumn(text_col, F.array_join(kept, sep)).drop("__paras")

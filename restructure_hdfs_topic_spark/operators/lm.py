@@ -146,6 +146,110 @@ def lm_bigram_cross_entropy(
     )
 
 
+def perplexity_filter(
+    docs: DataFrame,
+    tokens_expr: Column,
+    id_col: str = "doc_id",
+    max_bits: float | None = None,
+    min_bits: float | None = None,
+    model: str = "unigram",
+    lam: float = 0.7,
+) -> DataFrame:
+    """LM-perplexity quality gate (CCNet, Wenzek et al. 2020 §4.3: score
+    documents with an LM and keep the low-perplexity side): keep documents
+    whose cross-entropy in bits/token lies in ``[min_bits, max_bits]``
+    (either bound may be None).  A ``min_bits`` floor is how CCNet-style
+    pipelines drop boilerplate/duplicated-token pages, which score
+    unnaturally LOW.  Returns the surviving documents with their
+    ``bits_per_token`` attached (the score is what downstream mixing /
+    curriculum steps consume).  Documents with no tokens have no score and
+    drop — an empty document carries no training signal either way.
+
+    ``model``: "unigram" (one broadcast-vocab join) or "bigram"
+    (Jelinek-Mercer interpolated, see ``lm_bigram_cross_entropy``).
+
+    Scale shape: the scoring pass's own plan (partial-aggregated token
+    shuffles) plus ONE equi-join of the (id, score) frame back to the
+    corpus on its id — AQE broadcasts the score side while it fits and
+    degrades to a shuffle join at corpus scale; no new shuffle of document
+    text beyond the join itself."""
+    if max_bits is None and min_bits is None:
+        raise ValueError("at least one of max_bits / min_bits is required")
+    if model == "unigram":
+        scored = lm_cross_entropy(docs, tokens_expr, id_col)
+    elif model == "bigram":
+        scored = lm_bigram_cross_entropy(docs, tokens_expr, id_col, lam=lam)
+    else:
+        raise ValueError(f"unknown model {model!r}")
+    cond = F.lit(True)
+    if max_bits is not None:
+        cond = cond & (F.col("bits_per_token") <= F.lit(float(max_bits)))
+    if min_bits is not None:
+        cond = cond & (F.col("bits_per_token") >= F.lit(float(min_bits)))
+    keep = scored.filter(cond).select(id_col, "bits_per_token")
+    return docs.join(keep, id_col)
+
+
+def perplexity_band(
+    docs: DataFrame,
+    tokens_expr: Column,
+    id_col: str = "doc_id",
+    lo_q: float = 0.0,
+    hi_q: float = 1 / 3,
+    strata_col: str | None = None,
+    model: str = "unigram",
+    lam: float = 0.7,
+    accuracy: int = 10_000,
+) -> DataFrame:
+    """Quantile-band perplexity gate — CCNet's actual head/middle/tail
+    split (Wenzek et al. 2020 §4.3 keep the "head" = lowest-perplexity
+    third PER LANGUAGE): keep documents whose bits/token falls inside the
+    ``[lo_q, hi_q]`` quantile band of the score distribution, computed per
+    ``strata_col`` group when given (global otherwise).  The default keeps
+    the head third.  Returns survivors with ``bits_per_token`` attached.
+
+    Scale shape: scoring as in ``perplexity_filter``; band boundaries come
+    from ONE constant-memory grouped ``percentile_approx`` aggregate
+    (Greenwald-Khanna sketch, |strata| result rows — the bounded
+    metadata-collect contract of ``curriculum_bins``/``mixture_sample``),
+    applied as a broadcast CASE filter — no total sort, no second scan of
+    document text."""
+    if not (0.0 <= lo_q < hi_q <= 1.0):
+        raise ValueError("need 0 <= lo_q < hi_q <= 1")
+    if model == "unigram":
+        scored = lm_cross_entropy(docs, tokens_expr, id_col)
+    elif model == "bigram":
+        scored = lm_bigram_cross_entropy(docs, tokens_expr, id_col, lam=lam)
+    else:
+        raise ValueError(f"unknown model {model!r}")
+    scored = scored.select(id_col, "bits_per_token")
+    joined = docs.join(scored, id_col)
+    qs = [float(lo_q), float(hi_q)]
+    if strata_col is None:
+        row = joined.agg(
+            F.percentile_approx("bits_per_token", qs, accuracy).alias("b")
+        ).collect()[0]["b"]
+        lo_b, hi_b = float(row[0]), float(row[1])
+        cond = (F.col("bits_per_token") >= F.lit(lo_b)) & (
+            F.col("bits_per_token") <= F.lit(hi_b)
+        )
+        return joined.filter(cond)
+    bounds = {
+        r["__s"]: (float(r["b"][0]), float(r["b"][1]))
+        for r in joined.groupBy(F.col(strata_col).alias("__s"))
+        .agg(F.percentile_approx("bits_per_token", qs, accuracy).alias("b"))
+        .collect()
+    }
+    lo_expr = F.lit(None).cast("double")
+    hi_expr = F.lit(None).cast("double")
+    for s, (lo_b, hi_b) in sorted(bounds.items(), key=lambda kv: str(kv[0])):
+        lo_expr = F.when(F.col(strata_col) == s, F.lit(lo_b)).otherwise(lo_expr)
+        hi_expr = F.when(F.col(strata_col) == s, F.lit(hi_b)).otherwise(hi_expr)
+    return joined.filter(
+        (F.col("bits_per_token") >= lo_expr) & (F.col("bits_per_token") <= hi_expr)
+    )
+
+
 def curriculum_bins(
     scored: DataFrame,
     score_col: str = "bits_per_token",

@@ -158,3 +158,47 @@ def materialize_packs(
             "pack_id", "tokens", F.size("tokens").cast("bigint").alias("n_tokens")
         )
     )
+
+
+def epoch_shuffle(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    n_shards: int = 16,
+    seed: int = 0,
+) -> DataFrame:
+    """Deterministic global training-order shuffle: assign every row a
+    ``(shard, pos)`` training position for one epoch — the "shuffle the
+    corpus differently per epoch, reproducibly" step every large-scale
+    loader needs (a non-deterministic ``ORDER BY rand()`` cannot be
+    resumed after a preemption or compared across reruns).
+
+    order key = ``hash_bucket(id XOR seed)`` — the engine-portable Knuth
+    hash over the seed-perturbed id, so each ``seed`` yields a different
+    but fully reproducible permutation, and any engine can re-derive the
+    order (the DuckDB cross-check reproduces it verbatim).
+
+        shard = key mod n_shards
+        pos   = dense 0-based rank within the shard, ordered by (key, id)
+
+    Scale shape: a global total sort would funnel 100 TB through one
+    task chain; instead ONE hash shuffle routes rows to ``n_shards``
+    independent groups and each shard sorts locally (the window's
+    partition — Spark external-sorts a shard inside its task).  Pick
+    ``n_shards`` so a shard matches a loader file (total_rows /
+    rows_per_file), exactly like ``pack_sequences``' bucket sizing; hash
+    routing makes shard skew statistically impossible.  Readers stream
+    shards in any order — the permutation quality comes from the hash,
+    not from shard order.
+    """
+    key = hash_bucket(F.col(id_col).bitwiseXOR(F.lit(int(seed))))
+    tagged = df.withColumn("__key", key)
+    w = Window.partitionBy(F.pmod(F.col("__key"), F.lit(int(n_shards)))).orderBy(
+        F.col("__key").asc(), F.col(id_col).asc()
+    )
+    return (
+        tagged.withColumn(
+            "shard", F.pmod(F.col("__key"), F.lit(int(n_shards))).cast("bigint")
+        )
+        .withColumn("pos", (F.row_number().over(w) - 1).cast("bigint"))
+        .drop("__key")
+    )

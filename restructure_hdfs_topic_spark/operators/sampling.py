@@ -20,15 +20,17 @@ MOD = 1 << 32
 
 
 def hash_bucket(id_col) -> F.Column:
-    """Uniform bucket in [0, 2^32) from an integer id — engine-portable
-    integer arithmetic (no xxhash/murmur dependence).
+    """Uniform bucket in [0, 2^32) from an integer id (a column name or an
+    integer Column expression) — engine-portable integer arithmetic (no
+    xxhash/murmur dependence).
 
     Overflow-safe for the FULL int64 id range: ``id * KNUTH`` exceeds int64
     for ids ≥ ~3.5e9 (ANSI mode would throw ARITHMETIC_OVERFLOW), so the id
     is first reduced mod 2^32 and the multiply split into 16-bit halves —
     every intermediate stays < 2^49, and the result is bit-identical to
     ``id * KNUTH mod 2^32`` computed in unbounded arithmetic."""
-    r = F.pmod(F.col(id_col).cast("long"), F.lit(MOD))
+    col = F.col(id_col) if isinstance(id_col, str) else id_col
+    r = F.pmod(col.cast("long"), F.lit(MOD))
     hi = F.shiftright(r, 16)  # r ≥ 0, < 2^32: exact 16-bit split
     lo = r.bitwiseAND(F.lit((1 << 16) - 1))
     return F.pmod(
@@ -120,6 +122,67 @@ def mixture_sample(
     return df.filter(hash_bucket(id_col) < threshold)
 
 
+TEMP_WEIGHT_SCALE = 1_000_000
+
+
+def temperature_sample(
+    df: DataFrame,
+    id_col: str,
+    strata_col: str,
+    alpha: float = 0.3,
+    max_rows: int | None = None,
+) -> DataFrame:
+    """Temperature-based mixture rebalancing (the multilingual
+    alpha-sampling rule of Conneau & Lample 2019 §3.1 / mT5, Xue et al.
+    2021 §3.2, where alpha≈0.3): sample stratum ``s`` with probability
+    ``q_s ∝ n_s^alpha`` — alpha=1 keeps natural proportions, alpha→0
+    approaches uniform-over-strata, in between it up-weights scarce
+    sources (low-resource languages) without letting any one dominate.
+
+    Takes the LARGEST deterministic sample whose stratum proportions
+    follow ``q`` without oversampling any stratum (every per-stratum rate
+    ≤ 1 — the scarcest-after-weighting stratum is kept whole), optionally
+    capped at ``max_rows``.  Implementation is the ``mixture_sample``
+    integer-threshold machinery with weights ``w_s = floor(n_s^alpha ·
+    1e6)`` derived from ONE bounded count pass (|strata| rows — the same
+    metadata-collect contract), so the corpus itself sees a single
+    narrow hash-threshold filter: no shuffle, no join, partitioning
+    untouched, and monotone in ``max_rows`` like every sampler here.
+    The floor-scaled weights (not Python ``round``) make the thresholds
+    reproducible in any engine with IEEE-double ``pow``.
+    """
+    import math
+
+    if not (0.0 < alpha <= 1.0):
+        raise ValueError("alpha must be in (0, 1]")
+    counts = {
+        r[strata_col]: r["n"]
+        for r in df.groupBy(strata_col)
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+        if r[strata_col] is not None and r["n"] > 0
+    }
+    if not counts:
+        raise ValueError(f"no non-null strata in {strata_col!r}")
+    weights = {
+        s: int(math.floor(math.pow(n, alpha) * TEMP_WEIGHT_SCALE))
+        for s, n in counts.items()
+    }
+    den = sum(weights.values())
+    # Same largest-feasible / exact-share math as mixture_sample, inlined
+    # to reuse the single count pass (mixture_sample would re-scan).
+    n_out = min(counts[s] * den // w for s, w in weights.items())
+    if max_rows is not None:
+        n_out = min(n_out, int(max_rows))
+    threshold = F.lit(-1).cast("long")
+    for s, w in sorted(weights.items()):
+        t = w * n_out * MOD // (den * counts[s])
+        threshold = F.when(F.col(strata_col) == s, F.lit(int(t))).otherwise(
+            threshold
+        )
+    return df.filter(hash_bucket(id_col) < threshold)
+
+
 def weighted_hash_sample(
     df: DataFrame, id_col: str, weight_col: str
 ) -> DataFrame:
@@ -136,6 +199,47 @@ def weighted_hash_sample(
         F.greatest((w * F.lit(float(MOD))), F.lit(0.0)), F.lit(float(MOD))
     ).cast("long")
     return df.filter(hash_bucket(id_col) < threshold)
+
+
+def holdout_split(
+    df: DataFrame,
+    id_col: str,
+    fractions: dict[str, float],
+    split_col: str = "split",
+) -> DataFrame:
+    """Deterministic train/valid/test assignment: tag every row with a
+    split name by partitioning the hash-bucket space into contiguous
+    ranges sized by ``fractions`` (e.g. ``{"train": 0.98, "valid": 0.01,
+    "test": 0.01}`` — must sum to ~1).  The assignment is a pure function
+    of the id: stable across runs, engines, partitionings, AND corpus
+    growth — a document added tomorrow cannot move today's documents
+    between splits, the property random splits lack and the reason
+    leakage-free eval needs hash splits.
+
+    One narrow codegen projection (a CASE over the same ``hash_bucket``
+    every sampler here uses), no shuffle.  Range edges use cumulative
+    integer thresholds, so the splits exactly tile the bucket space
+    (every row gets exactly one split)."""
+    if not fractions:
+        raise ValueError("fractions must name at least one split")
+    total = sum(fractions.values())
+    if not (0.999 <= total <= 1.001):
+        raise ValueError(f"fractions must sum to 1 (got {total})")
+    b = hash_bucket(id_col)
+    cum = 0.0
+    expr = None
+    names = list(fractions)
+    for name in names[:-1]:
+        cum += fractions[name]
+        edge = F.lit(int(cum * MOD))
+        expr = (
+            F.when(b < edge, F.lit(name))
+            if expr is None
+            else expr.when(b < edge, F.lit(name))
+        )
+    last = F.lit(names[-1])
+    out = last if expr is None else expr.otherwise(last)
+    return df.withColumn(split_col, out)
 
 
 _COARSE_BITS = 16

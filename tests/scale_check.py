@@ -99,6 +99,14 @@ CONSISTENCY_QUERIES = [
     # r7: the fused raw-HTML -> training-shard plan must be
     # partitioning-independent end-to-end (strip_html + curation + pack).
     "html_ingest_pipeline",
+    # r7 session additions: alpha-sampling, epoch shuffle, perplexity
+    # gate, paragraph dedup, span decontamination.
+    "temperature_sample",
+    "epoch_shuffle",
+    "perplexity_filter",
+    "paragraph_dedup",
+    "decontaminate_spans",
+    "holdout_split",
 ]
 
 

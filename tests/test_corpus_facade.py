@@ -66,3 +66,69 @@ def test_token_budget_and_mixture(spark):
     assert tb.filter(F.col("source") == "s1").count() == 50
     mx = Corpus(df).mixture_sample({"s0": 1, "s1": 1}).df
     assert mx.count() > 0
+
+
+def test_r7_methods_match_direct_operators(spark):
+    """temperature_sample / perplexity_gate / strip_repeated_paragraphs /
+    decontaminate / epoch_shuffle delegate verbatim."""
+    docs = _docs(spark)
+    from restructure_hdfs_topic_spark.functions.text import tokens
+    from restructure_hdfs_topic_spark.operators.dedup import (
+        decontaminate_spans,
+        strip_repeated_paragraphs,
+    )
+    from restructure_hdfs_topic_spark.operators.lm import perplexity_filter
+    from restructure_hdfs_topic_spark.operators.packing import epoch_shuffle
+    from restructure_hdfs_topic_spark.operators.sampling import temperature_sample
+
+    c = Corpus(docs)
+
+    a = sorted(r["doc_id"] for r in c.temperature_sample(alpha=0.3).df.collect())
+    b = sorted(
+        r["doc_id"]
+        for r in temperature_sample(docs, "doc_id", "source", 0.3).collect()
+    )
+    assert a == b and a
+
+    a = sorted(
+        (r["doc_id"], r["bits_per_token"])
+        for r in c.perplexity_gate(max_bits=4.91).df.collect()
+    )
+    b = sorted(
+        (r["doc_id"], r["bits_per_token"])
+        for r in perplexity_filter(
+            docs, tokens(F.col("text")), "doc_id", max_bits=4.91
+        ).collect()
+    )
+    assert a == b and a
+
+    a = sorted(
+        (r["doc_id"], r["text"])
+        for r in c.strip_repeated_paragraphs().df.collect()
+    )
+    b = sorted(
+        (r["doc_id"], r["text"])
+        for r in strip_repeated_paragraphs(docs, "doc_id", "text").collect()
+    )
+    assert a == b
+
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    a = sorted(
+        (r["doc_id"], r["text"])
+        for r in c.decontaminate(bench, n=5).df.collect()
+    )
+    b = sorted(
+        (r["doc_id"], r["text"])
+        for r in decontaminate_spans(docs, bench, "doc_id", "text", 5).collect()
+    )
+    assert a == b
+
+    a = sorted(
+        (r["doc_id"], r["shard"], r["pos"])
+        for r in c.epoch_shuffle(n_shards=4, seed=1).collect()
+    )
+    b = sorted(
+        (r["doc_id"], r["shard"], r["pos"])
+        for r in epoch_shuffle(docs, "doc_id", 4, 1).collect()
+    )
+    assert a == b

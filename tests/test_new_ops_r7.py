@@ -1,0 +1,487 @@
+"""Round-7 operator tests: temperature (alpha) mixture sampling, the
+deterministic epoch shuffle, CCNet-style perplexity gates, within-document
+paragraph dedup, and GPT-3-style span decontamination.
+
+Every exact-deterministic operator gets a DuckDB cross-check that
+re-derives the SAME result independently; approximate pieces
+(percentile_approx band boundaries) are checked against exact quantiles
+with the sketch's documented tolerance.
+"""
+
+from __future__ import annotations
+
+import math
+
+import duckdb
+import pytest
+
+SF_DIR = "/root/testdata/sf0.01"
+
+
+def _duck(sf_dir: str = SF_DIR):
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{sf_dir}/documents.parquet')"
+    )
+    return con
+
+
+# --- temperature_sample ----------------------------------------------------
+
+
+def test_temperature_sample_duckdb_cross_check(spark):
+    """The kept set equals an independent DuckDB evaluation of the same
+    integer thresholds; alpha up-weights scarce strata; max_rows is
+    monotone (smaller budget => subset)."""
+    from restructure_hdfs_topic_spark.operators.sampling import (
+        KNUTH,
+        MOD,
+        TEMP_WEIGHT_SCALE,
+        temperature_sample,
+    )
+    from restructure_hdfs_topic_spark.sources.tables import load_table
+
+    alpha = 0.3
+    docs = load_table(spark, SF_DIR, "documents")
+    got = {
+        (r["doc_id"], r["lang"])
+        for r in temperature_sample(docs, "doc_id", "lang", alpha=alpha)
+        .select("doc_id", "lang")
+        .collect()
+    }
+
+    con = _duck()
+    counts = dict(
+        con.execute("SELECT lang, count(*) FROM documents GROUP BY lang").fetchall()
+    )
+    weights = {
+        s: int(math.floor(math.pow(n, alpha) * TEMP_WEIGHT_SCALE))
+        for s, n in counts.items()
+    }
+    den = sum(weights.values())
+    n_out = min(counts[s] * den // w for s, w in weights.items())
+    thresholds = {
+        s: w * n_out * MOD // (den * counts[s]) for s, w in weights.items()
+    }
+    case = " ".join(f"WHEN lang = '{s}' THEN {t}" for s, t in thresholds.items())
+    want = set(
+        map(
+            tuple,
+            con.execute(
+                f"""SELECT doc_id, lang FROM documents
+                    WHERE (doc_id * {KNUTH}) % {MOD} < CASE {case} ELSE -1 END"""
+            ).fetchall(),
+        )
+    )
+    assert got == want and got
+
+    # Scarce strata gain share: for every pair (s scarcer than t), the
+    # output share ratio share_s/share_t must EXCEED the input ratio
+    # n_s/n_t (alpha < 1 flattens the distribution).
+    by_lang: dict[str, int] = {}
+    for _, lang in got:
+        by_lang[lang] = by_lang.get(lang, 0) + 1
+    langs = sorted(counts, key=counts.get)
+    scarce, rich = langs[0], langs[-1]
+    if counts[scarce] < counts[rich]:
+        in_ratio = counts[scarce] / counts[rich]
+        out_ratio = by_lang.get(scarce, 0) / max(by_lang.get(rich, 1), 1)
+        assert out_ratio > in_ratio
+
+    # Monotone in max_rows.
+    small = {
+        (r["doc_id"], r["lang"])
+        for r in temperature_sample(
+            docs, "doc_id", "lang", alpha=alpha, max_rows=len(got) // 2
+        )
+        .select("doc_id", "lang")
+        .collect()
+    }
+    assert small <= got and len(small) < len(got)
+
+
+def test_temperature_alpha_one_is_natural(spark):
+    """alpha=1 keeps natural proportions: every stratum's rate is (near-)
+    equal, so the full corpus survives when max_rows is unbounded (the
+    scarcest-after-weighting stratum pins n_out at the total)."""
+    from restructure_hdfs_topic_spark.operators.sampling import temperature_sample
+    from restructure_hdfs_topic_spark.sources.tables import load_table
+
+    docs = load_table(spark, SF_DIR, "documents")
+    total = docs.count()
+    kept = temperature_sample(docs, "doc_id", "lang", alpha=1.0).count()
+    # Rates are ~1 up to the floor-scaling quantization of the weights.
+    assert kept >= total * 0.999
+
+
+def test_temperature_sample_rejects_bad_alpha(spark):
+    from restructure_hdfs_topic_spark.operators.sampling import temperature_sample
+    from restructure_hdfs_topic_spark.sources.tables import load_table
+
+    docs = load_table(spark, SF_DIR, "documents")
+    for bad in (0.0, -0.5, 1.5):
+        with pytest.raises(ValueError):
+            temperature_sample(docs, "doc_id", "lang", alpha=bad)
+
+
+# --- epoch_shuffle ---------------------------------------------------------
+
+
+def test_epoch_shuffle_duckdb_cross_check(spark):
+    """(shard, pos) for every row equals DuckDB's independent evaluation of
+    the same hash-order window; per-shard positions are dense from 0."""
+    from restructure_hdfs_topic_spark.operators.packing import epoch_shuffle
+    from restructure_hdfs_topic_spark.operators.sampling import KNUTH, MOD
+    from restructure_hdfs_topic_spark.sources.tables import load_table
+
+    n_shards, seed = 8, 3
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id")
+    got = {
+        (r["doc_id"], r["shard"], r["pos"])
+        for r in epoch_shuffle(docs, "doc_id", n_shards=n_shards, seed=seed).collect()
+    }
+    con = _duck()
+    want = set(
+        map(
+            tuple,
+            con.execute(
+                f"""WITH h AS (
+                        SELECT doc_id, (xor(doc_id, {seed}) * {KNUTH}) % {MOD} AS k
+                        FROM documents
+                    )
+                    SELECT doc_id, k % {n_shards} AS shard,
+                           row_number() OVER (
+                               PARTITION BY k % {n_shards} ORDER BY k, doc_id
+                           ) - 1 AS pos
+                    FROM h"""
+            ).fetchall(),
+        )
+    )
+    assert got == want
+
+    by_shard: dict[int, list[int]] = {}
+    for _, s, p in got:
+        by_shard.setdefault(s, []).append(p)
+    for s, ps in by_shard.items():
+        ps.sort()
+        assert ps == list(range(len(ps)))
+
+
+def test_epoch_shuffle_seed_changes_order_and_partitioning_independent(spark):
+    from restructure_hdfs_topic_spark.operators.packing import epoch_shuffle
+
+    df = spark.range(0, 500).withColumnRenamed("id", "doc_id")
+    a = {(r["doc_id"], r["shard"], r["pos"]) for r in epoch_shuffle(df, "doc_id", 4, seed=0).collect()}
+    b = {(r["doc_id"], r["shard"], r["pos"]) for r in epoch_shuffle(df, "doc_id", 4, seed=1).collect()}
+    assert a != b and len(a) == len(b) == 500
+    # Same seed, different input partitioning: identical assignment.
+    c = {
+        (r["doc_id"], r["shard"], r["pos"])
+        for r in epoch_shuffle(df.repartition(13), "doc_id", 4, seed=0).collect()
+    }
+    assert a == c
+
+
+# --- perplexity gates ------------------------------------------------------
+
+
+def test_perplexity_filter_duckdb_cross_check(spark):
+    """Survivor ids + attached scores equal DuckDB's evaluation of the same
+    unigram model and threshold."""
+    from restructure_hdfs_topic_spark.functions.text import tokens
+    from restructure_hdfs_topic_spark.operators.lm import perplexity_filter
+    from restructure_hdfs_topic_spark.sources.tables import load_table
+
+    # sf0.01 scores cluster tightly around ~4.91 bits/token — a threshold
+    # inside the cluster proves the gate actually separates.
+    max_bits = 4.91
+    docs = load_table(spark, SF_DIR, "documents")
+    out = perplexity_filter(docs, tokens(docs["text"]), "doc_id", max_bits=max_bits)
+    got = {(r["doc_id"], r["bits_per_token"]) for r in out.select("doc_id", "bits_per_token").collect()}
+    assert set(out.columns) == set(docs.columns) | {"bits_per_token"}
+
+    con = _duck()
+    want = set(
+        map(
+            tuple,
+            con.execute(
+                f"""WITH tok AS (
+                        SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS token
+                        FROM documents WHERE trim(text) <> ''
+                    ), counts AS (
+                        SELECT token, COUNT(*) AS cnt FROM tok GROUP BY token
+                    ), tot AS (SELECT SUM(cnt) AS total FROM counts),
+                    probs AS (
+                        SELECT token, log2(CAST(cnt AS DOUBLE)) - log2(CAST(total AS DOUBLE)) AS logp
+                        FROM counts, tot
+                    ), scored AS (
+                        SELECT t.doc_id, ROUND(-AVG(p.logp), 4) AS bits_per_token
+                        FROM tok t JOIN probs p USING (token) GROUP BY t.doc_id
+                    )
+                    SELECT doc_id, bits_per_token FROM scored
+                    WHERE bits_per_token <= {max_bits}"""
+            ).fetchall(),
+        )
+    )
+    assert got == want and got
+    # The gate actually cuts something at this threshold.
+    assert len(got) < docs.count()
+
+
+def test_perplexity_band_per_stratum(spark):
+    """Per-language head-third band: survivors' scores sit inside the
+    band implied by EXACT per-language quantiles (sketch accuracy slack at
+    the boundary), and each language keeps roughly a third."""
+    from restructure_hdfs_topic_spark.functions.text import tokens
+    from restructure_hdfs_topic_spark.operators.lm import (
+        lm_cross_entropy,
+        perplexity_band,
+    )
+    from restructure_hdfs_topic_spark.sources.tables import load_table
+
+    docs = load_table(spark, SF_DIR, "documents")
+    out = perplexity_band(
+        docs, tokens(docs["text"]), "doc_id", lo_q=0.0, hi_q=1 / 3, strata_col="lang"
+    )
+    kept = out.select("doc_id", "lang", "bits_per_token").collect()
+    assert kept
+
+    scored = lm_cross_entropy(docs, tokens(docs["text"]), "doc_id")
+    joined = docs.select("doc_id", "lang").join(scored, "doc_id")
+    all_scores: dict[str, list[float]] = {}
+    for r in joined.collect():
+        all_scores.setdefault(r["lang"], []).append(r["bits_per_token"])
+    for lang, vals in all_scores.items():
+        vals.sort()
+    kept_by_lang: dict[str, list[float]] = {}
+    for r in kept:
+        kept_by_lang.setdefault(r["lang"], []).append(r["bits_per_token"])
+    for lang, vals in kept_by_lang.items():
+        ref = all_scores[lang]
+        exact_hi = ref[min(len(ref) - 1, int(len(ref) / 3))]
+        # Sketch boundary within a few rank-units of the exact tertile.
+        slack_idx = min(len(ref) - 1, int(len(ref) / 3) + max(3, len(ref) // 100))
+        assert max(vals) <= ref[slack_idx]
+        share = len(vals) / len(ref)
+        assert 0.2 <= share <= 0.5, (lang, share)
+
+
+# --- strip_repeated_paragraphs ----------------------------------------------
+
+
+def test_strip_repeated_paragraphs_semantics(spark):
+    from restructure_hdfs_topic_spark.operators.dedup import strip_repeated_paragraphs
+
+    df = spark.createDataFrame(
+        [
+            (1, "Nav bar\n\ncontent one\n\nNav bar\n\ncontent two"),
+            (2, "a\n\n\n\nb"),  # empty paragraph preserved (spacing intact)
+            (3, None),
+            (4, "solo"),
+            (5, ""),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r["text"] for r in strip_repeated_paragraphs(df, "doc_id", "text").collect()}
+    assert got[1] == "Nav bar\n\ncontent one\n\ncontent two"
+    assert got[2] == "a\n\n\n\nb"
+    assert got[3] is None
+    assert got[4] == "solo"
+    assert got[5] == ""
+
+
+def test_strip_repeated_paragraphs_duckdb_cross_check(spark):
+    """Full-table cross-check on synthetic paragraphized text derived from
+    the documents table (repeat each doc's first sentence as a fake nav
+    block around the body)."""
+    from pyspark.sql import functions as F
+
+    from restructure_hdfs_topic_spark.operators.dedup import strip_repeated_paragraphs
+    from restructure_hdfs_topic_spark.sources.tables import load_table
+
+    docs = (
+        load_table(spark, SF_DIR, "documents")
+        .withColumn(
+            "text",
+            F.concat_ws(
+                "\n\n",
+                F.substring("text", 1, 20),
+                F.col("text"),
+                F.substring("text", 1, 20),
+            ),
+        )
+        .select("doc_id", "text")
+    )
+    got = {
+        (r["doc_id"], r["text"])
+        for r in strip_repeated_paragraphs(docs, "doc_id", "text").collect()
+    }
+    con = _duck()
+    want = set(
+        map(
+            tuple,
+            con.execute(
+                r"""WITH d AS (
+                        SELECT doc_id,
+                               substring(text, 1, 20) || e'\n\n' || text ||
+                               e'\n\n' || substring(text, 1, 20) AS text
+                        FROM documents
+                    ), p AS (
+                        SELECT doc_id, string_split(text, e'\n\n') AS paras FROM d
+                    )
+                    SELECT doc_id,
+                           array_to_string(
+                               list_filter(paras, (x, i) ->
+                                   x = '' OR list_position(paras, x) = i),
+                               e'\n\n') AS text
+                    FROM p"""
+            ).fetchall(),
+        )
+    )
+    assert got == want
+
+
+# --- span decontamination ----------------------------------------------------
+
+
+def test_contaminated_spans_margin_and_merge(spark):
+    from restructure_hdfs_topic_spark.operators.dedup import (
+        contaminated_spans,
+        decontaminate_spans,
+    )
+
+    corpus = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog today"),
+            (2, "completely unrelated words here"),
+            (3, "QUICK BROWN FOX elsewhere quick brown fox again and again"),
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(9, "quick brown fox")], "doc_id long, text string"
+    )
+    spans = {
+        (r["doc_id"], r["span_start"], r["span_end"])
+        for r in contaminated_spans(corpus, bench, "doc_id", "text", n=3).collect()
+    }
+    # doc 1: window at token 1; doc 3: case-insensitive hits at 0 and 4.
+    assert spans == {(1, 1, 4), (3, 0, 3), (3, 4, 7)}
+
+    # margin=1 expands and merges doc 3's two hits (gap 4 <= 3 + 2*1).
+    spans_m = {
+        (r["doc_id"], r["span_start"], r["span_end"])
+        for r in contaminated_spans(
+            corpus, bench, "doc_id", "text", n=3, margin=1
+        ).collect()
+    }
+    assert spans_m == {(1, 0, 5), (3, 0, 8)}
+
+    out = {
+        r["doc_id"]: r["text"]
+        for r in decontaminate_spans(corpus, bench, "doc_id", "text", n=3).collect()
+    }
+    assert out[1] == "the jumps over the lazy dog today"
+    assert out[2] == "completely unrelated words here"  # untouched, byte-for-byte
+    assert out[3] == "elsewhere again and again"
+
+
+def test_decontaminate_spans_duckdb_cross_check(spark):
+    """Span table over the documents corpus vs a benchmark built from a
+    doc_id slice, re-derived in DuckDB with the window/island SQL."""
+    from pyspark.sql import functions as F
+
+    from restructure_hdfs_topic_spark.operators.dedup import contaminated_spans
+    from restructure_hdfs_topic_spark.sources.tables import load_table
+
+    n = 5
+    docs = load_table(spark, SF_DIR, "documents")
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    got = {
+        (r["doc_id"], r["span_start"], r["span_end"], r["n_windows"])
+        for r in contaminated_spans(docs, bench, "doc_id", "text", n=n).collect()
+    }
+    con = _duck()
+    want = set(
+        map(
+            tuple,
+            con.execute(
+                f"""WITH toks AS (
+                        SELECT doc_id,
+                               regexp_split_to_array(lower(trim(text)), '\\s+') AS t
+                        FROM documents WHERE trim(text) <> ''
+                    ), w AS (
+                        SELECT doc_id, u.i - 1 AS idx,
+                               array_to_string(t[u.i:u.i+{n - 1}], ' ') AS win
+                        FROM toks, LATERAL unnest(generate_series(1, len(t) - {n - 1})) u(i)
+                    ), bench AS (
+                        SELECT DISTINCT win FROM w WHERE doc_id % 97 = 0
+                    ), hits AS (
+                        SELECT w.doc_id, w.idx FROM w JOIN bench USING (win)
+                    ), isl AS (
+                        SELECT doc_id, idx,
+                               CASE WHEN idx - lag(idx) OVER (
+                                   PARTITION BY doc_id ORDER BY idx) <= {n}
+                               THEN 0 ELSE 1 END AS brk
+                        FROM hits
+                    ), g AS (
+                        SELECT doc_id, idx, SUM(brk) OVER (
+                            PARTITION BY doc_id ORDER BY idx
+                            ROWS UNBOUNDED PRECEDING) AS grp
+                        FROM isl
+                    )
+                    SELECT doc_id, MIN(idx) AS span_start,
+                           MAX(idx) + {n} AS span_end, COUNT(*) AS n_windows
+                    FROM g GROUP BY doc_id, grp"""
+            ).fetchall(),
+        )
+    )
+    assert got == want and got
+
+
+# --- holdout_split -----------------------------------------------------------
+
+
+def test_holdout_split_duckdb_cross_check(spark):
+    """Every row gets exactly one split; the assignment equals DuckDB's
+    evaluation of the same cumulative thresholds; growth-stability: the
+    split of an id is unchanged when the corpus halves."""
+    from pyspark.sql import functions as F
+
+    from restructure_hdfs_topic_spark.operators.sampling import (
+        KNUTH,
+        MOD,
+        holdout_split,
+    )
+    from restructure_hdfs_topic_spark.sources.tables import load_table
+
+    fr = {"train": 0.9, "valid": 0.05, "test": 0.05}
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id")
+    got = {
+        (r["doc_id"], r["split"])
+        for r in holdout_split(docs, "doc_id", fr).collect()
+    }
+    e1 = int(0.9 * MOD)
+    e2 = int(0.95 * MOD)
+    con = _duck()
+    want = set(
+        map(
+            tuple,
+            con.execute(
+                f"""SELECT doc_id,
+                           CASE WHEN (doc_id * {KNUTH}) % {MOD} < {e1} THEN 'train'
+                                WHEN (doc_id * {KNUTH}) % {MOD} < {e2} THEN 'valid'
+                                ELSE 'test' END AS split
+                    FROM documents"""
+            ).fetchall(),
+        )
+    )
+    assert got == want
+    assert len(got) == docs.count()  # exactly one split per row
+
+    halved = holdout_split(docs.filter(F.col("doc_id") % 2 == 0), "doc_id", fr)
+    sub = {(r["doc_id"], r["split"]) for r in halved.collect()}
+    assert sub <= got
+
+    with pytest.raises(ValueError):
+        holdout_split(docs, "doc_id", {"train": 0.5, "valid": 0.1})
