@@ -1125,6 +1125,49 @@ def q_decontaminate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_unit_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style corpus-global 3-unit span dedup over a words-as-lines
+    derivation of the documents table: one narrow JVM window-hash
+    projection, one 8-byte-key count shuffle, gaps-and-islands merge,
+    lossless unit rebuild.  DuckDB cross-check in
+    tests/test_new_ops_r7.py (bench/extras surface)."""
+    from restructure_hdfs_topic_spark.operators.dedup import (
+        strip_duplicated_unit_spans,
+    )
+
+    _conf(spark)
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .withColumn("text", F.regexp_replace("text", " ", "\n"))
+        .select("doc_id", "text")
+    )
+    return strip_duplicated_unit_spans(docs, "doc_id", "text", sep="\n", k=3)
+
+
+def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WebText/Llama-style model-based quality gate: train a linear
+    classifier on hashed features (distributed MLlib L-BFGS; labels =
+    lang=='en' as a deterministic seed-set stand-in), then score + gate
+    the corpus in one Arrow pass with broadcast weights.  Timing covers
+    BOTH phases.  Rows-only (float training is summation-order sensitive
+    at the last ulp); quality pinned by tests/test_classifier.py
+    (accuracy >= 0.95 on a held-out split)."""
+    from restructure_hdfs_topic_spark.operators.classifier import (
+        quality_classifier_gate,
+        train_quality_classifier,
+    )
+
+    _conf(spark)
+    docs = _t(spark, sf_dir, "documents")
+    labeled = docs.withColumn(
+        "label", (F.col("lang") == "en").cast("int")
+    ).select("doc_id", "text", "label")
+    model = train_quality_classifier(labeled, dim=256, max_iter=16)
+    return quality_classifier_gate(docs, model, threshold=0.5).select(
+        "doc_id", "score"
+    )
+
+
 def q_holdout_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic train/valid/test hash split — growth-stable
     assignment, one codegen CASE, no shuffle.  DuckDB cross-check in
@@ -1702,6 +1745,12 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # r7: deterministic train/valid/test split; DuckDB cross-check in
         # tests/test_new_ops_r7.py.
         "holdout_split": q_holdout_split,
+        # r7: C4 three-unit global span dedup; DuckDB cross-check in
+        # tests/test_new_ops_r7.py.
+        "unit_span_dedup": q_unit_span_dedup,
+        # r7: model-based quality gate (train + score); accuracy pinned in
+        # tests/test_classifier.py (rows-only — float training).
+        "quality_classifier": q_quality_classifier,
     }
 
 

@@ -77,6 +77,8 @@ BENCH_QUERIES = [
     "paragraph_dedup",
     "decontaminate_spans",
     "holdout_split",
+    "unit_span_dedup",
+    "quality_classifier",
     "simhash",
     "simhash_near_dup",
     "near_dup_groups",

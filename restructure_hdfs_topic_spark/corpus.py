@@ -133,6 +133,32 @@ class Corpus:
             strip_duplicated_spans(self.df, self.id_col, self.text_col, k=k)
         )
 
+    def strip_duplicated_unit_spans(self, sep: str = "\n", k: int = 3) -> "Corpus":
+        """C4-style corpus-global k-unit span dedup (three-sentence rule)."""
+        from restructure_hdfs_topic_spark.operators.dedup import (
+            strip_duplicated_unit_spans,
+        )
+
+        return self._wrap(
+            strip_duplicated_unit_spans(self.df, self.id_col, self.text_col, sep, k)
+        )
+
+    def quality_classifier_gate(
+        self, model: dict, threshold: float = 0.5
+    ) -> "Corpus":
+        """Model-based quality gate (WebText/Llama-style linear classifier
+        over hashed features; train with
+        ``operators.classifier.train_quality_classifier``)."""
+        from restructure_hdfs_topic_spark.operators.classifier import (
+            quality_classifier_gate,
+        )
+
+        return self._wrap(
+            quality_classifier_gate(
+                self.df, model, threshold, self.id_col, self.text_col
+            )
+        )
+
     def strip_repeated_paragraphs(self, sep: str = "\n\n") -> "Corpus":
         """Within-document repeated-paragraph removal (nav/banner blocks)."""
         from restructure_hdfs_topic_spark.operators.dedup import (

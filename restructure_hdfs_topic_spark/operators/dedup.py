@@ -1434,3 +1434,141 @@ def strip_repeated_paragraphs(
         lambda x, i: (x == F.lit("")) | (F.array_position(F.col("__paras"), x) - 1 == i),
     )
     return tagged.withColumn(text_col, F.array_join(kept, sep)).drop("__paras")
+
+
+# --- Unit-granularity global span dedup (C4 three-sentence rule) ----------
+
+
+def duplicated_unit_spans(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    sep: str = "\n",
+    k: int = 3,
+) -> DataFrame:
+    """Corpus-global duplicated UNIT spans — C4's actual dedup rule
+    (Raffel et al. 2020 §2.2 discard all but one of any THREE-SENTENCE
+    span occurring more than once; here the unit is a ``sep``-delimited
+    segment, sentences/lines/paragraphs by choice of separator): every
+    maximal unit range covered by k-unit windows whose trimmed content
+    occurs ≥ 2 times corpus-wide.  Returns (id, span_start, span_end,
+    n_windows) in UNIT indices, ``span_end`` exclusive — the unit-level
+    analogue of ``duplicated_window_spans``'s token contract.
+
+    Matching is trim-insensitive per unit (C4 compares sentence text, not
+    surrounding whitespace) but position-exact: blank units participate
+    in windows (they are part of the page structure) so span indices
+    always map back onto the document's raw unit array for rebuild.
+
+    Plan shape (100 TB): unit split + window hashing are ONE narrow JVM
+    projection (``transform`` over an index sequence — no per-doc
+    pre-shuffle, no Python); the count is one shuffle over the 8-byte
+    window hash; span assembly is the shared gaps-and-islands merge over
+    only the surviving duplicated windows.  Unit text never shuffles."""
+    import re as _re
+
+    units = F.split(F.col(text_col), _re.escape(sep))
+    tagged = df.select(F.col(id_col), units.alias("__units"))
+    trimmed = F.transform(
+        F.col("__units"), lambda u: F.regexp_replace(u, r"^\s+|\s+$", "")
+    )
+    tagged = tagged.withColumn("__trim", trimmed)
+    n_win = F.size(F.col("__trim")) - F.lit(k - 1)
+    # \x1e (record separator) joins window members so unit-boundary
+    # ambiguity cannot alias two different windows to one hash.
+    win_hashes = F.when(
+        n_win > 0,
+        F.transform(
+            F.sequence(F.lit(0), n_win - F.lit(1)),
+            lambda i: F.xxhash64(
+                F.concat_ws("\x1e", F.slice(F.col("__trim"), i + 1, k))
+            ),
+        ),
+    ).otherwise(F.array().cast("array<long>"))
+    win = tagged.select(
+        id_col, F.posexplode(win_hashes).alias("idx", "h")
+    )
+    dup = (
+        win.withColumn("cnt", F.count(F.lit(1)).over(Window.partitionBy("h")))
+        .filter(F.col("cnt") > 1)
+        .select(id_col, "idx")
+    )
+    w = Window.partitionBy(id_col).orderBy("idx")
+    return (
+        dup.withColumn(
+            "brk",
+            F.when(
+                F.col("idx") - F.lag("idx").over(w) <= F.lit(k), F.lit(0)
+            ).otherwise(F.lit(1)),
+        )
+        .withColumn(
+            "grp", F.sum("brk").over(w.rowsBetween(Window.unboundedPreceding, 0))
+        )
+        .groupBy(id_col, "grp")
+        .agg(
+            F.min("idx").alias("span_start"),
+            (F.max("idx") + F.lit(k)).alias("span_end"),
+            F.count(F.lit(1)).alias("n_windows"),
+        )
+        .drop("grp")
+    )
+
+
+def strip_duplicated_unit_spans(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    sep: str = "\n",
+    k: int = 3,
+) -> DataFrame:
+    """Remove every corpus-duplicated k-unit span from every document,
+    re-joining the surviving units with ``sep`` — unlike the token-level
+    ``strip_duplicated_spans`` the rebuild is LOSSLESS at unit
+    granularity (units keep their exact bytes; only whole units drop),
+    and untouched documents keep their original text byte-for-byte.
+    Like the token variant this removes ALL occurrences (the conservative
+    choice); C4's keep-one is a downstream keep-first over
+    ``duplicated_unit_spans`` output."""
+    import re as _re
+
+    spans = (
+        duplicated_unit_spans(df, id_col, text_col, sep, k)
+        .groupBy(id_col)
+        .agg(F.collect_list(F.struct("span_start", "span_end")).alias("__spans"))
+    )
+    units = F.split(F.col(text_col), _re.escape(sep))
+    out = (
+        df.join(spans, on=id_col, how="left")
+        .withColumn("__spans", F.coalesce(F.col("__spans"), F.array()))
+        .withColumn("__units", units)
+        .withColumn(
+            text_col,
+            F.when(F.size(F.col("__spans")) == 0, F.col(text_col)).otherwise(
+                F.array_join(
+                    F.transform(
+                        F.filter(
+                            F.zip_with(
+                                F.col("__units"),
+                                F.sequence(
+                                    F.lit(0),
+                                    F.greatest(
+                                        F.size(F.col("__units")) - 1, F.lit(0)
+                                    ),
+                                ),
+                                lambda u, i: F.struct(u.alias("u"), i.alias("i")),
+                            ),
+                            lambda s: ~F.exists(
+                                F.col("__spans"),
+                                lambda sp: (s["i"] >= sp["span_start"])
+                                & (s["i"] < sp["span_end"]),
+                            ),
+                        ),
+                        lambda s: s["u"],
+                    ),
+                    sep,
+                )
+            ),
+        )
+        .drop("__spans", "__units")
+    )
+    return out

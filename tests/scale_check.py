@@ -107,6 +107,11 @@ CONSISTENCY_QUERIES = [
     "paragraph_dedup",
     "decontaminate_spans",
     "holdout_split",
+    # quality_classifier is deliberately NOT here: MLlib L-BFGS training
+    # is float-summation-order sensitive at the last ulp, so its digest
+    # is not partitioning-stable by design; scoring determinism is pinned
+    # by the exact-model test instead.
+    "unit_span_dedup",
 ]
 
 

@@ -132,3 +132,41 @@ def test_r7_methods_match_direct_operators(spark):
         for r in epoch_shuffle(docs, "doc_id", 4, 1).collect()
     )
     assert a == b
+
+
+def test_unit_span_and_classifier_methods_delegate(spark):
+    from restructure_hdfs_topic_spark.operators.classifier import (
+        quality_classifier_gate,
+        train_quality_classifier,
+    )
+    from restructure_hdfs_topic_spark.operators.dedup import (
+        strip_duplicated_unit_spans,
+    )
+
+    docs = _docs(spark).withColumn(
+        "text", F.regexp_replace("text", " ", "\n")
+    ).select("doc_id", "source", "text")
+    a = sorted(
+        (r["doc_id"], r["text"])
+        for r in Corpus(docs).strip_duplicated_unit_spans(sep="\n", k=3).df.collect()
+    )
+    b = sorted(
+        (r["doc_id"], r["text"])
+        for r in strip_duplicated_unit_spans(docs, "doc_id", "text", "\n", 3).collect()
+    )
+    assert a == b
+
+    labeled = _docs(spark).withColumn(
+        "label", (F.col("lang") == "en").cast("int")
+    ).select("doc_id", "text", "label")
+    model = train_quality_classifier(labeled, dim=64, max_iter=8)
+    plain = _docs(spark)
+    a = sorted(
+        (r["doc_id"], r["score"])
+        for r in Corpus(plain).quality_classifier_gate(model, 0.5).df.collect()
+    )
+    b = sorted(
+        (r["doc_id"], r["score"])
+        for r in quality_classifier_gate(plain, model, 0.5).collect()
+    )
+    assert a == b

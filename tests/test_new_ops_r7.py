@@ -485,3 +485,103 @@ def test_holdout_split_duckdb_cross_check(spark):
 
     with pytest.raises(ValueError):
         holdout_split(docs, "doc_id", {"train": 0.5, "valid": 0.1})
+
+
+# --- unit-granularity span dedup (C4 three-sentence rule) --------------------
+
+
+def test_duplicated_unit_spans_semantics(spark):
+    from restructure_hdfs_topic_spark.operators.dedup import (
+        duplicated_unit_spans,
+        strip_duplicated_unit_spans,
+    )
+
+    block = "alpha one\nbeta two\ngamma three"
+    df = spark.createDataFrame(
+        [
+            (1, f"intro A\n{block}\noutro A"),
+            (2, f"intro B\n{block}\noutro B"),
+            (3, "totally\nunrelated\nlines\nhere"),
+            (4, f"{block}\nmiddle\n{block}"),  # within-doc repeat
+        ],
+        "doc_id long, text string",
+    )
+    spans = {
+        (r["doc_id"], r["span_start"], r["span_end"])
+        for r in duplicated_unit_spans(df, "doc_id", "text", sep="\n", k=3).collect()
+    }
+    assert (1, 1, 4) in spans and (2, 1, 4) in spans
+    assert (4, 0, 3) in spans and (4, 4, 7) in spans
+    assert not any(d == 3 for d, _, _ in spans)
+
+    out = {
+        r["doc_id"]: r["text"]
+        for r in strip_duplicated_unit_spans(df, "doc_id", "text", sep="\n", k=3).collect()
+    }
+    assert out[1] == "intro A\noutro A"
+    assert out[2] == "intro B\noutro B"
+    assert out[3] == "totally\nunrelated\nlines\nhere"  # untouched bytes
+    assert out[4] == "middle"
+
+
+def test_duplicated_unit_spans_duckdb_cross_check(spark):
+    """Unit-window span table over multi-line derivations of the documents
+    table equals DuckDB's island SQL (trim-insensitive matching)."""
+    from pyspark.sql import functions as F
+
+    from restructure_hdfs_topic_spark.operators.dedup import duplicated_unit_spans
+    from restructure_hdfs_topic_spark.sources.tables import load_table
+
+    k = 3
+    # Derive multi-line docs: split each text into words-as-lines so
+    # cross-document duplication actually occurs at sf0.01.
+    docs = (
+        load_table(spark, SF_DIR, "documents")
+        .withColumn("text", F.regexp_replace("text", " ", "\n"))
+        .select("doc_id", "text")
+    )
+    got = {
+        (r["doc_id"], r["span_start"], r["span_end"], r["n_windows"])
+        for r in duplicated_unit_spans(docs, "doc_id", "text", sep="\n", k=k).collect()
+    }
+    con = _duck()
+    want = set(
+        map(
+            tuple,
+            con.execute(
+                f"""WITH d AS (
+                        SELECT doc_id, replace(text, ' ', e'\n') AS text
+                        FROM documents
+                    ), u AS (
+                        SELECT doc_id,
+                               list_transform(string_split(text, e'\n'),
+                                              x -> trim(x)) AS units
+                        FROM d
+                    ), w AS (
+                        SELECT doc_id, s.i - 1 AS idx,
+                               array_to_string(units[s.i:s.i+{k - 1}], chr(30)) AS win
+                        FROM u, LATERAL unnest(
+                            generate_series(1, len(units) - {k - 1})) s(i)
+                    ), dup AS (
+                        SELECT doc_id, idx,
+                               COUNT(*) OVER (PARTITION BY win) AS cnt
+                        FROM w
+                    ), isl AS (
+                        SELECT doc_id, idx,
+                               CASE WHEN idx - lag(idx) OVER (
+                                   PARTITION BY doc_id ORDER BY idx) <= {k}
+                               THEN 0 ELSE 1 END AS brk
+                        FROM dup WHERE cnt > 1
+                    ), g AS (
+                        SELECT doc_id, idx, SUM(brk) OVER (
+                            PARTITION BY doc_id ORDER BY idx
+                            ROWS UNBOUNDED PRECEDING) AS grp
+                        FROM isl
+                    )
+                    SELECT doc_id, MIN(idx) AS span_start,
+                           MAX(idx) + {k} AS span_end, COUNT(*) AS n_windows
+                    FROM g GROUP BY doc_id, grp"""
+            ).fetchall(),
+        )
+    )
+    assert got == want and got
