@@ -9,6 +9,15 @@ one entry, deflate level 7 (compression/ZipCompression.kt:16-29).
 The repack touches each output file once; at cluster scale the same loop
 runs in executors over a parallelized path list — kept driver-side here
 because zip output is a compatibility format, not a hot path.
+
+Remote stores: a ``scheme://`` target repacks through the Hadoop
+FileSystem API (the reference streams zip everywhere,
+compression/ZipCompression.kt:16-29) — the zip entry is STREAM-written in
+bounded chunks straight into an ``FSDataOutputStream`` (Python's zipfile
+falls back to data-descriptor mode on the unseekable sink, so no local
+staging file and no whole-file buffering on the write side).  The same
+code path serves file://, hdfs://, s3a://, abfss:// — tests pin it via
+file:// URIs, which exercise the identical py4j stream plumbing.
 """
 
 from __future__ import annotations
@@ -17,6 +26,91 @@ import os
 import zipfile
 
 SPARK_WRITER_CODECS = {"gzip", "none", None}
+
+_CHUNK = 8 * 1024 * 1024
+
+
+def _is_uri(path: str) -> bool:
+    """Hadoop renders ``Path.toString()`` with a SINGLE slash
+    (``file:/tmp/x``), so a bare ``"://" in path`` misses round-tripped
+    paths — accept any ``scheme:/`` prefix."""
+    import re
+
+    return re.match(r"^[A-Za-z][A-Za-z0-9+.-]*:/", path) is not None
+
+
+class _HadoopSink:
+    """Write-only file-like over an ``FSDataOutputStream`` (py4j handle).
+    Exposes ``write``/``tell``/``flush`` but NOT ``seek`` — zipfile then
+    writes in data-descriptor mode, which is exactly the streaming layout
+    an object store needs."""
+
+    def __init__(self, stream):
+        self._s = stream
+        self._pos = 0
+
+    def write(self, b) -> int:
+        if b:
+            self._s.write(bytearray(b))
+            self._pos += len(b)
+        return len(b)
+
+    def tell(self) -> int:
+        return self._pos
+
+    def flush(self) -> None:
+        self._s.flush()
+
+
+def _hadoop_fs(spark, uri: str):
+    jvm = spark._jvm
+    p = jvm.org.apache.hadoop.fs.Path(uri)
+    return jvm, p.getFileSystem(spark._jsc.hadoopConfiguration()), p
+
+
+def _read_chunks(jvm, stream, size: int):
+    """Yield the stream's bytes in bounded chunks: commons-io
+    ``toByteArray(in, n)`` reads exactly n bytes and py4j ships a Java
+    ``byte[]`` back as one efficient bytearray (no per-element bridge)."""
+    io_utils = jvm.org.apache.commons.io.IOUtils
+    remaining = int(size)
+    while remaining > 0:
+        n = min(_CHUNK, remaining)
+        yield bytes(io_utils.toByteArray(stream, n))
+        remaining -= n
+
+
+def _repack_to_zip_hadoop(spark, target_dir: str, extensions) -> list[str]:
+    jvm, fs, root = _hadoop_fs(spark, target_dir)
+    todo = []
+    it = fs.listFiles(root, True)
+    while it.hasNext():
+        st = it.next()
+        p = st.getPath()
+        name = p.getName()
+        if name.endswith(tuple(extensions)) and not name.startswith(("_", ".")):
+            todo.append((p, name, st.getLen()))
+    created: list[str] = []
+    for p, name, size in todo:
+        dst = jvm.org.apache.hadoop.fs.Path(p.getParent(), name + ".zip")
+        out = fs.create(dst, True)
+        try:
+            sink = _HadoopSink(out)
+            with zipfile.ZipFile(
+                sink, "w", zipfile.ZIP_DEFLATED, compresslevel=7
+            ) as zf:
+                src = fs.open(p)
+                try:
+                    with zf.open(name, "w") as entry:
+                        for chunk in _read_chunks(jvm, src, size):
+                            entry.write(chunk)
+                finally:
+                    src.close()
+        finally:
+            out.close()
+        fs.delete(p, False)
+        created.append(str(dst.toString()))
+    return created
 
 
 def writer_compression(compression: str | None) -> str | None:
@@ -27,15 +121,23 @@ def writer_compression(compression: str | None) -> str | None:
     return compression
 
 
-def repack_to_zip(target_dir: str, extensions: tuple[str, ...] = (".csv", ".json")) -> list[str]:
+def repack_to_zip(
+    target_dir: str,
+    extensions: tuple[str, ...] = (".csv", ".json"),
+    spark=None,
+) -> list[str]:
     """Replace every uncompressed data file under ``target_dir`` with a
     single-entry ``<name>.zip`` (deflate level 7).  Returns created paths.
 
-    LOCAL-filesystem post-pass: zip is not a Spark writer codec, so this
-    compat shim (reference CompressionFactory.kt zip flavor) walks the
-    written tree.  For cluster/URI targets use ``compression="gzip"`` —
-    the writer codec path, applied distributedly during the write."""
-    created: list[str] = []
+    Zip is not a Spark writer codec, so this post-pass (reference
+    CompressionFactory.kt zip flavor) walks the written tree.  Local paths
+    use the direct filesystem; ``scheme://`` targets stream through the
+    Hadoop FS API (pass ``spark``) — see the module docstring."""
+    if _is_uri(target_dir):
+        if spark is None:
+            raise ValueError("repack_to_zip over a URI target needs spark")
+        return _repack_to_zip_hadoop(spark, target_dir, extensions)
+    created = []
     for dirpath, _dirs, files in os.walk(target_dir):
         for fname in files:
             if not fname.endswith(extensions) or fname.startswith(("_", ".")):
@@ -58,10 +160,27 @@ def repack_to_zip(target_dir: str, extensions: tuple[str, ...] = (".csv", ".json
     return created
 
 
-def read_zip_entry(path: str) -> bytes:
+def read_zip_entry(path: str, spark=None) -> bytes:
     """Read back the single entry of a ``.zip`` output file (the
-    reference's decompress side, CompressionFactory.kt:22-27)."""
-    with zipfile.ZipFile(path) as zf:
+    reference's decompress side, CompressionFactory.kt:22-27).  A
+    ``scheme://`` path reads through the Hadoop FS API (zip's central
+    directory needs random access, so one OUTPUT FILE — not the dataset —
+    is buffered; output files are bounded by ``maxRecordsPerFile``)."""
+    if _is_uri(path):
+        if spark is None:
+            raise ValueError("read_zip_entry over a URI path needs spark")
+        import io
+
+        jvm, fs, p = _hadoop_fs(spark, path)
+        src = fs.open(p)
+        try:
+            data = bytes(jvm.org.apache.commons.io.IOUtils.toByteArray(src))
+        finally:
+            src.close()
+        fobj = io.BytesIO(data)
+    else:
+        fobj = path
+    with zipfile.ZipFile(fobj) as zf:
         names = zf.namelist()
         if len(names) != 1:
             raise ValueError(f"{path}: expected single-entry zip, found {names}")

@@ -238,7 +238,7 @@ def _write_topic(
             writer = writer.option("compression", codec)
         writer.json(dest)
     if config.compression == "zip":
-        repack_to_zip(dest)
+        repack_to_zip(dest, spark=organized.sparkSession)
     if template_mode:
         import json as _json
 

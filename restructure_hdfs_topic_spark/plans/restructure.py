@@ -113,7 +113,9 @@ def write_restructured(
     if compression == "zip":
         from restructure_hdfs_topic_spark.compression import repack_to_zip
 
-        repack_to_zip(output_dir, extensions=(f".{fmt}",))
+        repack_to_zip(
+            output_dir, extensions=(f".{fmt}",), spark=organized.sparkSession
+        )
     _write_schema_sidecar(organized, output_dir, topics)
 
 
