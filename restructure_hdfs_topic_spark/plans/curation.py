@@ -47,6 +47,7 @@ def curate_corpus(
     strata_col: str = "source",
     mixture_weights: dict[str, int] | None = None,
     token_budgets: dict[str, int] | None = None,
+    temperature_alpha: float | None = None,
     span_k: int = 8,
     jaccard_threshold: float = 0.5,
     pack_budget: int = 2048,
@@ -58,16 +59,18 @@ def curate_corpus(
     — the manifest a training loader consumes (which pack, at which token
     offset, each document landed in).
 
-    Stage 4 takes ONE of two rebalance specs (real pretraining mixes are
-    stated either way): ``mixture_weights`` (integer per-stratum ratios,
-    ``mixture_sample``) or ``token_budgets`` (absolute per-stratum TOKEN
-    budgets — "10B web, 2B code" — ``token_budget_sample``; the token
-    counts it computes are reused for packing, so the text tokenizes
-    once).  Passing both is ambiguous and raises.
+    Stage 4 takes ONE of three rebalance specs (real pretraining mixes
+    are stated all three ways): ``mixture_weights`` (integer per-stratum
+    ratios, ``mixture_sample``), ``token_budgets`` (absolute per-stratum
+    TOKEN budgets — "10B web, 2B code" — ``token_budget_sample``; the
+    token counts it computes are reused for packing, so the text
+    tokenizes once), or ``temperature_alpha`` (mT5-style alpha-sampling,
+    q_s ∝ n_s^alpha — ``temperature_sample``).  Passing more than one is
+    ambiguous and raises.
     """
-    if mixture_weights and token_budgets:
+    if sum(x is not None and x != {} for x in (mixture_weights, token_budgets, temperature_alpha)) > 1:
         raise ValueError(
-            "pass mixture_weights OR token_budgets, not both"
+            "pass ONE of mixture_weights / token_budgets / temperature_alpha"
         )
     # 1. Gopher quality gate (keep original columns; metrics are transient).
     metrics = gopher_metrics(F.col(text_col))
@@ -122,11 +125,18 @@ def curate_corpus(
             id_col, strata_col, F.col("_curate_n_tokens").alias("n_tokens")
         )
     else:
-        mixed = (
-            mixture_sample(deduped, id_col, strata_col, mixture_weights)
-            if mixture_weights
-            else deduped
-        )
+        if mixture_weights:
+            mixed = mixture_sample(deduped, id_col, strata_col, mixture_weights)
+        elif temperature_alpha is not None:
+            from restructure_hdfs_topic_spark.operators.sampling import (
+                temperature_sample,
+            )
+
+            mixed = temperature_sample(
+                deduped, id_col, strata_col, temperature_alpha
+            )
+        else:
+            mixed = deduped
         counted_src = mixed.select(
             id_col, strata_col, token_count(F.col(text_col)).alias("n_tokens")
         )

@@ -241,3 +241,40 @@ def test_curate_corpus_token_budget_stage(spark):
 
     with pytest.raises(ValueError):
         curate_corpus(docs, mixture_weights=WEIGHTS, token_budgets=budgets)
+
+
+def test_curate_corpus_temperature_rebalance(spark):
+    """temperature_alpha as the stage-4 spec: survivors equal the direct
+    temperature_sample over the deduped stage, scarce strata gain share,
+    and mixing specs is rejected."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from restructure_hdfs_topic_spark.plans.curation import curate_corpus
+    from restructure_hdfs_topic_spark.sources.tables import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.01", "documents")
+    manifest = curate_corpus(docs, temperature_alpha=0.3)
+    natural = curate_corpus(docs)
+    ids_t = {r["doc_id"] for r in manifest.select("doc_id").collect()}
+    ids_n = {r["doc_id"] for r in natural.select("doc_id").collect()}
+    assert ids_t <= ids_n and ids_t  # a subset: rebalance only removes
+
+    # Scarce source gains output share vs the natural pipeline.
+    by_src = {
+        r["source"]: r["n"]
+        for r in natural.groupBy("source").agg(F.count("*").alias("n")).collect()
+    }
+    by_src_t = {
+        r["source"]: r["n"]
+        for r in manifest.groupBy("source").agg(F.count("*").alias("n")).collect()
+    }
+    scarce = min(by_src, key=by_src.get)
+    rich = max(by_src, key=by_src.get)
+    if by_src[scarce] < by_src[rich]:
+        assert (by_src_t.get(scarce, 0) / max(by_src_t.get(rich, 1), 1)) > (
+            by_src[scarce] / by_src[rich]
+        )
+
+    with pytest.raises(ValueError):
+        curate_corpus(docs, mixture_weights={"a": 1}, temperature_alpha=0.3)
