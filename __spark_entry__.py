@@ -1071,16 +1071,20 @@ def q_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_perplexity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """CCNet-style LM perplexity gate (keep bits/token <= threshold,
-    score attached).  DuckDB cross-check in tests/test_new_ops_r7.py
-    (bench/extras surface)."""
+    """CCNet-style LM perplexity gate: keep the head THIRD of the
+    bits/token distribution (the quantile-band form — an absolute
+    threshold does not transfer across corpus scales: the unigram
+    cross-entropy grows with vocabulary, so a constant tuned at sf0.01
+    kept ZERO rows at sf1).  Absolute-threshold semantics are
+    DuckDB-cross-checked in tests/test_new_ops_r7.py; this query is the
+    scale-robust composition (bench/extras surface)."""
     from restructure_hdfs_topic_spark.functions.text import tokens
-    from restructure_hdfs_topic_spark.operators.lm import perplexity_filter
+    from restructure_hdfs_topic_spark.operators.lm import perplexity_band
 
     _conf(spark)
     docs = _t(spark, sf_dir, "documents")
-    return perplexity_filter(
-        docs, tokens(F.col("text")), "doc_id", max_bits=4.91
+    return perplexity_band(
+        docs, tokens(F.col("text")), "doc_id", lo_q=0.0, hi_q=1 / 3
     ).select("doc_id", "bits_per_token")
 
 
