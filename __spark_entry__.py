@@ -1172,6 +1172,28 @@ def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL-level corpus dedup (RefinedWeb stage 1) over synthesized raw
+    URLs: canonicalize (JVM regexp chain) + keep-min per 8-byte canonical
+    hash (one shuffle; URL strings never shuffle).  DuckDB cross-check of
+    the canonicalizer in tests/test_new_ops_r7.py (bench/extras
+    surface)."""
+    from restructure_hdfs_topic_spark.operators.dedup import dedup_by_url
+
+    _conf(spark)
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.lit("http://WWW.Host"),
+            (F.col("doc_id") % 97).cast("string"),
+            F.lit(".org/p/"),
+            (F.col("doc_id") % 13).cast("string"),
+            F.lit("?utm_source=x"),
+        ).alias("url"),
+    )
+    return dedup_by_url(docs, "doc_id", "url")
+
+
 def q_holdout_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic train/valid/test hash split — growth-stable
     assignment, one codegen CASE, no shuffle.  DuckDB cross-check in
@@ -1755,6 +1777,9 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # r7: model-based quality gate (train + score); accuracy pinned in
         # tests/test_classifier.py (rows-only — float training).
         "quality_classifier": q_quality_classifier,
+        # r7: URL-level dedup; canonicalizer DuckDB cross-check in
+        # tests/test_new_ops_r7.py.
+        "url_dedup": q_url_dedup,
     }
 
 

@@ -79,6 +79,7 @@ BENCH_QUERIES = [
     "holdout_split",
     "unit_span_dedup",
     "quality_classifier",
+    "url_dedup",
     "simhash",
     "simhash_near_dup",
     "near_dup_groups",

@@ -555,6 +555,33 @@ def strip_html(text: Column) -> Column:
 _URL_RE = r"https?://[\w\.\-]+(?::\d+)?(?:/[^\s]*)?"
 
 
+def canonical_url(url: Column) -> Column:
+    """Canonical form of ONE http(s) URL — the dedup key of URL-level
+    corpus dedup (RefinedWeb's first dedup stage deduplicates by
+    normalized URL before any content pass): drop the fragment, strip
+    tracking parameters (utm_*, fbclid/gclid/msclkid, bare ref), unify
+    the scheme to https, lowercase the host, strip a leading ``www.`` and
+    default ports, drop a trailing slash.  Pure JVM regexp chain
+    (RE2-portable patterns — no backreferences), no Python, no shuffle.
+    Non-URL input comes back trimmed but otherwise untouched."""
+    u = F.trim(url)
+    u = F.regexp_replace(u, r"#.*$", "")
+    u = F.regexp_replace(
+        u, r"[?&](utm_[A-Za-z]+|fbclid|gclid|msclkid|ref)=[^&#]*", "?"
+    )
+    # Collapse separator debris the param strip leaves behind.
+    u = F.regexp_replace(u, r"\?[?&]+", "?")
+    u = F.regexp_replace(u, r"&&+", "&")
+    u = F.regexp_replace(u, r"\?&", "?")
+    u = F.regexp_replace(u, r"[?&]+$", "")
+    host = F.lower(F.regexp_extract(u, r"^(?i)https?://([^/?#]+)", 1))
+    host = F.regexp_replace(host, r"^www\.", "")
+    host = F.regexp_replace(host, r":(80|443)$", "")
+    rest = F.regexp_replace(u, r"^(?i)https?://[^/?#]*", "")
+    rest = F.regexp_replace(rest, r"/$", "")
+    return F.when(host != "", F.concat(F.lit("https://"), host, rest)).otherwise(u)
+
+
 def extract_url_domains(text: Column) -> Column:
     """array<string> of the registrable-ish domains (host, lowercased,
     port/path stripped, leading www. removed) of every http(s) URL in the

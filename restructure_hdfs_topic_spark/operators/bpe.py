@@ -242,3 +242,70 @@ def bpe_encode(
     return docs.select(id_col, text_col).mapInPandas(
         kernel, schema=f"id {id_type}, tokens array<string>, n_tokens long"
     )
+
+
+def save_bpe(
+    path: str,
+    merges: list[tuple[str, str]],
+    word_tokens: dict[str, list[str]] | None = None,
+    spark=None,
+) -> None:
+    """Persist a learned tokenizer as ONE JSON artifact (merges in
+    application order + optionally the learner's word → pieces table) —
+    the piece every real pipeline needs between "learn the tokenizer
+    once" and "encode corpora with it forever" (the reference's schema
+    sidecar plays the same artifact role for Avro, SURVEY O24).  Local
+    paths write directly; ``scheme://`` paths stream through the Hadoop
+    FS API (pass ``spark``)."""
+    import json
+
+    payload = json.dumps(
+        {
+            "format": "restructure_hdfs_topic_spark/bpe/v1",
+            "merges": [list(m) for m in merges],
+            "word_tokens": word_tokens,
+        },
+        ensure_ascii=False,
+    ).encode("utf-8")
+    from restructure_hdfs_topic_spark.compression import _hadoop_fs, _is_uri
+
+    if _is_uri(path):
+        if spark is None:
+            raise ValueError("save_bpe over a URI path needs spark")
+        _jvm, fs, p = _hadoop_fs(spark, path)
+        out = fs.create(p, True)
+        try:
+            out.write(bytearray(payload))
+        finally:
+            out.close()
+        return
+    with open(path, "wb") as fh:
+        fh.write(payload)
+
+
+def load_bpe(
+    path: str, spark=None
+) -> tuple[list[tuple[str, str]], dict[str, list[str]] | None]:
+    """Load a ``save_bpe`` artifact back as ``(merges, word_tokens)`` —
+    round-trips exactly (merge order, piece lists, unicode)."""
+    import json
+
+    from restructure_hdfs_topic_spark.compression import _hadoop_fs, _is_uri
+
+    if _is_uri(path):
+        if spark is None:
+            raise ValueError("load_bpe over a URI path needs spark")
+        jvm, fs, p = _hadoop_fs(spark, path)
+        src = fs.open(p)
+        try:
+            raw = bytes(jvm.org.apache.commons.io.IOUtils.toByteArray(src))
+        finally:
+            src.close()
+    else:
+        with open(path, "rb") as fh:
+            raw = fh.read()
+    doc = json.loads(raw.decode("utf-8"))
+    if doc.get("format") != "restructure_hdfs_topic_spark/bpe/v1":
+        raise ValueError(f"{path}: not a bpe/v1 artifact")
+    merges = [tuple(m) for m in doc["merges"]]
+    return merges, doc.get("word_tokens")

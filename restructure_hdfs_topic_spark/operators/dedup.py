@@ -1572,3 +1572,34 @@ def strip_duplicated_unit_spans(
         .drop("__spans", "__units")
     )
     return out
+
+
+# --- URL-level dedup (RefinedWeb stage 1) ----------------------------------
+
+
+def dedup_by_url(
+    df: DataFrame, id_col: str, url_col: str, keep: str = "min"
+) -> DataFrame:
+    """URL-level corpus dedup — RefinedWeb's FIRST dedup stage (Penedo et
+    al. 2023 run URL dedup before any content pass; re-crawls and mirror
+    parameters make the same page appear under many raw URLs): keep one
+    document per ``canonical_url`` key, the lowest id (``keep="min"``,
+    deterministic) or the highest (``keep="max"``, "latest crawl wins"
+    when ids are crawl-ordered).
+
+    Scale shape: ONE shuffle on ``xxhash64(canonical_url)`` — an 8-byte
+    key, the URL string never shuffles — + a row_number window, the same
+    contract as ``exact_dedup``'s keyed flavor."""
+    from restructure_hdfs_topic_spark.functions.text import canonical_url
+
+    if keep not in ("min", "max"):
+        raise ValueError("keep must be 'min' or 'max'")
+    order = F.col(id_col).asc() if keep == "min" else F.col(id_col).desc()
+    w = Window.partitionBy(
+        F.xxhash64(canonical_url(F.col(url_col)))
+    ).orderBy(order)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )

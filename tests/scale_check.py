@@ -112,6 +112,7 @@ CONSISTENCY_QUERIES = [
     # is not partitioning-stable by design; scoring determinism is pinned
     # by the exact-model test instead.
     "unit_span_dedup",
+    "url_dedup",
 ]
 
 

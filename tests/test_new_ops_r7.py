@@ -627,3 +627,159 @@ def test_zip_repack_streams_through_hadoop_fs(spark, tmp_path):
 
     with pytest.raises(ValueError):
         repack_to_zip("hdfs://nowhere/x", spark=None)
+
+
+# --- URL canonicalization + dedup ---------------------------------------------
+
+
+def test_canonical_url_semantics(spark):
+    from pyspark.sql import functions as F
+
+    from restructure_hdfs_topic_spark.functions.text import canonical_url
+
+    cases = [
+        ("http://WWW.Example.com/a/", "https://example.com/a"),
+        ("https://example.com:443/a?utm_source=x&id=2", "https://example.com/a?id=2"),
+        ("https://example.com/a?id=2&utm_campaign=y#frag", "https://example.com/a?id=2"),
+        ("https://example.com/a?utm_source=x", "https://example.com/a"),
+        ("HTTP://example.com:80/", "https://example.com"),
+        ("https://example.com/a?fbclid=abc&b=1", "https://example.com/a?b=1"),
+        ("not a url", "not a url"),
+    ]
+    df = spark.createDataFrame([(i, u) for i, (u, _) in enumerate(cases)], "i long, u string")
+    got = {r["i"]: r["c"] for r in df.select("i", canonical_url(F.col("u")).alias("c")).collect()}
+    for i, (_, want) in enumerate(cases):
+        assert got[i] == want, (i, got[i], want)
+
+
+def test_dedup_by_url(spark):
+    from restructure_hdfs_topic_spark.operators.dedup import dedup_by_url
+
+    df = spark.createDataFrame(
+        [
+            (1, "http://www.site.com/page?utm_source=a"),
+            (2, "https://site.com/page"),
+            (3, "https://site.com/other"),
+            (4, "https://site.com/page#sect"),
+        ],
+        "doc_id long, url string",
+    )
+    assert sorted(r["doc_id"] for r in dedup_by_url(df, "doc_id", "url").collect()) == [1, 3]
+    assert sorted(
+        r["doc_id"] for r in dedup_by_url(df, "doc_id", "url", keep="max").collect()
+    ) == [3, 4]
+    with pytest.raises(ValueError):
+        dedup_by_url(df, "doc_id", "url", keep="first")
+
+
+def test_canonical_url_duckdb_cross_check(spark):
+    """Canonicalization over synthesized URLs from the documents table
+    equals an independent DuckDB RE2 chain (patterns are RE2-portable;
+    only the host-lowercase reassembly differs in spelling)."""
+    from pyspark.sql import functions as F
+
+    from restructure_hdfs_topic_spark.functions.text import canonical_url
+    from restructure_hdfs_topic_spark.sources.tables import load_table
+
+    docs = load_table(spark, SF_DIR, "documents").select(
+        "doc_id",
+        F.concat(
+            F.lit("http://WWW.Host"),
+            (F.col("doc_id") % 7).cast("string"),
+            F.lit(".org:80/p/"),
+            (F.col("doc_id") % 13).cast("string"),
+            F.lit("/?utm_source=x&q="),
+            (F.col("doc_id") % 3).cast("string"),
+            F.lit("#frag"),
+        ).alias("url"),
+    )
+    got = {
+        (r["doc_id"], r["c"])
+        for r in docs.select("doc_id", canonical_url(F.col("url")).alias("c")).collect()
+    }
+    con = _duck()
+    want = set(
+        map(
+            tuple,
+            con.execute(
+                r"""WITH u0 AS (
+                        SELECT doc_id,
+                               'http://WWW.Host' || (doc_id % 7) || '.org:80/p/' ||
+                               (doc_id % 13) || '/?utm_source=x&q=' || (doc_id % 3) ||
+                               '#frag' AS u
+                        FROM documents
+                    ), s1 AS (
+                        SELECT doc_id, regexp_replace(u, '#.*$', '') AS u FROM u0
+                    ), s2 AS (
+                        SELECT doc_id, regexp_replace(u,
+                            '[?&](utm_[A-Za-z]+|fbclid|gclid|msclkid|ref)=[^&#]*', '?') AS u
+                        FROM s1
+                    ), s3 AS (
+                        SELECT doc_id,
+                               regexp_replace(regexp_replace(regexp_replace(regexp_replace(u,
+                                   '\?[?&]+', '?'), '&&+', '&'), '\?&', '?'), '[?&]+$', '') AS u
+                        FROM s2
+                    ), parts AS (
+                        SELECT doc_id, u,
+                               regexp_replace(regexp_replace(
+                                   lower(regexp_extract(u, '^(?i)https?://([^/?#]+)', 1)),
+                                   '^www\.', ''), ':(80|443)$', '') AS host,
+                               regexp_replace(regexp_replace(u,
+                                   '^(?i)https?://[^/?#]*', ''), '/$', '') AS rest
+                        FROM s3
+                    )
+                    SELECT doc_id,
+                           CASE WHEN host <> '' THEN 'https://' || host || rest
+                                ELSE u END AS c
+                    FROM parts"""
+            ).fetchall(),
+        )
+    )
+    assert got == want and got
+
+
+# --- BPE artifact round-trip ---------------------------------------------------
+
+
+def test_bpe_artifact_round_trip(spark, tmp_path):
+    from restructure_hdfs_topic_spark.operators.bpe import (
+        bpe_encode,
+        learn_bpe_with_vocab,
+        load_bpe,
+        save_bpe,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, "low lower lowest newer newest wide widest café") for i in range(20)],
+        "doc_id long, text string",
+    )
+    merges, vocab = learn_bpe_with_vocab(docs, n_merges=12)
+    assert merges
+
+    local = str(tmp_path / "bpe.json")
+    save_bpe(local, merges, vocab)
+    m2, v2 = load_bpe(local)
+    assert m2 == merges and v2 == vocab
+
+    # URI path exercises the Hadoop stream plumbing (file:// = same py4j
+    # code path as hdfs://).
+    uri = f"file://{tmp_path}/bpe_remote.json"
+    save_bpe(uri, merges, vocab, spark=spark)
+    m3, v3 = load_bpe(uri, spark=spark)
+    assert m3 == merges and v3 == vocab
+
+    a = sorted(
+        (r["id"], tuple(r["tokens"]))
+        for r in bpe_encode(docs, merges, word_tokens=vocab).collect()
+    )
+    b = sorted(
+        (r["id"], tuple(r["tokens"]))
+        for r in bpe_encode(docs, m3, word_tokens=v3).collect()
+    )
+    assert a == b
+
+    # wrong-format artifact rejected
+    bad = tmp_path / "bad.json"
+    bad.write_text('{"format": "other"}')
+    with pytest.raises(ValueError):
+        load_bpe(str(bad))

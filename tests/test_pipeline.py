@@ -543,6 +543,18 @@ def test_query_registry_consistency():
         "semdedup_kmeans",
         "pack_materialize",
         "lm_curriculum",
+        # r7 additions (each with a DuckDB / exact-model witness in
+        # tests/, named in its q_ docstring).
+        "html_ingest_pipeline",
+        "temperature_sample",
+        "epoch_shuffle",
+        "perplexity_filter",
+        "paragraph_dedup",
+        "decontaminate_spans",
+        "holdout_split",
+        "unit_span_dedup",
+        "quality_classifier",
+        "url_dedup",
     }
     assert extra.isdisjoint(q), "bench-only queries must stay unregistered"
 
