@@ -1194,6 +1194,28 @@ def q_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_by_url(docs, "doc_id", "url")
 
 
+def q_ivf_index_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Persisted IVF index end-to-end: train + materialize the on-disk
+    inverted file (parquet partitioned by cluster — probed-partition-only
+    reads at query time), then answer a query batch at a fixed probe
+    depth.  Timing covers BOTH phases; results are deterministic (hash
+    seeding, exact-int Lloyd).  Recall vs the exact baseline pinned in
+    tests/test_ivf_index.py (bench/extras surface)."""
+    import os
+
+    from restructure_hdfs_topic_spark.operators.ivf_index import (
+        build_ivf_index,
+        query_ivf_index,
+    )
+
+    _conf(spark)
+    emb = _t(spark, sf_dir, "embeddings")
+    path = f"/tmp/spark_graft_ivf_index_{os.path.basename(os.path.normpath(sf_dir))}"
+    build_ivf_index(emb, path, lloyd_iters=1)
+    queries = emb.filter(F.col("vec_id") % 20 == 0)
+    return query_ivf_index(spark, path, queries, k=5, nprobe=10)
+
+
 def q_holdout_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic train/valid/test hash split — growth-stable
     assignment, one codegen CASE, no shuffle.  DuckDB cross-check in
@@ -1780,6 +1802,9 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # r7: URL-level dedup; canonicalizer DuckDB cross-check in
         # tests/test_new_ops_r7.py.
         "url_dedup": q_url_dedup,
+        # r7: persisted IVF index build + query; recall pinned in
+        # tests/test_ivf_index.py.
+        "ivf_index_query": q_ivf_index_query,
     }
 
 

@@ -80,6 +80,7 @@ BENCH_QUERIES = [
     "unit_span_dedup",
     "quality_classifier",
     "url_dedup",
+    "ivf_index_query",
     "simhash",
     "simhash_near_dup",
     "near_dup_groups",

@@ -1,0 +1,362 @@
+"""Persistable IVF index: build once, query across jobs.
+
+``similarity.ivf_ann_topk`` trains its coarse quantizer per call (with an
+in-process memo); a real similarity-search deployment trains ONCE and
+serves many query batches from an on-disk index.  This module materializes
+the IVF structure the way a warehouse-native vector index should be laid
+out:
+
+- ``<path>/assignments/`` — the corpus, quantized, **parquet-partitioned
+  BY cluster** (``cluster=K/`` directories).  This IS the inverted file:
+  a query batch probing ``nprobe`` clusters touches only those partitions
+  — Spark's partition pruning (static or dynamic, via the equi-join on
+  the partition column) skips every other file, so query cost scales with
+  probed data, not corpus size.
+- ``<path>/centroids/`` — the trained centroids (C rows of
+  ``array<long>``; √n × dim ints, 16 MB at n=1e9/dim=64 — always
+  collectable/broadcastable).
+- ``<path>/_ivf_meta.json`` — dim / n / n_centroids / training params.
+
+Training reuses the engine's exact-integer Lloyd machinery (associative
+int64 partial sums ⇒ partitioning-independent centroids) and the
+hash-selected order-independent seeding of ``ivf_ann_topk``; scoring
+reuses ``_bucket_scorer`` (blocked int64 matmul per cluster group).
+"""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from restructure_hdfs_topic_spark.operators.similarity import (
+    _calibrate_nprobe,
+    _collect_lloyd_partials,
+    _ivf_lloyd_partials,
+    _quantize,
+)
+
+
+def _index_scorer(k: int):
+    """applyInPandas kernel for INDEX queries: unlike the self-join ANN's
+    ``_bucket_scorer`` (where every corpus member is also a query), only
+    ``is_corpus=False`` rows are queries here — corpus members must not
+    emit neighbor rows of their own (a corpus copy of a query id would
+    otherwise double-emit pairs and corrupt the rank window).  A query
+    that IS a corpus member still gets its self-pair excluded by id."""
+    import pandas as pd
+
+    def score_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        empty = pd.DataFrame({"query_id": [], "neighbor_id": [], "cosine": []})
+        corpus_mask = pdf["is_corpus"].to_numpy()
+        query_mask = ~corpus_mask
+        if not corpus_mask.any() or not query_mask.any():
+            return empty
+        vecs = np.stack(pdf["vec"].to_numpy()).astype(np.int64)
+        ids = pdf["id"].to_numpy()
+        cvecs, c_ids = vecs[corpus_mask], ids[corpus_mask]
+        qvecs, q_ids = vecs[query_mask], ids[query_mask]
+        dots = qvecs @ cvecs.T
+        qn = np.sqrt(np.einsum("ij,ij->i", qvecs, qvecs).astype(np.float64))
+        cn = np.sqrt(np.einsum("ij,ij->i", cvecs, cvecs).astype(np.float64))
+        with np.errstate(divide="ignore", invalid="ignore"):
+            sims = dots / (qn[:, None] * cn[None, :])
+        sims[q_ids[:, None] == c_ids[None, :]] = -np.inf
+        nq, nc = sims.shape
+        kk = min(k, nc)
+        if kk <= 0:
+            return empty
+        if nc > kk:
+            top = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
+        else:
+            top = np.broadcast_to(np.arange(nc), (nq, nc))
+        vals = np.take_along_axis(sims, top, axis=1)
+        keep = np.isfinite(vals).ravel()
+        return pd.DataFrame(
+            {
+                "query_id": np.repeat(q_ids, top.shape[1])[keep],
+                "neighbor_id": c_ids[top.ravel()[keep]],
+                "cosine": np.round(vals.ravel()[keep], 6),
+            }
+        )
+
+    return score_bucket
+
+_META = "_ivf_meta.json"
+
+
+def build_ivf_index(
+    embeddings: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int | None = None,
+    lloyd_iters: int = 1,
+    n_rows: int | None = None,
+) -> dict:
+    """Train the coarse quantizer and materialize the inverted file at
+    ``path``.  Returns the meta dict.  Deterministic end-to-end: seeds
+    are the lowest-``xxhash64(id)`` vectors (order-independent), Lloyd
+    refinement is exact int64, and the partitioned write is one
+    ``partitionBy(cluster)`` repartition."""
+    import math
+
+    import numpy as np
+
+    n = n_rows if n_rows is not None else embeddings.count()
+    if n_centroids is None:
+        n_centroids = max(2, min(65536, int(math.isqrt(n))))
+    quant = embeddings.select(
+        F.col(id_col).alias("id"), _quantize(F.col(vec_col)).alias("vec")
+    )
+    # Hash-threshold seed selection — same shape (and same seeds) as
+    # ivf_ann_topk: prunes in the scan, no exchange, ordered fallback only
+    # if the uniform hash under-delivers.
+    hashed = quant.withColumn("h", F.xxhash64(F.col("id")))
+    frac = min(1.0, (4.0 * n_centroids) / max(n, 1))
+    cutoff = min((-(1 << 63)) + int((1 << 64) * frac), (1 << 63) - 1)
+    rows = hashed.filter(F.col("h") < F.lit(cutoff)).select("h", "vec").collect()
+    if len(rows) < min(n_centroids, n):
+        rows = hashed.orderBy("h").limit(n_centroids).select("h", "vec").collect()
+    rows.sort(key=lambda r: r["h"])
+    centroids = np.stack(
+        [np.asarray(r["vec"], dtype=np.int64) for r in rows[:n_centroids]]
+    )
+
+    from restructure_hdfs_topic_spark.caching import scoped_persist
+
+    quant = scoped_persist(quant, scope="ivf_index.build.quant")
+    for _ in range(lloyd_iters):
+        agg = _collect_lloyd_partials(
+            quant.mapInPandas(
+                _ivf_lloyd_partials(centroids),
+                schema="cluster long, pos long, s long, c long",
+            )
+        )
+        new_cents = centroids.copy()
+        for r in agg:
+            new_cents[r["cluster"]] = np.asarray(r["s"], dtype=np.int64) // r["c"]
+        centroids = new_cents
+
+    members = quant.mapInPandas(
+        _assign_nearest(centroids), schema="id long, vec array<long>, cluster long"
+    )
+    # ONE repartition on the partition column: each cluster's rows land in
+    # one task, so the partitioned write emits one file per cluster dir
+    # instead of |tasks| fragments.
+    (
+        members.repartition(F.col("cluster"))
+        .write.mode("overwrite")
+        .partitionBy("cluster")
+        .parquet(f"{path}/assignments")
+    )
+    spark = embeddings.sparkSession
+    cent_rows = [
+        (int(i), [int(x) for x in c]) for i, c in enumerate(centroids)
+    ]
+    spark.createDataFrame(
+        cent_rows, "cluster long, centroid array<long>"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
+    meta = {
+        "format": "restructure_hdfs_topic_spark/ivf/v1",
+        "dim": int(centroids.shape[1]),
+        "n": int(n),
+        "n_centroids": int(n_centroids),
+        "lloyd_iters": int(lloyd_iters),
+    }
+    _write_meta(spark, f"{path}/{_META}", meta)
+    return meta
+
+
+def _assign_nearest(cents):
+    """mapInPandas kernel: nearest-centroid label per corpus vector (one
+    blocked affinity matmul per batch — the corpus half of
+    ``_ivf_fused_assign`` without probe fan-out)."""
+    import pandas as pd
+
+    def assign(batches):
+        import numpy as np
+
+        cf = cents.astype(np.float64)
+        cn = np.sqrt((cf**2).sum(axis=1))
+        cn[cn == 0] = 1.0
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            vv = np.stack(pdf["vec"].to_numpy()).astype(np.int64)
+            vn = np.sqrt((vv.astype(np.float64) ** 2).sum(axis=1))
+            vn[vn == 0] = 1.0
+            sims = (vv @ cf.T) / (vn[:, None] * cn[None, :])
+            yield pd.DataFrame(
+                {
+                    "id": pdf["id"].to_numpy(),
+                    "vec": pdf["vec"],
+                    "cluster": np.argmax(sims, axis=1).astype("int64"),
+                }
+            )
+
+    return assign
+
+
+def _probe_assign(cents, nprobe: int):
+    """mapInPandas kernel: each QUERY vector fans out to its ``nprobe``
+    nearest clusters (all rows ``is_corpus=False`` — index queries are not
+    corpus members, unlike the self-join ANN's fused kernel)."""
+    import pandas as pd
+
+    def assign(batches):
+        import numpy as np
+
+        cf = cents.astype(np.float64)
+        cn = np.sqrt((cf**2).sum(axis=1))
+        cn[cn == 0] = 1.0
+        p = min(nprobe, len(cf))
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            vv = np.stack(pdf["vec"].to_numpy()).astype(np.int64)
+            vn = np.sqrt((vv.astype(np.float64) ** 2).sum(axis=1))
+            vn[vn == 0] = 1.0
+            sims = (vv @ cf.T) / (vn[:, None] * cn[None, :])
+            if p < sims.shape[1]:
+                top = np.argpartition(-sims, p - 1, axis=1)[:, :p]
+            else:
+                top = np.broadcast_to(
+                    np.arange(sims.shape[1]), (len(vv), sims.shape[1])
+                )
+            yield pd.DataFrame(
+                {
+                    "id": np.repeat(pdf["id"].to_numpy(), top.shape[1]),
+                    "vec": pdf["vec"].iloc[
+                        np.repeat(np.arange(len(pdf)), top.shape[1])
+                    ].to_numpy(),
+                    "cluster": top.ravel().astype("int64"),
+                }
+            )
+
+    return assign
+
+
+def load_ivf_meta(spark: SparkSession, path: str) -> dict:
+    meta = _read_meta(spark, f"{path}/{_META}")
+    if meta.get("format") != "restructure_hdfs_topic_spark/ivf/v1":
+        raise ValueError(f"{path}: not an ivf/v1 index")
+    return meta
+
+
+def query_ivf_index(
+    spark: SparkSession,
+    path: str,
+    queries: DataFrame,
+    k: int = 5,
+    nprobe: int | None = None,
+    target_recall: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    calibration_sample: int = 512,
+) -> DataFrame:
+    """Top-k neighbors for a query batch against a stored index:
+    ``(query_id, rank, neighbor_id, cosine)``.
+
+    Plan shape: centroids collect (C×dim ints, bounded); queries fan out
+    to their ``nprobe`` clusters in one Arrow pass; the assignments scan
+    is equi-joined on the PARTITION column, so Spark prunes every
+    un-probed ``cluster=K`` directory (dynamic partition pruning against
+    the query side; at 1000-executor scale the probed fraction ≈
+    nprobe/C of the corpus is all that is read); per-cluster scoring is
+    the shared blocked-matmul kernel; global top-k is one window.  When
+    ``nprobe`` is None it is calibrated against a hash-sample of the
+    stored corpus — the same recall-targeted auto-tune as
+    ``ivf_ann_topk``."""
+    import numpy as np
+
+    meta = load_ivf_meta(spark, path)
+    cent_rows = (
+        spark.read.parquet(f"{path}/centroids").orderBy("cluster").collect()
+    )
+    centroids = np.stack(
+        [np.asarray(r["centroid"], dtype=np.int64) for r in cent_rows]
+    )
+    assignments = spark.read.parquet(f"{path}/assignments")
+
+    if nprobe is None:
+        sample = (
+            assignments.withColumn("h", F.xxhash64(F.col("id")))
+            .orderBy("h")
+            .limit(calibration_sample)
+            .select("vec")
+            .collect()
+        )
+        sample_vecs = np.stack(
+            [np.asarray(r["vec"], dtype=np.int64) for r in sample]
+        )
+        nprobe = _calibrate_nprobe(sample_vecs, centroids, k, target_recall)
+    nprobe = max(1, min(int(nprobe), meta["n_centroids"]))
+
+    quant_q = queries.select(
+        F.col(id_col).alias("id"), _quantize(F.col(vec_col)).alias("vec")
+    )
+    probes = quant_q.mapInPandas(
+        _probe_assign(centroids, nprobe),
+        schema="id long, vec array<long>, cluster long",
+    ).withColumn("is_corpus", F.lit(False))
+    # Equi-join on the partition column: only probed cluster directories
+    # are read.  The corpus side carries is_corpus=True for the scorer.
+    probed_clusters = probes.select("cluster").distinct()
+    corpus_side = (
+        assignments.join(probed_clusters, "cluster")
+        .select("cluster", "id", "vec")
+        .withColumn("is_corpus", F.lit(True))
+    )
+    members = corpus_side.unionByName(
+        probes.select("cluster", "id", "vec", "is_corpus")
+    )
+    scored = members.groupBy("cluster").applyInPandas(
+        _index_scorer(k), schema="query_id long, neighbor_id long, cosine double"
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        # A corpus vector lives in exactly one cluster, so (query,
+        # neighbor) pairs are unique across groups — no dedup shuffle
+        # (same argument as _ivf_score).
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", "cosine")
+    )
+
+
+def _write_meta(spark: SparkSession, path: str, meta: dict) -> None:
+    from restructure_hdfs_topic_spark.compression import _hadoop_fs, _is_uri
+
+    payload = json.dumps(meta).encode("utf-8")
+    if _is_uri(path):
+        _jvm, fs, p = _hadoop_fs(spark, path)
+        out = fs.create(p, True)
+        try:
+            out.write(bytearray(payload))
+        finally:
+            out.close()
+        return
+    with open(path, "wb") as fh:
+        fh.write(payload)
+
+
+def _read_meta(spark: SparkSession, path: str) -> dict:
+    from restructure_hdfs_topic_spark.compression import _hadoop_fs, _is_uri
+
+    if _is_uri(path):
+        jvm, fs, p = _hadoop_fs(spark, path)
+        src = fs.open(p)
+        try:
+            raw = bytes(jvm.org.apache.commons.io.IOUtils.toByteArray(src))
+        finally:
+            src.close()
+    else:
+        with open(path, "rb") as fh:
+            raw = fh.read()
+    return json.loads(raw.decode("utf-8"))

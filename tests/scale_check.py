@@ -113,6 +113,10 @@ CONSISTENCY_QUERIES = [
     # by the exact-model test instead.
     "unit_span_dedup",
     "url_dedup",
+    # build + query of the persisted IVF index: hash seeding + exact-int
+    # Lloyd make the stored index (and thus the query result at a fixed
+    # probe depth) partitioning-independent.
+    "ivf_index_query",
 ]
 
 

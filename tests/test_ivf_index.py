@@ -1,0 +1,94 @@
+"""Persistable IVF index: build → on-disk inverted-file layout → query
+with partition-pruned reads; recall vs the exact baseline; determinism."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+SF_DIR = "/root/testdata/sf0.01"
+
+
+def test_build_query_recall_and_layout(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from restructure_hdfs_topic_spark.operators.ivf_index import (
+        build_ivf_index,
+        load_ivf_meta,
+        query_ivf_index,
+    )
+    from restructure_hdfs_topic_spark.operators.similarity import cosine_topk
+    from restructure_hdfs_topic_spark.sources.tables import load_table
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    path = str(tmp_path / "ivf")
+    meta = build_ivf_index(emb, path, n_centroids=16, lloyd_iters=1)
+    assert meta["n_centroids"] == 16 and meta["n"] == emb.count()
+    assert load_ivf_meta(spark, path) == meta
+
+    # Inverted-file layout: cluster=K directories on disk.
+    parts = [d for d in os.listdir(f"{path}/assignments") if d.startswith("cluster=")]
+    assert len(parts) >= 8  # most of the 16 clusters are populated
+
+    queries = emb.filter(F.col("vec_id") % 20 == 0)
+    # The synthetic embeddings are fairly uniform, so the Voronoi cells
+    # carry limited neighborhood signal — a deep manual probe (10 of 16)
+    # reaches the bar; the auto-calibrated call below picks its own depth.
+    got = query_ivf_index(spark, path, queries, k=5, nprobe=10)
+    rows = got.collect()
+    assert rows and all(1 <= r["rank"] <= 5 for r in rows)
+    assert all(r["query_id"] != r["neighbor_id"] for r in rows)
+    assert all(r["query_id"] % 20 == 0 for r in rows)
+
+    # Recall vs the exact per-query baseline over the SAME query set.
+    exact = (
+        cosine_topk(emb, k=5)
+        .filter(F.col("query_id") % 20 == 0)
+        .select("query_id", "neighbor_id")
+    )
+    hits = exact.join(got, ["query_id", "neighbor_id"], "left_semi").count()
+    assert hits / exact.count() >= 0.85
+
+    # Auto-calibrated probe depth also reaches the target.
+    auto = query_ivf_index(spark, path, queries, k=5, target_recall=0.9)
+    hits_auto = exact.join(auto, ["query_id", "neighbor_id"], "left_semi").count()
+    assert hits_auto / exact.count() >= 0.85
+
+
+def test_build_is_deterministic(spark, tmp_path):
+    from restructure_hdfs_topic_spark.operators.ivf_index import build_ivf_index
+    from restructure_hdfs_topic_spark.sources.tables import load_table
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    a, b = str(tmp_path / "a"), str(tmp_path / "b")
+    build_ivf_index(emb, a, n_centroids=8)
+    build_ivf_index(emb.repartition(7), b, n_centroids=8)
+    ca = {
+        (r["cluster"], tuple(r["centroid"]))
+        for r in spark.read.parquet(f"{a}/centroids").collect()
+    }
+    cb = {
+        (r["cluster"], tuple(r["centroid"]))
+        for r in spark.read.parquet(f"{b}/centroids").collect()
+    }
+    assert ca == cb
+    ma = {
+        (r["id"], r["cluster"])
+        for r in spark.read.parquet(f"{a}/assignments").collect()
+    }
+    mb = {
+        (r["id"], r["cluster"])
+        for r in spark.read.parquet(f"{b}/assignments").collect()
+    }
+    assert ma == mb
+
+
+def test_query_rejects_non_index(spark, tmp_path):
+    from restructure_hdfs_topic_spark.operators.ivf_index import load_ivf_meta
+
+    bad = tmp_path / "notindex"
+    bad.mkdir()
+    (bad / "_ivf_meta.json").write_text('{"format": "other"}')
+    with pytest.raises(ValueError):
+        load_ivf_meta(spark, str(bad))

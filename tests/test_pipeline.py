@@ -555,6 +555,7 @@ def test_query_registry_consistency():
         "unit_span_dedup",
         "quality_classifier",
         "url_dedup",
+        "ivf_index_query",
     }
     assert extra.isdisjoint(q), "bench-only queries must stay unregistered"
 
