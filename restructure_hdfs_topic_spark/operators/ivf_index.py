@@ -240,6 +240,53 @@ def _probe_assign(cents, nprobe: int):
     return assign
 
 
+def append_to_ivf_index(
+    embeddings: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> dict:
+    """Incremental corpus growth: assign NEW embeddings to the EXISTING
+    centroids and append them to the inverted file (the standard IVF
+    deployment shape — the coarse quantizer is retrained rarely, arrivals
+    are routed into the trained cells; FAISS's ``add`` after ``train``).
+    Returns the updated meta.  Append is idempotent-unsafe by design
+    (same ids appended twice will both be stored) — run the incremental
+    dedup operators upstream; cell quality degrades only if the new
+    data's distribution drifts far from the training corpus, at which
+    point rebuild.
+
+    Scale shape: one Arrow assignment pass against broadcast centroids +
+    one ``partitionBy(cluster)`` append — only touched cluster
+    directories gain files."""
+    import numpy as np
+
+    spark = embeddings.sparkSession
+    meta = load_ivf_meta(spark, path)
+    cent_rows = (
+        spark.read.parquet(f"{path}/centroids").orderBy("cluster").collect()
+    )
+    centroids = np.stack(
+        [np.asarray(r["centroid"], dtype=np.int64) for r in cent_rows]
+    )
+    quant = embeddings.select(
+        F.col(id_col).alias("id"), _quantize(F.col(vec_col)).alias("vec")
+    )
+    members = quant.mapInPandas(
+        _assign_nearest(centroids), schema="id long, vec array<long>, cluster long"
+    )
+    n_new = embeddings.count()
+    (
+        members.repartition(F.col("cluster"))
+        .write.mode("append")
+        .partitionBy("cluster")
+        .parquet(f"{path}/assignments")
+    )
+    meta["n"] = int(meta["n"]) + int(n_new)
+    _write_meta(spark, f"{path}/{_META}", meta)
+    return meta
+
+
 def load_ivf_meta(spark: SparkSession, path: str) -> dict:
     meta = _read_meta(spark, f"{path}/{_META}")
     if meta.get("format") != "restructure_hdfs_topic_spark/ivf/v1":

@@ -92,3 +92,43 @@ def test_query_rejects_non_index(spark, tmp_path):
     (bad / "_ivf_meta.json").write_text('{"format": "other"}')
     with pytest.raises(ValueError):
         load_ivf_meta(spark, str(bad))
+
+
+def test_append_routes_into_existing_cells(spark, tmp_path):
+    """Append assigns new vectors to the TRAINED centroids (no retrain:
+    centroids unchanged), queries find appended neighbors, meta.n grows."""
+    from pyspark.sql import functions as F
+
+    from restructure_hdfs_topic_spark.operators.ivf_index import (
+        append_to_ivf_index,
+        build_ivf_index,
+        load_ivf_meta,
+        query_ivf_index,
+    )
+    from restructure_hdfs_topic_spark.sources.tables import load_table
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    base = emb.filter(F.col("vec_id") % 2 == 0)
+    extra = emb.filter(F.col("vec_id") % 2 == 1)
+    path = str(tmp_path / "ivf")
+    meta0 = build_ivf_index(base, path, n_centroids=16)
+    cents0 = sorted(
+        (r["cluster"], tuple(r["centroid"]))
+        for r in spark.read.parquet(f"{path}/centroids").collect()
+    )
+    meta1 = append_to_ivf_index(extra, path)
+    assert meta1["n"] == meta0["n"] + extra.count()
+    assert load_ivf_meta(spark, path)["n"] == meta1["n"]
+    cents1 = sorted(
+        (r["cluster"], tuple(r["centroid"]))
+        for r in spark.read.parquet(f"{path}/centroids").collect()
+    )
+    assert cents0 == cents1  # no retrain on append
+
+    # An appended vector's exact duplicate neighborhood: query each vector
+    # against the grown index — odd ids must now appear as neighbors.
+    queries = emb.filter(F.col("vec_id") % 40 == 0)
+    got = query_ivf_index(spark, path, queries, k=5, nprobe=10)
+    assert got.filter(F.col("neighbor_id") % 2 == 1).count() > 0
+    stored = spark.read.parquet(f"{path}/assignments")
+    assert stored.count() == meta1["n"]
