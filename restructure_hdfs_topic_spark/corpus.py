@@ -334,6 +334,23 @@ class Corpus:
 
         return epoch_shuffle(self.df, self.id_col, n_shards, seed)
 
+    def export_epoch(
+        self, path: str, n_shards: int = 16, seed: int = 0, fmt: str = "json"
+    ) -> DataFrame:
+        """Materialize ONE epoch's deterministic training order as
+        physically-sorted shard files + manifest
+        (``plans/export.export_epoch_shards``)."""
+        from restructure_hdfs_topic_spark.functions.text import token_count
+        from restructure_hdfs_topic_spark.plans.export import export_epoch_shards
+
+        with_counts = self.df.withColumn(
+            "n_tokens", token_count(F.col(self.text_col))
+        )
+        return export_epoch_shards(
+            with_counts, path, n_shards=n_shards, seed=seed,
+            id_col=self.id_col, token_count_col="n_tokens", fmt=fmt,
+        )
+
     def pack(self, budget: int = 2048, n_buckets: int = 16) -> DataFrame:
         """Pack manifest over post-pipeline token counts."""
         from restructure_hdfs_topic_spark.functions.text import token_count

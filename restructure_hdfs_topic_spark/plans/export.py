@@ -21,6 +21,39 @@ from pyspark.sql import functions as F
 from restructure_hdfs_topic_spark.operators.sampling import hash_bucket
 
 
+def _shard_route(spark, n_shards: int):
+    """Broadcast (shard → pre-image) route table.  A raw
+    ``repartition(n_shards, "shard")`` does NOT put one shard value per
+    partition: HashPartitioning places shard k at ``pmod(murmur3(k), n)``,
+    and that map has collisions (two shards in one task, empty tasks, two
+    files in one ``shard=K`` dir).  Route instead through a per-shard key
+    PRE-IMAGE: for each shard k, any int m_k with
+    ``pmod(hash(m_k), n) == k`` — found by probing Spark's own hash (no
+    Python reimplementation to drift), a |shards|-row driver table.
+    Partition k then holds exactly shard k: one task, one file per dir."""
+    from pyspark.sql.functions import broadcast
+
+    probe = 64
+    rows = (
+        spark.range(0, probe * n_shards)
+        .select(
+            F.col("id").cast("int").alias("m"),
+            F.pmod(F.hash(F.col("id").cast("int")), F.lit(n_shards)).alias("b"),
+        )
+        .collect()
+    )
+    route: dict[int, int] = {}
+    for r in rows:
+        route.setdefault(r["b"], r["m"])
+    if len(route) < n_shards:  # P ≈ n·e^-64 — effectively never
+        raise RuntimeError("shard route probe under-delivered; raise probe")
+    return broadcast(
+        spark.createDataFrame(
+            [(k, route[k]) for k in range(n_shards)], "shard int, _route int"
+        )
+    )
+
+
 def export_jsonl_shards(
     df: DataFrame,
     path: str,
@@ -51,36 +84,67 @@ def export_jsonl_shards(
     # and recomputing that whole lineage just to count rows per shard
     # would double the export's cluster cost.
     tagged = scoped_persist(df.select("*", shard), scope="export.shards.tagged")
-    # A raw repartition(n_shards, "shard") does NOT put one shard value per
-    # partition: HashPartitioning places shard k at pmod(murmur3(k), n),
-    # and that map has collisions (two shards in one task, empty tasks,
-    # two files in one shard=K dir).  Route instead through a per-shard
-    # key PRE-IMAGE: for each shard k, any int m_k with
-    # pmod(hash(m_k), n) == k — found by probing Spark's own hash (no
-    # Python reimplementation to drift), a |shards|-row driver table.
-    # Partition k then holds exactly shard k: one task, one file per dir.
-    probe = 64
-    rows = (
-        spark.range(0, probe * n_shards)
-        .select(
-            F.col("id").cast("int").alias("m"),
-            F.pmod(F.hash(F.col("id").cast("int")), F.lit(n_shards)).alias("b"),
-        )
-        .collect()
-    )
-    route: dict[int, int] = {}
-    for r in rows:
-        route.setdefault(r["b"], r["m"])
-    if len(route) < n_shards:  # P ≈ n·e^-64 — effectively never
-        raise RuntimeError("shard route probe under-delivered; raise probe")
-    route_df = broadcast(
-        spark.createDataFrame(
-            [(k, route[k]) for k in range(n_shards)], "shard int, _route int"
-        )
-    )
+    route_df = _shard_route(spark, n_shards)
     (
         tagged.join(route_df, "shard")
         .repartition(n_shards, "_route")
+        .drop("_route")
+        .write.partitionBy("shard")
+        .format(fmt)
+        .mode("overwrite")
+        .save(f"{path}/data")
+    )
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    if token_count_col is not None:
+        aggs.append(
+            F.sum(F.coalesce(F.col(token_count_col).cast("long"), F.lit(0))).alias(
+                "n_tokens"
+            )
+        )
+    manifest = tagged.groupBy("shard").agg(*aggs).orderBy("shard")
+    manifest.coalesce(1).write.format("json").mode("overwrite").save(
+        f"{path}/manifest"
+    )
+    return manifest
+
+
+def export_epoch_shards(
+    df: DataFrame,
+    path: str,
+    n_shards: int = 16,
+    seed: int = 0,
+    id_col: str = "doc_id",
+    token_count_col: str | None = None,
+    fmt: str = "json",
+) -> DataFrame:
+    """Epoch-ORDERED shard export: the corpus in one epoch's deterministic
+    training order (``packing.epoch_shuffle``), one file per shard with
+    rows physically sorted by their epoch position — a loader streams the
+    files top-to-bottom and consumes exactly the seeded permutation, no
+    loader-side shuffle buffer needed.  Different ``seed`` → a different
+    reproducible epoch.  Returns the manifest ``(shard, n_rows[,
+    n_tokens])``.
+
+    Scale shape: ``epoch_shuffle``'s one hash shuffle + per-shard sort IS
+    the write layout — the pre-image route pins shard k to task k and
+    ``sortWithinPartitions(pos)`` makes the task's external sort the file
+    order.  Nothing else shuffles; the manifest is a |shards|-row
+    aggregate."""
+    from restructure_hdfs_topic_spark.caching import scoped_persist
+    from restructure_hdfs_topic_spark.operators.packing import epoch_shuffle
+
+    if n_shards < 1:
+        raise ValueError("n_shards must be >= 1")
+    spark = df.sparkSession
+    tagged = scoped_persist(
+        epoch_shuffle(df, id_col, n_shards=n_shards, seed=seed),
+        scope="export.epoch_shards.tagged",
+    )
+    route_df = _shard_route(spark, n_shards)
+    (
+        tagged.join(route_df, "shard")
+        .repartition(n_shards, "_route")
+        .sortWithinPartitions("pos")
         .drop("_route")
         .write.partitionBy("shard")
         .format(fmt)

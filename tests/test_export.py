@@ -45,3 +45,53 @@ def test_parquet_format_and_no_tokens(spark, tmp_path):
     manifest = export_jsonl_shards(df, out, n_shards=4, fmt="parquet").collect()
     assert "n_tokens" not in manifest[0].asDict()
     assert spark.read.parquet(f"{out}/data").count() == 50
+
+
+def test_export_epoch_shards_order_and_manifest(spark, tmp_path):
+    """Each shard file's PHYSICAL line order is the epoch order (pos
+    ascending = the seeded hash permutation); different seeds permute
+    differently; manifest totals match."""
+    import glob
+    import json as _json
+
+    from pyspark.sql import functions as F
+
+    from restructure_hdfs_topic_spark.operators.packing import epoch_shuffle
+    from restructure_hdfs_topic_spark.plans.export import export_epoch_shards
+
+    df = spark.range(0, 400).select(
+        F.col("id").alias("doc_id"), (F.col("id") % 7).alias("n_tokens")
+    )
+    path = str(tmp_path / "epoch0")
+    manifest = export_epoch_shards(
+        df, path, n_shards=4, seed=3, token_count_col="n_tokens"
+    )
+    m = {r["shard"]: (r["n_rows"], r["n_tokens"]) for r in manifest.collect()}
+    assert sum(v[0] for v in m.values()) == 400
+
+    want = {}
+    for r in epoch_shuffle(df, "doc_id", n_shards=4, seed=3).collect():
+        want.setdefault(r["shard"], []).append((r["pos"], r["doc_id"]))
+    for shard, pairs in want.items():
+        pairs.sort()
+        files = glob.glob(f"{path}/data/shard={shard}/part-*")
+        assert len(files) == 1  # one task, one file per shard dir
+        lines = [
+            _json.loads(ln)
+            for ln in open(files[0]).read().splitlines()
+            if ln.strip()
+        ]
+        got_ids = [ln["doc_id"] for ln in lines]
+        assert got_ids == [d for _, d in pairs], f"shard {shard} out of order"
+        assert m[shard][0] == len(got_ids)
+
+    # A different seed produces a different physical order somewhere.
+    path1 = str(tmp_path / "epoch1")
+    export_epoch_shards(df, path1, n_shards=4, seed=4)
+    any_diff = False
+    for shard in range(4):
+        f0 = glob.glob(f"{path}/data/shard={shard}/part-*")
+        f1 = glob.glob(f"{path1}/data/shard={shard}/part-*")
+        if f0 and f1 and open(f0[0]).read() != open(f1[0]).read():
+            any_diff = True
+    assert any_diff
