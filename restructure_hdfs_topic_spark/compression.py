@@ -113,6 +113,40 @@ def _repack_to_zip_hadoop(spark, target_dir: str, extensions) -> list[str]:
     return created
 
 
+def write_small_file(path: str, payload: bytes, spark=None) -> None:
+    """Write one small artifact (a meta/manifest-sized blob, not data) to
+    a local path or — given ``spark`` — any Hadoop ``scheme://`` store.
+    Shared by the zip/BPE/IVF artifact writers so the stream plumbing has
+    ONE implementation."""
+    if _is_uri(path):
+        if spark is None:
+            raise ValueError(f"writing {path!r} over a URI needs spark")
+        _jvm, fs, p = _hadoop_fs(spark, path)
+        out = fs.create(p, True)
+        try:
+            out.write(bytearray(payload))
+        finally:
+            out.close()
+        return
+    with open(path, "wb") as fh:
+        fh.write(payload)
+
+
+def read_small_file(path: str, spark=None) -> bytes:
+    """Read one small artifact back (counterpart of ``write_small_file``)."""
+    if _is_uri(path):
+        if spark is None:
+            raise ValueError(f"reading {path!r} over a URI needs spark")
+        jvm, fs, p = _hadoop_fs(spark, path)
+        src = fs.open(p)
+        try:
+            return bytes(jvm.org.apache.commons.io.IOUtils.toByteArray(src))
+        finally:
+            src.close()
+    with open(path, "rb") as fh:
+        return fh.read()
+
+
 def writer_compression(compression: str | None) -> str | None:
     """The codec to hand to the Spark writer; zip writes uncompressed first
     and repacks afterwards."""

@@ -564,15 +564,17 @@ def canonical_url(url: Column) -> Column:
     default ports, drop a trailing slash.  Pure JVM regexp chain
     (RE2-portable patterns — no backreferences), no Python, no shuffle.
     Non-URL input comes back trimmed but otherwise untouched."""
+    _TRACK = r"(utm_[A-Za-z]+|fbclid|gclid|msclkid|ref)=[^&#]*"
     u = F.trim(url)
     u = F.regexp_replace(u, r"#.*$", "")
-    u = F.regexp_replace(
-        u, r"[?&](utm_[A-Za-z]+|fbclid|gclid|msclkid|ref)=[^&#]*", "?"
-    )
-    # Collapse separator debris the param strip leaves behind.
-    u = F.regexp_replace(u, r"\?[?&]+", "?")
-    u = F.regexp_replace(u, r"&&+", "&")
-    u = F.regexp_replace(u, r"\?&", "?")
+    # Tracking params: '&p=v' drops with its separator; a LEADING '?p=v'
+    # followed by a kept param promotes that param ('?p=v&q=' → '?q=');
+    # a lone trailing '?p=v' drops entirely.  (A blanket 'replace with ?'
+    # injected a stray '?' mid-query — 'id=3&utm=x&b=2' became
+    # 'id=3?b=2' — splitting one page into two canonical keys.)
+    u = F.regexp_replace(u, r"&" + _TRACK, "")
+    u = F.regexp_replace(u, r"\?" + _TRACK + r"&", "?")
+    u = F.regexp_replace(u, r"\?" + _TRACK + r"$", "")
     u = F.regexp_replace(u, r"[?&]+$", "")
     host = F.lower(F.regexp_extract(u, r"^(?i)https?://([^/?#]+)", 1))
     host = F.regexp_replace(host, r"^www\.", "")

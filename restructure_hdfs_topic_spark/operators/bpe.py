@@ -267,20 +267,9 @@ def save_bpe(
         },
         ensure_ascii=False,
     ).encode("utf-8")
-    from restructure_hdfs_topic_spark.compression import _hadoop_fs, _is_uri
+    from restructure_hdfs_topic_spark.compression import write_small_file
 
-    if _is_uri(path):
-        if spark is None:
-            raise ValueError("save_bpe over a URI path needs spark")
-        _jvm, fs, p = _hadoop_fs(spark, path)
-        out = fs.create(p, True)
-        try:
-            out.write(bytearray(payload))
-        finally:
-            out.close()
-        return
-    with open(path, "wb") as fh:
-        fh.write(payload)
+    write_small_file(path, payload, spark=spark)
 
 
 def load_bpe(
@@ -290,21 +279,9 @@ def load_bpe(
     round-trips exactly (merge order, piece lists, unicode)."""
     import json
 
-    from restructure_hdfs_topic_spark.compression import _hadoop_fs, _is_uri
+    from restructure_hdfs_topic_spark.compression import read_small_file
 
-    if _is_uri(path):
-        if spark is None:
-            raise ValueError("load_bpe over a URI path needs spark")
-        jvm, fs, p = _hadoop_fs(spark, path)
-        src = fs.open(p)
-        try:
-            raw = bytes(jvm.org.apache.commons.io.IOUtils.toByteArray(src))
-        finally:
-            src.close()
-    else:
-        with open(path, "rb") as fh:
-            raw = fh.read()
-    doc = json.loads(raw.decode("utf-8"))
+    doc = json.loads(read_small_file(path, spark=spark).decode("utf-8"))
     if doc.get("format") != "restructure_hdfs_topic_spark/bpe/v1":
         raise ValueError(f"{path}: not a bpe/v1 artifact")
     merges = [tuple(m) for m in doc["merges"]]

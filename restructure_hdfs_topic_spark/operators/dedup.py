@@ -1320,23 +1320,33 @@ def contaminated_spans(
     200-character buffer).  Returns (id, span_start, span_end, n_windows),
     token indices with ``span_end`` exclusive, matching
     ``duplicated_window_spans``'s contract so the same strip rebuild
-    applies.  Tokenization is the shared lowercased-whitespace ``tokens``
-    — contamination matching is case-insensitive, as published.
+    applies.  Matching is case-insensitive (lowercased tokens), as
+    published.
+
+    Token indices MUST align with ``_strip_token_spans``'s rebuild array
+    (empty-filtered ``\\s+`` split): the shared ``tokens()`` helper trims
+    with ``F.trim`` — spaces only — so text starting with a tab/newline
+    would keep a leading ``""`` token and shift every index by one,
+    making the strip remove the wrong range.  The corpus/benchmark sides
+    therefore tokenize with the SAME empty-filter the rebuild uses
+    (lowering changes no token boundaries, so indices agree exactly).
 
     Scale shape: the benchmark's distinct shingle set is SMALL by
     definition (eval sets, not corpora) — it broadcasts; the corpus side
     explodes positional shingles and inner-joins map-side (corpus bytes
     never shuffle), then one shuffle on the doc id runs the
     gaps-and-islands merge.  No all-pairs work anywhere."""
-    from restructure_hdfs_topic_spark.functions.text import ngrams_from, tokens
+    from restructure_hdfs_topic_spark.functions.text import ngrams_from
 
     if margin < 0:
         raise ValueError("margin must be >= 0")
 
     def positional_shingles(df: DataFrame) -> DataFrame:
-        toked = df.select(
-            F.col(id_col).alias("id"), tokens(F.col(text_col)).alias("toks")
+        toks = F.filter(
+            F.split(F.lower(F.coalesce(F.col(text_col), F.lit(""))), r"\s+"),
+            lambda t: t != F.lit(""),
         )
+        toked = df.select(F.col(id_col).alias("id"), toks.alias("toks"))
         return toked.select(
             "id", F.posexplode(ngrams_from(F.col("toks"), n)).alias("idx", "shingle")
         )
@@ -1595,8 +1605,12 @@ def dedup_by_url(
     if keep not in ("min", "max"):
         raise ValueError("keep must be 'min' or 'max'")
     order = F.col(id_col).asc() if keep == "min" else F.col(id_col).desc()
+    # NULL urls must pass through UNDEDUPED: xxhash64(NULL) is one seed
+    # constant, so without the disambiguator every url-less document
+    # would share a partition and all but one would be dropped.
+    null_key = F.when(F.col(url_col).isNull(), F.col(id_col)).otherwise(F.lit(0))
     w = Window.partitionBy(
-        F.xxhash64(canonical_url(F.col(url_col)))
+        F.xxhash64(canonical_url(F.col(url_col))), null_key
     ).orderBy(order)
     return (
         df.withColumn("__rn", F.row_number().over(w))

@@ -88,6 +88,19 @@ def _index_scorer(k: int):
 _META = "_ivf_meta.json"
 
 
+def _check_integral_id(df: DataFrame, id_col: str) -> None:
+    """The Arrow kernels declare ``id long`` in their output schemas (the
+    contract shared with the whole ANN family); a non-integral id column
+    would be silently coerced or rejected at the Arrow boundary — fail
+    loudly at the API instead."""
+    t = df.schema[id_col].dataType.simpleString()
+    if t not in ("tinyint", "smallint", "int", "bigint"):
+        raise ValueError(
+            f"{id_col!r} must be an integral column for the IVF index "
+            f"(got {t}); map string ids through xxhash64/zipWithIndex first"
+        )
+
+
 def build_ivf_index(
     embeddings: DataFrame,
     path: str,
@@ -106,6 +119,7 @@ def build_ivf_index(
 
     import numpy as np
 
+    _check_integral_id(embeddings, id_col)
     n = n_rows if n_rows is not None else embeddings.count()
     if n_centroids is None:
         n_centroids = max(2, min(65536, int(math.isqrt(n))))
@@ -262,6 +276,7 @@ def append_to_ivf_index(
     import numpy as np
 
     spark = embeddings.sparkSession
+    _check_integral_id(embeddings, id_col)
     meta = load_ivf_meta(spark, path)
     cent_rows = (
         spark.read.parquet(f"{path}/centroids").orderBy("cluster").collect()
@@ -269,20 +284,28 @@ def append_to_ivf_index(
     centroids = np.stack(
         [np.asarray(r["centroid"], dtype=np.int64) for r in cent_rows]
     )
+    from restructure_hdfs_topic_spark.caching import scoped_persist
+
     quant = embeddings.select(
         F.col(id_col).alias("id"), _quantize(F.col(vec_col)).alias("vec")
     )
-    members = quant.mapInPandas(
-        _assign_nearest(centroids), schema="id long, vec array<long>, cluster long"
+    # Persisted: the write and the meta-count below both consume the
+    # assignment pass — without the cache the whole upstream lineage (the
+    # arrivals are typically a pipeline tail) would execute twice.
+    members = scoped_persist(
+        quant.mapInPandas(
+            _assign_nearest(centroids),
+            schema="id long, vec array<long>, cluster long",
+        ),
+        scope="ivf_index.append.members",
     )
-    n_new = embeddings.count()
     (
         members.repartition(F.col("cluster"))
         .write.mode("append")
         .partitionBy("cluster")
         .parquet(f"{path}/assignments")
     )
-    meta["n"] = int(meta["n"]) + int(n_new)
+    meta["n"] = int(meta["n"]) + int(members.count())
     _write_meta(spark, f"{path}/{_META}", meta)
     return meta
 
@@ -330,19 +353,29 @@ def query_ivf_index(
     assignments = spark.read.parquet(f"{path}/assignments")
 
     if nprobe is None:
-        sample = (
-            assignments.withColumn("h", F.xxhash64(F.col("id")))
-            .orderBy("h")
-            .limit(calibration_sample)
-            .select("vec")
-            .collect()
-        )
+        # Hash-threshold sample of the stored corpus — the seed-selection
+        # shape from build: a bounded-fraction scan filter, NOT an
+        # orderBy().limit() that would TakeOrdered the ENTIRE index on
+        # every auto-calibrated query call.  Ordered fallback only if the
+        # uniform hash under-delivers (P ≈ e^-sample, vanishing).
+        n_idx = int(meta["n"])
+        frac = min(1.0, (4.0 * calibration_sample) / max(n_idx, 1))
+        cutoff = min((-(1 << 63)) + int((1 << 64) * frac), (1 << 63) - 1)
+        hashed = assignments.withColumn("h", F.xxhash64(F.col("id")))
+        sample = hashed.filter(F.col("h") < F.lit(cutoff)).select("h", "vec").collect()
+        if len(sample) < min(calibration_sample, n_idx):
+            sample = (
+                hashed.orderBy("h").limit(calibration_sample)
+                .select("h", "vec").collect()
+            )
+        sample.sort(key=lambda r: r["h"])
         sample_vecs = np.stack(
-            [np.asarray(r["vec"], dtype=np.int64) for r in sample]
+            [np.asarray(r["vec"], dtype=np.int64) for r in sample[:calibration_sample]]
         )
         nprobe = _calibrate_nprobe(sample_vecs, centroids, k, target_recall)
     nprobe = max(1, min(int(nprobe), meta["n_centroids"]))
 
+    _check_integral_id(queries, id_col)
     quant_q = queries.select(
         F.col(id_col).alias("id"), _quantize(F.col(vec_col)).alias("vec")
     )
@@ -378,32 +411,12 @@ def query_ivf_index(
 
 
 def _write_meta(spark: SparkSession, path: str, meta: dict) -> None:
-    from restructure_hdfs_topic_spark.compression import _hadoop_fs, _is_uri
+    from restructure_hdfs_topic_spark.compression import write_small_file
 
-    payload = json.dumps(meta).encode("utf-8")
-    if _is_uri(path):
-        _jvm, fs, p = _hadoop_fs(spark, path)
-        out = fs.create(p, True)
-        try:
-            out.write(bytearray(payload))
-        finally:
-            out.close()
-        return
-    with open(path, "wb") as fh:
-        fh.write(payload)
+    write_small_file(path, json.dumps(meta).encode("utf-8"), spark=spark)
 
 
 def _read_meta(spark: SparkSession, path: str) -> dict:
-    from restructure_hdfs_topic_spark.compression import _hadoop_fs, _is_uri
+    from restructure_hdfs_topic_spark.compression import read_small_file
 
-    if _is_uri(path):
-        jvm, fs, p = _hadoop_fs(spark, path)
-        src = fs.open(p)
-        try:
-            raw = bytes(jvm.org.apache.commons.io.IOUtils.toByteArray(src))
-        finally:
-            src.close()
-    else:
-        with open(path, "rb") as fh:
-            raw = fh.read()
-    return json.loads(raw.decode("utf-8"))
+    return json.loads(read_small_file(path, spark=spark).decode("utf-8"))

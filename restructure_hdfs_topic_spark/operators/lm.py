@@ -223,7 +223,16 @@ def perplexity_band(
     else:
         raise ValueError(f"unknown model {model!r}")
     scored = scored.select(id_col, "bits_per_token")
-    joined = docs.join(scored, id_col)
+    # Persisted: the percentile collect below EXECUTES the full scoring
+    # pipeline (token explode + vocab joins + per-doc aggregate), and the
+    # returned filter would otherwise re-run that whole lineage when the
+    # caller acts on it — the docstring's "no second scan" depends on
+    # this cache (same scoped-persist contract as curation's stages).
+    from restructure_hdfs_topic_spark.caching import scoped_persist
+
+    joined = scoped_persist(
+        docs.join(scored, id_col), scope="lm.perplexity_band.scored"
+    )
     qs = [float(lo_q), float(hi_q)]
     if strata_col is None:
         row = joined.agg(
@@ -243,8 +252,12 @@ def perplexity_band(
     lo_expr = F.lit(None).cast("double")
     hi_expr = F.lit(None).cast("double")
     for s, (lo_b, hi_b) in sorted(bounds.items(), key=lambda kv: str(kv[0])):
-        lo_expr = F.when(F.col(strata_col) == s, F.lit(lo_b)).otherwise(lo_expr)
-        hi_expr = F.when(F.col(strata_col) == s, F.lit(hi_b)).otherwise(hi_expr)
+        # eqNullSafe: a NULL stratum gets its own computed band too — a
+        # plain == is never true for NULL, which would silently drop
+        # every stratum-less document regardless of score.
+        cond = F.col(strata_col).eqNullSafe(F.lit(s))
+        lo_expr = F.when(cond, F.lit(lo_b)).otherwise(lo_expr)
+        hi_expr = F.when(cond, F.lit(hi_b)).otherwise(hi_expr)
     return joined.filter(
         (F.col("bits_per_token") >= lo_expr) & (F.col("bits_per_token") <= hi_expr)
     )

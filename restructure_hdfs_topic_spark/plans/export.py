@@ -144,7 +144,14 @@ def export_epoch_shards(
     (
         tagged.join(route_df, "shard")
         .repartition(n_shards, "_route")
-        .sortWithinPartitions("pos")
+        # The partitioned writer REQUIRES ordering by the partition column
+        # and would insert its own Sort(shard) above a pos-only sort —
+        # a planner sort that is not stability-guaranteed under spill,
+        # which would scramble the epoch order this function exists to
+        # materialize.  Leading with "shard" (constant within a routed
+        # partition) satisfies the requirement, so OUR sort is the only
+        # one in the plan and pos order reaches the file verbatim.
+        .sortWithinPartitions("shard", "pos")
         .drop("_route")
         .write.partitionBy("shard")
         .format(fmt)

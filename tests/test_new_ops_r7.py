@@ -644,6 +644,11 @@ def test_canonical_url_semantics(spark):
         ("https://example.com/a?utm_source=x", "https://example.com/a"),
         ("HTTP://example.com:80/", "https://example.com"),
         ("https://example.com/a?fbclid=abc&b=1", "https://example.com/a?b=1"),
+        # Mid-query tracking param: the kept params around it must join
+        # back with '&', never a second '?' (review regression: a blanket
+        # '?' replacement split one page into two canonical keys).
+        ("http://a.com/p?id=3&utm_source=x&b=2", "https://a.com/p?id=3&b=2"),
+        ("http://a.com/p?utm_a=1&utm_b=2&c=3", "https://a.com/p?c=3"),
         ("not a url", "not a url"),
     ]
     df = spark.createDataFrame([(i, u) for i, (u, _) in enumerate(cases)], "i long, u string")
@@ -712,12 +717,14 @@ def test_canonical_url_duckdb_cross_check(spark):
                         SELECT doc_id, regexp_replace(u, '#.*$', '') AS u FROM u0
                     ), s2 AS (
                         SELECT doc_id, regexp_replace(u,
-                            '[?&](utm_[A-Za-z]+|fbclid|gclid|msclkid|ref)=[^&#]*', '?') AS u
+                            '&(utm_[A-Za-z]+|fbclid|gclid|msclkid|ref)=[^&#]*', '', 'g') AS u
                         FROM s1
                     ), s3 AS (
                         SELECT doc_id,
-                               regexp_replace(regexp_replace(regexp_replace(regexp_replace(u,
-                                   '\?[?&]+', '?'), '&&+', '&'), '\?&', '?'), '[?&]+$', '') AS u
+                               regexp_replace(regexp_replace(regexp_replace(u,
+                                   '\?(utm_[A-Za-z]+|fbclid|gclid|msclkid|ref)=[^&#]*&', '?'),
+                                   '\?(utm_[A-Za-z]+|fbclid|gclid|msclkid|ref)=[^&#]*$', ''),
+                                   '[?&]+$', '') AS u
                         FROM s2
                     ), parts AS (
                         SELECT doc_id, u,
@@ -783,3 +790,58 @@ def test_bpe_artifact_round_trip(spark, tmp_path):
     bad.write_text('{"format": "other"}')
     with pytest.raises(ValueError):
         load_bpe(str(bad))
+
+
+# --- review regressions -------------------------------------------------------
+
+
+def test_decontaminate_leading_whitespace_alignment(spark):
+    """F.trim strips only SPACES: a doc starting with a tab must still
+    strip exactly the contaminated tokens (review regression: tokens()'s
+    leading '' token shifted every span index by one vs the rebuild)."""
+    from restructure_hdfs_topic_spark.operators.dedup import decontaminate_spans
+
+    corpus = spark.createDataFrame(
+        [(1, "\tthe quick brown fox jumps over the lazy dog today")],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(9, "quick brown fox")], "doc_id long, text string"
+    )
+    out = decontaminate_spans(corpus, bench, "doc_id", "text", n=3).collect()
+    assert out[0]["text"] == "the jumps over the lazy dog today"
+
+
+def test_dedup_by_url_null_urls_pass_through(spark):
+    """NULL urls must NOT dedup against each other (review regression:
+    xxhash64(NULL) is one constant, collapsing every url-less doc)."""
+    from restructure_hdfs_topic_spark.operators.dedup import dedup_by_url
+
+    df = spark.createDataFrame(
+        [(1, None), (2, None), (3, "https://site.com/x"), (4, "https://site.com/x")],
+        "doc_id long, url string",
+    )
+    assert sorted(r["doc_id"] for r in dedup_by_url(df, "doc_id", "url").collect()) == [1, 2, 3]
+
+
+def test_perplexity_band_null_stratum_kept(spark):
+    """A NULL stratum gets its own band instead of vanishing (review
+    regression: plain == is never true for NULL)."""
+    from pyspark.sql import functions as F
+
+    from restructure_hdfs_topic_spark.functions.text import tokens
+    from restructure_hdfs_topic_spark.operators.lm import perplexity_band
+    from restructure_hdfs_topic_spark.sources.tables import load_table
+
+    docs = load_table(spark, SF_DIR, "documents").withColumn(
+        "lang", F.when(F.col("doc_id") % 5 == 0, F.lit(None)).otherwise(F.col("lang"))
+    )
+    out = perplexity_band(
+        docs, tokens(F.col("text")), "doc_id", lo_q=0.0, hi_q=1.0, strata_col="lang"
+    )
+    # Full band [0, 1]: every scored doc survives, INCLUDING null-lang ones.
+    kept_null = out.filter(F.col("lang").isNull()).count()
+    assert kept_null > 0
+    assert kept_null == docs.filter(
+        F.col("lang").isNull() & (F.trim("text") != "")
+    ).count()
