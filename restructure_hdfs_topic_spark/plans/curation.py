@@ -48,6 +48,7 @@ def curate_corpus(
     mixture_weights: dict[str, int] | None = None,
     token_budgets: dict[str, int] | None = None,
     temperature_alpha: float | None = None,
+    perplexity_head_q: float | None = None,
     span_k: int = 8,
     jaccard_threshold: float = 0.5,
     pack_budget: int = 2048,
@@ -67,6 +68,12 @@ def curate_corpus(
     tokenizes once), or ``temperature_alpha`` (mT5-style alpha-sampling,
     q_s ∝ n_s^alpha — ``temperature_sample``).  Passing more than one is
     ambiguous and raises.
+
+    ``perplexity_head_q`` adds the CCNet LM stage between the Gopher gate
+    and the span scrub: keep each stratum's head ``q`` of the unigram
+    bits/token distribution (Wenzek et al. 2020's per-language head split
+    — quantile-based, so it transfers across corpus scales where an
+    absolute threshold does not).
     """
     if sum(x is not None and x != {} for x in (mixture_weights, token_budgets, temperature_alpha)) > 1:
         raise ValueError(
@@ -79,6 +86,23 @@ def curate_corpus(
         .filter(gopher_passes(*[F.col(n) for n, _ in metrics]))
         .select(*docs.columns)
     )
+
+    # 1.5 (optional). CCNet LM quality gate: per-stratum head-quantile
+    # band over the unigram bits/token score (perplexity_band persists
+    # its scored join internally — the percentile collect and the filter
+    # share one scoring pass).
+    if perplexity_head_q is not None:
+        from restructure_hdfs_topic_spark.functions.text import tokens
+        from restructure_hdfs_topic_spark.operators.lm import perplexity_band
+
+        gated = perplexity_band(
+            gated,
+            tokens(F.col(text_col)),
+            id_col,
+            lo_q=0.0,
+            hi_q=float(perplexity_head_q),
+            strata_col=strata_col,
+        ).drop("bits_per_token")
 
     # 2. Exact-substring span scrub over the gated survivors.  Persisted:
     # stages 3a (LSH pair generation) and 3b (the anti-join) BOTH consume

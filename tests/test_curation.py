@@ -278,3 +278,20 @@ def test_curate_corpus_temperature_rebalance(spark):
 
     with pytest.raises(ValueError):
         curate_corpus(docs, mixture_weights={"a": 1}, temperature_alpha=0.3)
+
+
+def test_curate_corpus_perplexity_stage(spark):
+    """perplexity_head_q inserts the CCNet LM stage: survivors are a
+    subset of the no-LM pipeline and attrition actually bites (head third
+    per stratum), while the manifest contract is unchanged."""
+    from restructure_hdfs_topic_spark.plans.curation import curate_corpus
+    from restructure_hdfs_topic_spark.sources.tables import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.01", "documents")
+    base = curate_corpus(docs)
+    lm = curate_corpus(docs, perplexity_head_q=1 / 3)
+    ids_b = {r["doc_id"] for r in base.select("doc_id").collect()}
+    ids_l = {r["doc_id"] for r in lm.select("doc_id").collect()}
+    assert ids_l < ids_b and ids_l
+    assert len(ids_l) < 0.6 * len(ids_b)  # the head-third gate bites
+    assert lm.columns == base.columns
