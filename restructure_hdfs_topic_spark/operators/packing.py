@@ -84,6 +84,7 @@ def materialize_packs(
     text_col: str = "text",
     budget: int = 2048,
     n_buckets: int = 16,
+    eos_token: str | None = None,
 ) -> DataFrame:
     """Materialize the packed sequences themselves: concatenate each
     bucket's token stream (order = the ``pack_sequences`` assignment) and
@@ -100,13 +101,31 @@ def materialize_packs(
     groupBy on ``pack_id`` with an order-insensitive ``sort_array`` over
     (start_off, slice) structs + ``flatten`` — deterministic under any
     partitioning.  Token arrays shuffle once, keyed by pack.
+
+    ``eos_token`` (the GPT-loader convention): append a document
+    separator to every non-empty document's token stream before packing,
+    so a model can learn document boundaries and a loader can split
+    packs back into documents.  Offsets/pack ids account for the extra
+    token exactly (it goes through the same ``n_tokens`` arithmetic).
     """
     toks = F.filter(
         F.split(F.trim(F.coalesce(F.col(text_col), F.lit(""))), r"\s+"),
         lambda t: t != F.lit(""),
     )
-    counted = docs.select(
-        F.col(id_col), toks.alias("__toks"), F.size(toks).cast("bigint").alias("n_tokens")
+    # Project the split ONCE, then derive the (optional) eos-extended
+    # stream and its size off the column reference — inlining `toks` into
+    # both the array and the size would re-split the text per reference.
+    counted = docs.select(F.col(id_col), toks.alias("__toks"))
+    if eos_token is not None:
+        counted = counted.withColumn(
+            "__toks",
+            F.when(
+                F.size("__toks") > 0,
+                F.concat("__toks", F.array(F.lit(str(eos_token)))),
+            ).otherwise(F.col("__toks")),
+        )
+    counted = counted.withColumn(
+        "n_tokens", F.size("__toks").cast("bigint")
     )
     # Assignment sees ONLY (id, n_tokens): its per-bucket cumsum sorts and
     # shuffles 16-byte rows, never the token arrays (dragging __toks

@@ -845,3 +845,58 @@ def test_perplexity_band_null_stratum_kept(spark):
     assert kept_null == docs.filter(
         F.col("lang").isNull() & (F.trim("text") != "")
     ).count()
+
+
+def test_materialize_packs_eos(spark):
+    """eos_token appends one separator per non-empty document: the packed
+    stream equals the no-eos stream with '<eos>' inserted at each doc
+    boundary, budget sizing holds, and empty docs contribute nothing."""
+    from restructure_hdfs_topic_spark.operators.packing import materialize_packs
+
+    rows = [(i, f"w{i}a w{i}b w{i}c") for i in range(40)] + [(99, ""), (98, None)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    packs = {
+        r["pack_id"]: r["tokens"]
+        for r in materialize_packs(df, budget=8, eos_token="<eos>").collect()
+    }
+    plain = {
+        r["pack_id"]: r["tokens"]
+        for r in materialize_packs(df, budget=8).collect()
+    }
+    # Stream equivalence per bucket: strip the separators back out and the
+    # concatenation order of the remaining tokens is identical.
+    def bucket_stream(pk, with_eos):
+        out = []
+        for pid in sorted(pk):
+            out.extend(pk[pid])
+        return [t for t in out if t != "<eos>"] if with_eos else out
+
+    by_bucket_eos: dict[int, dict] = {}
+    by_bucket_plain: dict[int, dict] = {}
+    for pid, tk in packs.items():
+        by_bucket_eos.setdefault(pid // 2**31, {})[pid] = tk
+    for pid, tk in plain.items():
+        by_bucket_plain.setdefault(pid // 2**31, {})[pid] = tk
+    assert set(by_bucket_eos) == set(by_bucket_plain)
+    total_eos = 0
+    for b in by_bucket_eos:
+        assert bucket_stream(by_bucket_eos[b], True) == bucket_stream(
+            by_bucket_plain[b], False
+        )
+        total_eos += sum(tk.count("<eos>") for tk in by_bucket_eos[b].values())
+    assert total_eos == 40  # one per non-empty doc, none for ''/NULL
+
+    # Every doc's contribution ends with <eos>: each 4-token group in the
+    # eos stream is (w_a, w_b, w_c, <eos>).
+    for b, pk in by_bucket_eos.items():
+        stream = []
+        for pid in sorted(pk):
+            stream.extend(pk[pid])
+        assert len(stream) % 4 == 0
+        for j in range(3, len(stream), 4):
+            assert stream[j] == "<eos>"
+    # Budget sizing: every pack except possibly a bucket's last is 8 long.
+    for b, pk in by_bucket_eos.items():
+        pids = sorted(pk)
+        for pid in pids[:-1]:
+            assert len(pk[pid]) == 8
