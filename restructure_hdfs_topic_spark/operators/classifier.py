@@ -67,6 +67,38 @@ def train_quality_classifier(
     }
 
 
+def save_classifier(path: str, model: dict, spark=None) -> None:
+    """Persist a trained model dict as one JSON artifact (local path or
+    any Hadoop ``scheme://`` store — same artifact plumbing as
+    ``save_bpe``), so training and corpus-scoring jobs decouple."""
+    import json
+
+    from restructure_hdfs_topic_spark.compression import write_small_file
+
+    payload = dict(model, format="restructure_hdfs_topic_spark/quality-clf/v1")
+    write_small_file(
+        path, json.dumps(payload).encode("utf-8"), spark=spark
+    )
+
+
+def load_classifier(path: str, spark=None) -> dict:
+    """Load a ``save_classifier`` artifact; validates format and shape."""
+    import json
+
+    from restructure_hdfs_topic_spark.compression import read_small_file
+
+    doc = json.loads(read_small_file(path, spark=spark).decode("utf-8"))
+    if doc.get("format") != "restructure_hdfs_topic_spark/quality-clf/v1":
+        raise ValueError(f"{path}: not a quality-clf/v1 artifact")
+    if len(doc.get("weights", [])) != int(doc.get("dim", -1)):
+        raise ValueError(f"{path}: weights length != dim")
+    return {
+        "weights": [float(w) for w in doc["weights"]],
+        "intercept": float(doc["intercept"]),
+        "dim": int(doc["dim"]),
+    }
+
+
 def classifier_scores(
     docs: DataFrame,
     model: dict,

@@ -49,6 +49,8 @@ def curate_corpus(
     token_budgets: dict[str, int] | None = None,
     temperature_alpha: float | None = None,
     perplexity_head_q: float | None = None,
+    decontaminate_benchmark: DataFrame | None = None,
+    decontaminate_n: int = 13,
     span_k: int = 8,
     jaccard_threshold: float = 0.5,
     pack_budget: int = 2048,
@@ -74,6 +76,11 @@ def curate_corpus(
     bits/token distribution (Wenzek et al. 2020's per-language head split
     — quantile-based, so it transfers across corpus scales where an
     absolute threshold does not).
+
+    ``decontaminate_benchmark`` adds GPT-3 §C surgical benchmark
+    decontamination after the span scrub (before near-dup): spans
+    colliding with the benchmark's ``decontaminate_n``-gram set are
+    removed from the surviving documents rather than dropping them.
     """
     if sum(x is not None and x != {} for x in (mixture_weights, token_budgets, temperature_alpha)) > 1:
         raise ValueError(
@@ -116,6 +123,22 @@ def curate_corpus(
         strip_duplicated_spans(gated, id_col, text_col, k=span_k),
         scope="curation.curate_corpus.scrubbed",
     )
+
+    # 2.5 (optional). Benchmark span decontamination over the scrubbed
+    # survivors: broadcast benchmark n-grams, surgical span removal
+    # (corpus bytes never shuffle on the match side).
+    if decontaminate_benchmark is not None:
+        from restructure_hdfs_topic_spark.operators.dedup import (
+            decontaminate_spans,
+        )
+
+        scrubbed = scoped_persist(
+            decontaminate_spans(
+                scrubbed, decontaminate_benchmark, id_col, text_col,
+                n=decontaminate_n,
+            ),
+            scope="curation.curate_corpus.decontaminated",
+        )
 
     # 3. Near-dup drop: for each verified pair (id_a < id_b) drop id_b —
     # keep-first guarantees one survivor per duplicate cluster.  The drop

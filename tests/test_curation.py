@@ -295,3 +295,25 @@ def test_curate_corpus_perplexity_stage(spark):
     assert ids_l < ids_b and ids_l
     assert len(ids_l) < 0.6 * len(ids_b)  # the head-third gate bites
     assert lm.columns == base.columns
+
+
+def test_curate_corpus_decontaminate_stage(spark):
+    """decontaminate_benchmark removes benchmark-colliding spans from the
+    surviving documents: token totals shrink for hit docs, the id set
+    does NOT (surgical removal, not document drops)."""
+    from pyspark.sql import functions as F
+
+    from restructure_hdfs_topic_spark.plans.curation import curate_corpus
+    from restructure_hdfs_topic_spark.sources.tables import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.01", "documents")
+    bench = docs.filter(F.col("doc_id") % 97 == 0).select("doc_id", "text")
+    base = curate_corpus(docs)
+    dec = curate_corpus(docs, decontaminate_benchmark=bench, decontaminate_n=5)
+    t_base = {r["doc_id"]: r["n_tokens"] for r in base.collect()}
+    t_dec = {r["doc_id"]: r["n_tokens"] for r in dec.collect()}
+    # Decontamination changes token counts for some surviving docs but is
+    # never allowed to ADD tokens.
+    changed = [i for i in t_dec if i in t_base and t_dec[i] < t_base[i]]
+    assert changed
+    assert all(t_dec[i] <= t_base[i] for i in t_dec if i in t_base)
