@@ -63,6 +63,7 @@ def learn_bpe(
     text_col: str = "text",
     min_pair_count: int = 2,
     max_vocab: int = 1_000_000,
+    word_end_marker: str | None = None,
 ) -> list[tuple[str, str]]:
     """Learn ``n_merges`` BPE merges from the corpus; returns them in
     application order.  Deterministic: ties break by pair lexicographic
@@ -72,7 +73,7 @@ def learn_bpe(
     reaches ``min_pair_count`` — merging hapax pairs only memorizes the
     corpus."""
     return learn_bpe_with_vocab(
-        docs, n_merges, text_col, min_pair_count, max_vocab
+        docs, n_merges, text_col, min_pair_count, max_vocab, word_end_marker
     )[0]
 
 
@@ -82,6 +83,7 @@ def learn_bpe_with_vocab(
     text_col: str = "text",
     min_pair_count: int = 2,
     max_vocab: int = 1_000_000,
+    word_end_marker: str | None = None,
 ) -> tuple[list[tuple[str, str]], dict[str, list[str]]]:
     """``learn_bpe`` plus the learner's own final word → pieces table.
 
@@ -93,7 +95,16 @@ def learn_bpe_with_vocab(
     lowest-rank-first scan the encoder performs produce the same pieces;
     pinned by test).  Returning it costs nothing and lets ``bpe_encode``
     broadcast it, so encoding the training corpus never re-derives a word
-    (VERDICT r6 #5)."""
+    (VERDICT r6 #5).
+
+    ``word_end_marker`` (opt-in) is Sennrich et al. 2016's actual
+    formulation: every word's initial piece sequence ends with the marker
+    symbol (e.g. ``"</w>"``), so merges can capture word-final units and
+    — crucially — the encoded stream becomes LOSSLESSLY DECODABLE
+    (``bpe_decode``): word boundaries survive inside the tokens instead
+    of being erased by concatenation.  The marker must not occur in the
+    corpus text.  Default None keeps the markerless behavior (and every
+    recorded digest) bit-identical."""
     import heapq
     import logging
 
@@ -105,7 +116,10 @@ def learn_bpe_with_vocab(
         )
         rows = rows[:max_vocab]
 
-    words: list[list[str]] = [list(r["word"]) for r in rows]
+    words: list[list[str]] = [
+        list(r["word"]) + ([word_end_marker] if word_end_marker else [])
+        for r in rows
+    ]
     counts: list[int] = [r["cnt"] for r in rows]
 
     # Incremental pair bookkeeping (the subword-nmt optimization): a merge
@@ -171,9 +185,13 @@ def learn_bpe_with_vocab(
     return merges, vocab
 
 
-def _encode_word(word: str, ranks: dict[tuple[str, str], int]) -> list[str]:
+def _encode_word(
+    word: str,
+    ranks: dict[tuple[str, str], int],
+    word_end_marker: str | None = None,
+) -> list[str]:
     """Classic greedy BPE: repeatedly merge the best-ranked adjacent pair."""
-    pieces = list(word)
+    pieces = list(word) + ([word_end_marker] if word_end_marker else [])
     while len(pieces) > 1:
         best_rank, best_i = None, -1
         for i, pair in enumerate(zip(pieces, pieces[1:])):
@@ -192,6 +210,7 @@ def bpe_encode(
     id_col: str = "doc_id",
     text_col: str = "text",
     word_tokens: dict[str, list[str]] | None = None,
+    word_end_marker: str | None = None,
 ) -> DataFrame:
     """Encode every document with a learned merge list: ``(id, tokens
     array<string>, n_tokens)``.  Tokens concatenate back to the
@@ -224,7 +243,7 @@ def bpe_encode(
                     if toks is None:
                         toks = cache.get(w)
                         if toks is None:
-                            toks = _encode_word(w, ranks)
+                            toks = _encode_word(w, ranks, word_end_marker)
                             cache[w] = toks
                     out.extend(toks)
             return out
@@ -286,3 +305,28 @@ def load_bpe(
         raise ValueError(f"{path}: not a bpe/v1 artifact")
     merges = [tuple(m) for m in doc["merges"]]
     return merges, doc.get("word_tokens")
+
+
+def bpe_decode(
+    encoded: DataFrame,
+    word_end_marker: str,
+    tokens_col: str = "tokens",
+    out_col: str = "text",
+) -> DataFrame:
+    """Invert a MARKER-mode encoding: concatenate the pieces and split on
+    the end-of-word marker — the encoded stream round-trips to the
+    whitespace-normalized source text exactly (``" ".join(text.split())``;
+    only marker-mode encodings are decodable, see ``learn_bpe_with_vocab``).
+    Pure JVM string ops, no shuffle."""
+    import re as _re
+
+    from pyspark.sql import functions as F
+
+    if not word_end_marker:
+        raise ValueError("bpe_decode requires the word_end_marker used at encode time")
+    joined = F.array_join(F.col(tokens_col), "")
+    words = F.filter(
+        F.split(joined, _re.escape(word_end_marker)),
+        lambda w: w != F.lit(""),
+    )
+    return encoded.withColumn(out_col, F.array_join(words, " "))

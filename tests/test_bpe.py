@@ -181,3 +181,37 @@ def test_bpe_encode_with_and_without_vocab_identical(spark):
             for r in bpe_encode(frame, merges, word_tokens=vocab).collect()
         }
         assert a == b
+
+
+def test_marker_mode_round_trips(spark):
+    """word_end_marker (Sennrich's actual formulation): the encoded stream
+    decodes back to the whitespace-normalized text EXACTLY; learner vocab
+    and fresh encoding agree in marker mode; markerless behavior is
+    untouched (same merges as before for marker=None)."""
+    from restructure_hdfs_topic_spark.operators.bpe import (
+        bpe_decode,
+        bpe_encode,
+        learn_bpe_with_vocab,
+    )
+
+    rows = [
+        (1, "low lower lowest  newer newest"),
+        (2, "wide wider widest low low low"),
+        (3, "  spaced\tout tokens "),
+        (4, None),
+        (5, ""),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    merges, vocab = learn_bpe_with_vocab(docs, n_merges=20, word_end_marker="</w>")
+    assert any("</w>" in a + b for a, b in merges)  # word-final units learned
+
+    enc_fresh = bpe_encode(docs, merges, word_end_marker="</w>")
+    enc_vocab = bpe_encode(docs, merges, word_tokens=vocab, word_end_marker="</w>")
+    a = sorted((r["id"], tuple(r["tokens"])) for r in enc_fresh.collect())
+    b = sorted((r["id"], tuple(r["tokens"])) for r in enc_vocab.collect())
+    assert a == b
+
+    got = {r["id"]: r["text"] for r in bpe_decode(enc_fresh, "</w>").collect()}
+    for doc_id, text in rows:
+        want = " ".join((text or "").split())
+        assert got[doc_id] == want, (doc_id, got[doc_id], want)
