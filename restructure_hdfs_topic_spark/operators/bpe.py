@@ -26,7 +26,10 @@ Spark-first split of the work:
   rate is the duplicate word rate), no JVM<->Python chatter beyond the
   batch stream.
 
-No end-of-word marker is used: token concatenation reproduces the word
+By default no end-of-word marker is used (token concatenation reproduces
+the word byte-for-byte); the opt-in ``word_end_marker`` mode embeds a
+boundary symbol so the stream decodes losslessly — see
+``learn_bpe_with_vocab``/``bpe_decode``.  Markerless: the word
 byte-for-byte, which keeps the oracle story trivial
 (``concat(tokens) == word``) and matches byte-level BPE practice of
 handling word boundaries in the pre-tokenizer, not the vocab.
@@ -116,6 +119,16 @@ def learn_bpe_with_vocab(
         )
         rows = rows[:max_vocab]
 
+    if word_end_marker:
+        # The documented precondition, ENFORCED: a corpus word containing
+        # the marker substring would decode fractured mid-word — the rows
+        # are already on the driver, so the scan is free.
+        for r in rows:
+            if word_end_marker in r["word"]:
+                raise ValueError(
+                    f"word_end_marker {word_end_marker!r} occurs in corpus "
+                    f"word {r['word']!r}; pick a marker absent from the text"
+                )
     words: list[list[str]] = [
         list(r["word"]) + ([word_end_marker] if word_end_marker else [])
         for r in rows
@@ -214,7 +227,9 @@ def bpe_encode(
 ) -> DataFrame:
     """Encode every document with a learned merge list: ``(id, tokens
     array<string>, n_tokens)``.  Tokens concatenate back to the
-    whitespace-split words exactly (no markers).  One Arrow crossing; a
+    whitespace-split words exactly when ``word_end_marker`` is None (in
+    marker mode each word's tokens end with the marker — losslessly
+    decodable via ``bpe_decode``).  One Arrow crossing; a
     per-task cache encodes each distinct word once per task (Zipf does the
     rest).  NULL text encodes to an empty token array.
 
@@ -224,6 +239,19 @@ def bpe_encode(
     EVERY task instead of once per task, and the Python merge loop runs
     only for words outside the learned vocabulary (VERDICT r6 #5)."""
     ranks = {tuple(p): i for i, p in enumerate(merges)}
+    if word_tokens:
+        # Mode-consistency gate: a vocab built with a DIFFERENT marker
+        # setting would mix marker-suffixed (in-vocab) and markerless
+        # (out-of-vocab) encodings with no error anywhere downstream —
+        # concat of each word's pieces must equal word + (marker or '').
+        suffix = word_end_marker or ""
+        for w, pieces in word_tokens.items():
+            if "".join(pieces) != w + suffix:
+                raise ValueError(
+                    f"word_tokens were built with a different "
+                    f"word_end_marker (word {w!r} -> pieces {pieces!r}, "
+                    f"expected concat {w + suffix!r})"
+                )
     id_type = docs.schema[id_col].dataType.simpleString()
     bc = (
         docs.sparkSession.sparkContext.broadcast(word_tokens)
@@ -243,6 +271,12 @@ def bpe_encode(
                     if toks is None:
                         toks = cache.get(w)
                         if toks is None:
+                            if word_end_marker and word_end_marker in w:
+                                raise ValueError(
+                                    f"word_end_marker occurs in corpus "
+                                    f"word {w!r}; encoding would not be "
+                                    f"decodable"
+                                )
                             toks = _encode_word(w, ranks, word_end_marker)
                             cache[w] = toks
                     out.extend(toks)
@@ -268,6 +302,7 @@ def save_bpe(
     merges: list[tuple[str, str]],
     word_tokens: dict[str, list[str]] | None = None,
     spark=None,
+    word_end_marker: str | None = None,
 ) -> None:
     """Persist a learned tokenizer as ONE JSON artifact (merges in
     application order + optionally the learner's word → pieces table) —
@@ -283,6 +318,7 @@ def save_bpe(
             "format": "restructure_hdfs_topic_spark/bpe/v1",
             "merges": [list(m) for m in merges],
             "word_tokens": word_tokens,
+            "word_end_marker": word_end_marker,
         },
         ensure_ascii=False,
     ).encode("utf-8")
@@ -293,9 +329,12 @@ def save_bpe(
 
 def load_bpe(
     path: str, spark=None
-) -> tuple[list[tuple[str, str]], dict[str, list[str]] | None]:
-    """Load a ``save_bpe`` artifact back as ``(merges, word_tokens)`` —
-    round-trips exactly (merge order, piece lists, unicode)."""
+) -> tuple[list[tuple[str, str]], dict[str, list[str]] | None, str | None]:
+    """Load a ``save_bpe`` artifact back as ``(merges, word_tokens,
+    word_end_marker)`` — round-trips exactly (merge order, piece lists,
+    unicode, marker mode).  Carrying the marker in the artifact is what
+    stops a scoring job from silently mixing modes: pass the returned
+    marker straight to ``bpe_encode``."""
     import json
 
     from restructure_hdfs_topic_spark.compression import read_small_file
@@ -304,7 +343,7 @@ def load_bpe(
     if doc.get("format") != "restructure_hdfs_topic_spark/bpe/v1":
         raise ValueError(f"{path}: not a bpe/v1 artifact")
     merges = [tuple(m) for m in doc["merges"]]
-    return merges, doc.get("word_tokens")
+    return merges, doc.get("word_tokens"), doc.get("word_end_marker")
 
 
 def bpe_decode(

@@ -90,13 +90,19 @@ def load_classifier(path: str, spark=None) -> dict:
     doc = json.loads(read_small_file(path, spark=spark).decode("utf-8"))
     if doc.get("format") != "restructure_hdfs_topic_spark/quality-clf/v1":
         raise ValueError(f"{path}: not a quality-clf/v1 artifact")
-    if len(doc.get("weights", [])) != int(doc.get("dim", -1)):
-        raise ValueError(f"{path}: weights length != dim")
-    return {
-        "weights": [float(w) for w in doc["weights"]],
-        "intercept": float(doc["intercept"]),
-        "dim": int(doc["dim"]),
-    }
+    try:
+        model = {
+            "weights": [float(w) for w in doc["weights"]],
+            "intercept": float(doc["intercept"]),
+            "dim": int(doc["dim"]),
+        }
+    except (KeyError, TypeError) as exc:
+        # Truncated/hand-edited artifacts must surface as the documented
+        # ValueError, not a KeyError/TypeError callers will not catch.
+        raise ValueError(f"{path}: malformed quality-clf artifact: {exc}") from exc
+    if model["dim"] < 1 or len(model["weights"]) != model["dim"]:
+        raise ValueError(f"{path}: weights length != dim (or dim < 1)")
+    return model
 
 
 def classifier_scores(

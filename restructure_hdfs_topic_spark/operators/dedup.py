@@ -1341,18 +1341,23 @@ def contaminated_spans(
     if margin < 0:
         raise ValueError("margin must be >= 0")
 
+    toks_expr = F.filter(
+        F.split(F.lower(F.coalesce(F.col(text_col), F.lit(""))), r"\s+"),
+        lambda t: t != F.lit(""),
+    )
+
     def positional_shingles(df: DataFrame) -> DataFrame:
-        toks = F.filter(
-            F.split(F.lower(F.coalesce(F.col(text_col), F.lit(""))), r"\s+"),
-            lambda t: t != F.lit(""),
-        )
-        toked = df.select(F.col(id_col).alias("id"), toks.alias("toks"))
+        toked = df.select(F.col(id_col).alias("id"), toks_expr.alias("toks"))
         return toked.select(
             "id", F.posexplode(ngrams_from(F.col("toks"), n)).alias("idx", "shingle")
         )
 
+    # The benchmark side needs ONLY text_col (its ids are discarded after
+    # the distinct) — eval sets naturally arrive as bare text frames.
     bench = (
-        positional_shingles(benchmark).select("shingle").distinct()
+        benchmark.select(toks_expr.alias("toks"))
+        .select(F.explode(ngrams_from(F.col("toks"), n)).alias("shingle"))
+        .distinct()
     )
     hits = (
         positional_shingles(corpus)

@@ -48,12 +48,12 @@ def curate_corpus(
     mixture_weights: dict[str, int] | None = None,
     token_budgets: dict[str, int] | None = None,
     temperature_alpha: float | None = None,
-    perplexity_head_q: float | None = None,
-    decontaminate_benchmark: DataFrame | None = None,
-    decontaminate_n: int = 13,
     span_k: int = 8,
     jaccard_threshold: float = 0.5,
     pack_budget: int = 2048,
+    perplexity_head_q: float | None = None,
+    decontaminate_benchmark: DataFrame | None = None,
+    decontaminate_n: int = 13,
 ) -> DataFrame:
     """The full curation chain as ONE composed DataFrame.
 
@@ -81,6 +81,13 @@ def curate_corpus(
     decontamination after the span scrub (before near-dup): spans
     colliding with the benchmark's ``decontaminate_n``-gram set are
     removed from the surviving documents rather than dropping them.
+    The benchmark frame needs only a ``text_col`` column.
+
+    Laziness caveat: ``perplexity_head_q`` is the one option that runs a
+    job EAGERLY inside this call — its quantile boundaries come from a
+    ``percentile_approx`` collect, which executes the gate + LM-scoring
+    prefix at plan-construction time (the scored join is scope-persisted,
+    so the work is not repeated when the returned plan runs).
     """
     if sum(x is not None and x != {} for x in (mixture_weights, token_budgets, temperature_alpha)) > 1:
         raise ValueError(

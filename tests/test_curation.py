@@ -292,8 +292,11 @@ def test_curate_corpus_perplexity_stage(spark):
     lm = curate_corpus(docs, perplexity_head_q=1 / 3)
     ids_b = {r["doc_id"] for r in base.select("doc_id").collect()}
     ids_l = {r["doc_id"] for r in lm.select("doc_id").collect()}
-    assert ids_l < ids_b and ids_l
-    assert len(ids_l) < 0.6 * len(ids_b)  # the head-third gate bites
+    # NOT a strict-subset assert: the LM gate interacts with the
+    # keep-first near-dup drop (removing a pair's keep-first survivor can
+    # let its partner through), so only the attrition magnitude is an
+    # invariant of the pipeline.
+    assert ids_l and len(ids_l) < 0.6 * len(ids_b)
     assert lm.columns == base.columns
 
 

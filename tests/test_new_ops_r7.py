@@ -765,14 +765,14 @@ def test_bpe_artifact_round_trip(spark, tmp_path):
 
     local = str(tmp_path / "bpe.json")
     save_bpe(local, merges, vocab)
-    m2, v2 = load_bpe(local)
-    assert m2 == merges and v2 == vocab
+    m2, v2, mk2 = load_bpe(local)
+    assert m2 == merges and v2 == vocab and mk2 is None
 
     # URI path exercises the Hadoop stream plumbing (file:// = same py4j
     # code path as hdfs://).
     uri = f"file://{tmp_path}/bpe_remote.json"
     save_bpe(uri, merges, vocab, spark=spark)
-    m3, v3 = load_bpe(uri, spark=spark)
+    m3, v3, _ = load_bpe(uri, spark=spark)
     assert m3 == merges and v3 == vocab
 
     a = sorted(
