@@ -232,3 +232,70 @@ def streaming_dedup_documents(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def streaming_curation_sink(
+    state_dir: str,
+    accepted_path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    from_html: bool = True,
+    classifier_model: dict | None = None,
+    classifier_threshold: float = 0.5,
+):
+    """Streaming CURATION as a ``foreachBatch`` sink body — the full
+    "crawl stream in, training rows out" product path, per micro-batch:
+
+        strip_html → Gopher quality gate → (optional) classifier gate →
+        incremental exact dedup vs the committed fingerprint store →
+        append survivors to ``accepted_path``
+
+    Stateless stages (HTML extraction, quality gates) run as ordinary
+    codegen/Arrow transformations on the micro-batch; the only cross-batch
+    state is the dedup fingerprint store, carried by ``ingest_batch``'s
+    commit-after-store protocol — so delivery semantics are exactly the
+    streaming-dedup sink's (exactly-once on state, at-least-once on the
+    parquet sink, replays filter to zero).  Every stage is the SAME tested
+    batch operator; this function only composes them under the stream.
+
+        stream.writeStream.foreachBatch(
+            streaming_curation_sink(state, out)
+        ).option("checkpointLocation", ckpt).start()
+    """
+    from pyspark.sql import functions as F
+
+    from restructure_hdfs_topic_spark.functions.text import (
+        gopher_metrics,
+        gopher_passes,
+        strip_html,
+    )
+    from restructure_hdfs_topic_spark.operators.incremental import ingest_batch
+
+    def body(batch_df: DataFrame, batch_id: int) -> None:
+        df = batch_df
+        if from_html:
+            df = df.withColumn(text_col, strip_html(F.col(text_col)))
+        metrics = gopher_metrics(F.col(text_col))
+        df = (
+            df.select(*df.columns, *[c.alias(n) for n, c in metrics])
+            .filter(gopher_passes(*[F.col(n) for n, _ in metrics]))
+            .select(*df.columns)
+        )
+        if classifier_model is not None:
+            from restructure_hdfs_topic_spark.operators.classifier import (
+                quality_classifier_gate,
+            )
+
+            df = quality_classifier_gate(
+                df, classifier_model, classifier_threshold, id_col, text_col
+            ).drop("score")
+        ingest_batch(
+            batch_df.sparkSession,
+            state_dir,
+            df,
+            lambda accepted: accepted.write.mode("append").parquet(accepted_path),
+            id_col=id_col,
+            text_col=text_col,
+        )
+
+    return body

@@ -329,3 +329,70 @@ def test_streaming_near_dup_suppression(spark, tmp_path):
     run_once()
     got = sorted(r["doc_id"] for r in spark.read.parquet(out).collect())
     assert got == [1, 3]  # no duplicates appended on full replay
+
+
+def test_streaming_curation_sink_e2e(spark, tmp_path):
+    """The full streaming product path: HTML micro-batches in → stripped,
+    Gopher-gated, cross-batch-deduped rows out, fingerprint state in the
+    shared versioned store (wiped-checkpoint replay appends nothing)."""
+    from restructure_hdfs_topic_spark.streaming.stateful import (
+        streaming_curation_sink,
+    )
+
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "accepted")
+    state = str(tmp_path / "fpstate")
+    schema = "doc_id long, text string"
+
+    good_body = (
+        "the quick brown fox jumps over the lazy dog and keeps running "
+        "through the quiet field while morning light settles on the farm "
+        "buildings and the river bends away toward the distant hills again "
+        "with steady water and soft wind that carries the smell of rain "
+        "while a small boat drifts past the old stone bridge and children "
+        "wave from the bank as the ferryman turns slowly toward the dock"
+    )
+    good = f"<html><script>var x=1;</script><p>{good_body}</p></html>"
+    junk = "<html><p>$$$ ### !!!</p></html>"  # fails the Gopher gate
+
+    def run_once():
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(f"{src}/f*")
+        )
+        q = (
+            stream.writeStream.foreachBatch(
+                streaming_curation_sink(state, out)
+            )
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+
+    spark.createDataFrame([(1, good), (2, junk)], schema).coalesce(1).write.parquet(
+        f"{src}/f0"
+    )
+    run_once()
+    rows = spark.read.parquet(out).collect()
+    assert {r["doc_id"] for r in rows} == {1}  # junk gated out
+    # HTML stripped by the sink: tags/script gone, body text intact.
+    assert rows[0]["text"] == good_body
+
+    # Batch 2: an exact duplicate of doc 1's html (new id) + a novel doc.
+    good2_body = good_body.replace("fox", "hare").replace("river", "valley")
+    spark.createDataFrame(
+        [(3, good), (4, f"<html><p>{good2_body}</p></html>")], schema
+    ).coalesce(1).write.parquet(f"{src}/f1")
+    run_once()
+    got = {r["doc_id"] for r in spark.read.parquet(out).collect()}
+    assert got == {1, 4}  # duplicate 3 suppressed ACROSS batches
+
+    # Wiped checkpoint: the shared fingerprint store still filters all.
+    import shutil
+
+    shutil.rmtree(ckpt)
+    run_once()
+    assert sorted(r["doc_id"] for r in spark.read.parquet(out).collect()) == [1, 4]
