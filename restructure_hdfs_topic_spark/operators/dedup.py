@@ -461,56 +461,37 @@ def ngram_jaccard_pairs(
     )
 
 
-def simhash_near_dup_pairs(
-    df: DataFrame,
-    id_col: str,
-    text_col: str,
-    bits: int = 32,
-    max_hamming: int = 3,
-    bands: int | None = None,
-    dedup: bool = True,
-) -> DataFrame:
-    """SimHash near-duplicate pairs with Hamming distance ≤ ``max_hamming``
-    — EXACT result via pigeonhole banding: split the fingerprint into
-    ``max_hamming + 1`` bit-bands; any pair within distance k must agree
-    exactly on at least one band, so a band-equality join generates a
-    candidate superset and ``bit_count(xor)`` verifies.  Unlike MinHash-LSH
-    this loses no pairs: same output as the O(n²) all-pairs scan, but the
-    shuffle key is (band, band bits) — bounded buckets, no cross join.
-
-    Returns (id_a, id_b, hamming) with id_a < id_b.  ``dedup=False`` skips
-    the final distinct (a pair agreeing in several bands appears once per
-    band) — one full shuffle saved for consumers that absorb duplicates
-    anyway (connected components' groupBy-min / contraction).
-    """
+def _band_layout(bits: int, max_hamming: int, bands: int | None) -> tuple[list[int], list[int]]:
+    """(starts, widths) of the pigeonhole bit-bands.  Pigeonhole needs only
+    SOME partition into ``bands`` bands; widths may be uneven (first
+    ``bits % bands`` bands get one extra bit)."""
     bands = bands or (max_hamming + 1)
     if bands > bits:
         raise ValueError(f"bands={bands} exceeds bits={bits}")
-    # Pigeonhole needs only SOME partition into ``bands`` bands; widths may
-    # be uneven (first ``bits % bands`` bands get one extra bit).
     base, extra = divmod(bits, bands)
     starts, pos = [], 0
     for b in range(bands):
         starts.append(pos)
         pos += base + (1 if b < extra else 0)
     widths = [starts[b + 1] - starts[b] if b + 1 < bands else bits - starts[b] for b in range(bands)]
-    # One (id, simhash) row per document feeds both join sides — persist so
-    # the interpreted bit-vote folds run once, not once per side.  Scoped:
-    # one live cache generation across repeated calls.
-    from restructure_hdfs_topic_spark.caching import scoped_persist
+    return starts, widths
 
-    sims = scoped_persist(
-        simhash(df, id_col, text_col, bits), scope="dedup.simhash_pairs.sims"
-    )
-    banded = sims.select(
+
+def _banded(fp: DataFrame, hash_col: str, starts: list[int], widths: list[int]) -> DataFrame:
+    """Explode (id, hash) into one row per pigeonhole band: (id, hash,
+    band, key).  ``shiftrightunsigned`` so a 64-bit fingerprint stored in
+    a signed long (top bit set → negative) bands correctly — arithmetic
+    shift would smear the sign bit across every band key."""
+    bands = len(starts)
+    return fp.select(
         "id",
-        "simhash",
+        hash_col,
         F.explode(
             F.array(
                 *[
                     F.struct(
                         F.lit(b).alias("band"),
-                        F.shiftright("simhash", starts[b])
+                        F.shiftrightunsigned(hash_col, starts[b])
                         .bitwiseAND(F.lit((1 << widths[b]) - 1))
                         .alias("key"),
                     )
@@ -518,10 +499,44 @@ def simhash_near_dup_pairs(
                 ]
             )
         ).alias("bk"),
-    ).select("id", "simhash", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    ).select("id", hash_col, F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+
+
+def hamming_near_dup_pairs(
+    hashed: DataFrame,
+    id_col: str = "id",
+    hash_col: str = "fingerprint",
+    bits: int = 64,
+    max_hamming: int = 3,
+    bands: int | None = None,
+    dedup: bool = True,
+) -> DataFrame:
+    """Near-duplicate pairs of any integer fingerprint column with Hamming
+    distance ≤ ``max_hamming`` — EXACT result via pigeonhole banding:
+    split the fingerprint into ``max_hamming + 1`` bit-bands; any pair
+    within distance k must agree exactly on at least one band, so a
+    band-equality join generates a candidate superset and
+    ``bit_count(xor)`` verifies.  Unlike MinHash-LSH this loses no pairs:
+    same output as the O(n²) all-pairs scan, but the shuffle key is
+    (band, band bits) — bounded buckets, no cross join.  Shared machinery
+    for SimHash text fingerprints and perceptual image hashes (dHash).
+
+    ``hashed`` must carry one row per item; NULL fingerprints (e.g. an
+    undecodable image) are dropped — they can match nothing.
+
+    Returns (id_a, id_b, hamming) with id_a < id_b.  ``dedup=False`` skips
+    the final distinct (a pair agreeing in several bands appears once per
+    band) — one full shuffle saved for consumers that absorb duplicates
+    anyway (connected components' groupBy-min / contraction).
+    """
+    starts, widths = _band_layout(bits, max_hamming, bands)
+    fp = hashed.select(
+        F.col(id_col).alias("id"), F.col(hash_col).alias("fp")
+    ).filter(F.col("fp").isNotNull())
+    banded = _banded(fp, "fp", starts, widths)
     left = banded.alias("l")
     right = banded.alias("r")
-    ham = F.bit_count(F.col("l.simhash").bitwiseXOR(F.col("r.simhash"))).cast("bigint")
+    ham = F.bit_count(F.col("l.fp").bitwiseXOR(F.col("r.fp"))).cast("bigint")
     # Verify (cheap bit_count on the joined row) BEFORE the distinct: the
     # Hamming filter drops most candidates map-side, so the dedup shuffle
     # (a pair can match in several bands) carries only surviving pairs.
@@ -544,6 +559,40 @@ def simhash_near_dup_pairs(
     # A pair matching in several bands carries the identical hamming —
     # dedup on the 2-long key, not the full row.
     return verified.dropDuplicates(["id_a", "id_b"]).select("id_a", "id_b", "hamming")
+
+
+def simhash_near_dup_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    bits: int = 32,
+    max_hamming: int = 3,
+    bands: int | None = None,
+    dedup: bool = True,
+) -> DataFrame:
+    """SimHash near-duplicate pairs with Hamming distance ≤ ``max_hamming``
+    — the pigeonhole banding of ``hamming_near_dup_pairs`` over the
+    ``simhash`` fingerprint (see both docstrings for exactness).
+
+    Returns (id_a, id_b, hamming) with id_a < id_b.
+    """
+    # One (id, simhash) row per document feeds both join sides — persist so
+    # the interpreted bit-vote folds run once, not once per side.  Scoped:
+    # one live cache generation across repeated calls.
+    from restructure_hdfs_topic_spark.caching import scoped_persist
+
+    sims = scoped_persist(
+        simhash(df, id_col, text_col, bits), scope="dedup.simhash_pairs.sims"
+    )
+    return hamming_near_dup_pairs(
+        sims,
+        id_col="id",
+        hash_col="simhash",
+        bits=bits,
+        max_hamming=max_hamming,
+        bands=bands,
+        dedup=dedup,
+    )
 
 
 def _popcount64(a):
@@ -587,38 +636,11 @@ def simhash_component_edges(
     """
     import pandas as pd
 
-    bands = bands or (max_hamming + 1)
-    if bands > bits:
-        raise ValueError(f"bands={bands} exceeds bits={bits}")
-    base, extra = divmod(bits, bands)
-    starts, pos = [], 0
-    for b in range(bands):
-        starts.append(pos)
-        pos += base + (1 if b < extra else 0)
-    widths = [
-        starts[b + 1] - starts[b] if b + 1 < bands else bits - starts[b]
-        for b in range(bands)
-    ]
+    starts, widths = _band_layout(bits, max_hamming, bands)
     # Single consumer — no persist needed (the grouping consumes the
     # fingerprints exactly once; CC eager-checkpoints the edge output).
     sims = simhash(df, id_col, text_col, bits)
-    banded = sims.select(
-        "id",
-        "simhash",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.shiftright("simhash", starts[b])
-                        .bitwiseAND(F.lit((1 << widths[b]) - 1))
-                        .alias("key"),
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("bk"),
-    ).select("id", "simhash", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    banded = _banded(sims, "simhash", starts, widths)
 
     def local_cc(pdf: pd.DataFrame) -> pd.DataFrame:
         import numpy as np
