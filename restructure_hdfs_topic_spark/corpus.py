@@ -133,11 +133,15 @@ class Corpus:
             strip_duplicated_spans(self.df, self.id_col, self.text_col, k=k)
         )
 
-    def dedup_by_url(self, url_col: str = "url", keep: str = "min") -> "Corpus":
+    def dedup_by_url(
+        self, url_col: str = "url", keep: str = "min", extra_tracking: tuple = ()
+    ) -> "Corpus":
         """URL-level dedup (RefinedWeb stage 1): one doc per canonical URL."""
         from restructure_hdfs_topic_spark.operators.dedup import dedup_by_url
 
-        return self._wrap(dedup_by_url(self.df, self.id_col, url_col, keep))
+        return self._wrap(
+            dedup_by_url(self.df, self.id_col, url_col, keep, extra_tracking)
+        )
 
     def strip_duplicated_unit_spans(self, sep: str = "\n", k: int = 3) -> "Corpus":
         """C4-style corpus-global k-unit span dedup (three-sentence rule)."""

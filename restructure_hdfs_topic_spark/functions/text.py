@@ -561,16 +561,26 @@ def strip_html(text: Column) -> Column:
 _URL_RE = r"https?://[\w\.\-]+(?::\d+)?(?:/[^\s]*)?"
 
 
-def canonical_url(url: Column) -> Column:
+def canonical_url(url: Column, extra_tracking: tuple = ()) -> Column:
     """Canonical form of ONE http(s) URL — the dedup key of URL-level
     corpus dedup (RefinedWeb's first dedup stage deduplicates by
     normalized URL before any content pass): drop the fragment, strip
-    tracking parameters (utm_*, fbclid/gclid/msclkid, bare ref), unify
-    the scheme to https, lowercase the host, strip a leading ``www.`` and
-    default ports, drop a trailing slash.  Pure JVM regexp chain
-    (RE2-portable patterns — no backreferences), no Python, no shuffle.
-    Non-URL input comes back trimmed but otherwise untouched."""
-    _TRACK = r"(utm_[A-Za-z]+|fbclid|gclid|msclkid|ref)=[^&#]*"
+    tracking parameters (utm_*, fbclid/gclid/msclkid), unify the scheme
+    to https, lowercase the host, strip a leading ``www.`` and default
+    ports, drop a trailing slash from a query-less path.  Pure JVM regexp
+    chain (RE2-portable; the one replacement backreference, ``$1``/``\\1``,
+    is RE2-legal in both Spark and DuckDB), no Python, no shuffle.
+    Non-URL input comes back trimmed but otherwise untouched.
+
+    Deliberately NOT stripped by default: bare ``ref=`` — it is a content
+    parameter on real sites (``github.com/r/tree?ref=branch`` names a
+    branch), so stripping it conflates distinct pages and URL dedup then
+    silently drops real documents.  Corpora where ``ref`` is known to be
+    a referrer tag can opt in via ``extra_tracking=("ref",)``.  The
+    trailing-slash strip is scoped to query-less URLs for the same
+    reason: ``?next=/home/`` and ``?next=/home`` are distinct values."""
+    names = ["utm_[A-Za-z]+", "fbclid", "gclid", "msclkid", *extra_tracking]
+    _TRACK = r"(" + "|".join(names) + r")=[^&#]*"
     u = F.trim(url)
     u = F.regexp_replace(u, r"#.*$", "")
     # Tracking params: '&p=v' drops with its separator; a LEADING '?p=v'
@@ -586,7 +596,10 @@ def canonical_url(url: Column) -> Column:
     host = F.regexp_replace(host, r"^www\.", "")
     host = F.regexp_replace(host, r":(80|443)$", "")
     rest = F.regexp_replace(u, r"^(?i)https?://[^/?#]*", "")
-    rest = F.regexp_replace(rest, r"/$", "")
+    # Trailing '/' is cosmetic only on a PATH — a '/' ending a query
+    # value is data ('?next=/home/' ≠ '?next=/home'), so strip it only
+    # when the remainder has no query part.
+    rest = F.regexp_replace(rest, r"^([^?]*)/$", "$1")
     return F.when(host != "", F.concat(F.lit("https://"), host, rest)).otherwise(u)
 
 

@@ -62,6 +62,12 @@ def decode_wav(payload: bytes):
         if len(body) < size:
             raise ValueError("truncated chunk")
         if cid == b"fmt ":
+            # A declared fmt size < 16 passes the body-length check above
+            # but would make unpack_from raise struct.error (NOT a
+            # ValueError) — normalize to the documented ValueError so
+            # callers' quarantine paths see one exception class.
+            if len(body) < 16:
+                raise ValueError("short fmt chunk")
             fmt = struct.unpack_from("<HHIIHH", body, 0)
         elif cid == b"data":
             data = body
@@ -209,6 +215,7 @@ def audio_fingerprints(
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
+            id_dtype = pdf[id_col].dtype
             ids, ts, hashes, statuses = [], [], [], []
             for mid, mime, payload in zip(
                 pdf[id_col], pdf[mime_col], pdf[payload_col]
@@ -221,7 +228,12 @@ def audio_fingerprints(
                 try:
                     _, mono = decode_wav(payload or b"")
                     fps = fingerprint_samples(mono)
-                except ValueError:
+                # Exception, not ValueError: one malformed payload in a
+                # scraped corpus must become a decode_status row, never a
+                # task failure — same quarantine contract as image_dhash
+                # (struct/numpy raise non-ValueError classes on hostile
+                # bytes even after decode_wav's own validation).
+                except Exception:
                     ids.append(mid), ts.append(None), hashes.append(None)
                     statuses.append("undecodable")
                     continue
@@ -234,16 +246,20 @@ def audio_fingerprints(
                     statuses.append("ok")
             yield pd.DataFrame(
                 {
-                    "media_id": pd.Series(ids, dtype="int64"),
+                    # id dtype follows the INPUT column (string / int /
+                    # ... ids all work) — a forced int64 cast failed deep
+                    # inside the Arrow kernel on non-integral ids.
+                    "media_id": pd.Series(ids, dtype=id_dtype),
                     "t": pd.Series(ts, dtype="Int64"),
                     "hash": pd.Series(hashes, dtype="Int64"),
                     "decode_status": statuses,
                 }
             )
 
+    id_type = media.schema[id_col].dataType.simpleString()
     return media.select(id_col, mime_col, payload_col).mapInPandas(
         batches,
-        schema="media_id long, t long, hash long, decode_status string",
+        schema=f"media_id {id_type}, t long, hash long, decode_status string",
     )
 
 

@@ -483,6 +483,15 @@ def _banded(fp: DataFrame, hash_col: str, starts: list[int], widths: list[int]) 
     a signed long (top bit set → negative) bands correctly — arithmetic
     shift would smear the sign bit across every band key."""
     bands = len(starts)
+
+    def _key(b: int) -> F.Column:
+        key = F.shiftrightunsigned(hash_col, starts[b])
+        # A full-width band (bands=1 at bits=64) needs no mask — and
+        # cannot have one: (1 << 64) - 1 overflows F.lit's long.
+        if widths[b] < 64:
+            key = key.bitwiseAND(F.lit((1 << widths[b]) - 1))
+        return key
+
     return fp.select(
         "id",
         hash_col,
@@ -491,9 +500,7 @@ def _banded(fp: DataFrame, hash_col: str, starts: list[int], widths: list[int]) 
                 *[
                     F.struct(
                         F.lit(b).alias("band"),
-                        F.shiftrightunsigned(hash_col, starts[b])
-                        .bitwiseAND(F.lit((1 << widths[b]) - 1))
-                        .alias("key"),
+                        _key(b).alias("key"),
                     )
                     for b in range(bands)
                 ]
@@ -1615,7 +1622,11 @@ def strip_duplicated_unit_spans(
 
 
 def dedup_by_url(
-    df: DataFrame, id_col: str, url_col: str, keep: str = "min"
+    df: DataFrame,
+    id_col: str,
+    url_col: str,
+    keep: str = "min",
+    extra_tracking: tuple = (),
 ) -> DataFrame:
     """URL-level corpus dedup — RefinedWeb's FIRST dedup stage (Penedo et
     al. 2023 run URL dedup before any content pass; re-crawls and mirror
@@ -1624,9 +1635,12 @@ def dedup_by_url(
     deterministic) or the highest (``keep="max"``, "latest crawl wins"
     when ids are crawl-ordered).
 
-    Scale shape: ONE shuffle on ``xxhash64(canonical_url)`` — an 8-byte
-    key, the URL string never shuffles — + a row_number window, the same
-    contract as ``exact_dedup``'s keyed flavor."""
+    Scale shape: ONE shuffle keyed by ``xxhash64(canonical_url)`` PLUS the
+    canonical string itself as a tiebreaker — the hash distributes, the
+    string disambiguates (at corpus scale — billions of URLs — expected
+    64-bit collisions reach O(1), and a collision without the tiebreaker
+    silently drops an unrelated document).  The window row carries the
+    whole document either way, so the extra key costs nothing."""
     from restructure_hdfs_topic_spark.functions.text import canonical_url
 
     if keep not in ("min", "max"):
@@ -1636,9 +1650,8 @@ def dedup_by_url(
     # constant, so without the disambiguator every url-less document
     # would share a partition and all but one would be dropped.
     null_key = F.when(F.col(url_col).isNull(), F.col(id_col)).otherwise(F.lit(0))
-    w = Window.partitionBy(
-        F.xxhash64(canonical_url(F.col(url_col))), null_key
-    ).orderBy(order)
+    canon = canonical_url(F.col(url_col), extra_tracking=extra_tracking)
+    w = Window.partitionBy(F.xxhash64(canon), canon, null_key).orderBy(order)
     return (
         df.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") == 1)

@@ -584,3 +584,106 @@ def test_commit_signatures_state_wins_and_deterministic(spark, tmp_path):
     assert got[2] == [20, 21]  # committed row wins
     assert got[3] == [30, 39]  # lexicographic min of the batch conflict
     assert got[1] == [10, 11]
+
+
+# --- ADVICE r7 regressions ---------------------------------------------------
+
+
+def test_audio_fingerprints_quarantines_short_fmt_chunk(spark):
+    """ADVICE r7 #1 (medium): a WAV whose 'fmt ' chunk declares size < 16
+    used to raise struct.error inside the Arrow kernel and fail the whole
+    task; the quarantine contract says it must become ONE decode_status
+    row instead."""
+    import struct
+
+    from restructure_hdfs_topic_spark.operators.audiofp import (
+        audio_fingerprints,
+        decode_wav,
+        wav_bytes,
+    )
+
+    # RIFF/WAVE with a 4-byte fmt body (declared size 4 < 16) + data chunk.
+    body = b"WAVE" + b"fmt " + struct.pack("<I", 4) + b"\x00" * 4
+    body += b"data" + struct.pack("<I", 2) + b"\x00\x00"
+    bad = b"RIFF" + struct.pack("<I", len(body)) + body
+    with pytest.raises(ValueError):
+        decode_wav(bad)
+
+    good = wav_bytes([0.0] * 4096 + [0.5, -0.5] * 4096, 8000)
+    df = spark.createDataFrame(
+        [(1, "audio/wav", bad), (2, "audio/wav", good)],
+        "media_id long, mime string, payload binary",
+    )
+    out = audio_fingerprints(df).collect()
+    st = {r["media_id"]: r["decode_status"] for r in out}
+    assert st[1] == "undecodable"
+    assert any(r["media_id"] == 2 and r["decode_status"] == "ok" for r in out)
+
+
+def test_audio_fingerprints_string_ids(spark):
+    """ADVICE r7 #5: the output id column follows the INPUT id type (a
+    hardcoded 'media_id long' schema failed opaquely on string ids)."""
+    from restructure_hdfs_topic_spark.operators.audiofp import (
+        audio_fingerprints,
+        wav_bytes,
+    )
+
+    wav = wav_bytes([0.6, -0.6] * 8192, 8000)
+    df = spark.createDataFrame(
+        [("doc-a", "audio/wav", wav), ("doc-b", "text/plain", b"x")],
+        "media_id string, mime string, payload binary",
+    )
+    out = audio_fingerprints(df)
+    assert dict(out.dtypes)["media_id"] == "string"
+    rows = out.collect()
+    assert {r["media_id"] for r in rows} == {"doc-a", "doc-b"}
+    assert any(r["media_id"] == "doc-a" and r["decode_status"] == "ok" for r in rows)
+
+
+def test_hamming_near_dup_single_full_width_band(spark):
+    """ADVICE r7 #4: bands=1 at bits=64 (exact fingerprint match) used to
+    overflow F.lit with a 2^64-1 mask; it must behave as an equality
+    join."""
+    from restructure_hdfs_topic_spark.operators.dedup import hamming_near_dup_pairs
+
+    # Include fingerprints with the top bit set (negative as signed long).
+    rows = [
+        (1, -(1 << 63) + 5),
+        (2, -(1 << 63) + 5),
+        (3, 7),
+        (4, 7),
+        (5, 9),
+    ]
+    df = spark.createDataFrame(rows, "id long, fingerprint long")
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in hamming_near_dup_pairs(
+            df, bits=64, max_hamming=0, bands=1
+        ).collect()
+    }
+    assert pairs == {(1, 2), (3, 4)}
+
+
+def test_dedup_by_url_window_keys_include_canonical_string(spark):
+    """ADVICE r7 #2: the keep-one window must partition by the canonical
+    URL STRING as well as its 64-bit hash — a hash collision between two
+    distinct URLs must not drop an unrelated document.  Collisions can't
+    be synthesized cheaply, so pin the plan: the Window partition spec
+    carries both the xxhash64 key and the string expression."""
+    from restructure_hdfs_topic_spark.operators.dedup import dedup_by_url
+
+    df = spark.createDataFrame(
+        [(1, "https://a.com/x"), (2, "https://a.com/x")], "doc_id long, url string"
+    )
+    out = dedup_by_url(df, "doc_id", "url")
+    # The window keys are pre-projected as _w0/_w1/_w2 aliases; assert the
+    # spec carries THREE partition keys (hash, canonical string, null
+    # disambiguator) and that the plan computes both the hash and the
+    # canonicalizing regexp chain that feed them.
+    plan = out._jdf.queryExecution().analyzed().toString()
+    window_lines = [ln for ln in plan.splitlines() if "windowspecdefinition" in ln]
+    assert window_lines, plan
+    assert "_w0" in window_lines[0] and "_w2" in window_lines[0], window_lines[0]
+    assert "xxhash64" in plan
+    assert "regexp_replace" in plan
+    assert [r["doc_id"] for r in out.collect()] == [1]

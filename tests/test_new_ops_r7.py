@@ -650,11 +650,27 @@ def test_canonical_url_semantics(spark):
         ("http://a.com/p?id=3&utm_source=x&b=2", "https://a.com/p?id=3&b=2"),
         ("http://a.com/p?utm_a=1&utm_b=2&c=3", "https://a.com/p?c=3"),
         ("not a url", "not a url"),
+        # ADVICE r7: a '/' ending a query VALUE is data — these two must
+        # stay distinct (the old unconditional trailing-slash strip
+        # canonicalized them identically).
+        ("https://a.com/x?next=/home/", "https://a.com/x?next=/home/"),
+        ("https://a.com/x?next=/home", "https://a.com/x?next=/home"),
+        # ADVICE r7: bare 'ref' is a content param on real sites — kept
+        # by default (opt-in strip via extra_tracking=("ref",)).
+        ("https://github.com/o/r/tree?ref=main", "https://github.com/o/r/tree?ref=main"),
     ]
     df = spark.createDataFrame([(i, u) for i, (u, _) in enumerate(cases)], "i long, u string")
     got = {r["i"]: r["c"] for r in df.select("i", canonical_url(F.col("u")).alias("c")).collect()}
     for i, (_, want) in enumerate(cases):
         assert got[i] == want, (i, got[i], want)
+    # Opt-in ref strip for corpora where ref IS a referrer tag.
+    one = spark.createDataFrame(
+        [("https://news.site.com/story?ref=twitter",)], "u string"
+    )
+    got_ref = one.select(
+        canonical_url(F.col("u"), extra_tracking=("ref",)).alias("c")
+    ).collect()[0]["c"]
+    assert got_ref == "https://news.site.com/story"
 
 
 def test_dedup_by_url(spark):
@@ -717,13 +733,13 @@ def test_canonical_url_duckdb_cross_check(spark):
                         SELECT doc_id, regexp_replace(u, '#.*$', '') AS u FROM u0
                     ), s2 AS (
                         SELECT doc_id, regexp_replace(u,
-                            '&(utm_[A-Za-z]+|fbclid|gclid|msclkid|ref)=[^&#]*', '', 'g') AS u
+                            '&(utm_[A-Za-z]+|fbclid|gclid|msclkid)=[^&#]*', '', 'g') AS u
                         FROM s1
                     ), s3 AS (
                         SELECT doc_id,
                                regexp_replace(regexp_replace(regexp_replace(u,
-                                   '\?(utm_[A-Za-z]+|fbclid|gclid|msclkid|ref)=[^&#]*&', '?'),
-                                   '\?(utm_[A-Za-z]+|fbclid|gclid|msclkid|ref)=[^&#]*$', ''),
+                                   '\?(utm_[A-Za-z]+|fbclid|gclid|msclkid)=[^&#]*&', '?'),
+                                   '\?(utm_[A-Za-z]+|fbclid|gclid|msclkid)=[^&#]*$', ''),
                                    '[?&]+$', '') AS u
                         FROM s2
                     ), parts AS (
@@ -732,7 +748,7 @@ def test_canonical_url_duckdb_cross_check(spark):
                                    lower(regexp_extract(u, '^(?i)https?://([^/?#]+)', 1)),
                                    '^www\.', ''), ':(80|443)$', '') AS host,
                                regexp_replace(regexp_replace(u,
-                                   '^(?i)https?://[^/?#]*', ''), '/$', '') AS rest
+                                   '^(?i)https?://[^/?#]*', ''), '^([^?]*)/$', '\1') AS rest
                         FROM s3
                     )
                     SELECT doc_id,
