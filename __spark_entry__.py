@@ -1221,6 +1221,78 @@ def q_ivf_index_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return query_ivf_index(spark, path, queries, k=5, nprobe=10)
 
 
+def q_warc_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Common Crawl's actual on-disk format, end-to-end: parse .warc.gz
+    (member-per-record gzip, embedded HTTP messages, charset cascade) →
+    project 2xx textual responses to the documents shape → strip_html →
+    Gopher gate — returning per-document (doc_id, url, n_tokens,
+    gopher_pass).  The WARC artifact is synthesized ONCE per sf from the
+    documents table (build-once/ingest-many, like ivf_index_query); warm
+    iterations measure the parse+curate path a crawl ingest actually
+    runs.  Spec round-trips + the strip_html equality oracle live in
+    tests/test_warc.py (bench/extras surface)."""
+    import glob
+    import os
+    import uuid as _uuid
+
+    from restructure_hdfs_topic_spark.functions.text import (
+        gopher_metrics,
+        gopher_passes,
+        strip_html,
+        token_count,
+    )
+    from restructure_hdfs_topic_spark.sources.warc import (
+        read_warc,
+        warc_bytes,
+        warc_responses_as_documents,
+    )
+
+    _conf(spark)
+    path = f"/tmp/spark_graft_warc_{os.path.basename(os.path.normpath(sf_dir))}"
+    if not glob.glob(f"{path}/*.warc.gz"):
+        os.makedirs(path, exist_ok=True)
+        docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+
+        def write_chunks(it):
+            # One .warc.gz per Arrow chunk (uuid names — a partition may
+            # arrive as several chunks).  Local-FS sink: this is the
+            # bench's fixture builder, not a production writer.
+            import pandas as pd  # noqa: PLC0415
+
+            for pdf in it:
+                if len(pdf) == 0:
+                    continue
+                recs = [
+                    {
+                        "uri": f"https://corpus.test/doc/{i}",
+                        "body": "<html><head><script>x='</p>'</script></head>"
+                        f"<body><h1>d</h1><p>{t} &#8212; tail &amp;x</p></body></html>",
+                    }
+                    for i, t in zip(pdf["doc_id"], pdf["text"])
+                ]
+                name = f"{path}/part-{_uuid.uuid4().hex}.warc.gz"
+                with open(name, "wb") as f:
+                    f.write(warc_bytes(recs))
+                yield pd.DataFrame({"n": [len(recs)]})
+
+        docs.repartition(8).mapInPandas(write_chunks, "n long").agg(
+            F.sum("n")
+        ).collect()
+    ingested = warc_responses_as_documents(read_warc(spark, path))
+    clean = ingested.select(
+        F.xxhash64("url").alias("doc_id"),
+        "url",
+        strip_html(F.col("text")).alias("text"),
+    )
+    metrics = gopher_metrics(F.col("text"))
+    return clean.select(
+        "doc_id",
+        "url",
+        token_count(F.col("text")).alias("n_tokens"),
+        gopher_passes(*[c for _, c in metrics]).alias("gopher_pass"),
+    )
+
+
 def q_holdout_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic train/valid/test hash split — growth-stable
     assignment, one codegen CASE, no shuffle.  DuckDB cross-check in
@@ -1744,6 +1816,9 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # Raw HTML -> loader-ready shard rows, one fused plan; disk
         # round-trip pinned in tests/test_html_ingest_e2e.py.
         "html_ingest_pipeline": q_html_ingest_pipeline,
+        # WARC (Common Crawl container) parse -> curated documents; spec
+        # round-trips + strip_html equality oracle in tests/test_warc.py.
+        "warc_ingest": q_warc_ingest,
         # Incremental (cross-batch) corpus dedup; DuckDB cross-check +
         # ingest-protocol tests in tests/test_incremental.py.
         "incremental_dedup": q_incremental_dedup,

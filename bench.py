@@ -59,6 +59,7 @@ BENCH_QUERIES = [
     "lm_perplexity",
     "curation_pipeline",
     "html_ingest_pipeline",
+    "warc_ingest",
     "incremental_dedup",
     "lm_bigram",
     "text_normalize",

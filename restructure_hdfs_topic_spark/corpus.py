@@ -46,6 +46,20 @@ class Corpus:
     def _wrap(self, df: DataFrame) -> "Corpus":
         return Corpus(df, self.id_col, self.text_col, self.strata_col)
 
+    @classmethod
+    def from_warc(cls, spark, paths) -> "Corpus":
+        """Start a corpus straight from crawl files: parse ``.warc[.gz]``
+        under ``paths`` and keep successful textual responses as
+        (doc_id, url, fetched_at, text) — the usual next call is
+        ``.strip_html()``.  Delegates to ``sources/warc.py``."""
+        from restructure_hdfs_topic_spark.sources.warc import (
+            read_warc,
+            warc_responses_as_documents,
+        )
+
+        docs = warc_responses_as_documents(read_warc(spark, paths))
+        return cls(docs, id_col="doc_id", text_col="text", strata_col="url")
+
     # -- text hygiene -----------------------------------------------------
     def strip_html(self) -> "Corpus":
         from restructure_hdfs_topic_spark.functions.text import strip_html

@@ -1,0 +1,265 @@
+"""WARC source tests: spec round-trips for all three compression layouts,
+per-record quarantine of hostile bytes, the charset cascade, and the full
+crawl-in/shards-out trace where the original `documents` table is the
+exact oracle for what comes back out of the WARC → strip_html chain.
+"""
+
+import gzip
+import io
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+SF_DIR = "/root/testdata/sf0.001"
+
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(SF_DIR), reason=f"testdata {SF_DIR} missing"
+)
+
+
+def _mk(records, **kw):
+    from restructure_hdfs_topic_spark.sources.warc import warc_bytes
+
+    return warc_bytes(records, **kw)
+
+
+def test_parse_round_trip_all_layouts():
+    from restructure_hdfs_topic_spark.sources.warc import parse_warc_records
+
+    recs = [
+        {"uri": "https://a.com/1", "body": "<html>one</html>"},
+        {"uri": "https://a.com/2", "body": "<html>two &amp; more</html>"},
+        {"uri": "https://a.com/3", "body": b"\x00\x01", "content_type": "image/png"},
+    ]
+    member_gz = _mk(recs, gzip_per_record=True)
+    plain = _mk(recs, gzip_per_record=False)
+    whole_gz = io.BytesIO()
+    with gzip.GzipFile(fileobj=whole_gz, mode="wb") as g:
+        g.write(plain)
+
+    for payload in (member_gz, plain, whole_gz.getvalue()):
+        rows = list(parse_warc_records(payload))
+        assert [r["decode_status"] for r in rows] == ["ok", "ok", "ok"]
+        assert [r["target_uri"] for r in rows] == [
+            "https://a.com/1",
+            "https://a.com/2",
+            "https://a.com/3",
+        ]
+        assert rows[0]["text"] == "<html>one</html>"
+        assert rows[1]["text"] == "<html>two &amp; more</html>"
+        assert rows[0]["http_status"] == 200
+        assert rows[0]["payload"] is None  # textual: bytes ship once, as text
+        # Binary payload ships as bytes with NULL text.
+        assert rows[2]["text"] is None and rows[2]["payload"] == b"\x00\x01"
+        assert rows[2]["content_type"] == "image/png"
+        assert all(r["record_id"] for r in rows)
+        assert all(r["warc_date"] == "2024-01-01T00:00:00Z" for r in rows)
+
+
+def test_parse_quarantines_malformed_and_resyncs():
+    from restructure_hdfs_topic_spark.sources.warc import parse_warc_records
+
+    good = _mk([{"uri": "https://a.com/ok", "body": "fine"}], gzip_per_record=False)
+    # Record with an unparseable Content-Length, then a good record.
+    bad = (
+        b"WARC/1.0\r\nWARC-Type: response\r\nContent-Length: NaN\r\n\r\n"
+        + good
+    )
+    rows = list(parse_warc_records(bad))
+    assert [r["decode_status"] for r in rows] == ["bad_content_length", "ok"]
+    assert rows[1]["target_uri"] == "https://a.com/ok"
+
+    # Truncated body: one quarantine row, no crash.
+    trunc = _mk([{"uri": "https://a.com/t", "body": "0123456789"}], gzip_per_record=False)
+    rows = list(parse_warc_records(trunc[: len(trunc) - 16]))
+    assert rows[-1]["decode_status"] == "truncated_body"
+
+    # Pure garbage: one quarantine row.
+    rows = list(parse_warc_records(b"this is not a warc file at all"))
+    assert [r["decode_status"] for r in rows] == ["no_warc_records"]
+
+    # Corrupt gzip: one quarantine row.
+    rows = list(parse_warc_records(b"\x1f\x8b\x00\x00garbage"))
+    assert [r["decode_status"] for r in rows] == ["bad_gzip"]
+
+
+def test_charset_cascade():
+    from restructure_hdfs_topic_spark.sources.warc import parse_warc_records
+
+    latin = "café ñandú".encode("latin-1")
+    meta = '<meta charset="latin-1"><p>café</p>'.encode("latin-1")
+    records = [
+        # Charset from the HTTP header.
+        {
+            "uri": "https://a.com/h",
+            "body": latin,
+            "content_type": "text/html; charset=latin-1",
+        },
+        # No header charset: the <meta> probe decides.
+        {"uri": "https://a.com/m", "body": meta, "content_type": "text/html"},
+        # Lying header + invalid bytes: utf-8 replacement, never a crash.
+        {
+            "uri": "https://a.com/bad",
+            "body": b"\xff\xfe broken",
+            "content_type": "text/html; charset=utf-8",
+        },
+        # Unknown charset name falls through to utf-8.
+        {
+            "uri": "https://a.com/unk",
+            "body": "plain".encode(),
+            "content_type": "text/html; charset=no-such-enc",
+        },
+    ]
+    rows = list(parse_warc_records(_mk(records)))
+    assert rows[0]["text"] == "café ñandú"
+    assert rows[1]["text"] == '<meta charset="latin-1"><p>café</p>'
+    assert "broken" in rows[2]["text"] and "�" in rows[2]["text"]
+    assert rows[3]["text"] == "plain"
+
+
+def test_read_warc_distributed(spark, tmp_path):
+    from restructure_hdfs_topic_spark.sources.warc import (
+        read_warc,
+        warc_responses_as_documents,
+    )
+
+    d = tmp_path / "crawl"
+    d.mkdir()
+    for k in range(3):
+        recs = [
+            {
+                "uri": f"https://site{k}.com/p{i}",
+                "body": f"<html><p>doc {k}-{i}</p></html>",
+                "date": "2024-03-05T06:07:08Z",
+            }
+            for i in range(4)
+        ]
+        # One 404 and one non-response record that must be filtered out
+        # by warc_responses_as_documents but visible in read_warc.
+        recs.append(
+            {"uri": f"https://site{k}.com/gone", "body": "nope", "status": 404}
+        )
+        recs.append(
+            {
+                "uri": f"https://site{k}.com/req",
+                "body": "GET / HTTP/1.1",
+                "warc_type": "request",
+                "content_type": "text/plain",
+            }
+        )
+        (d / f"part-{k}.warc.gz").write_bytes(_mk(recs))
+
+    records = read_warc(spark, str(d))
+    assert records.count() == 18
+    by_status = {
+        r["decode_status"]: r["cnt"]
+        for r in records.groupBy("decode_status").agg(F.count("*").alias("cnt")).collect()
+    }
+    assert by_status == {"ok": 18}
+
+    docs = warc_responses_as_documents(records)
+    rows = docs.collect()
+    assert len(rows) == 12  # 404s and request records filtered
+    assert all(r["doc_id"] is not None for r in rows)
+    assert len({r["doc_id"] for r in rows}) == 12
+    assert all(r["text"].startswith("<html>") for r in rows)
+    assert all(str(r["fetched_at"]).startswith("2024-03-05") for r in rows)
+
+    # Plan shape: the scan is binaryFile + ONE ArrowEvalPython-free
+    # mapInPandas (no shuffle before the projection).
+    plan = docs._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
+
+
+def test_warc_to_shards_e2e(spark, tmp_path):
+    """Crawl in, training shards out, with the ORIGINAL documents table as
+    the oracle: wrap sf0.001 documents in HTML, serialize them as
+    .warc.gz, run read_warc → warc_responses_as_documents → strip_html,
+    and require the recovered text to equal strip_html applied directly
+    to the same HTML (byte-for-byte) — then export shards and re-read."""
+    import json
+
+    from restructure_hdfs_topic_spark.corpus import Corpus
+    from restructure_hdfs_topic_spark.functions.text import strip_html
+    from restructure_hdfs_topic_spark.plans.export import export_jsonl_shards
+    from restructure_hdfs_topic_spark.sources.tables import configure, load_table
+    from restructure_hdfs_topic_spark.sources.warc import (
+        read_warc,
+        warc_responses_as_documents,
+    )
+
+    configure(spark)
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "text").limit(50)
+    base = {
+        r["doc_id"]: f"<html><body><h1>t</h1><p>{r['text']}</p></body></html>"
+        for r in docs.collect()
+    }
+    recs = [
+        {"uri": f"https://corpus.test/doc/{i}", "body": html}
+        for i, html in sorted(base.items())
+    ]
+    d = tmp_path / "crawl"
+    d.mkdir()
+    half = len(recs) // 2
+    (d / "a.warc.gz").write_bytes(_mk(recs[:half]))
+    (d / "b.warc.gz").write_bytes(_mk(recs[half:]))
+
+    ingested = warc_responses_as_documents(read_warc(spark, str(d)))
+    got = {
+        r["url"]: r["clean"]
+        for r in ingested.select(
+            "url", strip_html(F.col("text")).alias("clean")
+        ).collect()
+    }
+    want = {
+        f"https://corpus.test/doc/{i}": row
+        for (i, html) in sorted(base.items())
+        for row in [None]
+    }
+    # Oracle: strip_html over the identical HTML, straight from the table.
+    direct = {
+        f"https://corpus.test/doc/{r['doc_id']}": r["clean"]
+        for r in spark.createDataFrame(
+            [(i, h) for i, h in sorted(base.items())], "doc_id long, html string"
+        )
+        .select("doc_id", strip_html(F.col("html")).alias("clean"))
+        .collect()
+    }
+    assert set(got) == set(direct) == set(want)
+    assert got == direct
+
+    # Chain into the curation facade and export loader shards.
+    curated = Corpus(
+        ingested.select(F.xxhash64("url").alias("doc_id"), "text"), text_col="text"
+    ).strip_html()
+    out = str(tmp_path / "shards")
+    manifest = export_jsonl_shards(curated.df, out, n_shards=3)
+    assert manifest.count() == 3
+    back = []
+    data = os.path.join(out, "data")
+    for sh in sorted(s for s in os.listdir(data) if s.startswith("shard=")):
+        for f in os.listdir(os.path.join(data, sh)):
+            if f.startswith("part-"):
+                with open(os.path.join(data, sh, f)) as fh:
+                    back.extend(json.loads(ln) for ln in fh if ln.strip())
+    assert len(back) == len(recs)
+    assert {b["text"] for b in back} == set(direct.values())
+
+
+def test_corpus_from_warc_facade(spark, tmp_path):
+    from restructure_hdfs_topic_spark.corpus import Corpus
+
+    d = tmp_path / "c"
+    d.mkdir()
+    (d / "x.warc.gz").write_bytes(
+        _mk(
+            [
+                {"uri": "https://f.com/a", "body": "<html><p>alpha beta</p></html>"},
+                {"uri": "https://f.com/b", "body": "<html><p>gamma</p></html>"},
+            ]
+        )
+    )
+    c = Corpus.from_warc(spark, str(d)).strip_html()
+    rows = {r["url"]: r["text"] for r in c.df.collect()}
+    assert rows == {"https://f.com/a": "alpha beta", "https://f.com/b": "gamma"}
