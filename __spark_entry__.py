@@ -1221,6 +1221,55 @@ def q_ivf_index_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return query_ivf_index(spark, path, queries, k=5, nprobe=10)
 
 
+_PQ_BOOKS_MEMO: dict = {}
+
+
+def q_ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flat product-quantization ANN: train codebooks on a hash sample,
+    encode the corpus to 8-byte codes, ADC-score the query batch in the
+    compressed domain, exact-rerank the top 4k candidates.  The
+    corpus-sized pass reads m bytes/vector instead of dim floats — the
+    100 TB embedding-scan shape.  Lossless-reconstruction oracle + recall
+    gates in tests/test_pq.py (bench/extras surface)."""
+    from restructure_hdfs_topic_spark.operators.pq import pq_adc_topk, train_pq
+
+    _conf(spark)
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 20 == 0)
+    # Train once per corpus, serve many batches (the PQ deployment shape,
+    # same argument as ivf_index_query's build-once): warm iterations
+    # measure encode + ADC + rerank, not codebook training.
+    books = _PQ_BOOKS_MEMO.get(sf_dir)
+    if books is None:
+        books = train_pq(emb, m=8)
+        _PQ_BOOKS_MEMO[sf_dir] = books
+    return pq_adc_topk(emb, queries, k=5, m=8, rerank_factor=4, books=books)
+
+
+def q_ivfpq_index_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVFPQ end-to-end: coarse IVF index + per-cluster PQ code store on
+    disk; queries prune to nprobe cluster directories AND scan 8-byte
+    codes there, with the exact rerank reading full vectors of probed
+    clusters only.  Build-once/query-many like ivf_index_query; recall
+    pinned in tests/test_pq.py (bench/extras surface)."""
+    import os
+
+    from restructure_hdfs_topic_spark.operators.ivf_index import build_ivf_index
+    from restructure_hdfs_topic_spark.operators.pq import (
+        build_pq_for_ivf,
+        query_ivfpq_index,
+    )
+
+    _conf(spark)
+    emb = _t(spark, sf_dir, "embeddings")
+    path = f"/tmp/spark_graft_ivfpq_{os.path.basename(os.path.normpath(sf_dir))}"
+    if not os.path.exists(f"{path}/_pq_meta.json"):
+        build_ivf_index(emb, path, lloyd_iters=1)
+        build_pq_for_ivf(emb, path, m=8)
+    queries = emb.filter(F.col("vec_id") % 20 == 0)
+    return query_ivfpq_index(spark, path, queries, k=5, nprobe=10, rerank_factor=4)
+
+
 def q_warc_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Common Crawl's actual on-disk format, end-to-end: parse .warc.gz
     (member-per-record gzip, embedded HTTP messages, charset cascade) →
@@ -1819,6 +1868,12 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # WARC (Common Crawl container) parse -> curated documents; spec
         # round-trips + strip_html equality oracle in tests/test_warc.py.
         "warc_ingest": q_warc_ingest,
+        # Product-quantization ANN (flat ADC + exact rerank); lossless
+        # oracle + recall gates in tests/test_pq.py.
+        "ann_pq_topk": q_ann_pq_topk,
+        # IVF + PQ composition over the on-disk index (partition pruning
+        # x compressed scan); recall pinned in tests/test_pq.py.
+        "ivfpq_index_query": q_ivfpq_index_query,
         # Incremental (cross-batch) corpus dedup; DuckDB cross-check +
         # ingest-protocol tests in tests/test_incremental.py.
         "incremental_dedup": q_incremental_dedup,

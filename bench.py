@@ -60,6 +60,8 @@ BENCH_QUERIES = [
     "curation_pipeline",
     "html_ingest_pipeline",
     "warc_ingest",
+    "ann_pq_topk",
+    "ivfpq_index_query",
     "incremental_dedup",
     "lm_bigram",
     "text_normalize",
@@ -362,6 +364,18 @@ def measure_recall(spark) -> dict:
         out["ann_ivf_topk@5"] = round(hits / denom, 4) if denom else None
     except Exception as exc:  # pragma: no cover
         out["ann_ivf_topk@5"] = f"error: {exc}"
+    try:
+        if exact is None or not denom:
+            raise RuntimeError("no exact baseline")
+        from restructure_hdfs_topic_spark.operators.pq import pq_adc_topk
+
+        emb = load_table(spark, SF_DIR, "embeddings")
+        sample = emb.orderBy("vec_id").limit(200)
+        approx = pq_adc_topk(emb, sample, k=5, m=8, rerank_factor=4)
+        hits = exact.join(approx, ["query_id", "neighbor_id"], "left_semi").count()
+        out["ann_pq_topk@5"] = round(hits / denom, 4) if denom else None
+    except Exception as exc:  # pragma: no cover
+        out["ann_pq_topk@5"] = f"error: {exc}"
     finally:
         if exact is not None:
             exact.unpersist()

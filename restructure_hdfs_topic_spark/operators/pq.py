@@ -1,0 +1,565 @@
+"""Product quantization (PQ): compressed-domain ANN for corpus-scale
+embeddings.
+
+At 100 TB an embedding column dominates storage: 1e9 documents × dim 768
+float32 is ~3 TB that every similarity pass must scan and shuffle.  PQ
+(Jégou, Douze, Schmid 2011 — the engine inside FAISS's IVFPQ) splits each
+vector into ``m`` subspaces, k-means-quantizes every subspace to 2^nbits
+codewords, and stores each vector as ``m`` one-byte codes: dim 768 → 768
+bytes of float32 becomes 8–96 bytes, a 32–384× scan/shuffle reduction.
+Queries never decompress the corpus — asymmetric distance computation
+(ADC) builds one ``m × 2^nbits`` lookup table of exact
+query-sub-vector · codeword dot products per query, and a database
+vector's approximate dot product is ``m`` table gathers + a sum.
+
+Engine shapes (everything deterministic, partitioning-independent):
+
+- **Training** samples ≤ ``train_sample`` vectors by the repo's standard
+  hash threshold (bounded driver collect — a PQ codebook is a small
+  artifact like a BPE vocabulary; FAISS trains on a sample too) and runs
+  exact-int64 Lloyd per subspace with hash-ordered deterministic seeds.
+- **Encoding** is ONE Arrow-batched ``mapInPandas`` pass against the
+  broadcast codebooks (m × 256 × dsub ints — KBs).  Codes ship as
+  ``binary`` (m bytes/vector).
+- **ADC scoring** is one Arrow pass over code batches: per-batch partial
+  top-k per query leaves ≤ |queries|·k rows per batch, so the global
+  top-k window's shuffle is bounded by queries, not corpus.
+- **Re-ranking** (optional, the standard PQ recall repair): ADC keeps
+  ``k·rerank_factor`` candidates, one equi-join on id against the
+  original embeddings rescores them exactly, one window re-ranks.  Only
+  candidate rows are ever decompressed.
+
+The IVF composition (``build_pq_for_ivf`` / ``query_ivfpq_index``)
+attaches a ``codes/`` store to an existing ``ivf_index`` layout,
+partitioned by the same cluster key: a query batch prunes to its
+``nprobe`` cluster directories AND scans only codes there — the two
+orthogonal cost cuts (read fewer rows; read 32× fewer bytes per row)
+compose, which is exactly FAISS's IVFPQ on a warehouse layout.
+
+Reference analogue: none (the reference has no vector search); built
+from the public paper + the PySpark API.
+"""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from restructure_hdfs_topic_spark.operators.ivf_index import (
+    _check_integral_id,
+    _probe_assign,
+    load_ivf_meta,
+)
+from restructure_hdfs_topic_spark.operators.similarity import _quantize
+
+__all__ = [
+    "train_pq",
+    "pq_encode",
+    "pq_adc_topk",
+    "build_pq_for_ivf",
+    "query_ivfpq_index",
+]
+
+_PQ_META = "_pq_meta.json"
+
+
+def _sub_bounds(dim: int, m: int) -> list[tuple[int, int]]:
+    """(start, end) per subspace; leading subspaces absorb the remainder
+    when ``m`` does not divide ``dim`` (same convention as the banding
+    helpers in operators/dedup.py)."""
+    if not 1 <= m <= dim:
+        raise ValueError(f"m={m} must be in [1, dim={dim}]")
+    base, extra = divmod(dim, m)
+    bounds, pos = [], 0
+    for s in range(m):
+        width = base + (1 if s < extra else 0)
+        bounds.append((pos, pos + width))
+        pos += width
+    return bounds
+
+
+def _hash_sample_vecs(quant: DataFrame, n_total: int, want: int):
+    """≤ ``want`` quantized vectors by hash threshold (order-independent;
+    ordered fallback only if the uniform hash under-delivers) — the seed
+    sampling shape shared with ivf_index/similarity."""
+    import numpy as np
+
+    hashed = quant.withColumn("h", F.xxhash64(F.col("id")))
+    frac = min(1.0, (4.0 * want) / max(n_total, 1))
+    cutoff = min((-(1 << 63)) + int((1 << 64) * frac), (1 << 63) - 1)
+    rows = hashed.filter(F.col("h") < F.lit(cutoff)).select("h", "vec").collect()
+    if len(rows) < min(want, n_total):
+        rows = hashed.orderBy("h").limit(want).select("h", "vec").collect()
+    rows.sort(key=lambda r: r["h"])
+    return np.stack([np.asarray(r["vec"], dtype=np.int64) for r in rows[:want]])
+
+
+def _lloyd_1d(sub: "np.ndarray", n_codes: int, iters: int) -> "np.ndarray":
+    """Exact-int64 Lloyd over ONE subspace's sample (driver-side, bounded:
+    sample ≤ train_sample rows × dsub ints).  Deterministic: seeds are the
+    first ``n_codes`` DISTINCT rows in hash order (the sample arrives
+    hash-sorted); empty cells keep their previous codeword; means floor to
+    int64 — associative-free here (single-node numpy), but integer
+    centroids keep the ARTIFACT exactly reproducible and the distributed
+    encode/score paths bit-stable."""
+    import numpy as np
+
+    uniq, first_ix = np.unique(sub, axis=0, return_index=True)
+    order = np.sort(first_ix)[: min(n_codes, len(first_ix))]
+    cents = sub[order].copy()
+    for _ in range(iters):
+        # argmin_c ||x-c||² = argmin_c (||c||² - 2 x·c) — one int64 matmul,
+        # never an (n, C, d) intermediate.  Exact: quantized coords are
+        # ≤ ~1e5, so x·c ≤ dsub·1e10 ≪ 2^63.
+        cn2 = (cents**2).sum(axis=1)
+        lab = np.argmin(cn2[None, :] - 2 * (sub @ cents.T), axis=1)
+        for c in range(len(cents)):
+            mask = lab == c
+            if mask.any():
+                cents[c] = sub[mask].sum(axis=0) // int(mask.sum())
+    if len(cents) < n_codes:
+        # Fewer distinct sub-vectors than codewords: pad by repeating the
+        # first codeword so the code table is always 2^nbits wide (codes
+        # simply never reference the padding).
+        pad = np.repeat(cents[:1], n_codes - len(cents), axis=0)
+        cents = np.concatenate([cents, pad], axis=0)
+    return cents
+
+
+def train_pq(
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m: int = 8,
+    nbits: int = 8,
+    train_sample: int = 16384,
+    lloyd_iters: int = 5,
+    n_rows: int | None = None,
+):
+    """Train PQ codebooks → numpy ``(m, 2^nbits, dsub_max)`` int64 (ragged
+    subspaces zero-padded on the right; ``_sub_bounds`` recovers the real
+    widths).  Bounded driver work by construction: ``train_sample`` rows
+    regardless of corpus size."""
+    import numpy as np
+
+    if nbits < 1 or nbits > 8:
+        raise ValueError("nbits must be in [1, 8] (codes ship as bytes)")
+    _check_integral_id(embeddings, id_col)
+    n = n_rows if n_rows is not None else embeddings.count()
+    quant = embeddings.select(
+        F.col(id_col).alias("id"), _quantize(F.col(vec_col)).alias("vec")
+    )
+    sample = _hash_sample_vecs(quant, n, train_sample)
+    dim = sample.shape[1]
+    bounds = _sub_bounds(dim, m)
+    n_codes = 1 << nbits
+    dsub_max = max(e - s for s, e in bounds)
+    books = np.zeros((m, n_codes, dsub_max), dtype=np.int64)
+    for s_ix, (s, e) in enumerate(bounds):
+        books[s_ix, :, : e - s] = _lloyd_1d(sample[:, s:e], n_codes, lloyd_iters)
+    return books
+
+
+def pq_encode(
+    embeddings: DataFrame,
+    books,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, code binary) — the compressed corpus: ``m`` bytes per vector,
+    one Arrow crossing, codebooks ride the closure (m·256·dsub ints,
+    KBs).  Per subspace the argmin uses ``||x-c||² = ||x||² - 2x·c +
+    ||c||²`` with the rank-invariant ``||x||²`` dropped — one matmul, no
+    (n, C, d) intermediate; subspace bounds derive from the first
+    vector's width."""
+    _check_integral_id(embeddings, id_col)
+    quant = embeddings.select(
+        F.col(id_col).alias("id"), _quantize(F.col(vec_col)).alias("vec")
+    )
+    m = books.shape[0]
+
+    def enc(batches):
+        import numpy as np
+        import pandas as pd
+
+        bounds = None
+        cn2 = None
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            vv = np.stack(pdf["vec"].to_numpy()).astype(np.int64)
+            if bounds is None:
+                bounds = _sub_bounds(vv.shape[1], m)
+                cn2 = [
+                    (books[s_ix, :, : e - s] ** 2).sum(axis=1)
+                    for s_ix, (s, e) in enumerate(bounds)
+                ]
+            codes = np.empty((len(vv), m), dtype=np.uint8)
+            for s_ix, (s, e) in enumerate(bounds):
+                cb = books[s_ix, :, : e - s].astype(np.float64)
+                scores = vv[:, s:e].astype(np.float64) @ cb.T
+                codes[:, s_ix] = np.argmin(cn2[s_ix][None, :] - 2.0 * scores, axis=1)
+            raw = codes.tobytes(order="C")
+            yield pd.DataFrame(
+                {
+                    "id": pdf["id"].to_numpy(),
+                    "code": [raw[i * m : (i + 1) * m] for i in range(len(vv))],
+                }
+            )
+
+    return quant.mapInPandas(enc, schema="id long, code binary")
+
+
+def _adc_kernel(books, q_ids, q_vecs, k: int):
+    """mapInPandas kernel over CODE batches: ADC-score every query against
+    the batch and emit the per-batch top-k per query.  LUTs are built once
+    per task (dot_lut[q, sub, code] = q_sub · codeword; norm_lut[sub,
+    code] = ||codeword||²); a batch costs |batch| gathers per (query,
+    sub) — no decompression, no (n, dim) matmul."""
+    import pandas as pd
+
+    def score(batches):
+        import numpy as np
+
+        m = books.shape[0]
+        dim = q_vecs.shape[1]
+        bounds = _sub_bounds(dim, m)
+        qf = q_vecs.astype(np.float64)
+        dot_lut = np.zeros((len(q_ids), m, books.shape[1]), dtype=np.float64)
+        norm_lut = np.zeros((m, books.shape[1]), dtype=np.float64)
+        for s_ix, (s, e) in enumerate(bounds):
+            cb = books[s_ix, :, : e - s].astype(np.float64)
+            dot_lut[:, s_ix, :] = qf[:, s:e] @ cb.T
+            norm_lut[s_ix, :] = (cb**2).sum(axis=1)
+        qn = np.sqrt((qf**2).sum(axis=1))
+        qn[qn == 0] = 1.0
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            codes = np.frombuffer(
+                b"".join(pdf["code"].to_numpy()), dtype=np.uint8
+            ).reshape(len(pdf), m)
+            ids = pdf["id"].to_numpy()
+            # scores[q, x] = Σ_sub dot_lut[q, sub, codes[x, sub]]
+            scores = np.zeros((len(q_ids), len(ids)), dtype=np.float64)
+            rn2 = np.zeros(len(ids), dtype=np.float64)
+            for s_ix in range(m):
+                c = codes[:, s_ix]
+                scores += dot_lut[:, s_ix, c]
+                rn2 += norm_lut[s_ix, c]
+            rn = np.sqrt(rn2)
+            rn[rn == 0] = 1.0
+            sims = scores / (qn[:, None] * rn[None, :])
+            sims[q_ids[:, None] == ids[None, :]] = -np.inf
+            kk = min(k, sims.shape[1])
+            if kk <= 0:
+                continue
+            if sims.shape[1] > kk:
+                top = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
+            else:
+                top = np.broadcast_to(np.arange(sims.shape[1]), (len(q_ids), sims.shape[1]))
+            vals = np.take_along_axis(sims, top, axis=1)
+            keep = np.isfinite(vals).ravel()
+            yield pd.DataFrame(
+                {
+                    "query_id": np.repeat(q_ids, top.shape[1])[keep],
+                    "neighbor_id": ids[top.ravel()[keep]],
+                    "adc_cosine": np.round(vals.ravel()[keep], 6),
+                }
+            )
+
+    return score
+
+
+def _collect_queries(queries: DataFrame, id_col: str, vec_col: str):
+    """Bounded query-batch collect (queries are the small side of every
+    ANN call in this repo) → (ids int64[], quantized vecs int64[n, dim])."""
+    import numpy as np
+
+    rows = (
+        queries.select(
+            F.col(id_col).alias("id"), _quantize(F.col(vec_col)).alias("vec")
+        )
+        .orderBy("id")
+        .collect()
+    )
+    if not rows:
+        raise ValueError("empty query batch")
+    q_ids = np.asarray([r["id"] for r in rows], dtype=np.int64)
+    q_vecs = np.stack([np.asarray(r["vec"], dtype=np.int64) for r in rows])
+    return q_ids, q_vecs
+
+
+def _rerank_exact(
+    candidates: DataFrame,
+    embeddings: DataFrame,
+    k: int,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """Exact-rescore ADC candidates: ONE equi-join on neighbor id against
+    the original embeddings (only candidate rows decompress), exact
+    int64 dot / norms JVM-side, one window re-rank — engine-exact cosine
+    semantics (matches ``cosine_topk``'s rounding)."""
+    from restructure_hdfs_topic_spark.operators.similarity import _dot, _norm2
+
+    cand = candidates.select("query_id", "neighbor_id")
+    emb_q = embeddings.select(
+        F.col(id_col).alias("query_id"),
+        _quantize(F.col(vec_col)).alias("__qv"),
+    )
+    emb_n = embeddings.select(
+        F.col(id_col).alias("neighbor_id"),
+        _quantize(F.col(vec_col)).alias("__nv"),
+    )
+    scored = (
+        cand.join(emb_n, "neighbor_id")
+        .join(F.broadcast(emb_q.join(cand.select("query_id").distinct(), "query_id")), "query_id")
+        .withColumn(
+            "cosine",
+            F.round(
+                _dot(F.col("__qv"), F.col("__nv"))
+                / (
+                    F.sqrt(_norm2(F.col("__qv")).cast("double"))
+                    * F.sqrt(_norm2(F.col("__nv")).cast("double"))
+                ),
+                6,
+            ),
+        )
+        .drop("__qv", "__nv")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", "cosine")
+    )
+
+
+def pq_adc_topk(
+    embeddings: DataFrame,
+    queries: DataFrame | None = None,
+    k: int = 5,
+    m: int = 8,
+    nbits: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    rerank_factor: int | None = 4,
+    train_sample: int = 16384,
+    books=None,
+) -> DataFrame:
+    """Flat (non-IVF) PQ search: train (or reuse ``books``), encode the
+    corpus to m-byte codes, ADC-score the query batch in the compressed
+    domain, optionally rerank the top ``k·rerank_factor`` exactly.
+    Returns (query_id, rank, neighbor_id, cosine) — ``cosine`` is exact
+    when reranked, the ADC approximation otherwise.
+
+    Scale: the corpus-sized pass reads codes only (m bytes/row); the
+    shuffle into the rank window carries ≤ |queries|·k·rerank_factor·
+    batches rows (per-batch partial top-k)."""
+    if queries is None:
+        queries = embeddings
+    if books is None:
+        books = train_pq(
+            embeddings, id_col, vec_col, m=m, nbits=nbits, train_sample=train_sample
+        )
+    q_ids, q_vecs = _collect_queries(queries, id_col, vec_col)
+    codes = pq_encode(embeddings, books, id_col, vec_col)
+    fetch = k if rerank_factor is None else k * rerank_factor
+    parts = codes.mapInPandas(
+        _adc_kernel(books, q_ids, q_vecs, fetch),
+        schema="query_id long, neighbor_id long, adc_cosine double",
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc_cosine").desc(), F.col("neighbor_id")
+    )
+    top = (
+        parts.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= fetch)
+    )
+    if rerank_factor is None:
+        return top.select(
+            "query_id", "rank", "neighbor_id", F.col("adc_cosine").alias("cosine")
+        ).filter(F.col("rank") <= k)
+    return _rerank_exact(top, embeddings, k, id_col, vec_col)
+
+
+# --------------------------------------------------------------------------
+# IVF composition: codes live beside an existing ivf_index
+# --------------------------------------------------------------------------
+
+
+def build_pq_for_ivf(
+    embeddings: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m: int = 8,
+    nbits: int = 8,
+    train_sample: int = 16384,
+) -> dict:
+    """Attach a PQ code store to an EXISTING ``build_ivf_index`` layout:
+    train codebooks, encode the corpus, and write ``<path>/codes/``
+    partitioned by the SAME cluster key as ``assignments/`` (one
+    repartition on cluster).  Queries then prune to probed clusters and
+    scan m-byte codes instead of full vectors; the originals in
+    ``assignments/`` serve only the final exact rerank of candidates."""
+    import numpy as np
+
+    spark = embeddings.sparkSession
+    meta = load_ivf_meta(spark, path)
+    books = train_pq(
+        embeddings,
+        id_col,
+        vec_col,
+        m=m,
+        nbits=nbits,
+        train_sample=train_sample,
+        n_rows=int(meta["n"]),
+    )
+    codes = pq_encode(embeddings, books, id_col, vec_col)
+    # Cluster labels come from the stored assignments (id → cluster): the
+    # codes MUST land in the same partitions the probe join prunes to.
+    assign = spark.read.parquet(f"{path}/assignments").select("id", "cluster")
+    (
+        codes.join(assign, "id")
+        .repartition(F.col("cluster"))
+        .write.mode("overwrite")
+        .partitionBy("cluster")
+        .parquet(f"{path}/codes")
+    )
+    flat = [int(x) for x in books.reshape(-1)]
+    pq_meta = {
+        "format": "restructure_hdfs_topic_spark/ivfpq/v1",
+        "m": int(m),
+        "nbits": int(nbits),
+        "n_codes": int(books.shape[1]),
+        "dsub_max": int(books.shape[2]),
+        "books": flat,
+    }
+    from restructure_hdfs_topic_spark.compression import write_small_file
+
+    write_small_file(
+        f"{path}/{_PQ_META}", json.dumps(pq_meta).encode("utf-8"), spark=spark
+    )
+    return pq_meta
+
+
+def _load_books(spark: SparkSession, path: str):
+    import numpy as np
+
+    from restructure_hdfs_topic_spark.compression import read_small_file
+
+    try:
+        raw = read_small_file(f"{path}/{_PQ_META}", spark=spark)
+    except Exception as exc:
+        raise ValueError(
+            f"{path}: no ivfpq/v1 code store (run build_pq_for_ivf)"
+        ) from exc
+    pq_meta = json.loads(raw.decode("utf-8"))
+    if pq_meta.get("format") != "restructure_hdfs_topic_spark/ivfpq/v1":
+        raise ValueError(f"{path}: no ivfpq/v1 code store (run build_pq_for_ivf)")
+    books = np.asarray(pq_meta["books"], dtype=np.int64).reshape(
+        pq_meta["m"], pq_meta["n_codes"], pq_meta["dsub_max"]
+    )
+    return books, pq_meta
+
+
+def query_ivfpq_index(
+    spark: SparkSession,
+    path: str,
+    queries: DataFrame,
+    k: int = 5,
+    nprobe: int = 8,
+    rerank_factor: int | None = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVFPQ query: probe ``nprobe`` clusters per query (broadcast
+    centroids, one Arrow pass), ADC-score ONLY the probed partitions of
+    the m-byte code store (partition pruning via the equi-join on the
+    partition column), then exact-rerank the top candidates against the
+    stored full vectors of those same probed clusters.  The corpus-sized
+    read is nprobe/C of the rows × m bytes of the columns — both cost
+    axes cut, which is the point of IVFPQ."""
+    import numpy as np
+
+    meta = load_ivf_meta(spark, path)
+    books, pq_meta = _load_books(spark, path)
+    cent_rows = (
+        spark.read.parquet(f"{path}/centroids").orderBy("cluster").collect()
+    )
+    centroids = np.stack(
+        [np.asarray(r["centroid"], dtype=np.int64) for r in cent_rows]
+    )
+    _check_integral_id(queries, id_col)
+    nprobe = max(1, min(int(nprobe), int(meta["n_centroids"])))
+    quant_q = queries.select(
+        F.col(id_col).alias("id"), _quantize(F.col(vec_col)).alias("vec")
+    )
+    probes = quant_q.mapInPandas(
+        _probe_assign(centroids, nprobe),
+        schema="id long, vec array<long>, cluster long",
+    )
+    q_ids, q_vecs = _collect_queries(queries, id_col, vec_col)
+    fetch = k if rerank_factor is None else k * rerank_factor
+
+    codes = spark.read.parquet(f"{path}/codes")
+    probed_clusters = probes.select("cluster").distinct()
+    pruned = codes.join(probed_clusters, "cluster").select("id", "code")
+    parts = pruned.mapInPandas(
+        _adc_kernel(books, q_ids, q_vecs, fetch),
+        schema="query_id long, neighbor_id long, adc_cosine double",
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc_cosine").desc(), F.col("neighbor_id")
+    )
+    top = (
+        parts.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= fetch)
+    )
+    if rerank_factor is None:
+        return top.select(
+            "query_id", "rank", "neighbor_id", F.col("adc_cosine").alias("cosine")
+        ).filter(F.col("rank") <= k)
+    # Exact rerank against the stored vectors, pruned to the SAME probed
+    # clusters (candidates live there by construction).
+    stored = (
+        spark.read.parquet(f"{path}/assignments")
+        .join(probed_clusters, "cluster")
+        .select(F.col("id").alias("neighbor_id"), F.col("vec").alias("__nv"))
+    )
+    from restructure_hdfs_topic_spark.operators.similarity import _dot, _norm2
+
+    q_df = spark.createDataFrame(
+        [(int(i), [int(x) for x in v]) for i, v in zip(q_ids, q_vecs)],
+        "query_id long, __qv array<long>",
+    )
+    scored = (
+        top.select("query_id", "neighbor_id")
+        .join(stored, "neighbor_id")
+        .join(F.broadcast(q_df), "query_id")
+        .withColumn(
+            "cosine",
+            F.round(
+                _dot(F.col("__qv"), F.col("__nv"))
+                / (
+                    F.sqrt(_norm2(F.col("__qv")).cast("double"))
+                    * F.sqrt(_norm2(F.col("__nv")).cast("double"))
+                ),
+                6,
+            ),
+        )
+    )
+    w2 = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w2).cast("bigint"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", "cosine")
+    )

@@ -117,6 +117,13 @@ CONSISTENCY_QUERIES = [
     # Lloyd make the stored index (and thus the query result at a fixed
     # probe depth) partitioning-independent.
     "ivf_index_query",
+    # r8: WARC parse -> curated documents (artifact built once per sf,
+    # parse + strip_html + gate must be partitioning-independent), flat
+    # PQ ANN (hash-sampled int-Lloyd codebooks + deterministic ADC +
+    # exact rerank), and the IVFPQ on-disk composition.
+    "warc_ingest",
+    "ann_pq_topk",
+    "ivfpq_index_query",
 ]
 
 

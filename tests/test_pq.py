@@ -1,0 +1,162 @@
+"""Product-quantization tests.
+
+The strongest oracle is structural: when every subspace has ≤ 2^nbits
+distinct sub-vectors, PQ reconstruction is LOSSLESS, so ADC scores equal
+exact cosine scores and `pq_adc_topk` must return exactly what
+`cosine_topk` returns.  Real-data recall (sf0.01 embeddings) is then
+gated with and without the exact rerank, the IVFPQ composition is gated
+against the same exact baseline, and determinism / partitioning
+independence are pinned.
+"""
+
+import os
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+SF_DIR = "/root/testdata/sf0.01"
+
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(SF_DIR), reason=f"testdata {SF_DIR} missing"
+)
+
+
+def _lossless_corpus(spark, n=300, dim=16, m=4, vocab=7, seed=13):
+    """Embeddings whose every subspace draws from `vocab` distinct
+    sub-vectors (vocab < 256 ⇒ PQ is lossless)."""
+    dsub = dim // m
+    rng = np.random.RandomState(seed)
+    sub_vocab = rng.randint(-30000, 30000, size=(m, vocab, dsub))
+    rows = []
+    for i in range(n):
+        vec = np.concatenate(
+            [sub_vocab[s, rng.randint(vocab)] for s in range(m)]
+        )
+        rows.append((i, [float(x) / 10000.0 for x in vec]))
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_pq_lossless_equals_exact(spark):
+    from restructure_hdfs_topic_spark.operators.pq import pq_adc_topk
+    from restructure_hdfs_topic_spark.operators.similarity import cosine_topk
+
+    emb = _lossless_corpus(spark)
+    queries = emb.filter(F.col("vec_id") % 10 == 0)
+    exact = {
+        (r["query_id"], r["rank"]): (r["neighbor_id"], r["cosine"])
+        for r in cosine_topk(emb, k=5, queries=queries).collect()
+    }
+    # No rerank: the ADC scores themselves must already be the exact
+    # cosines because reconstruction is lossless.
+    got = {
+        (r["query_id"], r["rank"]): (r["neighbor_id"], r["cosine"])
+        for r in pq_adc_topk(emb, queries, k=5, m=4, rerank_factor=None).collect()
+    }
+    assert set(got) == set(exact)
+    for key, (nid, cos) in got.items():
+        enid, ecos = exact[key]
+        assert nid == enid, (key, nid, enid)
+        assert abs(cos - ecos) < 1e-6, (key, cos, ecos)
+
+
+def test_pq_encode_shapes_and_determinism(spark):
+    from restructure_hdfs_topic_spark.operators.pq import pq_encode, train_pq
+    from restructure_hdfs_topic_spark.sources.tables import load_table
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    books = train_pq(emb, m=8, train_sample=1024)
+    assert books.shape == (8, 256, 8)
+
+    codes = {r["id"]: bytes(r["code"]) for r in pq_encode(emb, books).collect()}
+    assert len(codes) == emb.count()
+    assert all(len(c) == 8 for c in codes.values())
+
+    # Same training inputs => identical codebooks; different partitioning
+    # => identical codes (hash-ordered seeds, int Lloyd).
+    books2 = train_pq(emb.repartition(13), m=8, train_sample=1024)
+    assert np.array_equal(books, books2)
+    codes2 = {
+        r["id"]: bytes(r["code"])
+        for r in pq_encode(emb.repartition(7), books2).collect()
+    }
+    assert codes == codes2
+
+
+def test_pq_recall_on_real_embeddings(spark):
+    from restructure_hdfs_topic_spark.operators.pq import pq_adc_topk
+    from restructure_hdfs_topic_spark.operators.similarity import cosine_topk
+    from restructure_hdfs_topic_spark.sources.tables import load_table
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 20 == 0)
+    exact = (
+        cosine_topk(emb, k=5)
+        .filter(F.col("query_id") % 20 == 0)
+        .select("query_id", "neighbor_id")
+    )
+    denom = exact.count()
+
+    reranked = pq_adc_topk(emb, queries, k=5, m=8, rerank_factor=4)
+    hits = exact.join(reranked, ["query_id", "neighbor_id"], "left_semi").count()
+    assert hits / denom >= 0.9, f"reranked recall {hits / denom:.3f}"
+
+    raw = pq_adc_topk(emb, queries, k=5, m=8, rerank_factor=None)
+    hits_raw = exact.join(raw, ["query_id", "neighbor_id"], "left_semi").count()
+    # Compressed-domain-only recall is lower by construction; the rerank
+    # restores it — pin both so a regression in either path shows.
+    assert hits_raw / denom >= 0.6, f"raw ADC recall {hits_raw / denom:.3f}"
+
+
+def test_ivfpq_index_round_trip(spark, tmp_path):
+    from restructure_hdfs_topic_spark.operators.ivf_index import build_ivf_index
+    from restructure_hdfs_topic_spark.operators.pq import (
+        build_pq_for_ivf,
+        query_ivfpq_index,
+    )
+    from restructure_hdfs_topic_spark.operators.similarity import cosine_topk
+    from restructure_hdfs_topic_spark.sources.tables import load_table
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    path = str(tmp_path / "ivfpq")
+    build_ivf_index(emb, path, n_centroids=16, lloyd_iters=1)
+    pq_meta = build_pq_for_ivf(emb, path, m=8)
+    assert pq_meta["m"] == 8 and pq_meta["n_codes"] == 256
+
+    # Code store is partitioned by the SAME cluster key as assignments.
+    parts = [d for d in os.listdir(f"{path}/codes") if d.startswith("cluster=")]
+    assert len(parts) >= 8
+
+    queries = emb.filter(F.col("vec_id") % 20 == 0)
+    got = query_ivfpq_index(spark, path, queries, k=5, nprobe=10, rerank_factor=4)
+    rows = got.collect()
+    assert rows and all(1 <= r["rank"] <= 5 for r in rows)
+    assert all(r["query_id"] != r["neighbor_id"] for r in rows)
+
+    exact = (
+        cosine_topk(emb, k=5)
+        .filter(F.col("query_id") % 20 == 0)
+        .select("query_id", "neighbor_id")
+    )
+    hits = exact.join(got, ["query_id", "neighbor_id"], "left_semi").count()
+    assert hits / exact.count() >= 0.8, f"ivfpq recall {hits / exact.count():.3f}"
+
+    # Querying a plain IVF index without a code store fails loudly.
+    path2 = str(tmp_path / "plain")
+    build_ivf_index(emb, path2, n_centroids=8, lloyd_iters=1)
+    with pytest.raises(ValueError):
+        query_ivfpq_index(spark, path2, queries, k=5)
+
+
+def test_pq_rejects_bad_params(spark):
+    from restructure_hdfs_topic_spark.operators.pq import pq_adc_topk, train_pq
+    from restructure_hdfs_topic_spark.sources.tables import load_table
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    with pytest.raises(ValueError):
+        train_pq(emb, nbits=9)
+    with pytest.raises(ValueError):
+        train_pq(emb, m=100000)
+    s = emb.withColumn("vec_id", F.col("vec_id").cast("string"))
+    with pytest.raises(ValueError):
+        pq_adc_topk(s, k=2)
