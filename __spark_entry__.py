@@ -1435,6 +1435,38 @@ def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bloom_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-prefiltered incremental dedup: same batch/state split as
+    incremental_dedup, but the state is a COMMITTED fingerprint store
+    with a bucketed Bloom sidecar — Bloom-negative rows (the novel bulk
+    of a fresh crawl) skip the state anti-join entirely; output is
+    identical to the plain filter (no false negatives by construction,
+    pinned in tests/test_bloom.py).  State + sidecar build once per sf
+    (bench/extras surface)."""
+    import os
+
+    from restructure_hdfs_topic_spark.operators.bloom import (
+        filter_novel_documents_bloom,
+    )
+    from restructure_hdfs_topic_spark.operators.incremental import (
+        commit_fingerprints,
+        document_fingerprints,
+    )
+
+    _conf(spark)
+    docs = _t(spark, sf_dir, "documents")
+    state_dir = (
+        f"/tmp/spark_graft_bloomstate_{os.path.basename(os.path.normpath(sf_dir))}"
+    )
+    if not os.path.exists(f"{state_dir}/offsets.CURRENT"):
+        seen = docs.filter(F.col("doc_id") % 10 >= 4)
+        commit_fingerprints(spark, state_dir, document_fingerprints(seen))
+    batch = docs.filter(F.col("doc_id") % 10 < 4)
+    return filter_novel_documents_bloom(spark, state_dir, batch).select(
+        "doc_id", "source"
+    )
+
+
 def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full curation chain composed as ONE plan (VERDICT r5 #6): gopher
     quality gate → exact-substring span scrub → minhash near-dup drop →
@@ -1877,6 +1909,9 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # Incremental (cross-batch) corpus dedup; DuckDB cross-check +
         # ingest-protocol tests in tests/test_incremental.py.
         "incremental_dedup": q_incremental_dedup,
+        # Bloom-prefiltered flavor over a committed state + sidecar;
+        # equivalence/fpp/staleness pinned in tests/test_bloom.py.
+        "bloom_incremental_dedup": q_bloom_incremental_dedup,
         # Interpolated bigram LM scoring; DuckDB cross-check in
         # tests/test_lm_bigram.py.
         "lm_bigram": q_lm_bigram,

@@ -63,6 +63,7 @@ BENCH_QUERIES = [
     "ann_pq_topk",
     "ivfpq_index_query",
     "incremental_dedup",
+    "bloom_incremental_dedup",
     "lm_bigram",
     "text_normalize",
     "line_dedup",

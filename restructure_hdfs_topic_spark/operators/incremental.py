@@ -336,15 +336,30 @@ def ingest_batch(
     write_accepted,
     id_col: str = "doc_id",
     text_col: str = "text",
+    use_bloom: bool = False,
 ) -> dict:
     """One increment, commit-after-store: filter the batch to novel
     documents, hand them to ``write_accepted(accepted_df)`` (the caller's
     durable write — its return is ignored), then commit their
     fingerprints.  Returns counters.  A crash before the commit re-offers
     the whole batch next run; the filter makes the rerun a no-op for
-    already-ingested content, so the protocol is idempotent."""
-    state = read_fingerprints(spark, state_dir)
-    accepted = filter_novel_documents(batch, state, id_col, text_col)
+    already-ingested content, so the protocol is idempotent.
+
+    ``use_bloom=True`` routes the novelty filter through the bucketed
+    Bloom sidecar (``operators/bloom.py``): identical output, but only
+    Bloom-positive rows pay the state anti-join — the right default once
+    the committed state dwarfs the typical batch."""
+    if use_bloom:
+        from restructure_hdfs_topic_spark.operators.bloom import (
+            filter_novel_documents_bloom,
+        )
+
+        accepted = filter_novel_documents_bloom(
+            spark, state_dir, batch, id_col, text_col
+        )
+    else:
+        state = read_fingerprints(spark, state_dir)
+        accepted = filter_novel_documents(batch, state, id_col, text_col)
     # Persist across the caller's write action and our fingerprint commit
     # (two evaluations of the filtered plan otherwise).
     from pyspark import StorageLevel

@@ -124,6 +124,10 @@ CONSISTENCY_QUERIES = [
     "warc_ingest",
     "ann_pq_topk",
     "ivfpq_index_query",
+    # r8: Bloom-prefiltered incremental dedup must equal the plain
+    # anti-join filter regardless of partitioning (no-false-negative
+    # construction + deterministic keep-first).
+    "bloom_incremental_dedup",
 ]
 
 
