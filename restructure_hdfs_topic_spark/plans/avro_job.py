@@ -633,11 +633,19 @@ def run_avro_restructure_job(
         from restructure_hdfs_topic_spark.locks import StorageLockManager
 
         lock_manager = StorageLockManager(spark, config.state_dir)
-    for topic, files in sorted(topics.items()):
+    # Per-topic progress + phase timings (reference util/ProgressBar.kt /
+    # util/Timer.kt): the bar tracks the topic loop; the process-wide
+    # timer (off unless the caller enabled it) attributes driver time to
+    # walk/filter/decode-write/commit phases via _process_topic.
+    from restructure_hdfs_topic_spark.progress import ProgressBar, timer
+
+    bar = ProgressBar(f"restructure {input_root}", len(topics), spark=spark)
+    for topic_ix, (topic, files) in enumerate(sorted(topics.items())):
         # Late-file guard (O4, config minimumFileAge): skip files younger
         # than min_age — they may still be written to.
         aged = [f for f in files if now - f.mtime >= min_age]
         if not aged:
+            bar.update(topic_ix + 1, force=topic_ix + 1 == len(topics))
             continue
         # O19: another engine instance holding this topic's lease → skip it
         # this iteration (the reference processes whatever it can lock,
@@ -645,14 +653,17 @@ def run_avro_restructure_job(
         lock = lock_manager.acquire(topic) if lock_manager else None
         if lock_manager is not None and lock is None:
             counters["topics_locked"] += 1
+            bar.update(topic_ix + 1, force=topic_ix + 1 == len(topics))
             continue
         try:
-            _process_topic(
-                spark, topic, aged, config, mode, counters
-            )
+            with timer.time("restructure.topic"):
+                _process_topic(
+                    spark, topic, aged, config, mode, counters
+                )
         finally:
             if lock is not None:
                 lock.close()
+        bar.update(topic_ix + 1, force=topic_ix + 1 == len(topics))
     if config.target.apply_local_attrs:
         from restructure_hdfs_topic_spark.target_attrs import apply_local_target_attrs
 
@@ -671,7 +682,10 @@ def run_avro_restructure_job(
 def _process_topic(spark, topic, aged, config, mode, counters) -> None:
     """Body of one topic iteration (extracted so the O19 lock wraps it in
     a try/finally)."""
-    state = read_offsets(spark, config.state_dir)
+    from restructure_hdfs_topic_spark.progress import timer
+
+    with timer.time("restructure.readOffsets"):
+        state = read_offsets(spark, config.state_dir)
     manifest = manifest_df(spark, aged)
     # Join output order is nondeterministic — sort NUMERICALLY by
     # (partition, offset) so the maxFilesPerTopic cap always takes the
@@ -694,7 +708,8 @@ def _process_topic(spark, topic, aged, config, mode, counters) -> None:
         }
         return
     paths = [r["path"] for r in pending_rows]
-    records = read_avro(spark, paths, mode=mode)
+    with timer.time("restructure.readAvro"):
+        records = read_avro(spark, paths, mode=mode)
     organized = organize_avro_records(records, config.paths.bin_format)
     organized = organized.withColumn("topic", F.lit(topic))
     # Dedup keys are the WRITTEN row's columns (the reference dedups the
@@ -718,7 +733,8 @@ def _process_topic(spark, topic, aged, config, mode, counters) -> None:
 
     obs = Observation()
     organized = organized.observe(obs, F.count(F.lit(1)).alias("n"))
-    _write_topic(organized, config, topic)
+    with timer.time("restructure.write"):
+        _write_topic(organized, config, topic)
     n_records = int(obs.get["n"])
     new_ranges = spark.createDataFrame(
         [
@@ -727,7 +743,8 @@ def _process_topic(spark, topic, aged, config, mode, counters) -> None:
         ],
         "topic string, partition int, offset_from long, offset_to long, last_processed timestamp",
     )
-    commit_offsets(spark, config.state_dir, new_ranges)
+    with timer.time("restructure.commitOffsets"):
+        commit_offsets(spark, config.state_dir, new_ranges)
     counters["topics"][topic] = {
         "records_written": n_records,
         "files_processed": len(pending_rows),

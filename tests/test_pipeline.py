@@ -556,6 +556,12 @@ def test_query_registry_consistency():
         "quality_classifier",
         "url_dedup",
         "ivf_index_query",
+        # r8 additions: WARC ingest, PQ ANN (flat + IVF-composed),
+        # Bloom-prefiltered incremental dedup.
+        "warc_ingest",
+        "ann_pq_topk",
+        "ivfpq_index_query",
+        "bloom_incremental_dedup",
     }
     assert extra.isdisjoint(q), "bench-only queries must stay unregistered"
 
