@@ -43,6 +43,7 @@ from pyspark.sql import functions as F
 __all__ = [
     "parse_warc_records",
     "read_warc",
+    "read_warc_stream",
     "warc_responses_as_documents",
     "warc_bytes",
 ]
@@ -233,18 +234,9 @@ _OUT_SCHEMA = (
 )
 
 
-def read_warc(
-    spark: SparkSession, paths: list[str] | str, decode_text: bool = True
-) -> DataFrame:
-    """DataFrame of WARC records under ``paths`` (``*.warc`` /
-    ``*.warc.gz``, local or any Hadoop ``scheme://``) — one task per
-    file via ``binaryFile``, one Arrow crossing per task.  Columns:
-    (file, record_ix, record_id, warc_type, target_uri, warc_date,
-    http_status, content_type, text, payload, decode_status)."""
-    if isinstance(paths, str):
-        paths = [paths]
-    if not paths:
-        raise ValueError("read_warc: empty path list")
+def _parse_kernel(decode_text: bool):
+    """Shared mapInPandas kernel for the batch and streaming readers: one
+    (path, content) row per WARC file in, parsed record rows out."""
 
     def kernel(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -261,13 +253,71 @@ def read_warc(
                 out["http_status"] = out["http_status"].astype("Int32")
                 yield out
 
+    return kernel
+
+
+def read_warc(
+    spark: SparkSession, paths: list[str] | str, decode_text: bool = True
+) -> DataFrame:
+    """DataFrame of WARC records under ``paths`` (``*.warc`` /
+    ``*.warc.gz``, local or any Hadoop ``scheme://``) — one task per
+    file via ``binaryFile``, one Arrow crossing per task.  Columns:
+    (file, record_ix, record_id, warc_type, target_uri, warc_date,
+    http_status, content_type, text, payload, decode_status)."""
+    if isinstance(paths, str):
+        paths = [paths]
+    if not paths:
+        raise ValueError("read_warc: empty path list")
     binary = (
         spark.read.format("binaryFile")
         .option("pathGlobFilter", "*.warc*")
         .load(paths)
         .select("path", "content")
     )
-    return binary.mapInPandas(kernel, schema=_OUT_SCHEMA)
+    return binary.mapInPandas(_parse_kernel(decode_text), schema=_OUT_SCHEMA)
+
+
+def read_warc_stream(
+    spark: SparkSession,
+    crawl_dir: str,
+    decode_text: bool = True,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """Structured Streaming WARC source: a ``binaryFile`` file stream over
+    ``crawl_dir`` decoded by the same parse kernel as the batch reader —
+    crawler output lands as ``.warc.gz`` files and each becomes one
+    micro-batch unit; the stream checkpoint is the seen-file ledger
+    (engine-managed exactly-once), mirroring ``read_avro_stream``.
+    Compose with ``warc_responses_as_documents`` and the
+    ``streaming_curation_sink`` for the live "crawl stream in, training
+    rows out" path."""
+    from pyspark.sql.types import (
+        BinaryType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+        TimestampType,
+    )
+
+    bin_schema = StructType(
+        [
+            StructField("path", StringType()),
+            StructField("modificationTime", TimestampType()),
+            StructField("length", LongType()),
+            StructField("content", BinaryType()),
+        ]
+    )
+    reader = (
+        spark.readStream.format("binaryFile")
+        .schema(bin_schema)
+        .option("pathGlobFilter", "*.warc*")
+        .option("recursiveFileLookup", "true")
+    )
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    binary = reader.load(crawl_dir).select("path", "content")
+    return binary.mapInPandas(_parse_kernel(decode_text), schema=_OUT_SCHEMA)
 
 
 def warc_responses_as_documents(records: DataFrame) -> DataFrame:

@@ -242,6 +242,7 @@ def streaming_curation_sink(
     from_html: bool = True,
     classifier_model: dict | None = None,
     classifier_threshold: float = 0.5,
+    use_bloom: bool = False,
 ):
     """Streaming CURATION as a ``foreachBatch`` sink body — the full
     "crawl stream in, training rows out" product path, per micro-batch:
@@ -296,6 +297,9 @@ def streaming_curation_sink(
             lambda accepted: accepted.write.mode("append").parquet(accepted_path),
             id_col=id_col,
             text_col=text_col,
+            # Bloom sidecar prefilter: the right default once the committed
+            # store dwarfs a micro-batch (output identical either way).
+            use_bloom=use_bloom,
         )
 
     return body

@@ -263,3 +263,71 @@ def test_corpus_from_warc_facade(spark, tmp_path):
     c = Corpus.from_warc(spark, str(d)).strip_html()
     rows = {r["url"]: r["text"] for r in c.df.collect()}
     assert rows == {"https://f.com/a": "alpha beta", "https://f.com/b": "gamma"}
+
+
+def test_streaming_warc_curation(spark, tmp_path):
+    """Live crawl path: .warc.gz files stream in (binaryFile source), each
+    micro-batch runs strip_html → Gopher gate → incremental dedup vs the
+    committed fingerprint store → parquet append.  A second crawl file
+    re-serving the same pages must contribute nothing (cross-batch
+    suppression), while its genuinely new page lands."""
+    import time
+
+    from pyspark.sql import functions as F
+
+    from restructure_hdfs_topic_spark.sources.warc import (
+        read_warc_stream,
+        warc_responses_as_documents,
+    )
+    from restructure_hdfs_topic_spark.streaming.stateful import (
+        streaming_curation_sink,
+    )
+
+    crawl = tmp_path / "crawl"
+    crawl.mkdir()
+    body = (
+        "the quick brown fox jumps over the lazy dog and keeps on running "
+        "through fields of green grass while the sun shines brightly over "
+        "the quiet valley where many small animals make their homes today. "
+    ) * 3
+    pages = [
+        {"uri": f"https://s.test/p{i}", "body": f"<html><p>{body} page {i}</p></html>"}
+        for i in range(4)
+    ]
+    (crawl / "batch1.warc.gz").write_bytes(_mk(pages))
+
+    state = str(tmp_path / "state")
+    out = str(tmp_path / "accepted")
+    ckpt = str(tmp_path / "ckpt")
+
+    def run_available():
+        stream = warc_responses_as_documents(
+            read_warc_stream(spark, str(crawl), max_files_per_trigger=1)
+        ).withColumn("doc_id", F.xxhash64("url"))
+        q = (
+            stream.writeStream.foreachBatch(
+                streaming_curation_sink(state, out, use_bloom=True)
+            )
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run_available()
+    first = spark.read.parquet(out)
+    n1 = first.count()
+    assert n1 == 4
+    assert set(first.columns) >= {"doc_id", "url", "text"}
+    # HTML is stripped in the sink.
+    assert all("<p>" not in r["text"] for r in first.collect())
+
+    # Second crawl file: three re-served pages + one new one.
+    (crawl / "batch2.warc.gz").write_bytes(
+        _mk(pages[:3] + [{"uri": "https://s.test/new", "body": f"<html><p>{body} brand new page</p></html>"}])
+    )
+    run_available()
+    again = spark.read.parquet(out)
+    assert again.count() == 5
+    urls = {r["url"] for r in again.collect()}
+    assert "https://s.test/new" in urls
