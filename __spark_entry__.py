@@ -1435,6 +1435,32 @@ def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_line_corrections(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RefinedWeb line-wise corrections over boilerplate-injected
+    documents: strip mainly-uppercase / numeric-only / counter /
+    single-word lines, drop documents losing > 5% of their characters.
+    One narrow JVM higher-order projection, no shuffle, no Python.
+    DuckDB cross-check in tests/test_line_corrections.py (bench/extras
+    surface)."""
+    from restructure_hdfs_topic_spark.functions.text import line_corrections
+
+    _conf(spark)
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat_ws(
+            "\n",
+            F.when(F.col("doc_id") % 3 == 0, F.lit("MENU | HOME")).otherwise(
+                F.lit("a first line of fine prose")
+            ),
+            F.col("text"),
+            F.when(F.col("doc_id") % 5 == 0, F.lit("12 likes")).otherwise(
+                F.lit("closing line of fine prose")
+            ),
+        ).alias("text"),
+    )
+    return line_corrections(docs)
+
+
 def q_bloom_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bloom-prefiltered incremental dedup: same batch/state split as
     incremental_dedup, but the state is a COMMITTED fingerprint store
@@ -1912,6 +1938,9 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # Bloom-prefiltered flavor over a committed state + sidecar;
         # equivalence/fpp/staleness pinned in tests/test_bloom.py.
         "bloom_incremental_dedup": q_bloom_incremental_dedup,
+        # RefinedWeb line-wise corrections; DuckDB cross-check in
+        # tests/test_line_corrections.py.
+        "line_corrections": q_line_corrections,
         # Interpolated bigram LM scoring; DuckDB cross-check in
         # tests/test_lm_bigram.py.
         "lm_bigram": q_lm_bigram,

@@ -64,6 +64,7 @@ BENCH_QUERIES = [
     "ivfpq_index_query",
     "incremental_dedup",
     "bloom_incremental_dedup",
+    "line_corrections",
     "lm_bigram",
     "text_normalize",
     "line_dedup",

@@ -68,6 +68,15 @@ class Corpus:
             self.df.withColumn(self.text_col, strip_html(F.col(self.text_col)))
         )
 
+    def line_corrections(self, max_removed_ratio: float = 0.05) -> "Corpus":
+        """RefinedWeb line-wise corrections: strip boilerplate lines, drop
+        heavily-damaged documents."""
+        from restructure_hdfs_topic_spark.functions.text import line_corrections
+
+        return self._wrap(
+            line_corrections(self.df, self.id_col, self.text_col, max_removed_ratio)
+        )
+
     def normalize(self, nfc: bool = False) -> "Corpus":
         from restructure_hdfs_topic_spark.functions.text import (
             nfc_normalize_text,

@@ -619,3 +619,73 @@ def extract_url_domains(text: Column) -> Column:
             "",
         ),
     )
+
+
+# --- RefinedWeb line-wise corrections ---------------------------------------
+
+_COUNTER_RE = (
+    r"^[0-9]+ (likes?|comments?|shares?|views?|points?|votes?"
+    r"|upvotes?|replies|retweets?)$"
+)
+
+
+def boilerplate_line_flag(line: Column) -> Column:
+    """True when a line is web boilerplate under RefinedWeb's line-wise
+    correction rules (Penedo et al. 2023 §G.2): mainly uppercase
+    (navigation/buttons shout), only numerical, a social counter
+    ("3 likes"), or a single word.  Pure JVM expression — usable inside
+    higher-order functions over a split column."""
+    n_alpha = F.length(line) - F.length(F.regexp_replace(line, r"[A-Za-z]", ""))
+    n_upper = F.length(line) - F.length(F.regexp_replace(line, r"[A-Z]", ""))
+    mainly_upper = (n_alpha >= F.lit(1)) & (n_upper * 2 > n_alpha)
+    t = F.trim(line)
+    numeric_only = (n_alpha == F.lit(0)) & t.rlike(r"^[0-9][0-9 .,:%/\-]*$")
+    counter = F.lower(t).rlike(_COUNTER_RE)
+    one_word = (F.length(t) > F.lit(0)) & (~t.rlike(r"\s"))
+    return mainly_upper | numeric_only | counter | one_word
+
+
+def line_corrections(
+    docs: "DataFrame",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_removed_ratio: float = 0.05,
+) -> "DataFrame":
+    """RefinedWeb line-wise corrections: strip boilerplate lines
+    (``boilerplate_line_flag``) from every document, and DROP documents
+    where the removed characters exceed ``max_removed_ratio`` of the text
+    — the paper's rule that heavy line-level damage signals a page whose
+    remainder isn't prose either.  Kept lines are byte-exact (empty lines
+    survive, so paragraph spacing round-trips).
+
+    Scale shape: one narrow JVM projection over a SPLIT column projected
+    once (higher-order filter/aggregate — inlining the split would re-run
+    it per element), no shuffle, no Python.  Returns the input columns
+    with ``text_col`` rewritten."""
+    from pyspark.sql import DataFrame  # noqa: F401
+
+    out_cols = docs.columns
+    split_col = F.split(F.col(text_col), "\n")
+    step = docs.withColumn("__lines", split_col)
+    kept = F.filter(F.col("__lines"), lambda l: ~boilerplate_line_flag(l))
+    removed_chars = F.aggregate(
+        F.filter(F.col("__lines"), boilerplate_line_flag),
+        F.lit(0).cast("long"),
+        lambda acc, l: acc + F.length(l),
+    )
+    total_chars = F.aggregate(
+        F.col("__lines"), F.lit(0).cast("long"), lambda acc, l: acc + F.length(l)
+    )
+    step = (
+        step.withColumn("__removed", removed_chars)
+        .withColumn("__total", total_chars)
+        .withColumn(text_col, F.array_join(kept, "\n"))
+    )
+    # NULL text passes through untouched (split(NULL) is NULL, so the
+    # ratio predicate would be NULL and silently drop the row).
+    keep_doc = (
+        F.col(text_col).isNull()
+        | (F.col("__total") == 0)
+        | (F.col("__removed") <= F.lit(max_removed_ratio) * F.col("__total"))
+    )
+    return step.filter(keep_doc).select(*out_cols)

@@ -50,6 +50,7 @@ def curate_corpus(
     temperature_alpha: float | None = None,
     span_k: int = 8,
     jaccard_threshold: float = 0.5,
+    line_corrections_ratio: float | None = None,
     pack_budget: int = 2048,
     perplexity_head_q: float | None = None,
     decontaminate_benchmark: DataFrame | None = None,
@@ -93,6 +94,17 @@ def curate_corpus(
         raise ValueError(
             "pass ONE of mixture_weights / token_budgets / temperature_alpha"
         )
+    # 0 (optional). RefinedWeb line-wise corrections — strip boilerplate
+    # lines and drop heavily-damaged pages BEFORE any quality gate (the
+    # paper runs them right after HTML extraction; the gates then judge
+    # the prose that remains, not the navigation chrome).
+    if line_corrections_ratio is not None:
+        from restructure_hdfs_topic_spark.functions.text import line_corrections
+
+        docs = line_corrections(
+            docs, id_col, text_col, max_removed_ratio=line_corrections_ratio
+        )
+
     # 1. Gopher quality gate (keep original columns; metrics are transient).
     metrics = gopher_metrics(F.col(text_col))
     gated = (
@@ -267,6 +279,7 @@ def curation_stage_counts(
     mixture_weights: dict[str, int] | None = None,
     span_k: int = 8,
     jaccard_threshold: float = 0.5,
+    line_corrections_ratio: float | None = None,
 ) -> dict[str, int]:
     """Per-stage survivor counts (monitoring/attrition report) — each stage
     evaluated once; used by the e2e test to assert monotone attrition."""

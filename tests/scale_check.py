@@ -128,6 +128,9 @@ CONSISTENCY_QUERIES = [
     # anti-join filter regardless of partitioning (no-false-negative
     # construction + deterministic keep-first).
     "bloom_incremental_dedup",
+    # r8: line-wise corrections are a pure narrow projection — digest
+    # stability is the distributed witness for the extras surface.
+    "line_corrections",
 ]
 
 

@@ -562,6 +562,7 @@ def test_query_registry_consistency():
         "ann_pq_topk",
         "ivfpq_index_query",
         "bloom_incremental_dedup",
+        "line_corrections",
     }
     assert extra.isdisjoint(q), "bench-only queries must stay unregistered"
 
