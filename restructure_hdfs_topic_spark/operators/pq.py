@@ -59,6 +59,7 @@ __all__ = [
     "pq_encode",
     "pq_adc_topk",
     "build_pq_for_ivf",
+    "append_to_ivfpq_index",
     "query_ivfpq_index",
 ]
 
@@ -162,22 +163,12 @@ def train_pq(
     return books
 
 
-def pq_encode(
-    embeddings: DataFrame,
-    books,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
-) -> DataFrame:
-    """(id, code binary) — the compressed corpus: ``m`` bytes per vector,
-    one Arrow crossing, codebooks ride the closure (m·256·dsub ints,
-    KBs).  Per subspace the argmin uses ``||x-c||² = ||x||² - 2x·c +
-    ||c||²`` with the rank-invariant ``||x||²`` dropped — one matmul, no
-    (n, C, d) intermediate; subspace bounds derive from the first
-    vector's width."""
-    _check_integral_id(embeddings, id_col)
-    quant = embeddings.select(
-        F.col(id_col).alias("id"), _quantize(F.col(vec_col)).alias("vec")
-    )
+def _make_encode_kernel(books, passthrough: tuple = ()):
+    """Shared encode kernel: (id, vec[, passthrough...]) → (id, code[,
+    passthrough...]).  Per subspace the argmin uses ``||x-c||² = ||x||² -
+    2x·c + ||c||²`` with the rank-invariant ``||x||²`` dropped — one
+    matmul, no (n, C, d) intermediate; subspace bounds derive from the
+    first vector's width."""
     m = books.shape[0]
 
     def enc(batches):
@@ -202,14 +193,33 @@ def pq_encode(
                 scores = vv[:, s:e].astype(np.float64) @ cb.T
                 codes[:, s_ix] = np.argmin(cn2[s_ix][None, :] - 2.0 * scores, axis=1)
             raw = codes.tobytes(order="C")
-            yield pd.DataFrame(
-                {
-                    "id": pdf["id"].to_numpy(),
-                    "code": [raw[i * m : (i + 1) * m] for i in range(len(vv))],
-                }
-            )
+            out = {
+                "id": pdf["id"].to_numpy(),
+                "code": [raw[i * m : (i + 1) * m] for i in range(len(vv))],
+            }
+            for col in passthrough:
+                out[col] = pdf[col].to_numpy()
+            yield pd.DataFrame(out)
 
-    return quant.mapInPandas(enc, schema="id long, code binary")
+    return enc
+
+
+def pq_encode(
+    embeddings: DataFrame,
+    books,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, code binary) — the compressed corpus: ``m`` bytes per vector,
+    one Arrow crossing, codebooks ride the closure (m·256·dsub ints,
+    KBs)."""
+    _check_integral_id(embeddings, id_col)
+    quant = embeddings.select(
+        F.col(id_col).alias("id"), _quantize(F.col(vec_col)).alias("vec")
+    )
+    return quant.mapInPandas(
+        _make_encode_kernel(books), schema="id long, code binary"
+    )
 
 
 def _adc_kernel(books, q_ids, q_vecs, k: int):
@@ -467,6 +477,72 @@ def _load_books(spark: SparkSession, path: str):
         pq_meta["m"], pq_meta["n_codes"], pq_meta["dsub_max"]
     )
     return books, pq_meta
+
+
+def append_to_ivfpq_index(
+    embeddings: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> dict:
+    """Incremental growth for an IVFPQ index: route NEW embeddings into
+    the TRAINED centroids and append BOTH stores — full vectors into
+    ``assignments/`` (rerank side) and m-byte codes into ``codes/`` —
+    touching only the gained cluster directories.  Neither the coarse
+    quantizer nor the PQ codebooks retrain (FAISS's add-after-train
+    shape); rebuild when the arrival distribution drifts.  Returns the
+    updated IVF meta.
+
+    One Arrow pass computes assignment; the persisted frame feeds both
+    partitioned appends (the code side re-encodes from the persisted
+    quantized vectors, not from upstream) and the meta count."""
+    import numpy as np
+
+    from restructure_hdfs_topic_spark.caching import scoped_persist
+    from restructure_hdfs_topic_spark.operators.ivf_index import (
+        _assign_nearest,
+        _write_meta,
+    )
+
+    spark = embeddings.sparkSession
+    _check_integral_id(embeddings, id_col)
+    meta = load_ivf_meta(spark, path)
+    books, _pq_meta = _load_books(spark, path)
+    cent_rows = (
+        spark.read.parquet(f"{path}/centroids").orderBy("cluster").collect()
+    )
+    centroids = np.stack(
+        [np.asarray(r["centroid"], dtype=np.int64) for r in cent_rows]
+    )
+    quant = embeddings.select(
+        F.col(id_col).alias("id"), _quantize(F.col(vec_col)).alias("vec")
+    )
+    members = scoped_persist(
+        quant.mapInPandas(
+            _assign_nearest(centroids),
+            schema="id long, vec array<long>, cluster long",
+        ),
+        scope="pq.append.members",
+    )
+    (
+        members.repartition(F.col("cluster"))
+        .write.mode("append")
+        .partitionBy("cluster")
+        .parquet(f"{path}/assignments")
+    )
+    (
+        members.mapInPandas(
+            _make_encode_kernel(books, passthrough=("cluster",)),
+            schema="id long, code binary, cluster long",
+        )
+        .repartition(F.col("cluster"))
+        .write.mode("append")
+        .partitionBy("cluster")
+        .parquet(f"{path}/codes")
+    )
+    meta["n"] = int(meta["n"]) + int(members.count())
+    _write_meta(spark, f"{path}/_ivf_meta.json", meta)
+    return meta
 
 
 def query_ivfpq_index(
