@@ -122,6 +122,34 @@ def bloom_from_fingerprints(
     )
 
 
+# Incremental updates raise each bucket's fill beyond its design point;
+# past this multiple of the built capacity the fpp degrades enough
+# (~5% at 1.5× for 10 bits/key) that a full right-sized rebuild wins.
+REBUILD_FILL_FACTOR = 1.5
+
+
+def _bloom_data_path(state_dir: str, version: int) -> str:
+    # Versioned data dir: an in-place overwrite would truncate the very
+    # files the update job is still reading.
+    return f"{state_dir.rstrip('/')}/{BLOOM_SUBDIR}/data_v{version:08d}"
+
+
+def _finish_sidecar(
+    spark: SparkSession, state_dir: str, meta: dict, old_paths: list[str]
+) -> dict:
+    from restructure_hdfs_topic_spark.compression import write_small_file
+
+    sub = f"{state_dir.rstrip('/')}/{BLOOM_SUBDIR}"
+    write_small_file(f"{sub}/{_BLOOM_META}", json.dumps(meta).encode(), spark=spark)
+    # Best-effort prune of superseded data dirs (derived cache).
+    import shutil
+
+    for p in old_paths:
+        if "://" not in p:
+            shutil.rmtree(p, ignore_errors=True)
+    return meta
+
+
 def write_bloom_sidecar(
     spark: SparkSession,
     state_dir: str,
@@ -130,22 +158,22 @@ def write_bloom_sidecar(
 ) -> dict:
     """Build the sidecar from the CURRENT committed fingerprint state and
     store it under ``<state_dir>/bloom/`` with the state version it
-    reflects.  Derived data — overwrite-safe, rebuild any time."""
-    from restructure_hdfs_topic_spark.compression import write_small_file
+    reflects.  Derived data — rebuild-safe any time."""
     from restructure_hdfs_topic_spark.operators import offsets as _off
     from restructure_hdfs_topic_spark.operators.incremental import read_fingerprints
 
     version = _off._current_version(state_dir, spark) or 0
     fps = read_fingerprints(spark, state_dir)
-    sub = f"{state_dir.rstrip('/')}/{BLOOM_SUBDIR}"
+    old_meta = read_bloom_meta(spark, state_dir)
+    path = _bloom_data_path(state_dir, version)
     (
         bloom_from_fingerprints(fps, n_buckets, bits_per_key)
         .repartition(1)
         .write.mode("overwrite")
-        .parquet(f"{sub}/data")
+        .parquet(path)
     )
     totals = (
-        spark.read.parquet(f"{sub}/data")
+        spark.read.parquet(path)
         .agg(F.sum("m_bits").alias("bits"), F.sum("n_keys").alias("keys"))
         .collect()[0]
     )
@@ -156,9 +184,117 @@ def write_bloom_sidecar(
         "bits_per_key": int(bits_per_key),
         "total_bits": int(totals["bits"] or 0),
         "total_keys": int(totals["keys"] or 0),
+        "built_bits": int(totals["bits"] or 0),
     }
-    write_small_file(f"{sub}/{_BLOOM_META}", json.dumps(meta).encode(), spark=spark)
-    return meta
+    old = (
+        [_bloom_data_path(state_dir, old_meta["state_version"])]
+        if old_meta and old_meta["state_version"] != version
+        else []
+    )
+    return _finish_sidecar(spark, state_dir, meta, old)
+
+
+def update_bloom_sidecar(
+    spark: SparkSession,
+    state_dir: str,
+    new_fps: DataFrame,
+    from_version: int,
+    to_version: int,
+    n_buckets: int = 256,
+    bits_per_key: int = 10,
+) -> dict:
+    """Fold ONE commit's fingerprints into the sidecar incrementally —
+    the steady-state ingest path: OR the new keys into the existing
+    per-bucket bitmaps instead of re-reading the whole committed store
+    per batch (a full rebuild per micro-batch costs O(state), exactly
+    what the sidecar exists to avoid).
+
+    Correctness gate: the incremental fold is only valid when the
+    current sidecar covers ``from_version`` EXACTLY and the caller's
+    commit produced ``to_version`` from that snapshot — anything else
+    (concurrent committer, missing sidecar, parameter change) falls back
+    to a full rebuild, as does a fill ratio beyond
+    ``REBUILD_FILL_FACTOR`` × the built capacity (fpp degradation)."""
+    import pandas as pd
+
+    meta = read_bloom_meta(spark, state_dir)
+    if (
+        meta is None
+        or meta["state_version"] != from_version
+        or meta["n_buckets"] != n_buckets
+        or meta["bits_per_key"] != bits_per_key
+        or to_version != from_version + 1
+    ):
+        return write_bloom_sidecar(spark, state_dir, n_buckets, bits_per_key)
+    n_new = new_fps.count()
+    if (meta["total_keys"] + n_new) * bits_per_key > REBUILD_FILL_FACTOR * meta[
+        "built_bits"
+    ]:
+        return write_bloom_sidecar(spark, state_dir, n_buckets, bits_per_key)
+
+    bloom = spark.read.parquet(_bloom_data_path(state_dir, from_version))
+    keyed = new_fps.select(
+        F.col("fp"),
+        F.pmod(F.xxhash64(F.col("fp")), F.lit(n_buckets)).alias("bucket"),
+    )
+
+    def fold(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        if not len(right):
+            # Bucket had no bitmap yet (empty at build): fresh bitmap.
+            fvals = left["fp"].to_numpy()
+            m_bits, k = _bloom_params(len(fvals), bits_per_key)
+            bitmap = np.zeros(m_bits // 8, dtype=np.uint8)
+            bucket = int(left["bucket"].iloc[0])
+            n_keys = len(fvals)
+        else:
+            row = right.iloc[0]
+            m_bits, k = int(row["m_bits"]), int(row["k"])
+            bitmap = np.frombuffer(bytes(row["bitmap"]), dtype=np.uint8).copy()
+            bucket = int(row["bucket"])
+            fvals = left["fp"].to_numpy() if len(left) else np.empty(0, np.int64)
+            n_keys = int(row["n_keys"]) + len(fvals)
+        if len(fvals):
+            pos = _probe_positions(fvals, m_bits, k).ravel()
+            np.bitwise_or.at(
+                bitmap,
+                (pos >> np.uint64(3)).astype(np.int64),
+                np.left_shift(np.uint8(1), (pos & np.uint64(7)).astype(np.uint8)),
+            )
+        return pd.DataFrame(
+            {
+                "bucket": [bucket],
+                "n_keys": [n_keys],
+                "m_bits": [m_bits],
+                "k": [k],
+                "bitmap": [bitmap.tobytes()],
+            }
+        )
+
+    updated = (
+        keyed.groupBy("bucket")
+        .cogroup(bloom.groupBy("bucket"))
+        .applyInPandas(
+            fold, schema="bucket long, n_keys long, m_bits long, k int, bitmap binary"
+        )
+    )
+    new_path = _bloom_data_path(state_dir, to_version)
+    updated.repartition(1).write.mode("overwrite").parquet(new_path)
+    totals = (
+        spark.read.parquet(new_path)
+        .agg(F.sum("m_bits").alias("bits"), F.sum("n_keys").alias("keys"))
+        .collect()[0]
+    )
+    new_meta = {
+        **meta,
+        "state_version": int(to_version),
+        "total_bits": int(totals["bits"] or 0),
+        "total_keys": int(totals["keys"] or 0),
+    }
+    return _finish_sidecar(
+        spark, state_dir, new_meta, [_bloom_data_path(state_dir, from_version)]
+    )
 
 
 def read_bloom_meta(spark: SparkSession, state_dir: str) -> dict | None:
@@ -172,6 +308,10 @@ def read_bloom_meta(spark: SparkSession, state_dir: str) -> dict | None:
         return None
     meta = json.loads(raw.decode("utf-8"))
     if meta.get("format") != "restructure_hdfs_topic_spark/bloom/v1":
+        return None
+    if "built_bits" not in meta:
+        # Pre-versioned-layout sidecar (no data_v* dir): treat as absent
+        # so callers rebuild instead of reading a path that isn't there.
         return None
     return meta
 
@@ -254,7 +394,9 @@ def filter_novel_documents_bloom(
         or meta["bits_per_key"] != bits_per_key
     ):
         meta = write_bloom_sidecar(spark, state_dir, n_buckets, bits_per_key)
-    bloom = spark.read.parquet(f"{state_dir.rstrip('/')}/{BLOOM_SUBDIR}/data")
+    bloom = spark.read.parquet(
+        _bloom_data_path(state_dir, meta["state_version"])
+    )
 
     # Same within-batch keep-first as filter_novel_documents (one window
     # on the fingerprint).

@@ -78,6 +78,18 @@ def commit_fingerprints(
     snapshot read from cur; a concurrent pointer bump fails the claim and
     forces re-read).  Call only AFTER the accepted documents are durably
     written (commit-after-store, O18)."""
+    return commit_fingerprints_versioned(spark, state_dir, new_fps)[0]
+
+
+def commit_fingerprints_versioned(
+    spark: SparkSession, state_dir: str, new_fps: DataFrame
+) -> tuple[DataFrame, int, int]:
+    """``commit_fingerprints`` plus the version pair the commit actually
+    performed: ``(state_df, snapshot_version, committed_version)``.  The
+    Bloom sidecar's incremental update needs exactly this — it may fold
+    the new keys in only when the sidecar covers ``snapshot_version`` and
+    this commit produced ``committed_version`` from it (any interleaved
+    peer commit makes the fold unsound and forces a rebuild)."""
     import os as _os
     import random
     import time as _time
@@ -102,7 +114,8 @@ def commit_fingerprints(
                 )
             continue
         try:
-            return _off._replace_at(spark, state_dir, merged, nxt, token)
+            out = _off._replace_at(spark, state_dir, merged, nxt, token)
+            return out, (cur or 0), nxt
         except _off.ClaimLost:
             continue
     raise RuntimeError(f"commit_fingerprints: version contention in {state_dir}")
@@ -369,9 +382,29 @@ def ingest_batch(
         n_accepted = accepted.count()
         write_accepted(accepted)
         if n_accepted:
-            commit_fingerprints(
-                spark, state_dir, document_fingerprints(accepted, text_col)
-            )
+            fps = document_fingerprints(accepted, text_col)
+            if use_bloom:
+                # Versioned commit + incremental sidecar fold: the
+                # steady-state loop must NOT rebuild the sidecar from the
+                # full committed store per batch (the cost the sidecar
+                # exists to avoid).  The fold verifies version lineage
+                # and falls back to a rebuild when a peer interleaved.
+                from pyspark import StorageLevel as _SL
+
+                from restructure_hdfs_topic_spark.operators.bloom import (
+                    update_bloom_sidecar,
+                )
+
+                fps = fps.persist(_SL.MEMORY_AND_DISK)
+                try:
+                    _, snap_v, new_v = commit_fingerprints_versioned(
+                        spark, state_dir, fps
+                    )
+                    update_bloom_sidecar(spark, state_dir, fps, snap_v, new_v)
+                finally:
+                    fps.unpersist()
+            else:
+                commit_fingerprints(spark, state_dir, fps)
         return {
             "batch_rows": batch.count(),
             "accepted_rows": n_accepted,

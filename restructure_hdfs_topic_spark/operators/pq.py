@@ -302,31 +302,36 @@ def _collect_queries(queries: DataFrame, id_col: str, vec_col: str):
     return q_ids, q_vecs
 
 
+def _query_vec_frame(spark: SparkSession, q_ids, q_vecs) -> DataFrame:
+    """Bounded (query_id, __qv) frame from the collected query batch — the
+    rerank's query side comes from the QUERIES THEMSELVES, never from a
+    corpus lookup (an external query batch has ids the corpus does not
+    contain; a corpus-side lookup silently matched nothing and returned
+    an empty result)."""
+    return spark.createDataFrame(
+        [(int(i), [int(x) for x in v]) for i, v in zip(q_ids, q_vecs)],
+        "query_id long, __qv array<long>",
+    )
+
+
 def _rerank_exact(
     candidates: DataFrame,
-    embeddings: DataFrame,
+    neighbor_vecs: DataFrame,
+    query_vecs: DataFrame,
     k: int,
-    id_col: str,
-    vec_col: str,
 ) -> DataFrame:
     """Exact-rescore ADC candidates: ONE equi-join on neighbor id against
-    the original embeddings (only candidate rows decompress), exact
-    int64 dot / norms JVM-side, one window re-rank — engine-exact cosine
-    semantics (matches ``cosine_topk``'s rounding)."""
+    ``neighbor_vecs`` (``(neighbor_id, __nv)`` — only candidate rows
+    decompress) plus a broadcast of the bounded ``query_vecs``
+    (``(query_id, __qv)``), exact int64 dot / norms JVM-side, one window
+    re-rank — engine-exact cosine semantics (matches ``cosine_topk``'s
+    rounding).  Shared by the flat and IVF paths."""
     from restructure_hdfs_topic_spark.operators.similarity import _dot, _norm2
 
     cand = candidates.select("query_id", "neighbor_id")
-    emb_q = embeddings.select(
-        F.col(id_col).alias("query_id"),
-        _quantize(F.col(vec_col)).alias("__qv"),
-    )
-    emb_n = embeddings.select(
-        F.col(id_col).alias("neighbor_id"),
-        _quantize(F.col(vec_col)).alias("__nv"),
-    )
     scored = (
-        cand.join(emb_n, "neighbor_id")
-        .join(F.broadcast(emb_q.join(cand.select("query_id").distinct(), "query_id")), "query_id")
+        cand.join(neighbor_vecs, "neighbor_id")
+        .join(F.broadcast(query_vecs), "query_id")
         .withColumn(
             "cosine",
             F.round(
@@ -395,7 +400,15 @@ def pq_adc_topk(
         return top.select(
             "query_id", "rank", "neighbor_id", F.col("adc_cosine").alias("cosine")
         ).filter(F.col("rank") <= k)
-    return _rerank_exact(top, embeddings, k, id_col, vec_col)
+    neighbor_vecs = embeddings.select(
+        F.col(id_col).alias("neighbor_id"), _quantize(F.col(vec_col)).alias("__nv")
+    )
+    return _rerank_exact(
+        top,
+        neighbor_vecs,
+        _query_vec_frame(embeddings.sparkSession, q_ids, q_vecs),
+        k,
+    )
 
 
 # --------------------------------------------------------------------------
@@ -603,39 +616,11 @@ def query_ivfpq_index(
             "query_id", "rank", "neighbor_id", F.col("adc_cosine").alias("cosine")
         ).filter(F.col("rank") <= k)
     # Exact rerank against the stored vectors, pruned to the SAME probed
-    # clusters (candidates live there by construction).
+    # clusters (candidates live there by construction); query vectors come
+    # from the collected query batch (shared _rerank_exact).
     stored = (
         spark.read.parquet(f"{path}/assignments")
         .join(probed_clusters, "cluster")
         .select(F.col("id").alias("neighbor_id"), F.col("vec").alias("__nv"))
     )
-    from restructure_hdfs_topic_spark.operators.similarity import _dot, _norm2
-
-    q_df = spark.createDataFrame(
-        [(int(i), [int(x) for x in v]) for i, v in zip(q_ids, q_vecs)],
-        "query_id long, __qv array<long>",
-    )
-    scored = (
-        top.select("query_id", "neighbor_id")
-        .join(stored, "neighbor_id")
-        .join(F.broadcast(q_df), "query_id")
-        .withColumn(
-            "cosine",
-            F.round(
-                _dot(F.col("__qv"), F.col("__nv"))
-                / (
-                    F.sqrt(_norm2(F.col("__qv")).cast("double"))
-                    * F.sqrt(_norm2(F.col("__nv")).cast("double"))
-                ),
-                6,
-            ),
-        )
-    )
-    w2 = Window.partitionBy("query_id").orderBy(
-        F.col("cosine").desc(), F.col("neighbor_id")
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w2).cast("bigint"))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "rank", "neighbor_id", "cosine")
-    )
+    return _rerank_exact(top, stored, _query_vec_frame(spark, q_ids, q_vecs), k)

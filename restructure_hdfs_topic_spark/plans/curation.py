@@ -282,7 +282,18 @@ def curation_stage_counts(
     line_corrections_ratio: float | None = None,
 ) -> dict[str, int]:
     """Per-stage survivor counts (monitoring/attrition report) — each stage
-    evaluated once; used by the e2e test to assert monotone attrition."""
+    evaluated once, mirroring ``curate_corpus``'s stage order (including
+    the optional line-corrections stage 0, so the report describes the
+    pipeline it monitors); used by the e2e test to assert monotone
+    attrition."""
+    out = {"input": docs.count()}
+    if line_corrections_ratio is not None:
+        from restructure_hdfs_topic_spark.functions.text import line_corrections
+
+        docs = line_corrections(
+            docs, id_col, text_col, max_removed_ratio=line_corrections_ratio
+        )
+        out["after_line_corrections"] = docs.count()
     metrics = gopher_metrics(F.col(text_col))
     gated = (
         docs.select(*docs.columns, *[c.alias(n) for n, c in metrics])
@@ -295,11 +306,12 @@ def curation_stage_counts(
     )
     losers = pairs.select(F.col("id_b").alias(id_col)).distinct()
     deduped = scrubbed.join(losers, on=id_col, how="left_anti")
-    out = {
-        "input": docs.count(),
-        "after_quality_gate": gated.count(),
-        "after_near_dup_drop": deduped.count(),
-    }
+    out.update(
+        {
+            "after_quality_gate": gated.count(),
+            "after_near_dup_drop": deduped.count(),
+        }
+    )
     if mixture_weights:
         out["after_mixture_sample"] = mixture_sample(
             deduped, id_col, strata_col, mixture_weights

@@ -184,8 +184,13 @@ class ProgressBar:
     def update(self, progress: int, force: bool = False) -> None:
         with self._lock:
             now = _time.monotonic()
+            # The terminal 100% update bypasses the rate limit — a bar
+            # that never reports completion is worse than an extra line
+            # (reference behavior: completion goes through exactly once).
+            terminal = progress == self.total
             if (
                 not force
+                and not terminal
                 and self.update_interval_s > 0
                 and now <= self._last + self.update_interval_s
             ):

@@ -60,11 +60,18 @@ def _gunzip_members(payload: bytes) -> bytes:
     """Decompress a gzip stream with ANY number of members (the .warc.gz
     record-per-member layout and whole-file gzip both land here).
     ``zlib.decompressobj(wbits=31)`` stops at each member boundary;
-    ``unused_data`` chains to the next member."""
+    ``unused_data`` chains to the next member.  A corrupt member or
+    trailing garbage STOPS the chain but keeps every member decoded so
+    far — a ~1 GB crawl file must degrade per-record, not vanish because
+    its tail is damaged (the record parser then reports the truncation
+    on the partial payload)."""
     out, rest = [], payload
     while rest:
         d = zlib.decompressobj(wbits=31)
-        out.append(d.decompress(rest))
+        try:
+            out.append(d.decompress(rest))
+        except zlib.error:
+            break
         rest = d.unused_data
         if not d.eof:  # truncated final member: keep what decoded
             break
@@ -122,9 +129,9 @@ def parse_warc_records(payload: bytes, decode_text: bool = True):
     record yields one ``decode_status`` row and parsing resumes at the
     next well-formed header (driver-side kernel, exposed for tests)."""
     if payload[:2] == b"\x1f\x8b":
-        try:
-            payload = _gunzip_members(payload)
-        except zlib.error:
+        payload = _gunzip_members(payload)
+        if not payload:
+            # Nothing decoded at all (first member already corrupt).
             yield _bad_row(0, "bad_gzip")
             return
     pos, ix = 0, 0
@@ -326,7 +333,15 @@ def warc_responses_as_documents(records: DataFrame) -> DataFrame:
     ``response`` records → (doc_id, url, fetched_at, text).  ``doc_id``
     is ``xxhash64(record_id)`` — the record id is unique per capture, so
     re-crawls of one URL stay distinct documents for ``dedup_by_url`` /
-    content dedup to adjudicate.  Pure JVM projection, no shuffle."""
+    content dedup to adjudicate.  Records WITHOUT a WARC-Record-ID header
+    (tolerated by the parser) fall back to the capture's own identity,
+    (file, record_ix, uri) — hashing the shared empty string would
+    collapse every id-less page onto ONE doc_id and cross-wire them in
+    downstream joins/windows.  Pure JVM projection, no shuffle."""
+    identity = F.coalesce(
+        F.nullif(F.col("record_id"), F.lit("")),
+        F.concat_ws("#", F.col("file"), F.col("record_ix"), F.col("target_uri")),
+    )
     return (
         records.filter(
             (F.col("warc_type") == "response")
@@ -336,7 +351,7 @@ def warc_responses_as_documents(records: DataFrame) -> DataFrame:
             & (F.col("http_status") < 300)
         )
         .select(
-            F.xxhash64("record_id").alias("doc_id"),
+            F.xxhash64(identity).alias("doc_id"),
             F.col("target_uri").alias("url"),
             F.to_timestamp("warc_date").alias("fetched_at"),
             "text",

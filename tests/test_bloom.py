@@ -193,3 +193,109 @@ def test_bloom_cogroup_and_broadcast_paths_agree(spark, tmp_path):
     finally:
         B.BROADCAST_BITS_CAP = old
     assert fast == plain == slow and fast
+
+
+def test_update_bloom_sidecar_incremental_fold(spark, tmp_path):
+    """Steady-state ingest folds each commit's keys into the sidecar
+    incrementally: the meta version tracks the state, no full rebuild
+    happens (pinned by the built_bits invariant: a fold keeps the built
+    capacity, a rebuild resizes it), and the no-false-negative guarantee
+    holds across folds."""
+    from restructure_hdfs_topic_spark.operators import bloom as B
+    from restructure_hdfs_topic_spark.operators.incremental import (
+        commit_fingerprints_versioned,
+        document_fingerprints,
+        filter_novel_documents,
+        read_fingerprints,
+    )
+
+    state_dir = str(tmp_path / "state")
+    b1 = spark.createDataFrame(
+        [(i, f"base {i}") for i in range(40)], "doc_id long, text string"
+    )
+    _, v0, v1 = commit_fingerprints_versioned(
+        spark, state_dir, document_fingerprints(b1)
+    )
+    meta1 = B.write_bloom_sidecar(spark, state_dir, n_buckets=4)
+    assert (v0, v1) == (0, 1) and meta1["state_version"] == 1
+    built = meta1["built_bits"]
+
+    # Second commit, incremental fold.
+    b2 = spark.createDataFrame(
+        [(100 + i, f"extra {i}") for i in range(5)], "doc_id long, text string"
+    )
+    fps2 = document_fingerprints(b2)
+    _, s, n = commit_fingerprints_versioned(spark, state_dir, fps2)
+    meta2 = B.update_bloom_sidecar(spark, state_dir, fps2, s, n, n_buckets=4)
+    assert meta2["state_version"] == 2
+    assert meta2["built_bits"] == built  # folded, not rebuilt
+    assert meta2["total_keys"] == meta1["total_keys"] + 5
+
+    # The folded sidecar still suppresses EVERYTHING committed (both
+    # batches) — exact equivalence with the plain filter.
+    probe = spark.createDataFrame(
+        [(500 + i, f"base {i}") for i in range(40)]
+        + [(600 + i, f"extra {i}") for i in range(5)]
+        + [(700, "genuinely new text")],
+        "doc_id long, text string",
+    )
+    plain = {
+        tuple(r)
+        for r in filter_novel_documents(
+            probe, read_fingerprints(spark, state_dir)
+        ).collect()
+    }
+    fast = {
+        tuple(r)
+        for r in B.filter_novel_documents_bloom(
+            spark, state_dir, probe, n_buckets=4
+        ).collect()
+    }
+    assert fast == plain == {(700, "genuinely new text")}
+
+    # Version-lineage violation (stale from_version) falls back to a full
+    # rebuild rather than producing an unsound sidecar.
+    b3 = spark.createDataFrame([(900, "late")], "doc_id long, text string")
+    fps3 = document_fingerprints(b3)
+    _, s3, n3 = commit_fingerprints_versioned(spark, state_dir, fps3)
+    meta3 = B.update_bloom_sidecar(
+        spark, state_dir, fps3, from_version=1, to_version=n3, n_buckets=4
+    )
+    assert meta3["state_version"] == n3  # rebuilt against the real state
+
+
+def test_ingest_batch_bloom_steady_state(spark, tmp_path):
+    """ingest_batch(use_bloom=True) keeps the sidecar current per commit
+    (incremental), so the NEXT batch's filter never rebuilds: its meta
+    version already equals the state version."""
+    from restructure_hdfs_topic_spark.operators.bloom import read_bloom_meta
+    from restructure_hdfs_topic_spark.operators import offsets as _off
+    from restructure_hdfs_topic_spark.operators.incremental import ingest_batch
+
+    state_dir = str(tmp_path / "state")
+    out = []
+    for k in range(3):
+        batch = spark.createDataFrame(
+            [(k * 100 + i, f"doc {k}-{i % 8}") for i in range(20)],
+            "doc_id long, text string",
+        )
+        res = ingest_batch(
+            spark, state_dir, batch, lambda df: out.append(df.count()),
+            use_bloom=True,
+        )
+        assert res["accepted_rows"] == 8
+        meta = read_bloom_meta(spark, state_dir)
+        assert meta["state_version"] == (
+            _off._current_version(state_dir, spark) or 0
+        )
+    # Re-offering batch 0 accepts nothing.
+    res = ingest_batch(
+        spark,
+        state_dir,
+        spark.createDataFrame(
+            [(999, "doc 0-0")], "doc_id long, text string"
+        ),
+        lambda df: None,
+        use_bloom=True,
+    )
+    assert res["accepted_rows"] == 0

@@ -135,3 +135,15 @@ def test_restructure_job_times_phases(spark, tmp_path):
     ):
         assert snap.get(label, {}).get("invocations", 0) >= 1, (label, snap)
     timer.reset()
+
+
+def test_progress_bar_terminal_update_bypasses_rate_limit():
+    """Review r8: an UNFORCED 100% update inside the rate-limit window
+    must still print (exactly once) — a bar that never completes is
+    worse than an extra line."""
+    lines = []
+    bar = ProgressBar("t", 3, update_interval_s=3600, sink=lines.append)
+    bar.update(1, force=True)
+    bar.update(3)           # unforced, inside the window — must print
+    bar.update(3)           # second terminal: swallowed
+    assert sum("100%" in ln for ln in lines) == 1

@@ -331,3 +331,62 @@ def test_streaming_warc_curation(spark, tmp_path):
     assert again.count() == 5
     urls = {r["url"] for r in again.collect()}
     assert "https://s.test/new" in urls
+
+
+def test_gzip_tail_damage_degrades_per_record():
+    """A corrupt member or trailing garbage in a .warc.gz must not discard
+    the records already decoded (review r8: whole-file quarantine broke
+    the per-record degradation contract)."""
+    from restructure_hdfs_topic_spark.sources.warc import parse_warc_records
+
+    two = _mk(
+        [
+            {"uri": "https://a.com/1", "body": "first page"},
+            {"uri": "https://a.com/2", "body": "second page"},
+        ],
+        gzip_per_record=True,
+    )
+    # Trailing garbage after the last member.
+    rows = list(parse_warc_records(two + b"\x00garbage-not-gzip\xff"))
+    assert [r["target_uri"] for r in rows if r["decode_status"] == "ok"] == [
+        "https://a.com/1",
+        "https://a.com/2",
+    ]
+    # Corrupt middle member: the leading member's record survives.
+    one = _mk([{"uri": "https://a.com/1", "body": "first page"}])
+    corrupt = b"\x1f\x8b\x08\x00" + b"\x13" * 30
+    rows = list(parse_warc_records(one + corrupt + one))
+    ok = [r["target_uri"] for r in rows if r["decode_status"] == "ok"]
+    assert ok and ok[0] == "https://a.com/1"
+
+
+def test_missing_record_id_gets_distinct_doc_ids(spark, tmp_path):
+    """Records without WARC-Record-ID must not collapse onto one doc_id
+    (review r8: xxhash64('') was shared by every id-less page)."""
+    from restructure_hdfs_topic_spark.sources.warc import (
+        read_warc,
+        warc_responses_as_documents,
+    )
+
+    def record_no_id(uri, body):
+        http = (
+            f"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n"
+            f"Content-Length: {len(body)}\r\n\r\n"
+        ).encode() + body.encode()
+        hdr = (
+            "WARC/1.0\r\nWARC-Type: response\r\n"
+            f"WARC-Date: 2024-01-01T00:00:00Z\r\nWARC-Target-URI: {uri}\r\n"
+            "Content-Type: application/http; msgtype=response\r\n"
+            f"Content-Length: {len(http)}\r\n\r\n"
+        ).encode()
+        return hdr + http + b"\r\n\r\n"
+
+    raw = record_no_id("https://x.test/a", "<p>alpha</p>") + record_no_id(
+        "https://x.test/b", "<p>beta</p>"
+    )
+    d = tmp_path / "noid"
+    d.mkdir()
+    (d / "f.warc").write_bytes(raw)
+    docs = warc_responses_as_documents(read_warc(spark, str(d))).collect()
+    assert len(docs) == 2
+    assert len({r["doc_id"] for r in docs}) == 2
