@@ -1435,6 +1435,26 @@ def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_langid_trigram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cavnar-Trenkle trigram language ID: train rank profiles on half
+    the documents table (one explode + map-side-combined count + one
+    window over the bounded gram table), classify the other half in one
+    Arrow pass with broadcast profiles.  Exact pure-Python-model
+    cross-check + held-out accuracy gate on a real multilingual corpus
+    in tests/test_langid.py (bench/extras surface)."""
+    from restructure_hdfs_topic_spark.operators.langid import (
+        classify_lang,
+        train_lang_profiles,
+    )
+
+    _conf(spark)
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    profiles = train_lang_profiles(docs.filter(F.col("doc_id") % 2 == 0), top_k=200)
+    return classify_lang(docs.filter(F.col("doc_id") % 2 == 1), profiles).select(
+        "doc_id", "lang", "lang_pred", "lang_distance"
+    )
+
+
 def q_line_corrections(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RefinedWeb line-wise corrections over boilerplate-injected
     documents: strip mainly-uppercase / numeric-only / counter /
@@ -1941,6 +1961,9 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # RefinedWeb line-wise corrections; DuckDB cross-check in
         # tests/test_line_corrections.py.
         "line_corrections": q_line_corrections,
+        # Trigram rank-profile language ID; exact-model + accuracy gates
+        # in tests/test_langid.py.
+        "langid_trigram": q_langid_trigram,
         # Interpolated bigram LM scoring; DuckDB cross-check in
         # tests/test_lm_bigram.py.
         "lm_bigram": q_lm_bigram,

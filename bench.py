@@ -65,6 +65,7 @@ BENCH_QUERIES = [
     "incremental_dedup",
     "bloom_incremental_dedup",
     "line_corrections",
+    "langid_trigram",
     "lm_bigram",
     "text_normalize",
     "line_dedup",

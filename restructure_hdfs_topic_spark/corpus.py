@@ -176,6 +176,16 @@ class Corpus:
             strip_duplicated_unit_spans(self.df, self.id_col, self.text_col, sep, k)
         )
 
+    def classify_lang(self, profiles: dict, doc_top: int = 100) -> "Corpus":
+        """Trigram rank-profile language ID (train with
+        ``operators.langid.train_lang_profiles``); adds ``lang_pred`` /
+        ``lang_distance``."""
+        from restructure_hdfs_topic_spark.operators.langid import classify_lang
+
+        return self._wrap(
+            classify_lang(self.df, profiles, self.id_col, self.text_col, doc_top)
+        )
+
     def quality_classifier_gate(
         self, model: dict, threshold: float = 0.5
     ) -> "Corpus":

@@ -131,6 +131,10 @@ CONSISTENCY_QUERIES = [
     # r8: line-wise corrections are a pure narrow projection — digest
     # stability is the distributed witness for the extras surface.
     "line_corrections",
+    # r8: trigram lang-id — exact counting + deterministic tie-breaks
+    # must digest identically across partitionings (trainer AND
+    # classifier).
+    "langid_trigram",
 ]
 
 

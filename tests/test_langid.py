@@ -1,0 +1,181 @@
+"""Trigram language-ID tests: accuracy on a real multilingual corpus
+(held-out sentences), an exact pure-Python model cross-check of both the
+trainer and the classifier, artifact round-trip, and determinism across
+partitionings."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+SF_DIR = "/root/testdata/sf0.01"
+
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(SF_DIR), reason=f"testdata {SF_DIR} missing"
+)
+
+# Small genuine-language corpus (public-domain-style sentences) — the
+# synthetic `documents` table's text does not vary by its lang label, so
+# quality is gated here and determinism/cross-checks run on the table.
+SENTENCES = {
+    "en": [
+        "the quick brown fox jumps over the lazy dog near the river bank",
+        "she was reading a long book about the history of modern science",
+        "children often play in the park when the weather is warm and sunny",
+        "this agreement shall be governed by the laws of the state concerned",
+        "he walked slowly through the old town looking at every building",
+        "the committee will meet on thursday to discuss the annual budget",
+    ],
+    "de": [
+        "der schnelle braune fuchs springt über den faulen hund am flussufer",
+        "sie las ein langes buch über die geschichte der modernen wissenschaft",
+        "kinder spielen oft im park wenn das wetter warm und sonnig ist",
+        "dieser vertrag unterliegt den gesetzen des betreffenden landes",
+        "er ging langsam durch die altstadt und betrachtete jedes gebäude",
+        "der ausschuss trifft sich am donnerstag um das budget zu besprechen",
+    ],
+    "fr": [
+        "le rapide renard brun saute par dessus le chien paresseux près de la rivière",
+        "elle lisait un long livre sur l'histoire de la science moderne",
+        "les enfants jouent souvent dans le parc quand le temps est chaud",
+        "le présent accord est régi par les lois de l'état concerné",
+        "il marchait lentement dans la vieille ville en regardant chaque bâtiment",
+        "le comité se réunira jeudi pour discuter du budget annuel",
+    ],
+    "es": [
+        "el rápido zorro marrón salta sobre el perro perezoso junto al río",
+        "ella estaba leyendo un libro largo sobre la historia de la ciencia",
+        "los niños juegan en el parque cuando el tiempo es cálido y soleado",
+        "este acuerdo se regirá por las leyes del estado correspondiente",
+        "él caminaba despacio por el casco antiguo mirando cada edificio",
+        "el comité se reunirá el jueves para discutir el presupuesto anual",
+    ],
+}
+
+
+def _corpus(spark, take):
+    rows = []
+    i = 0
+    for lang, sents in sorted(SENTENCES.items()):
+        for s in take(sents):
+            rows.append((i, lang, s))
+            i += 1
+    return spark.createDataFrame(rows, "doc_id long, lang string, text string")
+
+
+def test_langid_accuracy_on_held_out_sentences(spark):
+    from restructure_hdfs_topic_spark.operators.langid import (
+        classify_lang,
+        train_lang_profiles,
+    )
+
+    train = _corpus(spark, lambda s: s[:4])
+    test = _corpus(spark, lambda s: s[4:])
+    profiles = train_lang_profiles(train, top_k=200)
+    assert sorted(profiles["profiles"]) == ["de", "en", "es", "fr"]
+
+    out = classify_lang(test, profiles).collect()
+    correct = sum(1 for r in out if r["lang_pred"] == r["lang"])
+    assert correct / len(out) >= 0.9, [
+        (r["lang"], r["lang_pred"]) for r in out
+    ]
+    assert all(r["lang_distance"] is not None for r in out)
+
+
+def test_langid_exact_python_model(spark):
+    """Trainer AND classifier equal a pure-Python reimplementation on the
+    documents table (exact counting, deterministic tie-breaks)."""
+    import re
+    from collections import Counter
+
+    from restructure_hdfs_topic_spark.operators.langid import (
+        classify_lang,
+        doc_trigram_ranks,
+        train_lang_profiles,
+    )
+    from restructure_hdfs_topic_spark.sources.tables import load_table
+
+    docs = load_table(spark, SF_DIR, "documents").limit(120).select(
+        "doc_id", "lang", "text"
+    )
+    rows = docs.collect()
+    top_k, n, doc_top = 150, 3, 80
+
+    # --- model trainer ---
+    per_lang: dict[str, Counter] = {}
+    for r in rows:
+        t = re.sub(r"\s+", " ", (r["text"] or "").lower())
+        c = per_lang.setdefault(r["lang"], Counter())
+        for i in range(len(t) - n + 1):
+            c[t[i : i + n]] += 1
+    want_profiles = {
+        lang: [
+            g
+            for g, _ in sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[:top_k]
+        ]
+        for lang, cnt in per_lang.items()
+    }
+    got = train_lang_profiles(docs, top_k=top_k, n=n)
+    assert got["profiles"] == dict(sorted(want_profiles.items()))
+
+    # --- model classifier ---
+    langs = sorted(want_profiles)
+    rank_maps = {
+        lang: {g: r for r, g in enumerate(want_profiles[lang])} for lang in langs
+    }
+
+    def classify_py(text):
+        grams = doc_trigram_ranks(text, n, doc_top)
+        if not grams:
+            return None, None
+        best = None
+        for lang in langs:
+            rm = rank_maps[lang]
+            d = sum(
+                top_k if g not in rm else abs(i - rm[g])
+                for i, g in enumerate(grams)
+            )
+            if best is None or d < best[1]:
+                best = (lang, d)
+        return best
+
+    want = {r["doc_id"]: classify_py(r["text"]) for r in rows}
+    out = {
+        r["doc_id"]: (r["lang_pred"], r["lang_distance"])
+        for r in classify_lang(docs, got, doc_top=doc_top).collect()
+    }
+    assert out == want
+
+    # Partitioning independence.
+    out2 = {
+        r["doc_id"]: (r["lang_pred"], r["lang_distance"])
+        for r in classify_lang(docs.repartition(13), got, doc_top=doc_top).collect()
+    }
+    assert out2 == out
+
+
+def test_langid_artifact_round_trip_and_edges(spark, tmp_path):
+    from restructure_hdfs_topic_spark.operators.langid import (
+        classify_lang,
+        load_lang_profiles,
+        save_lang_profiles,
+        train_lang_profiles,
+    )
+
+    train = _corpus(spark, lambda s: s)
+    profiles = train_lang_profiles(train, top_k=100)
+    p = str(tmp_path / "langid.json")
+    save_lang_profiles(p, profiles)
+    assert load_lang_profiles(p) == profiles
+    with pytest.raises(ValueError):
+        load_lang_profiles(__file__)
+    with pytest.raises(ValueError):
+        classify_lang(train, {"format": "nope"})
+
+    # NULL / empty text → NULL prediction, row preserved.
+    edge = spark.createDataFrame(
+        [(1, None), (2, ""), (3, "le comité se réunira jeudi")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r["lang_pred"] for r in classify_lang(edge, profiles).collect()}
+    assert out[1] is None and out[2] is None and out[3] == "fr"

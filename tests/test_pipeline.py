@@ -563,6 +563,7 @@ def test_query_registry_consistency():
         "ivfpq_index_query",
         "bloom_incremental_dedup",
         "line_corrections",
+        "langid_trigram",
     }
     assert extra.isdisjoint(q), "bench-only queries must stay unregistered"
 
