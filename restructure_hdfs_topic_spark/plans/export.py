@@ -170,3 +170,51 @@ def export_epoch_shards(
         f"{path}/manifest"
     )
     return manifest
+
+
+def read_shards(
+    spark,
+    path: str,
+    fmt: str = "json",
+    schema: str | None = None,
+    shards: list[int] | None = None,
+    verify: bool = True,
+) -> DataFrame:
+    """Load an export back: the shard data under ``path/data`` (optionally
+    only the listed ``shards`` — partition pruning via the Hive
+    ``shard=K`` layout makes that a subdirectory read, the loader-worker
+    access pattern) plus, when ``verify`` is set, a per-shard row-count
+    check against the stored manifest — a truncated or partially-copied
+    export fails LOUDLY here instead of silently training on fewer rows.
+    Returns the data frame with its ``shard`` column."""
+    reader = spark.read.format(fmt)
+    if schema is not None:
+        reader = reader.schema(schema)
+    elif fmt == "json":
+        # JSONL needs one schema-inference pass; exports are
+        # self-describing enough for it (ids/token counts are longs).
+        pass
+    df = reader.load(f"{path}/data")
+    if shards is not None:
+        df = df.filter(F.col("shard").isin([int(s) for s in shards]))
+    if verify:
+        manifest = {
+            int(r["shard"]): int(r["n_rows"])
+            for r in spark.read.json(f"{path}/manifest").collect()
+        }
+        got = {
+            int(r["shard"]): int(r["n"])
+            for r in df.groupBy("shard").agg(F.count(F.lit(1)).alias("n")).collect()
+        }
+        want = (
+            manifest
+            if shards is None
+            else {s: manifest[s] for s in map(int, shards) if s in manifest}
+        )
+        if got != want:
+            missing = {s: v for s, v in want.items() if got.get(s) != v}
+            raise ValueError(
+                f"shard verification failed at {path}: manifest says "
+                f"{missing}, data has { {s: got.get(s, 0) for s in missing} }"
+            )
+    return df

@@ -2,6 +2,8 @@
 
 import sys
 
+import pytest
+
 sys.path.insert(0, "/root/repo")
 
 from pyspark.sql import functions as F
@@ -95,3 +97,45 @@ def test_export_epoch_shards_order_and_manifest(spark, tmp_path):
         if f0 and f1 and open(f0[0]).read() != open(f1[0]).read():
             any_diff = True
     assert any_diff
+
+
+def test_read_shards_round_trip_and_verify(spark, tmp_path):
+    """read_shards loads an export back (all shards or a pruned subset)
+    and fails loudly when the data no longer matches the manifest."""
+    import glob
+    import os as _os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from restructure_hdfs_topic_spark.plans.export import (
+        export_jsonl_shards,
+        read_shards,
+    )
+
+    df = spark.range(0, 500).select(
+        F.col("id").alias("doc_id"), F.concat(F.lit("t"), F.col("id")).alias("text")
+    )
+    out = str(tmp_path / "exp")
+    export_jsonl_shards(df, out, n_shards=4)
+
+    back = read_shards(spark, out)
+    assert back.count() == 500
+    assert {r["doc_id"] for r in back.collect()} == set(range(500))
+
+    # Pruned load: only the requested shards' rows.
+    two = read_shards(spark, out, shards=[0, 2])
+    assert set(r["shard"] for r in two.select("shard").distinct().collect()) == {0, 2}
+    manifest = {
+        int(r["shard"]): int(r["n_rows"])
+        for r in spark.read.json(f"{out}/manifest").collect()
+    }
+    assert two.count() == manifest[0] + manifest[2]
+
+    # Damage one shard: verification must fail loudly.
+    victim = glob.glob(f"{out}/data/shard=1/part-*")[0]
+    _os.remove(victim)
+    with pytest.raises(ValueError, match="shard verification failed"):
+        read_shards(spark, out)
+    # But unverified / other-shard reads still work.
+    assert read_shards(spark, out, shards=[0], verify=True).count() == manifest[0]
