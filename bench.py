@@ -374,7 +374,7 @@ def measure_recall(spark) -> dict:
 
         emb = load_table(spark, SF_DIR, "embeddings")
         sample = emb.orderBy("vec_id").limit(200)
-        approx = pq_adc_topk(emb, sample, k=5, m=8, rerank_factor=4)
+        approx = pq_adc_topk(emb, sample, k=5, m=16, rerank_factor=4)
         hits = exact.join(approx, ["query_id", "neighbor_id"], "left_semi").count()
         out["ann_pq_topk@5"] = round(hits / denom, 4) if denom else None
     except Exception as exc:  # pragma: no cover
