@@ -1267,9 +1267,22 @@ def q_ivfpq_index_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     _conf(spark)
     emb = _t(spark, sf_dir, "embeddings")
     path = f"/tmp/spark_graft_ivfpq_{os.path.basename(os.path.normpath(sf_dir))}"
-    if not os.path.exists(f"{path}/_pq_meta.json"):
+    # Rebuild when absent OR built with a different m: the query loads
+    # codebooks from the ARTIFACT, so a stale cache would silently bench
+    # the old configuration.
+    want_m = 16
+    stale = True
+    if os.path.exists(f"{path}/_pq_meta.json"):
+        import json as _json
+
+        with open(f"{path}/_pq_meta.json") as fh:
+            stale = _json.load(fh).get("m") != want_m
+    if stale:
+        import shutil
+
+        shutil.rmtree(path, ignore_errors=True)
         build_ivf_index(emb, path, lloyd_iters=1)
-        build_pq_for_ivf(emb, path, m=16)
+        build_pq_for_ivf(emb, path, m=want_m)
     queries = emb.filter(F.col("vec_id") % 20 == 0)
     return query_ivfpq_index(spark, path, queries, k=5, nprobe=10, rerank_factor=4)
 

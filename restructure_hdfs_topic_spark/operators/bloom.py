@@ -135,18 +135,35 @@ def _bloom_data_path(state_dir: str, version: int) -> str:
 
 
 def _finish_sidecar(
-    spark: SparkSession, state_dir: str, meta: dict, old_paths: list[str]
+    spark: SparkSession, state_dir: str, meta: dict, keep: set[int]
 ) -> dict:
-    from restructure_hdfs_topic_spark.compression import write_small_file
+    """Swap the meta, then best-effort GC of superseded ``data_v*`` dirs
+    through the Hadoop FileSystem (scheme-aware — a local-only rmtree
+    would leak one full sidecar copy PER COMMIT on hdfs://-style state
+    dirs).  ``keep`` retains the new version AND its predecessor: a
+    concurrent reader that planned against the prior meta only touches
+    the parquet files when its action runs, so the directory it read
+    must outlive one more swap (deleting it immediately would fail that
+    reader instead of letting the next call rebuild)."""
+    from restructure_hdfs_topic_spark.compression import _hadoop_fs, write_small_file
 
     sub = f"{state_dir.rstrip('/')}/{BLOOM_SUBDIR}"
     write_small_file(f"{sub}/{_BLOOM_META}", json.dumps(meta).encode(), spark=spark)
-    # Best-effort prune of superseded data dirs (derived cache).
-    import shutil
-
-    for p in old_paths:
-        if "://" not in p:
-            shutil.rmtree(p, ignore_errors=True)
+    try:
+        _jvm, fs, root = _hadoop_fs(spark, sub)
+        if fs.exists(root):
+            for st in fs.listStatus(root):
+                name = st.getPath().getName()
+                drop = name == "data"  # pre-versioned layout leftover
+                if name.startswith("data_v"):
+                    try:
+                        drop = int(name[len("data_v"):]) not in keep
+                    except ValueError:
+                        drop = False
+                if drop:
+                    fs.delete(st.getPath(), True)
+    except Exception:
+        pass  # GC is best-effort; a leaked dir is cost, never corruption
     return meta
 
 
@@ -186,12 +203,10 @@ def write_bloom_sidecar(
         "total_keys": int(totals["keys"] or 0),
         "built_bits": int(totals["bits"] or 0),
     }
-    old = (
-        [_bloom_data_path(state_dir, old_meta["state_version"])]
-        if old_meta and old_meta["state_version"] != version
-        else []
-    )
-    return _finish_sidecar(spark, state_dir, meta, old)
+    keep = {int(version)}
+    if old_meta is not None:
+        keep.add(int(old_meta["state_version"]))
+    return _finish_sidecar(spark, state_dir, meta, keep)
 
 
 def update_bloom_sidecar(
@@ -293,7 +308,7 @@ def update_bloom_sidecar(
         "total_keys": int(totals["keys"] or 0),
     }
     return _finish_sidecar(
-        spark, state_dir, new_meta, [_bloom_data_path(state_dir, from_version)]
+        spark, state_dir, new_meta, keep={int(to_version), int(from_version)}
     )
 
 

@@ -62,7 +62,10 @@ def _exploded_grams(df: DataFrame, key, text, n: int) -> DataFrame:
     the UTF-8 string from the start per call, turning the build quadratic
     in document length (measured: the substr form dominated the whole
     query at sf0.1)."""
-    t = F.regexp_replace(F.lower(F.coalesce(text, F.lit(""))), r"\s+", " ")
+    # (?U): Java's \s is ASCII-only by default, but the pure-Python
+    # model (and real text) treat U+00A0 etc. as whitespace — the
+    # UNICODE_CHARACTER_CLASS flag keeps the two bit-identical.
+    t = F.regexp_replace(F.lower(F.coalesce(text, F.lit(""))), r"(?U)\s+", " ")
     step = df.select(key.alias("__key"), F.split(t, "").alias("__chars"))
     grams = F.transform(
         F.sequence(F.lit(1), F.greatest(F.size("__chars") - (n - 1), F.lit(0))),
@@ -85,8 +88,12 @@ def train_lang_profiles(
     in rank order (index = rank).  One explode + map-side-combined count +
     one window over the bounded (lang, gram) table; ties rank by count
     desc, gram asc (deterministic)."""
+    # NULL labels (routine after upstream left joins) train nothing —
+    # without the filter they'd surface as a None profile key and crash
+    # the artifact sort with an opaque TypeError.
+    labeled = docs.filter(F.col(lang_col).isNotNull())
     counted = (
-        _exploded_grams(docs, F.col(lang_col), F.col(text_col), n)
+        _exploded_grams(labeled, F.col(lang_col), F.col(text_col), n)
         .withColumnRenamed("__key", "lang")
         .groupBy("lang", "gram")
         .agg(F.count("*").alias("c"))

@@ -187,13 +187,11 @@ def read_shards(
     check against the stored manifest — a truncated or partially-copied
     export fails LOUDLY here instead of silently training on fewer rows.
     Returns the data frame with its ``shard`` column."""
+    # Without an explicit schema, JSONL pays one inference pass — exports
+    # are self-describing enough for it (ids/token counts are longs).
     reader = spark.read.format(fmt)
     if schema is not None:
         reader = reader.schema(schema)
-    elif fmt == "json":
-        # JSONL needs one schema-inference pass; exports are
-        # self-describing enough for it (ids/token counts are longs).
-        pass
     df = reader.load(f"{path}/data")
     if shards is not None:
         df = df.filter(F.col("shard").isin([int(s) for s in shards]))
@@ -202,6 +200,16 @@ def read_shards(
             int(r["shard"]): int(r["n_rows"])
             for r in spark.read.json(f"{path}/manifest").collect()
         }
+        if shards is not None:
+            # A requested shard the manifest never had is the silent-
+            # truncation case verify exists to catch — dropping it from
+            # the check would pass a partial load as complete.
+            unknown = sorted(set(map(int, shards)) - set(manifest))
+            if unknown:
+                raise ValueError(
+                    f"shard verification failed at {path}: requested shards "
+                    f"{unknown} are not in the manifest ({sorted(manifest)})"
+                )
         got = {
             int(r["shard"]): int(r["n"])
             for r in df.groupBy("shard").agg(F.count(F.lit(1)).alias("n")).collect()
@@ -209,7 +217,7 @@ def read_shards(
         want = (
             manifest
             if shards is None
-            else {s: manifest[s] for s in map(int, shards) if s in manifest}
+            else {s: manifest[s] for s in map(int, shards)}
         )
         if got != want:
             missing = {s: v for s, v in want.items() if got.get(s) != v}

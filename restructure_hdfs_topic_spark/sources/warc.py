@@ -66,12 +66,19 @@ def _gunzip_members(payload: bytes) -> bytes:
     its tail is damaged (the record parser then reports the truncation
     on the partial payload)."""
     out, rest = [], payload
+    first = True
     while rest:
         d = zlib.decompressobj(wbits=31)
         try:
             out.append(d.decompress(rest))
         except zlib.error:
+            if first:
+                # Nothing decoded at all — genuine bad_gzip (a VALID
+                # empty gzip member decodes fine and must NOT raise:
+                # empty rotation files are not corruption).
+                raise
             break
+        first = False
         rest = d.unused_data
         if not d.eof:  # truncated final member: keep what decoded
             break
@@ -129,9 +136,9 @@ def parse_warc_records(payload: bytes, decode_text: bool = True):
     record yields one ``decode_status`` row and parsing resumes at the
     next well-formed header (driver-side kernel, exposed for tests)."""
     if payload[:2] == b"\x1f\x8b":
-        payload = _gunzip_members(payload)
-        if not payload:
-            # Nothing decoded at all (first member already corrupt).
+        try:
+            payload = _gunzip_members(payload)
+        except zlib.error:
             yield _bad_row(0, "bad_gzip")
             return
     pos, ix = 0, 0
@@ -248,14 +255,17 @@ def _parse_kernel(decode_text: bool):
     def kernel(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             for path, content in zip(pdf["path"], pdf["content"]):
-                base = path.rsplit("/", 1)[-1]
                 rows = list(
                     parse_warc_records(bytes(content), decode_text=decode_text)
                 )
                 if not rows:
                     continue
                 out = pd.DataFrame(rows)
-                out.insert(0, "file", base)
+                # FULL path, not the basename: (file, record_ix) is the
+                # capture identity id-less records fall back to, and
+                # crawl layouts reuse basenames across directories
+                # (crawl-01/part-00000.warc.gz, crawl-02/part-00000...).
+                out.insert(0, "file", path)
                 out["record_ix"] = out["record_ix"].astype("int64")
                 out["http_status"] = out["http_status"].astype("Int32")
                 yield out

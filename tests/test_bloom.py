@@ -299,3 +299,33 @@ def test_ingest_batch_bloom_steady_state(spark, tmp_path):
         use_bloom=True,
     )
     assert res["accepted_rows"] == 0
+
+
+def test_sidecar_gc_keeps_one_prior_version(spark, tmp_path):
+    """Review r8 #3: the GC after a fold keeps the PREDECESSOR data dir
+    (a concurrent reader planned against the old meta must survive one
+    swap) and prunes older ones."""
+    import os as _os
+
+    from restructure_hdfs_topic_spark.operators import bloom as B
+    from restructure_hdfs_topic_spark.operators.incremental import (
+        commit_fingerprints_versioned,
+        document_fingerprints,
+    )
+
+    state_dir = str(tmp_path / "state")
+    sub = f"{state_dir}/bloom"
+    for k in range(3):
+        batch = spark.createDataFrame(
+            [(k * 10 + i, f"v{k}-{i}") for i in range(4)], "doc_id long, text string"
+        )
+        fps = document_fingerprints(batch)
+        _, s, n = commit_fingerprints_versioned(spark, state_dir, fps)
+        if k == 0:
+            B.write_bloom_sidecar(spark, state_dir, n_buckets=4)
+        else:
+            B.update_bloom_sidecar(spark, state_dir, fps, s, n, n_buckets=4)
+    dirs = sorted(d for d in _os.listdir(sub) if d.startswith("data_v"))
+    # Version 3 is current, version 2 retained for in-flight readers,
+    # version 1 pruned.
+    assert dirs == ["data_v00000002", "data_v00000003"], dirs

@@ -139,3 +139,22 @@ def test_read_shards_round_trip_and_verify(spark, tmp_path):
         read_shards(spark, out)
     # But unverified / other-shard reads still work.
     assert read_shards(spark, out, shards=[0], verify=True).count() == manifest[0]
+
+
+def test_read_shards_unknown_requested_shard_raises(spark, tmp_path):
+    """Review r8 #5: asking for a shard the manifest never had must fail
+    loudly, not silently load fewer shards."""
+    from pyspark.sql import functions as F
+
+    from restructure_hdfs_topic_spark.plans.export import (
+        export_jsonl_shards,
+        read_shards,
+    )
+
+    df = spark.range(0, 50).select(
+        F.col("id").alias("doc_id"), F.concat(F.lit("t"), F.col("id")).alias("text")
+    )
+    out = str(tmp_path / "exp")
+    export_jsonl_shards(df, out, n_shards=3)
+    with pytest.raises(ValueError, match="not in the manifest"):
+        read_shards(spark, out, shards=[0, 99])

@@ -179,3 +179,35 @@ def test_langid_artifact_round_trip_and_edges(spark, tmp_path):
     )
     out = {r["doc_id"]: r["lang_pred"] for r in classify_lang(edge, profiles).collect()}
     assert out[1] is None and out[2] is None and out[3] == "fr"
+
+
+def test_langid_null_labels_and_unicode_whitespace(spark):
+    """Review r8: NULL lang labels must not crash training (routine after
+    upstream left joins), and non-ASCII whitespace (U+00A0) must collapse
+    identically in the JVM grams and the pure-Python model."""
+    from restructure_hdfs_topic_spark.operators.langid import (
+        classify_lang,
+        doc_trigram_ranks,
+        train_lang_profiles,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "en", "the cat sat on the mat near the door today"),
+            (2, None, "unlabeled document that must not crash the trainer"),
+            (3, "en", "the dog ran to the park and back again home"),
+        ],
+        "doc_id long, lang string, text string",
+    )
+    profiles = train_lang_profiles(docs, top_k=50)
+    assert list(profiles["profiles"]) == ["en"]
+
+    # NBSP-separated text: JVM normalization must match the Python model.
+    nb = "the cat sat on the mat"
+    df = spark.createDataFrame([(1, nb)], "doc_id long, text string")
+    out = classify_lang(df, profiles, doc_top=30).collect()[0]
+    # Re-derive the expected distance with the Python model.
+    grams = doc_trigram_ranks(nb, 3, 30)
+    rm = {g: r for r, g in enumerate(profiles["profiles"]["en"])}
+    want = sum(50 if g not in rm else abs(i - rm[g]) for i, g in enumerate(grams))
+    assert out["lang_pred"] == "en" and out["lang_distance"] == want

@@ -390,3 +390,55 @@ def test_missing_record_id_gets_distinct_doc_ids(spark, tmp_path):
     docs = warc_responses_as_documents(read_warc(spark, str(d))).collect()
     assert len(docs) == 2
     assert len({r["doc_id"] for r in docs}) == 2
+
+
+def test_same_basename_different_dirs_distinct_ids(spark, tmp_path):
+    """Review r8 #2: crawl layouts reuse basenames across directories —
+    id-less captures in crawl-01/part-0.warc.gz and
+    crawl-02/part-0.warc.gz must not share a doc_id."""
+    from restructure_hdfs_topic_spark.sources.warc import (
+        read_warc,
+        warc_responses_as_documents,
+    )
+
+    def record_no_id(uri, body):
+        http = (
+            f"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n"
+            f"Content-Length: {len(body)}\r\n\r\n"
+        ).encode() + body.encode()
+        hdr = (
+            "WARC/1.0\r\nWARC-Type: response\r\n"
+            f"WARC-Date: 2024-01-01T00:00:00Z\r\nWARC-Target-URI: {uri}\r\n"
+            "Content-Type: application/http; msgtype=response\r\n"
+            f"Content-Length: {len(http)}\r\n\r\n"
+        ).encode()
+        return hdr + http + b"\r\n\r\n"
+
+    # SAME uri, SAME record index, SAME file basename — only the
+    # directory differs (a re-crawl of one seed page).
+    raw = record_no_id("https://seed.test/", "<p>capture</p>")
+    for sub in ("crawl-01", "crawl-02"):
+        d = tmp_path / sub
+        d.mkdir()
+        (d / "part-0.warc").write_bytes(raw)
+    docs = warc_responses_as_documents(
+        read_warc(spark, [str(tmp_path / "crawl-01"), str(tmp_path / "crawl-02")])
+    ).collect()
+    assert len(docs) == 2
+    assert len({r["doc_id"] for r in docs}) == 2
+
+
+def test_empty_valid_gzip_is_not_corruption():
+    """Review r8 #8: a legitimately empty .warc.gz (valid gzip member,
+    zero bytes) yields NO rows — not a spurious bad_gzip quarantine."""
+    import gzip as _gzip
+    import io as _io
+
+    from restructure_hdfs_topic_spark.sources.warc import parse_warc_records
+
+    buf = _io.BytesIO()
+    with _gzip.GzipFile(fileobj=buf, mode="wb") as g:
+        g.write(b"")
+    assert list(parse_warc_records(buf.getvalue())) == []
+    # Corruption still quarantines.
+    assert [r["decode_status"] for r in parse_warc_records(b"\x1f\x8b\x00\x00junk")] == ["bad_gzip"]
