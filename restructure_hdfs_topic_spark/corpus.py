@@ -186,6 +186,32 @@ class Corpus:
             classify_lang(self.df, profiles, self.id_col, self.text_col, doc_top)
         )
 
+    def lang_gate(
+        self,
+        profiles: dict,
+        allowed: set[str] | None = None,
+        max_distance: int | None = None,
+        doc_top: int = 100,
+    ) -> "Corpus":
+        """Keep documents whose trigram-classified language is in
+        ``allowed`` (None → any non-NULL prediction) and, optionally,
+        whose out-of-place distance is ≤ ``max_distance`` (a coarse
+        confidence bound — gibberish scores far from every profile).
+        The transient prediction columns are dropped; chain
+        ``classify_lang`` instead to keep them."""
+        from restructure_hdfs_topic_spark.operators.langid import classify_lang
+
+        cols = self.df.columns
+        scored = classify_lang(
+            self.df, profiles, self.id_col, self.text_col, doc_top
+        )
+        cond = F.col("lang_pred").isNotNull()
+        if allowed is not None:
+            cond = cond & F.col("lang_pred").isin(sorted(allowed))
+        if max_distance is not None:
+            cond = cond & (F.col("lang_distance") <= F.lit(int(max_distance)))
+        return self._wrap(scored.filter(cond).select(*cols))
+
     def quality_classifier_gate(
         self, model: dict, threshold: float = 0.5
     ) -> "Corpus":

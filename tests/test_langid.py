@@ -211,3 +211,23 @@ def test_langid_null_labels_and_unicode_whitespace(spark):
     rm = {g: r for r, g in enumerate(profiles["profiles"]["en"])}
     want = sum(50 if g not in rm else abs(i - rm[g]) for i, g in enumerate(grams))
     assert out["lang_pred"] == "en" and out["lang_distance"] == want
+
+
+def test_corpus_lang_gate(spark):
+    """Facade gate: allowed-language filter with optional distance cap;
+    transient prediction columns dropped."""
+    from restructure_hdfs_topic_spark.corpus import Corpus
+    from restructure_hdfs_topic_spark.operators.langid import train_lang_profiles
+
+    profiles = train_lang_profiles(_corpus(spark, lambda s: s), top_k=200)
+    test = _corpus(spark, lambda s: s[4:])
+    gated = Corpus(test).lang_gate(profiles, allowed={"en", "de"})
+    rows = gated.df.collect()
+    assert set(gated.df.columns) == {"doc_id", "lang", "text"}
+    langs = {r["lang"] for r in rows}
+    # Training saw these exact sentences, so predictions are reliable:
+    # only en/de survive the gate.
+    assert langs == {"en", "de"}, langs
+    # Distance cap of 0 removes everything (no doc matches any profile
+    # perfectly).
+    assert Corpus(test).lang_gate(profiles, max_distance=0).df.count() == 0
