@@ -167,6 +167,17 @@ def _finish_sidecar(
     return meta
 
 
+_TARGET_WRITE_BYTES = 128 * 1024 * 1024
+
+
+def _write_partitions(est_bytes: int, n_buckets: int) -> int:
+    """Writer-task count for a sidecar of ~``est_bytes`` of bitmaps:
+    ~128 MB per task, capped at one task per bucket (a bucket row is the
+    atomic unit).  A single writer at the module's documented 1e10-key
+    design point would funnel ~12 GB through one task."""
+    return max(1, min(n_buckets, -(-est_bytes // _TARGET_WRITE_BYTES)))
+
+
 def write_bloom_sidecar(
     spark: SparkSession,
     state_dir: str,
@@ -183,9 +194,10 @@ def write_bloom_sidecar(
     fps = read_fingerprints(spark, state_dir)
     old_meta = read_bloom_meta(spark, state_dir)
     path = _bloom_data_path(state_dir, version)
+    writers = _write_partitions(fps.count() * bits_per_key // 8, n_buckets)
     (
         bloom_from_fingerprints(fps, n_buckets, bits_per_key)
-        .repartition(1)
+        .repartition(writers, "bucket")
         .write.mode("overwrite")
         .parquet(path)
     )
@@ -295,7 +307,10 @@ def update_bloom_sidecar(
         )
     )
     new_path = _bloom_data_path(state_dir, to_version)
-    updated.repartition(1).write.mode("overwrite").parquet(new_path)
+    writers = _write_partitions(
+        (meta["total_keys"] + n_new) * bits_per_key // 8, n_buckets
+    )
+    updated.repartition(writers, "bucket").write.mode("overwrite").parquet(new_path)
     totals = (
         spark.read.parquet(new_path)
         .agg(F.sum("m_bits").alias("bits"), F.sum("n_keys").alias("keys"))
@@ -423,7 +438,18 @@ def filter_novel_documents_bloom(
         .drop("__rn")
     )
     if meta.get("total_bits", 1 << 62) <= BROADCAST_BITS_CAP:
-        tagged = _bloom_tag_broadcast(spark, firsts, bloom, n_buckets)
+        tagged = _bloom_tag_broadcast(
+            spark,
+            firsts,
+            bloom,
+            n_buckets,
+            cache_key=(
+                state_dir.rstrip("/"),
+                int(meta["state_version"]),
+                n_buckets,
+                bits_per_key,
+            ),
+        )
     else:
         tagged = _bloom_tag(firsts, bloom, n_buckets)
     definite = tagged.filter(~F.col("__bloom_maybe")).select(*batch.columns)
@@ -435,27 +461,58 @@ def filter_novel_documents_bloom(
     return definite.unionByName(cleared)
 
 
+# One live broadcast per (application, state_dir): streaming_curation_sink
+# probes once per micro-batch, and without memoization every batch would
+# re-collect the full sidecar AND leak a fresh ≤64 MB broadcast for the
+# stream's lifetime.  The key carries the state version + parameters, so
+# a moved state swaps (and unpersists) the stale entry instead of reusing
+# it — staleness here would be a correctness bug, not just cost.
+_BC_CACHE: dict = {}
+
+
 def _bloom_tag_broadcast(
-    spark: SparkSession, batch_fp: DataFrame, bloom: DataFrame, n_buckets: int
+    spark: SparkSession,
+    batch_fp: DataFrame,
+    bloom: DataFrame,
+    n_buckets: int,
+    cache_key: tuple | None = None,
 ) -> DataFrame:
     """Broadcast-probe flavor of ``_bloom_tag``: bitmaps ride one
     ``SparkContext.broadcast`` (fetched once per executor), the bucket
     key is computed JVM-side (same ``pmod(xxhash64(fp), n)`` as build),
     and a two-column Pandas UDF tags rows IN PLACE — no shuffle, no
-    rejoin."""
+    rejoin.  With ``cache_key`` the broadcast is memoized per
+    (application, state_dir) and reused while the sidecar version is
+    unchanged."""
     import numpy as np
 
     from pyspark.sql.functions import pandas_udf
 
-    tables = {
-        int(r["bucket"]): (
-            int(r["m_bits"]),
-            int(r["k"]),
-            np.frombuffer(bytes(r["bitmap"]), dtype=np.uint8),
-        )
-        for r in bloom.collect()
-    }
-    bc = spark.sparkContext.broadcast(tables)
+    bc = None
+    slot = None
+    if cache_key is not None:
+        slot = (spark.sparkContext.applicationId, cache_key[0])
+        cached = _BC_CACHE.get(slot)
+        if cached is not None and cached[0] == cache_key:
+            bc = cached[1]
+    if bc is None:
+        tables = {
+            int(r["bucket"]): (
+                int(r["m_bits"]),
+                int(r["k"]),
+                np.frombuffer(bytes(r["bitmap"]), dtype=np.uint8),
+            )
+            for r in bloom.collect()
+        }
+        bc = spark.sparkContext.broadcast(tables)
+        if slot is not None:
+            old = _BC_CACHE.get(slot)
+            if old is not None:
+                try:
+                    old[1].unpersist()
+                except Exception:
+                    pass
+            _BC_CACHE[slot] = (cache_key, bc)
 
     @pandas_udf("boolean")
     def probe(fp: pd.Series, bucket: pd.Series) -> pd.Series:

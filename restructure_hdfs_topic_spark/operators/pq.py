@@ -266,17 +266,21 @@ def _adc_kernel(books, q_ids, q_vecs, k: int):
             kk = min(k, sims.shape[1])
             if kk <= 0:
                 continue
-            if sims.shape[1] > kk:
-                top = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
-            else:
-                top = np.broadcast_to(np.arange(sims.shape[1]), (len(q_ids), sims.shape[1]))
+            # Round BEFORE the cut and order ties by neighbor_id so the
+            # batch-local cut agrees with the global downstream window
+            # (adc_cosine desc, neighbor_id) — an argpartition on raw
+            # floats resolves exact-tie boundaries arbitrarily, making
+            # the survivor set depend on batch composition.
+            sims = np.round(sims, 6)
+            ids_b = np.broadcast_to(ids[None, :], sims.shape)
+            top = np.lexsort((ids_b, -sims), axis=1)[:, :kk]
             vals = np.take_along_axis(sims, top, axis=1)
             keep = np.isfinite(vals).ravel()
             yield pd.DataFrame(
                 {
                     "query_id": np.repeat(q_ids, top.shape[1])[keep],
                     "neighbor_id": ids[top.ravel()[keep]],
-                    "adc_cosine": np.round(vals.ravel()[keep], 6),
+                    "adc_cosine": vals.ravel()[keep],
                 }
             )
 

@@ -167,7 +167,7 @@ class ProgressBar:
         spark=None,
     ) -> None:
         if total < 0:
-            raise ValueError("Total of progress bar must be positive")
+            raise ValueError("Total of progress bar must be non-negative")
         if num_stripes <= 0:
             raise ValueError("Number of stripes in progress bar must be positive")
         self.label = label

@@ -165,12 +165,26 @@ def parse_warc_records(payload: bytes, decode_text: bool = True):
             ix += 1
             pos = hdr_end + 4
             continue
+        if length < 0:
+            # A negative length would move the scan position BACKWARDS and
+            # re-discover this same record forever; treat it like any other
+            # unparseable Content-Length and resync past the header.
+            yield _bad_row(ix, "bad_content_length")
+            ix += 1
+            pos = hdr_end + 4
+            continue
         body_start = hdr_end + 4
         body = payload[body_start : body_start + length]
         pos = body_start + length + 4  # records end with two CRLFs
         if len(body) < length:
+            # Corrupt oversized length (or a truncated tail).  Yield the one
+            # damaged record and resync at the next 'WARC/' magic so a
+            # mid-file corrupt length field loses only this record, not
+            # every record after it.
             yield _bad_row(ix, "truncated_body")
-            return
+            ix += 1
+            pos = hdr_end + 4
+            continue
         warc_type = headers.get("warc-type", b"").decode("ascii", "replace")
         rec = {
             "record_ix": ix,

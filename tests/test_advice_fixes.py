@@ -687,3 +687,171 @@ def test_dedup_by_url_window_keys_include_canonical_string(spark):
     assert "xxhash64" in plan
     assert "regexp_replace" in plan
     assert [r["doc_id"] for r in out.collect()] == [1]
+
+
+# --------------------------------------------------------------------------
+# ADVICE r8 regressions
+# --------------------------------------------------------------------------
+
+
+def test_warc_negative_content_length_terminates():
+    """ADVICE r8 #1 (high): a negative Content-Length moved the scan
+    position BACKWARDS before the current 'WARC/' magic, so the parser
+    re-yielded the same record forever (hang/OOM in the mapInPandas
+    kernel).  It must quarantine the record and keep moving forward."""
+    import itertools
+
+    from restructure_hdfs_topic_spark.sources.warc import (
+        parse_warc_records,
+        warc_bytes,
+    )
+
+    good = warc_bytes(
+        [{"uri": "https://a.com/ok", "body": "fine"}], gzip_per_record=False
+    )
+    hostile = (
+        b"WARC/1.0\r\nWARC-Type: response\r\nContent-Length: -9999\r\n\r\n"
+        + good
+    )
+    # islice caps the take: a regression yields the bad row forever and
+    # fails the length assert instead of hanging the test.
+    rows = list(itertools.islice(parse_warc_records(hostile), 10))
+    assert [r["decode_status"] for r in rows] == ["bad_content_length", "ok"]
+    assert rows[1]["target_uri"] == "https://a.com/ok"
+
+
+def test_warc_midfile_oversized_length_loses_one_record():
+    """ADVICE r8 #3 (low): a corrupt Content-Length LARGER than the
+    remaining payload used to abandon the whole rest of the file; now it
+    quarantines the one damaged record and resyncs at the next 'WARC/'
+    magic so later good records survive."""
+    from restructure_hdfs_topic_spark.sources.warc import (
+        parse_warc_records,
+        warc_bytes,
+    )
+
+    good = warc_bytes(
+        [
+            {"uri": "https://a.com/1", "body": "one"},
+            {"uri": "https://a.com/2", "body": "two"},
+        ],
+        gzip_per_record=False,
+    )
+    corrupt = (
+        b"WARC/1.0\r\nWARC-Type: response\r\nWARC-Record-ID: <urn:x>\r\n"
+        b"Content-Length: 999999\r\n\r\nshort"
+        + good
+    )
+    rows = list(parse_warc_records(corrupt))
+    assert [r["decode_status"] for r in rows] == ["truncated_body", "ok", "ok"]
+    assert [r["target_uri"] for r in rows[1:]] == [
+        "https://a.com/1",
+        "https://a.com/2",
+    ]
+    # The legit truncated-tail case still yields exactly one damaged row.
+    rows = list(parse_warc_records(good[: len(good) - 10]))
+    assert [r["decode_status"] for r in rows][-1] == "truncated_body"
+    assert sum(r["decode_status"] == "truncated_body" for r in rows) == 1
+
+
+def test_bloom_broadcast_memoized_per_state_version(spark, tmp_path):
+    """ADVICE r8 #2 (medium): the broadcast-probe path must reuse ONE
+    broadcast per (state_dir, version) — streaming probes once per
+    micro-batch, and a fresh collect+broadcast per batch leaks driver
+    memory unboundedly.  A moved state version must swap the entry and
+    unpersist the superseded broadcast."""
+    from restructure_hdfs_topic_spark.operators import bloom as B
+    from restructure_hdfs_topic_spark.operators.incremental import (
+        commit_fingerprints,
+        document_fingerprints,
+    )
+
+    state_dir = str(tmp_path / "state")
+    first = spark.createDataFrame(
+        [(1, "alpha"), (2, "beta")], "doc_id long, text string"
+    )
+    commit_fingerprints(spark, state_dir, document_fingerprints(first))
+    batch = spark.createDataFrame(
+        [(10, "alpha"), (11, "delta")], "doc_id long, text string"
+    )
+
+    B._BC_CACHE.clear()
+    B.filter_novel_documents_bloom(spark, state_dir, batch, n_buckets=4).collect()
+    slot = (spark.sparkContext.applicationId, state_dir.rstrip("/"))
+    assert slot in B._BC_CACHE
+    key1, bc1 = B._BC_CACHE[slot]
+    assert key1[1] == 1  # state version
+
+    # Same state: the broadcast object is REUSED, not rebuilt.
+    B.filter_novel_documents_bloom(spark, state_dir, batch, n_buckets=4).collect()
+    key2, bc2 = B._BC_CACHE[slot]
+    assert bc2 is bc1 and key2 == key1
+
+    # Moved state: entry swaps, superseded broadcast is unpersisted.
+    unpersisted = []
+    orig = bc1.unpersist
+    bc1.unpersist = lambda *a, **kw: (unpersisted.append(True), orig())
+    second = spark.createDataFrame([(3, "gamma")], "doc_id long, text string")
+    commit_fingerprints(spark, state_dir, document_fingerprints(second))
+    B.filter_novel_documents_bloom(spark, state_dir, batch, n_buckets=4).collect()
+    key3, bc3 = B._BC_CACHE[slot]
+    assert key3[1] == 2 and bc3 is not bc1
+    assert unpersisted
+
+
+def test_bloom_write_partitions_sizing():
+    """VERDICT r8 wrong-#1: sidecar writes must scale writer tasks with
+    bitmap bytes (~128 MB per task, capped at one per bucket) instead of
+    funneling everything through repartition(1)."""
+    from restructure_hdfs_topic_spark.operators.bloom import _write_partitions
+
+    assert _write_partitions(0, 256) == 1
+    assert _write_partitions(10 * 1024 * 1024, 256) == 1
+    # The module's documented design point: 1e10 keys * 10 bits ≈ 12.5 GB.
+    assert _write_partitions(12_500_000_000, 256) == 94
+    # Never more writers than buckets (a bucket row is atomic).
+    assert _write_partitions(10**13, 256) == 256
+
+
+def test_pq_adc_tiebreak_partition_independent(spark):
+    """ADVICE r8 #4 (low): exact score ties at the per-batch top-k cut
+    must resolve by neighbor_id (matching the global window's order), so
+    the result cannot depend on batch composition/partitioning."""
+    from restructure_hdfs_topic_spark.operators.pq import pq_adc_topk
+
+    # Two distinct vectors, 20 copies each => massive exact ties; PQ is
+    # lossless (2 distinct sub-vectors per subspace).
+    a = [1.0, 0.0, 2.0, 1.0, 0.5, 1.5, -1.0, 0.25]
+    b = [0.0, 1.0, -1.0, 2.0, 1.0, 0.0, 0.5, -0.5]
+    rows = [(i, a if i % 2 == 0 else b) for i in range(40)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    queries = emb.filter(F.col("vec_id") < 2)
+
+    expected = None
+    for parts in (1, 3, 11):
+        got = sorted(
+            (r["query_id"], r["rank"], r["neighbor_id"])
+            for r in pq_adc_topk(
+                emb.repartition(parts), queries, k=4, m=4, rerank_factor=None
+            ).collect()
+        )
+        if expected is None:
+            expected = got
+        assert got == expected, f"partitioning {parts} changed the tie cut"
+    # Ties break toward the LOWEST neighbor_id: query 0 (vector a) must
+    # keep the smallest even ids among its 19 identical-score neighbors.
+    q0 = [nid for (q, _rank, nid) in expected if q == 0]
+    assert q0 == [2, 4, 6, 8]
+
+
+def test_progress_total_zero_and_message():
+    """ADVICE r8 #5 (low): total == 0 is explicitly allowed (empty topic
+    map) and the negative-total error says non-negative."""
+    from restructure_hdfs_topic_spark.progress import ProgressBar
+
+    lines = []
+    bar = ProgressBar("empty", 0, sink=lines.append)
+    bar.update(0, force=True)
+    assert lines and "100%" in lines[0]
+    with pytest.raises(ValueError, match="non-negative"):
+        ProgressBar("bad", -1)
