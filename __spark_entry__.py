@@ -1359,6 +1359,77 @@ def q_warc_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_crawl_health(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-health rollup over a synthesized mixed-outcome crawl: the
+    complement of ``warc_ingest``'s documents projection — redirect
+    chains, errors, revisits, binary payloads, and quarantined members —
+    aggregated to (warc_type, status_class, decode_status, n_records,
+    n_urls).  Outcomes key off ``doc_id % 10`` (6→301, 7→404, 8→revisit,
+    9→binary, else 200 text), so the rollup is deterministic and
+    partitioning-independent.  Complement accounting + rollup values
+    pinned in tests/test_warc.py::test_warc_crawl_health_complement
+    (bench/extras surface)."""
+    import glob
+    import gzip as _gzip
+    import os
+    import uuid as _uuid
+
+    from restructure_hdfs_topic_spark.sources.warc import (
+        read_warc,
+        warc_bytes,
+        warc_crawl_health,
+    )
+
+    _conf(spark)
+    path = f"/tmp/spark_graft_warchealth_{os.path.basename(os.path.normpath(sf_dir))}"
+    if not glob.glob(f"{path}/*.warc.gz"):
+        os.makedirs(path, exist_ok=True)
+        docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+
+        def write_chunks(it):
+            import pandas as pd  # noqa: PLC0415
+
+            for pdf in it:
+                if len(pdf) == 0:
+                    continue
+                recs = []
+                for i, t in zip(pdf["doc_id"], pdf["text"]):
+                    uri = f"https://corpus.test/doc/{i}"
+                    mod = int(i) % 10
+                    if mod == 6:
+                        recs.append({"uri": uri, "body": "", "status": 301})
+                    elif mod == 7:
+                        recs.append({"uri": uri, "body": "gone", "status": 404})
+                    elif mod == 8:
+                        recs.append({"uri": uri, "body": "", "warc_type": "revisit"})
+                    elif mod == 9:
+                        recs.append(
+                            {
+                                "uri": uri,
+                                "body": b"\x89PNG\r\n\x1a\n",
+                                "content_type": "image/png",
+                            }
+                        )
+                    else:
+                        recs.append({"uri": uri, "body": f"<html>{t}</html>"})
+                name = f"{path}/part-{_uuid.uuid4().hex}.warc.gz"
+                with open(name, "wb") as f:
+                    f.write(warc_bytes(recs))
+                yield pd.DataFrame({"n": [len(recs)]})
+
+        docs.repartition(8).mapInPandas(write_chunks, "n long").agg(
+            F.sum("n")
+        ).collect()
+        # One malformed member so the quarantine row class is exercised.
+        with open(f"{path}/part-malformed.warc.gz", "wb") as f:
+            f.write(
+                _gzip.compress(
+                    b"WARC/1.0\r\nWARC-Type: response\r\nContent-Length: zz\r\n\r\n"
+                )
+            )
+    return warc_crawl_health(read_warc(spark, path))
+
+
 def q_holdout_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic train/valid/test hash split — growth-stable
     assignment, one codegen CASE, no shuffle.  DuckDB cross-check in
@@ -1973,6 +2044,10 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # WARC (Common Crawl container) parse -> curated documents; spec
         # round-trips + strip_html equality oracle in tests/test_warc.py.
         "warc_ingest": q_warc_ingest,
+        # Crawl-health rollup (the records warc_ingest drops: redirects,
+        # revisits, errors, quarantines); complement accounting pinned in
+        # tests/test_warc.py::test_warc_crawl_health_complement.
+        "crawl_health": q_crawl_health,
         # Product-quantization ANN (flat ADC + exact rerank); lossless
         # oracle + recall gates in tests/test_pq.py.
         "ann_pq_topk": q_ann_pq_topk,

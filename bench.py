@@ -60,6 +60,7 @@ BENCH_QUERIES = [
     "curation_pipeline",
     "html_ingest_pipeline",
     "warc_ingest",
+    "crawl_health",
     "ann_pq_topk",
     "ivfpq_index_query",
     "incremental_dedup",

@@ -60,6 +60,19 @@ class Corpus:
         docs = warc_responses_as_documents(read_warc(spark, paths))
         return cls(docs, id_col="doc_id", text_col="text", strata_col="url")
 
+    @staticmethod
+    def crawl_health(spark, paths) -> DataFrame:
+        """Companion to ``from_warc``: the rollup of everything that
+        projection DROPS (redirect chains, revisits, errors, quarantined
+        captures) — (warc_type, status_class, decode_status, n_records,
+        n_urls).  Delegates to ``sources/warc.warc_crawl_health``."""
+        from restructure_hdfs_topic_spark.sources.warc import (
+            read_warc,
+            warc_crawl_health,
+        )
+
+        return warc_crawl_health(read_warc(spark, paths))
+
     # -- text hygiene -----------------------------------------------------
     def strip_html(self) -> "Corpus":
         from restructure_hdfs_topic_spark.functions.text import strip_html

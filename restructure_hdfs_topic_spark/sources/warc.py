@@ -45,6 +45,8 @@ __all__ = [
     "read_warc",
     "read_warc_stream",
     "warc_responses_as_documents",
+    "warc_noncontent_records",
+    "warc_crawl_health",
     "warc_bytes",
 ]
 
@@ -287,25 +289,64 @@ def _parse_kernel(decode_text: bool):
     return kernel
 
 
+# Spark's binaryFile source hard-fails on files over Int.MaxValue bytes
+# (the whole file becomes ONE byte-array cell).  Files at/over the cap are
+# quarantined from the LISTING (binaryFile pushes length filters down to
+# the file index), so a rogue fat .warc.gz yields one loud per-file row
+# instead of an opaque task failure or silent OOM.
+BINARYFILE_MAX_BYTES = (1 << 31) - 1
+
+
+def _oversize_rows(binary: DataFrame, max_bytes: int) -> DataFrame:
+    """One ``file_too_large`` quarantine row per over-cap file, built from
+    listing metadata only — ``content`` is never selected, so the bytes
+    are never read."""
+    null_s = F.lit(None).cast("string")
+    return binary.filter(F.col("length") > max_bytes).select(
+        F.col("path").alias("file"),
+        F.lit(0).cast("long").alias("record_ix"),
+        null_s.alias("record_id"),
+        null_s.alias("warc_type"),
+        null_s.alias("target_uri"),
+        null_s.alias("warc_date"),
+        F.lit(None).cast("int").alias("http_status"),
+        null_s.alias("content_type"),
+        null_s.alias("text"),
+        F.lit(None).cast("binary").alias("payload"),
+        F.lit("file_too_large").alias("decode_status"),
+    )
+
+
 def read_warc(
-    spark: SparkSession, paths: list[str] | str, decode_text: bool = True
+    spark: SparkSession,
+    paths: list[str] | str,
+    decode_text: bool = True,
+    max_bytes: int = BINARYFILE_MAX_BYTES,
 ) -> DataFrame:
     """DataFrame of WARC records under ``paths`` (``*.warc`` /
     ``*.warc.gz``, local or any Hadoop ``scheme://``) — one task per
     file via ``binaryFile``, one Arrow crossing per task.  Columns:
     (file, record_ix, record_id, warc_type, target_uri, warc_date,
-    http_status, content_type, text, payload, decode_status)."""
+    http_status, content_type, text, payload, decode_status).  Files
+    larger than ``max_bytes`` (default: the 2 GiB ``binaryFile`` cap;
+    Common Crawl's ~1 GB convention fits comfortably) surface as one
+    ``file_too_large`` row each instead of failing the scan."""
     if isinstance(paths, str):
         paths = [paths]
     if not paths:
         raise ValueError("read_warc: empty path list")
+    max_bytes = min(max_bytes, BINARYFILE_MAX_BYTES)
     binary = (
         spark.read.format("binaryFile")
         .option("pathGlobFilter", "*.warc*")
         .load(paths)
-        .select("path", "content")
     )
-    return binary.mapInPandas(_parse_kernel(decode_text), schema=_OUT_SCHEMA)
+    parsed = (
+        binary.filter(F.col("length") <= max_bytes)
+        .select("path", "content")
+        .mapInPandas(_parse_kernel(decode_text), schema=_OUT_SCHEMA)
+    )
+    return parsed.unionByName(_oversize_rows(binary, max_bytes))
 
 
 def read_warc_stream(
@@ -313,6 +354,7 @@ def read_warc_stream(
     crawl_dir: str,
     decode_text: bool = True,
     max_files_per_trigger: int | None = None,
+    max_bytes: int = BINARYFILE_MAX_BYTES,
 ) -> DataFrame:
     """Structured Streaming WARC source: a ``binaryFile`` file stream over
     ``crawl_dir`` decoded by the same parse kernel as the batch reader —
@@ -347,8 +389,14 @@ def read_warc_stream(
     )
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
-    binary = reader.load(crawl_dir).select("path", "content")
-    return binary.mapInPandas(_parse_kernel(decode_text), schema=_OUT_SCHEMA)
+    max_bytes = min(max_bytes, BINARYFILE_MAX_BYTES)
+    binary = reader.load(crawl_dir)
+    parsed = (
+        binary.filter(F.col("length") <= max_bytes)
+        .select("path", "content")
+        .mapInPandas(_parse_kernel(decode_text), schema=_OUT_SCHEMA)
+    )
+    return parsed.unionByName(_oversize_rows(binary, max_bytes))
 
 
 def warc_responses_as_documents(records: DataFrame) -> DataFrame:
@@ -379,6 +427,55 @@ def warc_responses_as_documents(records: DataFrame) -> DataFrame:
             F.col("target_uri").alias("url"),
             F.to_timestamp("warc_date").alias("fetched_at"),
             "text",
+        )
+    )
+
+
+def warc_noncontent_records(records: DataFrame) -> DataFrame:
+    """The records ``warc_responses_as_documents`` DROPS — revisits,
+    redirect chains (3xx), client/server errors, non-textual payloads,
+    request/metadata records, and quarantined captures — projected for
+    crawl-health profiling: (file, record_ix, url, warc_type,
+    http_status, status_class, content_type, decode_status).
+    ``status_class`` buckets the HTTP status ("2xx".."5xx", NULL when the
+    capture carries none).  Pure JVM projection, no shuffle — the
+    complement of the documents projection, so the two together account
+    for every parsed record exactly once."""
+    kept = (
+        (F.col("warc_type") == "response")
+        & (F.col("decode_status") == "ok")
+        & F.col("text").isNotNull()
+        & (F.col("http_status") >= 200)
+        & (F.col("http_status") < 300)
+    )
+    status_class = F.when(
+        F.col("http_status").isNotNull(),
+        F.concat(F.floor(F.col("http_status") / 100).cast("string"), F.lit("xx")),
+    )
+    return records.filter(~F.coalesce(kept, F.lit(False))).select(
+        "file",
+        "record_ix",
+        F.col("target_uri").alias("url"),
+        "warc_type",
+        "http_status",
+        status_class.alias("status_class"),
+        "content_type",
+        "decode_status",
+    )
+
+
+def warc_crawl_health(records: DataFrame) -> DataFrame:
+    """Crawl-health rollup over the NON-document records: one row per
+    (warc_type, status_class, decode_status) with capture and distinct-URL
+    counts — the profiler's view of redirect chains, revisit dedup rate,
+    error rates, and quarantine volume.  ONE map-side-combined aggregation
+    over the dropped complement."""
+    return (
+        warc_noncontent_records(records)
+        .groupBy("warc_type", "status_class", "decode_status")
+        .agg(
+            F.count(F.lit(1)).alias("n_records"),
+            F.count_distinct(F.col("url")).alias("n_urls"),
         )
     )
 

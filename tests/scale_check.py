@@ -122,6 +122,7 @@ CONSISTENCY_QUERIES = [
     # PQ ANN (hash-sampled int-Lloyd codebooks + deterministic ADC +
     # exact rerank), and the IVFPQ on-disk composition.
     "warc_ingest",
+    "crawl_health",
     "ann_pq_topk",
     "ivfpq_index_query",
     # r8: Bloom-prefiltered incremental dedup must equal the plain

