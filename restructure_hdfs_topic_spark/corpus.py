@@ -211,19 +211,16 @@ class Corpus:
         whose out-of-place distance is ≤ ``max_distance`` (a coarse
         confidence bound — gibberish scores far from every profile).
         The transient prediction columns are dropped; chain
-        ``classify_lang`` instead to keep them."""
-        from restructure_hdfs_topic_spark.operators.langid import classify_lang
+        ``classify_lang`` instead to keep them.  Same stage
+        ``curate_corpus(lang_profiles=...)`` composes."""
+        from restructure_hdfs_topic_spark.plans.curation import _lang_gate
 
-        cols = self.df.columns
-        scored = classify_lang(
-            self.df, profiles, self.id_col, self.text_col, doc_top
+        return self._wrap(
+            _lang_gate(
+                self.df, profiles, allowed, max_distance,
+                self.id_col, self.text_col, doc_top,
+            )
         )
-        cond = F.col("lang_pred").isNotNull()
-        if allowed is not None:
-            cond = cond & F.col("lang_pred").isin(sorted(allowed))
-        if max_distance is not None:
-            cond = cond & (F.col("lang_distance") <= F.lit(int(max_distance)))
-        return self._wrap(scored.filter(cond).select(*cols))
 
     def quality_classifier_gate(
         self, model: dict, threshold: float = 0.5

@@ -55,6 +55,9 @@ def curate_corpus(
     perplexity_head_q: float | None = None,
     decontaminate_benchmark: DataFrame | None = None,
     decontaminate_n: int = 13,
+    lang_profiles: dict | None = None,
+    allowed_langs: set[str] | None = None,
+    lang_max_distance: int | None = None,
 ) -> DataFrame:
     """The full curation chain as ONE composed DataFrame.
 
@@ -77,6 +80,15 @@ def curate_corpus(
     bits/token distribution (Wenzek et al. 2020's per-language head split
     — quantile-based, so it transfers across corpus scales where an
     absolute threshold does not).
+
+    ``lang_profiles`` adds a CCNet-style language gate between the line
+    corrections and the Gopher gate (language ID runs right after
+    extraction in CCNet/RefinedWeb — the quality rules are tuned for the
+    kept languages): keep documents whose trigram-classified language is
+    in ``allowed_langs`` (None → any non-NULL prediction), optionally
+    bounded by ``lang_max_distance``.  Same semantics as
+    ``Corpus.lang_gate``; stays inside the one lazy plan (the classifier
+    is a JVM explode + map-side-combined count + one window).
 
     ``decontaminate_benchmark`` adds GPT-3 §C surgical benchmark
     decontamination after the span scrub (before near-dup): spans
@@ -103,6 +115,14 @@ def curate_corpus(
 
         docs = line_corrections(
             docs, id_col, text_col, max_removed_ratio=line_corrections_ratio
+        )
+
+    # 0.5 (optional). Language gate — CCNet runs language ID before the
+    # quality rules, which are tuned for the languages being kept.
+    if lang_profiles is not None:
+        docs = _lang_gate(
+            docs, lang_profiles, allowed_langs, lang_max_distance,
+            id_col, text_col,
         )
 
     # 1. Gopher quality gate (keep original columns; metrics are transient).
@@ -223,6 +243,32 @@ def curate_corpus(
     )
 
 
+def _lang_gate(
+    docs: DataFrame,
+    profiles: dict,
+    allowed: set[str] | None,
+    max_distance: int | None,
+    id_col: str,
+    text_col: str,
+    doc_top: int = 100,
+) -> DataFrame:
+    """Shared language-gate stage for ``curate_corpus`` /
+    ``curation_stage_counts`` — identical semantics to
+    ``Corpus.lang_gate`` (keep non-NULL predictions, optionally
+    restricted to ``allowed`` and bounded by ``max_distance``; transient
+    prediction columns dropped)."""
+    from restructure_hdfs_topic_spark.operators.langid import classify_lang
+
+    cols = docs.columns
+    scored = classify_lang(docs, profiles, id_col, text_col, doc_top)
+    cond = F.col("lang_pred").isNotNull()
+    if allowed is not None:
+        cond = cond & F.col("lang_pred").isin(sorted(allowed))
+    if max_distance is not None:
+        cond = cond & (F.col("lang_distance") <= F.lit(int(max_distance)))
+    return scored.filter(cond).select(*cols)
+
+
 def filter_blocked_domains(
     docs: DataFrame,
     blocked_domains: list[str],
@@ -280,12 +326,15 @@ def curation_stage_counts(
     span_k: int = 8,
     jaccard_threshold: float = 0.5,
     line_corrections_ratio: float | None = None,
+    lang_profiles: dict | None = None,
+    allowed_langs: set[str] | None = None,
+    lang_max_distance: int | None = None,
 ) -> dict[str, int]:
     """Per-stage survivor counts (monitoring/attrition report) — each stage
     evaluated once, mirroring ``curate_corpus``'s stage order (including
-    the optional line-corrections stage 0, so the report describes the
-    pipeline it monitors); used by the e2e test to assert monotone
-    attrition."""
+    the optional line-corrections stage 0 and language gate 0.5, so the
+    report describes the pipeline it monitors); used by the e2e test to
+    assert monotone attrition."""
     out = {"input": docs.count()}
     if line_corrections_ratio is not None:
         from restructure_hdfs_topic_spark.functions.text import line_corrections
@@ -294,6 +343,12 @@ def curation_stage_counts(
             docs, id_col, text_col, max_removed_ratio=line_corrections_ratio
         )
         out["after_line_corrections"] = docs.count()
+    if lang_profiles is not None:
+        docs = _lang_gate(
+            docs, lang_profiles, allowed_langs, lang_max_distance,
+            id_col, text_col,
+        )
+        out["after_lang_gate"] = docs.count()
     metrics = gopher_metrics(F.col(text_col))
     gated = (
         docs.select(*docs.columns, *[c.alias(n) for n, c in metrics])
