@@ -1529,10 +1529,12 @@ _LANGID_MEMO: dict = {}
 def q_langid_trigram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cavnar-Trenkle trigram language ID: train rank profiles on half
     the documents table (one explode + map-side-combined count + one
-    window over the bounded gram table), classify the other half in one
-    Arrow pass with broadcast profiles.  Exact pure-Python-model
-    cross-check + held-out accuracy gate on a real multilingual corpus
-    in tests/test_langid.py (bench/extras surface)."""
+    window over the bounded gram table), classify the other half —
+    pure JVM, capped at the default 4 KB document prefix (rank-profile
+    accuracy saturates on a prefix; the cap bounds the explode+count
+    shuffle on long documents).  Exact pure-Python-model cross-check +
+    held-out accuracy gate + prefix-cap equivalence in
+    tests/test_langid.py (bench/extras surface)."""
     from restructure_hdfs_topic_spark.operators.langid import (
         classify_lang,
         train_lang_profiles,
