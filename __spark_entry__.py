@@ -1250,6 +1250,63 @@ def q_ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pq_adc_topk(emb, queries, k=5, m=16, rerank_factor=4, books=books)
 
 
+def q_ann_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-witnessable quality gate for the reranked flat-PQ path
+    (VERDICT r8 stretch #8, mirroring ``ann_ivf_recall``): recall of
+    ``pq_adc_topk`` (m=16, rerank 4k) against an IN-PLAN exact-cosine
+    baseline over the deterministic first-100-queries subset, reduced to
+    a 3-row check table — (n_queries=100, n_exact_pairs=500,
+    recall_ge_090=1).  A recall regression flips the third row, which
+    breaks the scale_check digest and the pinned expected rows in
+    tests/test_pq.py::test_ann_pq_recall_check_table — so the measured
+    0.96-reranked-recall claim is checked by the harness every round,
+    not just by a local test (bench/extras surface)."""
+    from restructure_hdfs_topic_spark.operators.pq import pq_adc_topk, train_pq
+
+    _conf(spark)
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.orderBy("vec_id").limit(100)
+    books = _PQ_BOOKS_MEMO.get(sf_dir)
+    if books is None:
+        books = train_pq(emb, m=16)
+        _PQ_BOOKS_MEMO[sf_dir] = books
+    exact = cosine_topk(emb, k=5, queries=queries)
+    approx = pq_adc_topk(emb, queries, k=5, m=16, rerank_factor=4, books=books)
+    hits = exact.join(
+        approx.select("query_id", "neighbor_id"),
+        ["query_id", "neighbor_id"],
+        "left_semi",
+    ).agg(F.count(F.lit(1)).alias("hits"))
+    totals = exact.agg(
+        F.count(F.lit(1)).alias("n_exact_pairs"),
+        F.countDistinct("query_id").alias("n_queries"),
+    )
+    return (
+        totals.crossJoin(hits)
+        .select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.lit("n_exact_pairs").alias("check_name"),
+                        F.col("n_exact_pairs").cast("long").alias("value"),
+                    ),
+                    F.struct(
+                        F.lit("n_queries").alias("check_name"),
+                        F.col("n_queries").cast("long").alias("value"),
+                    ),
+                    F.struct(
+                        F.lit("recall_ge_090").alias("check_name"),
+                        (
+                            F.col("hits") * 100 >= F.col("n_exact_pairs") * 90
+                        ).cast("long").alias("value"),
+                    ),
+                )
+            ).alias("r")
+        )
+        .select("r.check_name", "r.value")
+    )
+
+
 def q_ivfpq_index_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVFPQ end-to-end: coarse IVF index + per-cluster PQ code store on
     disk; queries prune to nprobe cluster directories AND scan 8-byte
@@ -2053,6 +2110,9 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # Product-quantization ANN (flat ADC + exact rerank); lossless
         # oracle + recall gates in tests/test_pq.py.
         "ann_pq_topk": q_ann_pq_topk,
+        # In-plan PQ recall check table (constant expected rows, like
+        # ann_ivf_recall); pinned in tests/test_pq.py.
+        "ann_pq_recall": q_ann_pq_recall,
         # IVF + PQ composition over the on-disk index (partition pruning
         # x compressed scan); recall pinned in tests/test_pq.py.
         "ivfpq_index_query": q_ivfpq_index_query,

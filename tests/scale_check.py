@@ -124,6 +124,7 @@ CONSISTENCY_QUERIES = [
     "warc_ingest",
     "crawl_health",
     "ann_pq_topk",
+    "ann_pq_recall",
     "ivfpq_index_query",
     # r8: Bloom-prefiltered incremental dedup must equal the plain
     # anti-join filter regardless of partitioning (no-false-negative

@@ -219,3 +219,19 @@ def test_ivfpq_append_visibility_and_immutability(spark, tmp_path):
     # of the corpus; k=5 over 20 queries virtually guarantees a hit —
     # assert weakly to stay robust).
     assert all_ids, rows
+
+
+def test_ann_pq_recall_check_table(spark):
+    """The extras recall gate (q_ann_pq_recall) must produce the exact
+    constant rows the harness digests: 100 queries, 500 exact pairs,
+    reranked recall >= 0.90."""
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    import __spark_entry__ as e
+
+    rows = {
+        r["check_name"]: r["value"]
+        for r in e.extra_queries()["ann_pq_recall"](spark, SF_DIR).collect()
+    }
+    assert rows == {"n_queries": 100, "n_exact_pairs": 500, "recall_ge_090": 1}
