@@ -839,36 +839,16 @@ def q_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "lang")
 
 
-def q_ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Driver-witnessable quality gate for the IVF ANN path (VERDICT r5
-    #7): the recall of ``ivf_ann_topk`` against an IN-PLAN exact-cosine
-    baseline over a deterministic 100-query subset, reduced to a 3-row
-    check table whose EXPECTED values the DuckDB oracle pins as constants:
-
-    - ``n_queries`` = 100 (the exact subset evaluated),
-    - ``n_exact_pairs`` = 500 (k=5 exact neighbors per query),
-    - ``recall_ge_090`` = 1 (measured in-plan; IVF holds ~0.95 across
-      sf0.01/sf0.1/sf1, so a 0.90 gate fails only on a real regression).
-
-    A quality regression changes the Spark-side values and hash-mismatches
-    the oracle — turning the one formerly rows-only registry slot into a
-    enforced correctness row.  Everything is one lazy plan (broadcast
-    exact subset, left-semi hit count); nothing collects driver-side.
-    """
-    from restructure_hdfs_topic_spark.operators.similarity import ivf_ann_topk
-
-    _conf(spark)
-    emb = _t(spark, sf_dir, "embeddings")
-    queries = emb.orderBy("vec_id").limit(100)
-    exact = cosine_topk(emb, k=5, queries=queries)
-    approx = ivf_ann_topk(emb, k=5)
-    hits = (
-        exact.join(
-            approx.select("query_id", "neighbor_id"),
-            ["query_id", "neighbor_id"],
-            "left_semi",
-        ).agg(F.count(F.lit(1)).alias("hits"))
-    )
+def _recall_check_table(exact: DataFrame, approx: DataFrame) -> DataFrame:
+    """Shared 3-row recall gate shape for ann_ivf_recall / ann_pq_recall:
+    (n_exact_pairs, n_queries, recall_ge_090) computed IN-PLAN from the
+    exact baseline and the approximate neighbor table — a single place
+    to evolve the check-table schema so the two gates cannot drift."""
+    hits = exact.join(
+        approx.select("query_id", "neighbor_id"),
+        ["query_id", "neighbor_id"],
+        "left_semi",
+    ).agg(F.count(F.lit(1)).alias("hits"))
     totals = exact.agg(
         F.count(F.lit(1)).alias("n_exact_pairs"),
         F.countDistinct("query_id").alias("n_queries"),
@@ -897,6 +877,32 @@ def q_ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("r.check_name", "r.value")
     )
+
+
+def q_ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-witnessable quality gate for the IVF ANN path (VERDICT r5
+    #7): the recall of ``ivf_ann_topk`` against an IN-PLAN exact-cosine
+    baseline over a deterministic 100-query subset, reduced to a 3-row
+    check table whose EXPECTED values the DuckDB oracle pins as constants:
+
+    - ``n_queries`` = 100 (the exact subset evaluated),
+    - ``n_exact_pairs`` = 500 (k=5 exact neighbors per query),
+    - ``recall_ge_090`` = 1 (measured in-plan; IVF holds ~0.95 across
+      sf0.01/sf0.1/sf1, so a 0.90 gate fails only on a real regression).
+
+    A quality regression changes the Spark-side values and hash-mismatches
+    the oracle — turning the one formerly rows-only registry slot into a
+    enforced correctness row.  Everything is one lazy plan (broadcast
+    exact subset, left-semi hit count); nothing collects driver-side.
+    """
+    from restructure_hdfs_topic_spark.operators.similarity import ivf_ann_topk
+
+    _conf(spark)
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.orderBy("vec_id").limit(100)
+    exact = cosine_topk(emb, k=5, queries=queries)
+    approx = ivf_ann_topk(emb, k=5)
+    return _recall_check_table(exact, approx)
 
 
 def q_pack_materialize(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1272,39 +1278,7 @@ def q_ann_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         _PQ_BOOKS_MEMO[sf_dir] = books
     exact = cosine_topk(emb, k=5, queries=queries)
     approx = pq_adc_topk(emb, queries, k=5, m=16, rerank_factor=4, books=books)
-    hits = exact.join(
-        approx.select("query_id", "neighbor_id"),
-        ["query_id", "neighbor_id"],
-        "left_semi",
-    ).agg(F.count(F.lit(1)).alias("hits"))
-    totals = exact.agg(
-        F.count(F.lit(1)).alias("n_exact_pairs"),
-        F.countDistinct("query_id").alias("n_queries"),
-    )
-    return (
-        totals.crossJoin(hits)
-        .select(
-            F.explode(
-                F.array(
-                    F.struct(
-                        F.lit("n_exact_pairs").alias("check_name"),
-                        F.col("n_exact_pairs").cast("long").alias("value"),
-                    ),
-                    F.struct(
-                        F.lit("n_queries").alias("check_name"),
-                        F.col("n_queries").cast("long").alias("value"),
-                    ),
-                    F.struct(
-                        F.lit("recall_ge_090").alias("check_name"),
-                        (
-                            F.col("hits") * 100 >= F.col("n_exact_pairs") * 90
-                        ).cast("long").alias("value"),
-                    ),
-                )
-            ).alias("r")
-        )
-        .select("r.check_name", "r.value")
-    )
+    return _recall_check_table(exact, approx)
 
 
 def q_ivfpq_index_query(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1344,6 +1318,56 @@ def q_ivfpq_index_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return query_ivfpq_index(spark, path, queries, k=5, nprobe=10, rerank_factor=4)
 
 
+def _synth_warc_corpus(spark, sf_dir: str, tag: str, record_fn, extra_files=None) -> str:
+    """Build-once synthetic WARC corpus under /tmp (bench fixture — not a
+    production writer): one ``record_fn(doc_id, text) -> record dict`` per
+    document, serialized with ``warc_bytes``.  Generation is ATOMIC and
+    retry-safe: parts get DETERMINISTIC names (partition, chunk) inside a
+    staging dir that only renames into place after the drive action and
+    any ``extra_files`` complete — a killed run can never leave a partial
+    artifact that later runs mistake for a complete one, and a retried
+    task overwrites its own files instead of double-writing records."""
+    import glob
+    import os
+    import shutil
+
+    from restructure_hdfs_topic_spark.sources.warc import warc_bytes
+
+    path = f"/tmp/spark_graft_{tag}_{os.path.basename(os.path.normpath(sf_dir))}"
+    if not glob.glob(f"{path}/*.warc.gz"):
+        staging = f"{path}.tmp-{os.getpid()}"
+        shutil.rmtree(staging, ignore_errors=True)
+        os.makedirs(staging, exist_ok=True)
+        docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+
+        def write_chunks(it):
+            import pandas as pd  # noqa: PLC0415
+            from pyspark import TaskContext  # noqa: PLC0415
+
+            part = TaskContext.get().partitionId()
+            for chunk_ix, pdf in enumerate(it):
+                if len(pdf) == 0:
+                    continue
+                recs = [
+                    record_fn(int(i), t)
+                    for i, t in zip(pdf["doc_id"], pdf["text"])
+                ]
+                name = f"{staging}/part-{part:05d}-{chunk_ix:04d}.warc.gz"
+                with open(name, "wb") as f:
+                    f.write(warc_bytes(recs))
+                yield pd.DataFrame({"n": [len(recs)]})
+
+        docs.repartition(8).mapInPandas(write_chunks, "n long").agg(
+            F.sum("n")
+        ).collect()
+        for name, data in (extra_files or {}).items():
+            with open(f"{staging}/{name}", "wb") as f:
+                f.write(data)
+        shutil.rmtree(path, ignore_errors=True)
+        os.rename(staging, path)
+    return path
+
+
 def q_warc_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Common Crawl's actual on-disk format, end-to-end: parse .warc.gz
     (member-per-record gzip, embedded HTTP messages, charset cascade) →
@@ -1354,10 +1378,6 @@ def q_warc_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     iterations measure the parse+curate path a crawl ingest actually
     runs.  Spec round-trips + the strip_html equality oracle live in
     tests/test_warc.py (bench/extras surface)."""
-    import glob
-    import os
-    import uuid as _uuid
-
     from restructure_hdfs_topic_spark.functions.text import (
         gopher_metrics,
         gopher_passes,
@@ -1366,41 +1386,19 @@ def q_warc_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from restructure_hdfs_topic_spark.sources.warc import (
         read_warc,
-        warc_bytes,
         warc_responses_as_documents,
     )
 
     _conf(spark)
-    path = f"/tmp/spark_graft_warc_{os.path.basename(os.path.normpath(sf_dir))}"
-    if not glob.glob(f"{path}/*.warc.gz"):
-        os.makedirs(path, exist_ok=True)
-        docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
 
-        def write_chunks(it):
-            # One .warc.gz per Arrow chunk (uuid names — a partition may
-            # arrive as several chunks).  Local-FS sink: this is the
-            # bench's fixture builder, not a production writer.
-            import pandas as pd  # noqa: PLC0415
+    def record(i, t):
+        return {
+            "uri": f"https://corpus.test/doc/{i}",
+            "body": "<html><head><script>x='</p>'</script></head>"
+            f"<body><h1>d</h1><p>{t} &#8212; tail &amp;x</p></body></html>",
+        }
 
-            for pdf in it:
-                if len(pdf) == 0:
-                    continue
-                recs = [
-                    {
-                        "uri": f"https://corpus.test/doc/{i}",
-                        "body": "<html><head><script>x='</p>'</script></head>"
-                        f"<body><h1>d</h1><p>{t} &#8212; tail &amp;x</p></body></html>",
-                    }
-                    for i, t in zip(pdf["doc_id"], pdf["text"])
-                ]
-                name = f"{path}/part-{_uuid.uuid4().hex}.warc.gz"
-                with open(name, "wb") as f:
-                    f.write(warc_bytes(recs))
-                yield pd.DataFrame({"n": [len(recs)]})
-
-        docs.repartition(8).mapInPandas(write_chunks, "n long").agg(
-            F.sum("n")
-        ).collect()
+    path = _synth_warc_corpus(spark, sf_dir, "warc", record)
     ingested = warc_responses_as_documents(read_warc(spark, path))
     clean = ingested.select(
         F.xxhash64("url").alias("doc_id"),
@@ -1426,64 +1424,40 @@ def q_crawl_health(spark: SparkSession, sf_dir: str) -> DataFrame:
     partitioning-independent.  Complement accounting + rollup values
     pinned in tests/test_warc.py::test_warc_crawl_health_complement
     (bench/extras surface)."""
-    import glob
     import gzip as _gzip
-    import os
-    import uuid as _uuid
 
     from restructure_hdfs_topic_spark.sources.warc import (
         read_warc,
-        warc_bytes,
         warc_crawl_health,
     )
 
     _conf(spark)
-    path = f"/tmp/spark_graft_warchealth_{os.path.basename(os.path.normpath(sf_dir))}"
-    if not glob.glob(f"{path}/*.warc.gz"):
-        os.makedirs(path, exist_ok=True)
-        docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
 
-        def write_chunks(it):
-            import pandas as pd  # noqa: PLC0415
+    def record(i, t):
+        uri = f"https://corpus.test/doc/{i}"
+        mod = i % 10
+        if mod == 6:
+            return {"uri": uri, "body": "", "status": 301}
+        if mod == 7:
+            return {"uri": uri, "body": "gone", "status": 404}
+        if mod == 8:
+            return {"uri": uri, "body": "", "warc_type": "revisit"}
+        if mod == 9:
+            return {
+                "uri": uri,
+                "body": b"\x89PNG\r\n\x1a\n",
+                "content_type": "image/png",
+            }
+        return {"uri": uri, "body": f"<html>{t}</html>"}
 
-            for pdf in it:
-                if len(pdf) == 0:
-                    continue
-                recs = []
-                for i, t in zip(pdf["doc_id"], pdf["text"]):
-                    uri = f"https://corpus.test/doc/{i}"
-                    mod = int(i) % 10
-                    if mod == 6:
-                        recs.append({"uri": uri, "body": "", "status": 301})
-                    elif mod == 7:
-                        recs.append({"uri": uri, "body": "gone", "status": 404})
-                    elif mod == 8:
-                        recs.append({"uri": uri, "body": "", "warc_type": "revisit"})
-                    elif mod == 9:
-                        recs.append(
-                            {
-                                "uri": uri,
-                                "body": b"\x89PNG\r\n\x1a\n",
-                                "content_type": "image/png",
-                            }
-                        )
-                    else:
-                        recs.append({"uri": uri, "body": f"<html>{t}</html>"})
-                name = f"{path}/part-{_uuid.uuid4().hex}.warc.gz"
-                with open(name, "wb") as f:
-                    f.write(warc_bytes(recs))
-                yield pd.DataFrame({"n": [len(recs)]})
-
-        docs.repartition(8).mapInPandas(write_chunks, "n long").agg(
-            F.sum("n")
-        ).collect()
-        # One malformed member so the quarantine row class is exercised.
-        with open(f"{path}/part-malformed.warc.gz", "wb") as f:
-            f.write(
-                _gzip.compress(
-                    b"WARC/1.0\r\nWARC-Type: response\r\nContent-Length: zz\r\n\r\n"
-                )
-            )
+    # One malformed member so the quarantine row class is exercised.
+    bad = _gzip.compress(
+        b"WARC/1.0\r\nWARC-Type: response\r\nContent-Length: zz\r\n\r\n"
+    )
+    path = _synth_warc_corpus(
+        spark, sf_dir, "warchealth", record,
+        extra_files={"part-malformed.warc.gz": bad},
+    )
     return warc_crawl_health(read_warc(spark, path))
 
 

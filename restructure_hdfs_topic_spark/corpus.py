@@ -189,14 +189,18 @@ class Corpus:
             strip_duplicated_unit_spans(self.df, self.id_col, self.text_col, sep, k)
         )
 
-    def classify_lang(self, profiles: dict, doc_top: int = 100) -> "Corpus":
+    def classify_lang(
+        self, profiles: dict, doc_top: int = 100, max_chars: int | None = 4096
+    ) -> "Corpus":
         """Trigram rank-profile language ID (train with
         ``operators.langid.train_lang_profiles``); adds ``lang_pred`` /
         ``lang_distance``."""
         from restructure_hdfs_topic_spark.operators.langid import classify_lang
 
         return self._wrap(
-            classify_lang(self.df, profiles, self.id_col, self.text_col, doc_top)
+            classify_lang(
+                self.df, profiles, self.id_col, self.text_col, doc_top, max_chars
+            )
         )
 
     def lang_gate(
@@ -205,6 +209,7 @@ class Corpus:
         allowed: set[str] | None = None,
         max_distance: int | None = None,
         doc_top: int = 100,
+        max_chars: int | None = 4096,
     ) -> "Corpus":
         """Keep documents whose trigram-classified language is in
         ``allowed`` (None → any non-NULL prediction) and, optionally,
@@ -218,7 +223,7 @@ class Corpus:
         return self._wrap(
             _lang_gate(
                 self.df, profiles, allowed, max_distance,
-                self.id_col, self.text_col, doc_top,
+                self.id_col, self.text_col, doc_top, max_chars,
             )
         )
 

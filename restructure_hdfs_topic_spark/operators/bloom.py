@@ -194,7 +194,14 @@ def write_bloom_sidecar(
     fps = read_fingerprints(spark, state_dir)
     old_meta = read_bloom_meta(spark, state_dir)
     path = _bloom_data_path(state_dir, version)
-    writers = _write_partitions(fps.count() * bits_per_key // 8, n_buckets)
+    # Writer count only shapes output files — size it from the PRIOR
+    # sidecar's key count when one exists instead of paying an extra
+    # O(state) counting job per rebuild; a first build (no meta) counts
+    # once, which is small by definition of "first".
+    est_keys = (
+        int(old_meta["total_keys"]) if old_meta is not None else fps.count()
+    )
+    writers = _write_partitions(est_keys * bits_per_key // 8, n_buckets)
     (
         bloom_from_fingerprints(fps, n_buckets, bits_per_key)
         .repartition(writers, "bucket")
@@ -506,10 +513,13 @@ def _bloom_tag_broadcast(
         }
         bc = spark.sparkContext.broadcast(tables)
         if slot is not None:
-            old = _BC_CACHE.get(slot)
-            if old is not None:
+            # Drop entries from dead applications too (a restarted
+            # SparkSession changes applicationId; without the sweep each
+            # restart would strand up to 64 MB of collected bitmaps on
+            # the driver for the process lifetime).
+            for stale in [s for s in _BC_CACHE if s[0] != slot[0] or s == slot]:
                 try:
-                    old[1].unpersist()
+                    _BC_CACHE.pop(stale)[1].unpersist()
                 except Exception:
                     pass
             _BC_CACHE[slot] = (cache_key, bc)

@@ -58,6 +58,7 @@ def curate_corpus(
     lang_profiles: dict | None = None,
     allowed_langs: set[str] | None = None,
     lang_max_distance: int | None = None,
+    lang_max_chars: int | None = 4096,
 ) -> DataFrame:
     """The full curation chain as ONE composed DataFrame.
 
@@ -122,7 +123,7 @@ def curate_corpus(
     if lang_profiles is not None:
         docs = _lang_gate(
             docs, lang_profiles, allowed_langs, lang_max_distance,
-            id_col, text_col,
+            id_col, text_col, max_chars=lang_max_chars,
         )
 
     # 1. Gopher quality gate (keep original columns; metrics are transient).
@@ -251,6 +252,7 @@ def _lang_gate(
     id_col: str,
     text_col: str,
     doc_top: int = 100,
+    max_chars: int | None = 4096,
 ) -> DataFrame:
     """Shared language-gate stage for ``curate_corpus`` /
     ``curation_stage_counts`` — identical semantics to
@@ -260,7 +262,7 @@ def _lang_gate(
     from restructure_hdfs_topic_spark.operators.langid import classify_lang
 
     cols = docs.columns
-    scored = classify_lang(docs, profiles, id_col, text_col, doc_top)
+    scored = classify_lang(docs, profiles, id_col, text_col, doc_top, max_chars)
     cond = F.col("lang_pred").isNotNull()
     if allowed is not None:
         cond = cond & F.col("lang_pred").isin(sorted(allowed))
@@ -329,6 +331,7 @@ def curation_stage_counts(
     lang_profiles: dict | None = None,
     allowed_langs: set[str] | None = None,
     lang_max_distance: int | None = None,
+    lang_max_chars: int | None = 4096,
 ) -> dict[str, int]:
     """Per-stage survivor counts (monitoring/attrition report) — each stage
     evaluated once, mirroring ``curate_corpus``'s stage order (including
@@ -346,7 +349,7 @@ def curation_stage_counts(
     if lang_profiles is not None:
         docs = _lang_gate(
             docs, lang_profiles, allowed_langs, lang_max_distance,
-            id_col, text_col,
+            id_col, text_col, max_chars=lang_max_chars,
         )
         out["after_lang_gate"] = docs.count()
     metrics = gopher_metrics(F.col(text_col))

@@ -146,9 +146,13 @@ def parse_warc_records(payload: bytes, decode_text: bool = True):
     pos, ix = 0, 0
     n = len(payload)
     while pos < n:
-        # Resync: records start at a 'WARC/' magic.  After a malformed
+        # Resync: records start at a 'WARC/' magic at payload start or
+        # right after the spec's record separator (CRLF CRLF) — the
+        # boundary requirement keeps a resync from adopting body CONTENT
+        # that merely quotes a WARC header (page text about the format,
+        # WARC-in-WARC archives) as a phantom record.  After a malformed
         # record this skips garbage instead of aborting the whole file.
-        start = payload.find(b"WARC/", pos)
+        start = _find_magic(payload, pos)
         if start < 0:
             if ix == 0 and payload.strip():
                 yield _bad_row(ix, "no_warc_records")
@@ -240,6 +244,19 @@ def parse_warc_records(payload: bytes, decode_text: bool = True):
             rec["payload"] = bytes(body)
         yield rec
         ix += 1
+
+
+def _find_magic(payload: bytes, pos: int) -> int:
+    """Next 'WARC/' magic at a plausible RECORD BOUNDARY: offset 0 or
+    preceded by the CRLF CRLF record separator.  Body bytes that merely
+    contain the magic mid-line are skipped."""
+    while True:
+        start = payload.find(b"WARC/", pos)
+        if start <= 0:
+            return start
+        if payload[start - 4 : start] == _CRLF + _CRLF:
+            return start
+        pos = start + 1
 
 
 def _bad_row(ix: int, status: str) -> dict:

@@ -739,7 +739,7 @@ def test_warc_midfile_oversized_length_loses_one_record():
     )
     corrupt = (
         b"WARC/1.0\r\nWARC-Type: response\r\nWARC-Record-ID: <urn:x>\r\n"
-        b"Content-Length: 999999\r\n\r\nshort"
+        b"Content-Length: 999999\r\n\r\nshort\r\n\r\n"
         + good
     )
     rows = list(parse_warc_records(corrupt))

@@ -61,25 +61,26 @@ pytestmark = [
 ]
 
 _ENDPOINT_CONF = {
-    "spark.hadoop.fs.s3a.access.key": "testing",
-    "spark.hadoop.fs.s3a.secret.key": "testing",
-    "spark.hadoop.fs.s3a.path.style.access": "true",
-    "spark.hadoop.fs.s3a.connection.ssl.enabled": "false",
-    "spark.hadoop.fs.s3a.change.detection.mode": "none",
+    "fs.s3a.access.key": "testing",
+    "fs.s3a.secret.key": "testing",
+    "fs.s3a.path.style.access": "true",
+    "fs.s3a.connection.ssl.enabled": "false",
+    "fs.s3a.change.detection.mode": "none",
     # moto has no real multipart persistence guarantees under load; the
     # fixtures are KBs, keep uploads single-shot.
-    "spark.hadoop.fs.s3a.multipart.size": "67108864",
+    "fs.s3a.multipart.size": "67108864",
 }
 
 
 @pytest.fixture(scope="module")
-def s3a(request):
+def s3a(spark):
     """(spark, boto3-client, bucket-root) against a module-scoped moto
-    server; the SparkSession is rebuilt with s3a endpoint confs (endpoint
-    settings are read at FileSystem-cache time, so a fresh session +
-    cleared FS cache keeps other tests' sessions untouched)."""
+    server.  The SHARED session-scoped ``spark`` fixture is reused —
+    s3a settings are Hadoop confs, applied to the live session's
+    ``hadoopConfiguration`` BEFORE any ``s3a://`` FileSystem instance is
+    created (FS instances cache per scheme on first access), so no
+    session is stopped and later test files keep their fixture."""
     import boto3
-    from pyspark.sql import SparkSession
 
     with socket.socket() as s:
         s.bind(("127.0.0.1", 0))
@@ -100,18 +101,10 @@ def s3a(request):
         proc.terminate()
         pytest.skip("moto_server did not come up")
 
-    active = SparkSession.getActiveSession()
-    if active is not None:
-        active.stop()
-    builder = (
-        SparkSession.builder.master("local[4]")
-        .appName("s3a-lane")
-        .config("spark.sql.shuffle.partitions", "4")
-        .config("spark.hadoop.fs.s3a.endpoint", endpoint)
-    )
+    hconf = spark.sparkContext._jsc.hadoopConfiguration()
+    hconf.set("fs.s3a.endpoint", endpoint)
     for k, v in _ENDPOINT_CONF.items():
-        builder = builder.config(k, v)
-    spark = builder.getOrCreate()
+        hconf.set(k, v)
     client = boto3.client(
         "s3",
         endpoint_url=endpoint,
@@ -123,7 +116,17 @@ def s3a(request):
     try:
         yield spark, client, "s3a://radar"
     finally:
-        spark.stop()
+        # Evict the cached s3a FileSystem (bound to this moto endpoint)
+        # so a later lane run against a new endpoint re-creates it; only
+        # the bucket's own FS instance closes — file:// and friends used
+        # by other tests stay cached.
+        try:
+            jvm = spark.sparkContext._jvm
+            jvm.org.apache.hadoop.fs.FileSystem.get(
+                jvm.java.net.URI("s3a://radar"), hconf
+            ).close()
+        except Exception:
+            pass
         proc.terminate()
         proc.wait(timeout=10)
 

@@ -536,3 +536,26 @@ def test_corpus_crawl_health_facade(spark, tmp_path):
     )
     rows = Corpus.crawl_health(spark, str(tmp_path)).collect()
     assert {(r["status_class"], r["n_records"]) for r in rows} == {("3xx", 1)}
+
+
+def test_warc_resync_ignores_quoted_magic_in_body(tmp_path):
+    """Review r9: the malformed-record resync must only adopt a 'WARC/'
+    magic at a record boundary (payload start or after CRLF CRLF) — a
+    truncated record whose partial body QUOTES a WARC header mid-line
+    (page text about the format, WARC-in-WARC) must not become a phantom
+    'ok' document."""
+    from restructure_hdfs_topic_spark.sources.warc import parse_warc_records
+
+    quoted = (
+        b"HTTP/1.1 200 OK\r\nContent-Type: text/plain\r\n\r\n"
+        b"see WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: "
+        b"https://evil.test/phantom\r\nContent-Length: 2\r\n\r\nhi"
+    )
+    trunc = (
+        b"WARC/1.0\r\nWARC-Type: response\r\nWARC-Record-ID: <urn:t>\r\n"
+        b"Content-Type: application/http; msgtype=response\r\n"
+        b"Content-Length: 999999\r\n\r\n" + quoted
+    )
+    rows = list(parse_warc_records(trunc))
+    assert [r["decode_status"] for r in rows] == ["truncated_body"]
+    assert all(r["target_uri"] != "https://evil.test/phantom" for r in rows)
