@@ -1461,6 +1461,29 @@ def q_crawl_health(spark: SparkSession, sf_dir: str) -> DataFrame:
     return warc_crawl_health(read_warc(spark, path))
 
 
+def q_c4_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4 cleaning heuristics (Raffel et al. 2020 §2.2): line-level keep
+    (terminal punctuation, ≥3 words, no javascript) + page-level drops
+    (<5 sentences, lorem ipsum, curly braces) as ONE narrow JVM
+    projection — no shuffle, no Python.  The synthetic documents carry
+    no punctuation, so the query sentence-ifies them in-plan first
+    (deterministic regexp, mirrored by the witness test).  DuckDB
+    re-derivation + partitioning independence in tests/test_c4.py
+    (bench/extras surface)."""
+    from restructure_hdfs_topic_spark.functions.text import c4_clean
+
+    _conf(spark)
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    prepared = docs.select(
+        "doc_id",
+        F.concat(
+            F.regexp_replace("text", r"\b(table|row|line|query)\b", "$1."),
+            F.lit("."),
+        ).alias("text"),
+    )
+    return c4_clean(prepared)
+
+
 def q_holdout_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic train/valid/test hash split — growth-stable
     assignment, one codegen CASE, no shuffle.  DuckDB cross-check in
@@ -2077,6 +2100,9 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # WARC (Common Crawl container) parse -> curated documents; spec
         # round-trips + strip_html equality oracle in tests/test_warc.py.
         "warc_ingest": q_warc_ingest,
+        # C4 cleaning heuristics (line keep + page drops); DuckDB
+        # re-derivation in tests/test_c4.py.
+        "c4_clean": q_c4_clean,
         # Crawl-health rollup (the records warc_ingest drops: redirects,
         # revisits, errors, quarantines); complement accounting pinned in
         # tests/test_warc.py::test_warc_crawl_health_complement.

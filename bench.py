@@ -61,6 +61,7 @@ BENCH_QUERIES = [
     "html_ingest_pipeline",
     "warc_ingest",
     "crawl_health",
+    "c4_clean",
     "ann_pq_topk",
     "ann_pq_recall",
     "ivfpq_index_query",

@@ -109,6 +109,23 @@ class Corpus:
         )
 
     # -- quality gates ----------------------------------------------------
+    def c4_clean(
+        self,
+        min_words: int = 3,
+        min_sentences: int = 5,
+        badwords: tuple = (),
+    ) -> "Corpus":
+        """C4 cleaning heuristics (line keep + page drops); pair with
+        ``strip_duplicated_unit_spans`` for the paper's full recipe."""
+        from restructure_hdfs_topic_spark.functions.text import c4_clean
+
+        return self._wrap(
+            c4_clean(
+                self.df, self.id_col, self.text_col,
+                min_words, min_sentences, badwords,
+            )
+        )
+
     def gopher_gate(self, **kwargs) -> "Corpus":
         from restructure_hdfs_topic_spark.functions.text import (
             gopher_metrics,

@@ -689,3 +689,68 @@ def line_corrections(
         | (F.col("__removed") <= F.lit(max_removed_ratio) * F.col("__total"))
     )
     return step.filter(keep_doc).select(*out_cols)
+
+
+def c4_line_keep(line: Column, min_words: int = 3) -> Column:
+    """True when a line survives C4's line-level rules (Raffel et al.
+    2020 §2.2): ends in a terminal punctuation mark ('.', '!', '?', or a
+    closing double quote after one), has at least ``min_words``
+    whitespace-separated words, and does not contain the word
+    "javascript" (case-insensitive).  Pure JVM expression — usable
+    inside higher-order functions over a split column."""
+    t = F.rtrim(line)
+    terminal = t.rlike(r'[.!?]["”]?$')
+    n_words = F.size(F.split(F.trim(line), r"\s+"))
+    enough = (F.length(F.trim(line)) > 0) & (n_words >= F.lit(min_words))
+    no_js = ~F.lower(line).contains("javascript")
+    return terminal & enough & no_js
+
+
+def c4_clean(
+    docs: "DataFrame",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_words: int = 3,
+    min_sentences: int = 5,
+    badwords: tuple = (),
+) -> "DataFrame":
+    """C4's cleaning heuristics (Raffel et al. 2020 §2.2) as ONE narrow
+    JVM projection + filter — the companion to the Gopher gate and the
+    RefinedWeb line corrections:
+
+    - line level: keep only lines passing ``c4_line_keep`` (terminal
+      punctuation, ≥ ``min_words`` words, no "javascript");
+    - page level: DROP pages whose retained text has fewer than
+      ``min_sentences`` sentences (counted as terminal-punctuation
+      marks in the retained text — a deterministic stand-in for the
+      paper's sentence splitter), contains "lorem ipsum" (template
+      residue), contains a curly brace (code), or contains any word
+      from ``badwords`` (the paper uses a public blocklist; pass your
+      own — none ships here, and an empty tuple disables the rule).
+
+    The paper's fourth dedup rule (three-sentence spans) is the separate
+    ``strip_duplicated_unit_spans`` operator — compose both for full C4.
+
+    Scale shape: the split column projects ONCE per row (inlining it
+    would re-run the split per element — the engine's measured
+    CollapseProject trap), everything else is codegen; no shuffle, no
+    Python.  Returns the input columns with ``text_col`` rewritten to
+    the retained lines."""
+    from pyspark.sql import DataFrame  # noqa: F401
+
+    out_cols = docs.columns
+    step = docs.withColumn("__lines", F.split(F.col(text_col), "\n"))
+    kept = F.filter(F.col("__lines"), lambda l: c4_line_keep(l, min_words))
+    step = step.withColumn(text_col, F.array_join(kept, "\n"))
+    low = F.lower(F.col(text_col))
+    n_sentences = F.length(low) - F.length(F.translate(low, ".!?", ""))
+    drop = (
+        (n_sentences < F.lit(min_sentences))
+        | low.contains("lorem ipsum")
+        | low.contains("{")
+    )
+    for w in badwords:
+        drop = drop | low.contains(w.lower())
+    # NULL text passes through untouched (same convention as
+    # line_corrections — a NULL predicate would silently drop the row).
+    return step.filter(F.col(text_col).isNull() | ~drop).select(*out_cols)

@@ -123,6 +123,7 @@ CONSISTENCY_QUERIES = [
     # exact rerank), and the IVFPQ on-disk composition.
     "warc_ingest",
     "crawl_health",
+    "c4_clean",
     "ann_pq_topk",
     "ann_pq_recall",
     "ivfpq_index_query",

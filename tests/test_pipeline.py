@@ -524,6 +524,7 @@ def test_query_registry_consistency():
     assert extra == {
         "minhash_lsh_pairs",
         "crawl_health",
+        "c4_clean",
         "ann_pq_recall",
         "embedding_near_dup_lsh",
         "embedding_near_dup_groups",
