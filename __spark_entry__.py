@@ -1484,6 +1484,22 @@ def q_c4_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     return c4_clean(prepared)
 
 
+def q_epoch_upsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source epoch replication (GPT-3 table 2.2 / LLaMA table 1):
+    floor(e) deterministic copies + the hash-fraction extra copy, as one
+    narrow projection + explode — no shuffle, no counts.  DuckDB
+    cross-check (exact multiset) in
+    tests/test_operators.py::test_epoch_upsample_duckdb_cross_check
+    (bench/extras surface)."""
+    from restructure_hdfs_topic_spark.operators.sampling import epoch_upsample
+
+    _conf(spark)
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang")
+    return epoch_upsample(
+        docs, "doc_id", "lang", {"en": 2.4, "de": 1.0, "es": 0.3, "fr": 3.0}
+    )
+
+
 def q_holdout_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic train/valid/test hash split — growth-stable
     assignment, one codegen CASE, no shuffle.  DuckDB cross-check in
@@ -2100,6 +2116,9 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # WARC (Common Crawl container) parse -> curated documents; spec
         # round-trips + strip_html equality oracle in tests/test_warc.py.
         "warc_ingest": q_warc_ingest,
+        # Per-source epoch replication; exact DuckDB multiset cross-check
+        # in tests/test_operators.py.
+        "epoch_upsample": q_epoch_upsample,
         # C4 cleaning heuristics (line keep + page drops); DuckDB
         # re-derivation in tests/test_c4.py.
         "c4_clean": q_c4_clean,

@@ -62,6 +62,7 @@ BENCH_QUERIES = [
     "warc_ingest",
     "crawl_health",
     "c4_clean",
+    "epoch_upsample",
     "ann_pq_topk",
     "ann_pq_recall",
     "ivfpq_index_query",

@@ -324,6 +324,18 @@ class Corpus:
             mixture_sample(self.df, self.id_col, self.strata_col, weights, **kwargs)
         )
 
+    def epoch_upsample(self, epochs: dict[str, float]) -> "Corpus":
+        """GPT-3/LLaMA-style per-source epoch replication (adds an
+        ``epoch`` copy index; fractional epochs via the deterministic
+        hash fraction)."""
+        from restructure_hdfs_topic_spark.operators.sampling import (
+            epoch_upsample,
+        )
+
+        return self._wrap(
+            epoch_upsample(self.df, self.id_col, self.strata_col, epochs)
+        )
+
     def temperature_sample(
         self, alpha: float = 0.3, max_rows: int | None = None
     ) -> "Corpus":

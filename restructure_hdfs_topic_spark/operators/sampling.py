@@ -330,3 +330,55 @@ def token_budget_sample(
         .select(*df.columns)
     )
     return bulk.unionByName(edge)
+
+
+def epoch_upsample(
+    df: DataFrame,
+    id_col: str,
+    strata_col: str,
+    epochs: dict[str, float],
+) -> DataFrame:
+    """Deterministic fractional-epoch replication — the UPSAMPLING side
+    of mixture construction (GPT-3 table 2.2 / LLaMA table 1 state
+    per-source "epochs elapsed": scarce high-quality sources repeat,
+    web crawl runs under one epoch).  Each document in stratum ``s``
+    emits ``floor(e_s)`` copies, plus one more for the deterministic
+    ``hash_bucket`` leading fraction ``frac(e_s)`` of ids — stratum
+    token mass lands at exactly ``e_s`` epochs in expectation, and the
+    fractional subset NESTS with ``hash_sample``/``mixture_sample``'s
+    thresholds (same bucket function), so staged experiments stay
+    comparable.  ``e_s < 1`` is plain deterministic downsampling.
+
+    Output: input columns + ``epoch`` (0-based copy index) — feed
+    ``epoch_shuffle``/``pack_sequences`` so copies spread across shards
+    instead of sitting adjacent.  Strata absent from ``epochs`` are
+    DROPPED (``mixture_sample``'s contract).  Zero-copy rows (bucket
+    outside a sub-1 fraction) vanish via the non-outer explode.
+
+    Shape: one narrow projection + explode — no shuffle, no join, no
+    driver-side counts; the blow-up factor is exactly the requested
+    epoch total.  Engine-portable integer arithmetic throughout
+    (DuckDB-reproducible; cross-check in tests/test_operators.py)."""
+    import math
+
+    spec = {s: float(e) for s, e in epochs.items() if float(e) > 0}
+    if not spec:
+        raise ValueError("epochs must contain a positive factor")
+    whole = F.lit(None).cast("int")
+    thresh = F.lit(None).cast("long")
+    for s, e in sorted(spec.items()):
+        w = int(math.floor(e))
+        frac_th = int(round((e - w) * MOD))
+        whole = F.when(F.col(strata_col) == s, F.lit(w)).otherwise(whole)
+        thresh = F.when(F.col(strata_col) == s, F.lit(frac_th)).otherwise(thresh)
+    n_copies = (whole + (hash_bucket(id_col) < thresh).cast("int")).alias("__n")
+    step = df.filter(F.col(strata_col).isin(list(spec))).withColumn(
+        "__n", n_copies
+    )
+    copies = F.when(
+        F.col("__n") > 0, F.sequence(F.lit(0), F.col("__n") - 1)
+    ).otherwise(F.array().cast("array<int>"))
+    return (
+        step.withColumn("epoch", F.explode(copies))
+        .drop("__n")
+    )

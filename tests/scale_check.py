@@ -124,6 +124,7 @@ CONSISTENCY_QUERIES = [
     "warc_ingest",
     "crawl_health",
     "c4_clean",
+    "epoch_upsample",
     "ann_pq_topk",
     "ann_pq_recall",
     "ivfpq_index_query",

@@ -1196,3 +1196,84 @@ def test_ivf_route_memo_deterministic(spark):
     assert S._IVF_MEMO  # trained route recorded
     warm = sorted(map(tuple, S.ivf_ann_topk(emb, k=3, n_rows=120).collect()))
     assert cold == warm
+
+
+def test_epoch_upsample_duckdb_cross_check(spark):
+    """epoch_upsample's (doc_id, epoch) multiset equals an independent
+    DuckDB evaluation of floor(e) + fractional hash threshold; per-
+    stratum copy mass lands at e_s; absent strata drop; sub-1 factors
+    downsample; the fractional subset nests with hash_sample."""
+    import math
+
+    import duckdb
+
+    from restructure_hdfs_topic_spark.operators.sampling import (
+        KNUTH,
+        MOD,
+        epoch_upsample,
+        hash_sample,
+    )
+    from restructure_hdfs_topic_spark.sources.tables import load_table
+
+    sf_dir = "/root/testdata/sf0.01"
+    epochs = {"en": 2.4, "de": 1.0, "es": 0.3, "fr": 3.0}
+    docs = load_table(spark, sf_dir, "documents")
+    out = epoch_upsample(docs, "doc_id", "lang", epochs)
+    got = sorted(
+        (r["doc_id"], r["lang"], r["epoch"])
+        for r in out.select("doc_id", "lang", "epoch").collect()
+    )
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{sf_dir}/documents.parquet')"
+    )
+    cases_w = " ".join(
+        f"WHEN lang = '{s}' THEN {int(math.floor(e))}"
+        for s, e in epochs.items()
+    )
+    cases_t = " ".join(
+        f"WHEN lang = '{s}' THEN {int(round((e - math.floor(e)) * MOD))}"
+        for s, e in epochs.items()
+    )
+    want = sorted(
+        map(
+            tuple,
+            con.execute(
+                f"""
+        WITH n AS (
+          SELECT doc_id, lang,
+                 (CASE {cases_w} ELSE NULL END)
+                 + CASE WHEN (doc_id * {KNUTH}) % {MOD}
+                        < (CASE {cases_t} ELSE -1 END) THEN 1 ELSE 0 END
+                 AS n_copies
+          FROM documents WHERE lang IN ('en','de','es','fr')
+        )
+        SELECT doc_id, lang, epoch
+        FROM n, unnest(range(n_copies)) AS t(epoch)
+        """
+            ).fetchall(),
+        )
+    )
+    assert got == want and got
+
+    # Per-stratum mass ≈ e_s · |stratum| (exact for integral e).
+    from collections import Counter
+
+    base = Counter(r["lang"] for r in docs.select("lang").collect())
+    mass = Counter(lang for _, lang, _ in got)
+    assert mass["de"] == base["de"]
+    assert mass["fr"] == 3 * base["fr"]
+    assert abs(mass["en"] - 2.4 * base["en"]) <= 0.1 * base["en"]
+    assert 0 < mass["es"] < base["es"]
+    assert "zh" not in mass  # absent stratum drops
+
+    # Fractional-copy ids NEST with hash_sample's leading subset.
+    es_extra = {d for d, lang, ep in got if lang == "es"}
+    es_hash = {
+        r["doc_id"]
+        for r in hash_sample(
+            docs.filter(F.col("lang") == "es"), "doc_id", 0.3
+        ).collect()
+    }
+    assert es_extra == es_hash

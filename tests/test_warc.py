@@ -559,3 +559,39 @@ def test_warc_resync_ignores_quoted_magic_in_body(tmp_path):
     rows = list(parse_warc_records(trunc))
     assert [r["decode_status"] for r in rows] == ["truncated_body"]
     assert all(r["target_uri"] != "https://evil.test/phantom" for r in rows)
+
+
+def test_warc_parser_terminates_on_arbitrary_bytes():
+    """Property fuzz (after ADVICE r8 #1's infinite loop): the parser
+    must TERMINATE on arbitrary bytes, yield a bounded number of rows
+    (each consumes input or ends the scan), and never raise."""
+    from hypothesis import given, settings, strategies as st
+
+    from restructure_hdfs_topic_spark.sources.warc import (
+        parse_warc_records,
+        warc_bytes,
+    )
+
+    good = warc_bytes(
+        [{"uri": "https://a.com/x", "body": "ok body here"}],
+        gzip_per_record=False,
+    )
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        st.binary(max_size=400),
+        st.integers(0, len(good)),
+        st.integers(0, len(good)),
+    )
+    def fuzz(noise, cut_a, cut_b):
+        lo, hi = sorted((cut_a, cut_b))
+        # Interleave garbage with real record fragments — worst case for
+        # the resync scanner.
+        payload = good[:lo] + noise + good[lo:hi] + noise + good[hi:]
+        rows = list(parse_warc_records(payload))
+        # Bounded: each yielded row consumes at least the 'WARC/' magic.
+        assert len(rows) <= payload.count(b"WARC/") + 1
+        for r in rows:
+            assert r["decode_status"] is not None
+
+    fuzz()
