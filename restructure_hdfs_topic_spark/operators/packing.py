@@ -44,15 +44,18 @@ def pack_sequences(
     n_tokens_col: str = "n_tokens",
     budget: int = 2048,
     n_buckets: int = 16,
+    carry_cols: tuple = (),
 ) -> DataFrame:
-    """Per-document pack assignment: ``(id, bucket, start_off, pack_id,
-    n_tokens, n_packs_spanned)``.
+    """Per-document pack assignment: ``(id, [carry_cols...], bucket,
+    start_off, pack_id, n_tokens, n_packs_spanned)``.
 
     ``pack_id`` is globalized as ``bucket * 2^31 + pack-within-bucket``;
     ``n_packs_spanned`` counts the fixed-size sequences the document's
     tokens cross (a zero-token document occupies its start pack).  Rows
     with NULL token counts are treated as zero-token documents.
-    """
+    ``carry_cols`` ride through the window untouched — callers that need
+    extra columns in the manifest avoid a join back (which would need a
+    collision-free key)."""
     h = hash_bucket(id_col).cast("bigint")
     n_tok = F.coalesce(F.col(n_tokens_col).cast("bigint"), F.lit(0))
     w = (
@@ -70,6 +73,7 @@ def pack_sequences(
     last = F.expr(f"(start_off + greatest(__n, 1L) - 1L) div {budget}")
     return staged.select(
         F.col(id_col),
+        *[F.col(c) for c in carry_cols],
         F.col("bucket"),
         F.col("start_off"),
         (F.col("bucket") * F.lit(2**31) + first).cast("bigint").alias("pack_id"),

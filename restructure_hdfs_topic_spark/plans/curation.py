@@ -48,6 +48,7 @@ def curate_corpus(
     mixture_weights: dict[str, int] | None = None,
     token_budgets: dict[str, int] | None = None,
     temperature_alpha: float | None = None,
+    epoch_factors: dict[str, float] | None = None,
     span_k: int = 8,
     jaccard_threshold: float = 0.5,
     line_corrections_ratio: float | None = None,
@@ -65,16 +66,22 @@ def curate_corpus(
     Returns one row per surviving document:
     ``(id, strata, n_tokens, bucket, start_off, pack_id, n_packs_spanned)``
     — the manifest a training loader consumes (which pack, at which token
-    offset, each document landed in).
+    offset, each document landed in).  With ``epoch_factors`` the manifest
+    has one row per document COPY and an extra ``epoch`` column after the
+    id.
 
-    Stage 4 takes ONE of three rebalance specs (real pretraining mixes
-    are stated all three ways): ``mixture_weights`` (integer per-stratum
+    Stage 4 takes ONE of four rebalance specs (real pretraining mixes
+    are stated all four ways): ``mixture_weights`` (integer per-stratum
     ratios, ``mixture_sample``), ``token_budgets`` (absolute per-stratum
     TOKEN budgets — "10B web, 2B code" — ``token_budget_sample``; the
     token counts it computes are reused for packing, so the text
-    tokenizes once), or ``temperature_alpha`` (mT5-style alpha-sampling,
-    q_s ∝ n_s^alpha — ``temperature_sample``).  Passing more than one is
-    ambiguous and raises.
+    tokenizes once), ``temperature_alpha`` (mT5-style alpha-sampling,
+    q_s ∝ n_s^alpha — ``temperature_sample``), or ``epoch_factors``
+    (GPT-3/LLaMA per-source "epochs elapsed" — ``epoch_upsample``; the
+    ONLY spec that can repeat documents, so its manifest carries an
+    extra ``epoch`` copy-index column and packing keys on the
+    (id, epoch) pair).  Passing more than one is ambiguous and
+    raises.
 
     ``perplexity_head_q`` adds the CCNet LM stage between the Gopher gate
     and the span scrub: keep each stratum's head ``q`` of the unigram
@@ -103,9 +110,13 @@ def curate_corpus(
     prefix at plan-construction time (the scored join is scope-persisted,
     so the work is not repeated when the returned plan runs).
     """
-    if sum(x is not None and x != {} for x in (mixture_weights, token_budgets, temperature_alpha)) > 1:
+    if sum(
+        x is not None and x != {}
+        for x in (mixture_weights, token_budgets, temperature_alpha, epoch_factors)
+    ) > 1:
         raise ValueError(
-            "pass ONE of mixture_weights / token_budgets / temperature_alpha"
+            "pass ONE of mixture_weights / token_budgets / "
+            "temperature_alpha / epoch_factors"
         )
     # 0 (optional). RefinedWeb line-wise corrections — strip boilerplate
     # lines and drop heavily-damaged pages BEFORE any quality gate (the
@@ -210,6 +221,32 @@ def curate_corpus(
         )
         counted_src = mixed.select(
             id_col, strata_col, F.col("_curate_n_tokens").alias("n_tokens")
+        )
+    elif epoch_factors:
+        from restructure_hdfs_topic_spark.operators.sampling import (
+            epoch_upsample,
+        )
+
+        # The one spec that REPEATS documents: copies share id_col, so
+        # packing keys on a surrogate (id, epoch) hash and the manifest
+        # carries the epoch copy index — a join on the bare id would
+        # cross-multiply the copies.
+        mixed = epoch_upsample(deduped, id_col, strata_col, epoch_factors)
+        # Surrogate (id, epoch) hash only BUCKETS/ORDERS the window (a
+        # collision merely places two rows adjacently); the real columns
+        # ride through carry_cols, so no join back and no collision
+        # hazard.
+        counted_src = mixed.select(
+            id_col, "epoch", strata_col,
+            token_count(F.col(text_col)).alias("n_tokens"),
+        ).withColumn("__uid", F.xxhash64(F.col(id_col), F.col("epoch")))
+        packed = pack_sequences(
+            counted_src, id_col="__uid", n_tokens_col="n_tokens",
+            budget=pack_budget, carry_cols=(id_col, "epoch", strata_col),
+        )
+        return packed.select(
+            id_col, "epoch", strata_col, "n_tokens", "bucket", "start_off",
+            "pack_id", "n_packs_spanned",
         )
     else:
         if mixture_weights:
@@ -332,6 +369,7 @@ def curation_stage_counts(
     allowed_langs: set[str] | None = None,
     lang_max_distance: int | None = None,
     lang_max_chars: int | None = 4096,
+    epoch_factors: dict[str, float] | None = None,
 ) -> dict[str, int]:
     """Per-stage survivor counts (monitoring/attrition report) — each stage
     evaluated once, mirroring ``curate_corpus``'s stage order (including
@@ -373,5 +411,13 @@ def curation_stage_counts(
     if mixture_weights:
         out["after_mixture_sample"] = mixture_sample(
             deduped, id_col, strata_col, mixture_weights
+        ).count()
+    if epoch_factors:
+        from restructure_hdfs_topic_spark.operators.sampling import (
+            epoch_upsample,
+        )
+
+        out["after_epoch_upsample"] = epoch_upsample(
+            deduped, id_col, strata_col, epoch_factors
         ).count()
     return out

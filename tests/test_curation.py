@@ -363,3 +363,55 @@ def test_curate_corpus_lang_gate_stage(spark):
     # No gate requested -> stage absent, pipeline unchanged.
     base = curation_stage_counts(docs)
     assert "after_lang_gate" not in base and base["input"] == 12
+
+
+def test_curate_corpus_epoch_factors_stage(spark):
+    """epoch_factors rebalance: the manifest repeats documents per the
+    epoch spec (extra `epoch` column), copies pack as distinct rows with
+    contiguous bucket tiling, and the spec is mutually exclusive with
+    the other three."""
+    import pytest as _pytest
+
+    from restructure_hdfs_topic_spark.operators.sampling import epoch_upsample
+    from restructure_hdfs_topic_spark.plans.curation import (
+        curate_corpus,
+        curation_stage_counts,
+    )
+
+    docs = _docs(spark)
+    factors = {"src0": 2.0, "src1": 1.5}
+    manifest = curate_corpus(docs, epoch_factors=factors)
+    rows = manifest.collect()
+    assert rows
+    assert {r["source"] for r in rows} <= set(factors)
+    # Row multiset: (doc_id, epoch) unique; per-doc copy counts match the
+    # operator applied to the same surviving corpus.
+    ids = [(r["doc_id"], r["epoch"]) for r in rows]
+    assert len(ids) == len(set(ids))
+    counts = curation_stage_counts(docs, epoch_factors=factors)
+    assert counts["after_epoch_upsample"] == len(rows)
+    # Replication happened: strata NOT in the spec are dropped, so the
+    # right comparison is copies vs distinct docs WITHIN the spec'd
+    # strata (factors 2.0/1.5 => expected blow-up ~1.75x).
+    n_docs = len({r["doc_id"] for r in rows})
+    assert len(rows) > n_docs * 3 // 2
+    # src0 docs appear exactly twice (integral factor); src1 docs 1-2
+    # times (deterministic fractional subset gets the extra copy).
+    from collections import Counter
+
+    per_doc = Counter(r["doc_id"] for r in rows if r["source"] == "src0")
+    assert per_doc and set(per_doc.values()) == {2}
+    per_doc1 = Counter(r["doc_id"] for r in rows if r["source"] == "src1")
+    assert per_doc1 and set(per_doc1.values()) <= {1, 2}
+    # Buckets tile contiguously over COPIES (the joinless carry path).
+    by_bucket: dict = {}
+    for r in rows:
+        by_bucket.setdefault(r["bucket"], []).append(r)
+    for members in by_bucket.values():
+        members.sort(key=lambda r: r["start_off"])
+        off = 0
+        for r in members:
+            assert r["start_off"] == off
+            off += r["n_tokens"]
+    with _pytest.raises(ValueError):
+        curate_corpus(docs, mixture_weights=WEIGHTS, epoch_factors=factors)
