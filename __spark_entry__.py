@@ -1461,27 +1461,34 @@ def q_crawl_health(spark: SparkSession, sf_dir: str) -> DataFrame:
     return warc_crawl_health(read_warc(spark, path))
 
 
-def q_c4_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """C4 cleaning heuristics (Raffel et al. 2020 §2.2): line-level keep
-    (terminal punctuation, ≥3 words, no javascript) + page-level drops
-    (<5 sentences, lorem ipsum, curly braces) as ONE narrow JVM
-    projection — no shuffle, no Python.  The synthetic documents carry
-    no punctuation, so the query sentence-ifies them in-plan first
-    (deterministic regexp, mirrored by the witness test).  DuckDB
-    re-derivation + partitioning independence in tests/test_c4.py
-    (bench/extras surface)."""
-    from restructure_hdfs_topic_spark.functions.text import c4_clean
-
-    _conf(spark)
-    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
-    prepared = docs.select(
+def c4_prep(docs: DataFrame) -> DataFrame:
+    """Sentence-ify the punctuation-free synthetic documents so the C4
+    gate has sentences to count — shared by ``q_c4_clean`` and its
+    witness test (one definition, so the test always validates the
+    query's actual prep)."""
+    return docs.select(
         "doc_id",
         F.concat(
             F.regexp_replace("text", r"\b(table|row|line|query)\b", "$1."),
             F.lit("."),
         ).alias("text"),
     )
-    return c4_clean(prepared)
+
+
+def q_c4_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4 cleaning heuristics (Raffel et al. 2020 §2.2): line-level keep
+    (terminal punctuation, ≥3 words, no javascript) + page-level drops
+    (<5 sentences, lorem ipsum, curly brackets) as ONE narrow JVM
+    projection — no shuffle, no Python.  The synthetic documents carry
+    no punctuation, so the query sentence-ifies them in-plan first
+    (``c4_prep``, shared with the witness test).  DuckDB re-derivation +
+    partitioning independence in tests/test_c4.py (bench/extras
+    surface)."""
+    from restructure_hdfs_topic_spark.functions.text import c4_clean
+
+    _conf(spark)
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return c4_clean(c4_prep(docs))
 
 
 def q_epoch_upsample(spark: SparkSession, sf_dir: str) -> DataFrame:

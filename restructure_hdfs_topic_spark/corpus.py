@@ -121,8 +121,7 @@ class Corpus:
 
         return self._wrap(
             c4_clean(
-                self.df, self.id_col, self.text_col,
-                min_words, min_sentences, badwords,
+                self.df, self.text_col, min_words, min_sentences, badwords
             )
         )
 

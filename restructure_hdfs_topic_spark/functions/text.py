@@ -708,7 +708,6 @@ def c4_line_keep(line: Column, min_words: int = 3) -> Column:
 
 def c4_clean(
     docs: "DataFrame",
-    id_col: str = "doc_id",
     text_col: str = "text",
     min_words: int = 3,
     min_sentences: int = 5,
@@ -724,8 +723,11 @@ def c4_clean(
       ``min_sentences`` sentences (counted as terminal-punctuation
       marks in the retained text — a deterministic stand-in for the
       paper's sentence splitter), contains "lorem ipsum" (template
-      residue), contains a curly brace (code), or contains any word
-      from ``badwords`` (the paper uses a public blocklist; pass your
+      residue), contains either curly bracket "{" or "}" (code), or
+      contains any entry from ``badwords`` as a WHOLE word/phrase
+      (case-insensitive, bounded by non-alphanumerics or the text
+      edges — substring matching would drop "class" for "ass", the
+      Scunthorpe problem; the paper uses a public blocklist, pass your
       own — none ships here, and an empty tuple disables the rule).
 
     The paper's fourth dedup rule (three-sentence spans) is the separate
@@ -748,9 +750,13 @@ def c4_clean(
         (n_sentences < F.lit(min_sentences))
         | low.contains("lorem ipsum")
         | low.contains("{")
+        | low.contains("}")
     )
-    for w in badwords:
-        drop = drop | low.contains(w.lower())
+    if badwords:
+        import re as _re
+
+        alts = "|".join(_re.escape(w.lower()) for w in badwords)
+        drop = drop | low.rlike(f"(^|[^a-z0-9])({alts})([^a-z0-9]|$)")
     # NULL text passes through untouched (same convention as
     # line_corrections — a NULL predicate would silently drop the row).
     return step.filter(F.col(text_col).isNull() | ~drop).select(*out_cols)

@@ -55,12 +55,15 @@ def pack_sequences(
     with NULL token counts are treated as zero-token documents.
     ``carry_cols`` ride through the window untouched — callers that need
     extra columns in the manifest avoid a join back (which would need a
-    collision-free key)."""
+    collision-free key) — and participate as window ORDER tie-breakers,
+    so a surrogate ``id_col`` that collides (e.g. an xxhash64 of real
+    keys) still yields a total, partitioning-independent order as long
+    as (id_col, *carry_cols) is unique."""
     h = hash_bucket(id_col).cast("bigint")
     n_tok = F.coalesce(F.col(n_tokens_col).cast("bigint"), F.lit(0))
     w = (
         Window.partitionBy("bucket")
-        .orderBy("__h", id_col)
+        .orderBy("__h", id_col, *carry_cols)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     staged = (

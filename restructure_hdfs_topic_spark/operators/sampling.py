@@ -368,7 +368,10 @@ def epoch_upsample(
     thresh = F.lit(None).cast("long")
     for s, e in sorted(spec.items()):
         w = int(math.floor(e))
-        frac_th = int(round((e - w) * MOD))
+        # int(e*MOD) - w*MOD (NOT round((e-w)*MOD)): bit-identical to
+        # hash_sample's int(rate*MOD) truncation, so the fractional
+        # subset's nesting guarantee holds at the threshold bucket too.
+        frac_th = int(e * MOD) - w * MOD
         whole = F.when(F.col(strata_col) == s, F.lit(w)).otherwise(whole)
         thresh = F.when(F.col(strata_col) == s, F.lit(frac_th)).otherwise(thresh)
     n_copies = (whole + (hash_bucket(id_col) < thresh).cast("int")).alias("__n")

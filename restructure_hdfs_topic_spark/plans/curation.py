@@ -230,16 +230,21 @@ def curate_corpus(
         # The one spec that REPEATS documents: copies share id_col, so
         # packing keys on a surrogate (id, epoch) hash and the manifest
         # carries the epoch copy index — a join on the bare id would
-        # cross-multiply the copies.
-        mixed = epoch_upsample(deduped, id_col, strata_col, epoch_factors)
-        # Surrogate (id, epoch) hash only BUCKETS/ORDERS the window (a
-        # collision merely places two rows adjacently); the real columns
-        # ride through carry_cols, so no join back and no collision
-        # hazard.
-        counted_src = mixed.select(
-            id_col, "epoch", strata_col,
-            token_count(F.col(text_col)).alias("n_tokens"),
-        ).withColumn("__uid", F.xxhash64(F.col(id_col), F.col("epoch")))
+        # cross-multiply the copies.  Tokenize BEFORE replication (the
+        # file's tokenize-once discipline): the operator only needs
+        # (id, strata), so it explodes the narrow counted frame and a
+        # 3-epoch stratum never re-splits (or carries) its text 3x.
+        counted = deduped.select(
+            id_col, strata_col, token_count(F.col(text_col)).alias("n_tokens")
+        )
+        mixed = epoch_upsample(counted, id_col, strata_col, epoch_factors)
+        # Surrogate (id, epoch) hash only BUCKETS the window; the real
+        # (id, epoch) columns ride through carry_cols AND break window
+        # order ties, so an xxhash64 collision cannot make the manifest
+        # partitioning-dependent, and there is no join back.
+        counted_src = mixed.withColumn(
+            "__uid", F.xxhash64(F.col(id_col), F.col("epoch"))
+        )
         packed = pack_sequences(
             counted_src, id_col="__uid", n_tokens_col="n_tokens",
             budget=pack_budget, carry_cols=(id_col, "epoch", strata_col),
@@ -374,8 +379,12 @@ def curation_stage_counts(
     """Per-stage survivor counts (monitoring/attrition report) — each stage
     evaluated once, mirroring ``curate_corpus``'s stage order (including
     the optional line-corrections stage 0 and language gate 0.5, so the
-    report describes the pipeline it monitors); used by the e2e test to
-    assert monotone attrition."""
+    report describes the pipeline it monitors) AND its rebalance-spec
+    mutual exclusion (a report for a pipeline ``curate_corpus`` would
+    refuse to run is a lie); used by the e2e test to assert monotone
+    attrition."""
+    if mixture_weights and epoch_factors:
+        raise ValueError("pass ONE of mixture_weights / epoch_factors")
     out = {"input": docs.count()}
     if line_corrections_ratio is not None:
         from restructure_hdfs_topic_spark.functions.text import line_corrections

@@ -3,10 +3,13 @@ re-derivation of the line keep + page drops over synthetic edge cases
 AND the documents table, plus partitioning independence."""
 
 import os
+import sys
 
 import duckdb
 import pytest
 from pyspark.sql import functions as F
+
+sys.path.insert(0, "/root/repo")
 
 SF_DIR = "/root/testdata/sf0.01"
 
@@ -31,6 +34,7 @@ SELECT doc_id, text FROM kept
 WHERE length(lower(text)) - length(translate(lower(text), '.!?', '')) >= 5
   AND NOT contains(lower(text), 'lorem ipsum')
   AND NOT contains(lower(text), '{')
+  AND NOT contains(lower(text), '}')
 ORDER BY doc_id
 """
 
@@ -46,6 +50,8 @@ def _edge_docs(spark):
         (7, "One. Two. Three. Four."),  # < 5 sentences after keep
         (8, None),
         (9, "Ends with a quoted terminal mark.” " * 6),
+        # Closing brace only — the C4 rule is "any curly bracket".
+        (10, "Prose that ends the block with a stray }. " * 6),
     ]
     return spark.createDataFrame(rows, "doc_id long, text string")
 
@@ -70,8 +76,9 @@ def test_c4_clean_matches_duckdb_on_edges(spark):
     # NULL text passes through untouched.
     out = {r["doc_id"] for r in c4_clean(docs).collect()}
     assert 8 in out
-    # Spot checks: lorem ipsum / curly / javascript-only / short pages drop.
-    assert {2, 4, 5, 6, 7}.isdisjoint(out - {8})
+    # Spot checks: lorem ipsum / curly (either bracket) / javascript-only
+    # / short pages drop.
+    assert {2, 4, 5, 6, 7, 10}.isdisjoint(out - {8})
     assert {1, 3, 9} <= out
 
 
@@ -87,14 +94,11 @@ def test_c4_clean_matches_duckdb_on_documents(spark):
     assert got == [tuple(r) for r in want]
     # The raw synthetic text has no punctuation, so C4 legitimately
     # drops every page — rerun over the sentence-ified projection the
-    # extras query uses (mirrors q_c4_clean's in-plan prep).
-    prepared = docs.select(
-        "doc_id",
-        F.concat(
-            F.regexp_replace("text", r"\b(table|row|line|query)\b", "$1."),
-            F.lit("."),
-        ).alias("text"),
-    )
+    # extras query uses (IMPORTED from the query module: one
+    # definition, so this test validates the query's actual prep).
+    from __spark_entry__ import c4_prep
+
+    prepared = c4_prep(docs)
     gotp = sorted(
         (r["doc_id"], r["text"]) for r in c4_clean(prepared).collect()
     )
@@ -111,17 +115,27 @@ def test_c4_clean_matches_duckdb_on_documents(spark):
 
 
 def test_c4_badwords_and_facade(spark):
+    """Badwords match as WHOLE words (non-alphanumeric boundaries):
+    'concatenate' must survive a 'cat' blocklist entry (the Scunthorpe
+    problem), 'a cat sat' must drop, and edge positions/punctuation
+    boundaries count as word breaks."""
     from restructure_hdfs_topic_spark.corpus import Corpus
 
     docs = spark.createDataFrame(
         [
             (1, "A perfectly ordinary clean sentence appears right here. " * 6),
             (2, "This page contains a forbidden veryBadWord token. " * 6),
+            (3, "We concatenate strings and scattering categories happily. " * 6),
+            (4, "Yesterday a cat sat on the mat again. " * 6),
+            (5, "cat leads this page with more words after. " * 6),
+            (6, "This one ends with punctuation around cat. " * 6),
         ],
         "doc_id long, text string",
     )
     out = {
         r["doc_id"]
-        for r in Corpus(docs).c4_clean(badwords=("verybadword",)).df.collect()
+        for r in Corpus(docs)
+        .c4_clean(badwords=("verybadword", "cat"))
+        .df.collect()
     }
-    assert out == {1}
+    assert out == {1, 3}

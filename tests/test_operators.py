@@ -1232,8 +1232,11 @@ def test_epoch_upsample_duckdb_cross_check(spark):
         f"WHEN lang = '{s}' THEN {int(math.floor(e))}"
         for s, e in epochs.items()
     )
+    # int(e*MOD) - floor(e)*MOD: the operator's truncation formula,
+    # bit-identical to hash_sample's int(rate*MOD) (round() would be
+    # off-by-one at the threshold bucket and break the nesting claim).
     cases_t = " ".join(
-        f"WHEN lang = '{s}' THEN {int(round((e - math.floor(e)) * MOD))}"
+        f"WHEN lang = '{s}' THEN {int(e * MOD) - int(math.floor(e)) * MOD}"
         for s, e in epochs.items()
     )
     want = sorted(
