@@ -1491,6 +1491,23 @@ def q_c4_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     return c4_clean(c4_prep(docs))
 
 
+def q_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher/MassiveText REPETITION filters (Rae et al. 2021 table A1):
+    all 13 within-document repetition fractions (dup lines/paragraphs,
+    top-{2,3,4}-gram and dup-{5..10}-gram character coverage) as one
+    staged JVM projection — sorted-adjacency folds, O(g log g) per row,
+    no shuffle, no Python.  Exact pure-Python re-derivation +
+    partitioning independence in tests/test_repetition.py (bench/extras
+    surface)."""
+    from restructure_hdfs_topic_spark.functions.text import (
+        gopher_repetition_metrics,
+    )
+
+    _conf(spark)
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return gopher_repetition_metrics(docs).drop("text")
+
+
 def q_epoch_upsample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source epoch replication (GPT-3 table 2.2 / LLaMA table 1):
     floor(e) deterministic copies + the hash-fraction extra copy, as one
@@ -2129,6 +2146,9 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # C4 cleaning heuristics (line keep + page drops); DuckDB
         # re-derivation in tests/test_c4.py.
         "c4_clean": q_c4_clean,
+        # Gopher repetition filters (13 table-A1 fractions); exact
+        # Python re-derivation in tests/test_repetition.py.
+        "gopher_repetition": q_gopher_repetition,
         # Crawl-health rollup (the records warc_ingest drops: redirects,
         # revisits, errors, quarantines); complement accounting pinned in
         # tests/test_warc.py::test_warc_crawl_health_complement.

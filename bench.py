@@ -62,6 +62,7 @@ BENCH_QUERIES = [
     "warc_ingest",
     "crawl_health",
     "c4_clean",
+    "gopher_repetition",
     "epoch_upsample",
     "ann_pq_topk",
     "ann_pq_recall",

@@ -136,6 +136,24 @@ class Corpus:
             self.df.filter(gopher_passes(*[c for _, c in metrics], **kwargs))
         )
 
+    def repetition_gate(
+        self, thresholds: dict[str, float] | None = None
+    ) -> "Corpus":
+        """Gopher REPETITION filters (Rae et al. 2021 table A1's dup-line/
+        paragraph and n-gram character fractions) — the companion family
+        to ``gopher_gate``'s word-level rules."""
+        from restructure_hdfs_topic_spark.functions.text import (
+            gopher_repetition_metrics,
+            gopher_repetition_passes,
+        )
+
+        base = self.df.columns
+        return self._wrap(
+            gopher_repetition_metrics(self.df, self.text_col)
+            .filter(gopher_repetition_passes(thresholds))
+            .select(*base)
+        )
+
     def filter_blocked_domains(self, blocked: list[str]) -> "Corpus":
         from restructure_hdfs_topic_spark.plans.curation import (
             filter_blocked_domains,

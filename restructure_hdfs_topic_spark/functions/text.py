@@ -367,6 +367,213 @@ def gopher_passes(
     )
 
 
+def _sorted_dup_stats(arr: Column) -> Column:
+    """``struct(n bigint, c bigint)`` — count and summed string length of
+    NON-FIRST occurrences in ``arr`` (each distinct value with count k
+    contributes k-1 occurrences and (k-1)·len chars).  One sort + one
+    adjacent-equality fold — O(g log g) per row, pure JVM; the classic
+    set-membership scan would be O(g²) in an expression engine."""
+    s = F.sort_array(arr)
+    zero = F.struct(
+        F.lit(None).cast("string").alias("prev"),
+        F.lit(0).cast("bigint").alias("n"),
+        F.lit(0).cast("bigint").alias("c"),
+    )
+    return F.aggregate(
+        s,
+        zero,
+        lambda acc, x: F.struct(
+            x.alias("prev"),
+            # NULL prev (first element) compares NULL -> when() -> 0.
+            (acc["n"] + F.when(x == acc["prev"], F.lit(1)).otherwise(F.lit(0)))
+            .cast("bigint")
+            .alias("n"),
+            (
+                acc["c"]
+                + F.when(x == acc["prev"], F.length(x)).otherwise(F.lit(0))
+            )
+            .cast("bigint")
+            .alias("c"),
+        ),
+        lambda acc: F.struct(acc["n"].alias("n"), acc["c"].alias("c")),
+    )
+
+
+def _top_gram_coverage(grams: Column) -> Column:
+    """Character coverage of the MOST FREQUENT gram: max over distinct
+    grams of ``count · length(gram)`` (bigint; 0 for an empty array).
+    Same sorted-adjacency fold as ``_sorted_dup_stats`` — the running
+    ``count · length`` is maximal at the end of each equal run, so a
+    per-step ``greatest`` needs no second pass and no tie-break (the
+    result is a max of numbers, not a gram choice)."""
+    s = F.sort_array(grams)
+    zero = F.struct(
+        F.lit(None).cast("string").alias("prev"),
+        F.lit(0).cast("bigint").alias("run"),
+        F.lit(0).cast("bigint").alias("best"),
+    )
+    return F.aggregate(
+        s,
+        zero,
+        lambda acc, x: F.struct(
+            x.alias("prev"),
+            F.when(x == acc["prev"], acc["run"] + 1)
+            .otherwise(F.lit(1))
+            .cast("bigint")
+            .alias("run"),
+            F.greatest(
+                acc["best"],
+                F.when(x == acc["prev"], acc["run"] + 1)
+                .otherwise(F.lit(1))
+                .cast("bigint")
+                * F.length(x).cast("bigint"),
+            ).alias("best"),
+        ),
+        lambda acc: acc["best"],
+    )
+
+
+#: Gopher/MassiveText repetition thresholds (Rae et al. 2021, table A1):
+#: a document is removed when ANY fraction exceeds its threshold.
+GOPHER_REPETITION_THRESHOLDS: dict[str, float] = {
+    "dup_line_frac": 0.30,
+    "dup_para_frac": 0.30,
+    "dup_line_char_frac": 0.20,
+    "dup_para_char_frac": 0.20,
+    "top_2gram_char_frac": 0.20,
+    "top_3gram_char_frac": 0.18,
+    "top_4gram_char_frac": 0.16,
+    "dup_5gram_char_frac": 0.15,
+    "dup_6gram_char_frac": 0.14,
+    "dup_7gram_char_frac": 0.13,
+    "dup_8gram_char_frac": 0.12,
+    "dup_9gram_char_frac": 0.11,
+    "dup_10gram_char_frac": 0.10,
+}
+
+
+def gopher_repetition_metrics(
+    docs: "DataFrame", text_col: str = "text"
+) -> "DataFrame":
+    """The Gopher/MassiveText REPETITION filters (Rae et al. 2021, table
+    A1 — the half of the paper's heuristics ``gopher_metrics`` does not
+    cover): 13 within-document repetition fractions appended as columns.
+
+    - ``dup_line_frac`` / ``dup_para_frac``: fraction of non-blank
+      lines/paragraphs (split on ``\\n`` / ``\\n\\n+``) that repeat an
+      earlier one.
+    - ``dup_line_char_frac`` / ``dup_para_char_frac``: characters in
+      those repeated lines/paragraphs over the total non-blank
+      line/paragraph characters.
+    - ``top_{2,3,4}gram_char_frac``: characters covered by the single
+      most frequent word n-gram (count · gram length, space-joined)
+      over ``length(text)``.
+    - ``dup_{5..10}gram_char_frac``: characters in non-first occurrences
+      of each word n-gram over ``length(text)``.  Overlapping repeats
+      are counted in full (no interval union — positional marking is
+      inherently sequential); this upper-bounds the paper's fraction and
+      only errs toward dropping MORE repetitive text, the rule's intent.
+
+    All ratios round to 6 decimals (cross-engine convention).  NULL or
+    empty text yields all-zero metrics, so such rows PASS the gate —
+    the same keep-NULL convention as ``c4_clean``/``line_corrections``
+    (a NULL predicate would silently drop the row).  Note the top-gram
+    fractions are only meaningful past the paper's 50-word minimum (a
+    clean 15-word page's single most common 2-gram already covers >20%
+    of its characters) — compose with ``gopher_passes``' word bounds,
+    as the paper does.
+
+    Scale shape: every array (lines, paragraphs, tokens, one gram array
+    per n) is projected as a REAL column in a staged select before the
+    folds consume it — Catalyst re-inlines multi-referenced expressions
+    (the engine's measured CollapseProject trap), and a re-inlined
+    O(words) gram build inside an O(g log g) fold would square the row
+    cost.  Everything is whole-stage-codegen JVM; no shuffle, no Python.
+    Exact pure-Python cross-check: tests/test_repetition.py."""
+    base = docs.columns
+    nonblank = lambda a: F.filter(a, lambda x: F.length(F.trim(x)) > 0)  # noqa: E731
+    staged = docs.select(
+        *base,
+        nonblank(F.split(F.col(text_col), "\n")).alias("__rep_lines"),
+        nonblank(F.split(F.col(text_col), "\n{2,}")).alias("__rep_paras"),
+        tokens(F.col(text_col)).alias("__rep_toks"),
+        F.length(F.col(text_col)).cast("bigint").alias("__rep_tlen"),
+    )
+    staged = staged.select(
+        *base,
+        "__rep_lines",
+        "__rep_paras",
+        "__rep_tlen",
+        *[
+            ngrams_from(F.col("__rep_toks"), n).alias(f"__rep_g{n}")
+            for n in range(2, 11)
+        ],
+    )
+    sum_len = lambda a: F.aggregate(  # noqa: E731
+        a, F.lit(0).cast("bigint"), lambda acc, x: acc + F.length(x)
+    )
+    staged = staged.select(
+        *base,
+        "__rep_tlen",
+        _sorted_dup_stats(F.col("__rep_lines")).alias("__rep_line_st"),
+        _sorted_dup_stats(F.col("__rep_paras")).alias("__rep_para_st"),
+        F.size("__rep_lines").cast("bigint").alias("__rep_nlines"),
+        F.size("__rep_paras").cast("bigint").alias("__rep_nparas"),
+        sum_len(F.col("__rep_lines")).alias("__rep_linechars"),
+        sum_len(F.col("__rep_paras")).alias("__rep_parachars"),
+        *[
+            _top_gram_coverage(F.col(f"__rep_g{n}")).alias(f"__rep_top{n}")
+            for n in (2, 3, 4)
+        ],
+        *[
+            _sorted_dup_stats(F.col(f"__rep_g{n}"))["c"].alias(f"__rep_dup{n}")
+            for n in range(5, 11)
+        ],
+    )
+    frac = lambda num, den: F.round(  # noqa: E731
+        F.when(den > 0, num.cast("double") / den.cast("double")).otherwise(
+            F.lit(0.0)
+        ),
+        6,
+    )
+    tlen = F.col("__rep_tlen")
+    out = [
+        ("dup_line_frac", frac(F.col("__rep_line_st")["n"], F.col("__rep_nlines"))),
+        ("dup_para_frac", frac(F.col("__rep_para_st")["n"], F.col("__rep_nparas"))),
+        (
+            "dup_line_char_frac",
+            frac(F.col("__rep_line_st")["c"], F.col("__rep_linechars")),
+        ),
+        (
+            "dup_para_char_frac",
+            frac(F.col("__rep_para_st")["c"], F.col("__rep_parachars")),
+        ),
+        *[
+            (f"top_{n}gram_char_frac", frac(F.col(f"__rep_top{n}"), tlen))
+            for n in (2, 3, 4)
+        ],
+        *[
+            (f"dup_{n}gram_char_frac", frac(F.col(f"__rep_dup{n}"), tlen))
+            for n in range(5, 11)
+        ],
+    ]
+    return staged.select(*base, *[c.alias(n) for n, c in out])
+
+
+def gopher_repetition_passes(
+    thresholds: dict[str, float] | None = None,
+) -> Column:
+    """Conjunctive repetition gate over ``gopher_repetition_metrics``
+    columns: keep iff EVERY fraction ≤ its table-A1 threshold (override
+    per-signal via ``thresholds``).  NULL metrics (NULL text) fail."""
+    th = dict(GOPHER_REPETITION_THRESHOLDS)
+    th.update(thresholds or {})
+    cond = F.lit(True)
+    for name, limit in sorted(th.items()):
+        cond = cond & (F.col(name) <= F.lit(limit))
+    return cond
+
+
 # --- Text normalization (C4/CCNet-style pre-dedup canonicalization) -------
 
 def normalize_text(text: Column) -> Column:

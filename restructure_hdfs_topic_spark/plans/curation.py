@@ -60,6 +60,7 @@ def curate_corpus(
     allowed_langs: set[str] | None = None,
     lang_max_distance: int | None = None,
     lang_max_chars: int | None = 4096,
+    repetition_filters: bool = False,
 ) -> DataFrame:
     """The full curation chain as ONE composed DataFrame.
 
@@ -97,6 +98,11 @@ def curate_corpus(
     bounded by ``lang_max_distance``.  Same semantics as
     ``Corpus.lang_gate``; stays inside the one lazy plan (the classifier
     is a JVM explode + map-side-combined count + one window).
+
+    ``repetition_filters=True`` adds the Gopher REPETITION gate (table
+    A1's dup-line/paragraph and n-gram character fractions,
+    ``gopher_repetition_metrics``) right after the quality gate — the
+    paper applies both heuristic families together.
 
     ``decontaminate_benchmark`` adds GPT-3 §C surgical benchmark
     decontamination after the span scrub (before near-dup): spans
@@ -144,6 +150,22 @@ def curate_corpus(
         .filter(gopher_passes(*[F.col(n) for n, _ in metrics]))
         .select(*docs.columns)
     )
+
+    # 1.2 (optional). Gopher REPETITION filters — the table-A1 half the
+    # word-level rules don't cover (dup lines/paragraphs, top/duplicated
+    # n-gram character fractions).  The paper applies both heuristic
+    # families together; still a projection + filter, no shuffle.
+    if repetition_filters:
+        from restructure_hdfs_topic_spark.functions.text import (
+            gopher_repetition_metrics,
+            gopher_repetition_passes,
+        )
+
+        gated = (
+            gopher_repetition_metrics(gated, text_col)
+            .filter(gopher_repetition_passes())
+            .select(*docs.columns)
+        )
 
     # 1.5 (optional). CCNet LM quality gate: per-stratum head-quantile
     # band over the unigram bits/token score (perplexity_band persists
@@ -375,6 +397,7 @@ def curation_stage_counts(
     lang_max_distance: int | None = None,
     lang_max_chars: int | None = 4096,
     epoch_factors: dict[str, float] | None = None,
+    repetition_filters: bool = False,
 ) -> dict[str, int]:
     """Per-stage survivor counts (monitoring/attrition report) — each stage
     evaluated once, mirroring ``curate_corpus``'s stage order (including
@@ -405,18 +428,26 @@ def curation_stage_counts(
         .filter(gopher_passes(*[F.col(n) for n, _ in metrics]))
         .select(*docs.columns)
     )
+    out["after_quality_gate"] = gated.count()
+    if repetition_filters:
+        from restructure_hdfs_topic_spark.functions.text import (
+            gopher_repetition_metrics,
+            gopher_repetition_passes,
+        )
+
+        gated = (
+            gopher_repetition_metrics(gated, text_col)
+            .filter(gopher_repetition_passes())
+            .select(*docs.columns)
+        )
+        out["after_repetition_gate"] = gated.count()
     scrubbed = strip_duplicated_spans(gated, id_col, text_col, k=span_k)
     pairs = lsh_near_dup_pairs(
         scrubbed, id_col, text_col, threshold=jaccard_threshold
     )
     losers = pairs.select(F.col("id_b").alias(id_col)).distinct()
     deduped = scrubbed.join(losers, on=id_col, how="left_anti")
-    out.update(
-        {
-            "after_quality_gate": gated.count(),
-            "after_near_dup_drop": deduped.count(),
-        }
-    )
+    out["after_near_dup_drop"] = deduped.count()
     if mixture_weights:
         out["after_mixture_sample"] = mixture_sample(
             deduped, id_col, strata_col, mixture_weights

@@ -124,6 +124,9 @@ CONSISTENCY_QUERIES = [
     "warc_ingest",
     "crawl_health",
     "c4_clean",
+    # r9: the 13 repetition fractions are pure per-row folds — digest
+    # must not move with partitioning.
+    "gopher_repetition",
     "epoch_upsample",
     "ann_pq_topk",
     "ann_pq_recall",

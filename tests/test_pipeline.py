@@ -525,6 +525,7 @@ def test_query_registry_consistency():
         "minhash_lsh_pairs",
         "crawl_health",
         "c4_clean",
+        "gopher_repetition",
         "epoch_upsample",
         "ann_pq_recall",
         "embedding_near_dup_lsh",
