@@ -1508,6 +1508,25 @@ def q_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     return gopher_repetition_metrics(docs).drop("text")
 
 
+def q_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance resampling (Xie et al. 2023): hashed
+    unigram+bigram bag models fit on a target (the English documents)
+    vs the raw corpus, per-doc log importance via a bounded broadcast
+    ratio join + one map-side-combined sum, deterministic Gumbel top-k
+    selection (the uniform is the row's own hash bucket).  Exact
+    pure-Python re-derivation + enrichment + partitioning independence
+    in tests/test_dsir.py (bench/extras surface)."""
+    from restructure_hdfs_topic_spark.operators.dsir import dsir_select
+
+    _conf(spark)
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    target = docs.filter(F.col("lang") == "en").select("doc_id", "text")
+    raw = docs.select("doc_id", "text")
+    return dsir_select(raw, target, k=300).select(
+        "doc_id", "log_importance", "gumbel_key"
+    )
+
+
 def q_epoch_upsample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source epoch replication (GPT-3 table 2.2 / LLaMA table 1):
     floor(e) deterministic copies + the hash-fraction extra copy, as one
@@ -2149,6 +2168,9 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # Gopher repetition filters (13 table-A1 fractions); exact
         # Python re-derivation in tests/test_repetition.py.
         "gopher_repetition": q_gopher_repetition,
+        # DSIR importance resampling (target-likeness selection); exact
+        # Python re-derivation in tests/test_dsir.py.
+        "dsir_select": q_dsir_select,
         # Crawl-health rollup (the records warc_ingest drops: redirects,
         # revisits, errors, quarantines); complement accounting pinned in
         # tests/test_warc.py::test_warc_crawl_health_complement.

@@ -63,6 +63,7 @@ BENCH_QUERIES = [
     "crawl_health",
     "c4_clean",
     "gopher_repetition",
+    "dsir_select",
     "epoch_upsample",
     "ann_pq_topk",
     "ann_pq_recall",

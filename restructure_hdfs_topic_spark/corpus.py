@@ -154,6 +154,22 @@ class Corpus:
             .select(*base)
         )
 
+    def dsir_select(
+        self, target: "Corpus | DataFrame", k: int, **kwargs
+    ) -> "Corpus":
+        """DSIR importance resampling toward a target corpus (Xie et al.
+        2023): keep the ``k`` documents Gumbel-top-k-sampled ∝ their
+        hashed-n-gram likelihood ratio vs ``target``."""
+        from restructure_hdfs_topic_spark.operators.dsir import dsir_select
+
+        tgt = target.df if isinstance(target, Corpus) else target
+        return self._wrap(
+            dsir_select(
+                self.df, tgt, k=k, id_col=self.id_col,
+                text_col=self.text_col, **kwargs,
+            ).drop("log_importance", "gumbel_key")
+        )
+
     def filter_blocked_domains(self, blocked: list[str]) -> "Corpus":
         from restructure_hdfs_topic_spark.plans.curation import (
             filter_blocked_domains,

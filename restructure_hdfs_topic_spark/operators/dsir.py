@@ -1,0 +1,182 @@
+"""DSIR — Data Selection via Importance Resampling (Xie et al. 2023,
+NeurIPS — public paper): pick raw-corpus examples that LOOK LIKE a
+target corpus, using hashed n-gram bag models.
+
+The published recipe, re-expressed as lazy DataFrame algebra:
+
+1. **Features** — every document is a bag of hashed unigram+bigram
+   counts over ``n_buckets`` buckets (the paper uses 10k).  The hash is
+   the repo-standard polynomial fingerprint (``functions.text.
+   poly_hash``), so features are engine-portable integers.
+2. **Fit** — smoothed bucket unigram models ``p_target`` / ``p_raw``
+   from global bucket counts (two map-side-combined aggregations of at
+   most ``n_buckets`` rows each — bounded regardless of corpus size).
+3. **Weigh** — per-document log importance
+   ``log w_i = Σ_b c_ib · (log p_target[b] − log p_raw[b])``:
+   the per-doc counts broadcast-join the ≤10k-row ratio table, then one
+   map-side-combined sum per document.
+4. **Resample** — Gumbel top-k (sampling without replacement ∝ w):
+   ``key_i = log w_i + g_i`` with ``g_i = −log(−log(u_i))``.  The
+   uniform is the row's own hash bucket (``(hash_bucket(id)+0.5)/2^32``)
+   — DETERMINISTIC, so selection is reproducible across runs, engines,
+   and partitionings (the same property every sampler in
+   ``operators/sampling.py`` has), while still being a faithful Gumbel
+   draw over ids.
+
+Scale shape: the only corpus-sized shuffles are the explode→count
+aggregations (map-side combined on ≤10k or (id × distinct-bucket) keys)
+and the final top-k (Spark's TakeOrdered partial top-k — no global
+sort materializes).  The ratio table and totals are bounded broadcast
+sides.  No Python UDFs, no driver collects.
+
+Exact pure-Python re-derivation: tests/test_dsir.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from restructure_hdfs_topic_spark.functions.text import (
+    ngrams_from,
+    poly_hash,
+    tokens,
+)
+from restructure_hdfs_topic_spark.operators.sampling import MOD, hash_bucket
+
+
+def dsir_ngram_counts(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 10_000,
+) -> DataFrame:
+    """``(id, bucket, cnt)`` hashed unigram+bigram counts per document.
+    The gram arrays are projected as REAL columns before the explode
+    (the engine's measured CollapseProject trap: a re-inlined tokenizer
+    would re-split the text per gram)."""
+    toks = docs.select(
+        F.col(id_col), tokens(F.col(text_col)).alias("__toks")
+    )
+    grams = toks.select(
+        F.col(id_col),
+        F.concat(
+            F.col("__toks"), ngrams_from(F.col("__toks"), 2)
+        ).alias("__grams"),
+    )
+    exploded = grams.select(
+        F.col(id_col), F.explode("__grams").alias("__g")
+    )
+    return exploded.select(
+        F.col(id_col),
+        F.pmod(poly_hash(F.col("__g")), F.lit(n_buckets)).alias("bucket"),
+    ).groupBy(id_col, "bucket").agg(F.count(F.lit(1)).alias("cnt"))
+
+
+def dsir_log_ratios(
+    target_counts: DataFrame,
+    raw_counts: DataFrame,
+    n_buckets: int = 10_000,
+    smoothing: float = 1.0,
+) -> DataFrame:
+    """``(bucket, log_ratio)`` — smoothed
+    ``log p_target[b] − log p_raw[b]`` from per-doc count frames
+    (``dsir_ngram_counts`` output).  At most ``n_buckets`` rows; all
+    aggregates bounded; totals ride in as broadcast 1-row frames so the
+    plan stays lazy."""
+    a = float(smoothing)
+    t = target_counts.groupBy("bucket").agg(F.sum("cnt").alias("__ct"))
+    r = raw_counts.groupBy("bucket").agg(F.sum("cnt").alias("__cr"))
+    tot_t = t.agg(F.sum("__ct").alias("__T"))
+    tot_r = r.agg(F.sum("__cr").alias("__R"))
+    joined = (
+        t.join(r, "bucket", "full_outer")
+        .crossJoin(F.broadcast(tot_t))
+        .crossJoin(F.broadcast(tot_r))
+    )
+    ct = F.coalesce(F.col("__ct"), F.lit(0)).cast("double")
+    cr = F.coalesce(F.col("__cr"), F.lit(0)).cast("double")
+    denom_t = F.col("__T").cast("double") + F.lit(a * n_buckets)
+    denom_r = F.col("__R").cast("double") + F.lit(a * n_buckets)
+    return joined.select(
+        "bucket",
+        (
+            F.log((ct + F.lit(a)) / denom_t) - F.log((cr + F.lit(a)) / denom_r)
+        ).alias("log_ratio"),
+    )
+
+
+def dsir_importance(
+    raw: DataFrame,
+    target: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 10_000,
+    smoothing: float = 1.0,
+) -> DataFrame:
+    """``(id, log_importance)`` for every raw document (6-decimal
+    rounding — the cross-engine float convention).  Documents with NO
+    features (empty/NULL text) score 0.
+
+    The raw count frame is consumed TWICE (fitting ``p_raw`` and
+    scoring) — scope-persisted so the explode+count pipeline runs once
+    (MEMORY_AND_DISK: spills instead of OOMing at corpus scale)."""
+    from restructure_hdfs_topic_spark.caching import scoped_persist
+
+    raw_counts = scoped_persist(
+        dsir_ngram_counts(raw, id_col, text_col, n_buckets),
+        scope="dsir.raw_counts",
+    )
+    target_counts = dsir_ngram_counts(target, id_col, text_col, n_buckets)
+    ratios = dsir_log_ratios(target_counts, raw_counts, n_buckets, smoothing)
+    scored = (
+        raw_counts.join(F.broadcast(ratios), "bucket")
+        .groupBy(id_col)
+        .agg(
+            F.round(F.sum(F.col("cnt") * F.col("log_ratio")), 6).alias(
+                "log_importance"
+            )
+        )
+    )
+    # Featureless docs (empty text) keep a 0 score instead of vanishing.
+    return (
+        raw.select(id_col)
+        .join(scored, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("log_importance", F.lit(0.0)).alias("log_importance"),
+        )
+    )
+
+
+def dsir_select(
+    raw: DataFrame,
+    target: DataFrame,
+    k: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 10_000,
+    smoothing: float = 1.0,
+) -> DataFrame:
+    """Gumbel top-``k`` importance resampling: the ``k`` raw documents
+    sampled without replacement with probability ∝ their importance
+    weight — raw's columns plus ``log_importance`` and the
+    ``gumbel_key`` that ranked them.  Deterministic: the Gumbel uniform
+    is the row's own hash bucket; ties (already measure-zero) break by
+    id.  The selected id set is k rows — AQE broadcasts the join back
+    to raw's columns while small and shuffles at scale."""
+    if k <= 0:
+        raise ValueError("k must be positive")
+    scored = dsir_importance(
+        raw, target, id_col, text_col, n_buckets, smoothing
+    )
+    u = (hash_bucket(id_col) + F.lit(0.5)) / F.lit(float(MOD))
+    key = F.round(F.col("log_importance") - F.log(-F.log(u)), 6)
+    picked = (
+        scored.select(id_col, "log_importance", key.alias("gumbel_key"))
+        .orderBy(F.col("gumbel_key").desc(), F.col(id_col))
+        .limit(int(k))
+    )
+    return raw.join(picked, id_col).select(
+        *raw.columns, "log_importance", "gumbel_key"
+    )

@@ -127,6 +127,10 @@ CONSISTENCY_QUERIES = [
     # r9: the 13 repetition fractions are pure per-row folds — digest
     # must not move with partitioning.
     "gopher_repetition",
+    # r9: DSIR scores are float sums over a broadcast ratio join and the
+    # Gumbel keys pure id functions — selection must not move with
+    # partitioning.
+    "dsir_select",
     "epoch_upsample",
     "ann_pq_topk",
     "ann_pq_recall",

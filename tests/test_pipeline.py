@@ -526,6 +526,7 @@ def test_query_registry_consistency():
         "crawl_health",
         "c4_clean",
         "gopher_repetition",
+        "dsir_select",
         "epoch_upsample",
         "ann_pq_recall",
         "embedding_near_dup_lsh",
