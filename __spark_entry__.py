@@ -1508,6 +1508,22 @@ def q_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     return gopher_repetition_metrics(docs).drop("text")
 
 
+def q_best_fit_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """No-split best-fit-decreasing packing (Ding et al. 2024): docs
+    pack WHOLE into fixed-budget bins (only over-budget docs split, into
+    ceil(n/budget) chunks); ONE 16-byte-row shuffle + a deterministic
+    per-bucket Arrow BFD kernel.  Exact Python re-derivation, bin
+    invariants, and partitioning independence in tests/test_bestfit.py
+    (bench/extras surface)."""
+    from restructure_hdfs_topic_spark.operators.packing import best_fit_pack
+
+    _conf(spark)
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", token_count(F.col("text")).alias("n_tokens")
+    )
+    return best_fit_pack(docs, budget=256, n_buckets=8)
+
+
 def q_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DSIR importance resampling (Xie et al. 2023): hashed
     unigram+bigram bag models fit on a target (the English documents)
@@ -2171,6 +2187,9 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # DSIR importance resampling (target-likeness selection); exact
         # Python re-derivation in tests/test_dsir.py.
         "dsir_select": q_dsir_select,
+        # No-split BFD packing (truncation-free loader manifests); exact
+        # Python re-derivation in tests/test_bestfit.py.
+        "best_fit_pack": q_best_fit_pack,
         # Crawl-health rollup (the records warc_ingest drops: redirects,
         # revisits, errors, quarantines); complement accounting pinned in
         # tests/test_warc.py::test_warc_crawl_health_complement.

@@ -64,6 +64,7 @@ BENCH_QUERIES = [
     "c4_clean",
     "gopher_repetition",
     "dsir_select",
+    "best_fit_pack",
     "epoch_upsample",
     "ann_pq_topk",
     "ann_pq_recall",

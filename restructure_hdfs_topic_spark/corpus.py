@@ -503,3 +503,17 @@ class Corpus:
             counted, id_col=self.id_col, n_tokens_col="n_tokens",
             budget=budget, n_buckets=n_buckets,
         )
+
+    def pack_best_fit(self, budget: int = 2048, n_buckets: int = 16) -> DataFrame:
+        """NO-SPLIT pack manifest (best-fit-decreasing, Ding et al. 2024):
+        documents pack whole; only over-budget docs split into chunks."""
+        from restructure_hdfs_topic_spark.functions.text import token_count
+        from restructure_hdfs_topic_spark.operators.packing import best_fit_pack
+
+        counted = self.df.select(
+            self.id_col, token_count(F.col(self.text_col)).alias("n_tokens")
+        )
+        return best_fit_pack(
+            counted, id_col=self.id_col, n_tokens_col="n_tokens",
+            budget=budget, n_buckets=n_buckets,
+        )

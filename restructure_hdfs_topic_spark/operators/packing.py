@@ -186,6 +186,119 @@ def materialize_packs(
     )
 
 
+def best_fit_pack(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    n_tokens_col: str = "n_tokens",
+    budget: int = 2048,
+    n_buckets: int = 16,
+) -> DataFrame:
+    """NO-SPLIT sequence packing — Best-Fit-Decreasing (Ding et al. 2024,
+    "Fewer Truncations Improve Language Modeling", ICML — public paper):
+    documents are packed WHOLE into fixed-``budget`` bins; only documents
+    longer than the budget are split, into ``ceil(n/budget)`` chunks
+    (every chunk but the last exactly ``budget`` tokens), so a truncation
+    can never cut a short document mid-thought the way concat-and-chunk
+    (``pack_sequences``) does.
+
+    Output: one row per (document, chunk):
+    ``(id, chunk, bucket, pack_id, offset_in_pack, n_tokens)`` —
+    ``chunk`` is the 0-based split index (0 for every doc ≤ budget),
+    ``pack_id`` globalizes as ``bucket·2^31 + bin-within-bucket``, and
+    ``offset_in_pack`` is the chunk's token start inside its bin.  A
+    zero/NULL-token document occupies one zero-length chunk (the manifest
+    stays complete — same convention as ``pack_sequences``).
+
+    Algorithm (per bucket, deterministic): chunks sort by
+    ``(-n_tokens, id, chunk)`` and each goes to the bin with the SMALLEST
+    remaining capacity that fits (ties → lowest bin index), opening a new
+    bin when none fits — classic BFD, within 11/9·OPT + 1 bins of
+    optimal, and in practice ≥99% fill at web-corpus length
+    distributions (the paper's result).
+
+    Scale shape: bin packing is inherently sequential, so this is the
+    documented custom-operator path (b): documents hash-route into
+    ``n_buckets`` independent groups (ONE shuffle of 16-byte
+    ``(id, n_tokens)`` rows — token arrays never move) and each bucket
+    runs one Arrow-batched kernel.  The kernel's sorted-capacity bisect
+    makes a bucket O(n·log bins + moves); pick ``n_buckets`` as
+    total_docs / docs_per_task exactly like ``pack_sequences``.  The
+    global pack ids and offsets are pure functions of the bucket's
+    member set, so results are partitioning-independent by construction
+    (witness: tests/test_bestfit.py)."""
+    import pandas as pd
+
+    id_field = docs.schema[id_col]
+    out_schema = (
+        f"`{id_col}` {id_field.dataType.simpleString()}, chunk int, "
+        "bucket bigint, pack_id bigint, offset_in_pack bigint, "
+        "n_tokens bigint"
+    )
+    lim = int(budget)
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        from bisect import bisect_left, insort
+
+        bucket = int(pdf["__bucket"].iloc[0])
+        # Split oversize docs into budget-sized chunks.
+        chunks = []  # (size, id, chunk_idx)
+        for did, n in zip(pdf[id_col], pdf["__n"]):
+            n = int(n)
+            if n <= lim:
+                chunks.append((n, did, 0))
+            else:
+                full, rem = divmod(n, lim)
+                for c in range(full):
+                    chunks.append((lim, did, c))
+                if rem:
+                    chunks.append((rem, did, full))
+        chunks.sort(key=lambda t: (-t[0], t[1], t[2]))
+        bins: list[int] = []  # fill level per bin index
+        # Sorted (remaining, bin_idx) pairs: bisect finds the smallest
+        # remaining >= size; equal remainders tie to the lowest index.
+        free: list[tuple[int, int]] = []
+        out = []
+        for size, did, ci in chunks:
+            j = bisect_left(free, (size, -1))
+            if j < len(free):
+                rem, b = free.pop(j)
+                off = lim - rem
+                bins[b] = off + size
+                if rem - size:
+                    insort(free, (rem - size, b))
+            else:
+                b = len(bins)
+                off = 0
+                bins.append(size)
+                if lim - size:
+                    insort(free, (lim - size, b))
+            out.append((did, ci, bucket, (bucket << 31) + b, off, size))
+        return pd.DataFrame(
+            out,
+            columns=[
+                id_col, "chunk", "bucket", "pack_id", "offset_in_pack",
+                "n_tokens",
+            ],
+        )
+
+    # Bucket on the polynomial STRING hash (functions.text.poly_hash),
+    # not hash_bucket: the latter casts ids to long, which NULLs string
+    # ids; the char-fold works for any id type and stays
+    # Python-replicable for the witness model.
+    from restructure_hdfs_topic_spark.functions.text import poly_hash
+
+    staged = docs.select(
+        F.col(id_col),
+        F.coalesce(F.col(n_tokens_col).cast("bigint"), F.lit(0)).alias("__n"),
+    ).withColumn(
+        "__bucket",
+        F.pmod(
+            poly_hash(F.col(id_col).cast("string")), F.lit(int(n_buckets))
+        ).cast("bigint"),
+    )
+    return staged.groupBy("__bucket").applyInPandas(kernel, out_schema)
+
+
 def epoch_shuffle(
     df: DataFrame,
     id_col: str = "doc_id",

@@ -131,6 +131,9 @@ CONSISTENCY_QUERIES = [
     # Gumbel keys pure id functions — selection must not move with
     # partitioning.
     "dsir_select",
+    # r9: the per-bucket BFD kernel is a pure function of the bucket's
+    # member set — assignment must not move with partitioning.
+    "best_fit_pack",
     "epoch_upsample",
     "ann_pq_topk",
     "ann_pq_recall",

@@ -527,6 +527,7 @@ def test_query_registry_consistency():
         "c4_clean",
         "gopher_repetition",
         "dsir_select",
+        "best_fit_pack",
         "epoch_upsample",
         "ann_pq_recall",
         "embedding_near_dup_lsh",
