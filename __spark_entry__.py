@@ -1508,6 +1508,33 @@ def q_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     return gopher_repetition_metrics(docs).drop("text")
 
 
+def q_benchmark_leak_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-benchmark-example contamination accounting (GPT-3 §C's
+    published direction): the synthetic benchmark is every 13th
+    document's 200-char prefix plus a unique tail, so examples leak
+    PARTIALLY (prefix shingles hit their source doc, tail shingles
+    don't).  Corpus bytes never shuffle (broadcast benchmark shingles);
+    exact Python re-derivation in
+    tests/test_operators.py::test_benchmark_leak_report (bench/extras
+    surface)."""
+    from restructure_hdfs_topic_spark.operators.dedup import (
+        benchmark_leak_report,
+    )
+
+    _conf(spark)
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    bench = docs.filter(F.col("doc_id") % 13 == 0).select(
+        "doc_id",
+        F.concat(
+            F.substring("text", 1, 200),
+            F.lit(" zz"),
+            F.col("doc_id").cast("string"),
+            F.lit(" unique tail tokens that never leak anywhere at all"),
+        ).alias("text"),
+    )
+    return benchmark_leak_report(docs, bench, "doc_id", "text", n=5)
+
+
 def q_best_fit_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     """No-split best-fit-decreasing packing (Ding et al. 2024): docs
     pack WHOLE into fixed-budget bins (only over-budget docs split, into
@@ -2190,6 +2217,9 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # No-split BFD packing (truncation-free loader manifests); exact
         # Python re-derivation in tests/test_bestfit.py.
         "best_fit_pack": q_best_fit_pack,
+        # Per-benchmark-example leak accounting; exact Python
+        # re-derivation in tests/test_operators.py.
+        "benchmark_leak_report": q_benchmark_leak_report,
         # Crawl-health rollup (the records warc_ingest drops: redirects,
         # revisits, errors, quarantines); complement accounting pinned in
         # tests/test_warc.py::test_warc_crawl_health_complement.

@@ -65,6 +65,7 @@ BENCH_QUERIES = [
     "gopher_repetition",
     "dsir_select",
     "best_fit_pack",
+    "benchmark_leak_report",
     "epoch_upsample",
     "ann_pq_topk",
     "ann_pq_recall",

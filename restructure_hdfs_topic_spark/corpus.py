@@ -170,6 +170,21 @@ class Corpus:
             ).drop("log_importance", "gumbel_key")
         )
 
+    def leak_report(
+        self, benchmark: "Corpus | DataFrame", n: int = 13
+    ) -> DataFrame:
+        """Per-benchmark-example contamination table (GPT-3 §C): how much
+        of each eval example leaked into this corpus, from how many
+        documents."""
+        from restructure_hdfs_topic_spark.operators.dedup import (
+            benchmark_leak_report,
+        )
+
+        b = benchmark.df if isinstance(benchmark, Corpus) else benchmark
+        return benchmark_leak_report(
+            self.df, b, self.id_col, self.text_col, n=n
+        )
+
     def filter_blocked_domains(self, blocked: list[str]) -> "Corpus":
         from restructure_hdfs_topic_spark.plans.curation import (
             filter_blocked_domains,

@@ -1418,6 +1418,97 @@ def contaminated_spans(
     )
 
 
+def benchmark_leak_report(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 13,
+) -> DataFrame:
+    """Per-BENCHMARK-EXAMPLE contamination accounting — the inverse
+    direction of ``shingle_contamination`` and the table GPT-3 §C /
+    PaLM appendix actually publish ("what fraction of each eval is
+    dirty"): for every benchmark example, how much of it leaked into
+    the training corpus and from how many documents.
+
+    Returns one row per benchmark example:
+    ``(id, n_shingles, n_leaked_shingles, leak_frac, n_corpus_docs_hit)``
+    — ``n_shingles`` its distinct n-token shingles, ``n_leaked_shingles``
+    how many of those occur in ≥1 corpus document, ``leak_frac`` their
+    ratio (6-decimal rounding; 0.0 for an example too short to have any
+    shingle), ``n_corpus_docs_hit`` the distinct corpus documents sharing
+    at least one shingle with it.
+
+    Plan shape (100 TB corpus, small benchmark): the benchmark's
+    example→shingle pairs are small by definition — they BROADCAST; the
+    corpus side explodes per-document distinct shingles and inner-joins
+    the broadcast set map-side, so corpus bytes never shuffle and the
+    join output is bounded by (matched shingles × docs that hit).  Two
+    bounded aggregations follow (per (example, shingle) doc counts, then
+    per example).  Corpus documents with no hit contribute nothing;
+    benchmark examples with no hit survive via the final left join."""
+    from restructure_hdfs_topic_spark.functions.text import ngrams_from, tokens
+
+    def shingles(df: DataFrame) -> DataFrame:
+        toked = df.select(
+            F.col(id_col).alias("id"), tokens(F.col(text_col)).alias("toks")
+        )
+        grammed = toked.select("id", ngrams_from(F.col("toks"), n).alias("grams"))
+        return grammed.select(
+            "id", F.explode(F.array_distinct("grams")).alias("shingle")
+        )
+
+    bench = shingles(benchmark)
+    totals = bench.groupBy("id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    # (corpus_doc, shingle) hits — bounded by the broadcast benchmark set.
+    hits = (
+        shingles(corpus)
+        .withColumnRenamed("id", "__corpus_id")
+        .join(F.broadcast(bench.select("shingle").distinct()), "shingle")
+    )
+    # Per-shingle corpus stats (bounded: ≤ benchmark shingle count rows).
+    per_shingle = hits.groupBy("shingle").agg(
+        F.count(F.lit(1)).alias("__n_docs")
+    )
+    per_example = (
+        bench.join(per_shingle, "shingle", "left")
+        .groupBy("id")
+        .agg(
+            F.sum(
+                F.when(F.col("__n_docs").isNotNull(), 1).otherwise(0)
+            ).cast("bigint").alias("n_leaked_shingles"),
+        )
+    )
+    # Distinct corpus docs per example: re-join hits to the example map
+    # (both sides bounded) and count distinct doc ids.
+    docs_hit = (
+        bench.join(hits, "shingle")
+        .groupBy("id")
+        .agg(F.count_distinct("__corpus_id").alias("n_corpus_docs_hit"))
+    )
+    ids = benchmark.select(F.col(id_col).alias("id"))
+    out = (
+        ids.join(totals, "id", "left")
+        .join(per_example, "id", "left")
+        .join(docs_hit, "id", "left")
+    )
+    n_sh = F.coalesce("n_shingles", F.lit(0)).cast("bigint")
+    n_leak = F.coalesce("n_leaked_shingles", F.lit(0)).cast("bigint")
+    return out.select(
+        "id",
+        n_sh.alias("n_shingles"),
+        n_leak.alias("n_leaked_shingles"),
+        F.round(
+            F.when(n_sh > 0, n_leak.cast("double") / n_sh.cast("double"))
+            .otherwise(F.lit(0.0)),
+            6,
+        ).alias("leak_frac"),
+        F.coalesce("n_corpus_docs_hit", F.lit(0)).cast("bigint").alias(
+            "n_corpus_docs_hit"
+        ),
+    )
+
+
 def decontaminate_spans(
     corpus: DataFrame,
     benchmark: DataFrame,

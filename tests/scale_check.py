@@ -134,6 +134,9 @@ CONSISTENCY_QUERIES = [
     # r9: the per-bucket BFD kernel is a pure function of the bucket's
     # member set — assignment must not move with partitioning.
     "best_fit_pack",
+    # r9: leak accounting is exact set algebra over broadcast shingles —
+    # counts must not move with partitioning.
+    "benchmark_leak_report",
     "epoch_upsample",
     "ann_pq_topk",
     "ann_pq_recall",

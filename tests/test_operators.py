@@ -478,6 +478,73 @@ def test_shingle_contamination(spark):
     assert set(out) == {1, 2, 3, 4}
 
 
+def test_benchmark_leak_report(spark):
+    """Per-benchmark-example leak accounting (the GPT-3 §C table): exact
+    Python re-derivation of n_shingles / n_leaked / leak_frac /
+    docs-hit over planted overlaps, plus partitioning independence."""
+    import re
+    from collections import defaultdict
+
+    from restructure_hdfs_topic_spark.operators.dedup import (
+        benchmark_leak_report,
+    )
+
+    corpus_rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "quick brown fox jumps over something else entirely"),
+        (3, "completely unrelated words without any overlap here"),
+        (4, "the quick brown fox jumps again and again today"),
+    ]
+    bench_rows = [
+        (100, "the quick brown fox jumps over a fence"),
+        (101, "completely unrelated words without any overlap here"),
+        (102, "tiny"),  # < n tokens: zero shingles, leak_frac 0
+        (103, "nothing from this one appears in the training corpus"),
+    ]
+    corpus = spark.createDataFrame(corpus_rows, "doc_id long, text string")
+    bench = spark.createDataFrame(bench_rows, "doc_id long, text string")
+    n = 5
+    out = {
+        r["id"]: r
+        for r in benchmark_leak_report(
+            corpus, bench, "doc_id", "text", n=n
+        ).collect()
+    }
+
+    def sh(text):
+        toks = re.split(r"\s+", text.strip(" ").lower()) if text.strip(" ") else []
+        return {
+            " ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)
+        }
+
+    corpus_sh = {i: sh(t) for i, t in corpus_rows}
+    for bid, btext in bench_rows:
+        b = sh(btext)
+        leaked = {s for s in b if any(s in c for c in corpus_sh.values())}
+        docs_hit = {i for i, c in corpus_sh.items() if c & b}
+        r = out[bid]
+        assert r["n_shingles"] == len(b), bid
+        assert r["n_leaked_shingles"] == len(leaked), bid
+        assert r["n_corpus_docs_hit"] == len(docs_hit), bid
+        want_frac = round(len(leaked) / len(b), 6) if b else 0.0
+        assert abs(r["leak_frac"] - want_frac) < 1e-9, bid
+    assert set(out) == {100, 101, 102, 103}
+    # Semantics spot checks: 101 fully leaked (exact copy in corpus),
+    # 103 clean, 100 partially leaked from two docs.
+    assert out[101]["leak_frac"] == 1.0
+    assert out[103]["n_leaked_shingles"] == 0
+    assert 0 < out[100]["leak_frac"] < 1.0
+    assert out[100]["n_corpus_docs_hit"] >= 2
+    # Partitioning independence.
+    again = {
+        r["id"]: tuple(r)
+        for r in benchmark_leak_report(
+            corpus.repartition(5), bench.repartition(3), "doc_id", "text", n=n
+        ).collect()
+    }
+    assert again == {k: tuple(v) for k, v in out.items()}
+
+
 def test_approx_paths_partitioning_independent(spark):
     """SCALE.md claims determinism: IVF (exact-integer Lloyd) and simhash
     must produce identical results regardless of input partitioning."""

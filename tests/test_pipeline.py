@@ -528,6 +528,7 @@ def test_query_registry_consistency():
         "gopher_repetition",
         "dsir_select",
         "best_fit_pack",
+        "benchmark_leak_report",
         "epoch_upsample",
         "ann_pq_recall",
         "embedding_near_dup_lsh",
