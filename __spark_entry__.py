@@ -1535,6 +1535,23 @@ def q_benchmark_leak_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     return benchmark_leak_report(docs, bench, "doc_id", "text", n=5)
 
 
+def q_quality_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RedPajama-v2-style quality-signal ANNOTATION: every per-doc
+    signal family (Gopher quality + the 13 repetition fractions, C4
+    page flags, token/BPE counts, ratios, composite score, lang-ID,
+    fingerprint) as one shuffle-free single-scan projection — filtering
+    stays the consumer's policy.  Component-equality witness +
+    partitioning independence in tests/test_signals.py (bench/extras
+    surface)."""
+    from restructure_hdfs_topic_spark.plans.signals import (
+        annotate_quality_signals,
+    )
+
+    _conf(spark)
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return annotate_quality_signals(docs).drop("text")
+
+
 def q_best_fit_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     """No-split best-fit-decreasing packing (Ding et al. 2024): docs
     pack WHOLE into fixed-budget bins (only over-budget docs split, into
@@ -2220,6 +2237,9 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # Per-benchmark-example leak accounting; exact Python
         # re-derivation in tests/test_operators.py.
         "benchmark_leak_report": q_benchmark_leak_report,
+        # RPv2-style one-scan signal annotation; component-equality
+        # witness in tests/test_signals.py.
+        "quality_signals": q_quality_signals,
         # Crawl-health rollup (the records warc_ingest drops: redirects,
         # revisits, errors, quarantines); complement accounting pinned in
         # tests/test_warc.py::test_warc_crawl_health_complement.

@@ -66,6 +66,7 @@ BENCH_QUERIES = [
     "dsir_select",
     "best_fit_pack",
     "benchmark_leak_report",
+    "quality_signals",
     "epoch_upsample",
     "ann_pq_topk",
     "ann_pq_recall",

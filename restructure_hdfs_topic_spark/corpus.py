@@ -170,6 +170,15 @@ class Corpus:
             ).drop("log_importance", "gumbel_key")
         )
 
+    def quality_signals(self) -> DataFrame:
+        """Every per-document quality signal as columns (RedPajama-v2's
+        annotate-don't-filter shape) — one shuffle-free scan."""
+        from restructure_hdfs_topic_spark.plans.signals import (
+            annotate_quality_signals,
+        )
+
+        return annotate_quality_signals(self.df, self.text_col)
+
     def leak_report(
         self, benchmark: "Corpus | DataFrame", n: int = 13
     ) -> DataFrame:

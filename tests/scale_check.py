@@ -137,6 +137,9 @@ CONSISTENCY_QUERIES = [
     # r9: leak accounting is exact set algebra over broadcast shingles —
     # counts must not move with partitioning.
     "benchmark_leak_report",
+    # r9: the one-scan annotation is pure per-row projection — digest
+    # must not move with partitioning.
+    "quality_signals",
     "epoch_upsample",
     "ann_pq_topk",
     "ann_pq_recall",

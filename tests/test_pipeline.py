@@ -529,6 +529,7 @@ def test_query_registry_consistency():
         "dsir_select",
         "best_fit_pack",
         "benchmark_leak_report",
+        "quality_signals",
         "epoch_upsample",
         "ann_pq_recall",
         "embedding_near_dup_lsh",
