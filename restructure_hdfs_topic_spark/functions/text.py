@@ -491,7 +491,11 @@ def gopher_repetition_metrics(
     cost.  Everything is whole-stage-codegen JVM; no shuffle, no Python.
     Exact pure-Python cross-check: tests/test_repetition.py."""
     base = docs.columns
-    nonblank = lambda a: F.filter(a, lambda x: F.length(F.trim(x)) > 0)  # noqa: E731
+    # "Non-blank" = contains any non-whitespace char (Java \S, ASCII) —
+    # NOT length(trim(x)) > 0: trim strips the space character only, so
+    # a tab-only line would count as content and skew the dup fractions
+    # (the exact-Python witness model mirrors the \S semantics).
+    nonblank = lambda a: F.filter(a, lambda x: x.rlike(r"\S"))  # noqa: E731
     staged = docs.select(
         *base,
         nonblank(F.split(F.col(text_col), "\n")).alias("__rep_lines"),

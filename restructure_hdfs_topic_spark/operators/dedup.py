@@ -704,6 +704,24 @@ def simhash_component_edges(
     )
 
 
+def _doc_shingles(
+    df: DataFrame, id_col: str, text_col: str, n: int
+) -> DataFrame:
+    """``(id, shingle)`` — each document's DISTINCT n-token shingles,
+    exploded.  Shared by both contamination directions
+    (``shingle_contamination`` / ``benchmark_leak_report``) so the
+    shingle construction cannot silently diverge between them."""
+    from restructure_hdfs_topic_spark.functions.text import ngrams_from, tokens
+
+    toked = df.select(
+        F.col(id_col).alias("id"), tokens(F.col(text_col)).alias("toks")
+    )
+    grammed = toked.select("id", ngrams_from(F.col("toks"), n).alias("grams"))
+    return grammed.select(
+        "id", F.explode(F.array_distinct("grams")).alias("shingle")
+    )
+
+
 def shingle_contamination(
     corpus: DataFrame,
     benchmark: DataFrame,
@@ -725,20 +743,13 @@ def shingle_contamination(
 
     Returns (id, n_hit_shingles, contaminated) — one row per corpus doc.
     """
-    from restructure_hdfs_topic_spark.functions.text import ngrams_from, tokens
-
-    def shingles(df: DataFrame) -> DataFrame:
-        toked = df.select(
-            F.col(id_col).alias("id"), tokens(F.col(text_col)).alias("toks")
-        )
-        grammed = toked.select("id", ngrams_from(F.col("toks"), n).alias("grams"))
-        return grammed.select(
-            "id", F.explode(F.array_distinct("grams")).alias("shingle")
-        )
-
-    bench = shingles(benchmark).select("shingle").distinct()
+    bench = (
+        _doc_shingles(benchmark, id_col, text_col, n)
+        .select("shingle")
+        .distinct()
+    )
     hits = (
-        shingles(corpus)
+        _doc_shingles(corpus, id_col, text_col, n)
         .join(F.broadcast(bench), "shingle")
         .groupBy("id")
         .agg(F.count(F.lit(1)).alias("n_hit_shingles"))
@@ -1443,55 +1454,31 @@ def benchmark_leak_report(
     example→shingle pairs are small by definition — they BROADCAST; the
     corpus side explodes per-document distinct shingles and inner-joins
     the broadcast set map-side, so corpus bytes never shuffle and the
-    join output is bounded by (matched shingles × docs that hit).  Two
-    bounded aggregations follow (per (example, shingle) doc counts, then
-    per example).  Corpus documents with no hit contribute nothing;
-    benchmark examples with no hit survive via the final left join."""
-    from restructure_hdfs_topic_spark.functions.text import ngrams_from, tokens
-
-    def shingles(df: DataFrame) -> DataFrame:
-        toked = df.select(
-            F.col(id_col).alias("id"), tokens(F.col(text_col)).alias("toks")
-        )
-        grammed = toked.select("id", ngrams_from(F.col("toks"), n).alias("grams"))
-        return grammed.select(
-            "id", F.explode(F.array_distinct("grams")).alias("shingle")
-        )
-
-    bench = shingles(benchmark)
+    join output is bounded by (matched shingles × docs that hit).  The
+    corpus-sized pipeline is consumed exactly ONCE: a single bounded
+    aggregation over the example-joined hits yields both per-example
+    counts.  Corpus documents with no hit contribute nothing; benchmark
+    examples with no hit survive via the final left join."""
+    bench = _doc_shingles(benchmark, id_col, text_col, n)
     totals = bench.groupBy("id").agg(F.count(F.lit(1)).alias("n_shingles"))
     # (corpus_doc, shingle) hits — bounded by the broadcast benchmark set.
     hits = (
-        shingles(corpus)
+        _doc_shingles(corpus, id_col, text_col, n)
         .withColumnRenamed("id", "__corpus_id")
         .join(F.broadcast(bench.select("shingle").distinct()), "shingle")
     )
-    # Per-shingle corpus stats (bounded: ≤ benchmark shingle count rows).
-    per_shingle = hits.groupBy("shingle").agg(
-        F.count(F.lit(1)).alias("__n_docs")
-    )
+    # ONE pass over the corpus-derived hits: join back to the example
+    # map (broadcast) and take both distinct counts per example.
     per_example = (
-        bench.join(per_shingle, "shingle", "left")
+        hits.join(F.broadcast(bench), "shingle")
         .groupBy("id")
         .agg(
-            F.sum(
-                F.when(F.col("__n_docs").isNotNull(), 1).otherwise(0)
-            ).cast("bigint").alias("n_leaked_shingles"),
+            F.count_distinct("shingle").alias("n_leaked_shingles"),
+            F.count_distinct("__corpus_id").alias("n_corpus_docs_hit"),
         )
     )
-    # Distinct corpus docs per example: re-join hits to the example map
-    # (both sides bounded) and count distinct doc ids.
-    docs_hit = (
-        bench.join(hits, "shingle")
-        .groupBy("id")
-        .agg(F.count_distinct("__corpus_id").alias("n_corpus_docs_hit"))
-    )
     ids = benchmark.select(F.col(id_col).alias("id"))
-    out = (
-        ids.join(totals, "id", "left")
-        .join(per_example, "id", "left")
-        .join(docs_hit, "id", "left")
-    )
+    out = ids.join(totals, "id", "left").join(per_example, "id", "left")
     n_sh = F.coalesce("n_shingles", F.lit(0)).cast("bigint")
     n_leak = F.coalesce("n_leaked_shingles", F.lit(0)).cast("bigint")
     return out.select(

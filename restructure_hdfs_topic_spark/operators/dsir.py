@@ -42,7 +42,6 @@ from restructure_hdfs_topic_spark.functions.text import (
     poly_hash,
     tokens,
 )
-from restructure_hdfs_topic_spark.operators.sampling import MOD, hash_bucket
 
 
 def dsir_ngram_counts(
@@ -162,15 +161,22 @@ def dsir_select(
     sampled without replacement with probability ∝ their importance
     weight — raw's columns plus ``log_importance`` and the
     ``gumbel_key`` that ranked them.  Deterministic: the Gumbel uniform
-    is the row's own hash bucket; ties (already measure-zero) break by
-    id.  The selected id set is k rows — AQE broadcasts the join back
-    to raw's columns while small and shuffles at scale."""
+    is the row's own polynomial STRING hash (``poly_hash`` — NOT
+    ``hash_bucket``, which casts ids to long and would NULL every
+    string/UUID id, silently degenerating selection to the k smallest
+    ids); ties (already measure-zero) break by id.  The selected id set
+    is k rows — AQE broadcasts the join back to raw's columns while
+    small and shuffles at scale."""
+    from restructure_hdfs_topic_spark.functions.text import HASH_MOD
+
     if k <= 0:
         raise ValueError("k must be positive")
     scored = dsir_importance(
         raw, target, id_col, text_col, n_buckets, smoothing
     )
-    u = (hash_bucket(id_col) + F.lit(0.5)) / F.lit(float(MOD))
+    u = (poly_hash(F.col(id_col).cast("string")) + F.lit(0.5)) / F.lit(
+        float(HASH_MOD)
+    )
     key = F.round(F.col("log_importance") - F.log(-F.log(u)), 6)
     picked = (
         scored.select(id_col, "log_importance", key.alias("gumbel_key"))

@@ -289,7 +289,14 @@ def best_fit_pack(
 
     staged = docs.select(
         F.col(id_col),
-        F.coalesce(F.col(n_tokens_col).cast("bigint"), F.lit(0)).alias("__n"),
+        # Clamp negatives (a bad upstream count) as well as NULLs: a
+        # negative chunk size would corrupt bin accounting (remaining
+        # capacity above budget, overlapping offsets) — and the exact
+        # Python witness model clamps the same way.
+        F.greatest(
+            F.coalesce(F.col(n_tokens_col).cast("bigint"), F.lit(0)),
+            F.lit(0),
+        ).alias("__n"),
     ).withColumn(
         "__bucket",
         F.pmod(

@@ -31,12 +31,14 @@ from restructure_hdfs_topic_spark.functions.text import (
     bpe_token_count,
     gopher_metrics,
     gopher_repetition_metrics,
-    lang_id,
+    lang_id_from_scores,
+    lang_scores_from,
     poly_hash,
     punct_ratio,
     quality_score_from,
-    stopword_ratio,
-    token_count,
+    stopword_ratio_from,
+    token_count_from,
+    tokens,
 )
 
 
@@ -47,25 +49,57 @@ def annotate_quality_signals(
     implements, as one lazy single-scan plan.  Filtering stays the
     caller's policy: ``df.filter(gopher_passes(...))`` /
     ``gopher_repetition_passes()`` / any custom threshold over the
-    signal columns."""
+    signal columns.
+
+    Staging discipline: the token array projects ONCE and the
+    token-consuming signals use the ``*_from`` variants off the column
+    reference — re-inlining ``tokens(text)`` into each signal would
+    re-split the text per signal (the engine's measured ~8× trap,
+    text.py's own reason the ``_from`` family exists).  The
+    per-language marker scores also stage as real columns before the
+    argmax CASE chain (``lang_id_from_scores``' documented contract)."""
     base = docs.columns
     t = F.col(text_col)
     low = F.lower(t)
-    n_tokens = token_count(t)
-    punct = punct_ratio(t)
-    stop = stopword_ratio(t)
-    flat = [
-        ("n_tokens", n_tokens),
-        ("n_bpe_tokens", bpe_token_count(t)),
-        ("punct_ratio", punct),
-        ("stopword_ratio", stop),
-        ("quality_score", quality_score_from(n_tokens, punct, stop)),
-        ("lang_id", lang_id(t)),
-        ("fingerprint", poly_hash(t)),
-        ("has_curly_brace", low.contains("{") | low.contains("}")),
-        ("has_lorem_ipsum", low.contains("lorem ipsum")),
-        ("has_javascript", low.contains("javascript")),
-        *gopher_metrics(t),
-    ]
-    annotated = docs.select(*base, *[c.alias(n) for n, c in flat])
-    return gopher_repetition_metrics(annotated, text_col)
+    stage1 = docs.select(
+        *base,
+        tokens(t).alias("__toks"),
+        punct_ratio(t).alias("punct_ratio"),
+        bpe_token_count(t).alias("n_bpe_tokens"),
+        poly_hash(t).alias("fingerprint"),
+        (low.contains("{") | low.contains("}")).alias("has_curly_brace"),
+        low.contains("lorem ipsum").alias("has_lorem_ipsum"),
+        low.contains("javascript").alias("has_javascript"),
+        *[c.alias(n) for n, c in gopher_metrics(t)],
+    )
+    toks = F.col("__toks")
+    lang_scores = lang_scores_from(toks)
+    score_names = [f"__lang_{code}" for code, _ in lang_scores]
+    stage2 = stage1.select(
+        "*",
+        token_count_from(toks).alias("n_tokens"),
+        stopword_ratio_from(toks).alias("stopword_ratio"),
+        *[c.alias(n) for (_, c), n in zip(lang_scores, score_names)],
+    )
+    stage3 = stage2.select(
+        *base,
+        "n_tokens",
+        "n_bpe_tokens",
+        "punct_ratio",
+        "stopword_ratio",
+        quality_score_from(
+            F.col("n_tokens"), F.col("punct_ratio"), F.col("stopword_ratio")
+        ).alias("quality_score"),
+        lang_id_from_scores(
+            [
+                (code, F.col(n))
+                for (code, _), n in zip(lang_scores, score_names)
+            ]
+        ).alias("lang_id"),
+        "fingerprint",
+        "has_curly_brace",
+        "has_lorem_ipsum",
+        "has_javascript",
+        *[n for n, _ in gopher_metrics(t)],
+    )
+    return gopher_repetition_metrics(stage3, text_col)

@@ -77,6 +77,7 @@ def _docs(spark):
         (7, 5000),  # oversize: 2 full chunks + 904 remainder
         (8, 0), (9, None), (10, 1), (11, 2047), (12, 1024), (13, 1024),
         (14, 700), (15, 650), (16, 600),
+        (17, -5),  # bad upstream count: clamps to a zero-length chunk
     ]
     return spark.createDataFrame(rows, "doc_id long, n_tokens long")
 

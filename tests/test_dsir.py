@@ -22,8 +22,6 @@ pytestmark = pytest.mark.skipif(
 
 HASH_MOD = 2_147_483_647
 HASH_BASE = 131
-KNUTH = 2654435761
-MOD = 1 << 32
 
 
 def _tokens(text):
@@ -49,8 +47,6 @@ def _doc_counts(text, n_buckets):
     return Counter(_phash(g) % n_buckets for g in _grams(text))
 
 
-def _hash_bucket(i):
-    return ((i % MOD) * KNUTH) % MOD
 
 
 def _model(raw_rows, target_rows, n_buckets, smoothing, k):
@@ -76,7 +72,7 @@ def _model(raw_rows, target_rows, n_buckets, smoothing, k):
     }
     keys = {}
     for i in scores:
-        u = (_hash_bucket(i) + 0.5) / MOD
+        u = (_phash(str(i)) + 0.5) / HASH_MOD
         keys[i] = round(scores[i] - math.log(-math.log(u)), 6)
     sel = sorted(keys, key=lambda i: (-keys[i], i))[:k]
     return scores, sel
@@ -175,3 +171,27 @@ def test_dsir_validates_k(spark):
     target = spark.createDataFrame(target_rows, "doc_id long, text string")
     with pytest.raises(ValueError):
         dsir_select(raw, target, k=0)
+
+
+def test_dsir_string_ids(spark):
+    """String/UUID ids must get REAL Gumbel keys (hash_bucket would cast
+    them to long -> NULL and silently pick the k smallest ids)."""
+    from restructure_hdfs_topic_spark.operators.dsir import dsir_select
+
+    raw_rows, target_rows = _edge_rows()
+    raw = spark.createDataFrame(
+        [(f"url-{i}", t) for i, t in raw_rows], "doc_id string, text string"
+    )
+    target = spark.createDataFrame(
+        [(f"b-{i}", t) for i, t in target_rows], "doc_id string, text string"
+    )
+    k = 3
+    picked = dsir_select(raw, target, k=k).collect()
+    assert len(picked) == k
+    assert all(r["gumbel_key"] is not None for r in picked)
+    scores, sel = _model(
+        [(f"url-{i}", t) for i, t in raw_rows],
+        [(f"b-{i}", t) for i, t in target_rows],
+        10_000, 1.0, k,
+    )
+    assert sorted(r["doc_id"] for r in picked) == sorted(sel)

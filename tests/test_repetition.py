@@ -59,8 +59,11 @@ def _model(text):
 
         return math.floor(num / den * 1e6 + 0.5) / 1e6 if den > 0 else 0.0
 
-    lines = [l for l in text.split("\n") if l.strip()]
-    paras = [p for p in re.split(r"\n{2,}", text) if p.strip()]
+    # "Non-blank" mirrors the engine's Java \S (ASCII whitespace set) —
+    # Python str.strip() would also strip unicode whitespace like NBSP.
+    blank = re.compile(r"[^ \t\n\x0b\f\r]")
+    lines = [l for l in text.split("\n") if blank.search(l)]
+    paras = [p for p in re.split(r"\n{2,}", text) if blank.search(p)]
     nd_l, ch_l = dup_stats(lines)
     nd_p, ch_p = dup_stats(paras)
     out = {
