@@ -61,6 +61,8 @@ def curate_corpus(
     lang_max_distance: int | None = None,
     lang_max_chars: int | None = 4096,
     repetition_filters: bool = False,
+    c4_rules: bool = False,
+    c4_badwords: tuple = (),
 ) -> DataFrame:
     """The full curation chain as ONE composed DataFrame.
 
@@ -104,6 +106,11 @@ def curate_corpus(
     ``gopher_repetition_metrics``) right after the quality gate — the
     paper applies both heuristic families together.
 
+    ``c4_rules=True`` adds C4's cleaning heuristics (``c4_clean``: line
+    keep + page drops, optional ``c4_badwords``) between the language
+    gate and the Gopher gate — C4 cleans lines before judging pages,
+    and the Gopher rules then score the retained prose.
+
     ``decontaminate_benchmark`` adds GPT-3 §C surgical benchmark
     decontamination after the span scrub (before near-dup): spans
     colliding with the benchmark's ``decontaminate_n``-gram set are
@@ -142,6 +149,14 @@ def curate_corpus(
             docs, lang_profiles, allowed_langs, lang_max_distance,
             id_col, text_col, max_chars=lang_max_chars,
         )
+
+    # 0.8 (optional). C4 cleaning — line-level keep + page-level drops
+    # BEFORE the Gopher gate (C4 cleans lines first; the quality rules
+    # then judge the retained prose, not the dropped chrome).
+    if c4_rules:
+        from restructure_hdfs_topic_spark.functions.text import c4_clean
+
+        docs = c4_clean(docs, text_col, badwords=tuple(c4_badwords))
 
     # 1. Gopher quality gate (keep original columns; metrics are transient).
     metrics = gopher_metrics(F.col(text_col))
@@ -398,6 +413,8 @@ def curation_stage_counts(
     lang_max_chars: int | None = 4096,
     epoch_factors: dict[str, float] | None = None,
     repetition_filters: bool = False,
+    c4_rules: bool = False,
+    c4_badwords: tuple = (),
 ) -> dict[str, int]:
     """Per-stage survivor counts (monitoring/attrition report) — each stage
     evaluated once, mirroring ``curate_corpus``'s stage order (including
@@ -422,6 +439,11 @@ def curation_stage_counts(
             id_col, text_col, max_chars=lang_max_chars,
         )
         out["after_lang_gate"] = docs.count()
+    if c4_rules:
+        from restructure_hdfs_topic_spark.functions.text import c4_clean
+
+        docs = c4_clean(docs, text_col, badwords=tuple(c4_badwords))
+        out["after_c4_rules"] = docs.count()
     metrics = gopher_metrics(F.col(text_col))
     gated = (
         docs.select(*docs.columns, *[c.alias(n) for n, c in metrics])

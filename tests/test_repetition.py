@@ -212,3 +212,40 @@ def test_curate_corpus_repetition_stage(spark):
     # Manifest row count tracks the stage-counts pipeline.
     manifest = curate_corpus(docs, repetition_filters=True)
     assert manifest.count() == counts["after_near_dup_drop"]
+
+
+def test_curate_corpus_c4_stage(spark):
+    """c4_rules composes C4 cleaning between the language gate and the
+    Gopher gate; mirrored in curation_stage_counts."""
+    import os
+
+    from restructure_hdfs_topic_spark.plans.curation import (
+        curation_stage_counts,
+    )
+    from restructure_hdfs_topic_spark.sources.tables import (
+        configure,
+        load_table,
+    )
+
+    configure(spark)
+    docs = load_table(
+        spark, os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"),
+        "documents",
+    )
+    # The raw synthetic text has no terminal punctuation: C4's line keep
+    # legitimately empties every page, so sentence-ify first (the same
+    # prep the c4_clean extras query uses).
+    from pyspark.sql import functions as F
+
+    prepped = docs.withColumn(
+        "text",
+        F.concat(
+            F.regexp_replace("text", r"\b(table|row|line|query)\b", "$1."),
+            F.lit("."),
+        ),
+    )
+    counts = curation_stage_counts(prepped, c4_rules=True)
+    assert "after_c4_rules" in counts
+    assert 0 < counts["after_c4_rules"] <= counts["input"]
+    assert counts["after_quality_gate"] <= counts["after_c4_rules"]
+    assert "after_c4_rules" not in curation_stage_counts(docs)
