@@ -5,9 +5,11 @@ target corpus, using hashed n-gram bag models.
 The published recipe, re-expressed as lazy DataFrame algebra:
 
 1. **Features** — every document is a bag of hashed unigram+bigram
-   counts over ``n_buckets`` buckets (the paper uses 10k).  The hash is
-   the repo-standard polynomial fingerprint (``functions.text.
-   poly_hash``), so features are engine-portable integers.
+   counts over ``n_buckets`` buckets (the paper uses 10k).  Unigrams
+   hash with the repo-standard polynomial fingerprint
+   (``functions.text.poly_hash``); bigrams combine the two token hashes
+   arithmetically (see ``dsir_ngram_counts``) — engine-portable
+   integers throughout.
 2. **Fit** — smoothed bucket unigram models ``p_target`` / ``p_raw``
    from global bucket counts (two map-side-combined aggregations of at
    most ``n_buckets`` rows each — bounded regardless of corpus size).
@@ -37,11 +39,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from restructure_hdfs_topic_spark.functions.text import (
-    ngrams_from,
-    poly_hash,
-    tokens,
-)
+from restructure_hdfs_topic_spark.functions.text import poly_hash, tokens
+
+
+#: Bigram combiner multiplier (any odd constant < sqrt(HASH_MOD) works;
+#: mirrored by the exact-Python witness model).
+BIGRAM_MULT = 8191
 
 
 def dsir_ngram_counts(
@@ -51,24 +54,41 @@ def dsir_ngram_counts(
     n_buckets: int = 10_000,
 ) -> DataFrame:
     """``(id, bucket, cnt)`` hashed unigram+bigram counts per document.
-    The gram arrays are projected as REAL columns before the explode
-    (the engine's measured CollapseProject trap: a re-inlined tokenizer
-    would re-split the text per gram)."""
+
+    Hashing cost discipline: higher-order folds are INTERPRETED per
+    element, so the polynomial char-fold runs once per TOKEN only; the
+    bigram feature hash is the arithmetic combination
+    ``(h(w1)·8191 + h(w2)) mod p`` of adjacent token hashes — never a
+    char-fold over a joined bigram string (measured ~3× the total
+    operator cost at sf1; DSIR only needs a deterministic bucket, not
+    any particular string hash).  Arrays are projected as REAL columns
+    before reuse (the engine's measured CollapseProject trap)."""
+    from restructure_hdfs_topic_spark.functions.text import HASH_MOD
+
     toks = docs.select(
         F.col(id_col), tokens(F.col(text_col)).alias("__toks")
     )
-    grams = toks.select(
+    hashed = toks.select(
         F.col(id_col),
-        F.concat(
-            F.col("__toks"), ngrams_from(F.col("__toks"), 2)
-        ).alias("__grams"),
+        F.transform(F.col("__toks"), lambda t: poly_hash(t)).alias("__th"),
+    )
+    n = F.size("__th")
+    bigrams = F.when(n < 2, F.array().cast("array<bigint>")).otherwise(
+        F.zip_with(
+            F.slice(F.col("__th"), 1, n - 1),
+            F.slice(F.col("__th"), 2, n - 1),
+            lambda a, b: (a * F.lit(BIGRAM_MULT) + b) % F.lit(HASH_MOD),
+        )
+    )
+    grams = hashed.select(
+        F.col(id_col), F.concat(F.col("__th"), bigrams).alias("__gh")
     )
     exploded = grams.select(
-        F.col(id_col), F.explode("__grams").alias("__g")
+        F.col(id_col), F.explode("__gh").alias("__h")
     )
     return exploded.select(
         F.col(id_col),
-        F.pmod(poly_hash(F.col("__g")), F.lit(n_buckets)).alias("bucket"),
+        F.pmod(F.col("__h"), F.lit(n_buckets)).alias("bucket"),
     ).groupBy(id_col, "bucket").agg(F.count(F.lit(1)).alias("cnt"))
 
 

@@ -38,13 +38,23 @@ def _phash(s):
     return acc
 
 
-def _grams(text):
-    toks = _tokens(text)
-    return toks + [" ".join(toks[i : i + 2]) for i in range(len(toks) - 1)]
+BIGRAM_MULT = 8191
+
+
+def _gram_hashes(text):
+    """Unigram token hashes + arithmetic bigram combinations — mirrors
+    dsir_ngram_counts' hashing exactly (the bigram feature hash is
+    (h1·8191 + h2) mod p of adjacent TOKEN hashes, never a char-fold
+    over a joined string)."""
+    th = [_phash(t) for t in _tokens(text)]
+    return th + [
+        (th[i] * BIGRAM_MULT + th[i + 1]) % HASH_MOD
+        for i in range(len(th) - 1)
+    ]
 
 
 def _doc_counts(text, n_buckets):
-    return Counter(_phash(g) % n_buckets for g in _grams(text))
+    return Counter(h % n_buckets for h in _gram_hashes(text))
 
 
 
@@ -129,10 +139,12 @@ def test_dsir_matches_python_model_on_edges(spark):
     assert picked.columns == ["doc_id", "text", "log_importance", "gumbel_key"]
     # English-looking raw docs outrank the German/unrelated ones.  DSIR
     # weights are length-sensitive (a bag-model log likelihood ratio
-    # SUMS per gram), so compare per-gram for the different-length pair.
-    assert got[1] > got[2]
-    n3, n4 = len(_grams(raw_rows[2][1])), len(_grams(raw_rows[3][1]))
-    assert got[3] / n3 > got[4] / n4
+    # SUMS per gram), so compare PER-GRAM across different-length docs.
+    per_gram = {
+        i: got[i] / len(_gram_hashes(t)) for i, t in raw_rows if _tokens(t)
+    }
+    assert per_gram[1] > per_gram[2]
+    assert per_gram[3] > per_gram[4]
 
 
 def test_dsir_enrichment_and_partitioning(spark):
