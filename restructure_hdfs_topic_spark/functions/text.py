@@ -399,38 +399,12 @@ def _sorted_dup_stats(arr: Column) -> Column:
     )
 
 
-def _top_gram_coverage(grams: Column) -> Column:
-    """Character coverage of the MOST FREQUENT gram: max over distinct
-    grams of ``count · length(gram)`` (bigint; 0 for an empty array).
-    Same sorted-adjacency fold as ``_sorted_dup_stats`` — the running
-    ``count · length`` is maximal at the end of each equal run, so a
-    per-step ``greatest`` needs no second pass and no tie-break (the
-    result is a max of numbers, not a gram choice)."""
-    s = F.sort_array(grams)
-    zero = F.struct(
-        F.lit(None).cast("string").alias("prev"),
-        F.lit(0).cast("bigint").alias("run"),
-        F.lit(0).cast("bigint").alias("best"),
-    )
-    return F.aggregate(
-        s,
-        zero,
-        lambda acc, x: F.struct(
-            x.alias("prev"),
-            F.when(x == acc["prev"], acc["run"] + 1)
-            .otherwise(F.lit(1))
-            .cast("bigint")
-            .alias("run"),
-            F.greatest(
-                acc["best"],
-                F.when(x == acc["prev"], acc["run"] + 1)
-                .otherwise(F.lit(1))
-                .cast("bigint")
-                * F.length(x).cast("bigint"),
-            ).alias("best"),
-        ),
-        lambda acc: acc["best"],
-    )
+#: Rolling combiner for word-n-gram hashes (any odd constant <
+#: sqrt(HASH_MOD)); packed key = gram_hash · 2^21 + min(gram_chars,
+#: 2^21-1) — hash < 2^31 keeps the product < 2^52, safe int64.
+#: Mirrored by the exact-Python witness model.
+GRAM_HASH_MULT = 8191
+GRAM_LEN_PACK = 1 << 21
 
 
 #: Gopher/MassiveText repetition thresholds (Rae et al. 2021, table A1):
@@ -474,6 +448,13 @@ def gopher_repetition_metrics(
       inherently sequential); this upper-bounds the paper's fraction and
       only errs toward dropping MORE repetitive text, the rule's intent.
 
+    N-gram identity is the packed (rolling-hash, char-length) int64 key
+    — gram strings are NEVER constructed (string building measured ~2/3
+    of a pure-JVM fold implementation's cost); a (hash, length)
+    collision between distinct grams is the only way counts can differ
+    from string-exact, and the exact-Python witness model mirrors the
+    same keys.
+
     All ratios round to 6 decimals (cross-engine convention).  NULL or
     empty text yields all-zero metrics, so such rows PASS the gate —
     the same keep-NULL convention as ``c4_clean``/``line_corrections``
@@ -483,13 +464,17 @@ def gopher_repetition_metrics(
     of its characters) — compose with ``gopher_passes``' word bounds,
     as the paper does.
 
-    Scale shape: every array (lines, paragraphs, tokens, one gram array
-    per n) is projected as a REAL column in a staged select before the
-    folds consume it — Catalyst re-inlines multi-referenced expressions
-    (the engine's measured CollapseProject trap), and a re-inlined
-    O(words) gram build inside an O(g log g) fold would square the row
-    cost.  Everything is whole-stage-codegen JVM; no shuffle, no Python.
-    Exact pure-Python cross-check: tests/test_repetition.py."""
+    Scale shape: the line/paragraph metrics are JVM sorted-adjacency
+    folds over staged array projections (cheap — dozens of entries per
+    doc); the nine n-gram metrics are ONE Arrow ``mapInPandas`` kernel,
+    batch-vectorized ACROSS documents (token hashes cached per distinct
+    token, all nine rolling hash/length passes as whole-batch numpy ops,
+    one lexsort + run-length encode per n) — the engine's measured rule
+    that bulk hash math belongs in an Arrow kernel, not interpreted
+    higher-order folds (three JVM variants measured 0.7-8 ms/doc; the
+    kernel ~0.05 ms/doc).  One Python crossing, no shuffle; per-row pure
+    function, so partitioning-independent.  Exact pure-Python
+    cross-check: tests/test_repetition.py."""
     base = docs.columns
     # "Non-blank" = contains any non-whitespace char (Java \S, ASCII) —
     # NOT length(trim(x)) > 0: trim strips the space character only, so
@@ -500,68 +485,145 @@ def gopher_repetition_metrics(
         *base,
         nonblank(F.split(F.col(text_col), "\n")).alias("__rep_lines"),
         nonblank(F.split(F.col(text_col), "\n{2,}")).alias("__rep_paras"),
-        tokens(F.col(text_col)).alias("__rep_toks"),
         F.length(F.col(text_col)).cast("bigint").alias("__rep_tlen"),
-    )
-    staged = staged.select(
-        *base,
-        "__rep_lines",
-        "__rep_paras",
-        "__rep_tlen",
-        *[
-            ngrams_from(F.col("__rep_toks"), n).alias(f"__rep_g{n}")
-            for n in range(2, 11)
-        ],
     )
     sum_len = lambda a: F.aggregate(  # noqa: E731
         a, F.lit(0).cast("bigint"), lambda acc, x: acc + F.length(x)
     )
+    # floor(x·1e6 + 0.5)/1e6, NOT F.round: the n-gram kernel rounds in
+    # numpy where this formula is the vectorizable one, and F.round
+    # (shortest-repr HALF_UP) disagrees with it on float boundary cases
+    # — one formula everywhere keeps engine, kernel, and witness model
+    # bit-identical.
+    frac = lambda num, den: F.when(  # noqa: E731
+        den > 0,
+        F.floor(num.cast("double") / den.cast("double") * F.lit(1e6) + F.lit(0.5))
+        / F.lit(1e6),
+    ).otherwise(F.lit(0.0))
+    line_st = _sorted_dup_stats(F.col("__rep_lines"))
+    para_st = _sorted_dup_stats(F.col("__rep_paras"))
     staged = staged.select(
         *base,
-        "__rep_tlen",
-        _sorted_dup_stats(F.col("__rep_lines")).alias("__rep_line_st"),
-        _sorted_dup_stats(F.col("__rep_paras")).alias("__rep_para_st"),
-        F.size("__rep_lines").cast("bigint").alias("__rep_nlines"),
-        F.size("__rep_paras").cast("bigint").alias("__rep_nparas"),
-        sum_len(F.col("__rep_lines")).alias("__rep_linechars"),
-        sum_len(F.col("__rep_paras")).alias("__rep_parachars"),
-        *[
-            _top_gram_coverage(F.col(f"__rep_g{n}")).alias(f"__rep_top{n}")
-            for n in (2, 3, 4)
-        ],
-        *[
-            _sorted_dup_stats(F.col(f"__rep_g{n}"))["c"].alias(f"__rep_dup{n}")
-            for n in range(5, 11)
-        ],
+        line_st.alias("__l"),
+        para_st.alias("__p"),
+        F.size("__rep_lines").cast("bigint").alias("__nl"),
+        F.size("__rep_paras").cast("bigint").alias("__np"),
+        sum_len(F.col("__rep_lines")).alias("__lc"),
+        sum_len(F.col("__rep_paras")).alias("__pc"),
+        F.col("__rep_tlen"),
+    ).select(
+        *base,
+        frac(F.col("__l")["n"], F.col("__nl")).alias("dup_line_frac"),
+        frac(F.col("__p")["n"], F.col("__np")).alias("dup_para_frac"),
+        frac(F.col("__l")["c"], F.col("__lc")).alias("dup_line_char_frac"),
+        frac(F.col("__p")["c"], F.col("__pc")).alias("dup_para_char_frac"),
     )
-    frac = lambda num, den: F.round(  # noqa: E731
-        F.when(den > 0, num.cast("double") / den.cast("double")).otherwise(
-            F.lit(0.0)
-        ),
-        6,
-    )
-    tlen = F.col("__rep_tlen")
-    out = [
-        ("dup_line_frac", frac(F.col("__rep_line_st")["n"], F.col("__rep_nlines"))),
-        ("dup_para_frac", frac(F.col("__rep_para_st")["n"], F.col("__rep_nparas"))),
-        (
-            "dup_line_char_frac",
-            frac(F.col("__rep_line_st")["c"], F.col("__rep_linechars")),
-        ),
-        (
-            "dup_para_char_frac",
-            frac(F.col("__rep_para_st")["c"], F.col("__rep_parachars")),
-        ),
-        *[
-            (f"top_{n}gram_char_frac", frac(F.col(f"__rep_top{n}"), tlen))
-            for n in (2, 3, 4)
-        ],
-        *[
-            (f"dup_{n}gram_char_frac", frac(F.col(f"__rep_dup{n}"), tlen))
-            for n in range(5, 11)
-        ],
+    gram_cols = [f"top_{n}gram_char_frac" for n in (2, 3, 4)] + [
+        f"dup_{n}gram_char_frac" for n in range(5, 11)
     ]
-    return staged.select(*base, *[c.alias(n) for n, c in out])
+    out_schema = ", ".join(
+        [f"`{f.name}` {f.dataType.simpleString()}" for f in staged.schema.fields]
+        + [f"{c} double" for c in gram_cols]
+    )
+    kernel = _ngram_repetition_kernel(text_col, gram_cols)
+    return staged.mapInPandas(kernel, out_schema)
+
+
+def _ngram_repetition_kernel(text_col: str, gram_cols: list[str]):
+    """Arrow kernel for the nine n-gram repetition fractions —
+    batch-vectorized ACROSS documents: tokens hash once per distinct
+    token (Zipf cache), all rolling hash/length passes are whole-batch
+    numpy ops over the concatenated token stream (windows crossing a
+    document boundary masked out), and each n costs one lexsort +
+    run-length encode.  Rounding is half-up ×1e6 — the same formula the
+    witness model uses."""
+
+    def kernel(batches):
+        import re
+
+        import numpy as np
+        import pandas as pd
+
+        ws = re.compile(r"\s+")
+        cache: dict[str, int] = {}
+
+        def phash(w: str) -> int:
+            h = cache.get(w)
+            if h is None:
+                acc = 0
+                for ch in w:
+                    acc = (acc * HASH_BASE + ord(ch)) % HASH_MOD
+                cache[w] = h = acc
+            return h
+
+        P, M, PACK = HASH_MOD, GRAM_HASH_MULT, GRAM_LEN_PACK
+        for pdf in batches:
+            n_docs = len(pdf)
+            if not n_docs:
+                continue
+            toks = []
+            tlen = np.zeros(n_docs, dtype=np.int64)
+            for j, t in enumerate(pdf[text_col]):
+                s = "" if t is None else t
+                tlen[j] = len(s)
+                s = s.strip(" ").lower()
+                toks.append(ws.split(s) if s else [])
+            counts = np.fromiter(
+                (len(x) for x in toks), dtype=np.int64, count=n_docs
+            )
+            flat = [w for doc in toks for w in doc]
+            H = np.fromiter(
+                (phash(w) for w in flat), dtype=np.int64, count=len(flat)
+            )
+            L = np.fromiter(
+                (len(w) for w in flat), dtype=np.int64, count=len(flat)
+            )
+            doc = np.repeat(np.arange(n_docs), counts)
+            res = {}
+            h_roll, l_roll = H, L
+            for n in range(2, 11):
+                name = (
+                    f"top_{n}gram_char_frac"
+                    if n <= 4
+                    else f"dup_{n}gram_char_frac"
+                )
+                if len(H) >= n:
+                    h_roll = (h_roll[:-1] * M + H[n - 1 :]) % P
+                    l_roll = l_roll[:-1] + L[n - 1 :] + 1
+                    valid = doc[: len(h_roll)] == doc[n - 1 :]
+                    d = doc[: len(h_roll)][valid]
+                    k = h_roll[valid] * PACK + np.minimum(
+                        l_roll[valid], PACK - 1
+                    )
+                else:
+                    d = np.empty(0, np.int64)
+                    k = d
+                order = np.lexsort((k, d))
+                d_s, k_s = d[order], k[order]
+                new = np.ones(len(k_s), dtype=bool)
+                if len(k_s):
+                    new[1:] = (k_s[1:] != k_s[:-1]) | (d_s[1:] != d_s[:-1])
+                idx = np.flatnonzero(new)
+                runs = np.diff(np.append(idx, len(k_s)))
+                lens = k_s[idx] % PACK
+                run_doc = d_s[idx]
+                acc = np.zeros(n_docs, dtype=np.int64)
+                if n <= 4:
+                    np.maximum.at(acc, run_doc, runs * lens)
+                else:
+                    np.add.at(acc, run_doc, (runs - 1) * lens)
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    res[name] = np.where(
+                        tlen > 0,
+                        np.floor(acc / np.maximum(tlen, 1) * 1e6 + 0.5) / 1e6,
+                        0.0,
+                    )
+            out = pdf.copy()
+            for c in gram_cols:
+                out[c] = res[c]
+            yield out
+
+    return kernel
 
 
 def gopher_repetition_passes(

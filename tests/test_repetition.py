@@ -79,16 +79,34 @@ def _model(text):
     words = re.split(r"\s+", stripped) if stripped else []
     tlen = len(text)
 
-    def ngrams(n):
-        return [" ".join(words[i : i + n]) for i in range(len(words) - n + 1)]
+    # N-gram identity mirrors the engine's packed (rolling-hash, len)
+    # int64 key (_packed_grams) — gram strings are never built there.
+    HASH_MOD, HASH_BASE, MULT, PACK = 2_147_483_647, 131, 8191, 1 << 21
+    th = []
+    for w in words:
+        acc = 0
+        for ch in w:
+            acc = (acc * HASH_BASE + ord(ch)) % HASH_MOD
+        th.append(acc)
+    tl = [len(w) for w in words]
+
+    def packed(n):
+        out_keys = []
+        for i in range(len(words) - n + 1):
+            h = 0
+            for x in th[i : i + n]:
+                h = (h * MULT + x) % HASH_MOD
+            ln = min(sum(tl[i : i + n]) + n - 1, PACK - 1)
+            out_keys.append(h * PACK + ln)
+        return out_keys
 
     for n in (2, 3, 4):
-        c = Counter(ngrams(n))
-        top = max((cnt * len(g) for g, cnt in c.items()), default=0)
+        c = Counter(packed(n))
+        top = max((cnt * (k % PACK) for k, cnt in c.items()), default=0)
         out[f"top_{n}gram_char_frac"] = frac(top, tlen)
     for n in range(5, 11):
-        c = Counter(ngrams(n))
-        dup = sum((cnt - 1) * len(g) for g, cnt in c.items())
+        c = Counter(packed(n))
+        dup = sum((cnt - 1) * (k % PACK) for k, cnt in c.items())
         out[f"dup_{n}gram_char_frac"] = frac(dup, tlen)
     return out
 
