@@ -1493,10 +1493,12 @@ def q_c4_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher/MassiveText REPETITION filters (Rae et al. 2021 table A1):
-    all 13 within-document repetition fractions (dup lines/paragraphs,
-    top-{2,3,4}-gram and dup-{5..10}-gram character coverage) as one
-    staged JVM projection — sorted-adjacency folds, O(g log g) per row,
-    no shuffle, no Python.  Exact pure-Python re-derivation +
+    all 13 within-document repetition fractions.  Line/paragraph
+    metrics are JVM sorted-adjacency folds; the nine n-gram fractions
+    are ONE Arrow mapInPandas kernel batch-vectorized across documents
+    on packed (rolling-hash, char-length) int64 keys (bulk hash math —
+    the interpreted JVM fold variants measured 14-160x slower).  No
+    shuffle, one Python crossing.  Exact pure-Python re-derivation +
     partitioning independence in tests/test_repetition.py (bench/extras
     surface)."""
     from restructure_hdfs_topic_spark.functions.text import (

@@ -1,11 +1,16 @@
 """Text-analysis functions (north-star extensions, BASELINE.json):
 token counting, quality scoring, language-ID heuristic, document
-fingerprinting.  All pure built-in column expressions (split/filter/
-aggregate over arrays) — JVM-side, codegen-friendly, no Python UDFs —
-so they hold up on a 100 TB documents table.
+fingerprinting.  Pure built-in column expressions (split/filter/
+aggregate over arrays) — JVM-side, codegen-friendly — so they hold up
+on a 100 TB documents table.  Two documented exceptions run Arrow
+kernels where that is the measured right tool: ``nfc_normalize_text``
+(Unicode tables) and the n-gram half of ``gopher_repetition_metrics``
+(bulk hash math — interpreted JVM folds measured 14-160× slower).
 
-Every function is mirrored by ANSI SQL in ``__spark_entry__.oracle_sql``;
-hash arithmetic is deterministic int64 math so both engines agree exactly.
+Oracled functions are mirrored by ANSI SQL in
+``__spark_entry__.oracle_sql``; hash arithmetic is deterministic int64
+math so both engines agree exactly.  Kernel-backed functions carry an
+exact pure-Python witness model instead (tests name it).
 """
 
 from __future__ import annotations
@@ -485,7 +490,6 @@ def gopher_repetition_metrics(
         *base,
         nonblank(F.split(F.col(text_col), "\n")).alias("__rep_lines"),
         nonblank(F.split(F.col(text_col), "\n{2,}")).alias("__rep_paras"),
-        F.length(F.col(text_col)).cast("bigint").alias("__rep_tlen"),
     )
     sum_len = lambda a: F.aggregate(  # noqa: E731
         a, F.lit(0).cast("bigint"), lambda acc, x: acc + F.length(x)
@@ -510,7 +514,6 @@ def gopher_repetition_metrics(
         F.size("__rep_paras").cast("bigint").alias("__np"),
         sum_len(F.col("__rep_lines")).alias("__lc"),
         sum_len(F.col("__rep_paras")).alias("__pc"),
-        F.col("__rep_tlen"),
     ).select(
         *base,
         frac(F.col("__l")["n"], F.col("__nl")).alias("dup_line_frac"),
@@ -542,25 +545,32 @@ def _ngram_repetition_kernel(text_col: str, gram_cols: list[str]):
         import re
 
         import numpy as np
-        import pandas as pd
 
-        ws = re.compile(r"\s+")
-        cache: dict[str, int] = {}
-
-        def phash(w: str) -> int:
-            h = cache.get(w)
-            if h is None:
-                acc = 0
-                for ch in w:
-                    acc = (acc * HASH_BASE + ord(ch)) % HASH_MOD
-                cache[w] = h = acc
-            return h
+        # Java's \s is ASCII-only — a Python \s+ would additionally
+        # split on Unicode whitespace (NBSP is ubiquitous in scraped
+        # HTML) and silently diverge from the JVM tokens() every other
+        # text metric uses.  Same pattern as the feature_hash_embed
+        # kernel.
+        ws = re.compile(r"[ \t\n\x0b\f\r]+")
 
         P, M, PACK = HASH_MOD, GRAM_HASH_MULT, GRAM_LEN_PACK
         for pdf in batches:
             n_docs = len(pdf)
             if not n_docs:
                 continue
+            # Per-BATCH token-hash cache: the Zipf win is within a
+            # batch; a partition-lifetime dict would grow unboundedly
+            # on high-cardinality crawl partitions (urls/hex ids).
+            cache: dict = {}
+
+            def phash(w: str) -> int:
+                h = cache.get(w)
+                if h is None:
+                    acc = 0
+                    for ch in w:
+                        acc = (acc * HASH_BASE + ord(ch)) % HASH_MOD
+                    cache[w] = h = acc
+                return h
             toks = []
             tlen = np.zeros(n_docs, dtype=np.int64)
             for j, t in enumerate(pdf[text_col]):

@@ -26,9 +26,11 @@ HASH_BASE = 131
 
 def _tokens(text):
     """Mirror functions.text.tokens: trim SPACES only, lower, split on
-    \\s+ (keeps empty tokens from edge tabs/newlines)."""
+    ASCII whitespace (Java's \\s — Python \\s+ would also split on
+    Unicode whitespace like NBSP and diverge); keeps empty tokens from
+    edge tabs/newlines."""
     t = (text or "").strip(" ").lower()
-    return re.split(r"\s+", t) if t else []
+    return re.split(r"[ \t\n\x0b\f\r]+", t) if t else []
 
 
 def _phash(s):

@@ -72,11 +72,14 @@ def _model(text):
         "dup_line_char_frac": frac(ch_l, sum(map(len, lines))),
         "dup_para_char_frac": frac(ch_p, sum(map(len, paras))),
     }
-    # Mirror the engine tokenizer EXACTLY: F.trim strips the space
-    # character only (tabs/newlines at the edges stay and produce empty
-    # leading tokens), and F.split keeps trailing empties (limit -1).
+    # Mirror the kernel tokenizer EXACTLY: strip the space character
+    # only, lowercase, split on ASCII whitespace (Java's \s — a Unicode
+    # \s+ would additionally split on NBSP etc. and diverge from every
+    # JVM tokens() consumer).
     stripped = text.strip(" ").lower()
-    words = re.split(r"\s+", stripped) if stripped else []
+    words = (
+        re.split(r"[ \t\n\x0b\f\r]+", stripped) if stripped else []
+    )
     tlen = len(text)
 
     # N-gram identity mirrors the engine's packed (rolling-hash, len)
@@ -123,6 +126,9 @@ def _edge_docs(spark):
         (8, "a b c d e f g h i j " * 5),  # exact 10-gram repeats
         (9, "Tab\tand   multi  space\nTab\tand   multi  space"),
         (10, "x\ny\nx\ny\nx\nz\n\nx\ny\nx"),
+        # NBSP is NOT a token separator (Java ASCII \s): 'buy\xa0now' is
+        # ONE repeated token, not two.
+        (11, "buy\xa0now buy\xa0now buy\xa0now buy\xa0now here"),
     ]
     return spark.createDataFrame(rows, "doc_id long, text string")
 
