@@ -1510,6 +1510,21 @@ def q_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     return gopher_repetition_metrics(docs).drop("text")
 
 
+def q_duplication_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Soft dedup (reweight-instead-of-remove): every document's exact
+    duplicate-cluster size and inverse-frequency sampling weight — one
+    8-byte-key count shuffle, text never moves.  DuckDB cross-check in
+    tests/test_operators.py::test_duplication_weights_duckdb_cross_check
+    (bench/extras surface)."""
+    from restructure_hdfs_topic_spark.operators.dedup import (
+        duplication_weights,
+    )
+
+    _conf(spark)
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return duplication_weights(docs, "doc_id", "text")
+
+
 def q_benchmark_leak_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-benchmark-example contamination accounting (GPT-3 §C's
     published direction): the synthetic benchmark is every 13th
@@ -2242,6 +2257,9 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # RPv2-style one-scan signal annotation; component-equality
         # witness in tests/test_signals.py.
         "quality_signals": q_quality_signals,
+        # Soft-dedup inverse-frequency weights; DuckDB cross-check in
+        # tests/test_operators.py.
+        "duplication_weights": q_duplication_weights,
         # Crawl-health rollup (the records warc_ingest drops: redirects,
         # revisits, errors, quarantines); complement accounting pinned in
         # tests/test_warc.py::test_warc_crawl_health_complement.

@@ -67,6 +67,7 @@ BENCH_QUERIES = [
     "best_fit_pack",
     "benchmark_leak_report",
     "quality_signals",
+    "duplication_weights",
     "epoch_upsample",
     "ann_pq_topk",
     "ann_pq_recall",

@@ -170,6 +170,15 @@ class Corpus:
             ).drop("log_importance", "gumbel_key")
         )
 
+    def duplication_weights(self, groups: DataFrame | None = None) -> DataFrame:
+        """Soft dedup: per-doc duplicate-cluster size + inverse-frequency
+        sampling weight (feed to ``weighted_hash_sample``)."""
+        from restructure_hdfs_topic_spark.operators.dedup import (
+            duplication_weights,
+        )
+
+        return duplication_weights(self.df, self.id_col, self.text_col, groups)
+
     def quality_signals(self) -> DataFrame:
         """Every per-document quality signal as columns (RedPajama-v2's
         annotate-don't-filter shape) — one shuffle-free scan."""

@@ -1429,6 +1429,70 @@ def contaminated_spans(
     )
 
 
+def duplication_weights(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    groups: DataFrame | None = None,
+) -> DataFrame:
+    """SOFT dedup — reweight duplicates instead of removing them: every
+    document gets its duplicate-cluster size and the inverse-frequency
+    sampling weight ``1/cluster_size``, so a training pipeline keeps
+    every copy but the CLUSTER's total sampling mass equals one
+    document's (the reweight-instead-of-remove alternative to hard
+    dedup — removing can discard the best copy, and some duplication is
+    signal; cf. the SoftDeDup line of work).  Feed the weight to
+    ``sampling.weighted_hash_sample`` for a deterministic realization.
+
+    ``groups=None`` clusters by EXACT text equality (one
+    ``xxhash64(text)`` count — the 8-byte key shuffles, never the
+    text); pass a ``(id, group)`` frame (e.g. ``near_dup_groups``
+    output) to weight by NEAR-dup clusters instead.
+
+    Returns ``(id, cluster_size, weight)`` — weight = 1/cluster_size,
+    6-decimal floor(+0.5) rounding.  NULL text forms its own cluster
+    per NULL row (a NULL key groups all NULLs together in SQL; here
+    NULL text weights 1.0 — an empty doc is not a duplicate of another
+    empty doc in any useful sense)."""
+    if groups is None:
+        keyed = docs.select(
+            F.col(id_col).alias("id"),
+            F.when(
+                F.col(text_col).isNotNull(), F.xxhash64(F.col(text_col))
+            ).alias("__k"),
+        )
+    else:
+        keyed = docs.select(F.col(id_col).alias("id")).join(
+            groups.select(
+                F.col(id_col).alias("id"), F.col("group").alias("__k")
+            ),
+            "id",
+            "left",
+        )
+    sizes = (
+        keyed.filter(F.col("__k").isNotNull())
+        .groupBy("__k")
+        .agg(F.count(F.lit(1)).alias("cluster_size"))
+    )
+    out = keyed.join(sizes, "__k", "left").select(
+        "id",
+        F.coalesce("cluster_size", F.lit(1)).cast("bigint").alias(
+            "cluster_size"
+        ),
+    )
+    return out.select(
+        "id",
+        "cluster_size",
+        (
+            F.floor(
+                F.lit(1.0) / F.col("cluster_size").cast("double") * F.lit(1e6)
+                + F.lit(0.5)
+            )
+            / F.lit(1e6)
+        ).alias("weight"),
+    )
+
+
 def benchmark_leak_report(
     corpus: DataFrame,
     benchmark: DataFrame,

@@ -140,6 +140,9 @@ CONSISTENCY_QUERIES = [
     # r9: the one-scan annotation is pure per-row projection — digest
     # must not move with partitioning.
     "quality_signals",
+    # r9: soft-dedup weights are one count shuffle + join — digest must
+    # not move with partitioning.
+    "duplication_weights",
     "epoch_upsample",
     "ann_pq_topk",
     "ann_pq_recall",

@@ -478,6 +478,66 @@ def test_shingle_contamination(spark):
     assert set(out) == {1, 2, 3, 4}
 
 
+def test_duplication_weights_duckdb_cross_check(spark):
+    """Soft-dedup inverse-frequency weights: exact-cluster sizes equal a
+    DuckDB GROUP BY over the raw text (the engine keys on xxhash64 —
+    identical counts absent a 64-bit collision), NULL text weights 1.0,
+    the near-dup-groups path honors a supplied cluster frame, and
+    weights compose with weighted_hash_sample deterministically."""
+    import duckdb
+
+    from restructure_hdfs_topic_spark.operators.dedup import (
+        duplication_weights,
+    )
+    from restructure_hdfs_topic_spark.sources.tables import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.01", "documents").select(
+        "doc_id", "text"
+    )
+    extra = spark.createDataFrame(
+        [(100001, None), (100002, None), (100003, "only once")],
+        "doc_id long, text string",
+    )
+    docs = docs.unionByName(extra)
+    got = {
+        r["id"]: (r["cluster_size"], r["weight"])
+        for r in duplication_weights(docs, "doc_id", "text").collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW d AS SELECT * FROM read_parquet('/root/testdata/sf0.01/documents.parquet')"
+    )
+    want = {
+        r[0]: r[1]
+        for r in con.execute(
+            "SELECT doc_id, count(*) OVER (PARTITION BY text) FROM d"
+        ).fetchall()
+    }
+    for did, c in want.items():
+        w = __import__("math").floor(1.0 / c * 1e6 + 0.5) / 1e6
+        assert got[did] == (c, w), did
+    # NULL text is never a duplicate of another NULL.
+    assert got[100001] == (1, 1.0) and got[100002] == (1, 1.0)
+    assert got[100003] == (1, 1.0)
+    # Supplied near-dup groups override the exact clustering.
+    groups = spark.createDataFrame(
+        [(100001, 7), (100002, 7), (100003, 7)], "doc_id long, group long"
+    )
+    via = {
+        r["id"]: r["cluster_size"]
+        for r in duplication_weights(extra, "doc_id", "text", groups).collect()
+    }
+    assert via == {100001: 3, 100002: 3, 100003: 3}
+    # Partitioning independence.
+    again = {
+        r["id"]: (r["cluster_size"], r["weight"])
+        for r in duplication_weights(
+            docs.repartition(7), "doc_id", "text"
+        ).collect()
+    }
+    assert again == got
+
+
 def test_benchmark_leak_report(spark):
     """Per-benchmark-example leak accounting (the GPT-3 §C table): exact
     Python re-derivation of n_shingles / n_leaked / leak_frac /

@@ -530,6 +530,7 @@ def test_query_registry_consistency():
         "best_fit_pack",
         "benchmark_leak_report",
         "quality_signals",
+        "duplication_weights",
         "epoch_upsample",
         "ann_pq_recall",
         "embedding_near_dup_lsh",
