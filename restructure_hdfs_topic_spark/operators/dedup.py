@@ -1445,43 +1445,51 @@ def duplication_weights(
     ``sampling.weighted_hash_sample`` for a deterministic realization.
 
     ``groups=None`` clusters by EXACT text equality (one
-    ``xxhash64(text)`` count — the 8-byte key shuffles, never the
-    text); pass a ``(id, group)`` frame (e.g. ``near_dup_groups``
-    output) to weight by NEAR-dup clusters instead.
+    ``xxhash64(text)`` window count — the 8-byte key shuffles once,
+    text never moves); pass a ``(id_col, group_id)`` frame — the
+    ``near_dup_groups`` output contract — to weight by NEAR-dup
+    clusters instead.  A one-to-many id→group mapping collapses to the
+    smallest group id (deterministic; ``near_dup_groups`` never
+    produces one) so the output stays one row per document.
 
-    Returns ``(id, cluster_size, weight)`` — weight = 1/cluster_size,
-    6-decimal floor(+0.5) rounding.  NULL text forms its own cluster
-    per NULL row (a NULL key groups all NULLs together in SQL; here
-    NULL text weights 1.0 — an empty doc is not a duplicate of another
-    empty doc in any useful sense)."""
+    Returns ``(id_col, cluster_size, weight)`` — weight =
+    1/cluster_size, 6-decimal floor(+0.5) rounding.  NULL text (or an
+    id absent from ``groups``) forms its own singleton cluster per row
+    — and singletons partition by their own id in the window shuffle,
+    never into one all-NULLs reducer (a mostly-novel corpus would
+    otherwise funnel through a single task)."""
+    from pyspark.sql import Window
+
     if groups is None:
         keyed = docs.select(
-            F.col(id_col).alias("id"),
+            F.col(id_col),
             F.when(
                 F.col(text_col).isNotNull(), F.xxhash64(F.col(text_col))
             ).alias("__k"),
         )
     else:
-        keyed = docs.select(F.col(id_col).alias("id")).join(
-            groups.select(
-                F.col(id_col).alias("id"), F.col("group").alias("__k")
-            ),
-            "id",
-            "left",
-        )
-    sizes = (
-        keyed.filter(F.col("__k").isNotNull())
-        .groupBy("__k")
-        .agg(F.count(F.lit(1)).alias("cluster_size"))
+        gcols = set(groups.columns)
+        gcol = "group_id" if "group_id" in gcols else "group"
+        if gcol not in gcols:
+            raise ValueError(
+                f"groups frame needs a group_id column (has {sorted(gcols)})"
+            )
+        g = groups.groupBy(id_col).agg(F.min(gcol).alias("__k"))
+        keyed = docs.select(F.col(id_col)).join(g, id_col, "left")
+    # ONE window-count shuffle.  Keyless rows (NULL text / ungrouped id)
+    # partition by their own id — size-1 windows, no all-NULLs skew.
+    w = Window.partitionBy(
+        "__k", F.when(F.col("__k").isNull(), F.col(id_col))
     )
-    out = keyed.join(sizes, "__k", "left").select(
-        "id",
-        F.coalesce("cluster_size", F.lit(1)).cast("bigint").alias(
-            "cluster_size"
-        ),
+    sized = keyed.select(
+        F.col(id_col),
+        F.when(F.col("__k").isNotNull(), F.count(F.lit(1)).over(w))
+        .otherwise(F.lit(1))
+        .cast("bigint")
+        .alias("cluster_size"),
     )
-    return out.select(
-        "id",
+    return sized.select(
+        F.col(id_col),
         "cluster_size",
         (
             F.floor(

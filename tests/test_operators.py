@@ -482,12 +482,16 @@ def test_duplication_weights_duckdb_cross_check(spark):
     """Soft-dedup inverse-frequency weights: exact-cluster sizes equal a
     DuckDB GROUP BY over the raw text (the engine keys on xxhash64 —
     identical counts absent a 64-bit collision), NULL text weights 1.0,
-    the near-dup-groups path honors a supplied cluster frame, and
-    weights compose with weighted_hash_sample deterministically."""
+    the REAL near_dup_groups output composes (group_id contract), and
+    weights feed weighted_hash_sample deterministically."""
     import duckdb
 
     from restructure_hdfs_topic_spark.operators.dedup import (
         duplication_weights,
+        near_dup_groups,
+    )
+    from restructure_hdfs_topic_spark.operators.sampling import (
+        weighted_hash_sample,
     )
     from restructure_hdfs_topic_spark.sources.tables import load_table
 
@@ -499,9 +503,10 @@ def test_duplication_weights_duckdb_cross_check(spark):
         "doc_id long, text string",
     )
     docs = docs.unionByName(extra)
+    out = duplication_weights(docs, "doc_id", "text")
+    assert out.columns == ["doc_id", "cluster_size", "weight"]
     got = {
-        r["id"]: (r["cluster_size"], r["weight"])
-        for r in duplication_weights(docs, "doc_id", "text").collect()
+        r["doc_id"]: (r["cluster_size"], r["weight"]) for r in out.collect()
     }
     con = duckdb.connect()
     con.execute(
@@ -519,18 +524,31 @@ def test_duplication_weights_duckdb_cross_check(spark):
     # NULL text is never a duplicate of another NULL.
     assert got[100001] == (1, 1.0) and got[100002] == (1, 1.0)
     assert got[100003] == (1, 1.0)
-    # Supplied near-dup groups override the exact clustering.
-    groups = spark.createDataFrame(
-        [(100001, 7), (100002, 7), (100003, 7)], "doc_id long, group long"
-    )
-    via = {
-        r["id"]: r["cluster_size"]
-        for r in duplication_weights(extra, "doc_id", "text", groups).collect()
+    # The REAL producer composes: near_dup_groups' (doc_id, group_id)
+    # output feeds straight in, and cluster sizes match its group sizes.
+    nd = near_dup_groups(docs, "doc_id", "text")
+    via = duplication_weights(docs, "doc_id", "text", groups=nd)
+    sizes = {
+        r["group_id"]: r["n"]
+        for r in nd.groupBy("group_id").agg(F.count("*").alias("n")).collect()
     }
-    assert via == {100001: 3, 100002: 3, 100003: 3}
+    gid = {r["doc_id"]: r["group_id"] for r in nd.collect()}
+    for r in via.collect():
+        expect = sizes.get(gid.get(r["doc_id"]), 1)
+        assert r["cluster_size"] == expect, r["doc_id"]
+    # weighted_hash_sample composes on the weight column: every
+    # singleton (weight 1.0) survives; duplicate-cluster mass shrinks.
+    joined = docs.join(out, "doc_id")
+    kept = weighted_hash_sample(joined, "doc_id", "weight")
+    kept_ids = {r["doc_id"] for r in kept.select("doc_id").collect()}
+    singletons = {d for d, (c, _) in got.items() if c == 1}
+    assert singletons <= kept_ids
+    dups = {d for d, (c, _) in got.items() if c > 1}
+    if dups:
+        assert len(kept_ids & dups) < len(dups)
     # Partitioning independence.
     again = {
-        r["id"]: (r["cluster_size"], r["weight"])
+        r["doc_id"]: (r["cluster_size"], r["weight"])
         for r in duplication_weights(
             docs.repartition(7), "doc_id", "text"
         ).collect()
