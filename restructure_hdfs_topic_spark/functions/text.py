@@ -445,8 +445,11 @@ def gopher_repetition_metrics(
       those repeated lines/paragraphs over the total non-blank
       line/paragraph characters.
     - ``top_{2,3,4}gram_char_frac``: characters covered by the single
-      most frequent word n-gram (count · gram length, space-joined)
-      over ``length(text)``.
+      MOST FREQUENT word n-gram (its count · its gram length,
+      space-joined) over ``length(text)`` — the table-A1 definition.
+      Ties on count break deterministically toward the LONGER gram
+      (then the larger packed key), i.e. the max coverage among the
+      equally-most-frequent grams.
     - ``dup_{5..10}gram_char_frac``: characters in non-first occurrences
       of each word n-gram over ``length(text)``.  Overlapping repeats
       are counted in full (no interval union — positional marking is
@@ -619,7 +622,18 @@ def _ngram_repetition_kernel(text_col: str, gram_cols: list[str]):
                 run_doc = d_s[idx]
                 acc = np.zeros(n_docs, dtype=np.int64)
                 if n <= 4:
-                    np.maximum.at(acc, run_doc, runs * lens)
+                    # Single MOST FREQUENT gram per doc (table A1), not
+                    # max(count·len) over all grams — a rarer-but-longer
+                    # gram must not win.  Deterministic tie-break: count,
+                    # then gram char-length, then packed key (all max).
+                    if len(runs):
+                        sel = np.lexsort((k_s[idx], lens, runs, run_doc))
+                        rd = run_doc[sel]
+                        last = np.flatnonzero(
+                            np.append(rd[1:] != rd[:-1], True)
+                        )
+                        pick = sel[last]
+                        acc[run_doc[pick]] = runs[pick] * lens[pick]
                 else:
                     np.add.at(acc, run_doc, (runs - 1) * lens)
                 with np.errstate(divide="ignore", invalid="ignore"):
@@ -983,8 +997,13 @@ def c4_line_keep(line: Column, min_words: int = 3) -> Column:
     inside higher-order functions over a split column."""
     t = F.rtrim(line)
     terminal = t.rlike(r'[.!?]["”]?$')
-    n_words = F.size(F.split(F.trim(line), r"\s+"))
-    enough = (F.length(F.trim(line)) > 0) & (n_words >= F.lit(min_words))
+    # Filter empty tokens rather than F.trim-then-split: trim strips the
+    # space character ONLY, so a leading tab would yield an empty first
+    # token that F.size counts, letting a (min_words-1)-word line pass.
+    n_words = F.size(
+        F.filter(F.split(line, r"\s+"), lambda w: F.length(w) > 0)
+    )
+    enough = (n_words >= F.greatest(F.lit(min_words), F.lit(1)))
     no_js = ~F.lower(line).contains("javascript")
     return terminal & enough & no_js
 

@@ -299,9 +299,24 @@ def best_fit_pack(
         ).alias("__n"),
     ).withColumn(
         "__bucket",
-        F.pmod(
-            poly_hash(F.col(id_col).cast("string")), F.lit(int(n_buckets))
-        ).cast("bigint"),
+        # Fail FAST and loud on a NULL id (the engine's convention):
+        # poly_hash(NULL) is NULL, which would otherwise surface as an
+        # opaque TypeError inside the Arrow worker (NULL bucket /
+        # None-vs-str tuple sort).
+        F.when(
+            F.col(id_col).isNull(),
+            F.raise_error(
+                F.lit(
+                    f"best_fit_pack: NULL {id_col} — ids must be non-NULL "
+                    "(filter or quarantine NULL-id rows upstream)"
+                )
+            ).cast("bigint"),
+        ).otherwise(
+            F.pmod(
+                poly_hash(F.col(id_col).cast("string")),
+                F.lit(int(n_buckets)),
+            ).cast("bigint")
+        ),
     )
     return staged.groupBy("__bucket").applyInPandas(kernel, out_schema)
 

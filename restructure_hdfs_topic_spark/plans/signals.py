@@ -15,11 +15,14 @@ composes the engine's individually-tested signal families:
 - the marker-argmax ``lang_id`` heuristic and the Rabin-Karp document
   ``fingerprint``.
 
-Scale shape: every signal is a JVM codegen projection over shared
-staged splits (token array projected ONCE — the engine's measured
-CollapseProject discipline); no shuffle, no Python, so annotation cost
-is one scan regardless of how many signals ride along.  Gate-equality
-witness + partitioning independence: tests/test_signals.py.
+Scale shape: the word/statistic signals are JVM codegen projections
+over shared staged splits (token array projected ONCE — the engine's
+measured CollapseProject discipline); the 13 n-gram repetition
+fractions ride ``gopher_repetition_metrics``' one Arrow ``mapInPandas``
+kernel crossing.  No shuffle anywhere, so annotation cost is one scan
+(plus that single Python crossing) regardless of how many signals ride
+along.  Gate-equality witness + partitioning independence:
+tests/test_signals.py.
 """
 
 from __future__ import annotations

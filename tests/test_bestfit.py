@@ -168,3 +168,18 @@ def test_best_fit_pack_follows_id_type(spark):
     out = best_fit_pack(docs, budget=2048)
     assert dict(out.dtypes)["doc_id"] == "string"
     assert out.count() == 4  # c splits into 2 chunks
+
+
+def test_best_fit_pack_null_id_fails_loud(spark):
+    """ADVICE r9: a NULL id used to hash to a NULL bucket and die as an
+    opaque TypeError inside the Arrow worker — it must fail fast with a
+    clear message instead."""
+    from pyspark.errors import SparkRuntimeException
+
+    from restructure_hdfs_topic_spark.operators.packing import best_fit_pack
+
+    docs = spark.createDataFrame(
+        [("a", 10), (None, 20), ("c", 30)], "doc_id string, n_tokens long"
+    )
+    with pytest.raises(SparkRuntimeException, match="NULL doc_id"):
+        best_fit_pack(docs, budget=2048).collect()

@@ -24,8 +24,9 @@ WITH kept AS (
            list_filter(
              string_split(text, chr(10)),
              l -> regexp_matches(rtrim(l), '[.!?]["”]?$')
-                  AND length(trim(l)) > 0
-                  AND len(regexp_split_to_array(trim(l), '\\s+')) >= 3
+                  AND len(list_filter(
+                        regexp_split_to_array(l, '\\s+'),
+                        w -> length(w) > 0)) >= 3
                   AND NOT contains(lower(l), 'javascript')
            ), chr(10)) AS text
   FROM docs WHERE text IS NOT NULL
@@ -52,6 +53,11 @@ def _edge_docs(spark):
         (9, "Ends with a quoted terminal mark.” " * 6),
         # Closing brace only — the C4 rule is "any curly bracket".
         (10, "Prose that ends the block with a stray }. " * 6),
+        # Leading-tab line with only TWO words (ADVICE r9): F.trim
+        # strips spaces only, so the empty first split token used to
+        # count as a word and let this min_words-1 line pass.
+        (11, ("Plenty of real sentences pad this page out. " * 6)
+             + "\n\ttwo words."),
     ]
     return spark.createDataFrame(rows, "doc_id long, text string")
 

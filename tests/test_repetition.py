@@ -105,7 +105,13 @@ def _model(text):
 
     for n in (2, 3, 4):
         c = Counter(packed(n))
-        top = max((cnt * (k % PACK) for k, cnt in c.items()), default=0)
+        if c:
+            # Single MOST FREQUENT gram (table A1); ties -> longer gram,
+            # then larger packed key — mirrors the kernel's lexsort.
+            k, cnt = max(c.items(), key=lambda kv: (kv[1], kv[0] % PACK, kv[0]))
+            top = cnt * (k % PACK)
+        else:
+            top = 0
         out[f"top_{n}gram_char_frac"] = frac(top, tlen)
     for n in range(5, 11):
         c = Counter(packed(n))
@@ -129,6 +135,16 @@ def _edge_docs(spark):
         # NBSP is NOT a token separator (Java ASCII \s): 'buy\xa0now' is
         # ONE repeated token, not two.
         (11, "buy\xa0now buy\xa0now buy\xa0now buy\xa0now here"),
+        # Rarer-but-longer 2-gram: under the old max(count*len) formula
+        # "supercalifragilisticexpialidocious antidisestablishmentarianism"
+        # (count 2, len 64) would beat "aa bb" (count 3, len 5); the
+        # table-A1 rule selects the MOST FREQUENT gram.
+        (
+            12,
+            "aa bb aa bb aa bb "
+            "supercalifragilisticexpialidocious antidisestablishmentarianism "
+            "x supercalifragilisticexpialidocious antidisestablishmentarianism",
+        ),
     ]
     return spark.createDataFrame(rows, "doc_id long, text string")
 
@@ -154,6 +170,10 @@ def test_repetition_matches_python_model_on_edges(spark):
     assert got[3]["dup_para_frac"] > 0
     assert got[4]["dup_5gram_char_frac"] > 0.15  # would be gated
     assert got[8]["dup_10gram_char_frac"] > 0.10
+    # Most-frequent-gram rule (ADVICE r9): "aa bb" (count 3, covers 15
+    # chars) is selected over the longer count-2 gram (2·63=126 chars);
+    # the old max(count·len) formula read ~0.857 here and over-gated.
+    assert got[12]["top_2gram_char_frac"] == 0.102041  # floor(15/147·1e6+.5)/1e6
     # Whitespace-only text: no non-blank lines/paras -> dup metrics 0
     # (the engine tokenizer's empty-token quirk can leave a tiny
     # top-gram coverage; the loop above pins it against the model).
