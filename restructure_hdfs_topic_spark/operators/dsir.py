@@ -25,11 +25,13 @@ The published recipe, re-expressed as lazy DataFrame algebra:
    ``operators/sampling.py`` has), while still being a faithful Gumbel
    draw over ids.
 
-Scale shape: the only corpus-sized shuffles are the explode→count
-aggregations (map-side combined on ≤10k or (id × distinct-bucket) keys)
-and the final top-k (Spark's TakeOrdered partial top-k — no global
-sort materializes).  The ratio table and totals are bounded broadcast
-sides.  No Python UDFs, no driver collects.
+Scale shape: feature counting is ONE Arrow kernel emitting
+``(id, bucket, cnt)`` directly — no explode, no corpus-sized shuffle
+(each id's counts are born in one partition, so every downstream
+``groupBy`` map-side combines to one row per key before its exchange);
+the final top-k is Spark's TakeOrdered partial top-k — no global sort
+materializes.  The ratio table and totals are bounded broadcast sides.
+No driver collects beyond the bounded fits.
 
 Exact pure-Python re-derivation: tests/test_dsir.py.
 """
@@ -39,7 +41,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from restructure_hdfs_topic_spark.functions.text import poly_hash, tokens
+from restructure_hdfs_topic_spark.functions.text import poly_hash
 
 
 #: Bigram combiner multiplier (any odd constant < sqrt(HASH_MOD) works;
@@ -53,43 +55,104 @@ def dsir_ngram_counts(
     text_col: str = "text",
     n_buckets: int = 10_000,
 ) -> DataFrame:
-    """``(id, bucket, cnt)`` hashed unigram+bigram counts per document.
+    """``(id, bucket, cnt)`` hashed unigram+bigram counts per document —
+    ONE Arrow ``mapInPandas`` kernel, batch-vectorized ACROSS documents,
+    NO explode and NO shuffle (VERDICT r9: the former
+    explode → ``groupBy(id, bucket)`` shuffle of ~2 rows per word was
+    the whole cost of ``dsir_select``).
 
-    Hashing cost discipline: higher-order folds are INTERPRETED per
-    element, so the polynomial char-fold runs once per TOKEN only; the
-    bigram feature hash is the arithmetic combination
-    ``(h(w1)·8191 + h(w2)) mod p`` of adjacent token hashes — never a
-    char-fold over a joined bigram string (measured ~3× the total
-    operator cost at sf1; DSIR only needs a deterministic bucket, not
-    any particular string hash).  Arrays are projected as REAL columns
-    before reuse (the engine's measured CollapseProject trap)."""
-    from restructure_hdfs_topic_spark.functions.text import HASH_MOD
+    Hash identity is unchanged and mirrored by the exact-Python witness
+    (tests/test_dsir.py): unigrams use the repo-standard polynomial
+    char-fold (``functions.text.poly_hash`` over ``tokens()``'s
+    trim-spaces/lower/ASCII-``\\s`` tokens), bigrams combine adjacent
+    TOKEN hashes arithmetically (``(h1·8191 + h2) mod p`` — never a
+    char-fold over a joined string), buckets are ``hash mod n_buckets``.
 
-    toks = docs.select(
-        F.col(id_col), tokens(F.col(text_col)).alias("__toks")
+    Kernel shape (the ``_ngram_repetition_kernel`` pattern): token
+    hashes compute once per DISTINCT token (Zipf cache, per batch),
+    bigram combination and bucketing are whole-batch numpy ops over the
+    concatenated token stream (pairs crossing a document boundary masked
+    out), and per-(doc, bucket) counts come from one ``np.unique`` over
+    a packed ``doc·n_buckets + bucket`` int64 key.  A document's rows
+    all come from its own input batch, so each id's counts live in one
+    partition — downstream ``groupBy`` aggregations map-side combine to
+    one row per key before any shuffle.  Per-row pure function ⇒
+    partitioning-independent.  Documents with no tokens emit no rows
+    (``dsir_importance`` coalesces their score to 0)."""
+    import pandas as pd
+
+    id_field = docs.schema[id_col]
+    out_schema = (
+        f"`{id_col}` {id_field.dataType.simpleString()}, "
+        "bucket bigint, cnt bigint"
     )
-    hashed = toks.select(
-        F.col(id_col),
-        F.transform(F.col("__toks"), lambda t: poly_hash(t)).alias("__th"),
-    )
-    n = F.size("__th")
-    bigrams = F.when(n < 2, F.array().cast("array<bigint>")).otherwise(
-        F.zip_with(
-            F.slice(F.col("__th"), 1, n - 1),
-            F.slice(F.col("__th"), 2, n - 1),
-            lambda a, b: (a * F.lit(BIGRAM_MULT) + b) % F.lit(HASH_MOD),
+    nb = int(n_buckets)
+
+    def kernel(batches):
+        import re
+
+        import numpy as np
+
+        from restructure_hdfs_topic_spark.functions.text import (
+            HASH_BASE,
+            HASH_MOD,
         )
-    )
-    grams = hashed.select(
-        F.col(id_col), F.concat(F.col("__th"), bigrams).alias("__gh")
-    )
-    exploded = grams.select(
-        F.col(id_col), F.explode("__gh").alias("__h")
-    )
-    return exploded.select(
-        F.col(id_col),
-        F.pmod(F.col("__h"), F.lit(n_buckets)).alias("bucket"),
-    ).groupBy(id_col, "bucket").agg(F.count(F.lit(1)).alias("cnt"))
+
+        # Java's \s is ASCII-only (same pattern as the repetition
+        # kernel) — a Python \s+ would also split on Unicode whitespace
+        # and diverge from the JVM tokens().
+        ws = re.compile(r"[ \t\n\x0b\f\r]+")
+        for pdf in batches:
+            n_docs = len(pdf)
+            if not n_docs:
+                continue
+            cache: dict = {}
+
+            def phash(w: str) -> int:
+                h = cache.get(w)
+                if h is None:
+                    acc = 0
+                    for ch in w:
+                        acc = (acc * HASH_BASE + ord(ch)) % HASH_MOD
+                    cache[w] = h = acc
+                return h
+
+            toks = []
+            for t in pdf[text_col]:
+                # Mirror tokens(): trim SPACES only, lower, ASCII split
+                # (keeps empty tokens from edge tabs/newlines).
+                s = ("" if t is None else t).strip(" ").lower()
+                toks.append(ws.split(s) if s else [])
+            counts = np.fromiter(
+                (len(x) for x in toks), dtype=np.int64, count=n_docs
+            )
+            flat = [w for doc_toks in toks for w in doc_toks]
+            H = np.fromiter(
+                (phash(w) for w in flat), dtype=np.int64, count=len(flat)
+            )
+            doc = np.repeat(np.arange(n_docs), counts)
+            if len(H) >= 2:
+                bi = (H[:-1] * BIGRAM_MULT + H[1:]) % HASH_MOD
+                valid = doc[:-1] == doc[1:]
+                bi_doc = doc[:-1][valid]
+                bi_b = bi[valid] % nb
+            else:
+                bi_doc = np.empty(0, np.int64)
+                bi_b = bi_doc
+            all_doc = np.concatenate([doc, bi_doc])
+            all_b = np.concatenate([H % nb, bi_b])
+            packed = all_doc * np.int64(nb) + all_b
+            uniq, cnts = np.unique(packed, return_counts=True)
+            ids = pdf[id_col].to_numpy()
+            yield pd.DataFrame(
+                {
+                    id_col: ids[uniq // nb],
+                    "bucket": uniq % nb,
+                    "cnt": cnts,
+                }
+            )
+
+    return docs.select(id_col, text_col).mapInPandas(kernel, out_schema)
 
 
 def dsir_log_ratios(
