@@ -163,12 +163,36 @@ def train_pq(
     return books
 
 
+def _encode_block(vv, books, bounds, cn2):
+    """Encode one quantized int64 block → ``(n, m)`` uint8 codes.  Per
+    subspace the argmin uses ``||x-c||² = ||x||² - 2x·c + ||c||²`` with
+    the rank-invariant ``||x||²`` dropped — one matmul, no (n, C, d)
+    intermediate.  The SINGLE encode formula, shared by the standalone
+    encode kernel and the fused encode+ADC path so both produce
+    byte-identical codes."""
+    import numpy as np
+
+    m = books.shape[0]
+    codes = np.empty((len(vv), m), dtype=np.uint8)
+    for s_ix, (s, e) in enumerate(bounds):
+        cb = books[s_ix, :, : e - s].astype(np.float64)
+        scores = vv[:, s:e].astype(np.float64) @ cb.T
+        codes[:, s_ix] = np.argmin(cn2[s_ix][None, :] - 2.0 * scores, axis=1)
+    return codes
+
+
+def _codebook_norms(books, bounds):
+    """Per-subspace codeword ``||c||²`` tables for ``_encode_block``."""
+    return [
+        (books[s_ix, :, : e - s] ** 2).sum(axis=1)
+        for s_ix, (s, e) in enumerate(bounds)
+    ]
+
+
 def _make_encode_kernel(books, passthrough: tuple = ()):
     """Shared encode kernel: (id, vec[, passthrough...]) → (id, code[,
-    passthrough...]).  Per subspace the argmin uses ``||x-c||² = ||x||² -
-    2x·c + ||c||²`` with the rank-invariant ``||x||²`` dropped — one
-    matmul, no (n, C, d) intermediate; subspace bounds derive from the
-    first vector's width."""
+    passthrough...]); subspace bounds derive from the first vector's
+    width."""
     m = books.shape[0]
 
     def enc(batches):
@@ -183,15 +207,8 @@ def _make_encode_kernel(books, passthrough: tuple = ()):
             vv = np.stack(pdf["vec"].to_numpy()).astype(np.int64)
             if bounds is None:
                 bounds = _sub_bounds(vv.shape[1], m)
-                cn2 = [
-                    (books[s_ix, :, : e - s] ** 2).sum(axis=1)
-                    for s_ix, (s, e) in enumerate(bounds)
-                ]
-            codes = np.empty((len(vv), m), dtype=np.uint8)
-            for s_ix, (s, e) in enumerate(bounds):
-                cb = books[s_ix, :, : e - s].astype(np.float64)
-                scores = vv[:, s:e].astype(np.float64) @ cb.T
-                codes[:, s_ix] = np.argmin(cn2[s_ix][None, :] - 2.0 * scores, axis=1)
+                cn2 = _codebook_norms(books, bounds)
+            codes = _encode_block(vv, books, bounds, cn2)
             raw = codes.tobytes(order="C")
             out = {
                 "id": pdf["id"].to_numpy(),
@@ -235,12 +252,23 @@ _ADC_CHUNK = 2048
 _ADC_SENTINEL = -(1 << 40)
 
 
-def _adc_kernel(books, q_ids, q_vecs, k: int):
+def _adc_kernel(books, q_ids, q_vecs, k: int, encode_input: bool = False):
     """mapInPandas kernel over CODE batches: ADC-score every query against
     the batch and emit the per-batch top-k per query.  LUTs are built once
     per task (dot_lut[sub][q, code] = q_sub · codeword, contiguous per
     sub; norm_lut[sub, code] = ||codeword||²); a batch costs |batch|
     gathers per (query, sub) — no decompression, no (n, dim) matmul.
+
+    ``encode_input=True`` fuses encode+ADC into this ONE Python
+    crossing: batches carry quantized ``vec`` columns (not ``code``) and
+    encode in-kernel via the same ``_encode_block`` the standalone
+    encode kernel uses (byte-identical codes, so results cannot differ
+    from encode-then-score).  The flat in-plan path uses this — the
+    corpus has to be read in full to be encoded anyway, and the former
+    encode→ADC chain shipped every code through a second JVM↔Python
+    Arrow round-trip.  The m-bytes-per-row scan story belongs to the
+    STORED-code paths (``ivfpq_topk`` reading ``codes/``), which keep
+    ``encode_input=False``.
 
     Determinism: scores round to 6 decimals BEFORE the cut and encode
     into one strictly-ordered int64 key (rounded_sim, neighbor-id rank),
@@ -266,12 +294,17 @@ def _adc_kernel(books, q_ids, q_vecs, k: int):
             norm_lut[s_ix] = (cb**2).sum(axis=1)
         qn = np.sqrt((qf**2).sum(axis=1))
         qn[qn == 0] = 1.0
+        cn2 = _codebook_norms(books, bounds) if encode_input else None
         for pdf in batches:
             if not len(pdf):
                 continue
-            codes = np.frombuffer(
-                b"".join(pdf["code"].to_numpy()), dtype=np.uint8
-            ).reshape(len(pdf), m)
+            if encode_input:
+                vv = np.stack(pdf["vec"].to_numpy()).astype(np.int64)
+                codes = _encode_block(vv, books, bounds, cn2)
+            else:
+                codes = np.frombuffer(
+                    b"".join(pdf["code"].to_numpy()), dtype=np.uint8
+                ).reshape(len(pdf), m)
             ids = pdf["id"].to_numpy()
             n = len(ids)
             kk = min(k, n)
@@ -443,8 +476,10 @@ def pq_adc_topk(
     Returns (query_id, rank, neighbor_id, cosine) — ``cosine`` is exact
     when reranked, the ADC approximation otherwise.
 
-    Scale: the corpus-sized pass reads codes only (m bytes/row); the
-    shuffle into the rank window carries ≤ |queries|·k·rerank_factor·
+    Scale: encode+ADC fuse into ONE Python crossing over the corpus (the
+    vectors must be read in full to be encoded regardless; only the
+    STORED-code paths like ``ivfpq_topk`` get the m-bytes-per-row scan);
+    the shuffle into the rank window carries ≤ |queries|·k·rerank_factor·
     batches rows (per-batch partial top-k)."""
     if queries is None:
         queries = embeddings
@@ -453,10 +488,14 @@ def pq_adc_topk(
             embeddings, id_col, vec_col, m=m, nbits=nbits, train_sample=train_sample
         )
     q_ids, q_vecs = _collect_queries(queries, id_col, vec_col)
-    codes = pq_encode(embeddings, books, id_col, vec_col)
     fetch = k if rerank_factor is None else k * rerank_factor
-    parts = codes.mapInPandas(
-        _adc_kernel(books, q_ids, q_vecs, fetch),
+    # Fused encode+ADC: ONE Python crossing over the corpus (the former
+    # pq_encode → ADC chain round-tripped every code JVM↔Python twice).
+    quant = embeddings.select(
+        F.col(id_col).alias("id"), _quantize(F.col(vec_col)).alias("vec")
+    )
+    parts = quant.mapInPandas(
+        _adc_kernel(books, q_ids, q_vecs, fetch, encode_input=True),
         schema="query_id long, neighbor_id long, adc_cosine double",
     )
     w = Window.partitionBy("query_id").orderBy(
