@@ -1818,6 +1818,26 @@ def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_curation_soft_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The curation chain with stage 3 in SOFT-dedup mode (VERDICT r9
+    #5): reweight-instead-of-remove — transitive clusters over the
+    verified LSH pairs, inverse-frequency duplication_weights, and the
+    deterministic weighted_hash_sample realization, composed into the
+    same manifest plan as curation_pipeline.  Independent union-find
+    re-derivation + singleton invariant in
+    tests/test_curation.py::test_curate_corpus_soft_dedup_stage
+    (bench/extras surface)."""
+    from restructure_hdfs_topic_spark.plans.curation import curate_corpus
+
+    _conf(spark)
+    docs = _t(spark, sf_dir, "documents")
+    return curate_corpus(
+        docs,
+        mixture_weights={"src0": 3, "src1": 2, "src2": 1},
+        soft_dedup=True,
+    )
+
+
 def q_html_ingest_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Crawl in, loader-ready rows out, as ONE fused lazy plan (VERDICT
     r6 #4): raw HTML → strip_html (single-pass entity decode) → gopher
@@ -2230,6 +2250,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # Composed end-to-end curation chain (gate → scrub → near-dup drop
         # → mixture → packing); e2e-tested in tests/test_curation.py.
         "curation_pipeline": q_curation_pipeline,
+        "curation_soft_dedup": q_curation_soft_dedup,
         # Raw HTML -> loader-ready shard rows, one fused plan; disk
         # round-trip pinned in tests/test_html_ingest_e2e.py.
         "html_ingest_pipeline": q_html_ingest_pipeline,

@@ -58,6 +58,7 @@ BENCH_QUERIES = [
     "sequence_packing",
     "lm_perplexity",
     "curation_pipeline",
+    "curation_soft_dedup",
     "html_ingest_pipeline",
     "warc_ingest",
     "crawl_health",

@@ -63,6 +63,7 @@ def curate_corpus(
     repetition_filters: bool = False,
     c4_rules: bool = False,
     c4_badwords: tuple = (),
+    soft_dedup: bool = False,
 ) -> DataFrame:
     """The full curation chain as ONE composed DataFrame.
 
@@ -110,6 +111,15 @@ def curate_corpus(
     keep + page drops, optional ``c4_badwords``) between the language
     gate and the Gopher gate — C4 cleans lines before judging pages,
     and the Gopher rules then score the retained prose.
+
+    ``soft_dedup=True`` replaces stage 3's near-dup DROP with
+    reweight-instead-of-remove: transitive clusters over the same
+    verified LSH pairs, inverse-frequency weights
+    (``duplication_weights``), and the deterministic
+    ``weighted_hash_sample`` realization — every copy kept with
+    probability 1/cluster_size, so a cluster's expected survivor mass is
+    one document (it may realize 0 or 2+; hard dedup's exactly-one
+    guarantee is traded for keeping the best copies in expectation).
 
     ``decontaminate_benchmark`` adds GPT-3 §C surgical benchmark
     decontamination after the span scrub (before near-dup): spans
@@ -228,17 +238,48 @@ def curate_corpus(
             scope="curation.curate_corpus.decontaminated",
         )
 
-    # 3. Near-dup drop: for each verified pair (id_a < id_b) drop id_b —
+    # 3. Near-dup stage, hard or soft.
+    #
+    # Hard (default): for each verified pair (id_a < id_b) drop id_b —
     # keep-first guarantees one survivor per duplicate cluster.  The drop
     # list is an 8-byte-key DISTINCT id set; its size scales with the
     # corpus's duplicate fraction, so the join side is left to AQE
     # (broadcast while small, shuffle anti-join at 100 TB — a forced
     # broadcast would ship a corpus-sized id set to every executor).
+    #
+    # Soft (``soft_dedup=True``): reweight-instead-of-remove (the
+    # SoftDeDup line of work — hard dedup can discard the best copy, and
+    # some duplication is signal): transitive clusters over the SAME
+    # verified LSH pair set (connected components — 8-byte edge keys),
+    # inverse-frequency weights (``duplication_weights``), then the
+    # deterministic ``weighted_hash_sample`` realization, so each copy
+    # survives with probability 1/cluster_size and every cluster's
+    # EXPECTED survivor mass is one document (a cluster may realize 0 or
+    # 2+ survivors — that is the soft semantics, not a bug).
     pairs = lsh_near_dup_pairs(
         scrubbed, id_col, text_col, threshold=jaccard_threshold
     )
-    losers = pairs.select(F.col("id_b").alias(id_col)).distinct()
-    deduped = scrubbed.join(losers, on=id_col, how="left_anti")
+    if soft_dedup:
+        from restructure_hdfs_topic_spark.operators.dedup import (
+            connected_components,
+            duplication_weights,
+        )
+        from restructure_hdfs_topic_spark.operators.sampling import (
+            weighted_hash_sample,
+        )
+
+        groups = connected_components(
+            scrubbed.select(F.col(id_col).alias("id")), pairs
+        ).select(F.col("id").alias(id_col), "group_id")
+        wts = duplication_weights(scrubbed, id_col, text_col, groups=groups)
+        deduped = weighted_hash_sample(
+            scrubbed.join(wts.select(id_col, "weight"), on=id_col),
+            id_col,
+            "weight",
+        ).drop("weight")
+    else:
+        losers = pairs.select(F.col("id_b").alias(id_col)).distinct()
+        deduped = scrubbed.join(losers, on=id_col, how="left_anti")
 
     # 4. Rebalance (optional — identity when no spec given): ratio weights
     # via mixture_sample, or absolute token budgets via token_budget_sample
@@ -415,6 +456,7 @@ def curation_stage_counts(
     repetition_filters: bool = False,
     c4_rules: bool = False,
     c4_badwords: tuple = (),
+    soft_dedup: bool = False,
 ) -> dict[str, int]:
     """Per-stage survivor counts (monitoring/attrition report) — each stage
     evaluated once, mirroring ``curate_corpus``'s stage order (including
@@ -467,9 +509,29 @@ def curation_stage_counts(
     pairs = lsh_near_dup_pairs(
         scrubbed, id_col, text_col, threshold=jaccard_threshold
     )
-    losers = pairs.select(F.col("id_b").alias(id_col)).distinct()
-    deduped = scrubbed.join(losers, on=id_col, how="left_anti")
-    out["after_near_dup_drop"] = deduped.count()
+    if soft_dedup:
+        from restructure_hdfs_topic_spark.operators.dedup import (
+            connected_components,
+            duplication_weights,
+        )
+        from restructure_hdfs_topic_spark.operators.sampling import (
+            weighted_hash_sample,
+        )
+
+        groups = connected_components(
+            scrubbed.select(F.col(id_col).alias("id")), pairs
+        ).select(F.col("id").alias(id_col), "group_id")
+        wts = duplication_weights(scrubbed, id_col, text_col, groups=groups)
+        deduped = weighted_hash_sample(
+            scrubbed.join(wts.select(id_col, "weight"), on=id_col),
+            id_col,
+            "weight",
+        ).drop("weight")
+        out["after_soft_dedup"] = deduped.count()
+    else:
+        losers = pairs.select(F.col("id_b").alias(id_col)).distinct()
+        deduped = scrubbed.join(losers, on=id_col, how="left_anti")
+        out["after_near_dup_drop"] = deduped.count()
     if mixture_weights:
         out["after_mixture_sample"] = mixture_sample(
             deduped, id_col, strata_col, mixture_weights

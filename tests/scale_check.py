@@ -79,6 +79,7 @@ CONSISTENCY_QUERIES = [
     # r6: the composed curation chain and the cross-batch incremental
     # dedup must be partitioning-independent end-to-end at sf1.
     "curation_pipeline",
+    "curation_soft_dedup",
     "incremental_dedup",
     # r6 late additions (extras-only surfaces — the digest is their
     # distributed witness).

@@ -415,3 +415,118 @@ def test_curate_corpus_epoch_factors_stage(spark):
             off += r["n_tokens"]
     with _pytest.raises(ValueError):
         curate_corpus(docs, mixture_weights=WEIGHTS, epoch_factors=factors)
+
+
+def test_curate_corpus_soft_dedup_stage(spark):
+    """VERDICT r9 #5: ``soft_dedup=True`` replaces stage 3's near-dup DROP
+    with reweight-instead-of-remove.  The survivor set is re-derived
+    independently: the verified LSH pairs are clustered with a Python
+    union-find (not the engine's connected_components), the
+    inverse-frequency weights recomputed with the documented rounding,
+    and realized via ``weighted_hash_sample`` — plus the
+    singletons-always-survive invariant and the mirrored stage counts."""
+    import math
+    from collections import Counter
+
+    from pyspark.sql import functions as F
+
+    from restructure_hdfs_topic_spark.functions.text import (
+        gopher_metrics,
+        gopher_passes,
+    )
+    from restructure_hdfs_topic_spark.operators.dedup import (
+        lsh_near_dup_pairs,
+        strip_duplicated_spans,
+    )
+    from restructure_hdfs_topic_spark.operators.sampling import (
+        weighted_hash_sample,
+    )
+    from restructure_hdfs_topic_spark.plans.curation import (
+        curate_corpus,
+        curation_stage_counts,
+    )
+
+    base = _docs(spark)
+    # The real table's near-dups share long spans, so the stage-2 scrub
+    # consumes their overlap entirely (0 verified pairs at any threshold
+    # post-scrub).  Plant SCRUB-SURVIVING near-dups: copies of
+    # gate-passing docs with a stopword inserted every 7 tokens — no
+    # duplicated 8-token window (scrub inert on them), ~0.4 shingle
+    # Jaccard to the original (verified at threshold 0.3).
+    metrics0 = gopher_metrics(F.col("text"))
+    passing = (
+        base.select(*base.columns, *[c.alias(n) for n, c in metrics0])
+        .filter(gopher_passes(*[F.col(n) for n, _ in metrics0]))
+        .select(*base.columns)
+        .orderBy("doc_id")
+        .limit(8)
+        .collect()
+    )
+    copies = []
+    for r in passing:
+        toks = r["text"].split()
+        out = []
+        for i, t in enumerate(toks):
+            out.append(t)
+            if i % 7 == 6:
+                out.append("the")
+        d = r.asDict()
+        d["doc_id"] = r["doc_id"] + 10_000_000
+        d["text"] = " ".join(out)
+        copies.append(tuple(d[c] for c in base.columns))
+    docs = base.union(spark.createDataFrame(copies, base.schema))
+    th = 0.3
+
+    counts = curation_stage_counts(docs, soft_dedup=True, jaccard_threshold=th)
+    assert "after_soft_dedup" in counts and "after_near_dup_drop" not in counts
+    assert 0 < counts["after_soft_dedup"] <= counts["after_quality_gate"]
+
+    manifest = curate_corpus(docs, soft_dedup=True, jaccard_threshold=th)
+    got_ids = {r["doc_id"] for r in manifest.select("doc_id").collect()}
+    assert len(got_ids) == counts["after_soft_dedup"]
+
+    # Independent expected set (pipeline prefix rebuilt from the public
+    # operators; the soft stage itself re-derived outside the plan).
+    metrics = gopher_metrics(F.col("text"))
+    gated = (
+        docs.select(*docs.columns, *[c.alias(n) for n, c in metrics])
+        .filter(gopher_passes(*[F.col(n) for n, _ in metrics]))
+        .select(*docs.columns)
+    )
+    scrub = strip_duplicated_spans(gated, "doc_id", "text", k=8)
+    pairs = [
+        (r["id_a"], r["id_b"])
+        for r in lsh_near_dup_pairs(scrub, "doc_id", "text", threshold=th)
+        .select("id_a", "id_b")
+        .collect()
+    ]
+    scrub_ids = [r["doc_id"] for r in scrub.select("doc_id").collect()]
+    parent = {i: i for i in scrub_ids}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    sizes = Counter(find(i) for i in scrub_ids)
+    wrows = [
+        (i, math.floor(1e6 / sizes[find(i)] + 0.5) / 1e6) for i in scrub_ids
+    ]
+    wdf = spark.createDataFrame(wrows, "doc_id long, weight double")
+    want_ids = {
+        r["doc_id"]
+        for r in weighted_hash_sample(wdf, "doc_id", "weight").collect()
+    }
+    assert got_ids == want_ids
+    assert got_ids <= set(scrub_ids)
+    # The corpus HAS verified near-dup clusters (else the stage is
+    # untested) — whether a member drops is the weight coin's call —
+    # and documents in NO verified pair (weight 1) always survive.
+    in_pairs = {x for p in pairs for x in p}
+    assert in_pairs
+    assert set(scrub_ids) - in_pairs <= got_ids

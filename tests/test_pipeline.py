@@ -541,6 +541,7 @@ def test_query_registry_consistency():
         "approx_quantiles",
         "mixture_sample",
         "curation_pipeline",
+        "curation_soft_dedup",
         "incremental_dedup",
         "lm_bigram",
         "text_normalize",
