@@ -31,7 +31,9 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from restructure_hdfs_topic_spark.functions.text import (
+    GOPHER_REPETITION_THRESHOLDS,
     bpe_token_count,
+    c4_line_keep,
     gopher_metrics,
     gopher_repetition_metrics,
     lang_id_from_scores,
@@ -67,6 +69,7 @@ def annotate_quality_signals(
     stage1 = docs.select(
         *base,
         tokens(t).alias("__toks"),
+        F.split(t, "\n").alias("__lines"),
         punct_ratio(t).alias("punct_ratio"),
         bpe_token_count(t).alias("n_bpe_tokens"),
         poly_hash(t).alias("fingerprint"),
@@ -82,8 +85,20 @@ def annotate_quality_signals(
         "*",
         token_count_from(toks).alias("n_tokens"),
         stopword_ratio_from(toks).alias("stopword_ratio"),
+        # C4's page rules judge the text RETAINED by the line keep, not
+        # the raw page — stage the kept text once (the raw has_* flags
+        # above stay as-is for consumers tuning on the full page).
+        F.lower(
+            F.array_join(F.filter(F.col("__lines"), c4_line_keep), "\n")
+        ).alias("__c4low"),
         *[c.alias(n) for (_, c), n in zip(lang_scores, score_names)],
     )
+    c4low = F.col("__c4low")
+    c4_sentences = (
+        F.length(c4low) - F.length(F.translate(c4low, ".!?", ""))
+    ).cast("bigint")
+    c4_lorem = c4low.contains("lorem ipsum")
+    c4_brace = c4low.contains("{") | c4low.contains("}")
     stage3 = stage2.select(
         *base,
         "n_tokens",
@@ -103,6 +118,70 @@ def annotate_quality_signals(
         "has_curly_brace",
         "has_lorem_ipsum",
         "has_javascript",
+        c4_sentences.alias("c4_kept_sentences"),
+        c4_lorem.alias("c4_has_lorem_ipsum"),
+        c4_brace.alias("c4_has_curly_brace"),
+        # EXACTLY c4_clean's page decision at its default thresholds,
+        # including the NULL-text-passes convention (equality witness:
+        # tests/test_signals.py vs c4_clean's survivor set).
+        (
+            t.isNull()
+            | ~((c4_sentences < F.lit(5)) | c4_lorem | c4_brace)
+        ).alias("c4_page_keep"),
         *[n for n, _ in gopher_metrics(t)],
     )
     return gopher_repetition_metrics(stage3, text_col)
+
+
+#: ``filter_by_signals`` preset replicating the full Gopher gate — BOTH
+#: table-A1 halves (Rae et al. 2021): the word-level quality bounds of
+#: ``gopher_passes`` plus every repetition-fraction ceiling of
+#: ``gopher_repetition_passes``.  Equality witness vs the gates
+#: themselves: tests/test_signals.py.
+GOPHER_SIGNAL_RECIPE: dict = {
+    "n_words": (50, 100_000),
+    "mean_word_len": (3.0, 10.0),
+    "symbol_word_ratio": (None, 0.1),
+    "bullet_line_ratio": (None, 0.9),
+    "ellipsis_line_ratio": (None, 0.3),
+    "alpha_word_ratio": (0.8, None),
+    "n_stopword_kinds": (2, None),
+    **{
+        name: (None, limit)
+        for name, limit in GOPHER_REPETITION_THRESHOLDS.items()
+    },
+}
+
+#: ``filter_by_signals`` preset replicating ``c4_clean``'s PAGE-level
+#: drops at its default thresholds (Raffel et al. 2020 §2.2: <5
+#: sentences in the retained text, "lorem ipsum", curly brackets) —
+#: the ``c4_page_keep`` signal is that exact decision, NULL-text-passes
+#: convention included.  (C4's LINE-level rewrite is a transformation,
+#: not a filter — apply ``c4_clean`` itself to also rewrite the text.)
+C4_SIGNAL_RECIPE: dict = {"c4_page_keep": True}
+
+
+def filter_by_signals(docs: DataFrame, thresholds: dict) -> DataFrame:
+    """The annotate-once/filter-many consumer (RedPajama-v2's product
+    shape): keep rows where EVERY named signal satisfies its spec —
+    ``(lo, hi)`` inclusive numeric bounds (``None`` = unbounded on that
+    side) or a bare ``bool`` for flag equality.  A NULL signal fails its
+    predicate (the same convention as every gate here — a NULL must not
+    silently pass a threshold).  One codegen filter, no shuffle.
+
+    Published presets: ``GOPHER_SIGNAL_RECIPE`` (== ``gopher_passes`` ∧
+    ``gopher_repetition_passes``), ``C4_SIGNAL_RECIPE`` (==
+    ``c4_clean``'s page-drop survivor set)."""
+    cond = F.lit(True)
+    for name in sorted(thresholds):
+        spec = thresholds[name]
+        c = F.col(name)
+        if isinstance(spec, bool):
+            cond = cond & (c == F.lit(spec))
+        else:
+            lo, hi = spec
+            if lo is not None:
+                cond = cond & (c >= F.lit(lo))
+            if hi is not None:
+                cond = cond & (c <= F.lit(hi))
+    return docs.filter(cond)

@@ -105,3 +105,70 @@ def test_signals_plan_is_shuffle_free(spark):
     out = annotate_quality_signals(_docs(spark))
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_filter_by_signals_recipes_equal_gates(spark):
+    """VERDICT r9 #6 — annotate-once/filter-many: the published recipe
+    presets over the annotated frame select EXACTLY the documents the
+    corresponding gates select.  GOPHER_SIGNAL_RECIPE == gopher_passes ∧
+    gopher_repetition_passes; C4_SIGNAL_RECIPE == c4_clean's survivor
+    set (page drops at default thresholds, NULL-text-passes convention
+    included — edge rows planted for every rule)."""
+    from restructure_hdfs_topic_spark.functions.text import (
+        c4_clean,
+        gopher_metrics,
+        gopher_passes,
+        gopher_repetition_metrics,
+        gopher_repetition_passes,
+    )
+    from restructure_hdfs_topic_spark.plans.signals import (
+        C4_SIGNAL_RECIPE,
+        GOPHER_SIGNAL_RECIPE,
+        annotate_quality_signals,
+        filter_by_signals,
+    )
+
+    edge = spark.createDataFrame(
+        [
+            (10_000_001, None),  # NULL text: C4 keeps, Gopher drops
+            (10_000_002, ""),
+            (10_000_003, "Lorem ipsum dolor sit amet filler. " * 12),
+            (10_000_004, "Braces { appear } in prose sentences here. " * 12),
+            (10_000_005, "One. Two. Three. Four."),  # <5 kept sentences
+            (10_000_006, "no terminal punctuation on this line " * 12),
+        ],
+        "doc_id long, text string",
+    )
+    docs = _docs(spark).union(edge)
+    annotated = annotate_quality_signals(docs)
+
+    # Gopher (both table-A1 halves).
+    met = gopher_metrics(F.col("text"))
+    want_gopher = {
+        r["doc_id"]
+        for r in gopher_repetition_metrics(
+            docs.select("doc_id", "text", *[c.alias(n) for n, c in met])
+        )
+        .filter(
+            gopher_passes(*[F.col(n) for n, _ in met])
+            & gopher_repetition_passes()
+        )
+        .collect()
+    }
+    got_gopher = {
+        r["doc_id"]
+        for r in filter_by_signals(annotated, GOPHER_SIGNAL_RECIPE).collect()
+    }
+    assert got_gopher == want_gopher and want_gopher
+
+    # C4 page drops (the line-level rewrite is a transformation, so the
+    # witness compares SURVIVOR ID SETS, which the page rules decide).
+    want_c4 = {r["doc_id"] for r in c4_clean(docs).collect()}
+    got_c4 = {
+        r["doc_id"]
+        for r in filter_by_signals(annotated, C4_SIGNAL_RECIPE).collect()
+    }
+    assert got_c4 == want_c4 and want_c4
+    # The planted edges land on the intended sides.
+    assert 10_000_001 in got_c4 and 10_000_001 not in got_gopher
+    assert {10_000_003, 10_000_004, 10_000_005, 10_000_006} & got_c4 == set()
