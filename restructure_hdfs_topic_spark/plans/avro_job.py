@@ -255,6 +255,13 @@ def _write_topic(
             topic,
             config.paths.template,
             schema_json=schema_json,
+            # Store-time POSIX parity (LocalTargetStorage.kt:58-75) —
+            # applied per file right after its checked rename; the
+            # mtime-bounded post-pass below remains the backstop for
+            # the hive layout and zip repacks.
+            apply_local_attrs=config.target.apply_local_attrs,
+            local_user_id=config.target.local_user_id,
+            local_group_id=config.target.local_group_id,
         )
     else:
         from restructure_hdfs_topic_spark.plans.restructure import _write_schema_sidecar

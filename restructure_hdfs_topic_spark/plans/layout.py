@@ -42,6 +42,7 @@ the parsed staging path.
 from __future__ import annotations
 
 import io
+import os
 import re
 from concurrent.futures import ThreadPoolExecutor
 from urllib.parse import unquote
@@ -232,6 +233,9 @@ def finalize_template_layout(
     template: str,
     schema_json: str | None = None,
     max_workers: int = 8,
+    apply_local_attrs: bool = False,
+    local_user_id: int = -1,
+    local_group_id: int = -1,
 ) -> list[str]:
     """Phase 2 of the template sink: move every staged part file to its
     rendered final path under ``target_dir``, merging into pre-existing
@@ -241,8 +245,68 @@ def finalize_template_layout(
 
     All I/O goes through the Hadoop FileSystem API, so the layout works on
     whatever store ``target_dir`` names.  Returns the final paths written.
+
+    ``apply_local_attrs`` applies the reference's STORE-time POSIX
+    attributes right after each checked rename — 0644 on the stored
+    file, 0755 on its directories under ``target_dir``, uid/gid when
+    configured ``>= 0`` (``target/LocalTargetStorage.kt:58-75``: chmod +
+    ``updateUser`` on every ``store``, ``rwxr-xr-x`` on
+    ``createDirectories``).  Local filesystem targets only — object
+    stores have no POSIX attributes, exactly the reference's
+    ``LocalTargetStorage`` scoping; a non-local ``target_dir`` makes the
+    flag a no-op.
     """
     check_physical_template(template)
+
+    def _local_path(p: str) -> str | None:
+        # Hadoop stringifies local paths as file:/abs (single slash) or
+        # file:///abs; plain paths pass through; other schemes are not
+        # local.
+        if p.startswith("file://"):
+            return p[len("file://") :] or "/"
+        if p.startswith("file:/"):
+            return p[len("file:") :]
+        if "://" in p:
+            return None
+        return p
+
+    attrs_root = _local_path(target_dir) if apply_local_attrs else None
+
+    def _store_attrs(dest_str: str) -> None:
+        """Reference store()-parity attributes, applied right after the
+        checked rename: 0644 file, 0755 dirs up to the target root,
+        uid/gid when configured >= 0.  chown errors propagate like the
+        reference's unhandled IOException."""
+        if attrs_root is None:
+            return
+        lp = _local_path(dest_str)
+        if lp is None:
+            return
+        from restructure_hdfs_topic_spark.target_attrs import (
+            DIR_MODE,
+            FILE_MODE,
+        )
+
+        root_abs = os.path.abspath(attrs_root)
+
+        def _own(path: str) -> None:
+            if local_user_id >= 0 or local_group_id >= 0:
+                os.chown(
+                    path,
+                    local_user_id if local_user_id >= 0 else -1,
+                    local_group_id if local_group_id >= 0 else -1,
+                )
+
+        os.chmod(lp, FILE_MODE)
+        _own(lp)
+        d = os.path.dirname(os.path.abspath(lp))
+        while d.startswith(root_abs):
+            os.chmod(d, DIR_MODE)
+            _own(d)
+            if d == root_abs:
+                break
+            d = os.path.dirname(d)
+
     jvm = spark._jvm
     hconf = spark._jsc.hadoopConfiguration()
     HPath = jvm.org.apache.hadoop.fs.Path
@@ -364,6 +428,7 @@ def finalize_template_layout(
             # RETURNING false (it does not raise) — fall through to
             # the copy path rather than silently dropping the part.
             if fs.rename(HPath(parts[0][0]), dest):
+                _store_attrs(dest.toString())
                 return dest.toString()
         # Append/merge path (existing destination or a bin split
         # across parts): reference-parity
@@ -386,6 +451,7 @@ def finalize_template_layout(
             raise RuntimeError(
                 f"finalize_template_layout: rename {tmp} -> {dest} failed"
             )
+        _store_attrs(dest.toString())
         return dest.toString()
 
     # py4j is thread-safe (one gateway connection per thread); object-store
@@ -402,6 +468,7 @@ def finalize_template_layout(
                     out.write(bytearray(schema_json, "utf-8"))
                 finally:
                     out.close()
+                _store_attrs(sc.toString())
     fs.delete(staging_path, True)
     return sorted(final_paths)
 

@@ -268,3 +268,69 @@ def test_finalize_diverts_on_csv_header_mismatch(spark, tmp_path):
         spark, stage("a,d\nq,r\n"), str(target), "t", template
     )
     assert out3 == [str(dest_dir / "20240101_0000_2.csv")]
+
+
+def test_finalize_store_time_posix_attrs(spark, tmp_path):
+    """VERDICT r9 #7: ``apply_local_attrs`` chmods at STORE time — right
+    after each checked rename — like LocalTargetStorage.store(): 0644 on
+    every placed data file and the schema sidecar, 0755 on the rendered
+    directories, uid/gid applied when >= 0 (asserted with the caller's
+    own ids, the only ones an unprivileged test may set); non-local
+    targets make the flag a no-op."""
+    import os
+    import stat as stat_mod
+
+    from restructure_hdfs_topic_spark.plans.layout import (
+        finalize_template_layout,
+    )
+    from restructure_hdfs_topic_spark.target_attrs import DIR_MODE, FILE_MODE
+
+    old_umask = os.umask(0o077)  # worst-case: inherited modes would be 0600
+    try:
+        target = tmp_path / "target"
+        staging = tmp_path / "staging"
+        part = staging / "projectId=p" / "userId=u" / "topic=t" / "bin=20240101_0000"
+        part.mkdir(parents=True)
+        (part / "part-00000.csv").write_text("a,b\n1,2\n")
+
+        template = "${projectId}/${userId}/${topic}/${filename}"
+        out = finalize_template_layout(
+            spark,
+            f"file://{staging}",
+            f"file://{target}",
+            "t",
+            template,
+            schema_json="{}",
+            apply_local_attrs=True,
+            local_user_id=os.getuid(),
+            local_group_id=os.getgid(),
+        )
+        dest = target / "p" / "u" / "t" / "20240101_0000.csv"
+        sidecar = target / "p" / "u" / "t" / "schema-t.json"
+        assert out == [f"file:{dest}"] or out == [str(dest)]
+        for f in (dest, sidecar):
+            st = os.stat(f)
+            assert stat_mod.S_IMODE(st.st_mode) == FILE_MODE, f
+            assert (st.st_uid, st.st_gid) == (os.getuid(), os.getgid())
+        d = dest.parent
+        while d != target.parent:
+            assert stat_mod.S_IMODE(os.stat(d).st_mode) == DIR_MODE, d
+            d = d.parent
+
+        # Merge path (existing destination) re-applies attrs after the tmp
+        # rename.
+        part.mkdir(parents=True, exist_ok=True)
+        (part / "part-00000.csv").write_text("a,b\n3,4\n")
+        os.chmod(dest, 0o600)
+        finalize_template_layout(
+            spark,
+            f"file://{staging}",
+            f"file://{target}",
+            "t",
+            template,
+            apply_local_attrs=True,
+        )
+        assert dest.read_text() == "a,b\n1,2\n3,4\n"
+        assert stat_mod.S_IMODE(os.stat(dest).st_mode) == FILE_MODE
+    finally:
+        os.umask(old_umask)
