@@ -330,6 +330,21 @@ def main() -> None:
             fh.write("\n")
     except OSError as exc:
         print(f"# could not write {out_path}: {exc}", file=sys.stderr)
+    # EVERY solo run also appends one line here (VERDICT r9 stretch #9):
+    # the bench host has multi-hour slow phases, so a single recorded run
+    # cannot distinguish drift from regression — the judge reads all of a
+    # round's runs side by side instead of re-running.
+    runs_path = os.environ.get(
+        "SPARK_GRAFT_BENCH_RUNS",
+        os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "BENCH_RUNS.jsonl"
+        ),
+    )
+    try:
+        with open(runs_path, "a") as fh:
+            fh.write(json.dumps({"ts": time.time(), **result}) + "\n")
+    except OSError as exc:
+        print(f"# could not append {runs_path}: {exc}", file=sys.stderr)
     print(json.dumps(result))
 
 
