@@ -300,7 +300,9 @@ def finalize_template_layout(
         os.chmod(lp, FILE_MODE)
         _own(lp)
         d = os.path.dirname(os.path.abspath(lp))
-        while d.startswith(root_abs):
+        # Exact-boundary prefix check: a sibling like <root>2 must not
+        # match <root>.
+        while d == root_abs or d.startswith(root_abs + os.sep):
             os.chmod(d, DIR_MODE)
             _own(d)
             if d == root_abs:
