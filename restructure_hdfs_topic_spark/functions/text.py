@@ -535,6 +535,44 @@ def gopher_repetition_metrics(
     return staged.mapInPandas(kernel, out_schema)
 
 
+def _mirror_token_hashes(texts):
+    """Exact Python mirror of the JVM ``tokens()``/``poly_hash`` pair,
+    batch-shaped for the Arrow kernels (the repetition metrics and DSIR
+    feature counting share this ONE definition so they cannot drift):
+    per text — trim the SPACE character only, lower, split on ASCII
+    whitespace (Java's ``\\s``; a Python ``\\s+`` would also split on
+    NBSP etc.), keeping empty edge tokens; per distinct token — the
+    polynomial char-fold cached per batch (the Zipf win).
+
+    Returns ``(counts, H, L)``: int64 tokens-per-doc, flat token hashes,
+    flat token char lengths."""
+    import re
+
+    import numpy as np
+
+    ws = re.compile(r"[ \t\n\x0b\f\r]+")
+    cache: dict = {}
+
+    def phash(w: str) -> int:
+        h = cache.get(w)
+        if h is None:
+            acc = 0
+            for ch in w:
+                acc = (acc * HASH_BASE + ord(ch)) % HASH_MOD
+            cache[w] = h = acc
+        return h
+
+    toks = []
+    for t in texts:
+        s = ("" if t is None else t).strip(" ").lower()
+        toks.append(ws.split(s) if s else [])
+    counts = np.fromiter((len(x) for x in toks), dtype=np.int64, count=len(toks))
+    flat = [w for doc_toks in toks for w in doc_toks]
+    H = np.fromiter((phash(w) for w in flat), dtype=np.int64, count=len(flat))
+    L = np.fromiter((len(w) for w in flat), dtype=np.int64, count=len(flat))
+    return counts, H, L
+
+
 def _ngram_repetition_kernel(text_col: str, gram_cols: list[str]):
     """Arrow kernel for the nine n-gram repetition fractions —
     batch-vectorized ACROSS documents: tokens hash once per distinct
@@ -545,51 +583,21 @@ def _ngram_repetition_kernel(text_col: str, gram_cols: list[str]):
     witness model uses."""
 
     def kernel(batches):
-        import re
-
         import numpy as np
-
-        # Java's \s is ASCII-only — a Python \s+ would additionally
-        # split on Unicode whitespace (NBSP is ubiquitous in scraped
-        # HTML) and silently diverge from the JVM tokens() every other
-        # text metric uses.  Same pattern as the feature_hash_embed
-        # kernel.
-        ws = re.compile(r"[ \t\n\x0b\f\r]+")
 
         P, M, PACK = HASH_MOD, GRAM_HASH_MULT, GRAM_LEN_PACK
         for pdf in batches:
             n_docs = len(pdf)
             if not n_docs:
                 continue
-            # Per-BATCH token-hash cache: the Zipf win is within a
-            # batch; a partition-lifetime dict would grow unboundedly
-            # on high-cardinality crawl partitions (urls/hex ids).
-            cache: dict = {}
-
-            def phash(w: str) -> int:
-                h = cache.get(w)
-                if h is None:
-                    acc = 0
-                    for ch in w:
-                        acc = (acc * HASH_BASE + ord(ch)) % HASH_MOD
-                    cache[w] = h = acc
-                return h
-            toks = []
-            tlen = np.zeros(n_docs, dtype=np.int64)
-            for j, t in enumerate(pdf[text_col]):
-                s = "" if t is None else t
-                tlen[j] = len(s)
-                s = s.strip(" ").lower()
-                toks.append(ws.split(s) if s else [])
-            counts = np.fromiter(
-                (len(x) for x in toks), dtype=np.int64, count=n_docs
-            )
-            flat = [w for doc in toks for w in doc]
-            H = np.fromiter(
-                (phash(w) for w in flat), dtype=np.int64, count=len(flat)
-            )
-            L = np.fromiter(
-                (len(w) for w in flat), dtype=np.int64, count=len(flat)
+            # Tokenize + hash via the shared exact-mirror helper (per-
+            # BATCH hash cache: a partition-lifetime dict would grow
+            # unboundedly on high-cardinality crawl partitions).
+            counts, H, L = _mirror_token_hashes(pdf[text_col])
+            tlen = np.fromiter(
+                (0 if t is None else len(t) for t in pdf[text_col]),
+                dtype=np.int64,
+                count=n_docs,
             )
             doc = np.repeat(np.arange(n_docs), counts)
             res = {}

@@ -79,57 +79,26 @@ def dsir_ngram_counts(
     one row per key before any shuffle.  Per-row pure function ⇒
     partitioning-independent.  Documents with no tokens emit no rows
     (``dsir_importance`` coalesces their score to 0)."""
-    import pandas as pd
-
     id_field = docs.schema[id_col]
-    out_schema = (
-        f"`{id_col}` {id_field.dataType.simpleString()}, "
-        "bucket bigint, cnt bigint"
-    )
     nb = int(n_buckets)
 
     def kernel(batches):
-        import re
-
         import numpy as np
+        import pandas as pd
 
         from restructure_hdfs_topic_spark.functions.text import (
-            HASH_BASE,
             HASH_MOD,
+            _mirror_token_hashes,
         )
 
-        # Java's \s is ASCII-only (same pattern as the repetition
-        # kernel) — a Python \s+ would also split on Unicode whitespace
-        # and diverge from the JVM tokens().
-        ws = re.compile(r"[ \t\n\x0b\f\r]+")
         for pdf in batches:
             n_docs = len(pdf)
             if not n_docs:
                 continue
-            cache: dict = {}
-
-            def phash(w: str) -> int:
-                h = cache.get(w)
-                if h is None:
-                    acc = 0
-                    for ch in w:
-                        acc = (acc * HASH_BASE + ord(ch)) % HASH_MOD
-                    cache[w] = h = acc
-                return h
-
-            toks = []
-            for t in pdf[text_col]:
-                # Mirror tokens(): trim SPACES only, lower, ASCII split
-                # (keeps empty tokens from edge tabs/newlines).
-                s = ("" if t is None else t).strip(" ").lower()
-                toks.append(ws.split(s) if s else [])
-            counts = np.fromiter(
-                (len(x) for x in toks), dtype=np.int64, count=n_docs
-            )
-            flat = [w for doc_toks in toks for w in doc_toks]
-            H = np.fromiter(
-                (phash(w) for w in flat), dtype=np.int64, count=len(flat)
-            )
+            # Tokenize + hash via the shared exact mirror of the JVM
+            # tokens()/poly_hash pair (one definition with the
+            # repetition kernel — they cannot drift).
+            counts, H, _ = _mirror_token_hashes(pdf[text_col])
             doc = np.repeat(np.arange(n_docs), counts)
             if len(H) >= 2:
                 bi = (H[:-1] * BIGRAM_MULT + H[1:]) % HASH_MOD
@@ -143,16 +112,30 @@ def dsir_ngram_counts(
             all_b = np.concatenate([H % nb, bi_b])
             packed = all_doc * np.int64(nb) + all_b
             uniq, cnts = np.unique(packed, return_counts=True)
-            ids = pdf[id_col].to_numpy()
+            ids = pdf["__id"].to_numpy()
             yield pd.DataFrame(
                 {
-                    id_col: ids[uniq // nb],
+                    "__id": ids[uniq // nb],
                     "bucket": uniq % nb,
                     "cnt": cnts,
                 }
             )
 
-    return docs.select(id_col, text_col).mapInPandas(kernel, out_schema)
+    # Ids transit the kernel as STRINGS: an Arrow int64 column containing
+    # any NULL arrives in pandas as float64, which NaN-corrupts the NULL
+    # doc's rows and silently rounds co-batched ids above 2^53 — a string
+    # column keeps NULLs as None and round-trips every id exactly (the
+    # old explode path carried NULL-id docs' counts into the p_raw fit;
+    # this preserves that).
+    staged = docs.select(
+        F.col(id_col).cast("string").alias("__id"), F.col(text_col)
+    )
+    counts = staged.mapInPandas(
+        kernel, "__id string, bucket bigint, cnt bigint"
+    )
+    return counts.select(
+        F.col("__id").cast(id_field.dataType).alias(id_col), "bucket", "cnt"
+    )
 
 
 def dsir_log_ratios(

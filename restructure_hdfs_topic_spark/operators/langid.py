@@ -50,62 +50,92 @@ __all__ = [
 ]
 
 
+#: 21 bits per packed code point (max code point U+10FFFF < 2^21); three
+#: fit in an int64, so the vectorized path covers n ≤ 3.
+_PACK_BITS = 21
+
+
+def _normalize_batch(texts_iter, max_chars: int | None = None) -> list[str]:
+    """The ONE normalization both langid kernels (and the pure-Python
+    model) share: optional prefix cap, lower, Unicode-``\\s`` runs → one
+    space.  NULL → ''."""
+    import re
+
+    ws = re.compile(r"\s+")
+    out = []
+    for t in texts_iter:
+        s = "" if t is None else t
+        if max_chars is not None:
+            s = s[:max_chars]
+        out.append(ws.sub(" ", s.lower()))
+    return out
+
+
+def _packed_gram_stream(texts: list[str], n: int):
+    """``(k_arr, d_arr)`` — packed n-gram keys (code points, 21 bits
+    each — lexicographic gram order == numeric key order for the
+    equal-length grams) and each gram's 0-based document index, over one
+    utf-32 encode of the concatenated batch with document-boundary
+    windows masked out.  The single gram-identity definition train and
+    classify both use."""
+    import numpy as np
+
+    lens = np.fromiter((len(s) for s in texts), dtype=np.int64, count=len(texts))
+    codes = np.frombuffer(
+        "".join(texts).encode("utf-32-le"), dtype="<u4"
+    ).astype(np.int64)
+    doc = np.repeat(np.arange(len(texts)), lens)
+    if len(codes) >= n:
+        key = codes[: len(codes) - n + 1].copy()
+        for j in range(1, n):
+            key = (key << _PACK_BITS) | codes[j : len(codes) - n + 1 + j]
+        valid = doc[: len(key)] == doc[n - 1 :]
+        return key[valid], doc[: len(key)][valid]
+    empty = np.empty(0, np.int64)
+    return empty, empty
+
+
+def _group_rle(k_arr, g_arr):
+    """Per-(group, key) run-length counts: ``(g, k, cnt)`` of the
+    distinct pairs — one lexsort + adjacent-equality scan."""
+    import numpy as np
+
+    order = np.lexsort((k_arr, g_arr))
+    g_s, k_s = g_arr[order], k_arr[order]
+    new = np.ones(len(k_s), dtype=bool)
+    if len(k_s):
+        new[1:] = (k_s[1:] != k_s[:-1]) | (g_s[1:] != g_s[:-1])
+    idx = np.flatnonzero(new)
+    runs = np.diff(np.append(idx, len(k_s)))
+    return g_s[idx], k_s[idx], runs
+
+
 def _gram_count_kernel(lang_col: str, text_col: str, n: int):
     """Arrow kernel: batches of (lang, text) → per-batch ``(lang, gram,
     c)`` partial counts — the map-side pre-aggregation that shrinks the
     trainer's shuffle from one row per CHARACTER to one row per distinct
     (batch, lang, gram) (Zipf-bounded).  Gram identity and normalization
-    mirror ``classify_lang``'s kernel exactly: Unicode-``\\s`` collapse +
-    lower, code points packed 21 bits each (n ≤ 3), unpacked back to the
-    literal gram strings for the profile artifact."""
+    are the same ``_normalize_batch`` + ``_packed_gram_stream`` the
+    classifier kernel uses, unpacked back to the literal gram strings
+    for the profile artifact."""
 
     def kernel(batches):
-        import re
-
         import numpy as np
         import pandas as pd
 
-        ws = re.compile(r"\s+")
-        mask = (1 << 21) - 1
+        mask = (1 << _PACK_BITS) - 1
         for pdf in batches:
-            n_docs = len(pdf)
-            if not n_docs:
+            if not len(pdf):
                 continue
             langs_b = pdf[lang_col].to_numpy()
-            texts = []
-            for t in pdf[text_col]:
-                s = "" if t is None else t
-                texts.append(ws.sub(" ", s.lower()))
+            texts = _normalize_batch(pdf[text_col])
             if n <= 3:
                 uniq_langs, lang_ix = np.unique(langs_b, return_inverse=True)
-                lens = np.fromiter(
-                    (len(s) for s in texts), dtype=np.int64, count=n_docs
-                )
-                codes = np.frombuffer(
-                    "".join(texts).encode("utf-32-le"), dtype="<u4"
-                ).astype(np.int64)
-                doc = np.repeat(np.arange(n_docs), lens)
-                if len(codes) >= n:
-                    key = codes[: len(codes) - n + 1].copy()
-                    for j in range(1, n):
-                        key = (key << 21) | codes[j : len(codes) - n + 1 + j]
-                    valid = doc[: len(key)] == doc[n - 1 :]
-                    k_arr = key[valid]
-                    l_arr = lang_ix[doc[: len(key)][valid]]
-                else:
-                    k_arr = np.empty(0, np.int64)
-                    l_arr = k_arr
-                order = np.lexsort((k_arr, l_arr))
-                l_s, k_s = l_arr[order], k_arr[order]
-                new = np.ones(len(k_s), dtype=bool)
-                if len(k_s):
-                    new[1:] = (k_s[1:] != k_s[:-1]) | (l_s[1:] != l_s[:-1])
-                idx = np.flatnonzero(new)
-                runs = np.diff(np.append(idx, len(k_s)))
-                u_key, u_lang = k_s[idx], l_s[idx]
+                k_arr, d_arr = _packed_gram_stream(texts, n)
+                u_lang, u_key, runs = _group_rle(k_arr, lang_ix[d_arr])
                 grams = [
                     "".join(
-                        chr((int(kv) >> (21 * (n - 1 - j))) & mask)
+                        chr((int(kv) >> (_PACK_BITS * (n - 1 - j))) & mask)
                         for j in range(n)
                     )
                     for kv in u_key
@@ -285,51 +315,18 @@ def classify_lang(
         }
 
     def kernel(batches):
-        import re
-
         import numpy as np
 
-        # Python \s is Unicode-aware — the same class the former JVM
-        # expression opted into via (?U) and the pure-Python model uses.
-        ws = re.compile(r"\s+")
         for pdf in batches:
             n_docs = len(pdf)
             if not n_docs:
                 continue
-            texts = []
-            for t in pdf[text_col]:
-                s = "" if t is None else t
-                if mc is not None:
-                    s = s[:mc]
-                texts.append(ws.sub(" ", s.lower()))
+            texts = _normalize_batch(pdf[text_col], max_chars=mc)
             pred: list = [None] * n_docs
             dist: list = [None] * n_docs
             if vector_path and langs:
-                lens = np.fromiter(
-                    (len(s) for s in texts), dtype=np.int64, count=n_docs
-                )
-                codes = np.frombuffer(
-                    "".join(texts).encode("utf-32-le"), dtype="<u4"
-                ).astype(np.int64)
-                doc = np.repeat(np.arange(n_docs), lens)
-                if len(codes) >= n:
-                    key = codes[: len(codes) - n + 1].copy()
-                    for j in range(1, n):
-                        key = (key << 21) | codes[j : len(codes) - n + 1 + j]
-                    valid = doc[: len(key)] == doc[n - 1 :]
-                    k_arr = key[valid]
-                    d_arr = doc[: len(key)][valid]
-                else:
-                    k_arr = np.empty(0, np.int64)
-                    d_arr = k_arr
-                order = np.lexsort((k_arr, d_arr))
-                d_s, k_s = d_arr[order], k_arr[order]
-                new = np.ones(len(k_s), dtype=bool)
-                if len(k_s):
-                    new[1:] = (k_s[1:] != k_s[:-1]) | (d_s[1:] != d_s[:-1])
-                idx = np.flatnonzero(new)
-                runs = np.diff(np.append(idx, len(k_s)))
-                g_doc, g_key = d_s[idx], k_s[idx]
+                k_arr, d_arr = _packed_gram_stream(texts, n)
+                g_doc, g_key, runs = _group_rle(k_arr, d_arr)
                 # Rank per doc by (count desc, gram asc) — equal-length
                 # strings compare by code point, so packed-key order IS
                 # gram string order.

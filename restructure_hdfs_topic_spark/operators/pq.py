@@ -481,6 +481,9 @@ def pq_adc_topk(
     STORED-code paths like ``ivfpq_topk`` get the m-bytes-per-row scan);
     the shuffle into the rank window carries ≤ |queries|·k·rerank_factor·
     batches rows (per-batch partial top-k)."""
+    # Unconditional (train_pq also checks, but a caller-supplied `books`
+    # used to skip pq_encode's check and die as an opaque Arrow error).
+    _check_integral_id(embeddings, id_col)
     if queries is None:
         queries = embeddings
     if books is None:

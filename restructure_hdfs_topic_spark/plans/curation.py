@@ -127,11 +127,13 @@ def curate_corpus(
     removed from the surviving documents rather than dropping them.
     The benchmark frame needs only a ``text_col`` column.
 
-    Laziness caveat: ``perplexity_head_q`` is the one option that runs a
-    job EAGERLY inside this call — its quantile boundaries come from a
-    ``percentile_approx`` collect, which executes the gate + LM-scoring
-    prefix at plan-construction time (the scored join is scope-persisted,
-    so the work is not repeated when the returned plan runs).
+    Laziness caveat: ``perplexity_head_q`` and ``soft_dedup`` are the two
+    options that run jobs EAGERLY inside this call — the former's
+    quantile boundaries come from a ``percentile_approx`` collect, and
+    the latter's transitive clustering (``connected_components``)
+    iterates with eager checkpoints; both execute the pipeline prefix at
+    plan-construction time over a scope-persisted frame, so the work is
+    not repeated when the returned plan runs.
     """
     if sum(
         x is not None and x != {}
@@ -256,28 +258,12 @@ def curate_corpus(
     # survives with probability 1/cluster_size and every cluster's
     # EXPECTED survivor mass is one document (a cluster may realize 0 or
     # 2+ survivors — that is the soft semantics, not a bug).
-    pairs = lsh_near_dup_pairs(
-        scrubbed, id_col, text_col, threshold=jaccard_threshold
-    )
     if soft_dedup:
-        from restructure_hdfs_topic_spark.operators.dedup import (
-            connected_components,
-            duplication_weights,
-        )
-        from restructure_hdfs_topic_spark.operators.sampling import (
-            weighted_hash_sample,
-        )
-
-        groups = connected_components(
-            scrubbed.select(F.col(id_col).alias("id")), pairs
-        ).select(F.col("id").alias(id_col), "group_id")
-        wts = duplication_weights(scrubbed, id_col, text_col, groups=groups)
-        deduped = weighted_hash_sample(
-            scrubbed.join(wts.select(id_col, "weight"), on=id_col),
-            id_col,
-            "weight",
-        ).drop("weight")
+        deduped = _soft_dedup_stage(scrubbed, id_col, text_col, jaccard_threshold)
     else:
+        pairs = lsh_near_dup_pairs(
+            scrubbed, id_col, text_col, threshold=jaccard_threshold
+        )
         losers = pairs.select(F.col("id_b").alias(id_col)).distinct()
         deduped = scrubbed.join(losers, on=id_col, how="left_anti")
 
@@ -362,6 +348,48 @@ def curate_corpus(
         id_col, strata_col, "n_tokens", "bucket", "start_off", "pack_id",
         "n_packs_spanned",
     )
+
+
+def _soft_dedup_stage(
+    scrubbed: DataFrame,
+    id_col: str,
+    text_col: str,
+    jaccard_threshold: float,
+) -> DataFrame:
+    """Stage-3 SOFT alternative, shared by ``curate_corpus`` and
+    ``curation_stage_counts`` (the two must mirror exactly for the
+    attrition report to describe the real pipeline): transitive clusters
+    over the verified LSH pairs → inverse-frequency
+    ``duplication_weights`` → the deterministic ``weighted_hash_sample``
+    realization.
+
+    Laziness caveat (the same class as ``perplexity_head_q``'s):
+    ``connected_components`` iterates with eager checkpoints, so
+    building this stage runs the gate→scrub→LSH prefix at
+    plan-construction time.  ``curate_corpus`` scope-persists
+    ``scrubbed`` before calling, so that prefix materializes once and
+    the weights join + final consumers reuse the cache."""
+    from restructure_hdfs_topic_spark.operators.dedup import (
+        connected_components,
+        duplication_weights,
+        lsh_near_dup_pairs,
+    )
+    from restructure_hdfs_topic_spark.operators.sampling import (
+        weighted_hash_sample,
+    )
+
+    pairs = lsh_near_dup_pairs(
+        scrubbed, id_col, text_col, threshold=jaccard_threshold
+    )
+    groups = connected_components(
+        scrubbed.select(F.col(id_col).alias("id")), pairs
+    ).select(F.col("id").alias(id_col), "group_id")
+    wts = duplication_weights(scrubbed, id_col, text_col, groups=groups)
+    return weighted_hash_sample(
+        scrubbed.join(wts.select(id_col, "weight"), on=id_col),
+        id_col,
+        "weight",
+    ).drop("weight")
 
 
 def _lang_gate(
@@ -506,29 +534,15 @@ def curation_stage_counts(
         )
         out["after_repetition_gate"] = gated.count()
     scrubbed = strip_duplicated_spans(gated, id_col, text_col, k=span_k)
-    pairs = lsh_near_dup_pairs(
-        scrubbed, id_col, text_col, threshold=jaccard_threshold
-    )
     if soft_dedup:
-        from restructure_hdfs_topic_spark.operators.dedup import (
-            connected_components,
-            duplication_weights,
+        deduped = _soft_dedup_stage(
+            scrubbed, id_col, text_col, jaccard_threshold
         )
-        from restructure_hdfs_topic_spark.operators.sampling import (
-            weighted_hash_sample,
-        )
-
-        groups = connected_components(
-            scrubbed.select(F.col(id_col).alias("id")), pairs
-        ).select(F.col("id").alias(id_col), "group_id")
-        wts = duplication_weights(scrubbed, id_col, text_col, groups=groups)
-        deduped = weighted_hash_sample(
-            scrubbed.join(wts.select(id_col, "weight"), on=id_col),
-            id_col,
-            "weight",
-        ).drop("weight")
         out["after_soft_dedup"] = deduped.count()
     else:
+        pairs = lsh_near_dup_pairs(
+            scrubbed, id_col, text_col, threshold=jaccard_threshold
+        )
         losers = pairs.select(F.col("id_b").alias(id_col)).distinct()
         deduped = scrubbed.join(losers, on=id_col, how="left_anti")
         out["after_near_dup_drop"] = deduped.count()

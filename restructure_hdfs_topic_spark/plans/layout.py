@@ -45,7 +45,7 @@ import io
 import os
 import re
 from concurrent.futures import ThreadPoolExecutor
-from urllib.parse import unquote
+from urllib.parse import unquote, urlparse
 
 from pyspark.sql import Column, SparkSession
 from pyspark.sql import functions as F
@@ -260,17 +260,14 @@ def finalize_template_layout(
 
     def _local_path(p: str) -> str | None:
         # Hadoop stringifies local paths as file:/abs (single slash) or
-        # file:///abs; plain paths pass through; other schemes are not
-        # local.
-        if p.startswith("file://"):
-            return p[len("file://") :] or "/"
-        if p.startswith("file:/"):
-            return p[len("file:") :]
-        if "://" in p:
-            return None
-        return p
+        # file:///abs; plain paths pass through; any authority
+        # (file://host/...) or other scheme is not locally addressable.
+        u = urlparse(p)
+        if u.scheme in ("", "file") and not u.netloc:
+            return u.path or "/"
+        return None
 
-    attrs_root = _local_path(target_dir) if apply_local_attrs else None
+    attrs_root = None
 
     def _store_attrs(dest_str: str) -> None:
         """Reference store()-parity attributes, applied right after the
@@ -314,6 +311,13 @@ def finalize_template_layout(
     HPath = jvm.org.apache.hadoop.fs.Path
     staging_path = HPath(staging_dir)
     fs = staging_path.getFileSystem(hconf)
+    if apply_local_attrs:
+        # Gate on the TARGET's actual filesystem (a scheme-less path can
+        # resolve to hdfs:// via fs.defaultFS): POSIX attributes exist
+        # only on the local FS — the documented no-op otherwise.
+        t_fs = HPath(target_dir).getFileSystem(hconf)
+        if t_fs.getScheme() == "file":
+            attrs_root = _local_path(target_dir)
     if not fs.exists(staging_path):
         return []
 

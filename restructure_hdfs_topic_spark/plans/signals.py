@@ -88,8 +88,14 @@ def annotate_quality_signals(
         # C4's page rules judge the text RETAINED by the line keep, not
         # the raw page — stage the kept text once (the raw has_* flags
         # above stay as-is for consumers tuning on the full page).
+        # NB: the lambda wrapper is load-bearing — F.filter(col, f) binds
+        # f's SECOND parameter to the element INDEX, so passing the
+        # 2-arg c4_line_keep bare would silently use the line number as
+        # min_words.
         F.lower(
-            F.array_join(F.filter(F.col("__lines"), c4_line_keep), "\n")
+            F.array_join(
+                F.filter(F.col("__lines"), lambda l: c4_line_keep(l)), "\n"
+            )
         ).alias("__c4low"),
         *[c.alias(n) for (_, c), n in zip(lang_scores, score_names)],
     )

@@ -136,6 +136,19 @@ def test_filter_by_signals_recipes_equal_gates(spark):
             (10_000_004, "Braces { appear } in prose sentences here. " * 12),
             (10_000_005, "One. Two. Three. Four."),  # <5 kept sentences
             (10_000_006, "no terminal punctuation on this line " * 12),
+            # Multi-line pages exposing the F.filter(col, c4_line_keep)
+            # index-as-min_words bug in BOTH directions: 2-word/2-sentence
+            # fragments would be kept at low indices (bare binding uses
+            # the line number as min_words) and push the page over 5
+            # sentences; a 4-word line at index 7 (and 5-word lines
+            # after) would wrongly FAIL and drop the page.
+            (10_000_007, "Hi. Yo.\n" * 6),
+            (
+                10_000_008,
+                ("x.\n" * 7)
+                + "Four words right here.\n"
+                + "Five more words land here.\n" * 5,
+            ),
         ],
         "doc_id long, text string",
     )
@@ -172,3 +185,5 @@ def test_filter_by_signals_recipes_equal_gates(spark):
     # The planted edges land on the intended sides.
     assert 10_000_001 in got_c4 and 10_000_001 not in got_gopher
     assert {10_000_003, 10_000_004, 10_000_005, 10_000_006} & got_c4 == set()
+    assert 10_000_007 not in got_c4  # index-as-min_words would keep it
+    assert 10_000_008 in got_c4  # index-as-min_words would drop it
