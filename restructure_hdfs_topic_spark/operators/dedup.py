@@ -531,10 +531,16 @@ def hamming_near_dup_pairs(
     ``hashed`` must carry one row per item; NULL fingerprints (e.g. an
     undecodable image) are dropped — they can match nothing.
 
-    Returns (id_a, id_b, hamming) with id_a < id_b.  ``dedup=False`` skips
-    the final distinct (a pair agreeing in several bands appears once per
-    band) — one full shuffle saved for consumers that absorb duplicates
-    anyway (connected components' groupBy-min / contraction).
+    Returns (id_a, id_b, hamming) with id_a < id_b.  A pair agreeing in
+    several bands is emitted by its EARLIEST agreeing band only — a
+    map-side codegen filter over the joined fingerprints (both ride the
+    banded rows), so uniqueness is by construction and the plan has NO
+    pair-dedup shuffle (the former ``dropDuplicates`` over the pair set
+    was ~half the sf1 query: dense near-dup cliques make the pair set
+    quadratic, 21M rows at 50k docs).  ``dedup=False`` skips even that
+    filter — for consumers that absorb duplicates anyway (connected
+    components' groupBy-min / contraction) the bands×shifts per
+    candidate are pure waste.
     """
     starts, widths = _band_layout(bits, max_hamming, bands)
     fp = hashed.select(
@@ -544,28 +550,39 @@ def hamming_near_dup_pairs(
     left = banded.alias("l")
     right = banded.alias("r")
     ham = F.bit_count(F.col("l.fp").bitwiseXOR(F.col("r.fp"))).cast("bigint")
-    # Verify (cheap bit_count on the joined row) BEFORE the distinct: the
-    # Hamming filter drops most candidates map-side, so the dedup shuffle
-    # (a pair can match in several bands) carries only surviving pairs.
-    verified = (
+    # Verify (cheap bit_count on the joined row) map-side: the Hamming
+    # filter drops most candidates before anything else sees them.
+    cond = ham <= max_hamming
+    if dedup:
+        # Earliest-agreeing-band rule: mirror _banded's key extraction
+        # (shiftrightunsigned + mask) on BOTH fingerprints for every
+        # band below this row's — if any earlier band agrees, that band
+        # already emitted the pair.
+        def _key_of(col: F.Column, b: int) -> F.Column:
+            key = F.shiftrightunsigned(col, starts[b])
+            if widths[b] < 64:
+                key = key.bitwiseAND(F.lit((1 << widths[b]) - 1))
+            return key
+
+        earlier = F.lit(False)
+        for b in range(len(starts) - 1):
+            agree = _key_of(F.col("l.fp"), b) == _key_of(F.col("r.fp"), b)
+            earlier = earlier | ((F.col("l.band") > F.lit(b)) & agree)
+        cond = cond & ~earlier
+    return (
         left.join(
             right,
             (F.col("l.band") == F.col("r.band"))
             & (F.col("l.key") == F.col("r.key"))
             & (F.col("l.id") < F.col("r.id")),
         )
+        .filter(cond)
         .select(
             F.col("l.id").alias("id_a"),
             F.col("r.id").alias("id_b"),
             ham.alias("hamming"),
         )
-        .filter(F.col("hamming") <= max_hamming)
     )
-    if not dedup:
-        return verified
-    # A pair matching in several bands carries the identical hamming —
-    # dedup on the 2-long key, not the full row.
-    return verified.dropDuplicates(["id_a", "id_b"]).select("id_a", "id_b", "hamming")
 
 
 def simhash_near_dup_pairs(
