@@ -1866,11 +1866,15 @@ def q_html_ingest_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     curated = (
         Corpus(html)
         .strip_html()
+        # Stage boundary DIRECTLY after the strip (r10 profile): filter
+        # pushdown re-inlines the strip_html regexp chain into the
+        # Gopher gate's predicate (19 chain copies in the fused plan —
+        # the gate read 26 s vs 5.8 s over a materialized column at
+        # sf1).  Caching HERE makes every downstream reference a cheap
+        # materialized attribute; the scrub's repeated consumption then
+        # re-runs only the cheap gate filter over the cache.
+        .cached("bench.html_ingest.stripped")
         .gopher_gate()
-        # Stage boundary: the span scrub consumes its input repeatedly
-        # (count + rebuild), and without the cache each consumption
-        # re-runs the whole strip_html + gate prefix.
-        .cached("bench.html_ingest.gated")
         .strip_duplicated_spans(k=8)
         .near_dup_drop(threshold=0.5)
         .df

@@ -836,7 +836,16 @@ def strip_html(text: Column) -> Column:
     intentionally simple boilerplate-remover, not a browser; patterns
     avoid backreferences so RE2-based engines (DuckDB) reproduce them
     exactly.  Block-level closing tags become newlines so paragraph
-    structure survives for the line/quality operators."""
+    structure survives for the line/quality operators.
+
+    Composition caveat (measured r10): a multi-metric GATE directly over
+    this column gets the whole chain RE-INLINED into its pushed-down
+    predicate (19 chain copies in the fused strip→gopher plan; the gate
+    read 26 s vs 5.8 s at sf1) — filter pushdown rewrites metric aliases
+    in terms of the producing expression, and no reference-counting rule
+    protects a Filter.  Materialize a stage boundary (scoped persist /
+    ``Corpus.cached``) between the strip and any gate, as the
+    html-ingest bench pipeline does."""
     t = F.regexp_replace(text, r"(?is)<script[^>]*>.*?</script>", " ")
     t = F.regexp_replace(t, r"(?is)<style[^>]*>.*?</style>", " ")
     t = F.regexp_replace(t, r"(?s)<!--.*?-->", " ")
