@@ -302,12 +302,27 @@ def gopher_metrics(text: Column) -> list[tuple[str, Column]]:
     bounds, mean word length, symbol-to-word ratio ('#' and '...'),
     bullet-start / ellipsis-end line ratios, alphabetic-word ratio, and a
     minimum distinct-stopword requirement.  All deterministic codegen
-    column expressions over one token/line split (no shuffle); thresholds
-    applied by ``gopher_passes``.
+    column expressions (no shuffle); thresholds applied by
+    ``gopher_passes``.
 
-    Returns [(name, column)] so callers project every metric in one pass.
-    """
-    toks = tokens(text)
+    Returns [(name, column)] so callers project every metric in one
+    pass.  NB each metric expression contains its OWN copy of the
+    token/line split (four token splits + three line splits per row) —
+    projection-only consumers (aggregates like ``corpus_profile``, the
+    signal annotation) should project ``tokens(text)`` /
+    ``split(text, '\\n')`` as real columns and use
+    ``gopher_metrics_from`` instead, where the splits run once (filter
+    consumers gain nothing: predicate pushdown re-inlines through any
+    projection)."""
+    return gopher_metrics_from(tokens(text), F.split(text, "\n"), text)
+
+
+def gopher_metrics_from(
+    toks: Column, lines: Column, text: Column
+) -> list[tuple[str, Column]]:
+    """``gopher_metrics`` over ALREADY-PROJECTED token/line array columns
+    — the splits run once per row instead of once per referencing
+    metric.  Same expressions, bit-identical results."""
     n_words = F.size(toks).cast("bigint")
     nz = F.when(n_words > 0, n_words.cast("double")).otherwise(F.lit(1.0))
     mean_len = F.round(
@@ -322,7 +337,6 @@ def gopher_metrics(text: Column) -> list[tuple[str, Column]]:
         F.length(text) - F.length(F.replace(text, F.lit("..."), F.lit("")))
     ) / F.lit(3)
     symbol_ratio = F.round((n_hash + n_ellipsis).cast("double") / nz, 6)
-    lines = F.split(text, "\n")
     n_lines = F.size(lines).cast("double")
     bullet = F.size(
         F.filter(lines, lambda l: F.ltrim(l).rlike(r"^[-*•]"))

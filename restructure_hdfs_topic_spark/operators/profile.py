@@ -15,11 +15,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from restructure_hdfs_topic_spark.functions.text import (
-    gopher_metrics,
-    gopher_passes,
-    token_count,
-)
+from restructure_hdfs_topic_spark.functions.text import gopher_passes
 
 
 def corpus_profile(
@@ -35,11 +31,30 @@ def corpus_profile(
     percentiles are EXACT (linear interpolation — cross-engine stable and
     the per-group sort is over token-count ints, not documents); floats
     are rounded so aggregation order cannot flip a value hash."""
-    metrics = gopher_metrics(F.col(text_col))
-    staged = docs.select(
+    from restructure_hdfs_topic_spark.functions.text import (
+        gopher_metrics_from,
+        tokens,
+    )
+
+    t = F.col(text_col)
+    # Stage the token/line splits ONCE (no filter sits between the
+    # projection and the aggregate, so pushdown cannot re-inline them —
+    # the fused form ran the token split 5× per row; measured 4.5 →
+    # 2.9 s warm at sf1, byte-identical output).
+    arrs = docs.select(
         F.col(strata_col).alias("source"),
-        token_count(F.col(text_col)).alias("__n_tok"),
-        F.xxhash64(F.col(text_col)).alias("__fp"),
+        tokens(t).alias("__toks"),
+        F.split(t, "\n").alias("__lines"),
+        t.alias("__t"),
+        F.xxhash64(t).alias("__fp"),
+    )
+    metrics = gopher_metrics_from(
+        F.col("__toks"), F.col("__lines"), F.col("__t")
+    )
+    staged = arrs.select(
+        "source",
+        F.size("__toks").cast("bigint").alias("__n_tok"),
+        "__fp",
         gopher_passes(*[c for _, c in metrics]).cast("int").alias("__pass"),
     )
     n = F.count(F.lit(1))

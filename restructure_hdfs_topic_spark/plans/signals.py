@@ -35,6 +35,7 @@ from restructure_hdfs_topic_spark.functions.text import (
     bpe_token_count,
     c4_line_keep,
     gopher_metrics,
+    gopher_metrics_from,
     gopher_repetition_metrics,
     lang_id_from_scores,
     lang_scores_from,
@@ -76,7 +77,7 @@ def annotate_quality_signals(
         (low.contains("{") | low.contains("}")).alias("has_curly_brace"),
         low.contains("lorem ipsum").alias("has_lorem_ipsum"),
         low.contains("javascript").alias("has_javascript"),
-        *[c.alias(n) for n, c in gopher_metrics(t)],
+        t.alias("__t"),
     )
     toks = F.col("__toks")
     lang_scores = lang_scores_from(toks)
@@ -85,6 +86,16 @@ def annotate_quality_signals(
         "*",
         token_count_from(toks).alias("n_tokens"),
         stopword_ratio_from(toks).alias("stopword_ratio"),
+        # Gopher metrics from the STAGED arrays (r10): gopher_metrics(t)
+        # carries its own split inside each metric — four token + three
+        # line splits per row; no filter sits between this projection
+        # and the consumer, so pushdown cannot re-inline them.
+        *[
+            c.alias(n)
+            for n, c in gopher_metrics_from(
+                toks, F.col("__lines"), F.col("__t")
+            )
+        ],
         # C4's page rules judge the text RETAINED by the line keep, not
         # the raw page — stage the kept text once (the raw has_* flags
         # above stay as-is for consumers tuning on the full page).
