@@ -545,6 +545,24 @@ def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 ranked retrieval: a corpus-derived query set (every 101st
+    document's tokens at fixed positions) scored against the whole
+    corpus, top-5 docs per query.  The tiny term set broadcasts onto the
+    exploded token stream BEFORE the first shuffle, so the corpus-sized
+    work is one scan + slim 16-byte-row aggregations.  Exact DuckDB
+    cross-check + self-retrieval witness in tests/test_retrieval.py
+    (bench/extras surface; the 50-slot driver registry is full)."""
+    from restructure_hdfs_topic_spark.operators.retrieval import (
+        bm25_topk,
+        corpus_queries,
+    )
+
+    _conf(spark)
+    docs = _t(spark, sf_dir, "documents")
+    return bm25_topk(docs, corpus_queries(docs, sample_mod=101), k=5)
+
+
 def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sequence packing: overlapping 64-token chunks (stride 56) per
     document — narrow codegen plan, no shuffle."""
@@ -2316,6 +2334,9 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # Pre-dedup text canonicalization; DuckDB cross-check in
         # tests/test_text_normalize.py.
         "text_normalize": q_text_normalize,
+        # BM25 ranked retrieval over the corpus; exact DuckDB cross-check
+        # + self-retrieval witness in tests/test_retrieval.py.
+        "bm25_topk": q_bm25_topk,
         # Line-level corpus dedup; DuckDB cross-check in
         # tests/test_line_dedup.py.
         "line_dedup": q_line_dedup,

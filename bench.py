@@ -52,6 +52,7 @@ BENCH_QUERIES = [
     "text_repetition",
     "contamination_check",
     "tfidf_top_terms",
+    "bm25_topk",
     "dedup_exact_docs",
     "minhash_lsh_pairs",
     "substring_dedup",

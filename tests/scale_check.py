@@ -85,6 +85,7 @@ CONSISTENCY_QUERIES = [
     # distributed witness).
     "lm_bigram",
     "text_normalize",
+    "bm25_topk",
     "pack_materialize",
     "lm_curriculum",
     # r6 session additions: line-level dedup, BPE encode (driver-learned
