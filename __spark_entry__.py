@@ -1007,6 +1007,31 @@ def q_semdedup_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return semdedup_groups(emb, threshold=0.8, n_clusters=16)
 
 
+def q_embedding_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed whitening PCA over the embeddings table: one corpus
+    scan of exact-int64 sufficient statistics (4K-value collect), driver
+    eigh, exact-int projection kernel — bit-identical across engines and
+    partitionings.  Exact Python witness + property tests in
+    tests/test_pca.py (bench/extras surface)."""
+    from restructure_hdfs_topic_spark.operators.pca import embedding_pca
+
+    _conf(spark)
+    emb = _t(spark, sf_dir, "embeddings")
+    return embedding_pca(emb, n_components=8, whiten=True)
+
+
+def q_prototype_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SSL-prototypes / D4 cluster pruning: rank by cosine to the own
+    k-means centroid, flag the 25% most prototypical per cluster.  Exact
+    Python witness in tests/test_prototype_prune.py (bench/extras
+    surface)."""
+    from restructure_hdfs_topic_spark.operators.similarity import prototype_prune
+
+    _conf(spark)
+    emb = _t(spark, sf_dir, "embeddings")
+    return prototype_prune(emb, drop_frac=0.25, keep="hard")
+
+
 def q_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HTML -> text extraction (Common-Crawl-style ingestion): drop
     script/style/comments, strip tags keeping block structure as
@@ -2358,6 +2383,12 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # Paper-shape SemDeDup (kmeans + within-cluster exact closure);
         # tests in tests/test_kmeans.py.
         "semdedup_kmeans": q_semdedup_kmeans,
+        # Whitening PCA over embeddings; exact witness in
+        # tests/test_pca.py.
+        "embedding_pca": q_embedding_pca,
+        # SSL-prototypes/D4 cluster pruning; exact witness in
+        # tests/test_prototype_prune.py.
+        "prototype_prune": q_prototype_prune,
         # Loader-ready packed sequences; exact-model verification in
         # tests/test_curation.py.
         "pack_materialize": q_pack_materialize,

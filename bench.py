@@ -87,6 +87,8 @@ BENCH_QUERIES = [
     "feature_hash_embed",
     "html_extract",
     "semdedup_kmeans",
+    "embedding_pca",
+    "prototype_prune",
     "pack_materialize",
     "lm_curriculum",
     "temperature_sample",

@@ -1084,3 +1084,80 @@ def semdedup_groups(
     return joined.groupBy("cluster").applyInPandas(
         cluster_groups, schema=f"id {id_type}, group_id {id_type}"
     )
+
+
+def prototype_prune(
+    embeddings: DataFrame,
+    drop_frac: float = 0.2,
+    keep: str = "hard",
+    n_clusters: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    lloyd_iters: int = 2,
+) -> DataFrame:
+    """SSL-prototypes / D4-style cluster-based data pruning (Sorscher et
+    al. 2022 "Beyond neural scaling laws"; Tirumala et al. 2023 "D4"):
+    k-means the embedding space, rank every example by cosine to its OWN
+    cluster centroid, and flag the ``drop_frac`` most prototypical
+    members of each cluster (``keep="hard"`` — the paper's regime for
+    large datasets: redundant easy examples go) or the most atypical
+    (``keep="easy"`` — the small-data regime where outliers hurt).
+
+    Returns every input row as ``(id, cluster, cos_centroid, kept)`` —
+    callers filter on ``kept`` (D4 = ``semdedup_groups`` dedup first,
+    then this over the survivors).  Per-cluster drop count is
+    ``floor(drop_frac · cluster_size)``, so singletons always survive.
+
+    Determinism: cluster labels come from the audited exact-int k-means;
+    centroids are recomputed per cluster with floor-divided integer
+    means; cosine is one float division of exact int64 dot/norms rounded
+    to 9 dp, and the rank tie-breaks on id — partitioning- and
+    engine-independent.  Scale: one ``applyInPandas`` kernel per cluster
+    (clusters partition the space), nothing collects.
+    """
+    import numpy as np
+    import pandas as pd
+
+    if keep not in ("hard", "easy"):
+        raise ValueError(f"prototype_prune: keep must be hard|easy, got {keep!r}")
+    if not (0.0 <= drop_frac < 1.0):
+        raise ValueError(f"prototype_prune: drop_frac must be in [0, 1), got {drop_frac}")
+
+    labels = kmeans_clusters(
+        embeddings, n_clusters=n_clusters, lloyd_iters=lloyd_iters,
+        id_col=id_col, vec_col=vec_col,
+    )
+    joined = embeddings.select(
+        F.col(id_col).alias("id"), _quantize(F.col(vec_col)).alias("vec")
+    ).join(labels, "id")
+    keep_hard = keep == "hard"
+
+    def prune_cluster(pdf: pd.DataFrame) -> pd.DataFrame:
+        ids = pdf["id"].to_numpy()
+        x = np.stack(pdf["vec"].to_numpy()).astype(np.int64)
+        cent = x.sum(axis=0) // len(x)  # floor-div int mean (Lloyd's rule)
+        dots = (x * cent).sum(axis=1).astype(np.float64)
+        nx = np.sqrt((x.astype(np.float64) ** 2).sum(axis=1))
+        nc = float(np.sqrt((cent.astype(np.float64) ** 2).sum()))
+        nx[nx == 0] = 1.0
+        cos = np.round(dots / (nx * (nc if nc else 1.0)), 9)
+        # Prototypicality order: cos desc, id asc (stable, engine-free).
+        order = np.lexsort((ids, -cos))
+        n_drop = int(drop_frac * len(ids))
+        dropped = order[:n_drop] if keep_hard else order[len(ids) - n_drop:]
+        kept = np.ones(len(ids), dtype=bool)
+        kept[dropped] = False
+        return pd.DataFrame(
+            {
+                "id": ids,
+                "cluster": pdf["cluster"].to_numpy(),
+                "cos_centroid": cos,
+                "kept": kept,
+            }
+        )
+
+    id_type = embeddings.schema[id_col].dataType.simpleString()
+    return joined.groupBy("cluster").applyInPandas(
+        prune_cluster,
+        schema=f"id {id_type}, cluster long, cos_centroid double, kept boolean",
+    )

@@ -98,6 +98,8 @@ CONSISTENCY_QUERIES = [
     "feature_hash_embed",
     "html_extract",
     "semdedup_kmeans",
+    "embedding_pca",
+    "prototype_prune",
     # r7: the fused raw-HTML -> training-shard plan must be
     # partitioning-independent end-to-end (strip_html + curation + pack).
     "html_ingest_pipeline",
