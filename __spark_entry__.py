@@ -563,6 +563,32 @@ def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25_topk(docs, corpus_queries(docs, sample_mod=101), k=5)
 
 
+def q_bm25_index_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Persisted BM25 inverted index end-to-end: materialize the
+    token-bucketed postings/vocab parquet (partition-pruned,
+    dl-denormalized), then serve the same corpus-derived query batch as
+    ``bm25_topk`` from disk.  The cold first call pays the build; warm
+    iterations measure the serve path (matched-postings-only reads).
+    Bit-identical-to-direct-path equality pinned in
+    tests/test_bm25_index.py (bench/extras surface)."""
+    import os
+
+    from restructure_hdfs_topic_spark.operators.bm25_index import (
+        build_bm25_index,
+        query_bm25_index,
+    )
+    from restructure_hdfs_topic_spark.operators.retrieval import corpus_queries
+
+    _conf(spark)
+    docs = _t(spark, sf_dir, "documents")
+    path = f"/tmp/spark_graft_bm25_index_{os.path.basename(os.path.normpath(sf_dir))}"
+    if not os.path.exists(f"{path}/_bm25_meta.json"):
+        build_bm25_index(docs, path, n_buckets=64)
+    return query_bm25_index(
+        spark, path, corpus_queries(docs, sample_mod=101), k=5
+    )
+
+
 def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sequence packing: overlapping 64-token chunks (stride 56) per
     document — narrow codegen plan, no shuffle."""
@@ -2362,6 +2388,9 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # BM25 ranked retrieval over the corpus; exact DuckDB cross-check
         # + self-retrieval witness in tests/test_retrieval.py.
         "bm25_topk": q_bm25_topk,
+        # On-disk BM25 inverted index (build once / serve many);
+        # bit-identical-to-direct equality in tests/test_bm25_index.py.
+        "bm25_index_query": q_bm25_index_query,
         # Line-level corpus dedup; DuckDB cross-check in
         # tests/test_line_dedup.py.
         "line_dedup": q_line_dedup,

@@ -53,6 +53,7 @@ BENCH_QUERIES = [
     "contamination_check",
     "tfidf_top_terms",
     "bm25_topk",
+    "bm25_index_query",
     "dedup_exact_docs",
     "minhash_lsh_pairs",
     "substring_dedup",

@@ -1,0 +1,214 @@
+"""Persistable BM25 inverted index: build once, query across jobs.
+
+``retrieval.bm25_topk`` scans the corpus per call; a real retrieval
+deployment (decontamination triage, corpus search, hard-negative mining)
+indexes ONCE and serves many query batches.  Layout — the way an
+inverted file should sit in a warehouse:
+
+- ``<path>/postings/bucket=K/`` — the postings list ``(token, doc_id,
+  tf, dl)``, parquet-partitioned by ``bucket = pmod(xxhash64(token),
+  n_buckets)`` and SORTED by token within each file.  A query batch
+  touches only its terms' buckets (partition pruning on the equality/IN
+  filter) and, within them, only the row groups whose token min/max
+  straddle a query term (parquet statistics skipping on the sorted
+  column).  Document length is DENORMALIZED into the posting row
+  (+8 bytes/posting), so query time never joins a corpus-sized table:
+  cost scales with matched postings, not corpus size.
+- ``<path>/vocab/bucket=K/`` — ``(token, df)``, same bucketing, for the
+  idf of the matched terms only.
+- ``<path>/_bm25_meta.json`` — n_docs / sum_dl (exact ints; avgdl is
+  re-derived as the SAME single double division the direct path
+  computes) / n_buckets / format tag.
+
+Scoring reuses ``retrieval.bm25_idf`` / ``bm25_term_score`` /
+``bm25_rank_topk`` verbatim, so the index path returns BIT-IDENTICAL
+rows to ``bm25_topk`` on the same corpus — asserted in
+tests/test_bm25_index.py.  Rebuild-only by design: df/avgdl are global
+statistics, so an append would silently shift every previously served
+score; the honest contract is a fresh build (cheap — one corpus scan).
+
+Size ``n_buckets`` so one bucket's postings fit a scan task (~64 at the
+test scales; thousands at 100 TB).
+"""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from restructure_hdfs_topic_spark.functions.text import token_count, tokens
+from restructure_hdfs_topic_spark.operators.retrieval import (
+    bm25_idf,
+    bm25_rank_topk,
+    bm25_term_score,
+)
+
+_META = "_bm25_meta.json"
+MAX_QUERY_TERMS = 100_000  # driver-side collect guard for the term set
+
+
+def _bucket(token_col, n_buckets: int):
+    return F.pmod(F.xxhash64(token_col), F.lit(n_buckets)).cast("long")
+
+
+def build_bm25_index(
+    docs: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 64,
+) -> dict:
+    """Materialize the inverted file at ``path``; returns the meta dict.
+
+    One corpus scan feeds everything: the exploded token stream
+    aggregates to tf (map-side combined), df derives from tf, and the
+    slim ``(doc, dl)`` projection joins dl into the posting rows.  One
+    repartition on the bucket column gives one file per bucket dir.
+    """
+    from restructure_hdfs_topic_spark.caching import scoped_persist
+
+    base = docs.filter(F.trim(F.col(text_col)) != "").select(
+        F.col(id_col).alias("doc_id"), F.col(text_col).alias("__text")
+    )
+    stats_row = base.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(token_count(F.col("__text"))).alias("sum_dl"),
+    ).collect()[0]
+    n_docs = int(stats_row["n_docs"] or 0)
+    sum_dl = int(stats_row["sum_dl"] or 0)
+
+    dl = base.select("doc_id", token_count(F.col("__text")).alias("dl"))
+    tf = scoped_persist(
+        base.select("doc_id", F.explode(tokens(F.col("__text"))).alias("token"))
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).alias("tf")),
+        scope="bm25_index.build.tf",
+    )
+
+    postings = tf.join(dl, "doc_id").withColumn(
+        "bucket", _bucket(F.col("token"), n_buckets)
+    )
+    (
+        postings.repartition(F.col("bucket"))
+        .sortWithinPartitions("bucket", "token", "doc_id")
+        .write.mode("overwrite")
+        .partitionBy("bucket")
+        .parquet(f"{path}/postings")
+    )
+    vocab = (
+        tf.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .withColumn("bucket", _bucket(F.col("token"), n_buckets))
+    )
+    (
+        vocab.repartition(F.col("bucket"))
+        .sortWithinPartitions("bucket", "token")
+        .write.mode("overwrite")
+        .partitionBy("bucket")
+        .parquet(f"{path}/vocab")
+    )
+    meta = {
+        "format": "restructure_hdfs_topic_spark/bm25/v1",
+        "n_docs": n_docs,
+        "sum_dl": sum_dl,
+        "n_buckets": int(n_buckets),
+        "id_col": id_col,
+    }
+    _write_meta(docs.sparkSession, f"{path}/{_META}", meta)
+    return meta
+
+
+def load_bm25_meta(spark: SparkSession, path: str) -> dict:
+    return _read_meta(spark, f"{path}/{_META}")
+
+
+def query_bm25_index(
+    spark: SparkSession,
+    path: str,
+    queries: DataFrame,
+    k: int = 5,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Serve a ``(query_id, term)`` batch from the on-disk index —
+    bit-identical to ``bm25_topk`` over the indexed corpus.
+
+    The distinct term set collects to the driver (bounded by
+    ``MAX_QUERY_TERMS`` — query batches are small by contract, like the
+    ANN paths' query sides) and becomes LITERAL pruning/pushdown
+    filters: ``bucket IN (…)`` prunes partition directories, ``token IN
+    (…)`` reaches the parquet row-group statistics of the sorted token
+    column.  Everything downstream touches matched postings only.
+    """
+    meta = load_bm25_meta(spark, path)
+    n_buckets = int(meta["n_buckets"])
+    n_docs = int(meta["n_docs"])
+    if n_docs == 0:
+        return _empty_result(spark, meta)
+    # avgdl: the SAME exact-int sum and single double division the
+    # direct path computes in-plan.
+    avgdl = float(meta["sum_dl"]) / float(n_docs)
+
+    qterms_df = queries.select("query_id", F.col("term").alias("token")).distinct()
+    term_rows = (
+        qterms_df.select("token")
+        .distinct()
+        .withColumn("bucket", _bucket(F.col("token"), n_buckets))
+        .limit(MAX_QUERY_TERMS + 1)
+        .collect()
+    )
+    if len(term_rows) > MAX_QUERY_TERMS:
+        raise ValueError(
+            f"query_bm25_index: term set exceeds MAX_QUERY_TERMS="
+            f"{MAX_QUERY_TERMS}; split the query batch"
+        )
+    if not term_rows:
+        return _empty_result(spark, meta)
+    terms = sorted({r["token"] for r in term_rows})
+    buckets = sorted({int(r["bucket"]) for r in term_rows})
+
+    vocab = (
+        spark.read.parquet(f"{path}/vocab")
+        .filter(F.col("bucket").isin(buckets) & F.col("token").isin(terms))
+        .select("token", "df")
+    )
+    qweights = (
+        qterms_df.join(vocab, "token")
+        .withColumn("__idf", bm25_idf(F.lit(n_docs).cast("long"), F.col("df")))
+        .select("query_id", "token", "__idf")
+    )
+    postings = (
+        spark.read.parquet(f"{path}/postings")
+        .filter(F.col("bucket").isin(buckets) & F.col("token").isin(terms))
+        .select("token", F.col("doc_id").alias("__id"), "tf", "dl")
+    )
+    scored = postings.join(F.broadcast(qweights), "token").withColumn(
+        "__term_score",
+        bm25_term_score(
+            F.col("tf"), F.col("dl"), F.col("__idf"), F.lit(avgdl), k1, b
+        ),
+    )
+    return bm25_rank_topk(scored, k, meta.get("id_col", "doc_id"))
+
+
+def _empty_result(spark: SparkSession, meta: dict) -> DataFrame:
+    id_col = meta.get("id_col", "doc_id")
+    return spark.createDataFrame(
+        [],
+        f"query_id long, rank long, {id_col} long, "
+        "n_terms_matched bigint, score double",
+    )
+
+
+def _write_meta(spark: SparkSession, path: str, meta: dict) -> None:
+    from restructure_hdfs_topic_spark.compression import write_small_file
+
+    write_small_file(path, json.dumps(meta).encode("utf-8"), spark=spark)
+
+
+def _read_meta(spark: SparkSession, path: str) -> dict:
+    from restructure_hdfs_topic_spark.compression import read_small_file
+
+    return json.loads(read_small_file(path, spark=spark).decode("utf-8"))

@@ -70,6 +70,51 @@ def corpus_queries(
     return terms.distinct()
 
 
+def bm25_idf(n_docs_col, df_col):
+    """Lucene-form idf — shared by the direct path and the on-disk index
+    so the two can never drift (their outputs are asserted EQUAL in
+    tests/test_bm25_index.py)."""
+    return F.log(
+        F.lit(1.0) + (n_docs_col - df_col + F.lit(0.5)) / (df_col + F.lit(0.5))
+    )
+
+
+def bm25_term_score(tf_col, dl_col, idf_col, avgdl_col, k1: float, b: float):
+    """Per-(query-term, doc) BM25 contribution, rounded to the 1e-6 grid
+    BEFORE the per-query sum (see module docstring) — shared by both
+    retrieval paths."""
+    return F.round(
+        idf_col
+        * (tf_col * (k1 + 1.0))
+        / (tf_col + k1 * (1.0 - b + b * dl_col / avgdl_col)),
+        6,
+    )
+
+
+def bm25_rank_topk(scored: DataFrame, k: int, id_col: str) -> DataFrame:
+    """Reduce a ``(query_id, __id, __term_score)`` stream to the ranked
+    top-``k`` table ``(query_id, rank, id_col, n_terms_matched, score)``
+    — shared by both retrieval paths."""
+    agg = scored.groupBy("query_id", "__id").agg(
+        F.count(F.lit(1)).alias("n_terms_matched"),
+        F.round(F.sum("__term_score"), 6).alias("score"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("__id")
+    )
+    return (
+        agg.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "rank",
+            F.col("__id").alias(id_col),
+            "n_terms_matched",
+            "score",
+        )
+    )
+
+
 def bm25_topk(
     docs: DataFrame,
     queries: DataFrame,
@@ -127,14 +172,7 @@ def bm25_topk(
         .distinct()
         .join(df_, "token")
         .crossJoin(F.broadcast(stats))
-        .withColumn(
-            "__idf",
-            F.log(
-                F.lit(1.0)
-                + (F.col("__n_docs") - F.col("__df") + F.lit(0.5))
-                / (F.col("__df") + F.lit(0.5))
-            ),
-        )
+        .withColumn("__idf", bm25_idf(F.col("__n_docs"), F.col("__df")))
         .select("query_id", "token", "__idf", "__avgdl")
     )
 
@@ -143,33 +181,14 @@ def bm25_topk(
         .join(dl, "__id")
         .withColumn(
             "__term_score",
-            F.round(
-                F.col("__idf")
-                * (F.col("__tf") * (k1 + 1.0))
-                / (
-                    F.col("__tf")
-                    + k1
-                    * (1.0 - b + b * F.col("__dl") / F.col("__avgdl"))
-                ),
-                6,
+            bm25_term_score(
+                F.col("__tf"),
+                F.col("__dl"),
+                F.col("__idf"),
+                F.col("__avgdl"),
+                k1,
+                b,
             ),
         )
     )
-    agg = scored.groupBy("query_id", "__id").agg(
-        F.count(F.lit(1)).alias("n_terms_matched"),
-        F.round(F.sum("__term_score"), 6).alias("score"),
-    )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("score").desc(), F.col("__id")
-    )
-    return (
-        agg.withColumn("rank", F.row_number().over(w).cast("bigint"))
-        .filter(F.col("rank") <= k)
-        .select(
-            "query_id",
-            "rank",
-            F.col("__id").alias(id_col),
-            "n_terms_matched",
-            "score",
-        )
-    )
+    return bm25_rank_topk(scored, k, id_col)

@@ -86,6 +86,7 @@ CONSISTENCY_QUERIES = [
     "lm_bigram",
     "text_normalize",
     "bm25_topk",
+    "bm25_index_query",
     "pack_materialize",
     "lm_curriculum",
     # r6 session additions: line-level dedup, BPE encode (driver-learned
