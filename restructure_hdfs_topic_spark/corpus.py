@@ -477,6 +477,29 @@ class Corpus:
 
         return feature_hash_embed(self.df, self.id_col, self.text_col, dim=dim)
 
+    def bm25_search(self, queries: DataFrame, k: int = 5, **kwargs) -> DataFrame:
+        """BM25-rank the corpus for a ``(query_id, term)`` batch
+        (``operators.retrieval.bm25_topk``) — corpus inspection /
+        decontamination triage over the curated text."""
+        from restructure_hdfs_topic_spark.operators.retrieval import bm25_topk
+
+        return bm25_topk(
+            self.df, queries, k=k,
+            id_col=self.id_col, text_col=self.text_col, **kwargs,
+        )
+
+    def build_bm25_index(self, path: str, n_buckets: int = 64) -> dict:
+        """Materialize the on-disk BM25 inverted index of the curated
+        corpus (``operators.bm25_index``) — build once, serve many."""
+        from restructure_hdfs_topic_spark.operators.bm25_index import (
+            build_bm25_index,
+        )
+
+        return build_bm25_index(
+            self.df, path,
+            id_col=self.id_col, text_col=self.text_col, n_buckets=n_buckets,
+        )
+
     def export_shards(
         self, path: str, n_shards: int = 16, fmt: str = "json"
     ) -> DataFrame:

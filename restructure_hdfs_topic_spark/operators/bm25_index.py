@@ -38,7 +38,7 @@ import json
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from restructure_hdfs_topic_spark.functions.text import token_count, tokens
+from restructure_hdfs_topic_spark.functions.text import tokens
 from restructure_hdfs_topic_spark.operators.retrieval import (
     bm25_idf,
     bm25_rank_topk,
@@ -62,30 +62,31 @@ def build_bm25_index(
 ) -> dict:
     """Materialize the inverted file at ``path``; returns the meta dict.
 
-    One corpus scan feeds everything: the exploded token stream
-    aggregates to tf (map-side combined), df derives from tf, and the
-    slim ``(doc, dl)`` projection joins dl into the posting rows.  One
-    repartition on the bucket column gives one file per bucket dir.
+    ONE corpus-text scan feeds everything: the exploded token stream
+    aggregates to the persisted tf table; dl = Σ_t tf(d,t) (every doc in
+    ``base`` has ≥1 token, so ``token_count`` would count the same),
+    the corpus stats aggregate dl, and df derives per token — all from
+    cached tf, never re-reading the text.  One repartition on the
+    bucket column gives one file per bucket dir.
     """
     from restructure_hdfs_topic_spark.caching import scoped_persist
 
     base = docs.filter(F.trim(F.col(text_col)) != "").select(
         F.col(id_col).alias("doc_id"), F.col(text_col).alias("__text")
     )
-    stats_row = base.agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        F.sum(token_count(F.col("__text"))).alias("sum_dl"),
-    ).collect()[0]
-    n_docs = int(stats_row["n_docs"] or 0)
-    sum_dl = int(stats_row["sum_dl"] or 0)
-
-    dl = base.select("doc_id", token_count(F.col("__text")).alias("dl"))
     tf = scoped_persist(
         base.select("doc_id", F.explode(tokens(F.col("__text"))).alias("token"))
         .groupBy("doc_id", "token")
         .agg(F.count(F.lit(1)).alias("tf")),
         scope="bm25_index.build.tf",
     )
+    dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+    stats_row = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("dl").alias("sum_dl"),
+    ).collect()[0]
+    n_docs = int(stats_row["n_docs"] or 0)
+    sum_dl = int(stats_row["sum_dl"] or 0)
 
     postings = tf.join(dl, "doc_id").withColumn(
         "bucket", _bucket(F.col("token"), n_buckets)

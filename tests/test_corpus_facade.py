@@ -170,3 +170,23 @@ def test_unit_span_and_classifier_methods_delegate(spark):
         for r in quality_classifier_gate(plain, model, 0.5).collect()
     )
     assert a == b
+
+
+def test_bm25_methods_delegate(spark, tmp_path):
+    docs = _docs(spark)
+    from restructure_hdfs_topic_spark.operators.bm25_index import query_bm25_index
+    from restructure_hdfs_topic_spark.operators.retrieval import (
+        bm25_topk,
+        corpus_queries,
+    )
+
+    qs = corpus_queries(docs, sample_mod=101)
+    direct = sorted(map(tuple, bm25_topk(docs, qs, k=3).collect()))
+    via_facade = sorted(map(tuple, Corpus(docs).bm25_search(qs, k=3).collect()))
+    assert via_facade == direct and direct
+
+    path = str(tmp_path / "bm25idx")
+    meta = Corpus(docs).build_bm25_index(path, n_buckets=8)
+    assert meta["n_docs"] > 0
+    served = sorted(map(tuple, query_bm25_index(spark, path, qs, k=3).collect()))
+    assert served == direct
