@@ -563,6 +563,28 @@ def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25_topk(docs, corpus_queries(docs, sample_mod=101), k=5)
 
 
+def q_unimax_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UniMax mixture realization (Chung et al. 2023): waterfill half the
+    corpus's token mass over languages with a 3-epoch cap, realized as
+    whole-epoch copies + an exact hash-order token prefix for the partial
+    epoch.  One bounded per-stratum collect + shuffle-free realization.
+    Exact allocation + realization witnesses in tests/test_unimax.py
+    (bench/extras surface)."""
+    from restructure_hdfs_topic_spark.functions.text import token_count
+    from restructure_hdfs_topic_spark.operators.sampling import unimax_sample
+
+    _conf(spark)
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "n_tokens", token_count(F.col("text"))
+    )
+    budget = int(
+        docs.agg(F.sum("n_tokens")).collect()[0][0] or 0
+    ) // 2
+    return unimax_sample(docs, "doc_id", "lang", budget, max_epochs=3).select(
+        "doc_id", "lang", "n_tokens", "epoch"
+    )
+
+
 def q_bm25_index_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Persisted BM25 inverted index end-to-end: materialize the
     token-bucketed postings/vocab parquet (partition-pruned,
@@ -2391,6 +2413,9 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # On-disk BM25 inverted index (build once / serve many);
         # bit-identical-to-direct equality in tests/test_bm25_index.py.
         "bm25_index_query": q_bm25_index_query,
+        # UniMax epoch-capped mixture; exact allocation + realization
+        # witnesses in tests/test_unimax.py.
+        "unimax_sample": q_unimax_sample,
         # Line-level corpus dedup; DuckDB cross-check in
         # tests/test_line_dedup.py.
         "line_dedup": q_line_dedup,

@@ -54,6 +54,7 @@ BENCH_QUERIES = [
     "tfidf_top_terms",
     "bm25_topk",
     "bm25_index_query",
+    "unimax_sample",
     "dedup_exact_docs",
     "minhash_lsh_pairs",
     "substring_dedup",

@@ -385,3 +385,112 @@ def epoch_upsample(
         step.withColumn("epoch", F.explode(copies))
         .drop("__n")
     )
+
+
+def unimax_allocation(
+    counts: dict[str, int], total_budget: int, max_epochs: float = 4.0
+) -> dict[str, int]:
+    """UniMax per-stratum token budgets (Chung et al. 2023, "UniMax:
+    Fairer and More Effective Language Sampling for Large-Scale
+    Multilingual Pretraining", Algorithm 1): waterfill the total budget
+    uniformly over strata, capping every stratum at ``max_epochs``
+    repetitions of its supply — scarce strata cap out, the freed budget
+    redistributes to the rest.  The paper's answer to temperature
+    sampling's twin failure modes (high T over-repeats tail languages,
+    low T starves them).
+
+    Exact integer waterfill, driver-side over the bounded per-stratum
+    counts: strata visit in ascending ``(cap, name)`` order so every cap
+    binds before the uniform shares settle; each uncapped stratum takes
+    ``remaining // strata_left`` (floor — at most |strata|-1 tokens of
+    the budget go unallocated, and nothing is allocated past
+    ``min(budget, Σ caps)``).  Deterministic for any dict order.
+    """
+    if total_budget < 0:
+        raise ValueError("total_budget must be >= 0")
+    if max_epochs <= 0:
+        raise ValueError("max_epochs must be > 0")
+    caps = {s: int(int(n) * max_epochs) for s, n in counts.items()}
+    remaining = int(total_budget)
+    alloc: dict[str, int] = {}
+    order = sorted(caps, key=lambda s: (caps[s], s))
+    for i, s in enumerate(order):
+        share = remaining // (len(order) - i)
+        alloc[s] = min(caps[s], share)
+        remaining -= alloc[s]
+    return alloc
+
+
+def unimax_sample(
+    df: DataFrame,
+    id_col: str,
+    strata_col: str,
+    total_budget: int,
+    max_epochs: float = 4.0,
+    n_tokens_col: str = "n_tokens",
+) -> DataFrame:
+    """Realize a UniMax allocation as concrete training rows: input
+    columns + ``epoch`` (0-based copy index, like ``epoch_upsample``).
+
+    Per stratum with allocation ``b`` over supply ``n``: every document
+    emits ``b // n`` whole-epoch copies, and the last partial epoch is
+    the deterministic hash-order token prefix of ``b mod n`` tokens
+    (``token_budget_sample``'s exact rule — the boundary-crossing doc is
+    kept, so a stratum lands within one document of its budget).  Strata
+    allocated zero rows vanish; strata with zero-token supply cannot
+    absorb budget and drop (their cap is 0).
+
+    Shape: ONE bounded per-stratum token-count collect (the
+    ``mixture_sample`` metadata contract) + pure-driver waterfill + the
+    existing shuffle-free realization plans (projection+explode for
+    whole copies; ``token_budget_sample``'s coarse-bucket prefix for the
+    partial epoch — only 1/65536 of each stratum pays a window).
+    """
+    counts = {
+        r["__s"]: int(r["__t"])
+        for r in df.groupBy(F.col(strata_col).alias("__s"))
+        .agg(
+            F.sum(
+                F.coalesce(F.col(n_tokens_col).cast("long"), F.lit(0))
+            ).alias("__t")
+        )
+        .collect()
+        if r["__s"] is not None
+    }
+    if not counts:
+        raise ValueError(f"unimax_sample: no strata found in {strata_col!r}")
+    alloc = unimax_allocation(counts, total_budget, max_epochs)
+    whole_epochs = {s: alloc[s] // counts[s] for s in alloc if counts[s] > 0}
+    partial = {
+        s: alloc[s] - whole_epochs[s] * counts[s]
+        for s in whole_epochs
+        if alloc[s] - whole_epochs[s] * counts[s] > 0
+    }
+
+    parts = []
+    whole_spec = {s: e for s, e in whole_epochs.items() if e > 0}
+    if whole_spec:
+        n_expr = F.lit(None).cast("int")
+        for s, e in sorted(whole_spec.items()):
+            n_expr = F.when(F.col(strata_col) == s, F.lit(e)).otherwise(n_expr)
+        parts.append(
+            df.filter(F.col(strata_col).isin(list(whole_spec)))
+            .withColumn("epoch", F.explode(F.sequence(F.lit(0), n_expr - 1)))
+        )
+    if partial:
+        e_expr = F.lit(0)
+        for s in sorted(partial):
+            e_expr = F.when(
+                F.col(strata_col) == s, F.lit(whole_epochs[s])
+            ).otherwise(e_expr)
+        parts.append(
+            token_budget_sample(
+                df, id_col, strata_col, partial, n_tokens_col=n_tokens_col
+            ).withColumn("epoch", e_expr)
+        )
+    if not parts:
+        return df.withColumn("epoch", F.lit(0)).limit(0)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

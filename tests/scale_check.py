@@ -87,6 +87,7 @@ CONSISTENCY_QUERIES = [
     "text_normalize",
     "bm25_topk",
     "bm25_index_query",
+    "unimax_sample",
     "pack_materialize",
     "lm_curriculum",
     # r6 session additions: line-level dedup, BPE encode (driver-learned
