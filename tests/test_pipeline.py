@@ -575,6 +575,13 @@ def test_query_registry_consistency():
         "bloom_incremental_dedup",
         "line_corrections",
         "langid_trigram",
+        # r10 continuation additions (each with an exact witness or
+        # DuckDB cross-check in tests/, named in its q_ docstring).
+        "bm25_topk",
+        "bm25_index_query",
+        "embedding_pca",
+        "prototype_prune",
+        "unimax_sample",
     }
     assert extra.isdisjoint(q), "bench-only queries must stay unregistered"
 
