@@ -595,6 +595,9 @@ def q_bm25_index_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_bm25_index.py (bench/extras surface)."""
     import os
 
+    import hashlib
+    import json as _json
+
     from restructure_hdfs_topic_spark.operators.bm25_index import (
         build_bm25_index,
         query_bm25_index,
@@ -603,8 +606,24 @@ def q_bm25_index_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     _conf(spark)
     docs = _t(spark, sf_dir, "documents")
-    path = f"/tmp/spark_graft_bm25_index_{os.path.basename(os.path.normpath(sf_dir))}"
-    if not os.path.exists(f"{path}/_bm25_meta.json"):
+    # Key the artifact by the FULL corpus path (two sf_dirs sharing a
+    # basename must not share an index) and rebuild if the meta's params
+    # don't match the wanted build.  Regenerating the corpus in place
+    # still requires deleting the artifact dir — the documented
+    # build-once contract shared with the IVF/PQ lanes.
+    tag = hashlib.md5(os.path.normpath(sf_dir).encode()).hexdigest()[:8]
+    path = (
+        "/tmp/spark_graft_bm25_index_"
+        f"{os.path.basename(os.path.normpath(sf_dir))}_{tag}"
+    )
+    meta_file = f"{path}/_bm25_meta.json"
+    wanted = {"n_buckets": 64, "id_col": "doc_id"}
+    stale = True
+    if os.path.exists(meta_file):
+        with open(meta_file) as fh:
+            meta = _json.load(fh)
+        stale = any(meta.get(k) != v for k, v in wanted.items())
+    if stale:
         build_bm25_index(docs, path, n_buckets=64)
     return query_bm25_index(
         spark, path, corpus_queries(docs, sample_mod=101), k=5

@@ -95,6 +95,11 @@ def build_bm25_index(
         postings.repartition(F.col("bucket"))
         .sortWithinPartitions("bucket", "token", "doc_id")
         .write.mode("overwrite")
+        # A rebuild must drop EVERY old bucket dir, including buckets the
+        # new corpus leaves empty — under a session-level dynamic
+        # partitionOverwriteMode those stale dirs would survive and serve
+        # old postings against new global stats.
+        .option("partitionOverwriteMode", "static")
         .partitionBy("bucket")
         .parquet(f"{path}/postings")
     )
@@ -107,6 +112,7 @@ def build_bm25_index(
         vocab.repartition(F.col("bucket"))
         .sortWithinPartitions("bucket", "token")
         .write.mode("overwrite")
+        .option("partitionOverwriteMode", "static")
         .partitionBy("bucket")
         .parquet(f"{path}/vocab")
     )
@@ -116,6 +122,7 @@ def build_bm25_index(
         "sum_dl": sum_dl,
         "n_buckets": int(n_buckets),
         "id_col": id_col,
+        "id_type": docs.schema[id_col].dataType.simpleString(),
     }
     _write_meta(docs.sparkSession, f"{path}/{_META}", meta)
     return meta
@@ -147,12 +154,19 @@ def query_bm25_index(
     n_buckets = int(meta["n_buckets"])
     n_docs = int(meta["n_docs"])
     if n_docs == 0:
-        return _empty_result(spark, meta)
+        return _empty_result(spark, meta, queries)
     # avgdl: the SAME exact-int sum and single double division the
     # direct path computes in-plan.
     avgdl = float(meta["sum_dl"]) / float(n_docs)
 
-    qterms_df = queries.select("query_id", F.col("term").alias("token")).distinct()
+    # NULL terms can never match a posting (the direct path's inner join
+    # drops them); drop them here too so the two paths stay equivalent
+    # (and the driver-side sorted() below never compares None to str).
+    qterms_df = (
+        queries.filter(F.col("term").isNotNull())
+        .select("query_id", F.col("term").alias("token"))
+        .distinct()
+    )
     term_rows = (
         qterms_df.select("token")
         .distinct()
@@ -166,7 +180,7 @@ def query_bm25_index(
             f"{MAX_QUERY_TERMS}; split the query batch"
         )
     if not term_rows:
-        return _empty_result(spark, meta)
+        return _empty_result(spark, meta, queries)
     terms = sorted({r["token"] for r in term_rows})
     buckets = sorted({int(r["bucket"]) for r in term_rows})
 
@@ -194,11 +208,17 @@ def query_bm25_index(
     return bm25_rank_topk(scored, k, meta.get("id_col", "doc_id"))
 
 
-def _empty_result(spark: SparkSession, meta: dict) -> DataFrame:
+def _empty_result(spark: SparkSession, meta: dict, queries: DataFrame) -> DataFrame:
+    """Empty frame with the SAME schema the normal path produces: the id
+    type comes from the index meta (string-id corpora exist) and the
+    query_id type from the caller's batch — so unions over batches never
+    hit a type conflict on the empty case."""
     id_col = meta.get("id_col", "doc_id")
+    id_type = meta.get("id_type", "long")
+    qid_type = queries.schema["query_id"].dataType.simpleString()
     return spark.createDataFrame(
         [],
-        f"query_id long, rank long, {id_col} long, "
+        f"query_id {qid_type}, rank long, {id_col} {id_type}, "
         "n_terms_matched bigint, score double",
     )
 

@@ -52,7 +52,6 @@ class PcaModel:
 def pca_fit(
     embeddings: DataFrame,
     n_components: int = 8,
-    id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> PcaModel:
     """Fit PCA from one pass of exact-int64 sufficient statistics.
@@ -75,13 +74,15 @@ def pca_fit(
             d = x.shape[1]
             m = x.T @ x  # exact: numpy integer matmul never touches BLAS
             s = x.sum(axis=0)
+            # pos -2 accumulates Σ rows·d — the mixed-width tripwire
+            # checked after the reduce (see below).
             pos = np.concatenate(
-                [np.array([-1], dtype=np.int64),
+                [np.array([-2, -1], dtype=np.int64),
                  np.arange(d, dtype=np.int64),
                  d + np.arange(d * d, dtype=np.int64)]
             )
             val = np.concatenate(
-                [np.array([len(x)], dtype=np.int64), s, m.ravel()]
+                [np.array([len(x) * d, len(x)], dtype=np.int64), s, m.ravel()]
             )
             yield pd.DataFrame({"pos": pos, "s": val})
 
@@ -95,11 +96,22 @@ def pca_fit(
         raise ValueError("pca_fit: no non-null embeddings to fit on")
     acc = {r["pos"]: r["s"] for r in rows}
     n = int(acc[-1])
-    d_sq = len(acc) - 1
-    # 1 + d + d*d rows -> solve d from the count (d is also derivable from
+    d_sq = len(acc) - 2
+    # 2 + d + d*d rows -> solve d from the count (d is also derivable from
     # max pos, but the count is a cheap structural self-check).
     dim = int((np.sqrt(4 * d_sq + 1) - 1) // 2)
-    assert 1 + dim + dim * dim == len(acc), "partial stream is malformed"
+    if 2 + dim + dim * dim != len(acc):
+        raise ValueError("pca_fit: partial stream is malformed")
+    # Mixed embedding widths would ALIAS a narrow batch's Σxxᵀ slots into
+    # a wider batch's Σx positions and silently corrupt the covariance;
+    # Σ rows·d == n·dim holds iff every batch had width == dim (d_b ≤ dim
+    # always, since dim derives from the largest position emitted).
+    if int(acc[-2]) != n * dim:
+        raise ValueError(
+            f"pca_fit: embeddings mix widths (sum rows*d = {int(acc[-2])}, "
+            f"expected n*dim = {n * dim}) — the corpus must be "
+            "fixed-dimension"
+        )
     s = np.array([acc[i] for i in range(dim)], dtype=np.int64)
     m = np.array(
         [acc[dim + i] for i in range(dim * dim)], dtype=np.int64
@@ -175,9 +187,7 @@ def embedding_pca(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Fit-and-project convenience wrapper (see ``pca_fit``)."""
-    model = pca_fit(
-        embeddings, n_components=n_components, id_col=id_col, vec_col=vec_col
-    )
+    model = pca_fit(embeddings, n_components=n_components, vec_col=vec_col)
     return pca_project(
         embeddings, model, whiten=whiten, id_col=id_col, vec_col=vec_col
     )

@@ -410,7 +410,11 @@ def unimax_allocation(
         raise ValueError("total_budget must be >= 0")
     if max_epochs <= 0:
         raise ValueError("max_epochs must be > 0")
-    caps = {s: int(int(n) * max_epochs) for s, n in counts.items()}
+    # floor(n·max_epochs) on a 1e-9 grid — int(10 * 0.7) would read 6
+    # (0.7 is 6.999…99 in binary) and cap a stratum one token under its
+    # entitled budget.
+    e_grid = round(max_epochs * 10**9)
+    caps = {s: int(n) * e_grid // 10**9 for s, n in counts.items()}
     remaining = int(total_budget)
     alloc: dict[str, int] = {}
     order = sorted(caps, key=lambda s: (caps[s], s))

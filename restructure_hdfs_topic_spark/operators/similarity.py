@@ -1143,7 +1143,10 @@ def prototype_prune(
         cos = np.round(dots / (nx * (nc if nc else 1.0)), 9)
         # Prototypicality order: cos desc, id asc (stable, engine-free).
         order = np.lexsort((ids, -cos))
-        n_drop = int(drop_frac * len(ids))
+        # floor(drop_frac·m) computed on a 1e-9 grid: int(0.3 * 10)
+        # would read 2 (0.3 is 2.999…96 in binary), silently dropping
+        # one fewer than the documented floor for common fractions.
+        n_drop = len(ids) * round(drop_frac * 10**9) // 10**9
         dropped = order[:n_drop] if keep_hard else order[len(ids) - n_drop:]
         kept = np.ones(len(ids), dtype=bool)
         kept[dropped] = False

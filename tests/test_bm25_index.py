@@ -100,3 +100,35 @@ def test_empty_corpus_index(spark, tmp_path):
     assert meta["n_docs"] == 0
     qs = spark.createDataFrame([(1, "alpha")], "query_id long, term string")
     assert query_bm25_index(spark, path, qs, k=5).count() == 0
+
+
+def test_null_terms_and_string_id_empty_schema(spark, index_path, tmp_path):
+    # NULL terms drop (the direct path's inner join drops them too) —
+    # both paths return the same rows instead of one crashing.
+    from restructure_hdfs_topic_spark.operators.retrieval import bm25_topk
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    qs = spark.createDataFrame(
+        [(1, None), (1, "the")], "query_id long, term string"
+    )
+    direct = sorted(map(tuple, bm25_topk(docs, qs, k=3).collect()))
+    served = sorted(
+        map(tuple, query_bm25_index(spark, index_path, qs, k=3).collect())
+    )
+    assert served == direct
+
+    # String-id corpus: the no-match empty result carries the SAME schema
+    # as a matching batch (meta id_type + the caller's query_id type).
+    sdocs = spark.createDataFrame(
+        [("a", "alpha beta"), ("b", "beta gamma")], "doc_id string, text string"
+    )
+    path = str(tmp_path / "sidx")
+    build_bm25_index(sdocs, path, id_col="doc_id", n_buckets=4)
+    hit = query_bm25_index(
+        spark, path, spark.createDataFrame([(1, "beta")], "query_id long, term string")
+    )
+    miss = query_bm25_index(
+        spark, path, spark.createDataFrame([(1, "zzz")], "query_id long, term string")
+    )
+    assert miss.schema == hit.schema
+    assert hit.unionByName(miss).count() == hit.count() == 2

@@ -144,3 +144,12 @@ def test_embedding_pca_wrapper(spark):
     rows = out.collect()
     assert len(rows) == emb.count()
     assert all(len(r["components"]) == 4 for r in rows)
+
+
+def test_pca_rejects_mixed_widths(spark):
+    emb = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 1.0, 0.5])],
+        "vec_id long, embedding array<float>",
+    ).repartition(2, "vec_id")  # widths land in separate kernel batches
+    with pytest.raises(Exception, match="mix widths|stack|shape|dimensions"):
+        pca_fit(emb, n_components=2)

@@ -31,7 +31,7 @@ def _witness(ids, vecs, clusters, drop_frac, keep):
         nx[nx == 0] = 1.0
         cos = np.round(dots / (nx * (nc if nc else 1.0)), 9)
         order = np.lexsort((cids, -cos))
-        n_drop = int(drop_frac * len(cids))
+        n_drop = len(cids) * round(drop_frac * 10**9) // 10**9
         dropped = set(
             (order[:n_drop] if keep == "hard" else order[len(cids) - n_drop:]).tolist()
         )

@@ -39,6 +39,9 @@ def test_allocation_witness_cases():
     assert sum(alloc.values()) in (99, 100)
     # Fractional max_epochs caps at floor(n * e).
     assert unimax_allocation({"a": 10}, 1000, 1.5) == {"a": 15}
+    # …including fractions inexact in binary: int(10 * 0.7) would read 6.
+    assert unimax_allocation({"a": 10}, 1000, 0.7) == {"a": 7}
+    assert unimax_allocation({"a": 10}, 1000, 0.3) == {"a": 3}
     with pytest.raises(ValueError):
         unimax_allocation({"a": 1}, -1, 4)
     with pytest.raises(ValueError):
