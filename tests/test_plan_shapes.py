@@ -62,6 +62,12 @@ REPRESENTATIVE = [
     # LM
     "lm_perplexity",
     "perplexity_filter",
+    # retrieval / embedding analytics (r10 continuation)
+    "bm25_topk",
+    "bm25_index_query",
+    "unimax_sample",
+    "embedding_pca",
+    "prototype_prune",
 ]
 
 
@@ -69,7 +75,13 @@ REPRESENTATIVE = [
 # total) via crossJoin — Spark renders that scalar-broadcast pattern as a
 # BroadcastNestedLoopJoin, which is fine when the build side is a single
 # row by construction (see lm.unigram_logprobs).
-SCALAR_BROADCAST_OK = {"lm_perplexity", "perplexity_filter"}
+SCALAR_BROADCAST_OK = {
+    "lm_perplexity",
+    "perplexity_filter",
+    # bm25_topk crossJoins the one-row (N, avgdl) corpus-stats aggregate
+    # onto the tiny query-term table (see retrieval.bm25_topk).
+    "bm25_topk",
+}
 
 
 @pytest.mark.parametrize("name", REPRESENTATIVE)
