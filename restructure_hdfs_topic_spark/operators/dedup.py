@@ -477,20 +477,27 @@ def _band_layout(bits: int, max_hamming: int, bands: int | None) -> tuple[list[i
     return starts, widths
 
 
+def _band_key(col, start: int, width: int) -> F.Column:
+    """Band ``key`` of a fingerprint column: ``shiftrightunsigned`` so a
+    64-bit fingerprint stored in a signed long (top bit set → negative)
+    bands correctly — arithmetic shift would smear the sign bit across
+    every band key.  Shared by ``_banded``'s explode AND the
+    earliest-agreeing-band suppression so the two can never diverge.
+    A full-width band (bands=1 at bits=64) needs no mask — and cannot
+    have one: (1 << 64) - 1 overflows ``F.lit``'s long."""
+    key = F.shiftrightunsigned(col, start)
+    if width < 64:
+        key = key.bitwiseAND(F.lit((1 << width) - 1))
+    return key
+
+
 def _banded(fp: DataFrame, hash_col: str, starts: list[int], widths: list[int]) -> DataFrame:
     """Explode (id, hash) into one row per pigeonhole band: (id, hash,
-    band, key).  ``shiftrightunsigned`` so a 64-bit fingerprint stored in
-    a signed long (top bit set → negative) bands correctly — arithmetic
-    shift would smear the sign bit across every band key."""
+    band, key)."""
     bands = len(starts)
 
     def _key(b: int) -> F.Column:
-        key = F.shiftrightunsigned(hash_col, starts[b])
-        # A full-width band (bands=1 at bits=64) needs no mask — and
-        # cannot have one: (1 << 64) - 1 overflows F.lit's long.
-        if widths[b] < 64:
-            key = key.bitwiseAND(F.lit((1 << widths[b]) - 1))
-        return key
+        return _band_key(hash_col, starts[b], widths[b])
 
     return fp.select(
         "id",
@@ -554,19 +561,15 @@ def hamming_near_dup_pairs(
     # filter drops most candidates before anything else sees them.
     cond = ham <= max_hamming
     if dedup:
-        # Earliest-agreeing-band rule: mirror _banded's key extraction
-        # (shiftrightunsigned + mask) on BOTH fingerprints for every
+        # Earliest-agreeing-band rule: the SAME _band_key extraction the
+        # join's explode used, applied to BOTH fingerprints for every
         # band below this row's — if any earlier band agrees, that band
         # already emitted the pair.
-        def _key_of(col: F.Column, b: int) -> F.Column:
-            key = F.shiftrightunsigned(col, starts[b])
-            if widths[b] < 64:
-                key = key.bitwiseAND(F.lit((1 << widths[b]) - 1))
-            return key
-
         earlier = F.lit(False)
         for b in range(len(starts) - 1):
-            agree = _key_of(F.col("l.fp"), b) == _key_of(F.col("r.fp"), b)
+            agree = _band_key(F.col("l.fp"), starts[b], widths[b]) == _band_key(
+                F.col("r.fp"), starts[b], widths[b]
+            )
             earlier = earlier | ((F.col("l.band") > F.lit(b)) & agree)
         cond = cond & ~earlier
     return (

@@ -15,7 +15,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from restructure_hdfs_topic_spark.functions.text import gopher_passes
+from restructure_hdfs_topic_spark.functions.text import (
+    gopher_metrics_from,
+    gopher_passes,
+    tokens,
+)
 
 
 def corpus_profile(
@@ -31,11 +35,6 @@ def corpus_profile(
     percentiles are EXACT (linear interpolation — cross-engine stable and
     the per-group sort is over token-count ints, not documents); floats
     are rounded so aggregation order cannot flip a value hash."""
-    from restructure_hdfs_topic_spark.functions.text import (
-        gopher_metrics_from,
-        tokens,
-    )
-
     t = F.col(text_col)
     # Stage the token/line splits ONCE (no filter sits between the
     # projection and the aggregate, so pushdown cannot re-inline them —

@@ -34,7 +34,6 @@ from restructure_hdfs_topic_spark.functions.text import (
     GOPHER_REPETITION_THRESHOLDS,
     bpe_token_count,
     c4_line_keep,
-    gopher_metrics,
     gopher_metrics_from,
     gopher_repetition_metrics,
     lang_id_from_scores,
@@ -82,20 +81,17 @@ def annotate_quality_signals(
     toks = F.col("__toks")
     lang_scores = lang_scores_from(toks)
     score_names = [f"__lang_{code}" for code, _ in lang_scores]
+    # Gopher metrics from the STAGED arrays (r10): gopher_metrics(t)
+    # carries its own split inside each metric — four token + three
+    # line splits per row; no filter sits between this projection
+    # and the consumer, so pushdown cannot re-inline them.  Built once:
+    # stage3 re-selects these columns BY NAME from this list.
+    gopher_staged = gopher_metrics_from(toks, F.col("__lines"), F.col("__t"))
     stage2 = stage1.select(
         "*",
         token_count_from(toks).alias("n_tokens"),
         stopword_ratio_from(toks).alias("stopword_ratio"),
-        # Gopher metrics from the STAGED arrays (r10): gopher_metrics(t)
-        # carries its own split inside each metric — four token + three
-        # line splits per row; no filter sits between this projection
-        # and the consumer, so pushdown cannot re-inline them.
-        *[
-            c.alias(n)
-            for n, c in gopher_metrics_from(
-                toks, F.col("__lines"), F.col("__t")
-            )
-        ],
+        *[c.alias(n) for n, c in gopher_staged],
         # C4's page rules judge the text RETAINED by the line keep, not
         # the raw page — stage the kept text once (the raw has_* flags
         # above stay as-is for consumers tuning on the full page).
@@ -145,7 +141,7 @@ def annotate_quality_signals(
             t.isNull()
             | ~((c4_sentences < F.lit(5)) | c4_lorem | c4_brace)
         ).alias("c4_page_keep"),
-        *[n for n, _ in gopher_metrics(t)],
+        *[n for n, _ in gopher_staged],
     )
     return gopher_repetition_metrics(stage3, text_col)
 
