@@ -563,6 +563,30 @@ def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25_topk(docs, corpus_queries(docs, sample_mod=101), k=5)
 
 
+def q_grouped_holdout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe holdout: split by the near-duplicate GROUP's hash so
+    no two near-dups straddle train/valid/test (Lee et al. 2021 §6.2 —
+    surviving near-dups leak eval answers through per-document splits).
+    Groups come from the exact banded-Hamming transitive closure;
+    singletons split by their own id.  Witnesses in
+    tests/test_grouped_holdout.py (bench/extras surface)."""
+    from restructure_hdfs_topic_spark.operators.dedup import near_dup_groups
+    from restructure_hdfs_topic_spark.operators.sampling import (
+        grouped_holdout_split,
+    )
+
+    _conf(spark)
+    docs = _t(spark, sf_dir, "documents")
+    groups = near_dup_groups(docs, "doc_id", "text", bits=32, max_hamming=3)
+    return grouped_holdout_split(
+        docs,
+        "doc_id",
+        {"train": 0.9, "valid": 0.05, "test": 0.05},
+        groups,
+        groups_id_col="doc_id",
+    ).select("doc_id", "split")
+
+
 def q_unimax_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """UniMax mixture realization (Chung et al. 2023): waterfill half the
     corpus's token mass over languages with a 3-epoch cap, realized as
@@ -2435,6 +2459,9 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # UniMax epoch-capped mixture; exact allocation + realization
         # witnesses in tests/test_unimax.py.
         "unimax_sample": q_unimax_sample,
+        # Leakage-safe (near-dup-group-keyed) holdout; witnesses in
+        # tests/test_grouped_holdout.py.
+        "grouped_holdout": q_grouped_holdout,
         # Line-level corpus dedup; DuckDB cross-check in
         # tests/test_line_dedup.py.
         "line_dedup": q_line_dedup,

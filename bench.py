@@ -55,6 +55,7 @@ BENCH_QUERIES = [
     "bm25_topk",
     "bm25_index_query",
     "unimax_sample",
+    "grouped_holdout",
     "dedup_exact_docs",
     "minhash_lsh_pairs",
     "substring_dedup",

@@ -517,6 +517,20 @@ class Corpus:
             token_count_col="n_tokens", fmt=fmt,
         )
 
+    def grouped_holdout_split(
+        self, fractions: dict[str, float], groups: DataFrame, **kwargs
+    ) -> DataFrame:
+        """Leakage-safe train/valid/test tagging keyed by the near-dup
+        group (``sampling.grouped_holdout_split``) — pass the output of
+        ``near_dup_groups``/``semdedup_groups`` as ``groups``."""
+        from restructure_hdfs_topic_spark.operators.sampling import (
+            grouped_holdout_split,
+        )
+
+        return grouped_holdout_split(
+            self.df, self.id_col, fractions, groups, **kwargs
+        )
+
     def holdout_split(self, fractions: dict[str, float]) -> DataFrame:
         """Deterministic train/valid/test tagging (``sampling.holdout_split``)."""
         from restructure_hdfs_topic_spark.operators.sampling import holdout_split

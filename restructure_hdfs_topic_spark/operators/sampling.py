@@ -220,12 +220,19 @@ def holdout_split(
     every sampler here uses), no shuffle.  Range edges use cumulative
     integer thresholds, so the splits exactly tile the bucket space
     (every row gets exactly one split)."""
+    return df.withColumn(split_col, _split_expr(hash_bucket(id_col), fractions))
+
+
+def _split_expr(bucket, fractions: dict[str, float]) -> F.Column:
+    """CASE over a hash bucket partitioning [0, 2^32) into contiguous
+    ranges sized by ``fractions`` — shared by ``holdout_split`` (bucket
+    of the row id) and ``grouped_holdout_split`` (bucket of the group
+    key) so the two tilings cannot drift."""
     if not fractions:
         raise ValueError("fractions must name at least one split")
     total = sum(fractions.values())
     if not (0.999 <= total <= 1.001):
         raise ValueError(f"fractions must sum to 1 (got {total})")
-    b = hash_bucket(id_col)
     cum = 0.0
     expr = None
     names = list(fractions)
@@ -233,13 +240,54 @@ def holdout_split(
         cum += fractions[name]
         edge = F.lit(int(cum * MOD))
         expr = (
-            F.when(b < edge, F.lit(name))
+            F.when(bucket < edge, F.lit(name))
             if expr is None
-            else expr.when(b < edge, F.lit(name))
+            else expr.when(bucket < edge, F.lit(name))
         )
     last = F.lit(names[-1])
-    out = last if expr is None else expr.otherwise(last)
-    return df.withColumn(split_col, out)
+    return last if expr is None else expr.otherwise(last)
+
+
+def grouped_holdout_split(
+    df: DataFrame,
+    id_col: str,
+    fractions: dict[str, float],
+    groups: DataFrame,
+    split_col: str = "split",
+    groups_id_col: str = "id",
+    group_col: str = "group_id",
+) -> DataFrame:
+    """Leakage-safe train/valid/test assignment: split by the hash
+    bucket of the row's near-duplicate GROUP, so no two near-duplicates
+    ever straddle a split boundary (Lee et al. 2021 §6.2 — splitting
+    after dedup is not enough when duplicates survive at any threshold;
+    random or per-document hash splits leak test answers into train
+    through surviving near-dups).
+
+    ``groups`` is any ``(id, group_id)`` table — ``near_dup_groups`` /
+    ``semdedup_groups`` / ``embedding_near_dup_groups`` output.  Rows
+    absent from it are singletons and split by their OWN id, so on a
+    group-free corpus this is row-identical to ``holdout_split``.
+    Growth-stable like ``holdout_split`` as long as the group ids are
+    (group_id = min member id: adding a doc that MERGES two groups
+    re-keys one of them — the inherent price of keeping the invariant).
+
+    Shape: one left join of the corpus against the slim group table
+    (AQE-sided; broadcast while the group table is small) + the same
+    codegen CASE as ``holdout_split``; group members land in one range
+    because they share one bucket."""
+    joined = df.join(
+        groups.select(
+            F.col(groups_id_col).alias(id_col),
+            F.col(group_col).alias("__gid"),
+        ),
+        id_col,
+        "left",
+    )
+    key = F.coalesce(F.col("__gid"), F.col(id_col))
+    return joined.withColumn(
+        split_col, _split_expr(hash_bucket(key), fractions)
+    ).drop("__gid")
 
 
 _COARSE_BITS = 16

@@ -88,6 +88,7 @@ CONSISTENCY_QUERIES = [
     "bm25_topk",
     "bm25_index_query",
     "unimax_sample",
+    "grouped_holdout",
     "pack_materialize",
     "lm_curriculum",
     # r6 session additions: line-level dedup, BPE encode (driver-learned

@@ -582,6 +582,7 @@ def test_query_registry_consistency():
         "embedding_pca",
         "prototype_prune",
         "unimax_sample",
+        "grouped_holdout",
     }
     assert extra.isdisjoint(q), "bench-only queries must stay unregistered"
 
