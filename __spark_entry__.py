@@ -644,9 +644,15 @@ def q_bm25_index_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     wanted = {"n_buckets": 64, "id_col": "doc_id"}
     stale = True
     if os.path.exists(meta_file):
-        with open(meta_file) as fh:
-            meta = _json.load(fh)
-        stale = any(meta.get(k) != v for k, v in wanted.items())
+        # A truncated/corrupt meta (process killed mid-write) means
+        # STALE-and-rebuild, not a crash-loop until someone deletes the
+        # artifact by hand.
+        try:
+            with open(meta_file) as fh:
+                meta = _json.load(fh)
+            stale = any(meta.get(k) != v for k, v in wanted.items())
+        except (ValueError, OSError):
+            stale = True
     if stale:
         build_bm25_index(docs, path, n_buckets=64)
     return query_bm25_index(

@@ -220,7 +220,23 @@ def holdout_split(
     every sampler here uses), no shuffle.  Range edges use cumulative
     integer thresholds, so the splits exactly tile the bucket space
     (every row gets exactly one split)."""
+    _require_integral(df, id_col, "holdout_split id_col")
     return df.withColumn(split_col, _split_expr(hash_bucket(id_col), fractions))
+
+
+_INTEGRAL_TYPES = {"tinyint", "smallint", "int", "bigint"}
+
+
+def _require_integral(df: DataFrame, col: str, what: str) -> None:
+    """``hash_bucket`` casts its key to long — a string id would become
+    NULL, every range comparison NULL-falsy, and the CASE's otherwise()
+    would silently swallow the whole corpus into the last split."""
+    t = df.schema[col].dataType.simpleString()
+    if t not in _INTEGRAL_TYPES:
+        raise ValueError(
+            f"{what} must be an integral column for hash_bucket "
+            f"(got {col!r}: {t}); map string ids through xxhash64 first"
+        )
 
 
 def _split_expr(bucket, fractions: dict[str, float]) -> F.Column:
@@ -254,7 +270,7 @@ def grouped_holdout_split(
     fractions: dict[str, float],
     groups: DataFrame,
     split_col: str = "split",
-    groups_id_col: str = "id",
+    groups_id_col: str | None = None,
     group_col: str = "group_id",
 ) -> DataFrame:
     """Leakage-safe train/valid/test assignment: split by the hash
@@ -275,7 +291,18 @@ def grouped_holdout_split(
     Shape: one left join of the corpus against the slim group table
     (AQE-sided; broadcast while the group table is small) + the same
     codegen CASE as ``holdout_split``; group members land in one range
-    because they share one bucket."""
+    because they share one bucket.
+
+    ``groups_id_col`` defaults to ``id_col`` — the group producers name
+    their id column after THEIR input id column, so the default composes
+    directly with ``near_dup_groups(docs, "doc_id", ...)`` output.
+    ``hash_bucket`` is an integer contract: non-integral id/group-id
+    types would cast to NULL and silently land every row in the LAST
+    split, so they are rejected loudly."""
+    if groups_id_col is None:
+        groups_id_col = id_col
+    _require_integral(df, id_col, "grouped_holdout_split id_col")
+    _require_integral(groups, group_col, "grouped_holdout_split group_col")
     joined = df.join(
         groups.select(
             F.col(groups_id_col).alias(id_col),

@@ -1146,7 +1146,11 @@ def prototype_prune(
         # floor(drop_frac·m) computed on a 1e-9 grid: int(0.3 * 10)
         # would read 2 (0.3 is 2.999…96 in binary), silently dropping
         # one fewer than the documented floor for common fractions.
-        n_drop = len(ids) * round(drop_frac * 10**9) // 10**9
+        # The grid value caps at 1 - 1e-9: a drop_frac within 5e-10 of
+        # 1.0 must not round UP to exactly 1, which would empty whole
+        # clusters (incl. singletons) despite drop_frac < 1.
+        grid = min(round(drop_frac * 10**9), 10**9 - 1)
+        n_drop = len(ids) * grid // 10**9
         dropped = order[:n_drop] if keep_hard else order[len(ids) - n_drop:]
         kept = np.ones(len(ids), dtype=bool)
         kept[dropped] = False

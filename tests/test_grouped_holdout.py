@@ -30,7 +30,7 @@ def test_groups_never_straddle_and_witness(spark):
     )
     # Groups: ids 0-9 -> group 0, 10-19 -> group 10, rest singletons.
     groups = spark.createDataFrame(
-        [(i, (i // 10) * 10) for i in range(20)], "id long, group_id long"
+        [(i, (i // 10) * 10) for i in range(20)], "doc_id long, group_id long"
     )
     out = grouped_holdout_split(docs, "doc_id", FRACTIONS, groups).collect()
     split = {r["doc_id"]: r["split"] for r in out}
@@ -59,7 +59,7 @@ def test_singletons_match_plain_holdout_split(spark):
     docs = spark.createDataFrame(
         [(i, "x") for i in range(500)], "doc_id long, text string"
     )
-    empty_groups = spark.createDataFrame([], "id long, group_id long")
+    empty_groups = spark.createDataFrame([], "doc_id long, group_id long")
     grouped = {
         r["doc_id"]: r["split"]
         for r in grouped_holdout_split(docs, "doc_id", FRACTIONS, empty_groups).collect()
@@ -76,9 +76,7 @@ def test_composes_with_real_near_dup_groups(spark):
 
     docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
     groups = near_dup_groups(docs, "doc_id", "text", bits=32, max_hamming=3)
-    out = grouped_holdout_split(
-        docs, "doc_id", FRACTIONS, groups, groups_id_col="doc_id"
-    )
+    out = grouped_holdout_split(docs, "doc_id", FRACTIONS, groups)
     # No group straddles: exactly one distinct split per group.
     straddlers = (
         out.join(
@@ -108,6 +106,43 @@ def test_composes_with_real_near_dup_groups(spark):
 
 def test_bad_fractions_rejected(spark):
     docs = spark.createDataFrame([(1, "x")], "doc_id long, text string")
-    groups = spark.createDataFrame([], "id long, group_id long")
+    groups = spark.createDataFrame([], "doc_id long, group_id long")
     with pytest.raises(ValueError, match="sum to 1"):
         grouped_holdout_split(docs, "doc_id", {"train": 0.5}, groups)
+
+
+def test_default_groups_id_col_composes_with_producers_and_facade(spark):
+    """The default groups_id_col follows id_col, so near_dup_groups
+    output (whose id column is named after ITS input id_col) composes
+    without extra plumbing — directly and through the Corpus facade."""
+    from restructure_hdfs_topic_spark.corpus import Corpus
+    from restructure_hdfs_topic_spark.operators.dedup import near_dup_groups
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    groups = near_dup_groups(docs, "doc_id", "text", bits=32, max_hamming=3)
+    direct = {
+        r["doc_id"]: r["split"]
+        for r in grouped_holdout_split(docs, "doc_id", FRACTIONS, groups).collect()
+    }
+    via_facade = {
+        r["doc_id"]: r["split"]
+        for r in Corpus(docs).grouped_holdout_split(FRACTIONS, groups).collect()
+    }
+    assert via_facade == direct and direct
+
+
+def test_non_integral_ids_rejected_loudly(spark):
+    """String ids would hash_bucket to NULL and silently land every row
+    in the LAST split — both splitters refuse them instead."""
+    sdocs = spark.createDataFrame(
+        [("a", "x"), ("b", "y")], "doc_id string, text string"
+    )
+    groups = spark.createDataFrame([], "doc_id long, group_id long")
+    with pytest.raises(ValueError, match="integral"):
+        holdout_split(sdocs, "doc_id", FRACTIONS)
+    with pytest.raises(ValueError, match="integral"):
+        grouped_holdout_split(sdocs, "doc_id", FRACTIONS, groups)
+    ldocs = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    sgroups = spark.createDataFrame([], "doc_id long, group_id string")
+    with pytest.raises(ValueError, match="integral"):
+        grouped_holdout_split(ldocs, "doc_id", FRACTIONS, sgroups)

@@ -62,9 +62,18 @@ REPRESENTATIVE = [
     # LM
     "lm_perplexity",
     "perplexity_filter",
-    # retrieval / embedding analytics (r10 continuation)
+    # retrieval (r10 continuation; fully lazy plan)
     "bm25_topk",
-    "bm25_index_query",
+]
+
+# r10-continuation queries whose CONSTRUCTION runs bounded driver work
+# (per-stratum count collects, PCA/k-means fits) before the lazy plan
+# exists — kept out of REPRESENTATIVE so the module's "explain-only"
+# contract stays true there, but still guarded: the same assertions run
+# on the post-construction plan.  bm25_index_query is excluded entirely
+# (it materializes a /tmp index artifact; its plan-shape assertions —
+# PartitionFilters/PushedFilters — live in tests/test_bm25_index.py).
+EAGER_REPRESENTATIVE = [
     "unimax_sample",
     "embedding_pca",
     "prototype_prune",
@@ -84,7 +93,7 @@ SCALAR_BROADCAST_OK = {
 }
 
 
-@pytest.mark.parametrize("name", REPRESENTATIVE)
+@pytest.mark.parametrize("name", REPRESENTATIVE + EAGER_REPRESENTATIVE)
 def test_no_cartesian_or_python_row_udf(spark, name):
     plan = _plan(spark, name)
     assert "CartesianProduct" not in plan, f"{name}: cartesian product"

@@ -31,7 +31,8 @@ def _witness(ids, vecs, clusters, drop_frac, keep):
         nx[nx == 0] = 1.0
         cos = np.round(dots / (nx * (nc if nc else 1.0)), 9)
         order = np.lexsort((cids, -cos))
-        n_drop = len(cids) * round(drop_frac * 10**9) // 10**9
+        grid = min(round(drop_frac * 10**9), 10**9 - 1)
+        n_drop = len(cids) * grid // 10**9
         dropped = set(
             (order[:n_drop] if keep == "hard" else order[len(cids) - n_drop:]).tolist()
         )
@@ -111,9 +112,12 @@ def test_prototype_prune_edges(spark):
         prototype_prune(emb, drop_frac=1.0)
     with pytest.raises(ValueError, match="keep"):
         prototype_prune(emb, keep="bogus")
-    # Singletons always survive.
+    # Singletons always survive — including at a drop_frac so close to
+    # 1.0 that the 1e-9 grid would round it up without the cap.
     one = spark.createDataFrame(
         [(1, [1.0, 0.0])], "vec_id long, embedding array<float>"
     )
     rows = prototype_prune(one, drop_frac=0.9, n_clusters=2).collect()
+    assert len(rows) == 1 and rows[0]["kept"]
+    rows = prototype_prune(one, drop_frac=1 - 1e-10, n_clusters=2).collect()
     assert len(rows) == 1 and rows[0]["kept"]
