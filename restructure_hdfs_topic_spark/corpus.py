@@ -416,6 +416,26 @@ class Corpus:
             )
         )
 
+    def unimax_sample(
+        self,
+        total_budget: int,
+        max_epochs: float = 4.0,
+        n_tokens_col: str = "n_tokens",
+    ) -> DataFrame:
+        """UniMax epoch-capped mixture realization
+        (``sampling.unimax_sample``) — terminal: returns rows +
+        ``epoch`` (the frame must already carry ``n_tokens_col``)."""
+        from restructure_hdfs_topic_spark.operators.sampling import unimax_sample
+
+        return unimax_sample(
+            self.df,
+            self.id_col,
+            self.strata_col,
+            total_budget,
+            max_epochs=max_epochs,
+            n_tokens_col=n_tokens_col,
+        )
+
     def perplexity_gate(
         self,
         max_bits: float | None = None,

@@ -144,3 +144,21 @@ def test_unimax_sample_edges(spark):
             "lang",
             100,
         )
+
+
+def test_corpus_facade_delegates(spark):
+    from restructure_hdfs_topic_spark.corpus import Corpus
+
+    docs = (
+        spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        .withColumn("n_tokens", token_count(F.col("text")))
+    )
+    direct = {
+        (r["doc_id"], r["epoch"])
+        for r in unimax_sample(docs, "doc_id", "lang", 20_000).collect()
+    }
+    via_facade = {
+        (r["doc_id"], r["epoch"])
+        for r in Corpus(docs, strata_col="lang").unimax_sample(20_000).collect()
+    }
+    assert via_facade == direct and direct
