@@ -624,6 +624,7 @@ def q_bm25_index_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from restructure_hdfs_topic_spark.operators.bm25_index import (
         build_bm25_index,
+        corpus_fingerprint,
         query_bm25_index,
     )
     from restructure_hdfs_topic_spark.operators.retrieval import corpus_queries
@@ -631,10 +632,12 @@ def q_bm25_index_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     _conf(spark)
     docs = _t(spark, sf_dir, "documents")
     # Key the artifact by the FULL corpus path (two sf_dirs sharing a
-    # basename must not share an index) and rebuild if the meta's params
-    # don't match the wanted build.  Regenerating the corpus in place
-    # still requires deleting the artifact dir — the documented
-    # build-once contract shared with the IVF/PQ lanes.
+    # basename must not share an index), rebuild if the meta's params
+    # don't match the wanted build, and — ADVICE r10 — rebuild if the
+    # live corpus's fingerprint (row count + id-hash XOR + sampled text
+    # hash) no longer matches the one recorded at build time, so a corpus
+    # regenerated IN PLACE under the same path cannot serve stale
+    # postings.
     tag = hashlib.md5(os.path.normpath(sf_dir).encode()).hexdigest()[:8]
     path = (
         "/tmp/spark_graft_bm25_index_"
@@ -651,6 +654,9 @@ def q_bm25_index_query(spark: SparkSession, sf_dir: str) -> DataFrame:
             with open(meta_file) as fh:
                 meta = _json.load(fh)
             stale = any(meta.get(k) != v for k, v in wanted.items())
+            if not stale:
+                live_fp = corpus_fingerprint(docs)
+                stale = any(meta.get(k) != v for k, v in live_fp.items())
         except (ValueError, OSError):
             stale = True
     if stale:

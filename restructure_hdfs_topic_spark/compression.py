@@ -132,6 +132,26 @@ def write_small_file(path: str, payload: bytes, spark=None) -> None:
         fh.write(payload)
 
 
+def delete_small_file(path: str, spark=None) -> bool:
+    """Delete one small artifact if present (counterpart of
+    ``write_small_file``); returns whether anything was removed.  Used to
+    INVALIDATE a meta file before rewriting the artifacts it describes —
+    a build killed mid-way then presents as "no meta" (stale, rebuild)
+    instead of serving new data against the previous meta."""
+    if _is_uri(path):
+        if spark is None:
+            raise ValueError(f"deleting {path!r} over a URI needs spark")
+        _jvm, fs, p = _hadoop_fs(spark, path)
+        return bool(fs.delete(p, False)) if fs.exists(p) else False
+    import os
+
+    try:
+        os.remove(path)
+        return True
+    except FileNotFoundError:
+        return False
+
+
 def read_small_file(path: str, spark=None) -> bytes:
     """Read one small artifact back (counterpart of ``write_small_file``)."""
     if _is_uri(path):

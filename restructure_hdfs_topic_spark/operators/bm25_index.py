@@ -47,10 +47,38 @@ from restructure_hdfs_topic_spark.operators.retrieval import (
 
 _META = "_bm25_meta.json"
 MAX_QUERY_TERMS = 100_000  # driver-side collect guard for the term set
+_FP_SAMPLE_MOD = 101  # ~1% of docs contribute their TEXT hash to the fp
 
 
 def _bucket(token_col, n_buckets: int):
     return F.pmod(F.xxhash64(token_col), F.lit(n_buckets)).cast("long")
+
+
+def corpus_fingerprint(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> dict:
+    """Cheap corpus identity for staleness checks: row count, XOR of
+    ``xxhash64(id)`` over every row, and XOR of ``xxhash64(id, text)``
+    over a deterministic ~1% id-hash sample.  XOR is commutative and
+    overflow-free, so the value is partitioning-independent; the sampled
+    text term catches the regenerated-in-place case (same id set, new
+    text) that an id-only fingerprint would wave through, without hashing
+    the full corpus text per check.  One column-pruned scan."""
+    row = docs.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.bit_xor(F.xxhash64(F.col(id_col))).alias("x_id"),
+        F.bit_xor(
+            F.when(
+                F.pmod(F.xxhash64(F.col(id_col)), F.lit(_FP_SAMPLE_MOD)) == 0,
+                F.xxhash64(F.col(id_col), F.col(text_col)),
+            )
+        ).alias("x_text"),
+    ).collect()[0]
+    return {
+        "fp_count": int(row["n"]),
+        "fp_xor_id": int(row["x_id"] or 0),
+        "fp_xor_text": int(row["x_text"] or 0),
+    }
 
 
 def build_bm25_index(
@@ -70,6 +98,15 @@ def build_bm25_index(
     bucket column gives one file per bucket dir.
     """
     from restructure_hdfs_topic_spark.caching import scoped_persist
+    from restructure_hdfs_topic_spark.compression import delete_small_file
+
+    # Invalidate FIRST (ADVICE r10): a build killed between the postings
+    # overwrite and the meta write must present as "no meta" (stale →
+    # rebuild), not leave the PREVIOUS intact meta describing the new
+    # postings — that would silently serve new postings against old
+    # vocab/n_docs/sum_dl.  Meta is re-written LAST, once every artifact
+    # it describes is durably in place.
+    delete_small_file(f"{path}/{_META}", spark=docs.sparkSession)
 
     base = docs.filter(F.trim(F.col(text_col)) != "").select(
         F.col(id_col).alias("doc_id"), F.col(text_col).alias("__text")
@@ -123,6 +160,10 @@ def build_bm25_index(
         "n_buckets": int(n_buckets),
         "id_col": id_col,
         "id_type": docs.schema[id_col].dataType.simpleString(),
+        # Corpus identity (ADVICE r10): lets a build-once caller detect a
+        # corpus regenerated in place under the same path/params instead
+        # of trusting the artifact blindly.
+        **corpus_fingerprint(docs, id_col=id_col, text_col=text_col),
     }
     _write_meta(docs.sparkSession, f"{path}/{_META}", meta)
     return meta

@@ -17,7 +17,19 @@ sign-canonicalized (largest-|component| entry positive, first index on
 ties) and re-quantized to int64 at 10⁻⁶ so the projection is again exact
 integer arithmetic: proj_int = (x_q − mean_q)·comp_int, |proj_int| ≤
 d·2·10⁴·10⁶ ≈ 1.3·10¹² (< 2⁵³, so even the final float division is
-lossless-representable).  Result: bit-identical projections everywhere.
+lossless-representable).
+
+Determinism scope (ADVICE r10): given a FIXED component matrix, the
+projection is bit-identical across partitionings, batch sizes, and
+engines.  The fit itself solves ``np.linalg.eigh`` on the driver, whose
+output depends on the host's LAPACK build — and near-degenerate
+eigenvalues admit arbitrary rotations within the eigen-subspace that
+sign canonicalization and 1e-6 re-quantization cannot pin down.  So:
+same host ⇒ same model ⇒ identical projections everywhere; across
+platforms, components may differ within near-equal-eigenvalue subspaces
+(check the eigengap of ``model.eigvals`` if cross-platform
+reproducibility matters — persist and ship ``comps_int`` rather than
+re-fitting).
 
 Scale shape: ONE corpus scan emitting fixed-size int64 partials
 (1 + d + d² values per batch) that map-side combine to a single

@@ -54,7 +54,18 @@ def corpus_queries(
     terms) is the built-in sanity witness.  Position indexing (not "top
     terms" or "first distinct") keeps the set order-independent of any
     engine's distinct/ordering semantics.
+
+    ``id_col % sample_mod`` is an integer contract: a string id would
+    make the modulo NULL and the query set silently EMPTY (zero-row
+    results with no error), so non-integral ids are rejected loudly —
+    map string ids through ``xxhash64`` first (same discipline as
+    ``holdout_split``).
     """
+    from restructure_hdfs_topic_spark.operators.sampling import (
+        _require_integral,
+    )
+
+    _require_integral(docs, id_col, "corpus_queries id_col")
     filtered = F.filter(
         tokens(F.col(text_col)), lambda t: F.length(t) >= min_token_len
     )
