@@ -23,9 +23,19 @@ inverted file should sit in a warehouse:
 Scoring reuses ``retrieval.bm25_idf`` / ``bm25_term_score`` /
 ``bm25_rank_topk`` verbatim, so the index path returns BIT-IDENTICAL
 rows to ``bm25_topk`` on the same corpus — asserted in
-tests/test_bm25_index.py.  Rebuild-only by design: df/avgdl are global
-statistics, so an append would silently shift every previously served
-score; the honest contract is a fresh build (cheap — one corpus scan).
+tests/test_bm25_index.py.
+
+Growing corpora append SEGMENTS (Lucene-style, ``append_bm25_segment``):
+a new batch writes its own postings/vocab under
+``<path>/segments/seg-K/`` (same bucketing) and the meta — rewritten
+LAST, after an invalidate-first delete — records per-segment exact
+(n_docs, sum_dl).  df/avgdl/N are GLOBAL statistics, so they are never
+frozen into any segment: serve time derives N and avgdl from the summed
+per-segment ints and df(t) from the summed per-segment vocab rows, which
+keeps served scores BIT-IDENTICAL to a from-scratch rebuild on the
+concatenated corpus (asserted in tests/test_bm25_segments.py).  Caller
+contract: appended doc ids must be NEW — an id repeated across segments
+would count as two documents (a rebuild would merge its tf rows).
 
 Size ``n_buckets`` so one bucket's postings fit a scan task (~64 at the
 test scales; thousands at 100 TB).
@@ -97,7 +107,6 @@ def build_bm25_index(
     cached tf, never re-reading the text.  One repartition on the
     bucket column gives one file per bucket dir.
     """
-    from restructure_hdfs_topic_spark.caching import scoped_persist
     from restructure_hdfs_topic_spark.compression import delete_small_file
 
     # Invalidate FIRST (ADVICE r10): a build killed between the postings
@@ -107,6 +116,34 @@ def build_bm25_index(
     # vocab/n_docs/sum_dl.  Meta is re-written LAST, once every artifact
     # it describes is durably in place.
     delete_small_file(f"{path}/{_META}", spark=docs.sparkSession)
+
+    n_docs, sum_dl = _write_segment(docs, path, id_col, text_col, n_buckets)
+    meta = {
+        "format": "restructure_hdfs_topic_spark/bm25/v1",
+        "n_docs": n_docs,
+        "sum_dl": sum_dl,
+        "n_buckets": int(n_buckets),
+        "id_col": id_col,
+        "id_type": docs.schema[id_col].dataType.simpleString(),
+        "segments": [],
+        "version": 0,
+        # Corpus identity (ADVICE r10): lets a build-once caller detect a
+        # corpus regenerated in place under the same path/params instead
+        # of trusting the artifact blindly.
+        **corpus_fingerprint(docs, id_col=id_col, text_col=text_col),
+    }
+    _write_meta(docs.sparkSession, f"{path}/{_META}", meta)
+    return meta
+
+
+def _write_segment(
+    docs: DataFrame, seg_path: str, id_col: str, text_col: str, n_buckets: int
+) -> tuple[int, int]:
+    """Materialize one segment's postings/vocab pair under ``seg_path``;
+    returns its exact ``(n_docs, sum_dl)``.  Shared by the base build and
+    ``append_bm25_segment`` so a segment can never drift from the base
+    layout (same bucketing, same sort, same denormalized dl)."""
+    from restructure_hdfs_topic_spark.caching import scoped_persist
 
     base = docs.filter(F.trim(F.col(text_col)) != "").select(
         F.col(id_col).alias("doc_id"), F.col(text_col).alias("__text")
@@ -138,7 +175,7 @@ def build_bm25_index(
         # old postings against new global stats.
         .option("partitionOverwriteMode", "static")
         .partitionBy("bucket")
-        .parquet(f"{path}/postings")
+        .parquet(f"{seg_path}/postings")
     )
     vocab = (
         tf.groupBy("token")
@@ -151,21 +188,58 @@ def build_bm25_index(
         .write.mode("overwrite")
         .option("partitionOverwriteMode", "static")
         .partitionBy("bucket")
-        .parquet(f"{path}/vocab")
+        .parquet(f"{seg_path}/vocab")
     )
-    meta = {
-        "format": "restructure_hdfs_topic_spark/bm25/v1",
-        "n_docs": n_docs,
-        "sum_dl": sum_dl,
-        "n_buckets": int(n_buckets),
-        "id_col": id_col,
-        "id_type": docs.schema[id_col].dataType.simpleString(),
-        # Corpus identity (ADVICE r10): lets a build-once caller detect a
-        # corpus regenerated in place under the same path/params instead
-        # of trusting the artifact blindly.
-        **corpus_fingerprint(docs, id_col=id_col, text_col=text_col),
-    }
-    _write_meta(docs.sparkSession, f"{path}/{_META}", meta)
+    return n_docs, sum_dl
+
+
+def append_bm25_segment(
+    docs: DataFrame, path: str, text_col: str = "text"
+) -> dict:
+    """Append a document batch to an existing index WITHOUT rebuilding:
+    write a new segment dir (postings + vocab, same bucketing), then
+    rewrite the meta with the segment's exact ``(n_docs, sum_dl)`` and a
+    bumped ``version``.  Because the global statistics (N, avgdl, df)
+    are derived at SERVE time from the per-segment ints, served scores
+    stay bit-identical to a from-scratch rebuild on the concatenated
+    corpus — the contract tests/test_bm25_segments.py pins.
+
+    Crash discipline mirrors the base build: the meta is deleted FIRST
+    and rewritten LAST, so an append killed mid-way presents as "no
+    meta" (stale → rebuild) instead of serving a half-written segment.
+
+    Caller contract: appended doc ids must be NEW.  An id already in an
+    earlier segment would be served as two documents where a rebuild
+    would merge its tf rows (checking would cost a corpus-sized join per
+    append; an id-partitioned ingest upstream makes it structural).
+    """
+    from restructure_hdfs_topic_spark.compression import delete_small_file
+
+    spark = docs.sparkSession
+    meta = load_bm25_meta(spark, path)  # raises if absent/corrupt
+    id_col = meta["id_col"]
+    id_type = docs.schema[id_col].dataType.simpleString()
+    if id_type != meta.get("id_type", id_type):
+        raise ValueError(
+            f"append_bm25_segment: id type {id_type!r} does not match the "
+            f"index's {meta['id_type']!r}"
+        )
+    segs = list(meta.get("segments", []))
+    name = f"seg-{len(segs):05d}"
+    delete_small_file(f"{path}/{_META}", spark=spark)
+    n_docs, sum_dl = _write_segment(
+        docs, f"{path}/segments/{name}", id_col, text_col, int(meta["n_buckets"])
+    )
+    meta["segments"] = segs + [
+        {
+            "name": name,
+            "n_docs": n_docs,
+            "sum_dl": sum_dl,
+            **corpus_fingerprint(docs, id_col=id_col, text_col=text_col),
+        }
+    ]
+    meta["version"] = int(meta.get("version", 0)) + 1
+    _write_meta(spark, f"{path}/{_META}", meta)
     return meta
 
 
@@ -180,25 +254,50 @@ def query_bm25_index(
     k: int = 5,
     k1: float = 1.2,
     b: float = 0.75,
+    expected_version: int | None = None,
 ) -> DataFrame:
     """Serve a ``(query_id, term)`` batch from the on-disk index —
-    bit-identical to ``bm25_topk`` over the indexed corpus.
+    bit-identical to ``bm25_topk`` over the indexed corpus (base build
+    plus every appended segment).
 
     The distinct term set collects to the driver (bounded by
     ``MAX_QUERY_TERMS`` — query batches are small by contract, like the
     ANN paths' query sides) and becomes LITERAL pruning/pushdown
     filters: ``bucket IN (…)`` prunes partition directories, ``token IN
     (…)`` reaches the parquet row-group statistics of the sorted token
-    column.  Everything downstream touches matched postings only.
+    column — applied to EVERY segment's read, so the union still touches
+    matched postings only.  Global stats (N, avgdl) sum the per-segment
+    exact ints; df(t) sums the matched per-segment vocab rows.
+
+    ``expected_version`` is the stale-read guard (same discipline as the
+    Bloom sidecars): a serving tier that cached plans against version V
+    passes it and fails LOUDLY if a concurrent append moved the index
+    on, instead of silently mixing old assumptions with new data.
     """
     meta = load_bm25_meta(spark, path)
+    if expected_version is not None and int(meta.get("version", 0)) != int(
+        expected_version
+    ):
+        raise ValueError(
+            f"query_bm25_index: index at version {meta.get('version', 0)}, "
+            f"caller expected {expected_version} — re-resolve the index "
+            "before serving"
+        )
     n_buckets = int(meta["n_buckets"])
-    n_docs = int(meta["n_docs"])
+    segs = list(meta.get("segments", []))
+    n_docs = int(meta["n_docs"]) + sum(int(s["n_docs"]) for s in segs)
     if n_docs == 0:
         return _empty_result(spark, meta, queries)
+    sum_dl = int(meta["sum_dl"]) + sum(int(s["sum_dl"]) for s in segs)
     # avgdl: the SAME exact-int sum and single double division the
     # direct path computes in-plan.
-    avgdl = float(meta["sum_dl"]) / float(n_docs)
+    avgdl = float(sum_dl) / float(n_docs)
+    # Segment dirs with documents (an all-empty batch writes no parquet
+    # files — reading it would fail on schema inference, and it cannot
+    # contribute postings anyway).
+    seg_dirs = ([path] if int(meta["n_docs"]) > 0 else []) + [
+        f"{path}/segments/{s['name']}" for s in segs if int(s["n_docs"]) > 0
+    ]
 
     # NULL terms can never match a posting (the direct path's inner join
     # drops them); drop them here too so the two paths stay equivalent
@@ -225,20 +324,31 @@ def query_bm25_index(
     terms = sorted({r["token"] for r in term_rows})
     buckets = sorted({int(r["bucket"]) for r in term_rows})
 
-    vocab = (
-        spark.read.parquet(f"{path}/vocab")
-        .filter(F.col("bucket").isin(buckets) & F.col("token").isin(terms))
-        .select("token", "df")
+    def _read_union(kind: str, cols: list[str]) -> DataFrame:
+        parts = [
+            spark.read.parquet(f"{d}/{kind}")
+            .filter(F.col("bucket").isin(buckets) & F.col("token").isin(terms))
+            .select(*cols)
+            for d in seg_dirs
+        ]
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
+    # df(t) is global: the same token's per-segment document counts SUM
+    # (segments hold disjoint doc ids by contract), exactly what one
+    # rebuild's groupBy would count.
+    vocab = _read_union("vocab", ["token", "df"]).groupBy("token").agg(
+        F.sum("df").alias("df")
     )
     qweights = (
         qterms_df.join(vocab, "token")
         .withColumn("__idf", bm25_idf(F.lit(n_docs).cast("long"), F.col("df")))
         .select("query_id", "token", "__idf")
     )
-    postings = (
-        spark.read.parquet(f"{path}/postings")
-        .filter(F.col("bucket").isin(buckets) & F.col("token").isin(terms))
-        .select("token", F.col("doc_id").alias("__id"), "tf", "dl")
+    postings = _read_union("postings", ["token", "doc_id", "tf", "dl"]).select(
+        "token", F.col("doc_id").alias("__id"), "tf", "dl"
     )
     scored = postings.join(F.broadcast(qweights), "token").withColumn(
         "__term_score",
