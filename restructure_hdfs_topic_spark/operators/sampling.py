@@ -286,7 +286,9 @@ def grouped_holdout_split(
     group-free corpus this is row-identical to ``holdout_split``.
     Growth-stable like ``holdout_split`` as long as the group ids are
     (group_id = min member id: adding a doc that MERGES two groups
-    re-keys one of them — the inherent price of keeping the invariant).
+    re-keys one of them — the inherent price of keeping the invariant;
+    measure the resulting assignment churn with ``split_churn`` before
+    trusting a re-split of a grown corpus).
 
     Shape: one left join of the corpus against the slim group table
     (AQE-sided; broadcast while the group table is small) + the same
@@ -315,6 +317,94 @@ def grouped_holdout_split(
     return joined.withColumn(
         split_col, _split_expr(hash_bucket(key), fractions)
     ).drop("__gid")
+
+
+def split_churn(
+    prev_docs: DataFrame,
+    new_docs: DataFrame,
+    prev_groups: DataFrame,
+    new_groups: DataFrame,
+    fractions: dict[str, float],
+    id_col: str = "doc_id",
+    group_col: str = "group_id",
+) -> DataFrame:
+    """Diagnostic for re-splitting a GROWN corpus with
+    ``grouped_holdout_split``: which documents changed split between the
+    previous (corpus, group table) and the new one, and why.
+
+    ``grouped_holdout_split`` keys the split on ``group_id = min member
+    id``, so adding a document that MERGES two near-dup groups re-keys
+    one side and silently moves its members between splits (the inherent
+    price of the min-member invariant, documented there).  This reports
+    the churn so users can BOUND the leakage window when they re-split
+    (Lee et al. 2021's motivation: a test doc moved into train leaks its
+    answers to every model trained after the move).
+
+    Returns ``(id, prev_split, new_split, reason)`` — one row per
+    document whose assignment changed, with ``reason`` one of:
+
+    - ``added`` / ``removed`` — the doc entered/left the corpus
+      (``prev_split`` / ``new_split`` NULL respectively);
+    - ``group_rekey`` — grouped before and after, under different group
+      ids (a merge or split of near-dup groups);
+    - ``grouped`` / ``ungrouped`` — the doc gained/lost near-dup group
+      membership (e.g. a new duplicate of it arrived), moving its split
+      key between its own id and a group id.
+
+    Shape: two left joins of the id universes against their slim group
+    tables + one full outer join on id, all narrow 8-byte-key hash
+    joins; the split CASEs are the SAME ``_split_expr`` tiling the real
+    splitter uses, so the diagnostic can never disagree with it.
+    """
+    _require_integral(prev_docs, id_col, "split_churn prev id_col")
+    _require_integral(new_docs, id_col, "split_churn new id_col")
+    _require_integral(prev_groups, group_col, "split_churn prev group_col")
+    _require_integral(new_groups, group_col, "split_churn new group_col")
+
+    def _keyed(docs: DataFrame, groups: DataFrame, gid: str) -> DataFrame:
+        return docs.select(F.col(id_col).alias("id")).join(
+            groups.select(
+                F.col(id_col).alias("id"), F.col(group_col).alias(gid)
+            ),
+            "id",
+            "left",
+        )
+
+    prev = _keyed(prev_docs, prev_groups, "__pgid").withColumn(
+        "__in_prev", F.lit(True)
+    )
+    new = _keyed(new_docs, new_groups, "__ngid").withColumn(
+        "__in_new", F.lit(True)
+    )
+    j = prev.join(new, "id", "full_outer")
+    in_prev = F.coalesce(F.col("__in_prev"), F.lit(False))
+    in_new = F.coalesce(F.col("__in_new"), F.lit(False))
+    prev_split = F.when(
+        in_prev,
+        _split_expr(hash_bucket(F.coalesce(F.col("__pgid"), F.col("id"))), fractions),
+    )
+    new_split = F.when(
+        in_new,
+        _split_expr(hash_bucket(F.coalesce(F.col("__ngid"), F.col("id"))), fractions),
+    )
+    reason = (
+        F.when(~in_prev, F.lit("added"))
+        .when(~in_new, F.lit("removed"))
+        .when(
+            F.col("__pgid").isNotNull() & F.col("__ngid").isNotNull(),
+            F.lit("group_rekey"),
+        )
+        .when(F.col("__ngid").isNotNull(), F.lit("grouped"))
+        .otherwise(F.lit("ungrouped"))
+    )
+    return (
+        j.withColumn("prev_split", prev_split)
+        .withColumn("new_split", new_split)
+        .filter(~F.col("prev_split").eqNullSafe(F.col("new_split")))
+        .select(
+            F.col("id").alias(id_col), "prev_split", "new_split", reason.alias("reason")
+        )
+    )
 
 
 _COARSE_BITS = 16
