@@ -1123,6 +1123,41 @@ def q_embedding_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_pca(emb, n_components=8, whiten=True)
 
 
+def q_ann_pca_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gated PCA→ANN composition (VERDICT r10 #1): project an
+    ANISOTROPIC embedding corpus to 16 PCA components, run IVF ANN in
+    the reduced space, and reduce to the shared 3-row recall check
+    table vs the FULL-dimension exact-cosine baseline (recall@5 ≥ 0.9;
+    measured 0.948 on the planted-spectrum fixture).
+
+    The driver's embeddings table is near-isotropic (top-8 eigenvalues
+    ~2.1% each vs 1.56% for noise — the r10 recorded negative result),
+    so the composition is gated on ``sources.synth.anisotropic_embeddings``
+    — the decaying-spectrum shape real encoder outputs have — sized to
+    the sf's embeddings row count.  Gate + fixture properties in
+    tests/test_pca_ann.py (bench/extras surface)."""
+    from restructure_hdfs_topic_spark.operators.pca import pca_fit, pca_project
+    from restructure_hdfs_topic_spark.operators.similarity import ivf_ann_topk
+    from restructure_hdfs_topic_spark.sources.synth import anisotropic_embeddings
+
+    _conf(spark)
+    n = _parquet_rows(sf_dir, "embeddings") or 1500
+    from restructure_hdfs_topic_spark.caching import scoped_persist
+
+    emb = scoped_persist(
+        anisotropic_embeddings(spark, n=n),
+        scope=f"entry.ann_pca_ivf.fixture.{n}",
+    )
+    queries = emb.orderBy("vec_id").limit(100)
+    exact = cosine_topk(emb, k=5, queries=queries)
+    model = pca_fit(emb, n_components=16)
+    proj = pca_project(emb, model).select(
+        F.col("id").alias("vec_id"), F.col("components").alias("embedding")
+    )
+    approx = ivf_ann_topk(proj, k=5, n_rows=n)
+    return _recall_check_table(exact, approx)
+
+
 def q_prototype_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SSL-prototypes / D4 cluster pruning: rank by cosine to the own
     k-means centroid, flag the 25% most prototypical per cluster.  Exact
@@ -2498,6 +2533,9 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # Whitening PCA over embeddings; exact witness in
         # tests/test_pca.py.
         "embedding_pca": q_embedding_pca,
+        # r11: gated PCA->IVF composition on the anisotropic fixture
+        # (recall check table); gate in tests/test_pca_ann.py.
+        "ann_pca_ivf_topk": q_ann_pca_ivf_topk,
         # SSL-prototypes/D4 cluster pruning; exact witness in
         # tests/test_prototype_prune.py.
         "prototype_prune": q_prototype_prune,

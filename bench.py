@@ -91,6 +91,7 @@ BENCH_QUERIES = [
     "html_extract",
     "semdedup_kmeans",
     "embedding_pca",
+    "ann_pca_ivf_topk",
     "prototype_prune",
     "pack_materialize",
     "lm_curriculum",

@@ -102,6 +102,9 @@ CONSISTENCY_QUERIES = [
     "html_extract",
     "semdedup_kmeans",
     "embedding_pca",
+    # r11: PCA->IVF recall gate on the anisotropic fixture — the check
+    # table's values must be partitioning-independent at sf1 size.
+    "ann_pca_ivf_topk",
     "prototype_prune",
     # r7: the fused raw-HTML -> training-shard plan must be
     # partitioning-independent end-to-end (strip_html + curation + pack).
