@@ -2019,6 +2019,40 @@ def q_curation_soft_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_train_data_job(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Terminal composed train-data job (VERDICT r10 #2): corpus in →
+    quality gate → span scrub → benchmark decontamination → near-dup
+    drop → leakage-safe grouped split → train-split packing → per-split
+    shard export on disk — returned as the attrition accounting table
+    ``(stage, n_docs)`` (every input doc lands in exactly one terminal
+    bucket; the identity is pinned in tests/test_train_job.py along
+    with the export round-trip).  Benchmark = every 97th document's
+    text, so the decontamination stage exercises real collisions."""
+    import hashlib
+
+    from restructure_hdfs_topic_spark.plans.train_job import train_data_job
+
+    _conf(spark)
+    docs = _t(spark, sf_dir, "documents")
+    benchmark = docs.filter(F.col("doc_id") % 97 == 0).select("text")
+    tag = hashlib.md5(os.path.normpath(sf_dir).encode()).hexdigest()[:8]
+    out = (
+        "/tmp/spark_graft_train_job_"
+        f"{os.path.basename(os.path.normpath(sf_dir))}_{tag}"
+    )
+    report = train_data_job(
+        docs,
+        out,
+        fractions={"train": 0.8, "valid": 0.1, "test": 0.1},
+        decontaminate_benchmark=benchmark,
+        n_shards=4,
+    )
+    return spark.createDataFrame(
+        sorted((k, int(v)) for k, v in report["counts"].items()),
+        "stage string, n_docs long",
+    )
+
+
 def q_html_ingest_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Crawl in, loader-ready rows out, as ONE fused lazy plan (VERDICT
     r6 #4): raw HTML → strip_html (single-pass entity decode) → gopher
@@ -2436,6 +2470,10 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # → mixture → packing); e2e-tested in tests/test_curation.py.
         "curation_pipeline": q_curation_pipeline,
         "curation_soft_dedup": q_curation_soft_dedup,
+        # r11: terminal curate->decontaminate->split->pack->export job
+        # with attrition accounting; identity + round-trip pinned in
+        # tests/test_train_job.py.
+        "train_data_job": q_train_data_job,
         # Raw HTML -> loader-ready shard rows, one fused plan; disk
         # round-trip pinned in tests/test_html_ingest_e2e.py.
         "html_ingest_pipeline": q_html_ingest_pipeline,

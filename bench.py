@@ -63,6 +63,7 @@ BENCH_QUERIES = [
     "lm_perplexity",
     "curation_pipeline",
     "curation_soft_dedup",
+    "train_data_job",
     "html_ingest_pipeline",
     "warc_ingest",
     "crawl_health",

@@ -1,0 +1,219 @@
+"""Terminal train-data job: curate → decontaminate → split → pack →
+export, corpus-in → packed-shards-out (VERDICT r10 #2).
+
+``curate_corpus`` composes the curation stages into a loader MANIFEST;
+this plan is the one a pipeline user actually runs end-to-end: it also
+splits leakage-safely, packs the train split, materializes every split
+as hash-balanced shards on disk, and accounts for every input document
+— each lands in EXACTLY ONE of ``dropped_by_quality`` /
+``dropped_by_near_dup`` / ``train`` / ``valid`` / ``test`` (the
+attrition identity tests/test_train_job.py pins).
+
+Stage shapes (all individually tested operators, composed lazily):
+
+1. **Gopher quality gate** — codegen projection + filter, no shuffle.
+2. **Exact-substring scrub** — duplicated k-token spans removed from
+   survivors (transform, drops nothing).
+3. **Benchmark decontamination** (optional) — GPT-3 §C surgical span
+   removal against the broadcast benchmark n-gram set (transform).
+4. **Near-dup drop** — banded MinHash LSH pairs, larger id of each
+   verified pair dropped (keep-first; AQE-sided anti-join).
+5. **Leakage-safe split** — ``near_dup_groups`` over the SURVIVORS
+   (duplicates below the drop threshold still exist) keyed into
+   ``grouped_holdout_split``, so no near-dup pair straddles splits
+   (Lee et al. 2021 §6.2).
+6. **Pack** — GPT-style BFD-free pack assignment over the train
+   split's token counts (one hash shuffle).
+7. **Export** — each split as hash-balanced shards + manifest
+   (``export_jsonl_shards``; one repartition per split, native
+   committer atomicity).
+
+Nothing corpus-sized collects: the report's counts are actions over
+scope-persisted frames, the manifests are |shards|-row tables.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from restructure_hdfs_topic_spark.functions.text import (
+    gopher_metrics,
+    gopher_passes,
+    token_count,
+)
+from restructure_hdfs_topic_spark.operators.dedup import (
+    lsh_near_dup_pairs,
+    near_dup_groups,
+    strip_duplicated_spans,
+)
+from restructure_hdfs_topic_spark.operators.packing import pack_sequences
+from restructure_hdfs_topic_spark.operators.sampling import grouped_holdout_split
+from restructure_hdfs_topic_spark.plans.export import export_jsonl_shards
+
+
+def train_data_job(
+    docs: DataFrame,
+    out_path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    strata_col: str = "source",
+    fractions: dict[str, float] | None = None,
+    decontaminate_benchmark: DataFrame | None = None,
+    decontaminate_n: int = 13,
+    span_k: int = 8,
+    jaccard_threshold: float = 0.5,
+    pack_budget: int = 2048,
+    n_shards: int = 8,
+    fmt: str = "json",
+    train_split: str = "train",
+) -> dict:
+    """Run the whole job; returns a report dict:
+
+    - ``counts`` — attrition accounting: ``input``, the derived
+      ``dropped_by_quality`` / ``dropped_by_near_dup``, and one terminal
+      count per split (they sum exactly to ``input``);
+    - ``manifests`` — per split, the collected ``(shard, n_rows,
+      n_tokens)`` rows of the export manifest written next to the data;
+    - ``disposition`` — a lazy ``(id, disposition)`` DataFrame assigning
+      every input document its single terminal bucket (the audit trail
+      the attrition test replays).
+
+    Output layout: ``out_path/<split>/data/shard=K/`` +
+    ``out_path/<split>/manifest``.  The train split's rows carry the
+    pack manifest columns (``pack_id``, ``start_off``,
+    ``n_packs_spanned``) alongside id/strata/text/n_tokens; eval splits
+    carry id/strata/text/n_tokens.
+
+    ``fractions`` must contain ``train_split`` (the split that gets
+    packed); defaults to 90/5/5.
+    """
+    from restructure_hdfs_topic_spark.caching import scoped_persist
+
+    fractions = fractions or {"train": 0.9, "valid": 0.05, "test": 0.05}
+    if train_split not in fractions:
+        raise ValueError(
+            f"fractions must contain the train split {train_split!r} "
+            f"(got {sorted(fractions)})"
+        )
+    counts: dict[str, int] = {"input": docs.count()}
+
+    # 1+2. Quality gate, then span scrub over the survivors.  Persisted:
+    # the LSH pair generation, the anti-join, the group builder, and the
+    # disposition anti-join all consume it.
+    metrics = gopher_metrics(F.col(text_col))
+    gated = (
+        docs.select(*docs.columns, *[c.alias(n) for n, c in metrics])
+        .filter(gopher_passes(*[F.col(n) for n, _ in metrics]))
+        .select(*docs.columns)
+    )
+    scrubbed = scoped_persist(
+        strip_duplicated_spans(gated, id_col, text_col, k=span_k),
+        scope="train_job.scrubbed",
+    )
+
+    # 3 (optional). Surgical benchmark decontamination (keeps documents).
+    if decontaminate_benchmark is not None:
+        from restructure_hdfs_topic_spark.operators.dedup import (
+            decontaminate_spans,
+        )
+
+        scrubbed = scoped_persist(
+            decontaminate_spans(
+                scrubbed,
+                decontaminate_benchmark,
+                id_col,
+                text_col,
+                n=decontaminate_n,
+            ),
+            scope="train_job.decontaminated",
+        )
+    counts["after_quality_gate"] = scrubbed.count()
+
+    # 4. Hard near-dup drop (keep-first).
+    pairs = lsh_near_dup_pairs(
+        scrubbed, id_col, text_col, threshold=jaccard_threshold
+    )
+    losers = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    deduped = scoped_persist(
+        scrubbed.join(losers, on=id_col, how="left_anti"),
+        scope="train_job.deduped",
+    )
+    counts["after_near_dup_drop"] = deduped.count()
+
+    # 5. Leakage-safe split: groups over the SURVIVORS (near-dups below
+    # the drop threshold still exist and must not straddle splits), then
+    # the group-keyed hash tiling.  Token counts ride along so the text
+    # tokenizes exactly once.
+    groups = near_dup_groups(deduped, id_col, text_col)
+    split = scoped_persist(
+        grouped_holdout_split(
+            deduped.select(
+                id_col, strata_col, text_col,
+                token_count(F.col(text_col)).alias("n_tokens"),
+            ),
+            id_col,
+            fractions,
+            groups,
+        ),
+        scope="train_job.split",
+    )
+    split_counts = {
+        r["split"]: int(r["n"])
+        for r in split.groupBy("split").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    for name in fractions:
+        counts[name] = split_counts.get(name, 0)
+    counts["dropped_by_quality"] = counts["input"] - counts["after_quality_gate"]
+    counts["dropped_by_near_dup"] = (
+        counts["after_quality_gate"] - counts["after_near_dup_drop"]
+    )
+
+    # 6+7. Pack the train split (narrow id+count frame through the pack
+    # window; text joins back by id), export every split.
+    manifests: dict[str, list] = {}
+    for name in fractions:
+        rows = split.filter(F.col("split") == name).drop("split")
+        if name == train_split:
+            packed = pack_sequences(
+                rows.select(id_col, "n_tokens"),
+                id_col=id_col,
+                n_tokens_col="n_tokens",
+                budget=pack_budget,
+            )
+            rows = rows.join(
+                packed.select(
+                    id_col, "bucket", "start_off", "pack_id", "n_packs_spanned"
+                ),
+                on=id_col,
+                how="inner",
+            )
+        manifest = export_jsonl_shards(
+            rows,
+            f"{out_path}/{name}",
+            n_shards=n_shards,
+            id_col=id_col,
+            token_count_col="n_tokens",
+            fmt=fmt,
+        )
+        manifests[name] = [r.asDict() for r in manifest.collect()]
+
+    disposition = (
+        docs.select(F.col(id_col).alias("id"))
+        .join(
+            scrubbed.select(F.col(id_col).alias("id")), "id", "left_anti"
+        )
+        .withColumn("disposition", F.lit("dropped_by_quality"))
+        .unionByName(
+            scrubbed.select(F.col(id_col).alias("id"))
+            .join(deduped.select(F.col(id_col).alias("id")), "id", "left_anti")
+            .withColumn("disposition", F.lit("dropped_by_near_dup"))
+        )
+        .unionByName(
+            split.select(
+                F.col(id_col).alias("id"), F.col("split").alias("disposition")
+            )
+        )
+        .select(F.col("id").alias(id_col), "disposition")
+    )
+    return {"counts": counts, "manifests": manifests, "disposition": disposition}

@@ -80,6 +80,9 @@ CONSISTENCY_QUERIES = [
     # dedup must be partitioning-independent end-to-end at sf1.
     "curation_pipeline",
     "curation_soft_dedup",
+    # r11: the terminal composed job's attrition table must be
+    # partitioning-independent at sf1 (counts, not samples).
+    "train_data_job",
     "incremental_dedup",
     # r6 late additions (extras-only surfaces — the digest is their
     # distributed witness).

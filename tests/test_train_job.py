@@ -1,0 +1,110 @@
+"""train_data_job (VERDICT r10 #2): the terminal composed pipeline —
+attrition identity (every input doc in exactly one terminal bucket),
+leakage-safe split composition, packed-train export round-trip."""
+
+import sys
+
+import pytest
+from pyspark.sql import functions as F
+
+sys.path.insert(0, "/root/repo")
+
+from restructure_hdfs_topic_spark.plans.export import read_shards
+from restructure_hdfs_topic_spark.plans.train_job import train_data_job
+
+SF_DIR = "/root/testdata/sf0.001"
+FRACTIONS = {"train": 0.8, "valid": 0.1, "test": 0.1}
+
+
+@pytest.fixture(scope="module")
+def job(spark, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("train_job") / "out")
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    benchmark = docs.filter(F.col("doc_id") % 97 == 0).select("text")
+    report = train_data_job(
+        docs,
+        out,
+        fractions=FRACTIONS,
+        decontaminate_benchmark=benchmark,
+        n_shards=4,
+    )
+    return docs, out, report
+
+
+def test_attrition_identity(spark, job):
+    """input == dropped_by_quality + dropped_by_near_dup + train + valid
+    + test, and the per-doc disposition assigns every input id exactly
+    one terminal bucket."""
+    docs, _out, report = job
+    c = report["counts"]
+    assert c["input"] == docs.count() > 0
+    assert c["input"] == (
+        c["dropped_by_quality"]
+        + c["dropped_by_near_dup"]
+        + c["train"]
+        + c["valid"]
+        + c["test"]
+    )
+    assert c["train"] > 0  # the pipeline actually produces a train set
+
+    disp = report["disposition"]
+    rows = disp.collect()
+    assert len(rows) == c["input"]
+    assert len({r["doc_id"] for r in rows}) == c["input"]  # exactly once
+    by_bucket = {}
+    for r in rows:
+        by_bucket[r["disposition"]] = by_bucket.get(r["disposition"], 0) + 1
+    assert by_bucket == {
+        k: v
+        for k, v in c.items()
+        if k
+        in ("dropped_by_quality", "dropped_by_near_dup", "train", "valid", "test")
+        and v > 0
+    }
+
+
+def test_export_round_trip_matches_counts(spark, job):
+    _docs, out, report = job
+    for name in FRACTIONS:
+        df = read_shards(spark, f"{out}/{name}")  # verify=True checks manifest
+        assert df.count() == report["counts"][name]
+        manifest_rows = sum(m["n_rows"] for m in report["manifests"][name])
+        assert manifest_rows == report["counts"][name]
+    # Train rows carry the pack manifest; eval rows don't.
+    train = read_shards(spark, f"{out}/train")
+    assert {"pack_id", "start_off", "n_packs_spanned", "n_tokens"} <= set(
+        train.columns
+    )
+    valid = read_shards(spark, f"{out}/valid")
+    assert "pack_id" not in valid.columns and "n_tokens" in valid.columns
+    # Every train doc got exactly one pack assignment.
+    assert train.select("doc_id").distinct().count() == train.count()
+
+
+def test_split_is_leakage_safe(spark, job):
+    """No near-dup group among the SURVIVORS straddles splits — the
+    grouped_holdout_split composition the job promises."""
+    from restructure_hdfs_topic_spark.operators.dedup import near_dup_groups
+
+    _docs, out, report = job
+    survivors = None
+    for name in FRACTIONS:
+        part = read_shards(spark, f"{out}/{name}").select(
+            "doc_id", "text", F.lit(name).alias("split")
+        )
+        survivors = part if survivors is None else survivors.unionByName(part)
+    groups = near_dup_groups(survivors, "doc_id", "text")
+    straddlers = (
+        survivors.join(groups.select("doc_id", "group_id"), "doc_id")
+        .groupBy("group_id")
+        .agg(F.countDistinct("split").alias("n"))
+        .filter(F.col("n") > 1)
+        .count()
+    )
+    assert straddlers == 0
+
+
+def test_fractions_must_contain_train_split(spark):
+    docs = spark.createDataFrame([(1, "x", "s")], "doc_id long, text string, source string")
+    with pytest.raises(ValueError, match="train split"):
+        train_data_job(docs, "/tmp/never", fractions={"valid": 1.0})
