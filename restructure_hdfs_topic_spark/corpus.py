@@ -472,6 +472,41 @@ class Corpus:
             )
         return self._wrap(out)
 
+    def prototype_prune(
+        self,
+        drop_frac: float = 0.2,
+        keep: str = "hard",
+        n_clusters: int | None = None,
+        embed_dim: int = 64,
+        embeddings: DataFrame | None = None,
+    ) -> "Corpus":
+        """SSL-prototypes / D4 cluster pruning composed over the corpus
+        (``similarity.prototype_prune``): embed the text (hashing-trick
+        ``embed()`` by default; pass ``embeddings`` as an ``(id, vec)``
+        frame to use a real encoder's vectors), k-means the space with
+        the exact-int Lloyd, rank every document by cosine to its OWN
+        centroid, and drop the ``drop_frac`` most prototypical
+        (``keep="hard"`` — redundant easy examples) or most atypical
+        (``keep="easy"``) per cluster.  Keeps the surviving DOCUMENT
+        rows; singletons always survive."""
+        from restructure_hdfs_topic_spark.operators.similarity import (
+            prototype_prune,
+        )
+
+        emb = embeddings if embeddings is not None else self.embed(dim=embed_dim)
+        flags = prototype_prune(
+            emb,
+            drop_frac=drop_frac,
+            keep=keep,
+            n_clusters=n_clusters,
+            id_col="id",
+            vec_col="vec",
+        )
+        keep_ids = flags.filter(F.col("kept")).select(
+            F.col("id").alias(self.id_col)
+        )
+        return self._wrap(self.df.join(keep_ids, on=self.id_col, how="left_semi"))
+
     def token_budget_sample(self, budgets: dict[str, int]) -> "Corpus":
         from restructure_hdfs_topic_spark.functions.text import token_count
         from restructure_hdfs_topic_spark.operators.sampling import (

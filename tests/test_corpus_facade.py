@@ -190,3 +190,45 @@ def test_bm25_methods_delegate(spark, tmp_path):
     assert meta["n_docs"] > 0
     served = sorted(map(tuple, query_bm25_index(spark, path, qs, k=3).collect()))
     assert served == direct
+
+
+def test_profile_prune_unimax_composed_e2e(spark):
+    """VERDICT r10 stretch #8: the facade's newest methods in one
+    composed pipeline — profile the corpus, D4-prune the most
+    prototypical quarter per cluster, UniMax-realize half the surviving
+    token mass with a 2-epoch cap — with delegation equality for the
+    prune step and the UniMax budget/cap invariants on the output."""
+    from restructure_hdfs_topic_spark.functions.text import token_count
+    from restructure_hdfs_topic_spark.operators.similarity import prototype_prune
+
+    docs = _docs(spark)
+    corpus = Corpus(docs)
+
+    # 1. Profile: one row per source, token totals the budget derives from.
+    prof = {r["source"]: r for r in corpus.profile().collect()}
+    assert prof and all(r["n_docs"] > 0 for r in prof.values())
+
+    # 2. Prune (facade) == prune (direct operators), row-identical.
+    pruned = corpus.prototype_prune(drop_frac=0.25, n_clusters=8)
+    got_ids = {r["doc_id"] for r in pruned.df.select("doc_id").collect()}
+    emb = corpus.embed(dim=64)
+    flags = prototype_prune(emb, drop_frac=0.25, n_clusters=8,
+                            id_col="id", vec_col="vec")
+    want_ids = {r["id"] for r in flags.filter(F.col("kept")).collect()}
+    n_input = docs.count()
+    assert got_ids == want_ids
+    assert 0 < len(got_ids) < n_input
+
+    # 3. UniMax over the survivors: half their token mass, <=2 epochs.
+    counted = pruned.df.withColumn("n_tokens", token_count(F.col("text")))
+    total = counted.agg(F.sum("n_tokens")).collect()[0][0]
+    out = Corpus(counted).unimax_sample(int(total) // 2, max_epochs=2)
+    rows = out.collect()
+    assert rows
+    assert {r["doc_id"] for r in rows} <= got_ids
+    assert all(r["epoch"] <= 2 for r in rows)
+    # Realized mass stays at or under budget + one boundary doc per
+    # stratum (the prefix-realization contract).
+    realized = sum(r["n_tokens"] for r in rows)
+    max_doc = counted.agg(F.max("n_tokens")).collect()[0][0]
+    assert realized <= int(total) // 2 + len(prof) * int(max_doc)
