@@ -152,6 +152,26 @@ def delete_small_file(path: str, spark=None) -> bool:
         return False
 
 
+def fs_delete_dir(path: str, spark) -> bool:
+    """Recursively delete a directory (local or ``scheme://``) through the
+    Hadoop FileSystem; returns whether anything was removed."""
+    _jvm, fs, p = _hadoop_fs(spark, path)
+    return bool(fs.delete(p, True)) if fs.exists(p) else False
+
+
+def fs_rename(src: str, dst: str, spark) -> None:
+    """Rename/move a path through the Hadoop FileSystem (atomic on HDFS
+    and posix; copy-based on object stores — callers sequence it before
+    the meta write so a torn move presents as stale, never as valid)."""
+    jvm, fs, p_src = _hadoop_fs(spark, src)
+    p_dst = jvm.org.apache.hadoop.fs.Path(dst)
+    parent = p_dst.getParent()
+    if parent is not None and not fs.exists(parent):
+        fs.mkdirs(parent)
+    if not fs.rename(p_src, p_dst):
+        raise OSError(f"rename {src!r} -> {dst!r} failed")
+
+
 def read_small_file(path: str, spark=None) -> bytes:
     """Read one small artifact back (counterpart of ``write_small_file``)."""
     if _is_uri(path):

@@ -36,6 +36,10 @@ keeps served scores BIT-IDENTICAL to a from-scratch rebuild on the
 concatenated corpus (asserted in tests/test_bm25_segments.py).  Caller
 contract: appended doc ids must be NEW — an id repeated across segments
 would count as two documents (a rebuild would merge its tf rows).
+When the segment count makes serve-time unions wide,
+``compact_bm25_index`` merges everything back into the single-base
+layout from the postings alone (no corpus text needed), Lucene's merge
+policy in one shot.
 
 Size ``n_buckets`` so one bucket's postings fit a scan task (~64 at the
 test scales; thousands at 100 TB).
@@ -238,6 +242,100 @@ def append_bm25_segment(
             **corpus_fingerprint(docs, id_col=id_col, text_col=text_col),
         }
     ]
+    meta["version"] = int(meta.get("version", 0)) + 1
+    _write_meta(spark, f"{path}/{_META}", meta)
+    return meta
+
+
+def compact_bm25_index(spark: SparkSession, path: str) -> dict:
+    """Merge the base and every appended segment back into the
+    single-base layout — WITHOUT the original corpus text (the postings
+    are self-contained): segment doc ids are disjoint by the append
+    contract, so the compacted postings are simply the union re-written
+    under the base bucketing, vocab df(t) sums per token, and
+    n_docs/sum_dl (and the corpus fingerprint: counts sum, XORs
+    compose over disjoint id sets) fold from the per-segment meta.
+    Served rows are unchanged — same tf/dl per doc, same global stats —
+    asserted bit-identical in tests/test_bm25_segments.py.
+
+    Use it when the segment count makes serve-time unions wide (Lucene's
+    merge policy motivation): after compaction a query batch is back to
+    ONE postings read per kind.
+
+    Crash discipline: meta deleted FIRST; the merged artifacts are fully
+    written under ``compact-tmp/`` and swapped into place before the
+    meta is rewritten — an interruption at any point presents as "no
+    meta" (stale → rebuild), never as a half-merged valid index.
+    """
+    from restructure_hdfs_topic_spark.compression import (
+        delete_small_file,
+        fs_delete_dir,
+        fs_rename,
+    )
+
+    meta = load_bm25_meta(spark, path)
+    segs = list(meta.get("segments", []))
+    if not segs:
+        return meta  # already compact
+    n_buckets = int(meta["n_buckets"])
+    seg_dirs = ([path] if int(meta["n_docs"]) > 0 else []) + [
+        f"{path}/segments/{s['name']}" for s in segs if int(s["n_docs"]) > 0
+    ]
+    parts = [meta] + segs
+    merged = {
+        "n_docs": sum(int(p["n_docs"]) for p in parts),
+        "sum_dl": sum(int(p["sum_dl"]) for p in parts),
+        "fp_count": sum(int(p.get("fp_count", 0)) for p in parts),
+        "fp_xor_id": 0,
+        "fp_xor_text": 0,
+    }
+    for p in parts:
+        merged["fp_xor_id"] ^= int(p.get("fp_xor_id", 0))
+        merged["fp_xor_text"] ^= int(p.get("fp_xor_text", 0))
+
+    delete_small_file(f"{path}/{_META}", spark=spark)
+    if seg_dirs:
+
+        def _union(kind: str, cols: list[str]) -> DataFrame:
+            out = None
+            for d in seg_dirs:
+                part = spark.read.parquet(f"{d}/{kind}").select(*cols)
+                out = part if out is None else out.unionByName(part)
+            return out
+
+        posts = _union("postings", ["token", "doc_id", "tf", "dl"]).withColumn(
+            "bucket", _bucket(F.col("token"), n_buckets)
+        )
+        (
+            posts.repartition(F.col("bucket"))
+            .sortWithinPartitions("bucket", "token", "doc_id")
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "static")
+            .partitionBy("bucket")
+            .parquet(f"{path}/compact-tmp/postings")
+        )
+        vocab = (
+            _union("vocab", ["token", "df"])
+            .groupBy("token")
+            .agg(F.sum("df").alias("df"))
+            .withColumn("bucket", _bucket(F.col("token"), n_buckets))
+        )
+        (
+            vocab.repartition(F.col("bucket"))
+            .sortWithinPartitions("bucket", "token")
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "static")
+            .partitionBy("bucket")
+            .parquet(f"{path}/compact-tmp/vocab")
+        )
+        fs_delete_dir(f"{path}/postings", spark)
+        fs_delete_dir(f"{path}/vocab", spark)
+        fs_rename(f"{path}/compact-tmp/postings", f"{path}/postings", spark)
+        fs_rename(f"{path}/compact-tmp/vocab", f"{path}/vocab", spark)
+        fs_delete_dir(f"{path}/compact-tmp", spark)
+    fs_delete_dir(f"{path}/segments", spark)
+    meta.update(merged)
+    meta["segments"] = []
     meta["version"] = int(meta.get("version", 0)) + 1
     _write_meta(spark, f"{path}/{_META}", meta)
     return meta

@@ -129,6 +129,71 @@ def test_append_all_empty_batch_is_a_noop_for_serving(spark, tmp_path):
     assert after == before
 
 
+def test_compaction_preserves_served_rows_bit_identically(spark, tmp_path):
+    """compact_bm25_index merges base+segments back into the single-base
+    layout from the postings alone — served rows unchanged, segments
+    gone, version bumped, fingerprint folded."""
+    from restructure_hdfs_topic_spark.operators.bm25_index import (
+        compact_bm25_index,
+        corpus_fingerprint,
+    )
+
+    qs = _queries(spark)
+    path = str(tmp_path / "idx")
+    build_bm25_index(_df(spark, BATCH_A), path, n_buckets=4)
+    append_bm25_segment(_df(spark, BATCH_B), path)
+    append_bm25_segment(_df(spark, BATCH_C), path)
+    before = sorted(map(tuple, query_bm25_index(spark, path, qs, k=4).collect()))
+
+    meta = compact_bm25_index(spark, path)
+    assert meta["segments"] == [] and meta["version"] == 3
+    after = sorted(map(tuple, query_bm25_index(spark, path, qs, k=4).collect()))
+    assert after == before and after
+
+    # The folded stats and fingerprint equal a fresh build's on the
+    # concatenated corpus (counts sum; XORs compose over disjoint ids).
+    everything = _df(spark, BATCH_A + BATCH_B + BATCH_C)
+    want_fp = corpus_fingerprint(everything)
+    assert {k: meta[k] for k in want_fp} == want_fp
+    import os
+
+    assert not os.path.exists(f"{path}/segments")
+    assert not os.path.exists(f"{path}/compact-tmp")
+
+    # Compacting an already-compact index is a no-op.
+    meta2 = compact_bm25_index(spark, path)
+    assert meta2["version"] == 3
+
+    # And the compacted index accepts new appends.
+    append_bm25_segment(_df(spark, [(31, "iota beta")]), path)
+    rows = query_bm25_index(
+        spark,
+        path,
+        spark.createDataFrame([(1, "iota")], "query_id long, term string"),
+        k=3,
+    ).collect()
+    assert [r["doc_id"] for r in rows] == [31]
+
+
+def test_interrupted_compaction_invalidates_meta(spark, tmp_path, monkeypatch):
+    from restructure_hdfs_topic_spark.operators.bm25_index import (
+        compact_bm25_index,
+    )
+
+    path = str(tmp_path / "idx")
+    build_bm25_index(_df(spark, BATCH_A), path, n_buckets=4)
+    append_bm25_segment(_df(spark, BATCH_B), path)
+
+    def boom(*_a, **_k):
+        raise RuntimeError("killed mid-compact")
+
+    monkeypatch.setattr(bix, "_write_meta", boom)
+    with pytest.raises(RuntimeError, match="killed mid-compact"):
+        compact_bm25_index(spark, path)
+    with pytest.raises(Exception):
+        load_bm25_meta(spark, path)
+
+
 def test_append_onto_empty_base(spark, tmp_path):
     path = str(tmp_path / "idx")
     build_bm25_index(_df(spark, []), path, n_buckets=4)
