@@ -542,6 +542,7 @@ def test_query_registry_consistency():
         "mixture_sample",
         "curation_pipeline",
         "curation_soft_dedup",
+        "train_data_job",
         "incremental_dedup",
         "lm_bigram",
         "text_normalize",
@@ -580,6 +581,7 @@ def test_query_registry_consistency():
         "bm25_topk",
         "bm25_index_query",
         "embedding_pca",
+        "ann_pca_ivf_topk",
         "prototype_prune",
         "unimax_sample",
         "grouped_holdout",
