@@ -555,6 +555,17 @@ class Corpus:
             id_col=self.id_col, text_col=self.text_col, n_buckets=n_buckets,
         )
 
+    def append_bm25_segment(self, path: str) -> dict:
+        """Append the corpus as a new SEGMENT of an existing on-disk BM25
+        index (``operators.bm25_index.append_bm25_segment``) — the
+        incremental lane for growing corpora; served scores stay
+        bit-identical to a full rebuild.  Doc ids must be new."""
+        from restructure_hdfs_topic_spark.operators.bm25_index import (
+            append_bm25_segment,
+        )
+
+        return append_bm25_segment(self.df, path, text_col=self.text_col)
+
     def export_shards(
         self, path: str, n_shards: int = 16, fmt: str = "json"
     ) -> DataFrame:

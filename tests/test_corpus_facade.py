@@ -191,6 +191,19 @@ def test_bm25_methods_delegate(spark, tmp_path):
     served = sorted(map(tuple, query_bm25_index(spark, path, qs, k=3).collect()))
     assert served == direct
 
+    # Facade append delegates: after appending a disjoint batch, serving
+    # equals the direct path over the concatenated corpus.
+    extra = spark.createDataFrame(
+        [(1_000_001, "alpha zulu zulu"), (1_000_002, "zulu beta")],
+        "doc_id long, text string",
+    )
+    meta2 = Corpus(extra).append_bm25_segment(path)
+    assert meta2["version"] == 1 and len(meta2["segments"]) == 1
+    both = docs.select("doc_id", "text").unionByName(extra)
+    direct2 = sorted(map(tuple, bm25_topk(both, qs, k=3).collect()))
+    served2 = sorted(map(tuple, query_bm25_index(spark, path, qs, k=3).collect()))
+    assert served2 == direct2
+
 
 def test_profile_prune_unimax_composed_e2e(spark):
     """VERDICT r10 stretch #8: the facade's newest methods in one
