@@ -666,6 +666,63 @@ def q_bm25_index_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bm25_segment_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Segmented BM25 serve path (r11): base indexed from the even-id
+    half of the corpus, the odd-id half APPENDED as a segment
+    (``append_bm25_segment``), then the same corpus-derived query batch
+    served across the union.  Rows are bit-identical to the single-build
+    path (pinned in tests/test_bm25_segments.py); this row prices the
+    segmented serve and its sf1 digest pins partitioning independence of
+    the union + summed-df path.  Artifact keyed by corpus fingerprint
+    like q_bm25_index_query."""
+    import hashlib
+
+    import json as _json
+
+    from restructure_hdfs_topic_spark.operators.bm25_index import (
+        append_bm25_segment,
+        build_bm25_index,
+        corpus_fingerprint,
+        query_bm25_index,
+    )
+    from restructure_hdfs_topic_spark.operators.retrieval import corpus_queries
+
+    _conf(spark)
+    docs = _t(spark, sf_dir, "documents")
+    tag = hashlib.md5(os.path.normpath(sf_dir).encode()).hexdigest()[:8]
+    path = (
+        "/tmp/spark_graft_bm25_seg_"
+        f"{os.path.basename(os.path.normpath(sf_dir))}_{tag}"
+    )
+    meta_file = f"{path}/_bm25_meta.json"
+    stale = True
+    if os.path.exists(meta_file):
+        try:
+            with open(meta_file) as fh:
+                meta = _json.load(fh)
+            stale = meta.get("n_buckets") != 64 or len(meta.get("segments", [])) != 1
+            if not stale:
+                # Meta fp covers the BASE half; fold in the segment's to
+                # compare against the full live corpus (disjoint XORs).
+                seg = meta["segments"][0]
+                live = corpus_fingerprint(docs)
+                stale = (
+                    meta["fp_count"] + seg["fp_count"] != live["fp_count"]
+                    or (meta["fp_xor_id"] ^ seg["fp_xor_id"])
+                    != live["fp_xor_id"]
+                    or (meta["fp_xor_text"] ^ seg["fp_xor_text"])
+                    != live["fp_xor_text"]
+                )
+        except (ValueError, OSError, KeyError):
+            stale = True
+    if stale:
+        build_bm25_index(docs.filter(F.col("doc_id") % 2 == 0), path, n_buckets=64)
+        append_bm25_segment(docs.filter(F.col("doc_id") % 2 == 1), path)
+    return query_bm25_index(
+        spark, path, corpus_queries(docs, sample_mod=101), k=5
+    )
+
+
 def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sequence packing: overlapping 64-token chunks (stride 56) per
     document — narrow codegen plan, no shuffle."""
@@ -2541,6 +2598,9 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # On-disk BM25 inverted index (build once / serve many);
         # bit-identical-to-direct equality in tests/test_bm25_index.py.
         "bm25_index_query": q_bm25_index_query,
+        # r11: segmented serve path (base + appended segment, summed-df
+        # global stats); rebuild-equality in tests/test_bm25_segments.py.
+        "bm25_segment_query": q_bm25_segment_query,
         # UniMax epoch-capped mixture; exact allocation + realization
         # witnesses in tests/test_unimax.py.
         "unimax_sample": q_unimax_sample,

@@ -59,6 +59,7 @@ BENCH_QUERIES = [
     "tfidf_top_terms",
     "bm25_topk",
     "bm25_index_query",
+    "bm25_segment_query",
     "unimax_sample",
     "grouped_holdout",
     "dedup_exact_docs",

@@ -90,6 +90,7 @@ CONSISTENCY_QUERIES = [
     "text_normalize",
     "bm25_topk",
     "bm25_index_query",
+    "bm25_segment_query",
     "unimax_sample",
     "grouped_holdout",
     "pack_materialize",

@@ -543,6 +543,7 @@ def test_query_registry_consistency():
         "curation_pipeline",
         "curation_soft_dedup",
         "train_data_job",
+        "bm25_segment_query",
         "incremental_dedup",
         "lm_bigram",
         "text_normalize",

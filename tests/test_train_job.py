@@ -104,6 +104,23 @@ def test_split_is_leakage_safe(spark, job):
     assert straddlers == 0
 
 
+def test_all_docs_dropped_still_accounts_and_exports(spark, tmp_path):
+    """A corpus the quality gate empties must still produce a complete,
+    consistent report (empty splits exported, attrition identity holds)
+    — the empty-stratum shape a real pipeline hits."""
+    docs = spark.createDataFrame(
+        [(i, "tiny", "s") for i in range(5)],
+        "doc_id long, text string, source string",
+    )
+    rep = train_data_job(docs, str(tmp_path / "out"), n_shards=2)
+    c = rep["counts"]
+    assert c["input"] == 5 and c["dropped_by_quality"] == 5
+    assert c["train"] == c["valid"] == c["test"] == 0
+    disp = rep["disposition"].collect()
+    assert len(disp) == 5
+    assert {r["disposition"] for r in disp} == {"dropped_by_quality"}
+
+
 def test_fractions_must_contain_train_split(spark):
     docs = spark.createDataFrame([(1, "x", "s")], "doc_id long, text string, source string")
     with pytest.raises(ValueError, match="train split"):
