@@ -152,6 +152,33 @@ def delete_small_file(path: str, spark=None) -> bool:
         return False
 
 
+def write_small_file_atomic(path: str, payload: bytes, spark=None) -> None:
+    """Publish a small artifact ATOMICALLY where the filesystem allows:
+    write to ``<path>.tmp`` then rename over the target (``os.replace``
+    locally — atomic on POSIX; delete+rename through the Hadoop
+    FileSystem for ``scheme://`` targets, where the unavoidable
+    delete→rename window is milliseconds against the artifact build it
+    concludes).  Used for meta files whose PREVIOUS version must stay
+    valid until the new one is fully durable (segment appends)."""
+    tmp = f"{path}.tmp"
+    if _is_uri(path):
+        if spark is None:
+            raise ValueError(f"writing {path!r} over a URI needs spark")
+        write_small_file(tmp, payload, spark=spark)
+        jvm, fs, p_dst = _hadoop_fs(spark, path)
+        p_tmp = jvm.org.apache.hadoop.fs.Path(tmp)
+        if fs.exists(p_dst):
+            fs.delete(p_dst, False)
+        if not fs.rename(p_tmp, p_dst):
+            raise OSError(f"atomic publish of {path!r} failed at rename")
+        return
+    import os
+
+    with open(tmp, "wb") as fh:
+        fh.write(payload)
+    os.replace(tmp, path)
+
+
 def fs_delete_dir(path: str, spark) -> bool:
     """Recursively delete a directory (local or ``scheme://``) through the
     Hadoop FileSystem; returns whether anything was removed."""

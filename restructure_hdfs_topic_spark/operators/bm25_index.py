@@ -27,9 +27,9 @@ tests/test_bm25_index.py.
 
 Growing corpora append SEGMENTS (Lucene-style, ``append_bm25_segment``):
 a new batch writes its own postings/vocab under
-``<path>/segments/seg-K/`` (same bucketing) and the meta — rewritten
-LAST, after an invalidate-first delete — records per-segment exact
-(n_docs, sum_dl).  df/avgdl/N are GLOBAL statistics, so they are never
+``<path>/segments/seg-K/`` (same bucketing) and the meta — published
+ATOMICALLY last, so the previous meta stays valid until the new segment
+is durable — records per-segment exact (n_docs, sum_dl).  df/avgdl/N are GLOBAL statistics, so they are never
 frozen into any segment: serve time derives N and avgdl from the summed
 per-segment ints and df(t) from the summed per-segment vocab rows, which
 keeps served scores BIT-IDENTICAL to a from-scratch rebuild on the
@@ -198,27 +198,36 @@ def _write_segment(
 
 
 def append_bm25_segment(
-    docs: DataFrame, path: str, text_col: str = "text"
+    docs: DataFrame, path: str, text_col: str = "text", meta_extra: dict | None = None
 ) -> dict:
     """Append a document batch to an existing index WITHOUT rebuilding:
     write a new segment dir (postings + vocab, same bucketing), then
-    rewrite the meta with the segment's exact ``(n_docs, sum_dl)`` and a
+    publish the meta with the segment's exact ``(n_docs, sum_dl)`` and a
     bumped ``version``.  Because the global statistics (N, avgdl, df)
     are derived at SERVE time from the per-segment ints, served scores
     stay bit-identical to a from-scratch rebuild on the concatenated
     corpus — the contract tests/test_bm25_segments.py pins.
 
-    Crash discipline mirrors the base build: the meta is deleted FIRST
-    and rewritten LAST, so an append killed mid-way presents as "no
-    meta" (stale → rebuild) instead of serving a half-written segment.
+    Crash discipline differs from the base build ON PURPOSE: a build
+    overwrites dirs the old meta describes, so it must invalidate first;
+    an append only ADDS a dir the old meta never references, so the old
+    meta stays valid throughout and is replaced ATOMICALLY at the end
+    (Lucene's segments_N publish).  An append killed mid-way therefore
+    leaves the index serving the pre-append corpus, and a RETRY of the
+    same batch overwrites its own orphan segment dir (the segment name
+    derives from the committed segment count, and the segment write is
+    mode=overwrite) — the property the streaming sink's exactly-once
+    replay relies on.
+
+    ``meta_extra`` merges extra keys into the published meta in the same
+    atomic publish (the streaming sink stores its last committed batch
+    id this way — state and data commit together).
 
     Caller contract: appended doc ids must be NEW.  An id already in an
     earlier segment would be served as two documents where a rebuild
     would merge its tf rows (checking would cost a corpus-sized join per
     append; an id-partitioned ingest upstream makes it structural).
     """
-    from restructure_hdfs_topic_spark.compression import delete_small_file
-
     spark = docs.sparkSession
     meta = load_bm25_meta(spark, path)  # raises if absent/corrupt
     id_col = meta["id_col"]
@@ -230,7 +239,6 @@ def append_bm25_segment(
         )
     segs = list(meta.get("segments", []))
     name = f"seg-{len(segs):05d}"
-    delete_small_file(f"{path}/{_META}", spark=spark)
     n_docs, sum_dl = _write_segment(
         docs, f"{path}/segments/{name}", id_col, text_col, int(meta["n_buckets"])
     )
@@ -243,7 +251,9 @@ def append_bm25_segment(
         }
     ]
     meta["version"] = int(meta.get("version", 0)) + 1
-    _write_meta(spark, f"{path}/{_META}", meta)
+    if meta_extra:
+        meta.update(meta_extra)
+    _write_meta_atomic(spark, f"{path}/{_META}", meta)
     return meta
 
 
@@ -476,6 +486,12 @@ def _write_meta(spark: SparkSession, path: str, meta: dict) -> None:
     from restructure_hdfs_topic_spark.compression import write_small_file
 
     write_small_file(path, json.dumps(meta).encode("utf-8"), spark=spark)
+
+
+def _write_meta_atomic(spark: SparkSession, path: str, meta: dict) -> None:
+    from restructure_hdfs_topic_spark.compression import write_small_file_atomic
+
+    write_small_file_atomic(path, json.dumps(meta).encode("utf-8"), spark=spark)
 
 
 def _read_meta(spark: SparkSession, path: str) -> dict:

@@ -234,6 +234,71 @@ def streaming_dedup_documents(
     )
 
 
+def streaming_bm25_index_sink(
+    index_path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 64,
+):
+    """Continuously-indexed corpus as a ``foreachBatch`` sink body: every
+    micro-batch appends ONE BM25 segment (``append_bm25_segment``), so
+    the on-disk index serves the stream's whole history bit-identically
+    to a from-scratch rebuild — search over a live corpus without ever
+    re-scanning it.
+
+        stream.writeStream.foreachBatch(
+            streaming_bm25_index_sink("/idx")
+        ).option("checkpointLocation", ckpt).start()
+
+    Delivery: EXACTLY-ONCE on the index.  The last committed streaming
+    batch id rides inside the meta (``meta_extra``), in the SAME atomic
+    publish as the segment stats — state and data commit together:
+
+    - a batch at or below ``last_batch_id`` skips (Spark replays the
+      last batch after recovery; the committed meta proves it landed);
+    - a crash BETWEEN the segment write and the meta publish leaves the
+      previous meta valid (the orphan segment dir is unreferenced), and
+      the replayed batch re-derives the same segment name from the
+      committed segment count and overwrites its own orphan.
+
+    The first batch bootstraps an empty base build at ``index_path``
+    (the empty-base → append path pinned in tests/test_bm25_segments.py).
+    Compact with ``compact_bm25_index`` when the segment count makes the
+    serve union wide — from the driver, BETWEEN batches (compaction
+    rewrites dirs; running it concurrently with an append is the one
+    unsynchronized pairing, same as Lucene's external merge scheduler
+    contract).
+    """
+    from restructure_hdfs_topic_spark.operators.bm25_index import (
+        append_bm25_segment,
+        build_bm25_index,
+        load_bm25_meta,
+    )
+
+    def body(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        try:
+            meta = load_bm25_meta(spark, index_path)
+        except Exception:
+            meta = build_bm25_index(
+                batch_df.select(id_col, text_col).limit(0),
+                index_path,
+                id_col=id_col,
+                text_col=text_col,
+                n_buckets=n_buckets,
+            )
+        if int(meta.get("last_batch_id", -1)) >= int(batch_id):
+            return  # committed replay — exactly-once skip
+        append_bm25_segment(
+            batch_df,
+            index_path,
+            text_col=text_col,
+            meta_extra={"last_batch_id": int(batch_id)},
+        )
+
+    return body
+
+
 def streaming_curation_sink(
     state_dir: str,
     accepted_path: str,

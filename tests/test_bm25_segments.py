@@ -89,20 +89,85 @@ def test_meta_versioning_and_stale_read_guard(spark, tmp_path):
         query_bm25_index(spark, path, qs, k=3, expected_version=0)
 
 
-def test_interrupted_append_invalidates_meta(spark, tmp_path, monkeypatch):
+def test_interrupted_append_keeps_previous_meta_valid_and_retry_converges(
+    spark, tmp_path, monkeypatch
+):
+    """An append killed before its atomic meta publish leaves the index
+    serving the PRE-append corpus (the orphan segment dir is
+    unreferenced), and a retry overwrites the orphan and converges to
+    the full corpus — the recovery story the streaming sink relies on."""
     path = str(tmp_path / "idx")
     build_bm25_index(_df(spark, BATCH_A), path, n_buckets=4)
+    qs = _queries(spark)
+    before = sorted(map(tuple, query_bm25_index(spark, path, qs, k=4).collect()))
 
     def boom(*_a, **_k):
         raise RuntimeError("killed mid-append")
 
-    monkeypatch.setattr(bix, "_write_meta", boom)
+    monkeypatch.setattr(bix, "_write_meta_atomic", boom)
     with pytest.raises(RuntimeError, match="killed mid-append"):
         append_bm25_segment(_df(spark, BATCH_B), path)
-    # The pre-append meta must NOT survive: a reader would otherwise pair
-    # the half-written segment state with stale global stats.
-    with pytest.raises(Exception):
-        load_bm25_meta(spark, path)
+    # Old meta intact; serving unchanged despite the orphan segment dir.
+    assert load_bm25_meta(spark, path)["version"] == 0
+    assert (
+        sorted(map(tuple, query_bm25_index(spark, path, qs, k=4).collect()))
+        == before
+    )
+
+    monkeypatch.undo()
+    append_bm25_segment(_df(spark, BATCH_B), path)
+    served = sorted(map(tuple, query_bm25_index(spark, path, qs, k=4).collect()))
+    direct = sorted(
+        map(tuple, bm25_topk(_df(spark, BATCH_A + BATCH_B), qs, k=4).collect())
+    )
+    assert served == direct
+
+
+def test_streaming_bm25_index_sink_exactly_once(spark, tmp_path, monkeypatch):
+    """The foreachBatch sink body: bootstrap-on-first-batch, committed
+    replays skip, crash-before-publish replays converge — index always
+    equal to the direct path over the stream's history."""
+    from restructure_hdfs_topic_spark.streaming.stateful import (
+        streaming_bm25_index_sink,
+    )
+
+    path = str(tmp_path / "sidx")
+    body = streaming_bm25_index_sink(path, n_buckets=4)
+    qs = _queries(spark)
+
+    body(_df(spark, BATCH_A), 0)
+    body(_df(spark, BATCH_B), 1)
+    served = sorted(map(tuple, query_bm25_index(spark, path, qs, k=4).collect()))
+    direct = sorted(
+        map(tuple, bm25_topk(_df(spark, BATCH_A + BATCH_B), qs, k=4).collect())
+    )
+    assert served == direct and served
+    v = load_bm25_meta(spark, path)["version"]
+
+    # Committed replay (Spark re-offers the last batch after restart).
+    body(_df(spark, BATCH_B), 1)
+    assert load_bm25_meta(spark, path)["version"] == v
+
+    # Crash between segment write and meta publish, then replay.
+    def boom(*_a, **_k):
+        raise RuntimeError("killed mid-publish")
+
+    monkeypatch.setattr(bix, "_write_meta_atomic", boom)
+    with pytest.raises(RuntimeError, match="killed mid-publish"):
+        body(_df(spark, BATCH_C), 2)
+    assert load_bm25_meta(spark, path)["last_batch_id"] == 1  # pre-crash state
+    monkeypatch.undo()
+    body(_df(spark, BATCH_C), 2)  # replay overwrites its orphan segment
+    served = sorted(map(tuple, query_bm25_index(spark, path, qs, k=4).collect()))
+    direct = sorted(
+        map(
+            tuple,
+            bm25_topk(_df(spark, BATCH_A + BATCH_B + BATCH_C), qs, k=4).collect(),
+        )
+    )
+    assert served == direct
+    meta = load_bm25_meta(spark, path)
+    assert meta["last_batch_id"] == 2 and len(meta["segments"]) == 3
 
 
 def test_append_requires_existing_index_and_matching_id_type(spark, tmp_path):
