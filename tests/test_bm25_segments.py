@@ -259,6 +259,63 @@ def test_interrupted_compaction_invalidates_meta(spark, tmp_path, monkeypatch):
         load_bm25_meta(spark, path)
 
 
+def test_streaming_bm25_index_sink_real_stream_restart(spark, tmp_path):
+    """Engine-driven e2e: a parquet file stream through
+    writeStream.foreachBatch(streaming_bm25_index_sink), availableNow,
+    with a RESTART over the same checkpoint — the index equals the
+    direct path over everything ingested, with no double-indexing."""
+    from restructure_hdfs_topic_spark.streaming.stateful import (
+        streaming_bm25_index_sink,
+    )
+
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    idx = str(tmp_path / "idx")
+    schema = "doc_id long, text string"
+
+    def run_once():
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(f"{src}/f*")
+        )
+        q = (
+            stream.writeStream.foreachBatch(
+                streaming_bm25_index_sink(idx, n_buckets=4)
+            )
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+
+    spark.createDataFrame(BATCH_A, schema).coalesce(1).write.parquet(f"{src}/f0")
+    spark.createDataFrame(BATCH_B, schema).coalesce(1).write.parquet(f"{src}/f1")
+    run_once()
+    qs = _queries(spark)
+    served = sorted(map(tuple, query_bm25_index(spark, idx, qs, k=4).collect()))
+    direct = sorted(
+        map(tuple, bm25_topk(_df(spark, BATCH_A + BATCH_B), qs, k=4).collect())
+    )
+    assert served == direct and served
+
+    # Restart over the same checkpoint with one new file: only the new
+    # batch is indexed (checkpoint + last_batch_id both dedup).
+    spark.createDataFrame(BATCH_C, schema).coalesce(1).write.parquet(f"{src}/f2")
+    run_once()
+    served = sorted(map(tuple, query_bm25_index(spark, idx, qs, k=4).collect()))
+    direct = sorted(
+        map(
+            tuple,
+            bm25_topk(_df(spark, BATCH_A + BATCH_B + BATCH_C), qs, k=4).collect(),
+        )
+    )
+    assert served == direct
+    meta = load_bm25_meta(spark, idx)
+    # One segment per non-bootstrap micro-batch, no replays re-indexed.
+    assert len(meta["segments"]) == 3
+
+
 def test_append_onto_empty_base(spark, tmp_path):
     path = str(tmp_path / "idx")
     build_bm25_index(_df(spark, []), path, n_buckets=4)
