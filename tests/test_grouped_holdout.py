@@ -218,3 +218,19 @@ def test_non_integral_ids_rejected_loudly(spark):
     sgroups = spark.createDataFrame([], "doc_id long, group_id string")
     with pytest.raises(ValueError, match="integral"):
         grouped_holdout_split(ldocs, "doc_id", FRACTIONS, sgroups)
+
+
+def test_near_dup_groups_memoized_per_plan(spark):
+    """Repeated same-plan calls reuse the memoized closure (CC executes
+    eagerly at construction — the ivf_ann_topk memo discipline); a
+    different plan or params misses."""
+    from restructure_hdfs_topic_spark.operators.dedup import near_dup_groups
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    a = near_dup_groups(docs, "doc_id", "text", bits=32, max_hamming=3)
+    b = near_dup_groups(docs, "doc_id", "text", bits=32, max_hamming=3)
+    assert b is a  # memo hit — no second closure run
+    c = near_dup_groups(docs, "doc_id", "text", bits=32, max_hamming=2)
+    assert c is not a  # params in the key
+    d = near_dup_groups(docs.limit(100), "doc_id", "text", bits=32, max_hamming=3)
+    assert d is not a  # input plan in the key
