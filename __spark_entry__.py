@@ -666,6 +666,30 @@ def q_bm25_index_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_split_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Re-split churn report over a simulated corpus shrink (every 97th
+    document removed): near-dup groups computed over BOTH corpus
+    versions (real ``near_dup_groups`` closures — removing a group's min
+    member re-keys the survivors, the exact leakage mechanism the
+    diagnostic exists to measure), then ``split_churn`` reports every
+    changed assignment with its reason.  Exact Python re-derivation in
+    tests/test_grouped_holdout.py (bench/extras surface)."""
+    from restructure_hdfs_topic_spark.operators.dedup import near_dup_groups
+    from restructure_hdfs_topic_spark.operators.sampling import split_churn
+
+    _conf(spark)
+    docs = _t(spark, sf_dir, "documents")
+    prev = docs.select("doc_id", "text")
+    new = prev.filter(F.col("doc_id") % 97 != 3)
+    return split_churn(
+        prev,
+        new,
+        near_dup_groups(prev, "doc_id", "text"),
+        near_dup_groups(new, "doc_id", "text"),
+        {"train": 0.9, "valid": 0.05, "test": 0.05},
+    )
+
+
 def q_bm25_segment_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Segmented BM25 serve path (r11): base indexed from the even-id
     half of the corpus, the odd-id half APPENDED as a segment
@@ -2607,6 +2631,9 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # Leakage-safe (near-dup-group-keyed) holdout; witnesses in
         # tests/test_grouped_holdout.py.
         "grouped_holdout": q_grouped_holdout,
+        # r11: re-split churn diagnostic over a simulated corpus shrink;
+        # exact Python witness in tests/test_grouped_holdout.py.
+        "split_churn": q_split_churn,
         # Line-level corpus dedup; DuckDB cross-check in
         # tests/test_line_dedup.py.
         "line_dedup": q_line_dedup,

@@ -62,6 +62,7 @@ BENCH_QUERIES = [
     "bm25_segment_query",
     "unimax_sample",
     "grouped_holdout",
+    "split_churn",
     "dedup_exact_docs",
     "minhash_lsh_pairs",
     "substring_dedup",

@@ -93,6 +93,7 @@ CONSISTENCY_QUERIES = [
     "bm25_segment_query",
     "unimax_sample",
     "grouped_holdout",
+    "split_churn",
     "pack_materialize",
     "lm_curriculum",
     # r6 session additions: line-level dedup, BPE encode (driver-learned

@@ -544,6 +544,7 @@ def test_query_registry_consistency():
         "curation_soft_dedup",
         "train_data_job",
         "bm25_segment_query",
+        "split_churn",
         "incremental_dedup",
         "lm_bigram",
         "text_normalize",
