@@ -96,6 +96,21 @@ def train_data_job(
             f"fractions must contain the train split {train_split!r} "
             f"(got {sorted(fractions)})"
         )
+    reserved = {
+        "input",
+        "after_quality_gate",
+        "after_near_dup_drop",
+        "dropped_by_quality",
+        "dropped_by_near_dup",
+    }
+    clash = reserved & set(fractions)
+    if clash:
+        # A split named like a stage key would silently overwrite its
+        # count in the report (and the attrition identity with it).
+        raise ValueError(
+            f"split names {sorted(clash)} collide with reserved stage "
+            "count keys — rename the split"
+        )
     counts: dict[str, int] = {"input": docs.count()}
 
     # 1+2. Quality gate, then span scrub over the survivors.  Persisted:

@@ -125,3 +125,13 @@ def test_fractions_must_contain_train_split(spark):
     docs = spark.createDataFrame([(1, "x", "s")], "doc_id long, text string, source string")
     with pytest.raises(ValueError, match="train split"):
         train_data_job(docs, "/tmp/never", fractions={"valid": 1.0})
+
+
+def test_reserved_split_names_rejected(spark):
+    docs = spark.createDataFrame(
+        [(1, "x", "s")], "doc_id long, text string, source string"
+    )
+    with pytest.raises(ValueError, match="reserved"):
+        train_data_job(
+            docs, "/tmp/never", fractions={"train": 0.5, "input": 0.5}
+        )
