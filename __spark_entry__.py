@@ -655,7 +655,9 @@ def q_bm25_index_query(spark: SparkSession, sf_dir: str) -> DataFrame:
                 meta = _json.load(fh)
             stale = any(meta.get(k) != v for k, v in wanted.items())
             if not stale:
-                live_fp = corpus_fingerprint(docs)
+                live_fp = corpus_fingerprint(
+                    docs, text_sample_mod=int(meta.get("fp_mod", 101))
+                )
                 stale = any(meta.get(k) != v for k, v in live_fp.items())
         except (ValueError, OSError):
             stale = True
@@ -688,6 +690,41 @@ def q_split_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
         near_dup_groups(new, "doc_id", "text"),
         {"train": 0.9, "valid": 0.05, "test": 0.05},
     )
+
+
+def q_pinned_resplit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pinned (frozen) re-split of a grown corpus (VERDICT r11 #1): the
+    prior corpus (every doc except id % 101 == 7) is assigned with
+    ``grouped_holdout_split``; the corpus then GROWS to the full table
+    (new docs can merge near-dup groups — the exact mechanism that
+    re-keys splits in an unpinned re-split); the re-split passes
+    ``pinned=prev`` and the returned ``assignment_churn`` table is the
+    witness: reason is 'added' for every row, i.e. no previously-
+    assigned document moved.  Churn-zero + leakage-safety + exact
+    re-derivation pinned in tests/test_pinned_resplit.py (bench/extras
+    surface)."""
+    from restructure_hdfs_topic_spark.operators.dedup import near_dup_groups
+    from restructure_hdfs_topic_spark.operators.sampling import (
+        assignment_churn,
+        grouped_holdout_split,
+    )
+
+    _conf(spark)
+    docs = _t(spark, sf_dir, "documents")
+    new = docs.select("doc_id", "text")
+    prev = new.filter(F.col("doc_id") % 101 != 7)
+    fractions = {"train": 0.9, "valid": 0.05, "test": 0.05}
+    prev_assign = grouped_holdout_split(
+        prev, "doc_id", fractions, near_dup_groups(prev, "doc_id", "text")
+    ).select("doc_id", "split")
+    resplit = grouped_holdout_split(
+        new,
+        "doc_id",
+        fractions,
+        near_dup_groups(new, "doc_id", "text"),
+        pinned=prev_assign,
+    ).select("doc_id", "split")
+    return assignment_churn(prev_assign, resplit)
 
 
 def q_bm25_segment_query(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -729,7 +766,9 @@ def q_bm25_segment_query(spark: SparkSession, sf_dir: str) -> DataFrame:
                 # Meta fp covers the BASE half; fold in the segment's to
                 # compare against the full live corpus (disjoint XORs).
                 seg = meta["segments"][0]
-                live = corpus_fingerprint(docs)
+                live = corpus_fingerprint(
+                    docs, text_sample_mod=int(meta.get("fp_mod", 101))
+                )
                 stale = (
                     meta["fp_count"] + seg["fp_count"] != live["fp_count"]
                     or (meta["fp_xor_id"] ^ seg["fp_xor_id"])
@@ -2634,6 +2673,10 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # r11: re-split churn diagnostic over a simulated corpus shrink;
         # exact Python witness in tests/test_grouped_holdout.py.
         "split_churn": q_split_churn,
+        # r12: pinned (frozen) re-split of a grown corpus — the churn
+        # table is all-'added' by construction; witnesses in
+        # tests/test_pinned_resplit.py.
+        "pinned_resplit": q_pinned_resplit,
         # Line-level corpus dedup; DuckDB cross-check in
         # tests/test_line_dedup.py.
         "line_dedup": q_line_dedup,

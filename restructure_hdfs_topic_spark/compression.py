@@ -152,14 +152,35 @@ def delete_small_file(path: str, spark=None) -> bool:
         return False
 
 
+def small_file_exists(path: str, spark=None) -> bool:
+    """Existence check with ``write_small_file``'s path semantics (local
+    path or any Hadoop ``scheme://`` store); true for files AND
+    directories — used to distinguish "no index here, bootstrap" from
+    "index artifacts present but meta unreadable, refuse" (ADVICE r11)."""
+    if _is_uri(path):
+        if spark is None:
+            raise ValueError(f"checking {path!r} over a URI needs spark")
+        _jvm, fs, p = _hadoop_fs(spark, path)
+        return bool(fs.exists(p))
+    import os
+
+    return os.path.exists(path)
+
+
 def write_small_file_atomic(path: str, payload: bytes, spark=None) -> None:
-    """Publish a small artifact ATOMICALLY where the filesystem allows:
-    write to ``<path>.tmp`` then rename over the target (``os.replace``
-    locally — atomic on POSIX; delete+rename through the Hadoop
-    FileSystem for ``scheme://`` targets, where the unavoidable
-    delete→rename window is milliseconds against the artifact build it
-    concludes).  Used for meta files whose PREVIOUS version must stay
-    valid until the new one is fully durable (segment appends)."""
+    """Publish a small artifact ATOMICALLY: write to ``<path>.tmp`` then
+    replace the target in one operation — ``os.replace`` locally (atomic
+    on POSIX); ``FileContext.rename(…, Options.Rename.OVERWRITE)`` for
+    ``scheme://`` targets (the single-op overwrite-rename HDFS exposes —
+    the old FileSystem-API delete→rename pair had a crash window where
+    NEITHER version existed, ADVICE r11).  Where ``FileContext`` is
+    unavailable (some object-store connectors), falls back to renaming
+    the CURRENT version aside to ``<path>.old`` before renaming the new
+    one in, so at least one durable version exists at every instant (a
+    reader that misses ``path`` can recover from ``.old`` — see
+    ``read_small_file_fallback``).  Used for meta files whose PREVIOUS
+    version must stay valid until the new one is fully durable (segment
+    appends)."""
     tmp = f"{path}.tmp"
     if _is_uri(path):
         if spark is None:
@@ -167,16 +188,51 @@ def write_small_file_atomic(path: str, payload: bytes, spark=None) -> None:
         write_small_file(tmp, payload, spark=spark)
         jvm, fs, p_dst = _hadoop_fs(spark, path)
         p_tmp = jvm.org.apache.hadoop.fs.Path(tmp)
+        try:
+            rename_enum = getattr(jvm.org.apache.hadoop.fs, "Options$Rename")
+            fc = jvm.org.apache.hadoop.fs.FileContext.getFileContext(
+                p_dst.toUri(), spark._jsc.hadoopConfiguration()
+            )
+            opts = spark.sparkContext._gateway.new_array(rename_enum, 1)
+            opts[0] = rename_enum.OVERWRITE
+            fc.rename(p_tmp, p_dst, opts)
+            return
+        except Exception:
+            # No FileContext for this scheme — keep one valid version
+            # visible at all times: current → .old, tmp → path, drop .old.
+            pass
+        p_old = jvm.org.apache.hadoop.fs.Path(f"{path}.old")
         if fs.exists(p_dst):
-            fs.delete(p_dst, False)
+            if fs.exists(p_old):
+                fs.delete(p_old, False)
+            if not fs.rename(p_dst, p_old):
+                raise OSError(f"atomic publish of {path!r} failed moving old aside")
         if not fs.rename(p_tmp, p_dst):
             raise OSError(f"atomic publish of {path!r} failed at rename")
+        fs.delete(p_old, False)
         return
     import os
 
     with open(tmp, "wb") as fh:
         fh.write(payload)
     os.replace(tmp, path)
+
+
+def read_small_file_fallback(path: str, spark=None) -> bytes:
+    """Read a ``write_small_file_atomic``-published artifact, recovering
+    from the fallback path's one non-atomic instant: if ``path`` is
+    missing but ``<path>.old`` exists (a crash between the aside-rename
+    and the publish-rename), return the previous version — per the
+    contract that the old version stays valid until the new one is
+    durable.  Raises (``FileNotFoundError``/IO error) when neither
+    exists."""
+    try:
+        return read_small_file(path, spark=spark)
+    except Exception as exc:
+        try:
+            return read_small_file(f"{path}.old", spark=spark)
+        except Exception:
+            raise exc
 
 
 def fs_delete_dir(path: str, spark) -> bool:

@@ -588,7 +588,9 @@ class Corpus:
     ) -> DataFrame:
         """Leakage-safe train/valid/test tagging keyed by the near-dup
         group (``sampling.grouped_holdout_split``) — pass the output of
-        ``near_dup_groups``/``semdedup_groups`` as ``groups``."""
+        ``near_dup_groups``/``semdedup_groups`` as ``groups``; pass
+        ``pinned=<previous (id, split) assignments>`` to FREEZE them and
+        make a re-split of a grown corpus churn-zero."""
         from restructure_hdfs_topic_spark.operators.sampling import (
             grouped_holdout_split,
         )

@@ -68,30 +68,71 @@ def _bucket(token_col, n_buckets: int):
     return F.pmod(F.xxhash64(token_col), F.lit(n_buckets)).cast("long")
 
 
+# A crashed index writer's lease self-expires after this; break it earlier
+# by deleting <path>/_lock/bm25-mutate.lock.  Shorter than the reference's
+# 24 h topic lease (RedisRemoteLockManager.kt:43) on purpose: one index
+# mutation is minutes of work, and a day-long stall after a crash would
+# block every appender.
+MUTATION_LOCK_TTL_S = 3600
+_MUTATION_LOCK = "bm25-mutate"
+
+
+def _mutation_lease(spark: SparkSession, path: str, lock: bool, ttl_s: int):
+    """Acquire the index's single-writer mutation lease (VERDICT r11 #2:
+    two concurrent appends derive the SAME segment name from the
+    committed segment count).  Delegates to the shared
+    ``locks.artifact_mutation_lease``; raises loudly when another live
+    writer holds it — never lets the second writer proceed into a
+    seg-NNNNN collision."""
+    from restructure_hdfs_topic_spark.locks import artifact_mutation_lease
+
+    return artifact_mutation_lease(
+        spark, path, _MUTATION_LOCK, lock=lock, ttl_s=ttl_s
+    )
+
+
 def corpus_fingerprint(
-    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    text_sample_mod: int = _FP_SAMPLE_MOD,
 ) -> dict:
     """Cheap corpus identity for staleness checks: row count, XOR of
     ``xxhash64(id)`` over every row, and XOR of ``xxhash64(id, text)``
-    over a deterministic ~1% id-hash sample.  XOR is commutative and
-    overflow-free, so the value is partitioning-independent; the sampled
-    text term catches the regenerated-in-place case (same id set, new
-    text) that an id-only fingerprint would wave through, without hashing
-    the full corpus text per check.  One column-pruned scan."""
+    over a deterministic ``1/text_sample_mod`` id-hash sample.  XOR is
+    commutative and overflow-free, so the value is partitioning-
+    independent; the sampled text term catches the regenerated-in-place
+    case (same id set, new text) without hashing the full corpus text per
+    check.  One column-pruned scan.
+
+    The text check is PROBABILISTIC at the default ~1% sample (ADVICE
+    r11): it reliably detects wholesale regenerations, but an in-place
+    edit touching fewer than ~``text_sample_mod`` documents' texts (with
+    the id set unchanged) is likely to pass — each edited doc has a
+    1/mod chance of being sampled.  Callers guarding small corpora or
+    needing edit-level sensitivity should lower ``text_sample_mod``
+    (``1`` hashes EVERY text — exact, one full text-column scan).  The
+    chosen mod is recorded as ``fp_mod`` so later checks and segment
+    folds always recompute under the same rule."""
+    mod = max(1, int(text_sample_mod))
+    sampled = (
+        F.xxhash64(F.col(id_col), F.col(text_col))
+        if mod == 1
+        else F.when(
+            F.pmod(F.xxhash64(F.col(id_col)), F.lit(mod)) == 0,
+            F.xxhash64(F.col(id_col), F.col(text_col)),
+        )
+    )
     row = docs.agg(
         F.count(F.lit(1)).alias("n"),
         F.bit_xor(F.xxhash64(F.col(id_col))).alias("x_id"),
-        F.bit_xor(
-            F.when(
-                F.pmod(F.xxhash64(F.col(id_col)), F.lit(_FP_SAMPLE_MOD)) == 0,
-                F.xxhash64(F.col(id_col), F.col(text_col)),
-            )
-        ).alias("x_text"),
+        F.bit_xor(sampled).alias("x_text"),
     ).collect()[0]
     return {
         "fp_count": int(row["n"]),
         "fp_xor_id": int(row["x_id"] or 0),
         "fp_xor_text": int(row["x_text"] or 0),
+        "fp_mod": mod,
     }
 
 
@@ -101,6 +142,8 @@ def build_bm25_index(
     id_col: str = "doc_id",
     text_col: str = "text",
     n_buckets: int = 64,
+    lock: bool = True,
+    lock_ttl_s: int = MUTATION_LOCK_TTL_S,
 ) -> dict:
     """Materialize the inverted file at ``path``; returns the meta dict.
 
@@ -110,34 +153,44 @@ def build_bm25_index(
     the corpus stats aggregate dl, and df derives per token — all from
     cached tf, never re-reading the text.  One repartition on the
     bucket column gives one file per bucket dir.
+
+    Every index MUTATION (build/append/compact) runs under the
+    single-writer lease at ``<path>/_lock/`` (``lock=False`` opts out
+    for callers that serialize externally): a second concurrent writer
+    fails loudly instead of colliding on the artifact dirs.
     """
     from restructure_hdfs_topic_spark.compression import delete_small_file
 
-    # Invalidate FIRST (ADVICE r10): a build killed between the postings
-    # overwrite and the meta write must present as "no meta" (stale →
-    # rebuild), not leave the PREVIOUS intact meta describing the new
-    # postings — that would silently serve new postings against old
-    # vocab/n_docs/sum_dl.  Meta is re-written LAST, once every artifact
-    # it describes is durably in place.
-    delete_small_file(f"{path}/{_META}", spark=docs.sparkSession)
+    lease = _mutation_lease(docs.sparkSession, path, lock, lock_ttl_s)
+    try:
+        # Invalidate FIRST (ADVICE r10): a build killed between the
+        # postings overwrite and the meta write must present as "no meta"
+        # (stale → rebuild), not leave the PREVIOUS intact meta describing
+        # the new postings — that would silently serve new postings
+        # against old vocab/n_docs/sum_dl.  Meta is re-written LAST, once
+        # every artifact it describes is durably in place.
+        delete_small_file(f"{path}/{_META}", spark=docs.sparkSession)
 
-    n_docs, sum_dl = _write_segment(docs, path, id_col, text_col, n_buckets)
-    meta = {
-        "format": "restructure_hdfs_topic_spark/bm25/v1",
-        "n_docs": n_docs,
-        "sum_dl": sum_dl,
-        "n_buckets": int(n_buckets),
-        "id_col": id_col,
-        "id_type": docs.schema[id_col].dataType.simpleString(),
-        "segments": [],
-        "version": 0,
-        # Corpus identity (ADVICE r10): lets a build-once caller detect a
-        # corpus regenerated in place under the same path/params instead
-        # of trusting the artifact blindly.
-        **corpus_fingerprint(docs, id_col=id_col, text_col=text_col),
-    }
-    _write_meta(docs.sparkSession, f"{path}/{_META}", meta)
-    return meta
+        n_docs, sum_dl = _write_segment(docs, path, id_col, text_col, n_buckets)
+        meta = {
+            "format": "restructure_hdfs_topic_spark/bm25/v1",
+            "n_docs": n_docs,
+            "sum_dl": sum_dl,
+            "n_buckets": int(n_buckets),
+            "id_col": id_col,
+            "id_type": docs.schema[id_col].dataType.simpleString(),
+            "segments": [],
+            "version": 0,
+            # Corpus identity (ADVICE r10): lets a build-once caller
+            # detect a corpus regenerated in place under the same
+            # path/params instead of trusting the artifact blindly.
+            **corpus_fingerprint(docs, id_col=id_col, text_col=text_col),
+        }
+        _write_meta(docs.sparkSession, f"{path}/{_META}", meta)
+        return meta
+    finally:
+        if lease is not None:
+            lease.close()
 
 
 def _write_segment(
@@ -198,7 +251,12 @@ def _write_segment(
 
 
 def append_bm25_segment(
-    docs: DataFrame, path: str, text_col: str = "text", meta_extra: dict | None = None
+    docs: DataFrame,
+    path: str,
+    text_col: str = "text",
+    meta_extra: dict | None = None,
+    lock: bool = True,
+    lock_ttl_s: int = MUTATION_LOCK_TTL_S,
 ) -> dict:
     """Append a document batch to an existing index WITHOUT rebuilding:
     write a new segment dir (postings + vocab, same bucketing), then
@@ -227,37 +285,62 @@ def append_bm25_segment(
     earlier segment would be served as two documents where a rebuild
     would merge its tf rows (checking would cost a corpus-sized join per
     append; an id-partitioned ingest upstream makes it structural).
+
+    Runs under the single-writer mutation lease (VERDICT r11 #2): two
+    concurrent appends would derive the SAME ``seg-NNNNN`` name from the
+    committed segment count and silently overwrite each other — the
+    lease makes the second writer fail loudly instead.  The lease is
+    read INSIDE the held window, so the committed count cannot move
+    between the read and the publish.
     """
     spark = docs.sparkSession
-    meta = load_bm25_meta(spark, path)  # raises if absent/corrupt
-    id_col = meta["id_col"]
-    id_type = docs.schema[id_col].dataType.simpleString()
-    if id_type != meta.get("id_type", id_type):
-        raise ValueError(
-            f"append_bm25_segment: id type {id_type!r} does not match the "
-            f"index's {meta['id_type']!r}"
+    lease = _mutation_lease(spark, path, lock, lock_ttl_s)
+    try:
+        meta = load_bm25_meta(spark, path)  # raises if absent/corrupt
+        id_col = meta["id_col"]
+        id_type = docs.schema[id_col].dataType.simpleString()
+        if id_type != meta.get("id_type", id_type):
+            raise ValueError(
+                f"append_bm25_segment: id type {id_type!r} does not match "
+                f"the index's {meta['id_type']!r}"
+            )
+        segs = list(meta.get("segments", []))
+        name = f"seg-{len(segs):05d}"
+        n_docs, sum_dl = _write_segment(
+            docs, f"{path}/segments/{name}", id_col, text_col, int(meta["n_buckets"])
         )
-    segs = list(meta.get("segments", []))
-    name = f"seg-{len(segs):05d}"
-    n_docs, sum_dl = _write_segment(
-        docs, f"{path}/segments/{name}", id_col, text_col, int(meta["n_buckets"])
-    )
-    meta["segments"] = segs + [
-        {
-            "name": name,
-            "n_docs": n_docs,
-            "sum_dl": sum_dl,
-            **corpus_fingerprint(docs, id_col=id_col, text_col=text_col),
-        }
-    ]
-    meta["version"] = int(meta.get("version", 0)) + 1
-    if meta_extra:
-        meta.update(meta_extra)
-    _write_meta_atomic(spark, f"{path}/{_META}", meta)
-    return meta
+        meta["segments"] = segs + [
+            {
+                "name": name,
+                "n_docs": n_docs,
+                "sum_dl": sum_dl,
+                # The index's own fp_mod, so folded fingerprints
+                # (compaction, whole-corpus staleness checks) compose
+                # under ONE sample rule.
+                **corpus_fingerprint(
+                    docs,
+                    id_col=id_col,
+                    text_col=text_col,
+                    text_sample_mod=int(meta.get("fp_mod", _FP_SAMPLE_MOD)),
+                ),
+            }
+        ]
+        meta["version"] = int(meta.get("version", 0)) + 1
+        if meta_extra:
+            meta.update(meta_extra)
+        _write_meta_atomic(spark, f"{path}/{_META}", meta)
+        return meta
+    finally:
+        if lease is not None:
+            lease.close()
 
 
-def compact_bm25_index(spark: SparkSession, path: str) -> dict:
+def compact_bm25_index(
+    spark: SparkSession,
+    path: str,
+    lock: bool = True,
+    lock_ttl_s: int = MUTATION_LOCK_TTL_S,
+) -> dict:
     """Merge the base and every appended segment back into the
     single-base layout — WITHOUT the original corpus text (the postings
     are self-contained): segment doc ids are disjoint by the append
@@ -276,6 +359,11 @@ def compact_bm25_index(spark: SparkSession, path: str) -> dict:
     written under ``compact-tmp/`` and swapped into place before the
     meta is rewritten — an interruption at any point presents as "no
     meta" (stale → rebuild), never as a half-merged valid index.
+
+    Runs under the same single-writer mutation lease as the appenders
+    (VERDICT r11 #2): append∥compact was the one unsynchronized pairing
+    — now a compactor and an appender serialize on ``<path>/_lock/``
+    instead of racing the segment list.
     """
     from restructure_hdfs_topic_spark.compression import (
         delete_small_file,
@@ -283,72 +371,77 @@ def compact_bm25_index(spark: SparkSession, path: str) -> dict:
         fs_rename,
     )
 
-    meta = load_bm25_meta(spark, path)
-    segs = list(meta.get("segments", []))
-    if not segs:
-        return meta  # already compact
-    n_buckets = int(meta["n_buckets"])
-    seg_dirs = ([path] if int(meta["n_docs"]) > 0 else []) + [
-        f"{path}/segments/{s['name']}" for s in segs if int(s["n_docs"]) > 0
-    ]
-    parts = [meta] + segs
-    merged = {
-        "n_docs": sum(int(p["n_docs"]) for p in parts),
-        "sum_dl": sum(int(p["sum_dl"]) for p in parts),
-        "fp_count": sum(int(p.get("fp_count", 0)) for p in parts),
-        "fp_xor_id": 0,
-        "fp_xor_text": 0,
-    }
-    for p in parts:
-        merged["fp_xor_id"] ^= int(p.get("fp_xor_id", 0))
-        merged["fp_xor_text"] ^= int(p.get("fp_xor_text", 0))
+    lease = _mutation_lease(spark, path, lock, lock_ttl_s)
+    try:
+        meta = load_bm25_meta(spark, path)
+        segs = list(meta.get("segments", []))
+        if not segs:
+            return meta  # already compact
+        n_buckets = int(meta["n_buckets"])
+        seg_dirs = ([path] if int(meta["n_docs"]) > 0 else []) + [
+            f"{path}/segments/{s['name']}" for s in segs if int(s["n_docs"]) > 0
+        ]
+        parts = [meta] + segs
+        merged = {
+            "n_docs": sum(int(p["n_docs"]) for p in parts),
+            "sum_dl": sum(int(p["sum_dl"]) for p in parts),
+            "fp_count": sum(int(p.get("fp_count", 0)) for p in parts),
+            "fp_xor_id": 0,
+            "fp_xor_text": 0,
+        }
+        for p in parts:
+            merged["fp_xor_id"] ^= int(p.get("fp_xor_id", 0))
+            merged["fp_xor_text"] ^= int(p.get("fp_xor_text", 0))
 
-    delete_small_file(f"{path}/{_META}", spark=spark)
-    if seg_dirs:
+        delete_small_file(f"{path}/{_META}", spark=spark)
+        if seg_dirs:
 
-        def _union(kind: str, cols: list[str]) -> DataFrame:
-            out = None
-            for d in seg_dirs:
-                part = spark.read.parquet(f"{d}/{kind}").select(*cols)
-                out = part if out is None else out.unionByName(part)
-            return out
+            def _union(kind: str, cols: list[str]) -> DataFrame:
+                out = None
+                for d in seg_dirs:
+                    part = spark.read.parquet(f"{d}/{kind}").select(*cols)
+                    out = part if out is None else out.unionByName(part)
+                return out
 
-        posts = _union("postings", ["token", "doc_id", "tf", "dl"]).withColumn(
-            "bucket", _bucket(F.col("token"), n_buckets)
-        )
-        (
-            posts.repartition(F.col("bucket"))
-            .sortWithinPartitions("bucket", "token", "doc_id")
-            .write.mode("overwrite")
-            .option("partitionOverwriteMode", "static")
-            .partitionBy("bucket")
-            .parquet(f"{path}/compact-tmp/postings")
-        )
-        vocab = (
-            _union("vocab", ["token", "df"])
-            .groupBy("token")
-            .agg(F.sum("df").alias("df"))
-            .withColumn("bucket", _bucket(F.col("token"), n_buckets))
-        )
-        (
-            vocab.repartition(F.col("bucket"))
-            .sortWithinPartitions("bucket", "token")
-            .write.mode("overwrite")
-            .option("partitionOverwriteMode", "static")
-            .partitionBy("bucket")
-            .parquet(f"{path}/compact-tmp/vocab")
-        )
-        fs_delete_dir(f"{path}/postings", spark)
-        fs_delete_dir(f"{path}/vocab", spark)
-        fs_rename(f"{path}/compact-tmp/postings", f"{path}/postings", spark)
-        fs_rename(f"{path}/compact-tmp/vocab", f"{path}/vocab", spark)
-        fs_delete_dir(f"{path}/compact-tmp", spark)
-    fs_delete_dir(f"{path}/segments", spark)
-    meta.update(merged)
-    meta["segments"] = []
-    meta["version"] = int(meta.get("version", 0)) + 1
-    _write_meta(spark, f"{path}/{_META}", meta)
-    return meta
+            posts = _union("postings", ["token", "doc_id", "tf", "dl"]).withColumn(
+                "bucket", _bucket(F.col("token"), n_buckets)
+            )
+            (
+                posts.repartition(F.col("bucket"))
+                .sortWithinPartitions("bucket", "token", "doc_id")
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "static")
+                .partitionBy("bucket")
+                .parquet(f"{path}/compact-tmp/postings")
+            )
+            vocab = (
+                _union("vocab", ["token", "df"])
+                .groupBy("token")
+                .agg(F.sum("df").alias("df"))
+                .withColumn("bucket", _bucket(F.col("token"), n_buckets))
+            )
+            (
+                vocab.repartition(F.col("bucket"))
+                .sortWithinPartitions("bucket", "token")
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "static")
+                .partitionBy("bucket")
+                .parquet(f"{path}/compact-tmp/vocab")
+            )
+            fs_delete_dir(f"{path}/postings", spark)
+            fs_delete_dir(f"{path}/vocab", spark)
+            fs_rename(f"{path}/compact-tmp/postings", f"{path}/postings", spark)
+            fs_rename(f"{path}/compact-tmp/vocab", f"{path}/vocab", spark)
+            fs_delete_dir(f"{path}/compact-tmp", spark)
+        fs_delete_dir(f"{path}/segments", spark)
+        meta.update(merged)
+        meta["segments"] = []
+        meta["version"] = int(meta.get("version", 0)) + 1
+        _write_meta(spark, f"{path}/{_META}", meta)
+        return meta
+    finally:
+        if lease is not None:
+            lease.close()
 
 
 def load_bm25_meta(spark: SparkSession, path: str) -> dict:
@@ -495,6 +588,33 @@ def _write_meta_atomic(spark: SparkSession, path: str, meta: dict) -> None:
 
 
 def _read_meta(spark: SparkSession, path: str) -> dict:
-    from restructure_hdfs_topic_spark.compression import read_small_file
+    # Fallback-aware: the atomic publish's object-store fallback path can
+    # leave the previous version at <path>.old for one instant — reading
+    # it honors "the old meta stays valid until the new one is durable".
+    from restructure_hdfs_topic_spark.compression import read_small_file_fallback
 
-    return json.loads(read_small_file(path, spark=spark).decode("utf-8"))
+    return json.loads(read_small_file_fallback(path, spark=spark).decode("utf-8"))
+
+
+def bm25_meta_exists(spark: SparkSession, path: str) -> bool:
+    """Whether the index at ``path`` has a (possibly fallback-``.old``)
+    published meta — the explicit existence check the streaming sink's
+    bootstrap decision needs (ADVICE r11: a transient read error must not
+    look like "first batch")."""
+    from restructure_hdfs_topic_spark.compression import small_file_exists
+
+    return small_file_exists(f"{path}/{_META}", spark=spark) or small_file_exists(
+        f"{path}/{_META}.old", spark=spark
+    )
+
+
+def bm25_artifacts_exist(spark: SparkSession, path: str) -> bool:
+    """Whether any index DATA directories exist at ``path`` (postings,
+    vocab, or segments) — artifacts-without-meta means an interrupted
+    build/compaction or a corrupt meta, never a safe bootstrap target."""
+    from restructure_hdfs_topic_spark.compression import small_file_exists
+
+    return any(
+        small_file_exists(f"{path}/{d}", spark=spark)
+        for d in ("postings", "vocab", "segments")
+    )

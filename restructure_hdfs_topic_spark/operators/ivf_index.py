@@ -259,6 +259,7 @@ def append_to_ivf_index(
     path: str,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    lock: bool = True,
 ) -> dict:
     """Incremental corpus growth: assign NEW embeddings to the EXISTING
     centroids and append them to the inverted file (the standard IVF
@@ -272,11 +273,33 @@ def append_to_ivf_index(
 
     Scale shape: one Arrow assignment pass against broadcast centroids +
     one ``partitionBy(cluster)`` append — only touched cluster
-    directories gain files."""
+    directories gain files.
+
+    Runs under the artifact's single-writer mutation lease (VERDICT r11
+    #2): the parquet appends themselves are additive and collision-free,
+    but the meta's ``n`` is a read-modify-write — two concurrent
+    appenders would lose one batch's count.  A second writer fails
+    loudly; ``lock=False`` opts out for externally-serialized callers."""
     import numpy as np
+
+    from restructure_hdfs_topic_spark.locks import artifact_mutation_lease
 
     spark = embeddings.sparkSession
     _check_integral_id(embeddings, id_col)
+    lease = artifact_mutation_lease(spark, path, "ivf-mutate", lock=lock)
+    try:
+        return _append_to_ivf_index(embeddings, path, id_col, vec_col)
+    finally:
+        if lease is not None:
+            lease.close()
+
+
+def _append_to_ivf_index(
+    embeddings: DataFrame, path: str, id_col: str, vec_col: str
+) -> dict:
+    import numpy as np
+
+    spark = embeddings.sparkSession
     meta = load_ivf_meta(spark, path)
     cent_rows = (
         spark.read.parquet(f"{path}/centroids").orderBy("cluster").collect()

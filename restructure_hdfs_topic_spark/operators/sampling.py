@@ -272,6 +272,7 @@ def grouped_holdout_split(
     split_col: str = "split",
     groups_id_col: str | None = None,
     group_col: str = "group_id",
+    pinned: DataFrame | None = None,
 ) -> DataFrame:
     """Leakage-safe train/valid/test assignment: split by the hash
     bucket of the row's near-duplicate GROUP, so no two near-duplicates
@@ -288,12 +289,41 @@ def grouped_holdout_split(
     (group_id = min member id: adding a doc that MERGES two groups
     re-keys one of them — the inherent price of keeping the invariant;
     measure the resulting assignment churn with ``split_churn`` before
-    trusting a re-split of a grown corpus).
+    trusting a re-split of a grown corpus, or PIN it away, below).
+
+    **Pinned re-split** (``pinned`` — VERDICT r11 #1): pass the previous
+    run's ``(id, split)`` assignments and re-splitting a GROWN corpus
+    becomes a guarantee instead of a measurement:
+
+    - every previously-assigned document keeps its split VERBATIM (a
+      document that was ever served as eval must never silently move
+      into train — the Lee et al. §6.2 leakage window ``split_churn``
+      measures is closed by construction);
+    - a NEW document whose group contains pinned members follows them —
+      and when a group merge spans pinned members of SEVERAL splits, the
+      new document resolves TOWARD the most-eval pinned split (the
+      latest name in ``fractions`` order: list fractions train-first,
+      eval splits last).  Sending it to train would hand a near-dup of
+      a frozen eval document to the trainer; sending it to the eval
+      split adds no new leakage.
+    - a new document in a group with no pinned member (or no group) gets
+      the normal group-hash assignment.
+
+    Frozen-members-never-move also bounds what pinning can fix: a group
+    merge that already spans pinned members of two splits stays
+    straddled (moving either member would break the freeze).  Audit
+    those with ``pinned_split_conflicts`` and retire or re-assign them
+    explicitly.  ``pinned`` split names must all appear in ``fractions``
+    (a renamed split would silently freeze rows into a nonexistent
+    split, so unknown names are rejected loudly).
 
     Shape: one left join of the corpus against the slim group table
     (AQE-sided; broadcast while the group table is small) + the same
     codegen CASE as ``holdout_split``; group members land in one range
-    because they share one bucket.
+    because they share one bucket.  Pinning adds one slim join against
+    ``pinned`` (8-byte id + small string) and one ``(group key →
+    max split priority)`` aggregate over the pinned rows only — all
+    narrow hash shuffles, nothing collects.
 
     ``groups_id_col`` defaults to ``id_col`` — the group producers name
     their id column after THEIR input id column, so the default composes
@@ -314,9 +344,150 @@ def grouped_holdout_split(
         "left",
     )
     key = F.coalesce(F.col("__gid"), F.col(id_col))
-    return joined.withColumn(
-        split_col, _split_expr(hash_bucket(key), fractions)
-    ).drop("__gid")
+    if pinned is None:
+        return joined.withColumn(
+            split_col, _split_expr(hash_bucket(key), fractions)
+        ).drop("__gid")
+
+    _require_integral(pinned, id_col, "grouped_holdout_split pinned id_col")
+    names = list(fractions)
+    _validate_pinned_splits(pinned, split_col, names)
+    pin = pinned.select(F.col(id_col), F.col(split_col).alias("__pin"))
+    joined = joined.join(pin, id_col, "left")
+    # Per-group most-eval pinned split, built from the pinned table (not
+    # the corpus): priority = position in fractions order (later = more
+    # eval).  Keying the PINNED ids through the new group table means a
+    # pinned document that has since LEFT the corpus still guards its
+    # surviving group — its near-dups carry its content, so a new member
+    # must not land in train just because the frozen eval doc was removed.
+    grp_pin = (
+        pin.join(
+            groups.select(
+                F.col(groups_id_col).alias(id_col),
+                F.col(group_col).alias("__pgid"),
+            ),
+            id_col,
+            "left",
+        )
+        .select(
+            F.coalesce(F.col("__pgid"), F.col(id_col)).alias("__key"),
+            _split_priority(F.col("__pin"), names).alias("__p"),
+        )
+        .groupBy("__key")
+        .agg(F.max("__p").alias("__gp"))
+    )
+    joined = joined.join(grp_pin, key == F.col("__key"), "left")
+    assigned = F.coalesce(
+        F.col("__pin"),  # frozen verbatim
+        _priority_split(F.col("__gp"), names),  # follow the pinned group
+        _split_expr(hash_bucket(key), fractions),  # genuinely new
+    )
+    return joined.withColumn(split_col, assigned).drop(
+        "__gid", "__pin", "__key", "__gp"
+    )
+
+
+def _validate_pinned_splits(
+    pinned: DataFrame, split_col: str, names: list[str]
+) -> None:
+    """Reject pinned assignments naming splits absent from ``fractions``
+    — a renamed/typo'd split would otherwise freeze rows into a split
+    that no longer exists.  Bounded: distinct over ≤ |splits|+1 values."""
+    seen = [
+        r[0]
+        for r in pinned.select(split_col).distinct().limit(len(names) + 2).collect()
+    ]
+    unknown = sorted(set(seen) - set(names), key=str)
+    if unknown:
+        raise ValueError(
+            f"pinned assignments contain split names not in fractions: "
+            f"{unknown} (fractions: {names})"
+        )
+
+
+def _split_priority(col: F.Column, names: list[str]) -> F.Column:
+    """Split name → its position in ``fractions`` order (int)."""
+    expr = F.when(col == names[0], F.lit(0))
+    for i, n in enumerate(names[1:], 1):
+        expr = expr.when(col == n, F.lit(i))
+    return expr
+
+
+def _priority_split(col: F.Column, names: list[str]) -> F.Column:
+    """Inverse of ``_split_priority``: position → split name."""
+    expr = F.when(col == 0, F.lit(names[0]))
+    for i, n in enumerate(names[1:], 1):
+        expr = expr.when(col == i, F.lit(n))
+    return expr
+
+
+def pinned_split_conflicts(
+    pinned: DataFrame,
+    groups: DataFrame,
+    id_col: str = "doc_id",
+    group_col: str = "group_id",
+    split_col: str = "split",
+) -> DataFrame:
+    """Audit the residual leakage a pinned re-split cannot fix: groups
+    whose PINNED members already straddle several splits (a group merge
+    joined documents that were frozen into different splits before the
+    merge existed).  Pinning keeps them frozen — moving either side
+    would break the freeze — so these groups remain cross-split near-dup
+    leaks until retired or explicitly re-assigned.
+
+    Returns ``(group_id, n_splits, splits)`` for every group with pinned
+    members in ≥2 splits (``splits`` sorted for determinism).  Shape:
+    one inner join of the slim pinned table against the slim group table
+    + one groupBy — both on 8-byte keys."""
+    _require_integral(pinned, id_col, "pinned_split_conflicts id_col")
+    _require_integral(groups, group_col, "pinned_split_conflicts group_col")
+    j = pinned.select(F.col(id_col).alias("id"), F.col(split_col).alias("s")).join(
+        groups.select(F.col(id_col).alias("id"), F.col(group_col)), "id"
+    )
+    return (
+        j.groupBy(group_col)
+        .agg(
+            F.count_distinct("s").alias("n_splits"),
+            F.sort_array(F.collect_set("s")).alias("splits"),
+        )
+        .filter(F.col("n_splits") > 1)
+    )
+
+
+def assignment_churn(
+    prev: DataFrame,
+    new: DataFrame,
+    id_col: str = "doc_id",
+    split_col: str = "split",
+) -> DataFrame:
+    """Diff two ASSIGNMENT tables (the generic counterpart of
+    ``split_churn``, which re-derives assignments from corpora + group
+    tables): one row per document whose split changed, with ``reason``
+    one of ``added`` / ``removed`` / ``moved``.  The churn-zero witness
+    for pinned re-splits reads: ``assignment_churn(prev, resplit)`` over
+    a grown corpus with ``pinned=prev`` contains ONLY ``added`` rows.
+
+    Shape: one full outer join on the 8-byte id — SQL-expressible, so it
+    carries a DuckDB oracle."""
+    _require_integral(prev, id_col, "assignment_churn prev id_col")
+    _require_integral(new, id_col, "assignment_churn new id_col")
+    p = prev.select(F.col(id_col).alias("id"), F.col(split_col).alias("prev_split"))
+    n = new.select(F.col(id_col).alias("id"), F.col(split_col).alias("new_split"))
+    j = p.join(n, "id", "full_outer")
+    reason = (
+        F.when(F.col("prev_split").isNull(), F.lit("added"))
+        .when(F.col("new_split").isNull(), F.lit("removed"))
+        .otherwise(F.lit("moved"))
+    )
+    return (
+        j.filter(~F.col("prev_split").eqNullSafe(F.col("new_split")))
+        .select(
+            F.col("id").alias(id_col),
+            "prev_split",
+            "new_split",
+            reason.alias("reason"),
+        )
+    )
 
 
 def split_churn(

@@ -239,6 +239,7 @@ def streaming_bm25_index_sink(
     id_col: str = "doc_id",
     text_col: str = "text",
     n_buckets: int = 64,
+    compact_every_n_segments: int | None = None,
 ):
     """Continuously-indexed corpus as a ``foreachBatch`` sink body: every
     micro-batch appends ONE BM25 segment (``append_bm25_segment``), so
@@ -261,25 +262,46 @@ def streaming_bm25_index_sink(
       the replayed batch re-derives the same segment name from the
       committed segment count and overwrites its own orphan.
 
-    The first batch bootstraps an empty base build at ``index_path``
-    (the empty-base → append path pinned in tests/test_bm25_segments.py).
-    Compact with ``compact_bm25_index`` when the segment count makes the
-    serve union wide — from the driver, BETWEEN batches (compaction
-    rewrites dirs; running it concurrently with an append is the one
-    unsynchronized pairing, same as Lucene's external merge scheduler
-    contract).
+    The first batch bootstraps an empty base build at ``index_path`` —
+    but ONLY on a verified-absent index (ADVICE r11): the meta's absence
+    is checked explicitly (``bm25_meta_exists``), a meta that EXISTS but
+    fails to load re-raises (a transient FS error or corrupt file must
+    not masquerade as "first batch"), and bootstrap refuses when index
+    data directories already exist without a meta (an interrupted
+    build/compaction — rebuilding an empty base over them would silently
+    erase the indexed history AND the exactly-once state).  Recover such
+    an index explicitly: re-run ``compact_bm25_index``/rebuild from the
+    corpus, or delete the artifact directory if it is truly disposable.
+
+    Compact with ``compact_bm25_index`` — either pass
+    ``compact_every_n_segments`` so the sink folds segments back into
+    the base from the driver between appends (single-writer, so the
+    documented-safe window), or run it externally BETWEEN batches
+    (compaction rewrites dirs; running it concurrently with an append is
+    the one pairing the mutation lease serializes — same as Lucene's
+    external merge scheduler contract).
     """
     from restructure_hdfs_topic_spark.operators.bm25_index import (
         append_bm25_segment,
+        bm25_artifacts_exist,
+        bm25_meta_exists,
         build_bm25_index,
+        compact_bm25_index,
         load_bm25_meta,
     )
 
     def body(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
-        try:
-            meta = load_bm25_meta(spark, index_path)
-        except Exception:
+        if bm25_meta_exists(spark, index_path):
+            meta = load_bm25_meta(spark, index_path)  # load errors re-raise
+        elif bm25_artifacts_exist(spark, index_path):
+            raise RuntimeError(
+                f"streaming_bm25_index_sink: index data present at "
+                f"{index_path!r} but its meta is missing — an interrupted "
+                "build/compaction or external damage; recover or rebuild "
+                "explicitly instead of bootstrapping over it"
+            )
+        else:
             meta = build_bm25_index(
                 batch_df.select(id_col, text_col).limit(0),
                 index_path,
@@ -289,12 +311,23 @@ def streaming_bm25_index_sink(
             )
         if int(meta.get("last_batch_id", -1)) >= int(batch_id):
             return  # committed replay — exactly-once skip
-        append_bm25_segment(
+        meta = append_bm25_segment(
             batch_df,
             index_path,
             text_col=text_col,
             meta_extra={"last_batch_id": int(batch_id)},
         )
+        if (
+            compact_every_n_segments
+            and len(meta.get("segments", [])) >= compact_every_n_segments
+        ):
+            # Driver-side, after the append committed and before the next
+            # batch can start — the single-writer safe window.  Compaction
+            # preserves last_batch_id (meta.update keeps unknown keys), so
+            # the exactly-once state survives the fold; a crash mid-compact
+            # presents as artifacts-without-meta and the next start fails
+            # loudly above instead of silently resetting.
+            compact_bm25_index(spark, index_path)
 
     return body
 

@@ -94,6 +94,9 @@ CONSISTENCY_QUERIES = [
     "unimax_sample",
     "grouped_holdout",
     "split_churn",
+    # r12: the pinned re-split churn witness must be partitioning-
+    # independent at sf1 (and all-'added' by construction).
+    "pinned_resplit",
     "pack_materialize",
     "lm_curriculum",
     # r6 session additions: line-level dedup, BPE encode (driver-learned

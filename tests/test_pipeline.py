@@ -545,6 +545,7 @@ def test_query_registry_consistency():
         "train_data_job",
         "bm25_segment_query",
         "split_churn",
+        "pinned_resplit",
         "incremental_dedup",
         "lm_bigram",
         "text_normalize",

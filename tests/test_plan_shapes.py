@@ -86,6 +86,9 @@ EAGER_REPRESENTATIVE = [
     # like ann_ivf_recall.
     "grouped_holdout",
     "split_churn",
+    # r12: pinned re-split — two closures at construction, then joins +
+    # the pin-resolution aggregate + the full-outer churn diff.
+    "pinned_resplit",
 ]
 
 

@@ -82,9 +82,11 @@ def test_export_round_trip_matches_counts(spark, job):
 
 
 def test_split_is_leakage_safe(spark, job):
-    """No near-dup group among the SURVIVORS straddles splits — the
-    grouped_holdout_split composition the job promises."""
-    from restructure_hdfs_topic_spark.operators.dedup import near_dup_groups
+    """No near-dup PAIR among the SURVIVORS straddles splits, under the
+    job's own similarity notion (verified Jaccard ≥ group_threshold —
+    the r12 one-signature-family contract: the split-leakage notion
+    matches the dedup notion)."""
+    from restructure_hdfs_topic_spark.operators.dedup import lsh_near_dup_pairs
 
     _docs, out, report = job
     survivors = None
@@ -93,15 +95,37 @@ def test_split_is_leakage_safe(spark, job):
             "doc_id", "text", F.lit(name).alias("split")
         )
         survivors = part if survivors is None else survivors.unionByName(part)
-    groups = near_dup_groups(survivors, "doc_id", "text")
+    pairs = lsh_near_dup_pairs(survivors, "doc_id", "text", threshold=0.3)
+    assign = survivors.select("doc_id", "split")
     straddlers = (
-        survivors.join(groups.select("doc_id", "group_id"), "doc_id")
-        .groupBy("group_id")
-        .agg(F.countDistinct("split").alias("n"))
-        .filter(F.col("n") > 1)
+        pairs.join(assign.select(F.col("doc_id").alias("id_a"), F.col("split").alias("sa")), "id_a")
+        .join(assign.select(F.col("doc_id").alias("id_b"), F.col("split").alias("sb")), "id_b")
+        .filter(F.col("sa") != F.col("sb"))
         .count()
     )
     assert straddlers == 0
+
+
+def test_disposition_persisted_and_stages_timed(spark, job):
+    """The audit artifact is on disk next to the shards and replays the
+    attrition identity offline; every composed stage carries a wall
+    time (r11 stretch)."""
+    _docs, out, report = job
+    disk = spark.read.parquet(f"{out}/_disposition")
+    on_disk = {r["disposition"]: r["n"] for r in disk.groupBy("disposition").agg(F.count(F.lit(1)).alias("n")).collect()}
+    c = report["counts"]
+    assert sum(on_disk.values()) == c["input"]
+    for k in ("dropped_by_quality", "dropped_by_near_dup", "train", "valid", "test"):
+        assert on_disk.get(k, 0) == c[k]
+    ss = report["stage_seconds"]
+    assert {"input_count", "quality_gate_and_scrub", "near_dup_drop", "group_and_split", "disposition_audit"} <= set(ss)
+    assert all(v >= 0 for v in ss.values())
+
+
+def test_group_threshold_validated(spark, tmp_path):
+    docs = spark.createDataFrame([(1, "x", "s")], "doc_id long, text string, source string")
+    with pytest.raises(ValueError, match="group_threshold"):
+        train_data_job(docs, str(tmp_path / "out"), group_threshold=0.9, jaccard_threshold=0.5)
 
 
 def test_all_docs_dropped_still_accounts_and_exports(spark, tmp_path):
