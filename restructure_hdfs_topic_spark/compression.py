@@ -242,6 +242,17 @@ def fs_delete_dir(path: str, spark) -> bool:
     return bool(fs.delete(p, True)) if fs.exists(p) else False
 
 
+def fs_list_dir(path: str, spark) -> list[str]:
+    """Child names (not paths) of a directory through the Hadoop
+    FileSystem; empty list when the directory does not exist.  Used by
+    artifact janitors to reconcile on-disk children against the meta's
+    referenced set."""
+    _jvm, fs, p = _hadoop_fs(spark, path)
+    if not fs.exists(p):
+        return []
+    return [str(st.getPath().getName()) for st in fs.listStatus(p)]
+
+
 def fs_rename(src: str, dst: str, spark) -> None:
     """Rename/move a path through the Hadoop FileSystem (atomic on HDFS
     and posix; copy-based on object stores — callers sequence it before

@@ -444,6 +444,61 @@ def compact_bm25_index(
             lease.close()
 
 
+def repair_bm25_index(
+    spark: SparkSession,
+    path: str,
+    lock: bool = True,
+    lock_ttl_s: int = MUTATION_LOCK_TTL_S,
+) -> dict:
+    """Janitor for crash litter (Lucene's orphan-file cleanup analogue):
+    delete segment directories the committed meta does NOT reference — a
+    crashed append leaves its segment dir orphaned until a retry of the
+    same batch happens to overwrite it — plus stale ``compact-tmp/`` and
+    meta ``.tmp``/``.old`` leftovers.  Referenced data is never touched;
+    if a REFERENCED segment dir is missing on disk the index is damaged
+    beyond janitorial repair and this raises, listing the missing names
+    (recover from the corpus with a rebuild).
+
+    Runs under the same single-writer mutation lease as the mutators, so
+    it can run any time without racing an in-flight append (whose
+    segment is unreferenced until its atomic meta publish — the lease
+    is what makes "unreferenced ⇒ orphan" a safe inference).
+
+    Returns ``{"removed": [...], "kept": [...]}``.
+    """
+    from restructure_hdfs_topic_spark.compression import (
+        delete_small_file,
+        fs_delete_dir,
+        fs_list_dir,
+    )
+
+    lease = _mutation_lease(spark, path, lock, lock_ttl_s)
+    try:
+        meta = load_bm25_meta(spark, path)  # raises if absent/corrupt
+        referenced = [s["name"] for s in meta.get("segments", [])]
+        on_disk = set(fs_list_dir(f"{path}/segments", spark))
+        missing = sorted(set(referenced) - on_disk)
+        if missing:
+            raise RuntimeError(
+                f"repair_bm25_index: meta references segment dirs missing "
+                f"on disk: {missing} — the index is damaged; rebuild from "
+                "the corpus"
+            )
+        removed = []
+        for name in sorted(on_disk - set(referenced)):
+            fs_delete_dir(f"{path}/segments/{name}", spark)
+            removed.append(f"segments/{name}")
+        if fs_delete_dir(f"{path}/compact-tmp", spark):
+            removed.append("compact-tmp")
+        for suffix in (".tmp", ".old"):
+            if delete_small_file(f"{path}/{_META}{suffix}", spark=spark):
+                removed.append(f"{_META}{suffix}")
+        return {"removed": removed, "kept": sorted(referenced)}
+    finally:
+        if lease is not None:
+            lease.close()
+
+
 def load_bm25_meta(spark: SparkSession, path: str) -> dict:
     return _read_meta(spark, f"{path}/{_META}")
 

@@ -391,17 +391,20 @@ def _validate_pinned_splits(
     pinned: DataFrame, split_col: str, names: list[str]
 ) -> None:
     """Reject pinned assignments naming splits absent from ``fractions``
-    — a renamed/typo'd split would otherwise freeze rows into a split
-    that no longer exists.  Bounded: distinct over ≤ |splits|+1 values."""
-    seen = [
-        r[0]
-        for r in pinned.select(split_col).distinct().limit(len(names) + 2).collect()
+    (a renamed/typo'd split would otherwise freeze rows into a split
+    that no longer exists) or NULL (an ambiguous pin would silently
+    degrade to unpinned).  Exact — the filter scans for offenders
+    directly instead of sampling distinct values — and bounded: at most
+    5 offending rows collect."""
+    bad = F.col(split_col).isNull() | ~F.col(split_col).isin(names)
+    offenders = [
+        r[0] for r in pinned.select(split_col).filter(bad).limit(5).collect()
     ]
-    unknown = sorted(set(seen) - set(names), key=str)
-    if unknown:
+    if offenders:
         raise ValueError(
-            f"pinned assignments contain split names not in fractions: "
-            f"{unknown} (fractions: {names})"
+            f"pinned assignments contain split names not in fractions "
+            f"(or NULL): {sorted(set(offenders), key=str)} "
+            f"(fractions: {names})"
         )
 
 

@@ -148,3 +148,45 @@ def test_streaming_sink_auto_compacts_and_stays_bit_identical(spark, tmp_path):
     v = load_bm25_meta(spark, path)["version"]
     body(_df(spark, BATCH_D), 3)
     assert load_bm25_meta(spark, path)["version"] == v
+
+
+def test_repair_removes_orphans_keeps_referenced(spark, tmp_path, monkeypatch):
+    """A crashed append's orphan segment dir and compact-tmp litter are
+    removed; referenced segments are kept byte-for-byte (served rows
+    unchanged); a missing REFERENCED segment raises."""
+    import os
+    import shutil
+
+    from restructure_hdfs_topic_spark.operators.bm25_index import (
+        repair_bm25_index,
+    )
+
+    path = str(tmp_path / "idx")
+    build_bm25_index(_df(spark, BATCH_A), path, n_buckets=4)
+    append_bm25_segment(_df(spark, BATCH_B), path)
+    qs = _queries(spark)
+    before = sorted(map(tuple, query_bm25_index(spark, path, qs, k=4).collect()))
+
+    # Crash a second append between segment write and meta publish.
+    def boom(*_a, **_k):
+        raise RuntimeError("killed mid-publish")
+
+    monkeypatch.setattr(bix, "_write_meta_atomic", boom)
+    with pytest.raises(RuntimeError, match="killed mid-publish"):
+        append_bm25_segment(_df(spark, BATCH_C), path)
+    monkeypatch.undo()
+    assert os.path.isdir(f"{path}/segments/seg-00001")  # the orphan
+    os.makedirs(f"{path}/compact-tmp/postings", exist_ok=True)
+
+    rep = repair_bm25_index(spark, path)
+    assert "segments/seg-00001" in rep["removed"]
+    assert "compact-tmp" in rep["removed"]
+    assert rep["kept"] == ["seg-00000"]
+    assert not os.path.exists(f"{path}/segments/seg-00001")
+    after = sorted(map(tuple, query_bm25_index(spark, path, qs, k=4).collect()))
+    assert after == before
+
+    # Damage beyond janitorial repair: a REFERENCED dir goes missing.
+    shutil.rmtree(f"{path}/segments/seg-00000")
+    with pytest.raises(RuntimeError, match="missing on disk"):
+        repair_bm25_index(spark, path)

@@ -185,6 +185,22 @@ def test_pinned_unknown_split_rejected(spark):
             _docs(spark, [1, 2]), "doc_id", FRACTIONS,
             _groups(spark, {}), pinned=pinned,
         ).collect()
+    # Exactness: ONE offender hiding among many valid pins is still
+    # caught (a distinct-sample check could miss it), and a NULL pin is
+    # rejected rather than silently degrading to unpinned.
+    many = [(i, "train") for i in range(200)] + [(999, "dev")]
+    pinned2 = spark.createDataFrame(many, "doc_id long, split string")
+    with pytest.raises(ValueError, match="not in fractions"):
+        grouped_holdout_split(
+            _docs(spark, [1, 2]), "doc_id", FRACTIONS,
+            _groups(spark, {}), pinned=pinned2,
+        ).collect()
+    pinned3 = spark.createDataFrame([(1, None)], "doc_id long, split string")
+    with pytest.raises(ValueError, match="NULL"):
+        grouped_holdout_split(
+            _docs(spark, [1, 2]), "doc_id", FRACTIONS,
+            _groups(spark, {}), pinned=pinned3,
+        ).collect()
 
 
 def test_assignment_churn_exact_witness(spark):
