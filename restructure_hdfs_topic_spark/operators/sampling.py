@@ -314,8 +314,10 @@ def grouped_holdout_split(
     straddled (moving either member would break the freeze).  Audit
     those with ``pinned_split_conflicts`` and retire or re-assign them
     explicitly.  ``pinned`` split names must all appear in ``fractions``
-    (a renamed split would silently freeze rows into a nonexistent
-    split, so unknown names are rejected loudly).
+    and must be non-NULL (a renamed split would silently freeze rows
+    into a nonexistent split; a NULL pin would silently degrade to
+    unpinned) — validated EAGERLY with one narrow column-scan job, the
+    only action this otherwise-lazy builder runs.
 
     Shape: one left join of the corpus against the slim group table
     (AQE-sided; broadcast while the group table is small) + the same

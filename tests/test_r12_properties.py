@@ -88,6 +88,96 @@ def test_segment_lifecycle_always_equals_single_build(spark, tmp_path_factory, d
     assert _served(spark, path, qs) == direct
 
 
+@settings(max_examples=5, deadline=None, suppress_health_check=list(HealthCheck))
+@given(st.data())
+def test_lifecycle_with_crashes_and_repair_still_equals_single_build(
+    spark, tmp_path_factory, monkeypatch, data
+):
+    """Adversarial lifecycle: before each committed append, optionally
+    CRASH an append mid-publish (leaving an orphan segment dir) and
+    optionally run the janitor — served rows must still always equal the
+    single build over the committed history, and repair must never
+    remove a referenced segment."""
+    from restructure_hdfs_topic_spark.operators import bm25_index as bix
+    from restructure_hdfs_topic_spark.operators.bm25_index import (
+        append_bm25_segment,
+        build_bm25_index,
+        repair_bm25_index,
+    )
+    from restructure_hdfs_topic_spark.operators.retrieval import bm25_topk
+
+    n_docs = data.draw(st.integers(min_value=2, max_value=len(_POOL)))
+    docs = _POOL[:n_docs]
+    cut = data.draw(st.integers(min_value=1, max_value=n_docs))
+    base, rest = docs[:cut], docs[cut:]
+    batches = [rest[i : i + 3] for i in range(0, len(rest), 3)]
+
+    path = str(tmp_path_factory.mktemp("bm25_crash") / "idx")
+    qs = spark.createDataFrame(
+        [(i % 2, t) for i, t in enumerate(_WORDS)], "query_id long, term string"
+    )
+    build_bm25_index(_df(spark, base), path, n_buckets=4)
+    history = list(base)
+    real_publish = bix._write_meta_atomic
+    for batch in batches:
+        if data.draw(st.booleans()):  # crash an append mid-publish
+            def boom(*_a, **_k):
+                raise RuntimeError("crash")
+
+            monkeypatch.setattr(bix, "_write_meta_atomic", boom)
+            try:
+                append_bm25_segment(_df(spark, batch), path)
+            except RuntimeError:
+                pass
+            monkeypatch.setattr(bix, "_write_meta_atomic", real_publish)
+            if data.draw(st.booleans()):
+                repair_bm25_index(spark, path)  # sweep the orphan
+        append_bm25_segment(_df(spark, batch), path)
+        history += batch
+        direct = sorted(map(tuple, bm25_topk(_df(spark, history), qs, k=4).collect()))
+        assert _served(spark, path, qs) == direct
+    rep = repair_bm25_index(spark, path)
+    # Repair after a clean run removes no segment dirs, and the index
+    # still serves identically.
+    assert not [r for r in rep["removed"] if r.startswith("segments/")]
+    direct = sorted(map(tuple, bm25_topk(_df(spark, history), qs, k=4).collect()))
+    assert _served(spark, path, qs) == direct
+
+
+@settings(max_examples=15, deadline=None, suppress_health_check=list(HealthCheck))
+@given(st.data())
+def test_assignment_churn_matches_dict_diff(spark, data):
+    """assignment_churn over arbitrary assignment tables equals the
+    plain-Python dict diff (added/removed/moved, unchanged silent)."""
+    from restructure_hdfs_topic_spark.operators.sampling import assignment_churn
+
+    splits = ["train", "valid", "test"]
+    prev = {
+        i: data.draw(st.sampled_from(splits))
+        for i in data.draw(st.lists(st.integers(0, 50), max_size=20, unique=True))
+    }
+    new = {
+        i: data.draw(st.sampled_from(splits))
+        for i in data.draw(st.lists(st.integers(0, 50), max_size=20, unique=True))
+    }
+    pdf = spark.createDataFrame(
+        list(prev.items()) or [], "doc_id long, split string"
+    )
+    ndf = spark.createDataFrame(list(new.items()) or [], "doc_id long, split string")
+    out = {
+        r["doc_id"]: (r["prev_split"], r["new_split"], r["reason"])
+        for r in assignment_churn(pdf, ndf).collect()
+    }
+    expected = {}
+    for i in set(prev) | set(new):
+        p, n = prev.get(i), new.get(i)
+        if p == n:
+            continue
+        reason = "added" if p is None else "removed" if n is None else "moved"
+        expected[i] = (p, n, reason)
+    assert out == expected
+
+
 _prev_ids = st.lists(
     st.integers(min_value=0, max_value=5_000), min_size=1, max_size=30, unique=True
 )
