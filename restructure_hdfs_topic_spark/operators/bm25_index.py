@@ -37,9 +37,15 @@ concatenated corpus (asserted in tests/test_bm25_segments.py).  Caller
 contract: appended doc ids must be NEW — an id repeated across segments
 would count as two documents (a rebuild would merge its tf rows).
 When the segment count makes serve-time unions wide,
-``compact_bm25_index`` merges everything back into the single-base
-layout from the postings alone (no corpus text needed), Lucene's merge
-policy in one shot.
+``compact_bm25_index`` merges everything back into a single base from
+the postings alone (no corpus text needed), Lucene's merge policy in
+one shot — GENERATIONALLY (r12): the merged base lands in a fresh
+``<path>/base-gNNNNN/`` dir and the meta switches to it in one atomic
+publish, so no compaction crash point ever leaves the index without a
+valid meta (the meta's ``base_dir`` names the live base; absent = the
+legacy ``<path>/postings``+``vocab`` root pair a build writes).
+``repair_bm25_index`` sweeps whatever superseded/orphan dirs a crash
+leaves.
 
 Size ``n_buckets`` so one bucket's postings fit a scan task (~64 at the
 test scales; thousands at 100 TB).
@@ -66,6 +72,16 @@ _FP_SAMPLE_MOD = 101  # ~1% of docs contribute their TEXT hash to the fp
 
 def _bucket(token_col, n_buckets: int):
     return F.pmod(F.xxhash64(token_col), F.lit(n_buckets)).cast("long")
+
+
+def _base_root(meta: dict, path: str) -> str:
+    """Directory holding the BASE postings/vocab pair: ``path`` itself
+    for a fresh build (legacy layout), or ``path/base-gNNNNN`` after a
+    generational compaction — compact writes the merged base into a NEW
+    generation dir and switches to it in one atomic meta publish, so no
+    crash point ever leaves the index without a valid meta."""
+    base = meta.get("base_dir", "")
+    return f"{path}/{base}" if base else path
 
 
 # A crashed index writer's lease self-expires after this; break it earlier
@@ -187,6 +203,20 @@ def build_bm25_index(
             **corpus_fingerprint(docs, id_col=id_col, text_col=text_col),
         }
         _write_meta(docs.sparkSession, f"{path}/{_META}", meta)
+        # A rebuild resets to the legacy root layout: sweep segment dirs
+        # and generational bases a previous lifecycle left — they are
+        # unreferenced by the fresh meta (a crash before this sweep
+        # leaves harmless litter; repair_bm25_index also removes it).
+        from restructure_hdfs_topic_spark.compression import (
+            fs_delete_dir,
+            fs_list_dir,
+        )
+
+        spark = docs.sparkSession
+        fs_delete_dir(f"{path}/segments", spark)
+        for child in fs_list_dir(path, spark):
+            if child.startswith("base-g"):
+                fs_delete_dir(f"{path}/{child}", spark)
         return meta
     finally:
         if lease is not None:
@@ -355,21 +385,24 @@ def compact_bm25_index(
     merge policy motivation): after compaction a query batch is back to
     ONE postings read per kind.
 
-    Crash discipline: meta deleted FIRST; the merged artifacts are fully
-    written under ``compact-tmp/`` and swapped into place before the
-    meta is rewritten — an interruption at any point presents as "no
-    meta" (stale → rebuild), never as a half-merged valid index.
+    Crash discipline (r12 — GENERATIONAL, Lucene's segments_N shape):
+    the merged base is fully written into a NEW generation dir
+    (``base-gNNNNN/``) while the old meta stays untouched, then the meta
+    switches to it in ONE atomic publish, then the superseded dirs are
+    deleted.  A crash before the publish leaves the index serving the
+    pre-compaction state (the new generation is unreferenced litter —
+    ``repair_bm25_index`` sweeps it); a crash after the publish leaves
+    the NEW index valid with stale old dirs (same sweep).  There is no
+    point at which the index lacks a valid meta — the delete-first
+    window the r11 compactor had (and ADVICE r11 flagged as the state
+    that forced the streaming sink's loud-refusal path) is gone.
 
     Runs under the same single-writer mutation lease as the appenders
     (VERDICT r11 #2): append∥compact was the one unsynchronized pairing
     — now a compactor and an appender serialize on ``<path>/_lock/``
     instead of racing the segment list.
     """
-    from restructure_hdfs_topic_spark.compression import (
-        delete_small_file,
-        fs_delete_dir,
-        fs_rename,
-    )
+    from restructure_hdfs_topic_spark.compression import fs_delete_dir
 
     lease = _mutation_lease(spark, path, lock, lock_ttl_s)
     try:
@@ -378,7 +411,8 @@ def compact_bm25_index(
         if not segs:
             return meta  # already compact
         n_buckets = int(meta["n_buckets"])
-        seg_dirs = ([path] if int(meta["n_docs"]) > 0 else []) + [
+        old_base = _base_root(meta, path)
+        seg_dirs = ([old_base] if int(meta["n_docs"]) > 0 else []) + [
             f"{path}/segments/{s['name']}" for s in segs if int(s["n_docs"]) > 0
         ]
         parts = [meta] + segs
@@ -393,8 +427,9 @@ def compact_bm25_index(
             merged["fp_xor_id"] ^= int(p.get("fp_xor_id", 0))
             merged["fp_xor_text"] ^= int(p.get("fp_xor_text", 0))
 
-        delete_small_file(f"{path}/{_META}", spark=spark)
         if seg_dirs:
+            gen = int(meta.get("base_gen", 0)) + 1
+            new_base_name = f"base-g{gen:05d}"
 
             def _union(kind: str, cols: list[str]) -> DataFrame:
                 out = None
@@ -412,7 +447,7 @@ def compact_bm25_index(
                 .write.mode("overwrite")
                 .option("partitionOverwriteMode", "static")
                 .partitionBy("bucket")
-                .parquet(f"{path}/compact-tmp/postings")
+                .parquet(f"{path}/{new_base_name}/postings")
             )
             vocab = (
                 _union("vocab", ["token", "df"])
@@ -426,18 +461,24 @@ def compact_bm25_index(
                 .write.mode("overwrite")
                 .option("partitionOverwriteMode", "static")
                 .partitionBy("bucket")
-                .parquet(f"{path}/compact-tmp/vocab")
+                .parquet(f"{path}/{new_base_name}/vocab")
             )
-            fs_delete_dir(f"{path}/postings", spark)
-            fs_delete_dir(f"{path}/vocab", spark)
-            fs_rename(f"{path}/compact-tmp/postings", f"{path}/postings", spark)
-            fs_rename(f"{path}/compact-tmp/vocab", f"{path}/vocab", spark)
-            fs_delete_dir(f"{path}/compact-tmp", spark)
-        fs_delete_dir(f"{path}/segments", spark)
+            meta["base_gen"] = gen
+            meta["base_dir"] = new_base_name
         meta.update(merged)
         meta["segments"] = []
         meta["version"] = int(meta.get("version", 0)) + 1
-        _write_meta(spark, f"{path}/{_META}", meta)
+        # THE publish: atomic replace — until this instant every reader
+        # saw the pre-compaction meta and dirs, both fully intact.
+        _write_meta_atomic(spark, f"{path}/{_META}", meta)
+        # Post-publish cleanup of superseded dirs (crash here leaves
+        # stale litter only; repair_bm25_index sweeps it).
+        if seg_dirs and old_base != _base_root(meta, path):
+            fs_delete_dir(f"{old_base}/postings", spark)
+            fs_delete_dir(f"{old_base}/vocab", spark)
+            if old_base != path:
+                fs_delete_dir(old_base, spark)
+        fs_delete_dir(f"{path}/segments", spark)
         return meta
     finally:
         if lease is not None:
@@ -470,6 +511,7 @@ def repair_bm25_index(
         delete_small_file,
         fs_delete_dir,
         fs_list_dir,
+        small_file_exists,
     )
 
     lease = _mutation_lease(spark, path, lock, lock_ttl_s)
@@ -484,10 +526,30 @@ def repair_bm25_index(
                 f"on disk: {missing} — the index is damaged; rebuild from "
                 "the corpus"
             )
+        base_name = meta.get("base_dir", "")
+        if int(meta["n_docs"]) > 0 and not small_file_exists(
+            f"{_base_root(meta, path)}/postings", spark=spark
+        ):
+            raise RuntimeError(
+                f"repair_bm25_index: meta references base dir "
+                f"{base_name or '<root>'} whose postings are missing on "
+                "disk — the index is damaged; rebuild from the corpus"
+            )
         removed = []
         for name in sorted(on_disk - set(referenced)):
             fs_delete_dir(f"{path}/segments/{name}", spark)
             removed.append(f"segments/{name}")
+        # Superseded / orphan base generations: anything base-g* that is
+        # not the CURRENT base, plus the legacy root pair once a
+        # generational base took over.
+        for child in sorted(fs_list_dir(path, spark)):
+            if child.startswith("base-g") and child != base_name:
+                fs_delete_dir(f"{path}/{child}", spark)
+                removed.append(child)
+        if base_name:
+            for d in ("postings", "vocab"):
+                if fs_delete_dir(f"{path}/{d}", spark):
+                    removed.append(d)
         if fs_delete_dir(f"{path}/compact-tmp", spark):
             removed.append("compact-tmp")
         for suffix in (".tmp", ".old"):
@@ -551,7 +613,7 @@ def query_bm25_index(
     # Segment dirs with documents (an all-empty batch writes no parquet
     # files — reading it would fail on schema inference, and it cannot
     # contribute postings anyway).
-    seg_dirs = ([path] if int(meta["n_docs"]) > 0 else []) + [
+    seg_dirs = ([_base_root(meta, path)] if int(meta["n_docs"]) > 0 else []) + [
         f"{path}/segments/{s['name']}" for s in segs if int(s["n_docs"]) > 0
     ]
 
@@ -665,11 +727,17 @@ def bm25_meta_exists(spark: SparkSession, path: str) -> bool:
 
 def bm25_artifacts_exist(spark: SparkSession, path: str) -> bool:
     """Whether any index DATA directories exist at ``path`` (postings,
-    vocab, or segments) — artifacts-without-meta means an interrupted
-    build/compaction or a corrupt meta, never a safe bootstrap target."""
-    from restructure_hdfs_topic_spark.compression import small_file_exists
+    vocab, segments, or a generational ``base-g*``) — artifacts-without-
+    meta means an interrupted build or external damage, never a safe
+    bootstrap target."""
+    from restructure_hdfs_topic_spark.compression import (
+        fs_list_dir,
+        small_file_exists,
+    )
 
-    return any(
+    if any(
         small_file_exists(f"{path}/{d}", spark=spark)
         for d in ("postings", "vocab", "segments")
-    )
+    ):
+        return True
+    return any(c.startswith("base-g") for c in fs_list_dir(path, spark))

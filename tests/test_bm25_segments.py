@@ -224,6 +224,12 @@ def test_compaction_preserves_served_rows_bit_identically(spark, tmp_path):
 
     assert not os.path.exists(f"{path}/segments")
     assert not os.path.exists(f"{path}/compact-tmp")
+    # Generational layout (r12): the merged base lives in base-gNNNNN,
+    # the meta points at it, and the superseded legacy root pair is gone.
+    assert meta["base_dir"] == "base-g00001"
+    assert os.path.isdir(f"{path}/base-g00001/postings")
+    assert not os.path.exists(f"{path}/postings")
+    assert not os.path.exists(f"{path}/vocab")
 
     # Compacting an already-compact index is a no-op.
     meta2 = compact_bm25_index(spark, path)
@@ -240,23 +246,59 @@ def test_compaction_preserves_served_rows_bit_identically(spark, tmp_path):
     assert [r["doc_id"] for r in rows] == [31]
 
 
-def test_interrupted_compaction_invalidates_meta(spark, tmp_path, monkeypatch):
+def test_interrupted_compaction_leaves_old_index_serving(
+    spark, tmp_path, monkeypatch
+):
+    """r12 generational crash discipline: a compaction killed at ANY
+    point before its atomic meta publish leaves the PRE-compaction index
+    fully valid and serving (the merged base-g dir is unreferenced
+    litter), repair sweeps the litter, and a retry converges to the same
+    served rows."""
+    import os
+
     from restructure_hdfs_topic_spark.operators.bm25_index import (
         compact_bm25_index,
+        repair_bm25_index,
     )
 
     path = str(tmp_path / "idx")
     build_bm25_index(_df(spark, BATCH_A), path, n_buckets=4)
     append_bm25_segment(_df(spark, BATCH_B), path)
+    qs = _queries(spark)
+    before = sorted(map(tuple, query_bm25_index(spark, path, qs, k=4).collect()))
+
+    real_publish = bix._write_meta_atomic
 
     def boom(*_a, **_k):
         raise RuntimeError("killed mid-compact")
 
-    monkeypatch.setattr(bix, "_write_meta", boom)
+    monkeypatch.setattr(bix, "_write_meta_atomic", boom)
     with pytest.raises(RuntimeError, match="killed mid-compact"):
         compact_bm25_index(spark, path)
-    with pytest.raises(Exception):
-        load_bm25_meta(spark, path)
+    monkeypatch.setattr(bix, "_write_meta_atomic", real_publish)
+
+    # The old meta is still valid, the segment dirs intact, and the
+    # index serves the pre-compaction rows unchanged.
+    meta = load_bm25_meta(spark, path)
+    assert len(meta["segments"]) == 1 and "base_dir" not in meta
+    assert (
+        sorted(map(tuple, query_bm25_index(spark, path, qs, k=4).collect()))
+        == before
+    )
+    # The half-written generation is unreferenced litter; repair sweeps
+    # it without touching referenced data.
+    assert os.path.isdir(f"{path}/base-g00001")
+    rep = repair_bm25_index(spark, path)
+    assert "base-g00001" in rep["removed"]
+    assert not [r for r in rep["removed"] if r.startswith("segments/")]
+
+    # A retry converges: compaction succeeds and serves identically.
+    meta2 = compact_bm25_index(spark, path)
+    assert meta2["segments"] == [] and meta2["base_dir"] == "base-g00001"
+    assert (
+        sorted(map(tuple, query_bm25_index(spark, path, qs, k=4).collect()))
+        == before
+    )
 
 
 def test_streaming_bm25_index_sink_real_stream_restart(spark, tmp_path):
