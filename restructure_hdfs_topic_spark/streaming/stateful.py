@@ -267,11 +267,13 @@ def streaming_bm25_index_sink(
     is checked explicitly (``bm25_meta_exists``), a meta that EXISTS but
     fails to load re-raises (a transient FS error or corrupt file must
     not masquerade as "first batch"), and bootstrap refuses when index
-    data directories already exist without a meta (an interrupted
-    build/compaction — rebuilding an empty base over them would silently
-    erase the indexed history AND the exactly-once state).  Recover such
-    an index explicitly: re-run ``compact_bm25_index``/rebuild from the
-    corpus, or delete the artifact directory if it is truly disposable.
+    data directories already exist without a meta (an interrupted BUILD
+    or external damage — since r12's generational compaction, a crashed
+    compactor can no longer produce this state — rebuilding an empty
+    base over them would silently erase the indexed history AND the
+    exactly-once state).  Recover such an index explicitly: rebuild from
+    the corpus, or delete the artifact directory if it is truly
+    disposable.
 
     Compact with ``compact_bm25_index`` — either pass
     ``compact_every_n_segments`` so the sink folds segments back into
@@ -325,8 +327,9 @@ def streaming_bm25_index_sink(
             # batch can start — the single-writer safe window.  Compaction
             # preserves last_batch_id (meta.update keeps unknown keys), so
             # the exactly-once state survives the fold; a crash mid-compact
-            # presents as artifacts-without-meta and the next start fails
-            # loudly above instead of silently resetting.
+            # leaves the pre-compaction meta valid (generational publish),
+            # so the stream just continues and repair_bm25_index sweeps
+            # the orphan generation.
             compact_bm25_index(spark, index_path)
 
     return body

@@ -94,14 +94,17 @@ def test_lifecycle_with_crashes_and_repair_still_equals_single_build(
     spark, tmp_path_factory, monkeypatch, data
 ):
     """Adversarial lifecycle: before each committed append, optionally
-    CRASH an append mid-publish (leaving an orphan segment dir) and
-    optionally run the janitor — served rows must still always equal the
-    single build over the committed history, and repair must never
-    remove a referenced segment."""
+    CRASH an append mid-publish (leaving an orphan segment dir) or a
+    COMPACTION mid-publish (r12: leaving an orphan base-g generation,
+    with the old meta still valid) and optionally run the janitor —
+    served rows must still always equal the single build over the
+    committed history, and repair must never remove a referenced
+    segment."""
     from restructure_hdfs_topic_spark.operators import bm25_index as bix
     from restructure_hdfs_topic_spark.operators.bm25_index import (
         append_bm25_segment,
         build_bm25_index,
+        compact_bm25_index,
         repair_bm25_index,
     )
     from restructure_hdfs_topic_spark.operators.retrieval import bm25_topk
@@ -119,11 +122,12 @@ def test_lifecycle_with_crashes_and_repair_still_equals_single_build(
     build_bm25_index(_df(spark, base), path, n_buckets=4)
     history = list(base)
     real_publish = bix._write_meta_atomic
+
+    def boom(*_a, **_k):
+        raise RuntimeError("crash")
+
     for batch in batches:
         if data.draw(st.booleans()):  # crash an append mid-publish
-            def boom(*_a, **_k):
-                raise RuntimeError("crash")
-
             monkeypatch.setattr(bix, "_write_meta_atomic", boom)
             try:
                 append_bm25_segment(_df(spark, batch), path)
@@ -134,6 +138,17 @@ def test_lifecycle_with_crashes_and_repair_still_equals_single_build(
                 repair_bm25_index(spark, path)  # sweep the orphan
         append_bm25_segment(_df(spark, batch), path)
         history += batch
+        if data.draw(st.booleans()):  # crash a compaction mid-publish
+            monkeypatch.setattr(bix, "_write_meta_atomic", boom)
+            try:
+                compact_bm25_index(spark, path)
+            except RuntimeError:
+                pass
+            monkeypatch.setattr(bix, "_write_meta_atomic", real_publish)
+            if data.draw(st.booleans()):
+                repair_bm25_index(spark, path)  # sweep the orphan base-g
+        if data.draw(st.booleans()):  # committed compaction
+            compact_bm25_index(spark, path)
         direct = sorted(map(tuple, bm25_topk(_df(spark, history), qs, k=4).collect()))
         assert _served(spark, path, qs) == direct
     rep = repair_bm25_index(spark, path)
