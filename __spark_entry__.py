@@ -786,6 +786,88 @@ def q_bm25_segment_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bm25_tombstone_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tombstone-delete serve path (r12): base indexed from the even-id
+    half, odd-id half appended as a segment, then every ``doc_id % 7 ==
+    3`` document DELETED via ``delete_bm25_docs`` (tombstones + exact
+    doclens stat subtraction — no rebuild), and the corpus-derived query
+    batch served over the live complement.  Rows are bit-identical to a
+    from-scratch rebuild on the complement (pinned in
+    tests/test_bm25_delete.py); this row prices the tombstone-filtered
+    serve (anti-join + live-df derivation) and its sf1 digest pins
+    partitioning independence.  Artifact keyed by the FOLDED fingerprint
+    (base ⊕ segment ⊖ deleted) against the live complement corpus."""
+    import hashlib
+
+    import json as _json
+
+    from restructure_hdfs_topic_spark.operators.bm25_index import (
+        append_bm25_segment,
+        build_bm25_index,
+        corpus_fingerprint,
+        delete_bm25_docs,
+        query_bm25_index,
+    )
+    from restructure_hdfs_topic_spark.operators.retrieval import corpus_queries
+
+    _conf(spark)
+    docs = _t(spark, sf_dir, "documents")
+    tag = hashlib.md5(os.path.normpath(sf_dir).encode()).hexdigest()[:8]
+    path = (
+        "/tmp/spark_graft_bm25_tomb_"
+        f"{os.path.basename(os.path.normpath(sf_dir))}_{tag}"
+    )
+    meta_file = f"{path}/_bm25_meta.json"
+    stale = True
+    if os.path.exists(meta_file):
+        try:
+            with open(meta_file) as fh:
+                meta = _json.load(fh)
+            stale = (
+                meta.get("n_buckets") != 64
+                or len(meta.get("segments", [])) != 1
+                or not meta.get("tomb_dir")
+            )
+            if not stale:
+                # Folded identity: base ⊕ segment ⊖ deleted must equal a
+                # fresh fingerprint of the live COMPLEMENT corpus — the
+                # exact corpus the tombstoned index serves.
+                seg = meta["segments"][0]
+                live = corpus_fingerprint(
+                    docs.filter(F.col("doc_id") % 7 != 3),
+                    text_sample_mod=int(meta.get("fp_mod", 101)),
+                )
+                stale = (
+                    meta["fp_count"]
+                    + seg["fp_count"]
+                    - int(meta.get("fp_deleted_count", 0))
+                    != live["fp_count"]
+                    or (
+                        meta["fp_xor_id"]
+                        ^ seg["fp_xor_id"]
+                        ^ int(meta.get("fp_deleted_xor_id", 0))
+                    )
+                    != live["fp_xor_id"]
+                    or (
+                        meta["fp_xor_text"]
+                        ^ seg["fp_xor_text"]
+                        ^ int(meta.get("fp_deleted_xor_text", 0))
+                    )
+                    != live["fp_xor_text"]
+                )
+        except (ValueError, OSError, KeyError):
+            stale = True
+    if stale:
+        build_bm25_index(docs.filter(F.col("doc_id") % 2 == 0), path, n_buckets=64)
+        append_bm25_segment(docs.filter(F.col("doc_id") % 2 == 1), path)
+        delete_bm25_docs(
+            spark, path, docs.filter(F.col("doc_id") % 7 == 3).select("doc_id")
+        )
+    return query_bm25_index(
+        spark, path, corpus_queries(docs, sample_mod=101), k=5
+    )
+
+
 def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sequence packing: overlapping 64-token chunks (stride 56) per
     document — narrow codegen plan, no shuffle."""
@@ -2664,6 +2746,10 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # r11: segmented serve path (base + appended segment, summed-df
         # global stats); rebuild-equality in tests/test_bm25_segments.py.
         "bm25_segment_query": q_bm25_segment_query,
+        # r12: tombstone-delete serve path (base + segment − deleted ids,
+        # exact doclens stat subtraction); rebuild-on-complement equality
+        # in tests/test_bm25_delete.py.
+        "bm25_tombstone_query": q_bm25_tombstone_query,
         # UniMax epoch-capped mixture; exact allocation + realization
         # witnesses in tests/test_unimax.py.
         "unimax_sample": q_unimax_sample,

@@ -566,6 +566,19 @@ class Corpus:
 
         return append_bm25_segment(self.df, path, text_col=self.text_col)
 
+    def delete_from_bm25_index(self, path: str) -> dict:
+        """Tombstone THIS corpus's ids out of an existing on-disk BM25
+        index (``operators.bm25_index.delete_bm25_docs``) — the takedown
+        lane: served rows become bit-identical to a rebuild without
+        these documents, no corpus re-index."""
+        from restructure_hdfs_topic_spark.operators.bm25_index import (
+            delete_bm25_docs,
+        )
+
+        return delete_bm25_docs(
+            self.df.sparkSession, path, self.df.select(self.id_col)
+        )
+
     def export_shards(
         self, path: str, n_shards: int = 16, fmt: str = "json"
     ) -> DataFrame:

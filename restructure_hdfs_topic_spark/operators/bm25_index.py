@@ -47,6 +47,18 @@ legacy ``<path>/postings``+``vocab`` root pair a build writes).
 ``repair_bm25_index`` sweeps whatever superseded/orphan dirs a crash
 leaves.
 
+DELETES (r12, Lucene's liveDocs model): ``delete_bm25_docs`` records
+tombstoned ids generationally under ``<path>/tombstones/ts-gNNNNN/``
+(atomic meta publish, same no-metaless-window discipline) and subtracts
+the global stats EXACTLY from the per-part ``doclens/`` sidecar
+``(doc_id, dl, fp_text)`` — one row per input doc, written by every
+build/append.  Serving anti-joins matched postings against the
+tombstone set and derives df(t) from the live rows, so served rows stay
+bit-identical to a rebuild on the complement; compaction purges
+tombstoned postings physically and clears the tombstone state.  The
+takedown / right-to-be-forgotten lane: at 100 TB a deletion request
+cannot mean a re-index.
+
 Size ``n_buckets`` so one bucket's postings fit a scan task (~64 at the
 test scales; thousands at 100 TB).
 """
@@ -82,6 +94,29 @@ def _base_root(meta: dict, path: str) -> str:
     crash point ever leaves the index without a valid meta."""
     base = meta.get("base_dir", "")
     return f"{path}/{base}" if base else path
+
+
+def _doclens_dirs(meta: dict, path: str) -> list[str]:
+    """Part dirs whose ``doclens/`` sidecar has rows: parts with ANY
+    input doc (``fp_count`` > 0) — a doc with empty text is excluded
+    from the postings (``n_docs``) but still owns a doclens row (dl 0),
+    so the doclens reader keys on fp_count, not n_docs."""
+    dirs = []
+    if int(meta.get("fp_count", 0)) > 0:
+        dirs.append(_base_root(meta, path))
+    for s in meta.get("segments", []):
+        if int(s.get("fp_count", 0)) > 0:
+            dirs.append(f"{path}/segments/{s['name']}")
+    return dirs
+
+
+def _tombstone_df(spark: SparkSession, meta: dict, path: str):
+    """The committed tombstone id set (one ``doc_id`` column), or None
+    when the index has no deletions."""
+    tomb = meta.get("tomb_dir", "")
+    if not tomb:
+        return None
+    return spark.read.parquet(f"{path}/tombstones/{tomb}").select("doc_id")
 
 
 # A crashed index writer's lease self-expires after this; break it earlier
@@ -187,7 +222,9 @@ def build_bm25_index(
         # every artifact it describes is durably in place.
         delete_small_file(f"{path}/{_META}", spark=docs.sparkSession)
 
-        n_docs, sum_dl = _write_segment(docs, path, id_col, text_col, n_buckets)
+        n_docs, sum_dl = _write_segment(
+            docs, path, id_col, text_col, n_buckets, fp_mod=_FP_SAMPLE_MOD
+        )
         meta = {
             "format": "restructure_hdfs_topic_spark/bm25/v1",
             "n_docs": n_docs,
@@ -197,6 +234,9 @@ def build_bm25_index(
             "id_type": docs.schema[id_col].dataType.simpleString(),
             "segments": [],
             "version": 0,
+            # r12: every part of this index carries the doclens sidecar,
+            # so tombstone deletes (delete_bm25_docs) are available.
+            "doclens": True,
             # Corpus identity (ADVICE r10): lets a build-once caller
             # detect a corpus regenerated in place under the same
             # path/params instead of trusting the artifact blindly.
@@ -214,6 +254,7 @@ def build_bm25_index(
 
         spark = docs.sparkSession
         fs_delete_dir(f"{path}/segments", spark)
+        fs_delete_dir(f"{path}/tombstones", spark)
         for child in fs_list_dir(path, spark):
             if child.startswith("base-g"):
                 fs_delete_dir(f"{path}/{child}", spark)
@@ -224,12 +265,27 @@ def build_bm25_index(
 
 
 def _write_segment(
-    docs: DataFrame, seg_path: str, id_col: str, text_col: str, n_buckets: int
+    docs: DataFrame,
+    seg_path: str,
+    id_col: str,
+    text_col: str,
+    n_buckets: int,
+    fp_mod: int = _FP_SAMPLE_MOD,
 ) -> tuple[int, int]:
-    """Materialize one segment's postings/vocab pair under ``seg_path``;
-    returns its exact ``(n_docs, sum_dl)``.  Shared by the base build and
-    ``append_bm25_segment`` so a segment can never drift from the base
-    layout (same bucketing, same sort, same denormalized dl)."""
+    """Materialize one segment's postings/vocab/doclens triple under
+    ``seg_path``; returns its exact ``(n_docs, sum_dl)``.  Shared by the
+    base build and ``append_bm25_segment`` so a segment can never drift
+    from the base layout (same bucketing, same sort, same denormalized
+    dl).
+
+    ``doclens/`` (r12, one row per INPUT doc — ``dl`` 0 for empty-text
+    docs the postings exclude) is what makes tombstone DELETES exact
+    without the corpus: ``delete_bm25_docs`` reads the deleted ids'
+    ``dl`` from it to subtract the global stats, and the sampled
+    ``fp_text`` hash (``xxhash64(id, text)`` where ``pmod(xxhash64(id),
+    fp_mod) == 0``, the ``corpus_fingerprint`` rule) to fold the deleted
+    docs OUT of the fingerprint — both exactly, neither re-reading the
+    corpus text."""
     from restructure_hdfs_topic_spark.caching import scoped_persist
 
     base = docs.filter(F.trim(F.col(text_col)) != "").select(
@@ -276,6 +332,35 @@ def _write_segment(
         .option("partitionOverwriteMode", "static")
         .partitionBy("bucket")
         .parquet(f"{seg_path}/vocab")
+    )
+    mod = max(1, int(fp_mod))
+    fp_text = (
+        F.xxhash64(F.col(id_col), F.col(text_col))
+        if mod == 1
+        else F.when(
+            F.pmod(F.xxhash64(F.col(id_col)), F.lit(mod)) == 0,
+            F.xxhash64(F.col(id_col), F.col(text_col)),
+        )
+    )
+    doclens = (
+        docs.select(F.col(id_col).alias("doc_id"), fp_text.alias("fp_text"))
+        .join(dl, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("dl"), F.lit(0).cast("long")).alias("dl"),
+            "fp_text",
+            F.pmod(F.xxhash64(F.col("doc_id")), F.lit(n_buckets))
+            .cast("long")
+            .alias("bucket"),
+        )
+    )
+    (
+        doclens.repartition(F.col("bucket"))
+        .sortWithinPartitions("bucket", "doc_id")
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "static")
+        .partitionBy("bucket")
+        .parquet(f"{seg_path}/doclens")
     )
     return n_docs, sum_dl
 
@@ -337,7 +422,12 @@ def append_bm25_segment(
         segs = list(meta.get("segments", []))
         name = f"seg-{len(segs):05d}"
         n_docs, sum_dl = _write_segment(
-            docs, f"{path}/segments/{name}", id_col, text_col, int(meta["n_buckets"])
+            docs,
+            f"{path}/segments/{name}",
+            id_col,
+            text_col,
+            int(meta["n_buckets"]),
+            fp_mod=int(meta.get("fp_mod", _FP_SAMPLE_MOD)),
         )
         meta["segments"] = segs + [
             {
@@ -408,39 +498,48 @@ def compact_bm25_index(
     try:
         meta = load_bm25_meta(spark, path)
         segs = list(meta.get("segments", []))
-        if not segs:
-            return meta  # already compact
+        tomb = _tombstone_df(spark, meta, path)
+        if not segs and tomb is None:
+            return meta  # already compact, nothing tombstoned
         n_buckets = int(meta["n_buckets"])
         old_base = _base_root(meta, path)
-        seg_dirs = ([old_base] if int(meta["n_docs"]) > 0 else []) + [
+        post_dirs = ([old_base] if int(meta["n_docs"]) > 0 else []) + [
             f"{path}/segments/{s['name']}" for s in segs if int(s["n_docs"]) > 0
         ]
+        dl_dirs = _doclens_dirs(meta, path) if meta.get("doclens") else []
         parts = [meta] + segs
         merged = {
-            "n_docs": sum(int(p["n_docs"]) for p in parts),
-            "sum_dl": sum(int(p["sum_dl"]) for p in parts),
-            "fp_count": sum(int(p.get("fp_count", 0)) for p in parts),
-            "fp_xor_id": 0,
-            "fp_xor_text": 0,
+            "n_docs": sum(int(p["n_docs"]) for p in parts)
+            - int(meta.get("n_deleted", 0)),
+            "sum_dl": sum(int(p["sum_dl"]) for p in parts)
+            - int(meta.get("sum_dl_deleted", 0)),
+            "fp_count": sum(int(p.get("fp_count", 0)) for p in parts)
+            - int(meta.get("fp_deleted_count", 0)),
+            "fp_xor_id": int(meta.get("fp_deleted_xor_id", 0)),
+            "fp_xor_text": int(meta.get("fp_deleted_xor_text", 0)),
         }
         for p in parts:
             merged["fp_xor_id"] ^= int(p.get("fp_xor_id", 0))
             merged["fp_xor_text"] ^= int(p.get("fp_xor_text", 0))
 
-        if seg_dirs:
+        if post_dirs or dl_dirs:
             gen = int(meta.get("base_gen", 0)) + 1
             new_base_name = f"base-g{gen:05d}"
 
-            def _union(kind: str, cols: list[str]) -> DataFrame:
+            def _union(kind: str, dirs: list[str], cols: list[str]) -> DataFrame:
                 out = None
-                for d in seg_dirs:
+                for d in dirs:
                     part = spark.read.parquet(f"{d}/{kind}").select(*cols)
                     out = part if out is None else out.unionByName(part)
                 return out
 
-            posts = _union("postings", ["token", "doc_id", "tf", "dl"]).withColumn(
-                "bucket", _bucket(F.col("token"), n_buckets)
-            )
+        if post_dirs:
+            live = _union("postings", post_dirs, ["token", "doc_id", "tf", "dl"])
+            if tomb is not None:
+                # Physical purge: tombstoned postings do not survive the
+                # merge (this is what resets the tombstone state below).
+                live = live.join(tomb, "doc_id", "left_anti")
+            posts = live.withColumn("bucket", _bucket(F.col("token"), n_buckets))
             (
                 posts.repartition(F.col("bucket"))
                 .sortWithinPartitions("bucket", "token", "doc_id")
@@ -449,36 +548,195 @@ def compact_bm25_index(
                 .partitionBy("bucket")
                 .parquet(f"{path}/{new_base_name}/postings")
             )
-            vocab = (
-                _union("vocab", ["token", "df"])
-                .groupBy("token")
-                .agg(F.sum("df").alias("df"))
-                .withColumn("bucket", _bucket(F.col("token"), n_buckets))
-            )
+            if tomb is None:
+                vocab = (
+                    _union("vocab", post_dirs, ["token", "df"])
+                    .groupBy("token")
+                    .agg(F.sum("df").alias("df"))
+                )
+            else:
+                # Per-part vocab sums would count deleted docs; recompute
+                # df from the purged postings (one extra postings scan —
+                # compaction is the O(index) operation, by design).
+                vocab = live.groupBy("token").agg(
+                    F.count(F.lit(1)).alias("df")
+                )
             (
-                vocab.repartition(F.col("bucket"))
+                vocab.withColumn("bucket", _bucket(F.col("token"), n_buckets))
+                .repartition(F.col("bucket"))
                 .sortWithinPartitions("bucket", "token")
                 .write.mode("overwrite")
                 .option("partitionOverwriteMode", "static")
                 .partitionBy("bucket")
                 .parquet(f"{path}/{new_base_name}/vocab")
             )
+        if dl_dirs:
+            doclens = _union("doclens", dl_dirs, ["doc_id", "dl", "fp_text"])
+            if tomb is not None:
+                doclens = doclens.join(tomb, "doc_id", "left_anti")
+            (
+                doclens.withColumn(
+                    "bucket",
+                    F.pmod(F.xxhash64(F.col("doc_id")), F.lit(n_buckets)).cast(
+                        "long"
+                    ),
+                )
+                .repartition(F.col("bucket"))
+                .sortWithinPartitions("bucket", "doc_id")
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "static")
+                .partitionBy("bucket")
+                .parquet(f"{path}/{new_base_name}/doclens")
+            )
+        if post_dirs or dl_dirs:
             meta["base_gen"] = gen
             meta["base_dir"] = new_base_name
         meta.update(merged)
         meta["segments"] = []
+        # Tombstones are purged physically above — clear the subtraction
+        # state (tomb_gen stays monotonic so a future delete can never
+        # reuse an unswept orphan generation's name).
+        meta["tomb_dir"] = ""
+        meta["n_deleted"] = 0
+        meta["sum_dl_deleted"] = 0
+        meta["fp_deleted_count"] = 0
+        meta["fp_deleted_xor_id"] = 0
+        meta["fp_deleted_xor_text"] = 0
         meta["version"] = int(meta.get("version", 0)) + 1
         # THE publish: atomic replace — until this instant every reader
         # saw the pre-compaction meta and dirs, both fully intact.
         _write_meta_atomic(spark, f"{path}/{_META}", meta)
         # Post-publish cleanup of superseded dirs (crash here leaves
         # stale litter only; repair_bm25_index sweeps it).
-        if seg_dirs and old_base != _base_root(meta, path):
+        if (post_dirs or dl_dirs) and old_base != _base_root(meta, path):
             fs_delete_dir(f"{old_base}/postings", spark)
             fs_delete_dir(f"{old_base}/vocab", spark)
+            fs_delete_dir(f"{old_base}/doclens", spark)
             if old_base != path:
                 fs_delete_dir(old_base, spark)
         fs_delete_dir(f"{path}/segments", spark)
+        fs_delete_dir(f"{path}/tombstones", spark)
+        return meta
+    finally:
+        if lease is not None:
+            lease.close()
+
+
+def delete_bm25_docs(
+    spark: SparkSession,
+    path: str,
+    ids: DataFrame,
+    lock: bool = True,
+    lock_ttl_s: int = MUTATION_LOCK_TTL_S,
+) -> dict:
+    """Delete documents from the index WITHOUT the corpus and WITHOUT a
+    rebuild (Lucene's liveDocs/tombstone model — the lifecycle piece a
+    takedown / right-to-be-forgotten obligation needs at 100 TB, where
+    re-indexing the corpus per deletion request is not an option):
+
+    - the deleted ids are recorded in a generational tombstone dir
+      (``<path>/tombstones/ts-gNNNNN/`` = previous set ∪ new hits) that
+      the meta switches to in ONE atomic publish — the same no-metaless-
+      window discipline as compaction;
+    - the global statistics are subtracted EXACTLY from the ``doclens``
+      sidecar (each hit's dl; its sampled ``fp_text`` folds the doc out
+      of the corpus fingerprint) — one bounded aggregation, no per-id
+      collect, no corpus read;
+    - serve time anti-joins matched postings against the tombstone set
+      and derives df(t) from the LIVE postings, so served rows are
+      BIT-IDENTICAL to a from-scratch rebuild on the corpus minus the
+      deleted docs (pinned in tests/test_bm25_delete.py);
+    - ``compact_bm25_index`` purges tombstoned postings PHYSICALLY and
+      clears the tombstone state.
+
+    ``ids`` is a DataFrame carrying the index's id column (the
+    ``append_bm25_segment`` discipline); ids not present in the index
+    (or already deleted) are ignored — deleting them is a no-op exactly
+    as a rebuild on the complement would be.  Returns the published
+    meta; a no-hit call returns the meta UNCHANGED (no version bump, so
+    ``expected_version`` serving tiers see no movement).
+
+    Requires the doclens sidecar (every index built since r12); indexes
+    built before it must rebuild once to enable deletes.  Runs under the
+    single-writer mutation lease.
+    """
+    from restructure_hdfs_topic_spark.compression import fs_delete_dir
+
+    lease = _mutation_lease(spark, path, lock, lock_ttl_s)
+    try:
+        meta = load_bm25_meta(spark, path)
+        if not meta.get("doclens"):
+            raise ValueError(
+                "delete_bm25_docs: index predates the doclens sidecar — "
+                "rebuild it once (build_bm25_index) to enable deletes"
+            )
+        id_col = meta["id_col"]
+        if id_col not in ids.columns:
+            raise ValueError(
+                f"delete_bm25_docs: ids frame lacks the index's id column "
+                f"{id_col!r} (columns: {ids.columns})"
+            )
+        id_type = ids.schema[id_col].dataType.simpleString()
+        if id_type != meta.get("id_type", id_type):
+            raise ValueError(
+                f"delete_bm25_docs: id type {id_type!r} does not match "
+                f"the index's {meta['id_type']!r}"
+            )
+        dl_dirs = _doclens_dirs(meta, path)
+        if not dl_dirs:
+            return meta  # empty index — nothing to delete
+        want = ids.select(F.col(id_col).alias("doc_id")).distinct()
+        doclens = None
+        for d in dl_dirs:
+            part = spark.read.parquet(f"{d}/doclens").select(
+                "doc_id", "dl", "fp_text"
+            )
+            doclens = part if doclens is None else doclens.unionByName(part)
+        tomb = _tombstone_df(spark, meta, path)
+        if tomb is not None:
+            doclens = doclens.join(tomb, "doc_id", "left_anti")
+        hits = doclens.join(want, "doc_id")
+        agg = hits.agg(
+            F.count(F.lit(1)).alias("n_all"),
+            F.sum(F.when(F.col("dl") > 0, 1).otherwise(0)).alias("n_docs"),
+            F.sum("dl").alias("sum_dl"),
+            F.bit_xor(F.xxhash64(F.col("doc_id"))).alias("x_id"),
+            F.bit_xor(F.col("fp_text")).alias("x_text"),
+        ).collect()[0]
+        n_all = int(agg["n_all"] or 0)
+        if n_all == 0:
+            return meta  # no live hits — rebuild-on-complement no-op
+        gen = int(meta.get("tomb_gen", 0)) + 1
+        name = f"ts-g{gen:05d}"
+        new_tomb = hits.select("doc_id")
+        if tomb is not None:
+            new_tomb = new_tomb.unionByName(tomb)
+        new_tomb.write.mode("overwrite").parquet(f"{path}/tombstones/{name}")
+        old_name = meta.get("tomb_dir", "")
+        meta["tomb_dir"], meta["tomb_gen"] = name, gen
+        meta["n_deleted"] = int(meta.get("n_deleted", 0)) + int(
+            agg["n_docs"] or 0
+        )
+        meta["sum_dl_deleted"] = int(meta.get("sum_dl_deleted", 0)) + int(
+            agg["sum_dl"] or 0
+        )
+        meta["fp_deleted_count"] = int(meta.get("fp_deleted_count", 0)) + n_all
+        meta["fp_deleted_xor_id"] = int(meta.get("fp_deleted_xor_id", 0)) ^ int(
+            agg["x_id"] or 0
+        )
+        meta["fp_deleted_xor_text"] = int(
+            meta.get("fp_deleted_xor_text", 0)
+        ) ^ int(agg["x_text"] or 0)
+        meta["version"] = int(meta.get("version", 0)) + 1
+        # THE publish (atomic): crash before = orphan ts-g litter, old
+        # tombstone set still served; crash after = stale old ts dir.
+        # repair_bm25_index sweeps both; a replayed delete re-derives the
+        # same generation name from the committed tomb_gen and overwrites
+        # its own orphan (hits recomputed against the COMMITTED
+        # tombstones, so the union converges).
+        _write_meta_atomic(spark, f"{path}/{_META}", meta)
+        if old_name:
+            fs_delete_dir(f"{path}/tombstones/{old_name}", spark)
         return meta
     finally:
         if lease is not None:
@@ -535,6 +793,14 @@ def repair_bm25_index(
                 f"{base_name or '<root>'} whose postings are missing on "
                 "disk — the index is damaged; rebuild from the corpus"
             )
+        tomb_name = meta.get("tomb_dir", "")
+        tombs_on_disk = set(fs_list_dir(f"{path}/tombstones", spark))
+        if tomb_name and tomb_name not in tombs_on_disk:
+            raise RuntimeError(
+                f"repair_bm25_index: meta references tombstone dir "
+                f"{tomb_name} missing on disk — the index is damaged; "
+                "rebuild from the corpus"
+            )
         removed = []
         for name in sorted(on_disk - set(referenced)):
             fs_delete_dir(f"{path}/segments/{name}", spark)
@@ -547,9 +813,17 @@ def repair_bm25_index(
                 fs_delete_dir(f"{path}/{child}", spark)
                 removed.append(child)
         if base_name:
-            for d in ("postings", "vocab"):
+            for d in ("postings", "vocab", "doclens"):
                 if fs_delete_dir(f"{path}/{d}", spark):
                     removed.append(d)
+        # Orphan / superseded tombstone generations (a crashed delete's
+        # litter, or everything once compaction purged the tombstones).
+        for child in sorted(tombs_on_disk):
+            if child != tomb_name:
+                fs_delete_dir(f"{path}/tombstones/{child}", spark)
+                removed.append(f"tombstones/{child}")
+        if not tomb_name and fs_delete_dir(f"{path}/tombstones", spark):
+            removed.append("tombstones")
         if fs_delete_dir(f"{path}/compact-tmp", spark):
             removed.append("compact-tmp")
         for suffix in (".tmp", ".old"):
@@ -603,10 +877,21 @@ def query_bm25_index(
         )
     n_buckets = int(meta["n_buckets"])
     segs = list(meta.get("segments", []))
-    n_docs = int(meta["n_docs"]) + sum(int(s["n_docs"]) for s in segs)
+    # Global stats: per-part exact ints summed, tombstoned docs' exact
+    # contributions (recorded at delete time from doclens) subtracted —
+    # identical to what a rebuild on the complement would aggregate.
+    n_docs = (
+        int(meta["n_docs"])
+        + sum(int(s["n_docs"]) for s in segs)
+        - int(meta.get("n_deleted", 0))
+    )
     if n_docs == 0:
         return _empty_result(spark, meta, queries)
-    sum_dl = int(meta["sum_dl"]) + sum(int(s["sum_dl"]) for s in segs)
+    sum_dl = (
+        int(meta["sum_dl"])
+        + sum(int(s["sum_dl"]) for s in segs)
+        - int(meta.get("sum_dl_deleted", 0))
+    )
     # avgdl: the SAME exact-int sum and single double division the
     # direct path computes in-plan.
     avgdl = float(sum_dl) / float(n_docs)
@@ -654,18 +939,38 @@ def query_bm25_index(
             out = out.unionByName(p)
         return out
 
-    # df(t) is global: the same token's per-segment document counts SUM
-    # (segments hold disjoint doc ids by contract), exactly what one
-    # rebuild's groupBy would count.
-    vocab = _read_union("vocab", ["token", "df"]).groupBy("token").agg(
-        F.sum("df").alias("df")
-    )
+    tomb = _tombstone_df(spark, meta, path)
+    if tomb is None:
+        # df(t) is global: the same token's per-segment document counts
+        # SUM (segments hold disjoint doc ids by contract), exactly what
+        # one rebuild's groupBy would count.
+        vocab = _read_union("vocab", ["token", "df"]).groupBy("token").agg(
+            F.sum("df").alias("df")
+        )
+        postings_live = _read_union("postings", ["token", "doc_id", "tf", "dl"])
+    else:
+        # Tombstones: anti-join the MATCHED postings (cost ∝ matched
+        # rows, not index size) and derive df(t) from the live rows —
+        # each (token, doc) appears exactly once across segments, so the
+        # live count IS the df a rebuild on the complement would compute
+        # (the per-part vocab sums would overcount deleted docs).
+        from restructure_hdfs_topic_spark.caching import scoped_persist
+
+        postings_live = scoped_persist(
+            _read_union("postings", ["token", "doc_id", "tf", "dl"]).join(
+                tomb, "doc_id", "left_anti"
+            ),
+            scope="bm25_index.query.tombstoned_postings",
+        )
+        vocab = postings_live.groupBy("token").agg(
+            F.count(F.lit(1)).alias("df")
+        )
     qweights = (
         qterms_df.join(vocab, "token")
         .withColumn("__idf", bm25_idf(F.lit(n_docs).cast("long"), F.col("df")))
         .select("query_id", "token", "__idf")
     )
-    postings = _read_union("postings", ["token", "doc_id", "tf", "dl"]).select(
+    postings = postings_live.select(
         "token", F.col("doc_id").alias("__id"), "tf", "dl"
     )
     scored = postings.join(F.broadcast(qweights), "token").withColumn(
@@ -727,9 +1032,9 @@ def bm25_meta_exists(spark: SparkSession, path: str) -> bool:
 
 def bm25_artifacts_exist(spark: SparkSession, path: str) -> bool:
     """Whether any index DATA directories exist at ``path`` (postings,
-    vocab, segments, or a generational ``base-g*``) — artifacts-without-
-    meta means an interrupted build or external damage, never a safe
-    bootstrap target."""
+    vocab, doclens, segments, tombstones, or a generational ``base-g*``)
+    — artifacts-without-meta means an interrupted build or external
+    damage, never a safe bootstrap target."""
     from restructure_hdfs_topic_spark.compression import (
         fs_list_dir,
         small_file_exists,
@@ -737,7 +1042,7 @@ def bm25_artifacts_exist(spark: SparkSession, path: str) -> bool:
 
     if any(
         small_file_exists(f"{path}/{d}", spark=spark)
-        for d in ("postings", "vocab", "segments")
+        for d in ("postings", "vocab", "doclens", "segments", "tombstones")
     ):
         return True
     return any(c.startswith("base-g") for c in fs_list_dir(path, spark))

@@ -91,6 +91,9 @@ CONSISTENCY_QUERIES = [
     "bm25_topk",
     "bm25_index_query",
     "bm25_segment_query",
+    # r12: tombstone-delete serve path (anti-join + live-df derivation)
+    # must be partitioning-independent at sf1.
+    "bm25_tombstone_query",
     "unimax_sample",
     "grouped_holdout",
     "split_churn",

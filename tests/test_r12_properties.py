@@ -46,6 +46,7 @@ def test_segment_lifecycle_always_equals_single_build(spark, tmp_path_factory, d
         append_bm25_segment,
         build_bm25_index,
         compact_bm25_index,
+        delete_bm25_docs,
         load_bm25_meta,
     )
     from restructure_hdfs_topic_spark.operators.retrieval import bm25_topk
@@ -80,6 +81,24 @@ def test_segment_lifecycle_always_equals_single_build(spark, tmp_path_factory, d
         if do_compact:
             compact_bm25_index(spark, path)
             assert load_bm25_meta(spark, path)["segments"] == []
+        # r12: optionally tombstone up to 2 live docs (always leaving at
+        # least one) — served rows must track the shrinking complement
+        # through every later append/compaction.
+        if len(history) > 1 and data.draw(st.booleans()):
+            kill = data.draw(
+                st.lists(
+                    st.sampled_from([d[0] for d in history]),
+                    min_size=1,
+                    max_size=min(2, len(history) - 1),
+                    unique=True,
+                )
+            )
+            delete_bm25_docs(
+                spark,
+                path,
+                spark.createDataFrame([(i,) for i in kill], "doc_id long"),
+            )
+            history = [d for d in history if d[0] not in kill]
         direct = sorted(map(tuple, bm25_topk(_df(spark, history), qs, k=4).collect()))
         assert _served(spark, path, qs) == direct
     # Terminal compaction is always a no-op on the served rows.
