@@ -696,7 +696,21 @@ def delete_bm25_docs(
         if tomb is not None:
             doclens = doclens.join(tomb, "doc_id", "left_anti")
         hits = doclens.join(want, "doc_id")
-        agg = hits.agg(
+        # Durability-first stat derivation: write the candidate tombstone
+        # generation, then compute the subtraction stats from the
+        # READ-BACK written set — so the published stats can never
+        # disagree with the durable tombstone set even if ``ids`` is a
+        # non-deterministic plan (a sampled takedown batch, a limit):
+        # whatever materialized IS what gets accounted.
+        gen = int(meta.get("tomb_gen", 0)) + 1
+        name = f"ts-g{gen:05d}"
+        new_tomb = hits.select("doc_id")
+        if tomb is not None:
+            new_tomb = new_tomb.unionByName(tomb)
+        new_tomb.write.mode("overwrite").parquet(f"{path}/tombstones/{name}")
+        written = spark.read.parquet(f"{path}/tombstones/{name}").select("doc_id")
+        newly = written.join(tomb, "doc_id", "left_anti") if tomb is not None else written
+        agg = doclens.join(newly, "doc_id").agg(
             F.count(F.lit(1)).alias("n_all"),
             F.sum(F.when(F.col("dl") > 0, 1).otherwise(0)).alias("n_docs"),
             F.sum("dl").alias("sum_dl"),
@@ -705,13 +719,13 @@ def delete_bm25_docs(
         ).collect()[0]
         n_all = int(agg["n_all"] or 0)
         if n_all == 0:
-            return meta  # no live hits — rebuild-on-complement no-op
-        gen = int(meta.get("tomb_gen", 0)) + 1
-        name = f"ts-g{gen:05d}"
-        new_tomb = hits.select("doc_id")
-        if tomb is not None:
-            new_tomb = new_tomb.unionByName(tomb)
-        new_tomb.write.mode("overwrite").parquet(f"{path}/tombstones/{name}")
+            # No live hits — rebuild-on-complement no-op.  Remove the
+            # just-written (empty-delta) generation: the committed meta
+            # never references it.
+            fs_delete_dir(f"{path}/tombstones/{name}", spark)
+            if not meta.get("tomb_dir"):
+                fs_delete_dir(f"{path}/tombstones", spark)
+            return meta
         old_name = meta.get("tomb_dir", "")
         meta["tomb_dir"], meta["tomb_gen"] = name, gen
         meta["n_deleted"] = int(meta.get("n_deleted", 0)) + int(

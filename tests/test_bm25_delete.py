@@ -106,6 +106,9 @@ def test_delete_nonexistent_and_double_delete_are_noops(spark, tmp_path):
     assert meta3["n_deleted"] == meta2["n_deleted"] == 1
     complement = [r for r in BATCH_A if r[0] != 2]
     assert _served(spark, path, qs) == _direct(spark, complement, qs)
+    # The no-op's candidate generation was cleaned up: only the committed
+    # generation remains on disk (no ts-g00002 litter).
+    assert sorted(os.listdir(f"{path}/tombstones")) == [meta2["tomb_dir"]]
 
 
 def test_delete_then_append_then_serve_exact(spark, tmp_path):
