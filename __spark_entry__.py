@@ -1610,6 +1610,48 @@ def q_ivf_index_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return query_ivf_index(spark, path, queries, k=5, nprobe=10)
 
 
+def q_ivf_tombstone_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tombstone-delete serve path for the vector index (r12, FAISS
+    remove_ids semantics): IVF index built over the embeddings table,
+    every ``vec_id % 7 == 3`` vector DELETED via ``delete_ivf_vectors``
+    (generational tombstones, atomic publish, no rebuild), then the query
+    batch answered at a fixed probe depth — results equal a same-centroid
+    index of the survivors, deleted ids never ranked (pinned against a
+    manually-constructed witness index in tests/test_ivf_delete.py).
+    Prices the serve-side anti-join; sf1 digest pins partitioning
+    independence (bench/extras surface)."""
+    import os
+
+    from restructure_hdfs_topic_spark.operators.ivf_index import (
+        build_ivf_index,
+        delete_ivf_vectors,
+        load_ivf_meta,
+        query_ivf_index,
+    )
+
+    _conf(spark)
+    emb = _t(spark, sf_dir, "embeddings")
+    path = (
+        "/tmp/spark_graft_ivf_tomb_"
+        f"{os.path.basename(os.path.normpath(sf_dir))}"
+    )
+    stale = True
+    if os.path.exists(f"{path}/_ivf_meta.json"):
+        try:
+            meta = load_ivf_meta(spark, path)
+            # Build-once keying: same corpus size, deletion state applied.
+            stale = not meta.get("tomb_dir") or int(meta["n"]) != emb.count()
+        except Exception:
+            stale = True
+    if stale:
+        build_ivf_index(emb, path, lloyd_iters=1)
+        delete_ivf_vectors(
+            spark, path, emb.filter(F.col("vec_id") % 7 == 3).select("vec_id")
+        )
+    queries = emb.filter(F.col("vec_id") % 20 == 0)
+    return query_ivf_index(spark, path, queries, k=5, nprobe=10)
+
+
 _PQ_BOOKS_MEMO: dict = {}
 
 
@@ -2750,6 +2792,10 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # exact doclens stat subtraction); rebuild-on-complement equality
         # in tests/test_bm25_delete.py.
         "bm25_tombstone_query": q_bm25_tombstone_query,
+        # r12: tombstone-delete serve path for the VECTOR index (FAISS
+        # remove_ids); same-centroid witness equality in
+        # tests/test_ivf_delete.py.
+        "ivf_tombstone_query": q_ivf_tombstone_query,
         # UniMax epoch-capped mixture; exact allocation + realization
         # witnesses in tests/test_unimax.py.
         "unimax_sample": q_unimax_sample,

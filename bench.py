@@ -61,6 +61,7 @@ BENCH_QUERIES = [
     "bm25_index_query",
     "bm25_segment_query",
     "bm25_tombstone_query",
+    "ivf_tombstone_query",
     "unimax_sample",
     "grouped_holdout",
     "split_churn",

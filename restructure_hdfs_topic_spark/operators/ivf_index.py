@@ -21,6 +21,16 @@ Training reuses the engine's exact-integer Lloyd machinery (associative
 int64 partial sums ⇒ partitioning-independent centroids) and the
 hash-selected order-independent seeding of ``ivf_ann_topk``; scoring
 reuses ``_bucket_scorer`` (blocked int64 matmul per cluster group).
+
+Lifecycle (r12, mirroring the BM25 index): ``append_to_ivf_index`` routes
+arrivals into the trained cells (FAISS add-after-train);
+``delete_ivf_vectors`` tombstones ids generationally
+(``<path>/tombstones/ts-gNNNNN/``, atomic meta publish) — serving
+anti-joins them, so results equal an index of the survivors under the
+same centroids (FAISS ``remove_ids``); ``vacuum_ivf_index`` purges
+tombstoned rows physically into a fresh ``base-gNNNNN/`` generation
+(assignments AND the IVFPQ code store move together) with the
+no-metaless-window publish discipline of ``compact_bm25_index``.
 """
 
 from __future__ import annotations
@@ -119,7 +129,16 @@ def build_ivf_index(
 
     import numpy as np
 
+    from restructure_hdfs_topic_spark.compression import delete_small_file
+
     _check_integral_id(embeddings, id_col)
+    # Invalidate FIRST (the ADVICE-r10 discipline the BM25 build follows):
+    # a build killed between the assignments overwrite and the meta write
+    # must present as "no meta", never as the previous meta describing
+    # half-written assignments.
+    delete_small_file(
+        f"{path}/{_META}", spark=embeddings.sparkSession
+    )
     n = n_rows if n_rows is not None else embeddings.count()
     if n_centroids is None:
         n_centroids = max(2, min(65536, int(math.isqrt(n))))
@@ -182,6 +201,18 @@ def build_ivf_index(
         "lloyd_iters": int(lloyd_iters),
     }
     _write_meta(spark, f"{path}/{_META}", meta)
+    # A rebuild resets to the root layout: sweep tombstones and vacuum
+    # generations a previous lifecycle left (unreferenced by the fresh
+    # meta; a crash before this sweep leaves harmless litter).
+    from restructure_hdfs_topic_spark.compression import (
+        fs_delete_dir,
+        fs_list_dir,
+    )
+
+    fs_delete_dir(f"{path}/tombstones", spark)
+    for child in fs_list_dir(path, spark):
+        if child.startswith("base-g"):
+            fs_delete_dir(f"{path}/{child}", spark)
     return meta
 
 
@@ -326,10 +357,10 @@ def _append_to_ivf_index(
         members.repartition(F.col("cluster"))
         .write.mode("append")
         .partitionBy("cluster")
-        .parquet(f"{path}/assignments")
+        .parquet(f"{_ivf_base_root(meta, path)}/assignments")
     )
     meta["n"] = int(meta["n"]) + int(members.count())
-    _write_meta(spark, f"{path}/{_META}", meta)
+    _write_meta_atomic(spark, f"{path}/{_META}", meta)
     return meta
 
 
@@ -373,7 +404,14 @@ def query_ivf_index(
     centroids = np.stack(
         [np.asarray(r["centroid"], dtype=np.int64) for r in cent_rows]
     )
-    assignments = spark.read.parquet(f"{path}/assignments")
+    assignments = spark.read.parquet(f"{_ivf_base_root(meta, path)}/assignments")
+    tomb = _ivf_tombstone_df(spark, meta, path)
+    if tomb is not None:
+        # Tombstoned vectors are dead everywhere downstream: the
+        # calibration sample, the probed members, the scored top-k — the
+        # index serves exactly the surviving corpus under the same
+        # centroids (FAISS remove_ids semantics).
+        assignments = assignments.join(tomb, "id", "left_anti")
 
     if nprobe is None:
         # Hash-threshold sample of the stored corpus — the seed-selection
@@ -381,7 +419,7 @@ def query_ivf_index(
         # orderBy().limit() that would TakeOrdered the ENTIRE index on
         # every auto-calibrated query call.  Ordered fallback only if the
         # uniform hash under-delivers (P ≈ e^-sample, vanishing).
-        n_idx = int(meta["n"])
+        n_idx = int(meta["n"]) - int(meta.get("n_deleted", 0))
         frac = min(1.0, (4.0 * calibration_sample) / max(n_idx, 1))
         cutoff = min((-(1 << 63)) + int((1 << 64) * frac), (1 << 63) - 1)
         hashed = assignments.withColumn("h", F.xxhash64(F.col("id")))
@@ -433,13 +471,160 @@ def query_ivf_index(
     )
 
 
+def delete_ivf_vectors(
+    spark: SparkSession,
+    path: str,
+    ids: DataFrame,
+    id_col: str = "vec_id",
+    lock: bool = True,
+) -> dict:
+    """Delete vectors from the index WITHOUT a rebuild (FAISS
+    ``remove_ids`` semantics; the same takedown lane
+    ``delete_bm25_docs`` gives the text index): deleted ids land in a
+    generational ``<path>/tombstones/ts-gNNNNN/`` dir (previous set ∪
+    new hits) that the meta switches to in ONE atomic publish; serving
+    anti-joins the probed members against it, so results equal an index
+    holding only the survivors UNDER THE SAME CENTROIDS (the trained
+    quantizer is corpus-level state a deletion does not retrain —
+    exactly FAISS's contract; pinned in tests/test_ivf_delete.py).
+    ``vacuum_ivf_index`` purges tombstoned rows physically.
+
+    Stats discipline matches the BM25 lane: the candidate tombstone
+    generation is written FIRST and ``n_deleted`` derives from the
+    READ-BACK written set, so the published count can never disagree
+    with the durable ids; a no-hit delete cleans up its empty-delta
+    generation and returns the meta unchanged.  Runs under the
+    artifact's single-writer mutation lease."""
+    from restructure_hdfs_topic_spark.compression import fs_delete_dir
+    from restructure_hdfs_topic_spark.locks import artifact_mutation_lease
+
+    _check_integral_id(ids, id_col)
+    lease = artifact_mutation_lease(spark, path, "ivf-mutate", lock=lock)
+    try:
+        meta = load_ivf_meta(spark, path)
+        want = ids.select(F.col(id_col).alias("id")).distinct()
+        live = (
+            spark.read.parquet(f"{_ivf_base_root(meta, path)}/assignments")
+            .select("id")
+        )
+        tomb = _ivf_tombstone_df(spark, meta, path)
+        if tomb is not None:
+            live = live.join(tomb, "id", "left_anti")
+        hits = live.join(want, "id")
+        gen = int(meta.get("tomb_gen", 0)) + 1
+        name = f"ts-g{gen:05d}"
+        new_tomb = hits if tomb is None else hits.unionByName(tomb)
+        new_tomb.write.mode("overwrite").parquet(f"{path}/tombstones/{name}")
+        written = spark.read.parquet(f"{path}/tombstones/{name}").select("id")
+        newly = (
+            written.join(tomb, "id", "left_anti") if tomb is not None else written
+        )
+        delta = int(newly.count())
+        if delta == 0:
+            fs_delete_dir(f"{path}/tombstones/{name}", spark)
+            if not meta.get("tomb_dir"):
+                fs_delete_dir(f"{path}/tombstones", spark)
+            return meta
+        old_name = meta.get("tomb_dir", "")
+        meta["tomb_dir"], meta["tomb_gen"] = name, gen
+        meta["n_deleted"] = int(meta.get("n_deleted", 0)) + delta
+        meta["version"] = int(meta.get("version", 0)) + 1
+        _write_meta_atomic(spark, f"{path}/{_META}", meta)
+        if old_name:
+            fs_delete_dir(f"{path}/tombstones/{old_name}", spark)
+        return meta
+    finally:
+        if lease is not None:
+            lease.close()
+
+
+def vacuum_ivf_index(
+    spark: SparkSession, path: str, lock: bool = True
+) -> dict:
+    """Physically purge tombstoned vectors: rewrite ``assignments/``
+    (and the IVFPQ ``codes/`` store when present) minus the tombstone
+    set into a fresh ``base-gNNNNN/`` generation, switch the meta to it
+    in ONE atomic publish, clear the tombstone state, then sweep the
+    superseded dirs — the generational no-metaless-window discipline of
+    ``compact_bm25_index``.  A crash before the publish leaves the
+    pre-vacuum index serving (tombstone-filtered, still exact); after,
+    the new generation is live with stale litter only.  No-op without
+    tombstones."""
+    from restructure_hdfs_topic_spark.compression import (
+        fs_delete_dir,
+        small_file_exists,
+    )
+    from restructure_hdfs_topic_spark.locks import artifact_mutation_lease
+
+    lease = artifact_mutation_lease(spark, path, "ivf-mutate", lock=lock)
+    try:
+        meta = load_ivf_meta(spark, path)
+        tomb = _ivf_tombstone_df(spark, meta, path)
+        if tomb is None:
+            return meta  # nothing tombstoned
+        old_base = _ivf_base_root(meta, path)
+        gen = int(meta.get("base_gen", 0)) + 1
+        new_base = f"base-g{gen:05d}"
+        kinds = ["assignments"]
+        if small_file_exists(f"{old_base}/codes", spark=spark):
+            kinds.append("codes")
+        for kind in kinds:
+            (
+                spark.read.parquet(f"{old_base}/{kind}")
+                .join(tomb, "id", "left_anti")
+                .repartition(F.col("cluster"))
+                .write.mode("overwrite")
+                .partitionBy("cluster")
+                .parquet(f"{path}/{new_base}/{kind}")
+            )
+        meta["base_gen"], meta["base_dir"] = gen, new_base
+        meta["n"] = int(meta["n"]) - int(meta.get("n_deleted", 0))
+        meta["tomb_dir"] = ""
+        meta["n_deleted"] = 0
+        meta["version"] = int(meta.get("version", 0)) + 1
+        _write_meta_atomic(spark, f"{path}/{_META}", meta)
+        # Post-publish sweep (crash here leaves stale litter only).
+        for kind in kinds:
+            fs_delete_dir(f"{old_base}/{kind}", spark)
+        if old_base != path:
+            fs_delete_dir(old_base, spark)
+        fs_delete_dir(f"{path}/tombstones", spark)
+        return meta
+    finally:
+        if lease is not None:
+            lease.close()
+
+
+def _ivf_base_root(meta: dict, path: str) -> str:
+    """Directory holding assignments/ (and codes/): ``path`` for the
+    build layout, ``path/base-gNNNNN`` after a vacuum generation."""
+    base = meta.get("base_dir", "")
+    return f"{path}/{base}" if base else path
+
+
+def _ivf_tombstone_df(spark: SparkSession, meta: dict, path: str):
+    """The committed tombstone id set (one ``id`` column), or None."""
+    tomb = meta.get("tomb_dir", "")
+    if not tomb:
+        return None
+    return spark.read.parquet(f"{path}/tombstones/{tomb}").select("id")
+
+
 def _write_meta(spark: SparkSession, path: str, meta: dict) -> None:
     from restructure_hdfs_topic_spark.compression import write_small_file
 
     write_small_file(path, json.dumps(meta).encode("utf-8"), spark=spark)
 
 
-def _read_meta(spark: SparkSession, path: str) -> dict:
-    from restructure_hdfs_topic_spark.compression import read_small_file
+def _write_meta_atomic(spark: SparkSession, path: str, meta: dict) -> None:
+    from restructure_hdfs_topic_spark.compression import write_small_file_atomic
 
-    return json.loads(read_small_file(path, spark=spark).decode("utf-8"))
+    write_small_file_atomic(path, json.dumps(meta).encode("utf-8"), spark=spark)
+
+
+def _read_meta(spark: SparkSession, path: str) -> dict:
+    # Fallback-aware: the atomic publish's object-store fallback can
+    # leave the previous version at <path>.old for one instant.
+    from restructure_hdfs_topic_spark.compression import read_small_file_fallback
+
+    return json.loads(read_small_file_fallback(path, spark=spark).decode("utf-8"))

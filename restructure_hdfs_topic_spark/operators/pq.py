@@ -558,14 +558,18 @@ def build_pq_for_ivf(
     )
     codes = pq_encode(embeddings, books, id_col, vec_col)
     # Cluster labels come from the stored assignments (id → cluster): the
-    # codes MUST land in the same partitions the probe join prunes to.
-    assign = spark.read.parquet(f"{path}/assignments").select("id", "cluster")
+    # codes MUST land in the same partitions the probe join prunes to —
+    # in the CURRENT base generation (vacuum moves both stores together).
+    from restructure_hdfs_topic_spark.operators.ivf_index import _ivf_base_root
+
+    base = _ivf_base_root(meta, path)
+    assign = spark.read.parquet(f"{base}/assignments").select("id", "cluster")
     (
         codes.join(assign, "id")
         .repartition(F.col("cluster"))
         .write.mode("overwrite")
         .partitionBy("cluster")
-        .parquet(f"{path}/codes")
+        .parquet(f"{base}/codes")
     )
     flat = [int(x) for x in books.reshape(-1)]
     pq_meta = {
@@ -624,10 +628,7 @@ def append_to_ivfpq_index(
     import numpy as np
 
     from restructure_hdfs_topic_spark.caching import scoped_persist
-    from restructure_hdfs_topic_spark.operators.ivf_index import (
-        _assign_nearest,
-        _write_meta,
-    )
+    from restructure_hdfs_topic_spark.operators.ivf_index import _assign_nearest
 
     spark = embeddings.sparkSession
     _check_integral_id(embeddings, id_col)
@@ -649,11 +650,17 @@ def append_to_ivfpq_index(
         ),
         scope="pq.append.members",
     )
+    from restructure_hdfs_topic_spark.operators.ivf_index import (
+        _ivf_base_root,
+        _write_meta_atomic,
+    )
+
+    base = _ivf_base_root(meta, path)
     (
         members.repartition(F.col("cluster"))
         .write.mode("append")
         .partitionBy("cluster")
-        .parquet(f"{path}/assignments")
+        .parquet(f"{base}/assignments")
     )
     (
         members.mapInPandas(
@@ -663,10 +670,10 @@ def append_to_ivfpq_index(
         .repartition(F.col("cluster"))
         .write.mode("append")
         .partitionBy("cluster")
-        .parquet(f"{path}/codes")
+        .parquet(f"{base}/codes")
     )
     meta["n"] = int(meta["n"]) + int(members.count())
-    _write_meta(spark, f"{path}/_ivf_meta.json", meta)
+    _write_meta_atomic(spark, f"{path}/_ivf_meta.json", meta)
     return meta
 
 
@@ -709,7 +716,19 @@ def query_ivfpq_index(
     q_ids, q_vecs = _collect_queries(queries, id_col, vec_col)
     fetch = k if rerank_factor is None else k * rerank_factor
 
-    codes = spark.read.parquet(f"{path}/codes")
+    from restructure_hdfs_topic_spark.operators.ivf_index import (
+        _ivf_base_root,
+        _ivf_tombstone_df,
+    )
+
+    base = _ivf_base_root(meta, path)
+    codes = spark.read.parquet(f"{base}/codes")
+    tomb = _ivf_tombstone_df(spark, meta, path)
+    if tomb is not None:
+        # Tombstoned vectors never reach the ADC ranking, so they cannot
+        # occupy candidate slots; the rerank side reads only candidate
+        # ids, which are live by construction.
+        codes = codes.join(tomb, "id", "left_anti")
     probed_clusters = probes.select("cluster").distinct()
     pruned = codes.join(probed_clusters, "cluster").select("id", "code")
     parts = pruned.mapInPandas(
@@ -731,7 +750,7 @@ def query_ivfpq_index(
     # clusters (candidates live there by construction); query vectors come
     # from the collected query batch (shared _rerank_exact).
     stored = (
-        spark.read.parquet(f"{path}/assignments")
+        spark.read.parquet(f"{base}/assignments")
         .join(probed_clusters, "cluster")
         .select(F.col("id").alias("neighbor_id"), F.col("vec").alias("__nv"))
     )

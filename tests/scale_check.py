@@ -91,9 +91,11 @@ CONSISTENCY_QUERIES = [
     "bm25_topk",
     "bm25_index_query",
     "bm25_segment_query",
-    # r12: tombstone-delete serve path (anti-join + live-df derivation)
-    # must be partitioning-independent at sf1.
+    # r12: tombstone-delete serve paths (anti-join + live-df derivation;
+    # the IVF one under FAISS remove_ids semantics) must be
+    # partitioning-independent at sf1.
     "bm25_tombstone_query",
+    "ivf_tombstone_query",
     "unimax_sample",
     "grouped_holdout",
     "split_churn",

@@ -544,9 +544,11 @@ def test_query_registry_consistency():
         "curation_soft_dedup",
         "train_data_job",
         "bm25_segment_query",
-        # r12 continuation: tombstone-delete serve path (rebuild-on-
-        # complement equality in tests/test_bm25_delete.py).
+        # r12 continuation: tombstone-delete serve paths (rebuild-on-
+        # complement equality in tests/test_bm25_delete.py; same-centroid
+        # witness equality in tests/test_ivf_delete.py).
         "bm25_tombstone_query",
+        "ivf_tombstone_query",
         "split_churn",
         "pinned_resplit",
         "incremental_dedup",

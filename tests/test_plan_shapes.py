@@ -79,10 +79,12 @@ EAGER_REPRESENTATIVE = [
     "prototype_prune",
     # r11: both build near_dup_groups at construction (eager CC closure,
     # memoized); the returned join+CASE plans are what's guarded here.
-    # train_data_job / bm25_segment_query / bm25_tombstone_query are
-    # excluded like bm25_index_query (they materialize disk artifacts;
-    # their shape assertions live in their own test files — the tombstone
-    # serve path in tests/test_bm25_delete.py), and ann_pca_ivf_topk
+    # train_data_job / bm25_segment_query / bm25_tombstone_query /
+    # ivf_tombstone_query are excluded like bm25_index_query (they
+    # materialize disk artifacts; their shape assertions live in their
+    # own test files — the tombstone serve paths in
+    # tests/test_bm25_delete.py and tests/test_ivf_delete.py), and
+    # ann_pca_ivf_topk
     # contains the SCOPED exact-cosine baseline (bounded 100-query side)
     # like ann_ivf_recall.
     "grouped_holdout",
