@@ -595,6 +595,64 @@ def vacuum_ivf_index(
             lease.close()
 
 
+def repair_ivf_index(
+    spark: SparkSession, path: str, lock: bool = True
+) -> dict:
+    """Janitor for crash litter (the ``repair_bm25_index`` analogue): a
+    delete killed before its atomic publish leaves an orphan
+    ``tombstones/ts-g*`` generation; a vacuum killed before its publish
+    leaves an orphan ``base-g*`` generation — both unreferenced by the
+    committed meta and safe to sweep under the single-writer lease.
+    Raises when a REFERENCED dir is missing (damage beyond janitorial
+    repair — rebuild from the corpus).  Returns ``{"removed": [...]}.``"""
+    from restructure_hdfs_topic_spark.compression import (
+        fs_delete_dir,
+        fs_list_dir,
+        small_file_exists,
+    )
+    from restructure_hdfs_topic_spark.locks import artifact_mutation_lease
+
+    lease = artifact_mutation_lease(spark, path, "ivf-mutate", lock=lock)
+    try:
+        meta = load_ivf_meta(spark, path)
+        base_name = meta.get("base_dir", "")
+        if not small_file_exists(
+            f"{_ivf_base_root(meta, path)}/assignments", spark=spark
+        ):
+            raise RuntimeError(
+                f"repair_ivf_index: meta references base "
+                f"{base_name or '<root>'} whose assignments are missing — "
+                "the index is damaged; rebuild from the corpus"
+            )
+        tomb_name = meta.get("tomb_dir", "")
+        tombs_on_disk = set(fs_list_dir(f"{path}/tombstones", spark))
+        if tomb_name and tomb_name not in tombs_on_disk:
+            raise RuntimeError(
+                f"repair_ivf_index: meta references tombstone dir "
+                f"{tomb_name} missing on disk — the index is damaged; "
+                "rebuild from the corpus"
+            )
+        removed = []
+        for child in sorted(fs_list_dir(path, spark)):
+            if child.startswith("base-g") and child != base_name:
+                fs_delete_dir(f"{path}/{child}", spark)
+                removed.append(child)
+        if base_name:
+            for d in ("assignments", "codes"):
+                if fs_delete_dir(f"{path}/{d}", spark):
+                    removed.append(d)
+        for child in sorted(tombs_on_disk):
+            if child != tomb_name:
+                fs_delete_dir(f"{path}/tombstones/{child}", spark)
+                removed.append(f"tombstones/{child}")
+        if not tomb_name and fs_delete_dir(f"{path}/tombstones", spark):
+            removed.append("tombstones")
+        return {"removed": removed}
+    finally:
+        if lease is not None:
+            lease.close()
+
+
 def _ivf_base_root(meta: dict, path: str) -> str:
     """Directory holding assignments/ (and codes/): ``path`` for the
     build layout, ``path/base-gNNNNN`` after a vacuum generation."""

@@ -167,6 +167,52 @@ def test_delete_noop_and_interrupted_publish(spark, tmp_path, monkeypatch):
     assert not any(r[2] in killed for r in got)
 
 
+def test_repair_sweeps_orphan_generations(spark, tmp_path, monkeypatch):
+    """Crash a delete AND a vacuum mid-publish: repair sweeps the orphan
+    ts-g / base-g litter without touching referenced data; a missing
+    REFERENCED dir raises."""
+    from restructure_hdfs_topic_spark.operators.ivf_index import (
+        repair_ivf_index,
+    )
+
+    emb = _emb(spark)
+    path = str(tmp_path / "ivf")
+    build_ivf_index(emb, path, n_centroids=16, lloyd_iters=1)
+    delete_ivf_vectors(spark, path, _ids(spark, emb.filter(KILL())))
+    qs = emb.filter(F.col("vec_id") % 20 == 0)
+    before = _rows(query_ivf_index(spark, path, qs, k=5, nprobe=10))
+
+    real_publish = ivx._write_meta_atomic
+
+    def boom(*_a, **_k):
+        raise RuntimeError("crash")
+
+    # Orphan base-g from a crashed vacuum + orphan ts-g from a crashed
+    # follow-up delete.
+    monkeypatch.setattr(ivx, "_write_meta_atomic", boom)
+    with pytest.raises(RuntimeError, match="crash"):
+        vacuum_ivf_index(spark, path)
+    with pytest.raises(RuntimeError, match="crash"):
+        delete_ivf_vectors(
+            spark, path, _ids(spark, emb.filter(F.col("vec_id") % 5 == 2))
+        )
+    monkeypatch.setattr(ivx, "_write_meta_atomic", real_publish)
+    assert os.path.isdir(f"{path}/base-g00001")
+    assert os.path.isdir(f"{path}/tombstones/ts-g00002")
+
+    rep = repair_ivf_index(spark, path)
+    assert "base-g00001" in rep["removed"]
+    assert "tombstones/ts-g00002" in rep["removed"]
+    assert not os.path.exists(f"{path}/base-g00001")
+    assert os.path.isdir(f"{path}/tombstones/ts-g00001")  # referenced, kept
+    assert _rows(query_ivf_index(spark, path, qs, k=5, nprobe=10)) == before
+
+    # Damage beyond janitorial repair: referenced tombstone gone.
+    shutil.rmtree(f"{path}/tombstones/ts-g00001")
+    with pytest.raises(RuntimeError, match="damaged"):
+        repair_ivf_index(spark, path)
+
+
 def test_ivfpq_query_respects_tombstones_and_vacuum(spark, tmp_path):
     from restructure_hdfs_topic_spark.operators.pq import (
         build_pq_for_ivf,
