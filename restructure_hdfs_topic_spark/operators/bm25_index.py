@@ -219,8 +219,12 @@ def build_bm25_index(
         # (stale → rebuild), not leave the PREVIOUS intact meta describing
         # the new postings — that would silently serve new postings
         # against old vocab/n_docs/sum_dl.  Meta is re-written LAST, once
-        # every artifact it describes is durably in place.
-        delete_small_file(f"{path}/{_META}", spark=docs.sparkSession)
+        # every artifact it describes is durably in place.  The atomic
+        # publisher's fallback copies (.old/.tmp) go too — the fallback
+        # READER would otherwise resurrect the stale .old version and
+        # reopen exactly the window this deletion closes.
+        for suffix in ("", ".old", ".tmp"):
+            delete_small_file(f"{path}/{_META}{suffix}", spark=docs.sparkSession)
 
         n_docs, sum_dl = _write_segment(
             docs, path, id_col, text_col, n_buckets, fp_mod=_FP_SAMPLE_MOD

@@ -119,26 +119,58 @@ def build_ivf_index(
     n_centroids: int | None = None,
     lloyd_iters: int = 1,
     n_rows: int | None = None,
+    lock: bool = True,
 ) -> dict:
     """Train the coarse quantizer and materialize the inverted file at
     ``path``.  Returns the meta dict.  Deterministic end-to-end: seeds
     are the lowest-``xxhash64(id)`` vectors (order-independent), Lloyd
     refinement is exact int64, and the partitioned write is one
-    ``partitionBy(cluster)`` repartition."""
+    ``partitionBy(cluster)`` repartition.
+
+    Runs under the artifact's single-writer mutation lease (like every
+    other mutator of this layout): a rebuild overwrites dirs and sweeps
+    generations a concurrent delete/vacuum/append would be reading and
+    publishing against."""
+    from restructure_hdfs_topic_spark.locks import artifact_mutation_lease
+
+    _check_integral_id(embeddings, id_col)
+    lease = artifact_mutation_lease(
+        embeddings.sparkSession, path, "ivf-mutate", lock=lock
+    )
+    try:
+        return _build_ivf_index(
+            embeddings, path, id_col, vec_col, n_centroids, lloyd_iters, n_rows
+        )
+    finally:
+        if lease is not None:
+            lease.close()
+
+
+def _build_ivf_index(
+    embeddings: DataFrame,
+    path: str,
+    id_col: str,
+    vec_col: str,
+    n_centroids: int | None,
+    lloyd_iters: int,
+    n_rows: int | None,
+) -> dict:
     import math
 
     import numpy as np
 
     from restructure_hdfs_topic_spark.compression import delete_small_file
 
-    _check_integral_id(embeddings, id_col)
     # Invalidate FIRST (the ADVICE-r10 discipline the BM25 build follows):
     # a build killed between the assignments overwrite and the meta write
     # must present as "no meta", never as the previous meta describing
-    # half-written assignments.
-    delete_small_file(
-        f"{path}/{_META}", spark=embeddings.sparkSession
-    )
+    # half-written assignments.  The atomic publisher's fallback copies
+    # (.old/.tmp) must go too — a fallback reader resurrecting .old would
+    # reopen exactly the window this deletion closes.
+    for suffix in ("", ".old", ".tmp"):
+        delete_small_file(
+            f"{path}/{_META}{suffix}", spark=embeddings.sparkSession
+        )
     n = n_rows if n_rows is not None else embeddings.count()
     if n_centroids is None:
         n_centroids = max(2, min(65536, int(math.isqrt(n))))
@@ -297,10 +329,17 @@ def append_to_ivf_index(
     deployment shape — the coarse quantizer is retrained rarely, arrivals
     are routed into the trained cells; FAISS's ``add`` after ``train``).
     Returns the updated meta.  Append is idempotent-unsafe by design
-    (same ids appended twice will both be stored) — run the incremental
-    dedup operators upstream; cell quality degrades only if the new
-    data's distribution drifts far from the training corpus, at which
-    point rebuild.
+    (same ids appended twice will both be stored, INCLUDING a crash
+    between the data append and the meta publish followed by a replay of
+    the same batch — ``mode=append`` has no overwrite-my-own-orphan
+    property) — run the incremental dedup operators upstream; recover a
+    suspected double-append with ``delete_ivf_vectors`` of the batch ids
+    + ``vacuum_ivf_index`` + a fresh append.  Ids currently TOMBSTONED
+    by ``delete_ivf_vectors`` are rejected loudly (the serve-time
+    anti-join would silently hide the new vector behind the tombstone) —
+    vacuum first, or use fresh ids.  Cell quality degrades only if the
+    new data's distribution drifts far from the training corpus, at
+    which point rebuild.
 
     Scale shape: one Arrow assignment pass against broadcast centroids +
     one ``partitionBy(cluster)`` append — only touched cluster
@@ -353,6 +392,7 @@ def _append_to_ivf_index(
         ),
         scope="ivf_index.append.members",
     )
+    _reject_tombstoned_appends(spark, meta, path, members.select("id"))
     (
         members.repartition(F.col("cluster"))
         .write.mode("append")
@@ -398,6 +438,11 @@ def query_ivf_index(
     import numpy as np
 
     meta = load_ivf_meta(spark, path)
+    if int(meta["n"]) - int(meta.get("n_deleted", 0)) <= 0:
+        # Everything deleted (and possibly vacuumed — an all-deleted
+        # vacuum's generation holds no parquet files, so reading it would
+        # fail on schema inference; it also cannot hold a neighbor).
+        return _empty_topk(spark)
     cent_rows = (
         spark.read.parquet(f"{path}/centroids").orderBy("cluster").collect()
     )
@@ -647,10 +692,22 @@ def repair_ivf_index(
                 removed.append(f"tombstones/{child}")
         if not tomb_name and fs_delete_dir(f"{path}/tombstones", spark):
             removed.append("tombstones")
+        from restructure_hdfs_topic_spark.compression import delete_small_file
+
+        for suffix in (".tmp", ".old"):
+            if delete_small_file(f"{path}/{_META}{suffix}", spark=spark):
+                removed.append(f"{_META}{suffix}")
         return {"removed": removed}
     finally:
         if lease is not None:
             lease.close()
+
+
+def _empty_topk(spark: SparkSession) -> DataFrame:
+    """Empty frame with the serve schema — the all-deleted index case."""
+    return spark.createDataFrame(
+        [], "query_id long, rank bigint, neighbor_id long, cosine double"
+    )
 
 
 def _ivf_base_root(meta: dict, path: str) -> str:
@@ -666,6 +723,28 @@ def _ivf_tombstone_df(spark: SparkSession, meta: dict, path: str):
     if not tomb:
         return None
     return spark.read.parquet(f"{path}/tombstones/{tomb}").select("id")
+
+
+def _reject_tombstoned_appends(
+    spark: SparkSession, meta: dict, path: str, batch_ids: DataFrame
+) -> None:
+    """An id re-appended while still tombstoned would be silently
+    invisible at serve time (the anti-join matches the OLD and the NEW
+    row) and would corrupt the vacuum's ``n`` accounting — fail loudly
+    instead.  Recovery: ``vacuum_ivf_index`` first (purging the
+    tombstone physically frees the id), or use fresh ids.  Cost: one
+    batch × tombstone semi-join, only when deletions exist."""
+    tomb = _ivf_tombstone_df(spark, meta, path)
+    if tomb is None:
+        return
+    n = batch_ids.join(tomb, "id", "left_semi").count()
+    if n:
+        raise ValueError(
+            f"append: {n} id(s) in this batch are currently tombstoned — "
+            "serving would silently hide the new vectors behind the "
+            "tombstone.  Run vacuum_ivf_index first (physical purge frees "
+            "the ids) or append under fresh ids."
+        )
 
 
 def _write_meta(spark: SparkSession, path: str, meta: dict) -> None:

@@ -652,9 +652,11 @@ def append_to_ivfpq_index(
     )
     from restructure_hdfs_topic_spark.operators.ivf_index import (
         _ivf_base_root,
+        _reject_tombstoned_appends,
         _write_meta_atomic,
     )
 
+    _reject_tombstoned_appends(spark, meta, path, members.select("id"))
     base = _ivf_base_root(meta, path)
     (
         members.repartition(F.col("cluster"))
@@ -697,6 +699,10 @@ def query_ivfpq_index(
     import numpy as np
 
     meta = load_ivf_meta(spark, path)
+    if int(meta["n"]) - int(meta.get("n_deleted", 0)) <= 0:
+        from restructure_hdfs_topic_spark.operators.ivf_index import _empty_topk
+
+        return _empty_topk(spark)  # all deleted — nothing can be ranked
     books, pq_meta = _load_books(spark, path)
     cent_rows = (
         spark.read.parquet(f"{path}/centroids").orderBy("cluster").collect()

@@ -167,6 +167,66 @@ def test_delete_noop_and_interrupted_publish(spark, tmp_path, monkeypatch):
     assert not any(r[2] in killed for r in got)
 
 
+def test_all_deleted_index_serves_empty_not_crash(spark, tmp_path):
+    """Deleting EVERY vector (then vacuuming) must serve an empty frame,
+    not crash on schema inference over the fileless generation."""
+    from restructure_hdfs_topic_spark.operators.pq import (
+        build_pq_for_ivf,
+        query_ivfpq_index,
+    )
+
+    emb = _emb(spark).limit(200)
+    path = str(tmp_path / "ivf")
+    build_ivf_index(emb, path, n_centroids=8, lloyd_iters=1, n_rows=200)
+    build_pq_for_ivf(emb, path, m=8)
+    delete_ivf_vectors(spark, path, _ids(spark, emb))
+    qs = _emb(spark).filter(F.col("vec_id") % 20 == 0)
+    assert query_ivf_index(spark, path, qs, k=5, nprobe=4).count() == 0
+    assert query_ivfpq_index(spark, path, qs, k=5, nprobe=4).count() == 0
+    vacuum_ivf_index(spark, path)
+    assert query_ivf_index(spark, path, qs, k=5, nprobe=4).count() == 0
+    assert query_ivfpq_index(spark, path, qs, k=5, nprobe=4).count() == 0
+
+
+def test_reappending_tombstoned_id_rejected_until_vacuum(spark, tmp_path):
+    """Re-adding a currently-tombstoned id would be silently invisible at
+    serve time — rejected loudly; after a vacuum the id is free again."""
+    from restructure_hdfs_topic_spark.operators.ivf_index import (
+        append_to_ivf_index,
+    )
+
+    emb = _emb(spark)
+    path = str(tmp_path / "ivf")
+    build_ivf_index(emb, path, n_centroids=16, lloyd_iters=1)
+    batch = emb.filter(KILL())
+    delete_ivf_vectors(spark, path, _ids(spark, batch))
+    with pytest.raises(ValueError, match="tombstoned"):
+        append_to_ivf_index(batch, path)
+    vacuum_ivf_index(spark, path)
+    meta = append_to_ivf_index(batch, path)  # physical purge freed the ids
+    assert meta["n"] == emb.count()
+    qs = emb.filter(F.col("vec_id") % 20 == 0)
+    rows = query_ivf_index(spark, path, qs, k=5, nprobe=10).collect()
+    readded = {r["vec_id"] for r in batch.limit(5).collect()}
+    # Re-added vectors are servable again (at least one ranks somewhere
+    # for SOME query — their own near-identical neighbors exist).
+    assert rows
+
+
+def test_build_requires_the_mutation_lease(spark, tmp_path):
+    from restructure_hdfs_topic_spark.locks import artifact_mutation_lease
+
+    emb = _emb(spark).limit(100)
+    path = str(tmp_path / "ivf")
+    held = artifact_mutation_lease(spark, path, "ivf-mutate")
+    try:
+        with pytest.raises(RuntimeError, match="another writer"):
+            build_ivf_index(emb, path, n_centroids=4, lloyd_iters=1, n_rows=100)
+    finally:
+        held.close()
+    build_ivf_index(emb, path, n_centroids=4, lloyd_iters=1, n_rows=100)
+
+
 def test_repair_sweeps_orphan_generations(spark, tmp_path, monkeypatch):
     """Crash a delete AND a vacuum mid-publish: repair sweeps the orphan
     ts-g / base-g litter without touching referenced data; a missing
