@@ -1652,6 +1652,211 @@ def q_ivf_tombstone_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return query_ivf_index(spark, path, queries, k=5, nprobe=10)
 
 
+def q_ivf_append_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crash-replay-idempotent IVF append witness (r13, VERDICT r12 #1):
+    base index over ``vec_id % 3 != 0``, then the remaining vectors are
+    appended ONCE with a simulated crash-before-publish first (the
+    generation dir lands as an unreferenced orphan) and REPLAYED — the
+    replay overwrites its own orphan, so the union holds every vector
+    exactly once and the served top-k is bit-identical to a clean
+    single-append index.  Emits the check table the harness digests;
+    directed + property coverage in tests/test_ivf_append_replay.py and
+    tests/test_r13_properties.py (bench/extras surface)."""
+    import shutil
+
+    from restructure_hdfs_topic_spark.operators import ivf_index as _ivx
+    from restructure_hdfs_topic_spark.operators.ivf_index import (
+        append_to_ivf_index,
+        build_ivf_index,
+        load_ivf_meta,
+        query_ivf_index,
+    )
+
+    _conf(spark)
+    emb = _t(spark, sf_dir, "embeddings")
+    sf_tag = os.path.basename(os.path.normpath(sf_dir))
+    crashy = f"/tmp/spark_graft_ivf_replay_{sf_tag}_crashy"
+    clean = f"/tmp/spark_graft_ivf_replay_{sf_tag}_clean"
+    base = emb.filter(F.col("vec_id") % 3 != 0)
+    extra = emb.filter(F.col("vec_id") % 3 == 0)
+    # Fresh lifecycle each call: the emitted counters describe THIS
+    # crash+replay run, so stale artifacts must never satisfy it.
+    for p in (crashy, clean):
+        shutil.rmtree(p, ignore_errors=True)
+        build_ivf_index(base, p, lloyd_iters=1)
+
+    real_publish = _ivx._write_meta_atomic
+
+    def _boom(*_a, **_k):
+        raise RuntimeError("simulated crash before publish")
+
+    _ivx._write_meta_atomic = _boom
+    try:
+        append_to_ivf_index(extra, crashy)
+    except RuntimeError:
+        pass
+    finally:
+        _ivx._write_meta_atomic = real_publish
+    orphan_unreferenced = int(
+        load_ivf_meta(spark, crashy).get("appends", []) == []
+    )
+    meta = append_to_ivf_index(extra, crashy)  # replay overwrites orphan
+    append_to_ivf_index(extra, clean)
+
+    union = _ivx._read_ivf_union(spark, meta, crashy, "assignments")
+    n_union = union.count()
+    n_dup = union.groupBy("id").count().filter(F.col("count") > 1).count()
+    queries = emb.filter(F.col("vec_id") % 20 == 0)
+    got = sorted(
+        map(tuple, query_ivf_index(spark, crashy, queries, k=5, nprobe=10).collect())
+    )
+    want = sorted(
+        map(tuple, query_ivf_index(spark, clean, queries, k=5, nprobe=10).collect())
+    )
+    rows = [
+        ("n_total", int(meta["n"])),
+        ("n_union_rows", int(n_union)),
+        ("dup_ids", int(n_dup)),
+        ("orphan_unreferenced_after_crash", orphan_unreferenced),
+        ("replay_single_generation", int(len(meta["appends"]) == 1)),
+        ("served_equals_clean_append", int(bool(got) and got == want)),
+    ]
+    return spark.createDataFrame(rows, "check_name string, value long")
+
+
+def q_ivf_lifecycle_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full IVF mutation chain priced and digested end-to-end (r13,
+    VERDICT r12 #5): build → delete (tombstones) → vacuum (physical
+    purge, generational base switch) → append (replay-safe append-g
+    generation; re-uses the vacuumed-away ids, which the purge freed) →
+    delete again (tombstones over base ∪ appends) → serve.  The final
+    top-k is the digest surface: every step is deterministic, so the
+    result must be partitioning-independent at sf1 — the chain exercises
+    the union reader, the anti-join, and both generation kinds in one
+    row.  Step equivalences pinned in tests/test_ivf_delete.py,
+    tests/test_ivf_append_replay.py, tests/test_r13_properties.py
+    (bench/extras surface)."""
+    import shutil
+
+    from restructure_hdfs_topic_spark.operators.ivf_index import (
+        build_ivf_index,
+        delete_ivf_vectors,
+        append_to_ivf_index,
+        query_ivf_index,
+        vacuum_ivf_index,
+    )
+
+    _conf(spark)
+    emb = _t(spark, sf_dir, "embeddings")
+    sf_tag = os.path.basename(os.path.normpath(sf_dir))
+    path = f"/tmp/spark_graft_ivf_chain_{sf_tag}"
+    shutil.rmtree(path, ignore_errors=True)  # fresh deterministic chain
+    build_ivf_index(emb, path, lloyd_iters=1)
+    delete_ivf_vectors(
+        spark, path, emb.filter(F.col("vec_id") % 7 == 3).select("vec_id")
+    )
+    vacuum_ivf_index(spark, path)
+    # The vacuum physically freed the deleted ids — re-append them as the
+    # "corrected re-ingest" a takedown-then-fix workflow produces.
+    append_to_ivf_index(emb.filter(F.col("vec_id") % 7 == 3), path)
+    delete_ivf_vectors(
+        spark, path, emb.filter(F.col("vec_id") % 5 == 1).select("vec_id")
+    )
+    queries = emb.filter(F.col("vec_id") % 20 == 0)
+    return query_ivf_index(spark, path, queries, k=5, nprobe=10)
+
+
+def q_corpus_forget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unified takedown lane witness (r13, VERDICT r12 #4): documents are
+    indexed EVERYWHERE (BM25 inverted index, IVF vector index,
+    incremental-dedup fingerprint state), then one ``Corpus.forget``
+    fans the deletion out — afterwards no serve path ever surfaces a
+    forgotten id and a re-submission of forgotten content is accepted
+    as novel.  Emits the per-lane check table; composed e2e pinned in
+    tests/test_takedown.py (bench/extras surface)."""
+    import shutil
+
+    from restructure_hdfs_topic_spark.corpus import Corpus
+    from restructure_hdfs_topic_spark.operators.bm25_index import (
+        build_bm25_index,
+        query_bm25_index,
+    )
+    from restructure_hdfs_topic_spark.operators.incremental import ingest_batch
+    from restructure_hdfs_topic_spark.operators.ivf_index import (
+        build_ivf_index,
+        query_ivf_index,
+    )
+    from restructure_hdfs_topic_spark.operators.retrieval import corpus_queries
+
+    _conf(spark)
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    emb = _t(spark, sf_dir, "embeddings")
+    sf_tag = os.path.basename(os.path.normpath(sf_dir))
+    root = f"/tmp/spark_graft_forget_{sf_tag}"
+    # Fresh lifecycle each call (the counters describe THIS run).
+    shutil.rmtree(root, ignore_errors=True)
+    bm25_path, ivf_path = f"{root}/bm25", f"{root}/ivf"
+    state, sink = f"{root}/state", f"{root}/accepted"
+    build_bm25_index(docs, bm25_path, n_buckets=64)
+    build_ivf_index(emb, ivf_path, lloyd_iters=1)
+    ingest_batch(
+        spark,
+        state,
+        docs,
+        lambda accepted: accepted.write.mode("append").parquet(sink),
+    )
+
+    kill_docs = docs.filter(F.col("doc_id") % 13 == 5)
+    kill_vecs = emb.filter(F.col("vec_id") % 13 == 5)
+    report = Corpus(kill_docs, id_col="doc_id").forget(
+        bm25_path=bm25_path, state_dir=state
+    )
+    report_ivf = Corpus(
+        kill_vecs.select("vec_id"), id_col="vec_id"
+    ).forget(ivf_path=ivf_path)
+
+    killed = kill_docs.select(F.col("doc_id").alias("__kill"))
+    served_bm25 = query_bm25_index(
+        spark, bm25_path, corpus_queries(docs.filter(F.col("doc_id") % 17 == 1)), k=10
+    )
+    bm25_leaks = served_bm25.join(
+        killed, served_bm25["doc_id"] == killed["__kill"]
+    ).count()
+    served_ivf = query_ivf_index(
+        spark, ivf_path, emb.filter(F.col("vec_id") % 17 == 1), k=5, nprobe=10
+    )
+    ivf_leaks = served_ivf.join(
+        killed, served_ivf["neighbor_id"] == killed["__kill"]
+    ).count()
+    resub = kill_docs.select(
+        (F.col("doc_id") + F.lit(10_000_000)).alias("doc_id"), F.col("text")
+    )
+    out = ingest_batch(
+        spark,
+        state,
+        resub,
+        lambda accepted: accepted.write.mode("append").parquet(sink),
+    )
+    n_kill = kill_docs.count()
+    # Distinct-text accounting: identical texts share one fingerprint, so
+    # the fp lane removes (and the resubmission re-accepts) one row per
+    # distinct forgotten text whose content no survivor shares.
+    rows = [
+        ("n_killed", int(n_kill)),
+        ("bm25_deleted", int(report["bm25"]["n_deleted"])),
+        ("ivf_deleted", int(report_ivf["ivf"]["n_deleted"])),
+        ("fp_removed", int(report["incremental"]["fp_state"]["removed"])),
+        ("bm25_serve_leaks", int(bm25_leaks)),
+        ("ivf_serve_leaks", int(ivf_leaks)),
+        ("resub_accepted", int(out["accepted_rows"])),
+        (
+            "resub_matches_fp_removed",
+            int(out["accepted_rows"] == report["incremental"]["fp_state"]["removed"]),
+        ),
+    ]
+    return spark.createDataFrame(rows, "check_name string, value long")
+
+
 _PQ_BOOKS_MEMO: dict = {}
 
 
@@ -2796,6 +3001,17 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # remove_ids); same-centroid witness equality in
         # tests/test_ivf_delete.py.
         "ivf_tombstone_query": q_ivf_tombstone_query,
+        # r13: crash-replay-idempotent IVF append witness (generational
+        # append-g dirs; replay overwrites its own orphan); directed +
+        # property coverage in tests/test_ivf_append_replay.py.
+        "ivf_append_replay": q_ivf_append_replay,
+        # r13: build→delete→vacuum→append→delete chain, final serve as
+        # the digest surface; step equivalences in tests/test_ivf_*.py.
+        "ivf_lifecycle_chain": q_ivf_lifecycle_chain,
+        # r13: unified takedown lane (Corpus.forget fans out to BM25 +
+        # IVF tombstones + incremental-state retraction); composed e2e
+        # in tests/test_takedown.py.
+        "corpus_forget": q_corpus_forget,
         # UniMax epoch-capped mixture; exact allocation + realization
         # witnesses in tests/test_unimax.py.
         "unimax_sample": q_unimax_sample,

@@ -167,6 +167,19 @@ def small_file_exists(path: str, spark=None) -> bool:
     return os.path.exists(path)
 
 
+class _FaultInjected(RuntimeError):
+    """Raised by a monkeypatched ``_fault_point`` in crash-path tests."""
+
+
+def _fault_point(tag: str) -> None:
+    """Fault-injection hook: a NO-OP in production.  Crash-surface tests
+    (tests/test_r13_properties.py) monkeypatch it to raise
+    ``_FaultInjected`` at a chosen point of the atomic-publish fallback
+    protocol, pinning the invariant that a reader always recovers SOME
+    valid version at every crash point — the standard storage-engine
+    fault-injection pattern (e.g. LevelDB/RocksDB FaultInjectionTestEnv)."""
+
+
 def write_small_file_atomic(path: str, payload: bytes, spark=None) -> None:
     """Publish a small artifact ATOMICALLY: write to ``<path>.tmp`` then
     replace the target in one operation — ``os.replace`` locally (atomic
@@ -186,9 +199,11 @@ def write_small_file_atomic(path: str, payload: bytes, spark=None) -> None:
         if spark is None:
             raise ValueError(f"writing {path!r} over a URI needs spark")
         write_small_file(tmp, payload, spark=spark)
+        _fault_point("atomic.tmp_written")
         jvm, fs, p_dst = _hadoop_fs(spark, path)
         p_tmp = jvm.org.apache.hadoop.fs.Path(tmp)
         try:
+            _fault_point("atomic.filecontext")
             rename_enum = getattr(jvm.org.apache.hadoop.fs, "Options$Rename")
             fc = jvm.org.apache.hadoop.fs.FileContext.getFileContext(
                 p_dst.toUri(), spark._jsc.hadoopConfiguration()
@@ -197,6 +212,8 @@ def write_small_file_atomic(path: str, payload: bytes, spark=None) -> None:
             opts[0] = rename_enum.OVERWRITE
             fc.rename(p_tmp, p_dst, opts)
             return
+        except _FaultInjected:
+            pass  # test-forced fallback (same handling as no-FileContext)
         except Exception:
             # No FileContext for this scheme — keep one valid version
             # visible at all times: current → .old, tmp → path, drop .old.
@@ -205,10 +222,13 @@ def write_small_file_atomic(path: str, payload: bytes, spark=None) -> None:
         if fs.exists(p_dst):
             if fs.exists(p_old):
                 fs.delete(p_old, False)
+            _fault_point("fallback.stale_old_cleared")
             if not fs.rename(p_dst, p_old):
                 raise OSError(f"atomic publish of {path!r} failed moving old aside")
+            _fault_point("fallback.aside_done")
         if not fs.rename(p_tmp, p_dst):
             raise OSError(f"atomic publish of {path!r} failed at rename")
+        _fault_point("fallback.renamed_in")
         fs.delete(p_old, False)
         return
     import os
@@ -251,6 +271,19 @@ def fs_list_dir(path: str, spark) -> list[str]:
     if not fs.exists(p):
         return []
     return [str(st.getPath().getName()) for st in fs.listStatus(p)]
+
+
+def fs_mtime(path: str, spark) -> float | None:
+    """Modification time (epoch seconds) of a file or directory through
+    the Hadoop FileSystem, or ``None`` when the path does not exist.
+    Age-gated janitors (``repair_bm25_index``/``repair_ivf_index``
+    ``min_age_s``) key on the META file's mtime: any dir unreferenced by
+    a meta published ≥ age ago has been unreferenced at least that long."""
+    try:
+        _jvm, fs, p = _hadoop_fs(spark, path)
+        return fs.getFileStatus(p).getModificationTime() / 1000.0
+    except Exception:
+        return None
 
 
 def fs_rename(src: str, dst: str, spark) -> None:

@@ -579,6 +579,76 @@ class Corpus:
             self.df.sparkSession, path, self.df.select(self.id_col)
         )
 
+    def forget(
+        self,
+        bm25_path: str | None = None,
+        ivf_path: str | None = None,
+        state_dir: str | None = None,
+        surviving: DataFrame | None = None,
+    ) -> dict:
+        """The unified takedown / right-to-be-forgotten lane (VERDICT
+        r12 #4): treat THIS corpus as the set of documents to forget and
+        fan the deletion out to every index-like state that remembers
+        them — after it returns, every serve path behaves as if the
+        documents never existed:
+
+        - ``bm25_path``: tombstone the ids out of the on-disk BM25 index
+          (``delete_bm25_docs`` — served rows bit-identical to a rebuild
+          on the complement);
+        - ``ivf_path``: tombstone the ids out of the IVF / IVFPQ vector
+          index (``delete_ivf_vectors`` — FAISS ``remove_ids``
+          semantics; run ``vacuum_ivf_index`` later for physical purge);
+        - ``state_dir``: retract exact fingerprints and MinHash
+          signatures from the incremental-dedup state
+          (``delete_from_incremental_state`` — a NEW document
+          near-identical to a forgotten one is accepted again; pass
+          ``surviving`` when other documents may share the deleted
+          text).  The Bloom sidecar needs no retraction: the state
+          version moves, every consumer gates on it, and stale bitmaps
+          can only cause exact-verified false positives.
+
+        Each lane is optional (None skips it); lanes run independently
+        and the per-lane results/metas return as
+        ``{"bm25": ..., "ivf": ..., "incremental": ...}`` so a caller
+        can audit exactly what each store acknowledged.  At 100 TB each
+        lane costs one bounded aggregation + one atomic publish — never
+        a re-index."""
+        spark = self.df.sparkSession
+        report: dict = {"bm25": None, "ivf": None, "incremental": None}
+        if bm25_path is not None:
+            from restructure_hdfs_topic_spark.operators.bm25_index import (
+                delete_bm25_docs,
+            )
+
+            report["bm25"] = delete_bm25_docs(
+                spark, bm25_path, self.df.select(self.id_col)
+            )
+        if ivf_path is not None:
+            from restructure_hdfs_topic_spark.operators.ivf_index import (
+                delete_ivf_vectors,
+            )
+
+            report["ivf"] = delete_ivf_vectors(
+                spark,
+                ivf_path,
+                self.df.select(self.id_col),
+                id_col=self.id_col,
+            )
+        if state_dir is not None:
+            from restructure_hdfs_topic_spark.operators.incremental import (
+                delete_from_incremental_state,
+            )
+
+            report["incremental"] = delete_from_incremental_state(
+                spark,
+                state_dir,
+                docs=self.df,
+                surviving=surviving,
+                id_col=self.id_col,
+                text_col=self.text_col,
+            )
+        return report
+
     def export_shards(
         self, path: str, n_shards: int = 16, fmt: str = "json"
     ) -> DataFrame:

@@ -61,11 +61,21 @@ cannot mean a re-index.
 
 Size ``n_buckets`` so one bucket's postings fit a scan task (~64 at the
 test scales; thousands at 100 TB).
+
+READER CONTRACT (ADVICE r12): writers serialize on the mutation lease,
+but readers are lock-free — a reader that loaded a meta and lazily
+executes its plan AFTER a compaction/vacuum/delete sweep may fail
+mid-query on the swept superseded dirs.  The contract: a served plan
+must either run promptly after its meta load (the plans this module
+returns read their inputs on first action — re-serve on failure), or
+the operator defers sweeping — pass ``sweep_superseded=False`` to
+``compact_bm25_index``/``delete_bm25_docs`` and run
+``repair_bm25_index(min_age_s=...)`` periodically instead, which only
+sweeps once the publish that superseded a dir is at least ``min_age_s``
+old, giving in-flight plans that long to drain.
 """
 
 from __future__ import annotations
-
-import json
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -91,9 +101,11 @@ def _base_root(meta: dict, path: str) -> str:
     for a fresh build (legacy layout), or ``path/base-gNNNNN`` after a
     generational compaction — compact writes the merged base into a NEW
     generation dir and switches to it in one atomic meta publish, so no
-    crash point ever leaves the index without a valid meta."""
-    base = meta.get("base_dir", "")
-    return f"{path}/{base}" if base else path
+    crash point ever leaves the index without a valid meta.  (Shared
+    lifecycle machinery: ``restructure_hdfs_topic_spark.generations``.)"""
+    from restructure_hdfs_topic_spark.generations import base_root
+
+    return base_root(meta, path)
 
 
 def _doclens_dirs(meta: dict, path: str) -> list[str]:
@@ -113,10 +125,9 @@ def _doclens_dirs(meta: dict, path: str) -> list[str]:
 def _tombstone_df(spark: SparkSession, meta: dict, path: str):
     """The committed tombstone id set (one ``doc_id`` column), or None
     when the index has no deletions."""
-    tomb = meta.get("tomb_dir", "")
-    if not tomb:
-        return None
-    return spark.read.parquet(f"{path}/tombstones/{tomb}").select("doc_id")
+    from restructure_hdfs_topic_spark.generations import tombstone_df
+
+    return tombstone_df(spark, meta, path, "doc_id")
 
 
 # A crashed index writer's lease self-expires after this; break it earlier
@@ -210,7 +221,7 @@ def build_bm25_index(
     for callers that serialize externally): a second concurrent writer
     fails loudly instead of colliding on the artifact dirs.
     """
-    from restructure_hdfs_topic_spark.compression import delete_small_file
+    from restructure_hdfs_topic_spark.generations import invalidate_meta
 
     lease = _mutation_lease(docs.sparkSession, path, lock, lock_ttl_s)
     try:
@@ -219,12 +230,11 @@ def build_bm25_index(
         # (stale → rebuild), not leave the PREVIOUS intact meta describing
         # the new postings — that would silently serve new postings
         # against old vocab/n_docs/sum_dl.  Meta is re-written LAST, once
-        # every artifact it describes is durably in place.  The atomic
-        # publisher's fallback copies (.old/.tmp) go too — the fallback
-        # READER would otherwise resurrect the stale .old version and
-        # reopen exactly the window this deletion closes.
-        for suffix in ("", ".old", ".tmp"):
-            delete_small_file(f"{path}/{_META}{suffix}", spark=docs.sparkSession)
+        # every artifact it describes is durably in place.  The shared
+        # helper also removes the atomic publisher's fallback copies
+        # (.old/.tmp) — the fallback READER would otherwise resurrect the
+        # stale .old version and reopen exactly the window this closes.
+        invalidate_meta(docs.sparkSession, f"{path}/{_META}")
 
         n_docs, sum_dl = _write_segment(
             docs, path, id_col, text_col, n_buckets, fp_mod=_FP_SAMPLE_MOD
@@ -251,17 +261,17 @@ def build_bm25_index(
         # and generational bases a previous lifecycle left — they are
         # unreferenced by the fresh meta (a crash before this sweep
         # leaves harmless litter; repair_bm25_index also removes it).
-        from restructure_hdfs_topic_spark.compression import (
-            fs_delete_dir,
-            fs_list_dir,
+        from restructure_hdfs_topic_spark.generations import (
+            sweep_generational_litter,
         )
 
-        spark = docs.sparkSession
-        fs_delete_dir(f"{path}/segments", spark)
-        fs_delete_dir(f"{path}/tombstones", spark)
-        for child in fs_list_dir(path, spark):
-            if child.startswith("base-g"):
-                fs_delete_dir(f"{path}/{child}", spark)
+        sweep_generational_litter(
+            docs.sparkSession,
+            path,
+            _META,
+            seg_subdir="segments",
+            sweep_meta_litter=False,  # invalidate_meta already ran
+        )
         return meta
     finally:
         if lease is not None:
@@ -464,6 +474,7 @@ def compact_bm25_index(
     path: str,
     lock: bool = True,
     lock_ttl_s: int = MUTATION_LOCK_TTL_S,
+    sweep_superseded: bool = True,
 ) -> dict:
     """Merge the base and every appended segment back into the
     single-base layout — WITHOUT the original corpus text (the postings
@@ -527,8 +538,9 @@ def compact_bm25_index(
             merged["fp_xor_text"] ^= int(p.get("fp_xor_text", 0))
 
         if post_dirs or dl_dirs:
-            gen = int(meta.get("base_gen", 0)) + 1
-            new_base_name = f"base-g{gen:05d}"
+            from restructure_hdfs_topic_spark.generations import next_gen
+
+            gen, new_base_name = next_gen(meta, "base_gen", "base-g")
 
             def _union(kind: str, dirs: list[str], cols: list[str]) -> DataFrame:
                 out = None
@@ -611,15 +623,20 @@ def compact_bm25_index(
         # saw the pre-compaction meta and dirs, both fully intact.
         _write_meta_atomic(spark, f"{path}/{_META}", meta)
         # Post-publish cleanup of superseded dirs (crash here leaves
-        # stale litter only; repair_bm25_index sweeps it).
-        if (post_dirs or dl_dirs) and old_base != _base_root(meta, path):
-            fs_delete_dir(f"{old_base}/postings", spark)
-            fs_delete_dir(f"{old_base}/vocab", spark)
-            fs_delete_dir(f"{old_base}/doclens", spark)
-            if old_base != path:
-                fs_delete_dir(old_base, spark)
-        fs_delete_dir(f"{path}/segments", spark)
-        fs_delete_dir(f"{path}/tombstones", spark)
+        # stale litter only; repair_bm25_index sweeps it).  With
+        # ``sweep_superseded=False`` the dirs stay for an age-gated
+        # ``repair_bm25_index(min_age_s=...)`` pass, so lock-free readers
+        # holding the pre-compaction meta can drain (reader contract in
+        # the module docstring).
+        if sweep_superseded:
+            if (post_dirs or dl_dirs) and old_base != _base_root(meta, path):
+                fs_delete_dir(f"{old_base}/postings", spark)
+                fs_delete_dir(f"{old_base}/vocab", spark)
+                fs_delete_dir(f"{old_base}/doclens", spark)
+                if old_base != path:
+                    fs_delete_dir(old_base, spark)
+            fs_delete_dir(f"{path}/segments", spark)
+            fs_delete_dir(f"{path}/tombstones", spark)
         return meta
     finally:
         if lease is not None:
@@ -632,6 +649,7 @@ def delete_bm25_docs(
     ids: DataFrame,
     lock: bool = True,
     lock_ttl_s: int = MUTATION_LOCK_TTL_S,
+    sweep_superseded: bool = True,
 ) -> dict:
     """Delete documents from the index WITHOUT the corpus and WITHOUT a
     rebuild (Lucene's liveDocs/tombstone model — the lifecycle piece a
@@ -706,13 +724,17 @@ def delete_bm25_docs(
         # disagree with the durable tombstone set even if ``ids`` is a
         # non-deterministic plan (a sampled takedown batch, a limit):
         # whatever materialized IS what gets accounted.
-        gen = int(meta.get("tomb_gen", 0)) + 1
-        name = f"ts-g{gen:05d}"
+        from restructure_hdfs_topic_spark.generations import (
+            drop_tombstone_generation,
+            write_tombstone_generation,
+        )
+
         new_tomb = hits.select("doc_id")
         if tomb is not None:
             new_tomb = new_tomb.unionByName(tomb)
-        new_tomb.write.mode("overwrite").parquet(f"{path}/tombstones/{name}")
-        written = spark.read.parquet(f"{path}/tombstones/{name}").select("doc_id")
+        gen, name, written = write_tombstone_generation(
+            spark, path, meta, new_tomb, "doc_id"
+        )
         newly = written.join(tomb, "doc_id", "left_anti") if tomb is not None else written
         agg = doclens.join(newly, "doc_id").agg(
             F.count(F.lit(1)).alias("n_all"),
@@ -726,9 +748,7 @@ def delete_bm25_docs(
             # No live hits — rebuild-on-complement no-op.  Remove the
             # just-written (empty-delta) generation: the committed meta
             # never references it.
-            fs_delete_dir(f"{path}/tombstones/{name}", spark)
-            if not meta.get("tomb_dir"):
-                fs_delete_dir(f"{path}/tombstones", spark)
+            drop_tombstone_generation(spark, path, meta, name)
             return meta
         old_name = meta.get("tomb_dir", "")
         meta["tomb_dir"], meta["tomb_gen"] = name, gen
@@ -753,7 +773,7 @@ def delete_bm25_docs(
         # its own orphan (hits recomputed against the COMMITTED
         # tombstones, so the union converges).
         _write_meta_atomic(spark, f"{path}/{_META}", meta)
-        if old_name:
+        if old_name and sweep_superseded:
             fs_delete_dir(f"{path}/tombstones/{old_name}", spark)
         return meta
     finally:
@@ -766,6 +786,7 @@ def repair_bm25_index(
     path: str,
     lock: bool = True,
     lock_ttl_s: int = MUTATION_LOCK_TTL_S,
+    min_age_s: float = 0.0,
 ) -> dict:
     """Janitor for crash litter (Lucene's orphan-file cleanup analogue):
     delete segment directories the committed meta does NOT reference — a
@@ -781,11 +802,18 @@ def repair_bm25_index(
     segment is unreferenced until its atomic meta publish — the lease
     is what makes "unreferenced ⇒ orphan" a safe inference).
 
-    Returns ``{"removed": [...], "kept": [...]}``.
+    ``min_age_s`` is the lock-free READER grace period (module
+    docstring's reader contract): when the committed meta was published
+    less than ``min_age_s`` ago, the sweep is deferred (damage
+    validation still runs) — every unreferenced dir became unreferenced
+    no earlier than that publish, so waiting out the meta's age
+    guarantees in-flight plans loaded against the prior meta had at
+    least ``min_age_s`` to drain.
+
+    Returns ``{"removed": [...], "kept": [...]}`` (plus
+    ``"deferred": True`` when the age gate skipped the sweep).
     """
     from restructure_hdfs_topic_spark.compression import (
-        delete_small_file,
-        fs_delete_dir,
         fs_list_dir,
         small_file_exists,
     )
@@ -819,34 +847,33 @@ def repair_bm25_index(
                 f"{tomb_name} missing on disk — the index is damaged; "
                 "rebuild from the corpus"
             )
-        removed = []
-        for name in sorted(on_disk - set(referenced)):
-            fs_delete_dir(f"{path}/segments/{name}", spark)
-            removed.append(f"segments/{name}")
-        # Superseded / orphan base generations: anything base-g* that is
-        # not the CURRENT base, plus the legacy root pair once a
-        # generational base took over.
-        for child in sorted(fs_list_dir(path, spark)):
-            if child.startswith("base-g") and child != base_name:
-                fs_delete_dir(f"{path}/{child}", spark)
-                removed.append(child)
-        if base_name:
-            for d in ("postings", "vocab", "doclens"):
-                if fs_delete_dir(f"{path}/{d}", spark):
-                    removed.append(d)
-        # Orphan / superseded tombstone generations (a crashed delete's
-        # litter, or everything once compaction purged the tombstones).
-        for child in sorted(tombs_on_disk):
-            if child != tomb_name:
-                fs_delete_dir(f"{path}/tombstones/{child}", spark)
-                removed.append(f"tombstones/{child}")
-        if not tomb_name and fs_delete_dir(f"{path}/tombstones", spark):
-            removed.append("tombstones")
-        if fs_delete_dir(f"{path}/compact-tmp", spark):
-            removed.append("compact-tmp")
-        for suffix in (".tmp", ".old"):
-            if delete_small_file(f"{path}/{_META}{suffix}", spark=spark):
-                removed.append(f"{_META}{suffix}")
+        from restructure_hdfs_topic_spark.generations import age_gate_deferred
+
+        if age_gate_deferred(spark, f"{path}/{_META}", min_age_s):
+            return {
+                "removed": [],
+                "kept": sorted(referenced),
+                "deferred": True,
+            }
+        # One shared sweep (generations.py): unreferenced segments,
+        # superseded/orphan base generations, the legacy root triple once
+        # a generational base took over, orphan tombstone generations,
+        # compact-tmp scratch, and meta .tmp/.old litter.
+        from restructure_hdfs_topic_spark.generations import (
+            sweep_generational_litter,
+        )
+
+        removed = sweep_generational_litter(
+            spark,
+            path,
+            _META,
+            keep_children={base_name} if base_name else set(),
+            tomb_dir=tomb_name,
+            legacy_kinds=("postings", "vocab", "doclens") if base_name else (),
+            seg_subdir="segments",
+            referenced_segments=set(referenced),
+            extra_dirs=("compact-tmp",),
+        )
         return {"removed": removed, "kept": sorted(referenced)}
     finally:
         if lease is not None:
@@ -1016,24 +1043,25 @@ def _empty_result(spark: SparkSession, meta: dict, queries: DataFrame) -> DataFr
 
 
 def _write_meta(spark: SparkSession, path: str, meta: dict) -> None:
-    from restructure_hdfs_topic_spark.compression import write_small_file
+    from restructure_hdfs_topic_spark.generations import write_meta
 
-    write_small_file(path, json.dumps(meta).encode("utf-8"), spark=spark)
+    write_meta(spark, path, meta)
 
 
 def _write_meta_atomic(spark: SparkSession, path: str, meta: dict) -> None:
-    from restructure_hdfs_topic_spark.compression import write_small_file_atomic
+    from restructure_hdfs_topic_spark.generations import publish_meta
 
-    write_small_file_atomic(path, json.dumps(meta).encode("utf-8"), spark=spark)
+    publish_meta(spark, path, meta)
 
 
 def _read_meta(spark: SparkSession, path: str) -> dict:
-    # Fallback-aware: the atomic publish's object-store fallback path can
-    # leave the previous version at <path>.old for one instant — reading
-    # it honors "the old meta stays valid until the new one is durable".
-    from restructure_hdfs_topic_spark.compression import read_small_file_fallback
+    # Fallback-aware (generations.read_meta): the atomic publish's
+    # object-store fallback path can leave the previous version at
+    # <path>.old for one instant — reading it honors "the old meta stays
+    # valid until the new one is durable".
+    from restructure_hdfs_topic_spark.generations import read_meta
 
-    return json.loads(read_small_file_fallback(path, spark=spark).decode("utf-8"))
+    return read_meta(spark, path)
 
 
 def bm25_meta_exists(spark: SparkSession, path: str) -> bool:
@@ -1041,11 +1069,9 @@ def bm25_meta_exists(spark: SparkSession, path: str) -> bool:
     published meta — the explicit existence check the streaming sink's
     bootstrap decision needs (ADVICE r11: a transient read error must not
     look like "first batch")."""
-    from restructure_hdfs_topic_spark.compression import small_file_exists
+    from restructure_hdfs_topic_spark.generations import meta_exists
 
-    return small_file_exists(f"{path}/{_META}", spark=spark) or small_file_exists(
-        f"{path}/{_META}.old", spark=spark
-    )
+    return meta_exists(spark, f"{path}/{_META}")
 
 
 def bm25_artifacts_exist(spark: SparkSession, path: str) -> bool:

@@ -310,7 +310,10 @@ def save_bpe(
     once" and "encode corpora with it forever" (the reference's schema
     sidecar plays the same artifact role for Avro, SURVEY O24).  Local
     paths write directly; ``scheme://`` paths stream through the Hadoop
-    FS API (pass ``spark``)."""
+    FS API (pass ``spark``).  Published ATOMICALLY (r13): concurrent or
+    crashed saves leave a complete old or new version, never a torn
+    file — last-writer-wins, no lease needed for one self-contained
+    artifact."""
     import json
 
     payload = json.dumps(
@@ -322,9 +325,9 @@ def save_bpe(
         },
         ensure_ascii=False,
     ).encode("utf-8")
-    from restructure_hdfs_topic_spark.compression import write_small_file
+    from restructure_hdfs_topic_spark.compression import write_small_file_atomic
 
-    write_small_file(path, payload, spark=spark)
+    write_small_file_atomic(path, payload, spark=spark)
 
 
 def load_bpe(

@@ -70,13 +70,14 @@ def train_quality_classifier(
 def save_classifier(path: str, model: dict, spark=None) -> None:
     """Persist a trained model dict as one JSON artifact (local path or
     any Hadoop ``scheme://`` store — same artifact plumbing as
-    ``save_bpe``), so training and corpus-scoring jobs decouple."""
+    ``save_bpe``), so training and corpus-scoring jobs decouple.
+    Published ATOMICALLY (r13): last-writer-wins, never a torn file."""
     import json
 
-    from restructure_hdfs_topic_spark.compression import write_small_file
+    from restructure_hdfs_topic_spark.compression import write_small_file_atomic
 
     payload = dict(model, format="restructure_hdfs_topic_spark/quality-clf/v1")
-    write_small_file(
+    write_small_file_atomic(
         path, json.dumps(payload).encode("utf-8"), spark=spark
     )
 

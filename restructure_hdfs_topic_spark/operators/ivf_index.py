@@ -22,15 +22,30 @@ int64 partial sums ⇒ partitioning-independent centroids) and the
 hash-selected order-independent seeding of ``ivf_ann_topk``; scoring
 reuses ``_bucket_scorer`` (blocked int64 matmul per cluster group).
 
-Lifecycle (r12, mirroring the BM25 index): ``append_to_ivf_index`` routes
-arrivals into the trained cells (FAISS add-after-train);
+Lifecycle (r12/r13, mirroring the BM25 index — shared machinery in
+``restructure_hdfs_topic_spark.generations``): ``append_to_ivf_index``
+routes arrivals into the trained cells (FAISS add-after-train) as
+replay-safe ``<path>/append-gNNNNN/`` generations (r13 — deterministic
+names from the committed meta + atomic publish last, so a crashed
+append's replay overwrites its own orphan instead of double-storing);
 ``delete_ivf_vectors`` tombstones ids generationally
 (``<path>/tombstones/ts-gNNNNN/``, atomic meta publish) — serving
 anti-joins them, so results equal an index of the survivors under the
 same centroids (FAISS ``remove_ids``); ``vacuum_ivf_index`` purges
-tombstoned rows physically into a fresh ``base-gNNNNN/`` generation
-(assignments AND the IVFPQ code store move together) with the
-no-metaless-window publish discipline of ``compact_bm25_index``.
+tombstoned rows physically AND folds append generations into a fresh
+``base-gNNNNN/`` generation (assignments AND the IVFPQ code store move
+together) with the no-metaless-window publish discipline of
+``compact_bm25_index``.
+
+READER CONTRACT (ADVICE r12): writers serialize on the ``ivf-mutate``
+lease, but readers are lock-free — a reader that loaded a meta and
+lazily executes its plan AFTER a vacuum/delete sweep may fail mid-query
+on the swept superseded dirs.  Either re-serve promptly on failure, or
+defer sweeping: pass ``sweep_superseded=False`` to
+``vacuum_ivf_index``/``delete_ivf_vectors`` and run
+``repair_ivf_index(min_age_s=...)`` periodically — it only sweeps once
+the publish that superseded a dir is at least ``min_age_s`` old, giving
+in-flight plans that long to drain.
 """
 
 from __future__ import annotations
@@ -120,12 +135,16 @@ def build_ivf_index(
     lloyd_iters: int = 1,
     n_rows: int | None = None,
     lock: bool = True,
+    meta_extra: dict | None = None,
 ) -> dict:
     """Train the coarse quantizer and materialize the inverted file at
     ``path``.  Returns the meta dict.  Deterministic end-to-end: seeds
     are the lowest-``xxhash64(id)`` vectors (order-independent), Lloyd
     refinement is exact int64, and the partitioned write is one
-    ``partitionBy(cluster)`` repartition.
+    ``partitionBy(cluster)`` repartition.  ``meta_extra`` merges extra
+    keys into the published meta (the streaming sink's bootstrap stamps
+    its ``last_batch_id`` this way, so the build and the exactly-once
+    state commit together).
 
     Runs under the artifact's single-writer mutation lease (like every
     other mutator of this layout): a rebuild overwrites dirs and sweeps
@@ -139,7 +158,14 @@ def build_ivf_index(
     )
     try:
         return _build_ivf_index(
-            embeddings, path, id_col, vec_col, n_centroids, lloyd_iters, n_rows
+            embeddings,
+            path,
+            id_col,
+            vec_col,
+            n_centroids,
+            lloyd_iters,
+            n_rows,
+            meta_extra,
         )
     finally:
         if lease is not None:
@@ -154,23 +180,21 @@ def _build_ivf_index(
     n_centroids: int | None,
     lloyd_iters: int,
     n_rows: int | None,
+    meta_extra: dict | None = None,
 ) -> dict:
     import math
 
     import numpy as np
 
-    from restructure_hdfs_topic_spark.compression import delete_small_file
+    from restructure_hdfs_topic_spark.generations import invalidate_meta
 
     # Invalidate FIRST (the ADVICE-r10 discipline the BM25 build follows):
     # a build killed between the assignments overwrite and the meta write
     # must present as "no meta", never as the previous meta describing
-    # half-written assignments.  The atomic publisher's fallback copies
-    # (.old/.tmp) must go too — a fallback reader resurrecting .old would
-    # reopen exactly the window this deletion closes.
-    for suffix in ("", ".old", ".tmp"):
-        delete_small_file(
-            f"{path}/{_META}{suffix}", spark=embeddings.sparkSession
-        )
+    # half-written assignments.  The shared helper also removes the atomic
+    # publisher's fallback copies (.old/.tmp) — a fallback reader
+    # resurrecting .old would reopen exactly the window this closes.
+    invalidate_meta(embeddings.sparkSession, f"{path}/{_META}")
     n = n_rows if n_rows is not None else embeddings.count()
     if n_centroids is None:
         n_centroids = max(2, min(65536, int(math.isqrt(n))))
@@ -232,19 +256,24 @@ def _build_ivf_index(
         "n_centroids": int(n_centroids),
         "lloyd_iters": int(lloyd_iters),
     }
+    if meta_extra:
+        meta.update(meta_extra)
     _write_meta(spark, f"{path}/{_META}", meta)
-    # A rebuild resets to the root layout: sweep tombstones and vacuum
-    # generations a previous lifecycle left (unreferenced by the fresh
-    # meta; a crash before this sweep leaves harmless litter).
-    from restructure_hdfs_topic_spark.compression import (
-        fs_delete_dir,
-        fs_list_dir,
+    # A rebuild resets to the root layout: sweep tombstones, vacuum
+    # generations, and append generations a previous lifecycle left
+    # (unreferenced by the fresh meta; a crash before this sweep leaves
+    # harmless litter).
+    from restructure_hdfs_topic_spark.generations import (
+        sweep_generational_litter,
     )
 
-    fs_delete_dir(f"{path}/tombstones", spark)
-    for child in fs_list_dir(path, spark):
-        if child.startswith("base-g"):
-            fs_delete_dir(f"{path}/{child}", spark)
+    sweep_generational_litter(
+        spark,
+        path,
+        _META,
+        child_prefixes=("base-g", "append-g"),
+        sweep_meta_litter=False,  # invalidate_meta already ran
+    )
     return meta
 
 
@@ -323,50 +352,80 @@ def append_to_ivf_index(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     lock: bool = True,
+    meta_extra: dict | None = None,
 ) -> dict:
     """Incremental corpus growth: assign NEW embeddings to the EXISTING
     centroids and append them to the inverted file (the standard IVF
     deployment shape — the coarse quantizer is retrained rarely, arrivals
     are routed into the trained cells; FAISS's ``add`` after ``train``).
-    Returns the updated meta.  Append is idempotent-unsafe by design
-    (same ids appended twice will both be stored, INCLUDING a crash
-    between the data append and the meta publish followed by a replay of
-    the same batch — ``mode=append`` has no overwrite-my-own-orphan
-    property) — run the incremental dedup operators upstream; recover a
-    suspected double-append with ``delete_ivf_vectors`` of the batch ids
-    + ``vacuum_ivf_index`` + a fresh append.  Ids currently TOMBSTONED
-    by ``delete_ivf_vectors`` are rejected loudly (the serve-time
-    anti-join would silently hide the new vector behind the tombstone) —
-    vacuum first, or use fresh ids.  Cell quality degrades only if the
-    new data's distribution drifts far from the training corpus, at
-    which point rebuild.
+    Returns the updated meta.
+
+    CRASH-REPLAY IDEMPOTENT (r13, VERDICT r12 #1 — the BM25 segment
+    discipline): each batch lands in its own ``<path>/append-gNNNNN/``
+    generation dir whose name derives deterministically from the
+    COMMITTED meta, written ``mode=overwrite`` and referenced by the meta
+    only in the final atomic publish.  A crash between the data write and
+    the publish leaves the previous meta valid (the orphan dir is
+    unreferenced — ``repair_ivf_index`` sweeps it), and a REPLAY of the
+    same batch re-derives the same name and overwrites its own orphan —
+    no double-stored vectors, no ``n`` drift.  Serving unions the base
+    with every referenced append generation (the BM25 segment-union
+    shape); ``vacuum_ivf_index`` folds appends back into a single base.
+
+    Ids currently TOMBSTONED by ``delete_ivf_vectors`` are rejected
+    loudly (the serve-time anti-join would silently hide the new vector
+    behind the tombstone) — vacuum first, or use fresh ids.  Appended
+    ids must otherwise be NEW (the ``append_bm25_segment`` contract): an
+    id repeated across generations would serve as two corpus vectors.
+    Indexes carrying a PQ code store must append through
+    ``append_to_ivfpq_index`` (this appender is rejected there — it
+    would leave the new vectors codeless and invisible to the ADC scan).
+    Cell quality degrades only if the new data's distribution drifts far
+    from the training corpus, at which point rebuild.
 
     Scale shape: one Arrow assignment pass against broadcast centroids +
-    one ``partitionBy(cluster)`` append — only touched cluster
-    directories gain files.
+    one ``partitionBy(cluster)`` generation write.  ``meta_extra``
+    merges extra keys into the same atomic publish (the streaming sink's
+    ``last_batch_id`` rides here — state and data commit together).
 
     Runs under the artifact's single-writer mutation lease (VERDICT r11
-    #2): the parquet appends themselves are additive and collision-free,
-    but the meta's ``n`` is a read-modify-write — two concurrent
-    appenders would lose one batch's count.  A second writer fails
-    loudly; ``lock=False`` opts out for externally-serialized callers."""
-    import numpy as np
-
+    #2): generation names derive from the committed meta, so a second
+    concurrent appender would collide — it fails loudly instead;
+    ``lock=False`` opts out for externally-serialized callers."""
     from restructure_hdfs_topic_spark.locks import artifact_mutation_lease
 
     spark = embeddings.sparkSession
     _check_integral_id(embeddings, id_col)
     lease = artifact_mutation_lease(spark, path, "ivf-mutate", lock=lock)
     try:
-        return _append_to_ivf_index(embeddings, path, id_col, vec_col)
+        from restructure_hdfs_topic_spark.compression import small_file_exists
+
+        if small_file_exists(f"{path}/_pq_meta.json", spark=spark):
+            raise ValueError(
+                "append_to_ivf_index: this index carries a PQ code store — "
+                "append through append_to_ivfpq_index so the new vectors "
+                "get codes (a codeless append would be invisible to the "
+                "ADC scan)"
+            )
+        return _append_generation(
+            embeddings, path, id_col, vec_col, books=None, meta_extra=meta_extra
+        )
     finally:
         if lease is not None:
             lease.close()
 
 
-def _append_to_ivf_index(
-    embeddings: DataFrame, path: str, id_col: str, vec_col: str
+def _append_generation(
+    embeddings: DataFrame,
+    path: str,
+    id_col: str,
+    vec_col: str,
+    books=None,
+    meta_extra: dict | None = None,
 ) -> dict:
+    """Shared replay-safe append core (IVF and IVFPQ): one assignment
+    pass, one (or two, with ``books``) generation-dir writes, one atomic
+    publish.  Caller holds the ``ivf-mutate`` lease."""
     import numpy as np
 
     spark = embeddings.sparkSession
@@ -382,9 +441,9 @@ def _append_to_ivf_index(
     quant = embeddings.select(
         F.col(id_col).alias("id"), _quantize(F.col(vec_col)).alias("vec")
     )
-    # Persisted: the write and the meta-count below both consume the
+    # Persisted: the writes and the meta-count both consume the
     # assignment pass — without the cache the whole upstream lineage (the
-    # arrivals are typically a pipeline tail) would execute twice.
+    # arrivals are typically a pipeline tail) would execute repeatedly.
     members = scoped_persist(
         quant.mapInPandas(
             _assign_nearest(centroids),
@@ -393,15 +452,89 @@ def _append_to_ivf_index(
         scope="ivf_index.append.members",
     )
     _reject_tombstoned_appends(spark, meta, path, members.select("id"))
+    n_batch = int(members.count())
+    if n_batch == 0:
+        # An empty batch writes no parquet files (a fileless generation
+        # would fail schema inference at read) and cannot change the
+        # index — commit only the meta_extra keys, if any (the streaming
+        # sink's exactly-once state must advance even on empty batches).
+        if meta_extra:
+            meta.update(meta_extra)
+            meta["version"] = int(meta.get("version", 0)) + 1
+            _write_meta_atomic(spark, f"{path}/{_META}", meta)
+        return meta
+    from restructure_hdfs_topic_spark.generations import next_gen
+
+    gen, name = next_gen(meta, "append_gen", "append-g")
     (
         members.repartition(F.col("cluster"))
-        .write.mode("append")
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "static")
         .partitionBy("cluster")
-        .parquet(f"{_ivf_base_root(meta, path)}/assignments")
+        .parquet(f"{path}/{name}/assignments")
     )
-    meta["n"] = int(meta["n"]) + int(members.count())
+    if books is not None:
+        from restructure_hdfs_topic_spark.operators.pq import _make_encode_kernel
+
+        (
+            members.mapInPandas(
+                _make_encode_kernel(books, passthrough=("cluster",)),
+                schema="id long, code binary, cluster long",
+            )
+            .repartition(F.col("cluster"))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "static")
+            .partitionBy("cluster")
+            .parquet(f"{path}/{name}/codes")
+        )
+    meta["appends"] = list(meta.get("appends", [])) + [
+        {"name": name, "n": n_batch}
+    ]
+    meta["append_gen"] = gen
+    meta["n"] = int(meta["n"]) + n_batch
+    meta["version"] = int(meta.get("version", 0)) + 1
+    if meta_extra:
+        meta.update(meta_extra)
+    # THE publish: until this instant the new generation is unreferenced
+    # litter and the previous meta serves the pre-append corpus.
     _write_meta_atomic(spark, f"{path}/{_META}", meta)
     return meta
+
+
+def _ivf_data_dirs(meta: dict, path: str, kind: str) -> list[str]:
+    """Every referenced dir holding ``kind`` rows (``assignments`` or
+    ``codes``): the live base plus each referenced append generation, in
+    append order — the BM25 segment-union shape.  A zero-row base (an
+    all-deleted corpus vacuumed, then re-grown by appends) holds no
+    parquet files, so it is excluded — reading it would fail schema
+    inference and it cannot contribute rows anyway (the per-part row
+    arithmetic: physical rows = ``n``; base rows = ``n`` minus the
+    referenced appends' counts)."""
+    appends = meta.get("appends", [])
+    base_n = int(meta["n"]) - sum(int(a["n"]) for a in appends)
+    dirs = [f"{_ivf_base_root(meta, path)}/{kind}"] if base_n > 0 else []
+    return dirs + [f"{path}/{a['name']}/{kind}" for a in appends]
+
+
+def _read_ivf_union(
+    spark: SparkSession, meta: dict, path: str, kind: str
+) -> DataFrame:
+    """Union scan over the base + append generations of one store.  Each
+    part keeps its parquet partition pruning (the ``cluster`` partition
+    column survives the union, so an equi-join on cluster still prunes
+    every part's directories)."""
+    out = None
+    for d in _ivf_data_dirs(meta, path, kind):
+        part = spark.read.parquet(d)
+        out = part if out is None else out.unionByName(part)
+    if out is None:
+        schema = (
+            "id long, code binary, cluster long"
+            if kind == "codes"
+            else "id long, vec array<long>, cluster long"
+        )
+        return spark.createDataFrame([], schema)
+    return out
 
 
 def load_ivf_meta(spark: SparkSession, path: str) -> dict:
@@ -449,7 +582,7 @@ def query_ivf_index(
     centroids = np.stack(
         [np.asarray(r["centroid"], dtype=np.int64) for r in cent_rows]
     )
-    assignments = spark.read.parquet(f"{_ivf_base_root(meta, path)}/assignments")
+    assignments = _read_ivf_union(spark, meta, path, "assignments")
     tomb = _ivf_tombstone_df(spark, meta, path)
     if tomb is not None:
         # Tombstoned vectors are dead everywhere downstream: the
@@ -522,6 +655,7 @@ def delete_ivf_vectors(
     ids: DataFrame,
     id_col: str = "vec_id",
     lock: bool = True,
+    sweep_superseded: bool = True,
 ) -> dict:
     """Delete vectors from the index WITHOUT a rebuild (FAISS
     ``remove_ids`` semantics; the same takedown lane
@@ -548,34 +682,33 @@ def delete_ivf_vectors(
     try:
         meta = load_ivf_meta(spark, path)
         want = ids.select(F.col(id_col).alias("id")).distinct()
-        live = (
-            spark.read.parquet(f"{_ivf_base_root(meta, path)}/assignments")
-            .select("id")
-        )
+        live = _read_ivf_union(spark, meta, path, "assignments").select("id")
         tomb = _ivf_tombstone_df(spark, meta, path)
         if tomb is not None:
             live = live.join(tomb, "id", "left_anti")
         hits = live.join(want, "id")
-        gen = int(meta.get("tomb_gen", 0)) + 1
-        name = f"ts-g{gen:05d}"
+        from restructure_hdfs_topic_spark.generations import (
+            drop_tombstone_generation,
+            write_tombstone_generation,
+        )
+
         new_tomb = hits if tomb is None else hits.unionByName(tomb)
-        new_tomb.write.mode("overwrite").parquet(f"{path}/tombstones/{name}")
-        written = spark.read.parquet(f"{path}/tombstones/{name}").select("id")
+        gen, name, written = write_tombstone_generation(
+            spark, path, meta, new_tomb, "id"
+        )
         newly = (
             written.join(tomb, "id", "left_anti") if tomb is not None else written
         )
         delta = int(newly.count())
         if delta == 0:
-            fs_delete_dir(f"{path}/tombstones/{name}", spark)
-            if not meta.get("tomb_dir"):
-                fs_delete_dir(f"{path}/tombstones", spark)
+            drop_tombstone_generation(spark, path, meta, name)
             return meta
         old_name = meta.get("tomb_dir", "")
         meta["tomb_dir"], meta["tomb_gen"] = name, gen
         meta["n_deleted"] = int(meta.get("n_deleted", 0)) + delta
         meta["version"] = int(meta.get("version", 0)) + 1
         _write_meta_atomic(spark, f"{path}/{_META}", meta)
-        if old_name:
+        if old_name and sweep_superseded:
             fs_delete_dir(f"{path}/tombstones/{old_name}", spark)
         return meta
     finally:
@@ -584,17 +717,23 @@ def delete_ivf_vectors(
 
 
 def vacuum_ivf_index(
-    spark: SparkSession, path: str, lock: bool = True
+    spark: SparkSession,
+    path: str,
+    lock: bool = True,
+    sweep_superseded: bool = True,
 ) -> dict:
-    """Physically purge tombstoned vectors: rewrite ``assignments/``
-    (and the IVFPQ ``codes/`` store when present) minus the tombstone
-    set into a fresh ``base-gNNNNN/`` generation, switch the meta to it
-    in ONE atomic publish, clear the tombstone state, then sweep the
-    superseded dirs — the generational no-metaless-window discipline of
-    ``compact_bm25_index``.  A crash before the publish leaves the
-    pre-vacuum index serving (tombstone-filtered, still exact); after,
-    the new generation is live with stale litter only.  No-op without
-    tombstones."""
+    """Physically purge tombstoned vectors AND fold append generations:
+    rewrite ``assignments/`` (and the IVFPQ ``codes/`` store when
+    present) — the union of the base and every append generation, minus
+    the tombstone set — into a fresh ``base-gNNNNN/`` generation, switch
+    the meta to it in ONE atomic publish, clear the tombstone and append
+    state, then sweep the superseded dirs — the generational
+    no-metaless-window discipline of ``compact_bm25_index`` (this is
+    also the IVF family's compaction: run it when the append-generation
+    count makes serve-time unions wide).  A crash before the publish
+    leaves the pre-vacuum index serving (tombstone-filtered, still
+    exact); after, the new generation is live with stale litter only.
+    No-op without tombstones or appends."""
     from restructure_hdfs_topic_spark.compression import (
         fs_delete_dir,
         small_file_exists,
@@ -605,35 +744,51 @@ def vacuum_ivf_index(
     try:
         meta = load_ivf_meta(spark, path)
         tomb = _ivf_tombstone_df(spark, meta, path)
-        if tomb is None:
-            return meta  # nothing tombstoned
+        appends = list(meta.get("appends", []))
+        if tomb is None and not appends:
+            return meta  # nothing tombstoned, nothing to fold
         old_base = _ivf_base_root(meta, path)
-        gen = int(meta.get("base_gen", 0)) + 1
-        new_base = f"base-g{gen:05d}"
+        from restructure_hdfs_topic_spark.generations import next_gen
+
+        gen, new_base = next_gen(meta, "base_gen", "base-g")
         kinds = ["assignments"]
-        if small_file_exists(f"{old_base}/codes", spark=spark):
+        # The code store moves with the assignments: present when the
+        # index carries a PQ meta (covers the fileless-base case where
+        # only append generations hold codes) or a base codes/ dir.
+        if small_file_exists(
+            f"{path}/_pq_meta.json", spark=spark
+        ) or small_file_exists(f"{old_base}/codes", spark=spark):
             kinds.append("codes")
         for kind in kinds:
+            live = _read_ivf_union(spark, meta, path, kind)
+            if tomb is not None:
+                live = live.join(tomb, "id", "left_anti")
             (
-                spark.read.parquet(f"{old_base}/{kind}")
-                .join(tomb, "id", "left_anti")
-                .repartition(F.col("cluster"))
+                live.repartition(F.col("cluster"))
                 .write.mode("overwrite")
+                .option("partitionOverwriteMode", "static")
                 .partitionBy("cluster")
                 .parquet(f"{path}/{new_base}/{kind}")
             )
         meta["base_gen"], meta["base_dir"] = gen, new_base
         meta["n"] = int(meta["n"]) - int(meta.get("n_deleted", 0))
+        meta["appends"] = []
         meta["tomb_dir"] = ""
         meta["n_deleted"] = 0
         meta["version"] = int(meta.get("version", 0)) + 1
         _write_meta_atomic(spark, f"{path}/{_META}", meta)
-        # Post-publish sweep (crash here leaves stale litter only).
-        for kind in kinds:
-            fs_delete_dir(f"{old_base}/{kind}", spark)
-        if old_base != path:
-            fs_delete_dir(old_base, spark)
-        fs_delete_dir(f"{path}/tombstones", spark)
+        # Post-publish sweep (crash here leaves stale litter only).  With
+        # ``sweep_superseded=False`` the dirs stay for an age-gated
+        # ``repair_ivf_index(min_age_s=...)`` pass — reader contract in
+        # the module docstring.
+        if sweep_superseded:
+            for kind in kinds:
+                fs_delete_dir(f"{old_base}/{kind}", spark)
+            if old_base != path:
+                fs_delete_dir(old_base, spark)
+            for a in appends:
+                fs_delete_dir(f"{path}/{a['name']}", spark)
+            fs_delete_dir(f"{path}/tombstones", spark)
         return meta
     finally:
         if lease is not None:
@@ -641,7 +796,10 @@ def vacuum_ivf_index(
 
 
 def repair_ivf_index(
-    spark: SparkSession, path: str, lock: bool = True
+    spark: SparkSession,
+    path: str,
+    lock: bool = True,
+    min_age_s: float = 0.0,
 ) -> dict:
     """Janitor for crash litter (the ``repair_bm25_index`` analogue): a
     delete killed before its atomic publish leaves an orphan
@@ -649,7 +807,10 @@ def repair_ivf_index(
     leaves an orphan ``base-g*`` generation — both unreferenced by the
     committed meta and safe to sweep under the single-writer lease.
     Raises when a REFERENCED dir is missing (damage beyond janitorial
-    repair — rebuild from the corpus).  Returns ``{"removed": [...]}.``"""
+    repair — rebuild from the corpus).  ``min_age_s`` defers the sweep
+    while the committed meta is younger than that (reader grace — see
+    the module docstring's reader contract); damage validation still
+    runs.  Returns ``{"removed": [...]}.``"""
     from restructure_hdfs_topic_spark.compression import (
         fs_delete_dir,
         fs_list_dir,
@@ -677,26 +838,37 @@ def repair_ivf_index(
                 f"{tomb_name} missing on disk — the index is damaged; "
                 "rebuild from the corpus"
             )
-        removed = []
-        for child in sorted(fs_list_dir(path, spark)):
-            if child.startswith("base-g") and child != base_name:
-                fs_delete_dir(f"{path}/{child}", spark)
-                removed.append(child)
-        if base_name:
-            for d in ("assignments", "codes"):
-                if fs_delete_dir(f"{path}/{d}", spark):
-                    removed.append(d)
-        for child in sorted(tombs_on_disk):
-            if child != tomb_name:
-                fs_delete_dir(f"{path}/tombstones/{child}", spark)
-                removed.append(f"tombstones/{child}")
-        if not tomb_name and fs_delete_dir(f"{path}/tombstones", spark):
-            removed.append("tombstones")
-        from restructure_hdfs_topic_spark.compression import delete_small_file
+        append_names = [a["name"] for a in meta.get("appends", [])]
+        missing_appends = [
+            a
+            for a in append_names
+            if not small_file_exists(f"{path}/{a}/assignments", spark=spark)
+        ]
+        if missing_appends:
+            raise RuntimeError(
+                f"repair_ivf_index: meta references append generations "
+                f"missing on disk: {missing_appends} — the index is "
+                "damaged; rebuild from the corpus"
+            )
+        from restructure_hdfs_topic_spark.generations import (
+            age_gate_deferred,
+            sweep_generational_litter,
+        )
 
-        for suffix in (".tmp", ".old"):
-            if delete_small_file(f"{path}/{_META}{suffix}", spark=spark):
-                removed.append(f"{_META}{suffix}")
+        if age_gate_deferred(spark, f"{path}/{_META}", min_age_s):
+            return {"removed": [], "deferred": True}
+        keep = set(append_names)
+        if base_name:
+            keep.add(base_name)
+        removed = sweep_generational_litter(
+            spark,
+            path,
+            _META,
+            keep_children=keep,
+            child_prefixes=("base-g", "append-g"),
+            tomb_dir=tomb_name,
+            legacy_kinds=("assignments", "codes") if base_name else (),
+        )
         return {"removed": removed}
     finally:
         if lease is not None:
@@ -745,6 +917,36 @@ def _reject_tombstoned_appends(
             "tombstone.  Run vacuum_ivf_index first (physical purge frees "
             "the ids) or append under fresh ids."
         )
+
+
+def ivf_meta_exists(spark: SparkSession, path: str) -> bool:
+    """Whether the index at ``path`` has a (possibly fallback-``.old``)
+    published meta — the explicit existence check the streaming sink's
+    bootstrap decision needs (the ``bm25_meta_exists`` twin)."""
+    from restructure_hdfs_topic_spark.generations import meta_exists
+
+    return meta_exists(spark, f"{path}/{_META}")
+
+
+def ivf_artifacts_exist(spark: SparkSession, path: str) -> bool:
+    """Whether any index DATA directories exist at ``path`` (assignments,
+    centroids, tombstones, or a generational ``base-g*``/``append-g*``)
+    — artifacts-without-meta means an interrupted build or external
+    damage, never a safe bootstrap target (the ``bm25_artifacts_exist``
+    twin)."""
+    from restructure_hdfs_topic_spark.compression import (
+        fs_list_dir,
+        small_file_exists,
+    )
+
+    if any(
+        small_file_exists(f"{path}/{d}", spark=spark)
+        for d in ("assignments", "centroids", "tombstones")
+    ):
+        return True
+    return any(
+        c.startswith(("base-g", "append-g")) for c in fs_list_dir(path, spark)
+    )
 
 
 def _write_meta(spark: SparkSession, path: str, meta: dict) -> None:

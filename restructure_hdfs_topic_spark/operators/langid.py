@@ -394,12 +394,13 @@ def classify_lang(
 
 def save_lang_profiles(path: str, profiles: dict, spark=None) -> None:
     """One JSON artifact via the shared small-file plumbing (local or any
-    Hadoop ``scheme://``) — train rarely, classify everywhere."""
-    from restructure_hdfs_topic_spark.compression import write_small_file
+    Hadoop ``scheme://``) — train rarely, classify everywhere.
+    Published ATOMICALLY (r13): last-writer-wins, never a torn file."""
+    from restructure_hdfs_topic_spark.compression import write_small_file_atomic
 
     if profiles.get("format") != "restructure_hdfs_topic_spark/langid/v1":
         raise ValueError("not a langid/v1 profile artifact")
-    write_small_file(path, json.dumps(profiles).encode("utf-8"), spark=spark)
+    write_small_file_atomic(path, json.dumps(profiles).encode("utf-8"), spark=spark)
 
 
 def load_lang_profiles(path: str, spark=None) -> dict:

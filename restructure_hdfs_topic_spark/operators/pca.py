@@ -196,10 +196,15 @@ def save_pca_model(model: PcaModel, path: str, spark=None) -> None:
     fields (mean, components) serialize exactly; eigenvalues are stored
     as C99 hex floats so the round-trip is BIT-exact — this is how the
     docstring's cross-platform advice becomes actionable: fit once, ship
-    ``comps_int``, project identically on any LAPACK build."""
+    ``comps_int``, project identically on any LAPACK build.
+
+    Published ATOMICALLY (r13 lease-inventory sweep): a concurrent or
+    crashed save leaves either the old or the new version, never a torn
+    file — last-writer-wins on a single self-contained artifact, so no
+    mutation lease is needed."""
     import json
 
-    from restructure_hdfs_topic_spark.compression import write_small_file
+    from restructure_hdfs_topic_spark.compression import write_small_file_atomic
 
     payload = {
         "format": "restructure_hdfs_topic_spark/pca/v1",
@@ -209,7 +214,7 @@ def save_pca_model(model: PcaModel, path: str, spark=None) -> None:
         "comps_int": [[int(x) for x in row] for row in model.comps_int],
         "eigvals_hex": [float(x).hex() for x in model.eigvals],
     }
-    write_small_file(path, json.dumps(payload).encode("utf-8"), spark=spark)
+    write_small_file_atomic(path, json.dumps(payload).encode("utf-8"), spark=spark)
 
 
 def load_pca_model(path: str, spark=None) -> PcaModel:

@@ -536,17 +536,68 @@ def build_pq_for_ivf(
     m: int = 8,
     nbits: int = 8,
     train_sample: int = 16384,
+    lock: bool = True,
+    lock_ttl_s: int | None = None,
 ) -> dict:
     """Attach a PQ code store to an EXISTING ``build_ivf_index`` layout:
     train codebooks, encode the corpus, and write ``<path>/codes/``
     partitioned by the SAME cluster key as ``assignments/`` (one
     repartition on cluster).  Queries then prune to probed clusters and
     scan m-byte codes instead of full vectors; the originals in
-    ``assignments/`` serve only the final exact rerank of candidates."""
+    ``assignments/`` serve only the final exact rerank of candidates.
+
+    Runs under the SAME ``ivf-mutate`` single-writer lease as every
+    mutator in ``ivf_index.py`` (ADVICE r12): the codes/ write targets
+    the CURRENT base generation, and a concurrent vacuum would move the
+    base out from under it — post-publish sweep would then silently drop
+    the freshly-written store.  ``lock=False`` opts out for
+    externally-serialized callers."""
+    from restructure_hdfs_topic_spark.locks import (
+        ARTIFACT_MUTATION_TTL_S,
+        artifact_mutation_lease,
+    )
+
+    spark = embeddings.sparkSession
+    lease = artifact_mutation_lease(
+        spark,
+        path,
+        "ivf-mutate",
+        lock=lock,
+        ttl_s=lock_ttl_s if lock_ttl_s is not None else ARTIFACT_MUTATION_TTL_S,
+    )
+    try:
+        return _build_pq_for_ivf(
+            embeddings, path, id_col, vec_col, m, nbits, train_sample
+        )
+    finally:
+        if lease is not None:
+            lease.close()
+
+
+def _build_pq_for_ivf(
+    embeddings: DataFrame,
+    path: str,
+    id_col: str,
+    vec_col: str,
+    m: int,
+    nbits: int,
+    train_sample: int,
+) -> dict:
     import numpy as np
 
     spark = embeddings.sparkSession
     meta = load_ivf_meta(spark, path)
+    if meta.get("appends"):
+        # Pre-PQ append generations have no codes/ store; fold them into
+        # a fresh base first (vacuum doubles as the IVF compaction) so
+        # the invariant "every referenced generation of a PQ-carrying
+        # index carries codes" holds from the first publish.  We already
+        # hold the ivf-mutate lease.
+        from restructure_hdfs_topic_spark.operators.ivf_index import (
+            vacuum_ivf_index,
+        )
+
+        meta = vacuum_ivf_index(spark, path, lock=False)
     books = train_pq(
         embeddings,
         id_col,
@@ -613,70 +664,53 @@ def append_to_ivfpq_index(
     path: str,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    lock: bool = True,
+    lock_ttl_s: int | None = None,
+    meta_extra: dict | None = None,
 ) -> dict:
     """Incremental growth for an IVFPQ index: route NEW embeddings into
     the TRAINED centroids and append BOTH stores — full vectors into
-    ``assignments/`` (rerank side) and m-byte codes into ``codes/`` —
-    touching only the gained cluster directories.  Neither the coarse
+    ``assignments/`` (rerank side) and m-byte codes into ``codes/`` — as
+    ONE ``append-gNNNNN`` generation (the shared replay-safe append core
+    of ``append_to_ivf_index``, r13: a crash between the data write and
+    the atomic meta publish followed by a replay of the same batch
+    overwrites its own orphan, so vectors are never double-stored and
+    ``n`` never drifts; both stores ride the SAME generation, so they
+    can never reference different corpora).  Neither the coarse
     quantizer nor the PQ codebooks retrain (FAISS's add-after-train
     shape); rebuild when the arrival distribution drifts.  Returns the
     updated IVF meta.
 
-    One Arrow pass computes assignment; the persisted frame feeds both
-    partitioned appends (the code side re-encodes from the persisted
-    quantized vectors, not from upstream) and the meta count."""
-    import numpy as np
-
-    from restructure_hdfs_topic_spark.caching import scoped_persist
-    from restructure_hdfs_topic_spark.operators.ivf_index import _assign_nearest
+    Runs under the ``ivf-mutate`` single-writer lease (ADVICE r12 — the
+    same race class as ``append_to_ivf_index``: generation names derive
+    from the committed meta, and a concurrent vacuum would sweep the
+    generation this append publishes).  ``lock=False`` opts out for
+    externally-serialized callers."""
+    from restructure_hdfs_topic_spark.locks import (
+        ARTIFACT_MUTATION_TTL_S,
+        artifact_mutation_lease,
+    )
+    from restructure_hdfs_topic_spark.operators.ivf_index import (
+        _append_generation,
+    )
 
     spark = embeddings.sparkSession
     _check_integral_id(embeddings, id_col)
-    meta = load_ivf_meta(spark, path)
-    books, _pq_meta = _load_books(spark, path)
-    cent_rows = (
-        spark.read.parquet(f"{path}/centroids").orderBy("cluster").collect()
+    lease = artifact_mutation_lease(
+        spark,
+        path,
+        "ivf-mutate",
+        lock=lock,
+        ttl_s=lock_ttl_s if lock_ttl_s is not None else ARTIFACT_MUTATION_TTL_S,
     )
-    centroids = np.stack(
-        [np.asarray(r["centroid"], dtype=np.int64) for r in cent_rows]
-    )
-    quant = embeddings.select(
-        F.col(id_col).alias("id"), _quantize(F.col(vec_col)).alias("vec")
-    )
-    members = scoped_persist(
-        quant.mapInPandas(
-            _assign_nearest(centroids),
-            schema="id long, vec array<long>, cluster long",
-        ),
-        scope="pq.append.members",
-    )
-    from restructure_hdfs_topic_spark.operators.ivf_index import (
-        _ivf_base_root,
-        _reject_tombstoned_appends,
-        _write_meta_atomic,
-    )
-
-    _reject_tombstoned_appends(spark, meta, path, members.select("id"))
-    base = _ivf_base_root(meta, path)
-    (
-        members.repartition(F.col("cluster"))
-        .write.mode("append")
-        .partitionBy("cluster")
-        .parquet(f"{base}/assignments")
-    )
-    (
-        members.mapInPandas(
-            _make_encode_kernel(books, passthrough=("cluster",)),
-            schema="id long, code binary, cluster long",
+    try:
+        books, _pq_meta = _load_books(spark, path)
+        return _append_generation(
+            embeddings, path, id_col, vec_col, books=books, meta_extra=meta_extra
         )
-        .repartition(F.col("cluster"))
-        .write.mode("append")
-        .partitionBy("cluster")
-        .parquet(f"{base}/codes")
-    )
-    meta["n"] = int(meta["n"]) + int(members.count())
-    _write_meta_atomic(spark, f"{path}/_ivf_meta.json", meta)
-    return meta
+    finally:
+        if lease is not None:
+            lease.close()
 
 
 def query_ivfpq_index(
@@ -723,12 +757,11 @@ def query_ivfpq_index(
     fetch = k if rerank_factor is None else k * rerank_factor
 
     from restructure_hdfs_topic_spark.operators.ivf_index import (
-        _ivf_base_root,
         _ivf_tombstone_df,
+        _read_ivf_union,
     )
 
-    base = _ivf_base_root(meta, path)
-    codes = spark.read.parquet(f"{base}/codes")
+    codes = _read_ivf_union(spark, meta, path, "codes")
     tomb = _ivf_tombstone_df(spark, meta, path)
     if tomb is not None:
         # Tombstoned vectors never reach the ADC ranking, so they cannot
@@ -756,7 +789,7 @@ def query_ivfpq_index(
     # clusters (candidates live there by construction); query vectors come
     # from the collected query batch (shared _rerank_exact).
     stored = (
-        spark.read.parquet(f"{base}/assignments")
+        _read_ivf_union(spark, meta, path, "assignments")
         .join(probed_clusters, "cluster")
         .select(F.col("id").alias("neighbor_id"), F.col("vec").alias("__nv"))
     )

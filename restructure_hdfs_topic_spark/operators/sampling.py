@@ -354,7 +354,15 @@ def grouped_holdout_split(
     _require_integral(pinned, id_col, "grouped_holdout_split pinned id_col")
     names = list(fractions)
     _validate_pinned_splits(pinned, split_col, names)
-    pin = pinned.select(F.col(id_col), F.col(split_col).alias("__pin"))
+    # Duplicate pinned ids (e.g. concatenated assignment runs) would fan
+    # out corpus rows through the left join below, silently duplicating
+    # documents in the returned table (ADVICE r12): collapse exact
+    # (id, split) repeats, and reject ids pinned to CONFLICTING splits —
+    # there is no sound way to freeze one id into two splits.
+    pin = pinned.select(
+        F.col(id_col), F.col(split_col).alias("__pin")
+    ).dropDuplicates([id_col, "__pin"])
+    _validate_pinned_unique(pin, id_col)
     joined = joined.join(pin, id_col, "left")
     # Per-group most-eval pinned split, built from the pinned table (not
     # the corpus): priority = position in fractions order (later = more
@@ -407,6 +415,29 @@ def _validate_pinned_splits(
             f"pinned assignments contain split names not in fractions "
             f"(or NULL): {sorted(set(offenders), key=str)} "
             f"(fractions: {names})"
+        )
+
+
+def _validate_pinned_unique(pin: DataFrame, id_col: str) -> None:
+    """Reject ids pinned to more than one DISTINCT split (exact repeats
+    were already collapsed by the caller's dropDuplicates): a conflicted
+    pin cannot be frozen verbatim, and picking a winner silently would
+    move documents between splits — the churn the pinned path exists to
+    prevent.  Bounded: at most 5 offending ids collect."""
+    offenders = [
+        r[0]
+        for r in pin.groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .filter(F.col("__c") > 1)
+        .select(id_col)
+        .limit(5)
+        .collect()
+    ]
+    if offenders:
+        raise ValueError(
+            f"pinned assignments contain ids pinned to multiple distinct "
+            f"splits (first {len(offenders)}: {sorted(offenders)}) — "
+            "resolve the conflicts before re-splitting"
         )
 
 

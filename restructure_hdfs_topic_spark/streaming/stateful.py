@@ -404,3 +404,103 @@ def streaming_curation_sink(
         )
 
     return body
+
+
+def streaming_ivf_index_sink(
+    index_path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int | None = None,
+    vacuum_every_n_appends: int | None = None,
+):
+    """Continuously-indexed VECTOR corpus as a ``foreachBatch`` sink body
+    (r13 — the ``streaming_bm25_index_sink`` twin, completing the index
+    family's symmetry): every micro-batch appends ONE replay-safe
+    ``append-gNNNNN`` generation (``append_to_ivf_index``), so the
+    on-disk IVF index serves the stream's whole history.
+
+        stream.writeStream.foreachBatch(
+            streaming_ivf_index_sink("/idx")
+        ).option("checkpointLocation", ckpt).start()
+
+    Delivery: EXACTLY-ONCE on the index.  The last committed streaming
+    batch id rides inside the meta (``meta_extra``) in the SAME atomic
+    publish as the append generation — state and data commit together:
+    a batch at or below ``last_batch_id`` skips (Spark replays the last
+    batch after recovery); a crash BETWEEN the generation write and the
+    publish leaves the previous meta valid, and the replayed batch
+    re-derives the same generation name and overwrites its own orphan
+    (the r13 crash-replay-idempotence contract of the appender — this
+    sink is only possible because of it).
+
+    Bootstrap: an IVF index cannot build empty (the quantizer trains on
+    data), so the FIRST non-empty batch is the training corpus
+    (FAISS's train-on-first-chunk shape) — its ``last_batch_id`` stamps
+    into the build's meta atomically, so a replayed bootstrap batch
+    skips instead of appending itself on top of the index it trained.
+    Empty leading batches are skipped without committing state (safe: a
+    replay of an empty batch changes nothing).  A meta that EXISTS but
+    fails to load re-raises, and bootstrap refuses when index data dirs
+    exist meta-less (an interrupted build or external damage — never a
+    safe bootstrap target).  If arrival distribution drifts far from
+    the first batch, rebuild offline with a representative corpus and
+    point the sink at the result.
+
+    ``vacuum_every_n_appends`` bounds the serve-time union width: after
+    the append commits, the sink folds append generations into a fresh
+    base from the driver (``vacuum_ivf_index`` — the IVF compaction) in
+    the documented-safe single-writer window; ``last_batch_id`` rides
+    the fold's meta untouched, and a crash mid-vacuum leaves the
+    pre-vacuum meta valid (generational publish).
+    """
+    from restructure_hdfs_topic_spark.operators.ivf_index import (
+        append_to_ivf_index,
+        build_ivf_index,
+        ivf_artifacts_exist,
+        ivf_meta_exists,
+        load_ivf_meta,
+        vacuum_ivf_index,
+    )
+
+    def body(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        if ivf_meta_exists(spark, index_path):
+            meta = load_ivf_meta(spark, index_path)  # load errors re-raise
+        elif ivf_artifacts_exist(spark, index_path):
+            raise RuntimeError(
+                f"streaming_ivf_index_sink: index data present at "
+                f"{index_path!r} but its meta is missing — an interrupted "
+                "build or external damage; recover or rebuild explicitly "
+                "instead of bootstrapping over it"
+            )
+        else:
+            if batch_df.isEmpty():
+                return  # nothing to train on; replaying this is free
+            build_ivf_index(
+                batch_df,
+                index_path,
+                id_col=id_col,
+                vec_col=vec_col,
+                n_centroids=n_centroids,
+                meta_extra={"last_batch_id": int(batch_id)},
+            )
+            return
+        if int(meta.get("last_batch_id", -1)) >= int(batch_id):
+            return  # committed replay — exactly-once skip
+        meta = append_to_ivf_index(
+            batch_df,
+            index_path,
+            id_col=id_col,
+            vec_col=vec_col,
+            meta_extra={"last_batch_id": int(batch_id)},
+        )
+        if (
+            vacuum_every_n_appends
+            and len(meta.get("appends", [])) >= vacuum_every_n_appends
+        ):
+            # Driver-side, after the append committed and before the next
+            # batch starts — the single-writer safe window (same contract
+            # as the BM25 sink's auto-compaction).
+            vacuum_ivf_index(spark, index_path)
+
+    return body

@@ -96,6 +96,13 @@ CONSISTENCY_QUERIES = [
     # partitioning-independent at sf1.
     "bm25_tombstone_query",
     "ivf_tombstone_query",
+    # r13: crash-replay append witness, the full build→delete→vacuum→
+    # append→delete chain, and the composed Corpus.forget lifecycle —
+    # every step deterministic, so the check/serve tables must digest
+    # identically across partitionings at sf1.
+    "ivf_append_replay",
+    "ivf_lifecycle_chain",
+    "corpus_forget",
     "unimax_sample",
     "grouped_holdout",
     "split_churn",

@@ -130,5 +130,11 @@ def test_append_routes_into_existing_cells(spark, tmp_path):
     queries = emb.filter(F.col("vec_id") % 40 == 0)
     got = query_ivf_index(spark, path, queries, k=5, nprobe=10)
     assert got.filter(F.col("neighbor_id") % 2 == 1).count() > 0
-    stored = spark.read.parquet(f"{path}/assignments")
+    # r13: appends land in their own replay-safe generation dir; the
+    # union of base + referenced appends holds the full corpus.
+    from restructure_hdfs_topic_spark.operators.ivf_index import _read_ivf_union
+
+    meta = load_ivf_meta(spark, path)
+    assert meta["appends"] and meta["appends"][0]["name"] == "append-g00001"
+    stored = _read_ivf_union(spark, meta, path, "assignments")
     assert stored.count() == meta1["n"]

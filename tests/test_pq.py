@@ -212,8 +212,16 @@ def test_ivfpq_append_visibility_and_immutability(spark, tmp_path):
     assert rows and all(1 <= r["rank"] <= 5 for r in rows)
     all_ids = {r["neighbor_id"] for r in rows}
     appended_ids = {r["vec_id"] for r in extra.collect()}
-    # Codes store gained rows: total code count equals meta n.
-    n_codes = spark.read.parquet(f"{path}/codes").count()
+    # Codes store gained rows: total code count across the base and the
+    # r13 append generations equals meta n.
+    from restructure_hdfs_topic_spark.operators.ivf_index import (
+        _read_ivf_union,
+        load_ivf_meta,
+    )
+
+    n_codes = _read_ivf_union(
+        spark, load_ivf_meta(spark, path), path, "codes"
+    ).count()
     assert n_codes == meta1["n"]
     # Appended vectors are visible as neighbors somewhere (they are 10%
     # of the corpus; k=5 over 20 queries virtually guarantees a hit —
