@@ -62,6 +62,13 @@ BENCH_QUERIES = [
     "bm25_segment_query",
     "bm25_tombstone_query",
     "ivf_tombstone_query",
+    # r13: replay-safe append witness, the full mutation chain, and the
+    # composed takedown lifecycle — each rebuilds its artifacts per call
+    # BY DESIGN (the emitted counters describe that run), so these rows
+    # price the whole lifecycle, not a warm serve.
+    "ivf_append_replay",
+    "ivf_lifecycle_chain",
+    "corpus_forget",
     "unimax_sample",
     "grouped_holdout",
     "split_churn",

@@ -615,21 +615,35 @@ def query_ivf_index(
     nprobe = max(1, min(int(nprobe), meta["n_centroids"]))
 
     _check_integral_id(queries, id_col)
+    from restructure_hdfs_topic_spark.caching import scoped_persist
+
     quant_q = queries.select(
         F.col(id_col).alias("id"), _quantize(F.col(vec_col)).alias("vec")
     )
-    probes = quant_q.mapInPandas(
-        _probe_assign(centroids, nprobe),
-        schema="id long, vec array<long>, cluster long",
-    ).withColumn("is_corpus", F.lit(False))
-    # Equi-join on the partition column: only probed cluster directories
-    # are read.  The corpus side carries is_corpus=True for the scorer.
-    probed_clusters = probes.select("cluster").distinct()
-    corpus_side = (
-        assignments.join(probed_clusters, "cluster")
-        .select("cluster", "id", "vec")
-        .withColumn("is_corpus", F.lit(True))
+    # Persisted: the probed-cluster collect below and the scorer union
+    # both consume the probe fan-out (queries are the bounded side of
+    # every index call, so the cache is small by contract).
+    probes = scoped_persist(
+        quant_q.mapInPandas(
+            _probe_assign(centroids, nprobe),
+            schema="id long, vec array<long>, cluster long",
+        ).withColumn("is_corpus", F.lit(False)),
+        scope="ivf_index.query.probes",
     )
+    # STATIC partition pruning (r13): the probed cluster set collects
+    # (bounded by min(|queries|·nprobe, n_centroids)) and becomes a
+    # literal IN filter on the partition column — it reaches the
+    # PartitionFilters of EVERY generation's parquet scan, including
+    # through the base∪appends union, where Spark's dynamic partition
+    # pruning does not fire (the BM25 index prunes its term buckets the
+    # same way).  The corpus side carries is_corpus=True for the scorer.
+    corpus_side = _prune_clusters(
+        assignments,
+        sorted(
+            int(r["cluster"]) for r in probes.select("cluster").distinct().collect()
+        ),
+        int(meta["n_centroids"]),
+    ).select("cluster", "id", "vec").withColumn("is_corpus", F.lit(True))
     members = corpus_side.unionByName(
         probes.select("cluster", "id", "vec", "is_corpus")
     )
@@ -873,6 +887,17 @@ def repair_ivf_index(
     finally:
         if lease is not None:
             lease.close()
+
+
+def _prune_clusters(
+    df: DataFrame, probed: list[int], n_centroids: int
+) -> DataFrame:
+    """Literal ``cluster IN (...)`` partition pruning over a (possibly
+    unioned) cluster-partitioned store; skipped when every cluster is
+    probed (an IN list the size of the centroid table filters nothing)."""
+    if len(probed) >= n_centroids:
+        return df
+    return df.filter(F.col("cluster").isin(probed))
 
 
 def _empty_topk(spark: SparkSession) -> DataFrame:

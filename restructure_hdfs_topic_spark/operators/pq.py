@@ -49,7 +49,6 @@ from pyspark.sql import functions as F
 
 from restructure_hdfs_topic_spark.operators.ivf_index import (
     _check_integral_id,
-    _probe_assign,
     load_ivf_meta,
 )
 from restructure_hdfs_topic_spark.operators.similarity import _quantize
@@ -746,30 +745,48 @@ def query_ivfpq_index(
     )
     _check_integral_id(queries, id_col)
     nprobe = max(1, min(int(nprobe), int(meta["n_centroids"])))
-    quant_q = queries.select(
-        F.col(id_col).alias("id"), _quantize(F.col(vec_col)).alias("vec")
-    )
-    probes = quant_q.mapInPandas(
-        _probe_assign(centroids, nprobe),
-        schema="id long, vec array<long>, cluster long",
-    )
     q_ids, q_vecs = _collect_queries(queries, id_col, vec_col)
     fetch = k if rerank_factor is None else k * rerank_factor
+    # Probed clusters computed DRIVER-SIDE from the already-collected
+    # query batch (same arithmetic as the ``_probe_assign`` kernel, so
+    # the selected cells are identical) and applied as a literal IN
+    # filter on the partition column — static pruning reaches the
+    # PartitionFilters of every generation's scan, including through the
+    # base∪appends union where dynamic partition pruning does not fire
+    # (r13; the former Arrow probe pass existed only to derive this set).
+    cf = centroids.astype(np.float64)
+    cn = np.sqrt((cf**2).sum(axis=1))
+    cn[cn == 0] = 1.0
+    qn = np.sqrt((q_vecs.astype(np.float64) ** 2).sum(axis=1))
+    qn[qn == 0] = 1.0
+    sims = (q_vecs @ cf.T) / (qn[:, None] * cn[None, :])
+    p = min(nprobe, len(cf))
+    if p < sims.shape[1]:
+        top = np.argpartition(-sims, p - 1, axis=1)[:, :p]
+    else:
+        top = np.broadcast_to(
+            np.arange(sims.shape[1]), (len(q_vecs), sims.shape[1])
+        )
+    probed = sorted({int(c) for c in top.ravel()})
 
     from restructure_hdfs_topic_spark.operators.ivf_index import (
         _ivf_tombstone_df,
+        _prune_clusters,
         _read_ivf_union,
     )
 
-    codes = _read_ivf_union(spark, meta, path, "codes")
+    codes = _prune_clusters(
+        _read_ivf_union(spark, meta, path, "codes"),
+        probed,
+        int(meta["n_centroids"]),
+    )
     tomb = _ivf_tombstone_df(spark, meta, path)
     if tomb is not None:
         # Tombstoned vectors never reach the ADC ranking, so they cannot
         # occupy candidate slots; the rerank side reads only candidate
         # ids, which are live by construction.
         codes = codes.join(tomb, "id", "left_anti")
-    probed_clusters = probes.select("cluster").distinct()
-    pruned = codes.join(probed_clusters, "cluster").select("id", "code")
+    pruned = codes.select("id", "code")
     parts = pruned.mapInPandas(
         _adc_kernel(books, q_ids, q_vecs, fetch),
         schema="query_id long, neighbor_id long, adc_cosine double",
@@ -788,9 +805,9 @@ def query_ivfpq_index(
     # Exact rerank against the stored vectors, pruned to the SAME probed
     # clusters (candidates live there by construction); query vectors come
     # from the collected query batch (shared _rerank_exact).
-    stored = (
-        _read_ivf_union(spark, meta, path, "assignments")
-        .join(probed_clusters, "cluster")
-        .select(F.col("id").alias("neighbor_id"), F.col("vec").alias("__nv"))
-    )
+    stored = _prune_clusters(
+        _read_ivf_union(spark, meta, path, "assignments"),
+        probed,
+        int(meta["n_centroids"]),
+    ).select(F.col("id").alias("neighbor_id"), F.col("vec").alias("__nv"))
     return _rerank_exact(top, stored, _query_vec_frame(spark, q_ids, q_vecs), k)

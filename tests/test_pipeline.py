@@ -549,6 +549,12 @@ def test_query_registry_consistency():
         # witness equality in tests/test_ivf_delete.py).
         "bm25_tombstone_query",
         "ivf_tombstone_query",
+        # r13: crash-replay append witness, the full mutation chain, and
+        # the composed Corpus.forget takedown lifecycle (directed tests
+        # in tests/test_ivf_append_replay.py / tests/test_takedown.py).
+        "ivf_append_replay",
+        "ivf_lifecycle_chain",
+        "corpus_forget",
         "split_churn",
         "pinned_resplit",
         "incremental_dedup",
