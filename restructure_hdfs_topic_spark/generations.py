@@ -129,14 +129,18 @@ def base_root(meta: dict, path: str) -> str:
 
 
 def tombstone_df(
-    spark: SparkSession, meta: dict, path: str, id_col: str
+    spark: SparkSession, meta: dict, path: str, id_col: str,
+    schema: str | None = None,
 ):
     """The committed tombstone id set (one ``id_col`` column), or None
-    when the meta references no tombstone generation."""
+    when the meta references no tombstone generation.  ``schema`` (the
+    store's fixed one-column schema) skips the parquet footer inference
+    job the schemaless read pays (r13)."""
     tomb = meta.get("tomb_dir", "")
     if not tomb:
         return None
-    return spark.read.parquet(f"{path}/tombstones/{tomb}").select(id_col)
+    reader = spark.read.schema(schema) if schema else spark.read
+    return reader.parquet(f"{path}/tombstones/{tomb}").select(id_col)
 
 
 def append_roots(meta: dict, path: str) -> list[str]:
@@ -156,6 +160,7 @@ def write_tombstone_generation(
     meta: dict,
     union_ids: DataFrame,
     id_col: str,
+    schema: str | None = None,
 ) -> tuple[int, str, DataFrame]:
     """Write the CANDIDATE next tombstone generation (previous set ∪ new
     hits, one ``id_col`` column) and return ``(gen, name, written)``
@@ -169,7 +174,11 @@ def write_tombstone_generation(
     union_ids.select(id_col).write.mode("overwrite").parquet(
         f"{path}/tombstones/{name}"
     )
-    written = spark.read.parquet(f"{path}/tombstones/{name}").select(id_col)
+    # Read-back with the caller's fixed schema when given: tombstone
+    # stores have a one-column schema pinned by contract, and passing it
+    # skips the per-read parquet footer inference job (r13).
+    reader = spark.read.schema(schema) if schema else spark.read
+    written = reader.parquet(f"{path}/tombstones/{name}").select(id_col)
     return gen, name, written
 
 

@@ -127,7 +127,43 @@ def _tombstone_df(spark: SparkSession, meta: dict, path: str):
     when the index has no deletions."""
     from restructure_hdfs_topic_spark.generations import tombstone_df
 
-    return tombstone_df(spark, meta, path, "doc_id")
+    return tombstone_df(
+        spark, meta, path, "doc_id", schema=_tomb_schema(meta)
+    )
+
+
+def _tomb_schema(meta: dict) -> str | None:
+    """Fixed tombstone-store schema from the meta's recorded id type
+    (skips the parquet footer inference job, r13); None for pre-id_type
+    metas, falling back to inference."""
+    id_type = meta.get("id_type")
+    return f"doc_id {id_type}" if id_type else None
+
+
+def _store_schema(meta: dict, kind: str) -> str | None:
+    """Fixed schema of one on-disk store (``postings``/``vocab``/
+    ``doclens``) — every column type is pinned by the build's
+    expressions (counts/sums are long, ``bucket`` is the long partition
+    column), except the id whose type the meta records.  Passing it to
+    the reader skips the per-directory parquet footer inference job
+    every serve paid per segment (r13, guide §1/§6); None for
+    pre-``id_type`` metas (inference fallback)."""
+    id_type = meta.get("id_type")
+    if not id_type:
+        return None
+    if kind == "postings":
+        return f"doc_id {id_type}, token string, tf long, dl long, bucket long"
+    if kind == "vocab":
+        return "token string, df long, bucket long"
+    if kind == "doclens":
+        return f"doc_id {id_type}, dl long, fp_text long, bucket long"
+    raise ValueError(f"unknown store kind {kind!r}")
+
+
+def _read_store(spark: SparkSession, meta: dict, d: str, kind: str) -> DataFrame:
+    schema = _store_schema(meta, kind)
+    reader = spark.read.schema(schema) if schema else spark.read
+    return reader.parquet(f"{d}/{kind}")
 
 
 # A crashed index writer's lease self-expires after this; break it earlier
@@ -545,7 +581,7 @@ def compact_bm25_index(
             def _union(kind: str, dirs: list[str], cols: list[str]) -> DataFrame:
                 out = None
                 for d in dirs:
-                    part = spark.read.parquet(f"{d}/{kind}").select(*cols)
+                    part = _read_store(spark, meta, d, kind).select(*cols)
                     out = part if out is None else out.unionByName(part)
                 return out
 
@@ -710,14 +746,16 @@ def delete_bm25_docs(
         want = ids.select(F.col(id_col).alias("doc_id")).distinct()
         doclens = None
         for d in dl_dirs:
-            part = spark.read.parquet(f"{d}/doclens").select(
+            part = _read_store(spark, meta, d, "doclens").select(
                 "doc_id", "dl", "fp_text"
             )
             doclens = part if doclens is None else doclens.unionByName(part)
         tomb = _tombstone_df(spark, meta, path)
         if tomb is not None:
             doclens = doclens.join(tomb, "doc_id", "left_anti")
-        hits = doclens.join(want, "doc_id")
+        # Broadcast the delete batch (bounded by contract): the
+        # sidecar-sized scan joins without an exchange (guide §3.1).
+        hits = doclens.join(F.broadcast(want), "doc_id")
         # Durability-first stat derivation: write the candidate tombstone
         # generation, then compute the subtraction stats from the
         # READ-BACK written set — so the published stats can never
@@ -733,7 +771,7 @@ def delete_bm25_docs(
         if tomb is not None:
             new_tomb = new_tomb.unionByName(tomb)
         gen, name, written = write_tombstone_generation(
-            spark, path, meta, new_tomb, "doc_id"
+            spark, path, meta, new_tomb, "doc_id", schema=_tomb_schema(meta)
         )
         newly = written.join(tomb, "doc_id", "left_anti") if tomb is not None else written
         agg = doclens.join(newly, "doc_id").agg(
@@ -974,7 +1012,7 @@ def query_bm25_index(
 
     def _read_union(kind: str, cols: list[str]) -> DataFrame:
         parts = [
-            spark.read.parquet(f"{d}/{kind}")
+            _read_store(spark, meta, d, kind)
             .filter(F.col("bucket").isin(buckets) & F.col("token").isin(terms))
             .select(*cols)
             for d in seg_dirs

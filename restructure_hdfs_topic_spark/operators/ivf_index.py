@@ -112,6 +112,36 @@ def _index_scorer(k: int):
 
 _META = "_ivf_meta.json"
 
+# Fixed artifact schemas (r13, guide §1/§6): every store this module
+# writes has a schema pinned by its kernel contract, so readers pass it
+# explicitly — parquet footer schema inference launched one driver job
+# per read (visible as 'parquet at NativeMethodAccessorImpl' jobs, and
+# real listing latency on object stores).  ``cluster`` is the partition
+# column; naming it in the schema also pins its type to long (matching
+# the kernels) instead of partition-value inference.
+_ASSIGN_SCHEMA = "id long, vec array<long>, cluster long"
+_CODES_SCHEMA = "id long, code binary, cluster long"
+_CENTROID_SCHEMA = "cluster long, centroid array<long>"
+_TOMB_SCHEMA = "id long"
+
+
+def _load_centroids(spark: SparkSession, path: str):
+    """Collect the bounded centroid table and order it DRIVER-SIDE
+    (r13, guide §2.4): ``orderBy("cluster").collect()`` planned a global
+    range sort — a range-partitioning sampling job plus a sort exchange
+    — for a table bounded at ``n_centroids`` rows; a plain collect plus
+    a Python sort returns the identical matrix with one job and zero
+    exchanges."""
+    import numpy as np
+
+    cent_rows = spark.read.schema(_CENTROID_SCHEMA).parquet(
+        f"{path}/centroids"
+    ).collect()
+    cent_rows.sort(key=lambda r: r["cluster"])
+    return np.stack(
+        [np.asarray(r["centroid"], dtype=np.int64) for r in cent_rows]
+    )
+
 
 def _check_integral_id(df: DataFrame, id_col: str) -> None:
     """The Arrow kernels declare ``id long`` in their output schemas (the
@@ -425,59 +455,85 @@ def _append_generation(
 ) -> dict:
     """Shared replay-safe append core (IVF and IVFPQ): one assignment
     pass, one (or two, with ``books``) generation-dir writes, one atomic
-    publish.  Caller holds the ``ivf-mutate`` lease."""
-    import numpy as np
+    publish.  Caller holds the ``ivf-mutate`` lease.
+
+    r13 single-pass shape (guide §1.4/§2.4): the batch count rides the
+    generation WRITE as an ``Observation`` instead of a separate count
+    action, and the tombstone-collision check and the PQ encode read the
+    just-WRITTEN generation (bounded, columnar) instead of re-executing
+    the upstream batch lineage — one pass over the arrivals total, no
+    persist needed.  A reject after the data write leaves an
+    unreferenced orphan dir (harmless: the publish never ran; a retry
+    re-derives the same name and overwrites it, ``repair_ivf_index``
+    sweeps it)."""
+    from pyspark.sql import Observation
 
     spark = embeddings.sparkSession
     meta = load_ivf_meta(spark, path)
-    cent_rows = (
-        spark.read.parquet(f"{path}/centroids").orderBy("cluster").collect()
-    )
-    centroids = np.stack(
-        [np.asarray(r["centroid"], dtype=np.int64) for r in cent_rows]
-    )
-    from restructure_hdfs_topic_spark.caching import scoped_persist
+    centroids = _load_centroids(spark, path)
 
     quant = embeddings.select(
         F.col(id_col).alias("id"), _quantize(F.col(vec_col)).alias("vec")
     )
-    # Persisted: the writes and the meta-count both consume the
-    # assignment pass — without the cache the whole upstream lineage (the
-    # arrivals are typically a pipeline tail) would execute repeatedly.
-    members = scoped_persist(
-        quant.mapInPandas(
-            _assign_nearest(centroids),
-            schema="id long, vec array<long>, cluster long",
-        ),
-        scope="ivf_index.append.members",
+    members = quant.mapInPandas(
+        _assign_nearest(centroids),
+        schema="id long, vec array<long>, cluster long",
     )
-    _reject_tombstoned_appends(spark, meta, path, members.select("id"))
-    n_batch = int(members.count())
-    if n_batch == 0:
-        # An empty batch writes no parquet files (a fileless generation
-        # would fail schema inference at read) and cannot change the
-        # index — commit only the meta_extra keys, if any (the streaming
-        # sink's exactly-once state must advance even on empty batches).
-        if meta_extra:
-            meta.update(meta_extra)
-            meta["version"] = int(meta.get("version", 0)) + 1
-            _write_meta_atomic(spark, f"{path}/{_META}", meta)
-        return meta
     from restructure_hdfs_topic_spark.generations import next_gen
 
     gen, name = next_gen(meta, "append_gen", "append-g")
+    obs = Observation()
     (
-        members.repartition(F.col("cluster"))
+        members.observe(obs, F.count(F.lit(1)).alias("n"))
+        .repartition(F.col("cluster"))
         .write.mode("overwrite")
         .option("partitionOverwriteMode", "static")
         .partitionBy("cluster")
         .parquet(f"{path}/{name}/assignments")
     )
+    try:
+        n_batch = int(obs.get["n"])
+    except Exception:
+        # A provably-empty batch (e.g. limit(0)) is optimized to an empty
+        # relation and the CollectMetrics node is pruned with it — the
+        # observation never fires.  No parquet part files were written in
+        # that case; confirm from the generation dir listing.
+        from restructure_hdfs_topic_spark.compression import fs_list_dir
+
+        children = fs_list_dir(f"{path}/{name}/assignments", spark)
+        has_data = any(c.startswith("cluster=") for c in children)
+        n_batch = (
+            int(spark.read.parquet(f"{path}/{name}/assignments").count())
+            if has_data
+            else 0
+        )
+    if n_batch == 0:
+        # An empty batch cannot change the index (and its generation dir
+        # holds no parquet files — a fileless generation would fail
+        # schema inference at read): drop the empty dir and commit only
+        # the meta_extra keys, if any (the streaming sink's exactly-once
+        # state must advance even on empty batches).
+        from restructure_hdfs_topic_spark.compression import fs_delete_dir
+
+        fs_delete_dir(f"{path}/{name}", spark)
+        if meta_extra:
+            meta.update(meta_extra)
+            meta["version"] = int(meta.get("version", 0)) + 1
+            _write_meta_atomic(spark, f"{path}/{_META}", meta)
+        return meta
+    # The durable generation, read back only when a consumer exists (the
+    # tombstone-collision check or the PQ encode) — with neither, the
+    # read's construction alone would cost a driver job for nothing.
+    written = spark.read.schema(_ASSIGN_SCHEMA).parquet(
+        f"{path}/{name}/assignments"
+    )
+    if meta.get("tomb_dir", ""):
+        _reject_tombstoned_appends(spark, meta, path, written.select("id"))
     if books is not None:
         from restructure_hdfs_topic_spark.operators.pq import _make_encode_kernel
 
         (
-            members.mapInPandas(
+            written.mapInPandas(
                 _make_encode_kernel(books, passthrough=("cluster",)),
                 schema="id long, code binary, cluster long",
             )
@@ -523,16 +579,12 @@ def _read_ivf_union(
     part keeps its parquet partition pruning (the ``cluster`` partition
     column survives the union, so an equi-join on cluster still prunes
     every part's directories)."""
+    schema = _CODES_SCHEMA if kind == "codes" else _ASSIGN_SCHEMA
     out = None
     for d in _ivf_data_dirs(meta, path, kind):
-        part = spark.read.parquet(d)
+        part = spark.read.schema(schema).parquet(d)
         out = part if out is None else out.unionByName(part)
     if out is None:
-        schema = (
-            "id long, code binary, cluster long"
-            if kind == "codes"
-            else "id long, vec array<long>, cluster long"
-        )
         return spark.createDataFrame([], schema)
     return out
 
@@ -576,12 +628,7 @@ def query_ivf_index(
         # vacuum's generation holds no parquet files, so reading it would
         # fail on schema inference; it also cannot hold a neighbor).
         return _empty_topk(spark)
-    cent_rows = (
-        spark.read.parquet(f"{path}/centroids").orderBy("cluster").collect()
-    )
-    centroids = np.stack(
-        [np.asarray(r["centroid"], dtype=np.int64) for r in cent_rows]
-    )
+    centroids = _load_centroids(spark, path)
     assignments = _read_ivf_union(spark, meta, path, "assignments")
     tomb = _ivf_tombstone_df(spark, meta, path)
     if tomb is not None:
@@ -636,12 +683,16 @@ def query_ivf_index(
     # PartitionFilters of EVERY generation's parquet scan, including
     # through the base∪appends union, where Spark's dynamic partition
     # pruning does not fire (the BM25 index prunes its term buckets the
-    # same way).  The corpus side carries is_corpus=True for the scorer.
+    # same way).  ``collect_set`` does the dedup in the map-side partial
+    # aggregation, so one bounded set row reaches the driver instead of
+    # a ``distinct()`` shuffle of the whole probe fan-out (guide §2.3).
+    # The corpus side carries is_corpus=True for the scorer.
+    probed_sets = probes.select("cluster").agg(
+        F.collect_set("cluster").alias("cs")
+    ).collect()
     corpus_side = _prune_clusters(
         assignments,
-        sorted(
-            int(r["cluster"]) for r in probes.select("cluster").distinct().collect()
-        ),
+        sorted(int(c) for c in (probed_sets[0]["cs"] if probed_sets else [])),
         int(meta["n_centroids"]),
     ).select("cluster", "id", "vec").withColumn("is_corpus", F.lit(True))
     members = corpus_side.unionByName(
@@ -700,7 +751,12 @@ def delete_ivf_vectors(
         tomb = _ivf_tombstone_df(spark, meta, path)
         if tomb is not None:
             live = live.join(tomb, "id", "left_anti")
-        hits = live.join(want, "id")
+        # Broadcast the delete batch (bounded by contract, like every
+        # query side in this repo): the corpus-sized live id scan joins
+        # without an exchange — at index scale a sort-merge here would
+        # shuffle every live id to hash partitions just to match a small
+        # takedown set (guide §3.1).
+        hits = live.join(F.broadcast(want), "id")
         from restructure_hdfs_topic_spark.generations import (
             drop_tombstone_generation,
             write_tombstone_generation,
@@ -708,7 +764,7 @@ def delete_ivf_vectors(
 
         new_tomb = hits if tomb is None else hits.unionByName(tomb)
         gen, name, written = write_tombstone_generation(
-            spark, path, meta, new_tomb, "id"
+            spark, path, meta, new_tomb, "id", schema=_TOMB_SCHEMA
         )
         newly = (
             written.join(tomb, "id", "left_anti") if tomb is not None else written
@@ -919,7 +975,9 @@ def _ivf_tombstone_df(spark: SparkSession, meta: dict, path: str):
     tomb = meta.get("tomb_dir", "")
     if not tomb:
         return None
-    return spark.read.parquet(f"{path}/tombstones/{tomb}").select("id")
+    return spark.read.schema(_TOMB_SCHEMA).parquet(
+        f"{path}/tombstones/{tomb}"
+    ).select("id")
 
 
 def _reject_tombstoned_appends(

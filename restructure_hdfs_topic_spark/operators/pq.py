@@ -390,15 +390,16 @@ def _collect_queries(queries: DataFrame, id_col: str, vec_col: str):
     ANN call in this repo) → (ids int64[], quantized vecs int64[n, dim])."""
     import numpy as np
 
-    rows = (
-        queries.select(
-            F.col(id_col).alias("id"), _quantize(F.col(vec_col)).alias("vec")
-        )
-        .orderBy("id")
-        .collect()
-    )
+    rows = queries.select(
+        F.col(id_col).alias("id"), _quantize(F.col(vec_col)).alias("vec")
+    ).collect()
     if not rows:
         raise ValueError("empty query batch")
+    # Driver-side sort (r13): a pre-collect ``orderBy`` planned a global
+    # range sort (sampling job + exchange) for a bounded batch; sorting
+    # the collected rows yields the identical (ids, vecs) arrays — ids
+    # are unique by the ANN-family contract.
+    rows.sort(key=lambda r: r["id"])
     q_ids = np.asarray([r["id"] for r in rows], dtype=np.int64)
     q_vecs = np.stack([np.asarray(r["vec"], dtype=np.int64) for r in rows])
     return q_ids, q_vecs
@@ -613,7 +614,11 @@ def _build_pq_for_ivf(
     from restructure_hdfs_topic_spark.operators.ivf_index import _ivf_base_root
 
     base = _ivf_base_root(meta, path)
-    assign = spark.read.parquet(f"{base}/assignments").select("id", "cluster")
+    from restructure_hdfs_topic_spark.operators.ivf_index import _ASSIGN_SCHEMA
+
+    assign = spark.read.schema(_ASSIGN_SCHEMA).parquet(
+        f"{base}/assignments"
+    ).select("id", "cluster")
     (
         codes.join(assign, "id")
         .repartition(F.col("cluster"))
@@ -737,12 +742,9 @@ def query_ivfpq_index(
 
         return _empty_topk(spark)  # all deleted — nothing can be ranked
     books, pq_meta = _load_books(spark, path)
-    cent_rows = (
-        spark.read.parquet(f"{path}/centroids").orderBy("cluster").collect()
-    )
-    centroids = np.stack(
-        [np.asarray(r["centroid"], dtype=np.int64) for r in cent_rows]
-    )
+    from restructure_hdfs_topic_spark.operators.ivf_index import _load_centroids
+
+    centroids = _load_centroids(spark, path)
     _check_integral_id(queries, id_col)
     nprobe = max(1, min(int(nprobe), int(meta["n_centroids"])))
     q_ids, q_vecs = _collect_queries(queries, id_col, vec_col)
