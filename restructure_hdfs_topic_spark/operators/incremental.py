@@ -67,7 +67,9 @@ def read_fingerprints(spark: SparkSession, state_dir: str) -> DataFrame:
     cur = _off._current_version(state_dir, spark)
     if cur is None:
         return spark.createDataFrame([], FP_SCHEMA)
-    return spark.read.parquet(f"{state_dir}/offsets/v{cur:08d}")
+    # The fp lane's schema is pinned by contract (xxhash64 → long);
+    # passing it skips the per-read parquet footer inference job (r13).
+    return spark.read.schema(FP_SCHEMA).parquet(f"{state_dir}/offsets/v{cur:08d}")
 
 
 def commit_fingerprints(
@@ -99,7 +101,7 @@ def commit_fingerprints_versioned(
     for attempt in range(64):
         cur = _off._current_version(state_dir, spark)
         existing = (
-            spark.read.parquet(f"{state_dir}/offsets/v{cur:08d}")
+            spark.read.schema(FP_SCHEMA).parquet(f"{state_dir}/offsets/v{cur:08d}")
             if cur is not None
             else spark.createDataFrame([], FP_SCHEMA)
         )
@@ -412,6 +414,7 @@ def delete_from_incremental_state(
                 del_fps.select("fp"), "fp", "left_anti"
             ),
             empty_schema=FP_SCHEMA,
+            read_schema=FP_SCHEMA,
         )
 
     sig_sub = f"{state_dir.rstrip('/')}/{SIG_STATE_SUBDIR}"
@@ -427,17 +430,27 @@ def delete_from_incremental_state(
     return report
 
 
-def _cas_retract(spark: SparkSession, sub: str, transform, empty_schema: str) -> dict:
+def _cas_retract(
+    spark: SparkSession,
+    sub: str,
+    transform,
+    empty_schema: str,
+    read_schema: str | None = None,
+) -> dict:
     """One versioned CAS commit applying ``transform`` to the committed
     state (the ``commit_fingerprints`` claim/replace loop, shared crash
-    discipline); returns ``{"removed": n, "version": committed}``."""
+    discipline); returns ``{"removed": n, "version": committed}``.
+    ``read_schema``: pass the lane's contract-pinned schema to skip the
+    parquet footer inference job (r13); None (the sig lane, whose id
+    type follows the ingested batch) falls back to inference."""
     import random
     import time as _time
 
     for attempt in range(64):
         cur = _off._current_version(sub, spark)
+        reader = spark.read.schema(read_schema) if read_schema else spark.read
         existing = (
-            spark.read.parquet(f"{sub}/offsets/v{cur:08d}")
+            reader.parquet(f"{sub}/offsets/v{cur:08d}")
             if cur is not None
             else spark.createDataFrame([], empty_schema)
         )

@@ -353,15 +353,30 @@ def grouped_holdout_split(
 
     _require_integral(pinned, id_col, "grouped_holdout_split pinned id_col")
     names = list(fractions)
-    _validate_pinned_splits(pinned, split_col, names)
     # Duplicate pinned ids (e.g. concatenated assignment runs) would fan
     # out corpus rows through the left join below, silently duplicating
     # documents in the returned table (ADVICE r12): collapse exact
     # (id, split) repeats, and reject ids pinned to CONFLICTING splits —
     # there is no sound way to freeze one id into two splits.
-    pin = pinned.select(
-        F.col(id_col), F.col(split_col).alias("__pin")
-    ).dropDuplicates([id_col, "__pin"])
+    from restructure_hdfs_topic_spark.caching import scoped_persist
+
+    # Persisted (r13, guide §5): the pinned table is consumed FIVE ways —
+    # two eager validation jobs here, the per-row freeze join and the
+    # per-group max-priority aggregate inside the returned plan, and
+    # typically a churn audit downstream.  When ``pinned`` is itself a
+    # derived plan (the previous run's full split derivation, as in a
+    # re-split), every consumer re-executed that whole lineage; one
+    # narrow (id, split) persist caps it at one execution, and the
+    # validation actions below are what populate the cache.
+    pin = scoped_persist(
+        pinned.select(F.col(id_col), F.col(split_col).alias("__pin"))
+        .dropDuplicates([id_col, "__pin"]),
+        scope="sampling.grouped_holdout.pin",
+    )
+    # Validating on the deduped projection is exact: dropDuplicates only
+    # collapses identical (id, split) repeats, so NULL/unknown split
+    # offenders survive into ``pin``.
+    _validate_pinned_splits(pin, "__pin", names)
     _validate_pinned_unique(pin, id_col)
     joined = joined.join(pin, id_col, "left")
     # Per-group most-eval pinned split, built from the pinned table (not

@@ -61,6 +61,7 @@ def export_jsonl_shards(
     id_col: str = "doc_id",
     token_count_col: str | None = None,
     fmt: str = "json",
+    persist_scope: str = "export.shards.tagged",
 ) -> DataFrame:
     """Write ``df`` as ``n_shards`` hash-balanced shards under
     ``path/data`` (Hive layout ``shard=K/``) and a single-file manifest
@@ -70,6 +71,12 @@ def export_jsonl_shards(
     ``fmt`` is any Spark batch sink format ("json" → JSONL, "parquet",
     "csv").  Pick ``n_shards`` so one shard ≈ one loader worker's slice;
     at 100 TB that's thousands — still one row-group of driver state.
+
+    ``persist_scope`` names the scoped-persist generation for the tagged
+    frame; CONCURRENT exports (e.g. ``train_data_job`` overlapping its
+    per-split exports) must pass distinct scopes from a bounded set, or
+    each call releases the previous call's cache mid-flight and the
+    manifest aggregate recomputes the pipeline tail.
     """
     if n_shards < 1:
         raise ValueError("n_shards must be >= 1")
@@ -83,7 +90,7 @@ def export_jsonl_shards(
     # input is typically the tail of a multi-shuffle curation pipeline,
     # and recomputing that whole lineage just to count rows per shard
     # would double the export's cluster cost.
-    tagged = scoped_persist(df.select("*", shard), scope="export.shards.tagged")
+    tagged = scoped_persist(df.select("*", shard), scope=persist_scope)
     route_df = _shard_route(spark, n_shards)
     (
         tagged.join(route_df, "shard")

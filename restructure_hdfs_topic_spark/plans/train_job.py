@@ -252,9 +252,20 @@ def train_data_job(
     _lap("group_and_split")
 
     # 6+7. Pack the train split (narrow id+count frame through the pack
-    # window; text joins back by id), export every split.
+    # window; text joins back by id), export every split.  The per-split
+    # exports and the disposition write are INDEPENDENT jobs over the
+    # already-checkpointed `split`/`scrubbed`/`deduped` frames, so they
+    # run overlapped from a small thread pool (r13, guide §2.6): each
+    # export's straggler tail frees executors the next job's tasks
+    # back-fill, instead of the driver serializing 3 exports × 3 actions
+    # + the audit write.  Each export gets its own persist scope — the
+    # shared default scope would release a sibling's cache mid-flight.
+    from concurrent.futures import ThreadPoolExecutor
+
     manifests: dict[str, list] = {}
-    for name in fractions:
+
+    def _export_one(name: str) -> tuple[str, list, float]:
+        t0 = time.time()
         rows = split.filter(F.col("split") == name).drop("split")
         if name == train_split:
             packed = pack_sequences(
@@ -277,34 +288,47 @@ def train_data_job(
             id_col=id_col,
             token_count_col="n_tokens",
             fmt=fmt,
+            persist_scope=f"train_job.export.{name}",
         )
-        manifests[name] = [r.asDict() for r in manifest.collect()]
-        _lap(f"pack_export_{name}")
+        return name, [r.asDict() for r in manifest.collect()], time.time() - t0
 
-    disposition = (
-        docs.select(F.col(id_col).alias("id"))
-        .join(
-            scrubbed.select(F.col(id_col).alias("id")), "id", "left_anti"
-        )
-        .withColumn("disposition", F.lit("dropped_by_quality"))
-        .unionByName(
-            scrubbed.select(F.col(id_col).alias("id"))
-            .join(deduped.select(F.col(id_col).alias("id")), "id", "left_anti")
-            .withColumn("disposition", F.lit("dropped_by_near_dup"))
-        )
-        .unionByName(
-            split.select(
-                F.col(id_col).alias("id"), F.col("split").alias("disposition")
+    def _write_disposition() -> float:
+        t0 = time.time()
+        disposition = (
+            docs.select(F.col(id_col).alias("id"))
+            .join(
+                scrubbed.select(F.col(id_col).alias("id")), "id", "left_anti"
             )
+            .withColumn("disposition", F.lit("dropped_by_quality"))
+            .unionByName(
+                scrubbed.select(F.col(id_col).alias("id"))
+                .join(deduped.select(F.col(id_col).alias("id")), "id", "left_anti")
+                .withColumn("disposition", F.lit("dropped_by_near_dup"))
+            )
+            .unionByName(
+                split.select(
+                    F.col(id_col).alias("id"), F.col("split").alias("disposition")
+                )
+            )
+            .select(F.col("id").alias(id_col), "disposition")
         )
-        .select(F.col("id").alias(id_col), "disposition")
-    )
-    # Persist the audit trail next to the shards (VERDICT r11 stretch):
-    # the attrition identity becomes replayable offline from the artifact
-    # alone.  Cheap — a union of anti-joins over already-persisted frames.
-    disposition.write.mode("overwrite").parquet(f"{out_path}/_disposition")
+        # Persist the audit trail next to the shards (VERDICT r11
+        # stretch): the attrition identity becomes replayable offline
+        # from the artifact alone.  Cheap — a union of anti-joins over
+        # already-persisted frames.
+        disposition.write.mode("overwrite").parquet(f"{out_path}/_disposition")
+        return time.time() - t0
+
+    with ThreadPoolExecutor(max_workers=3) as pool:
+        export_futs = [pool.submit(_export_one, name) for name in fractions]
+        disp_fut = pool.submit(_write_disposition)
+        for fut in export_futs:
+            name, rows_dicts, secs = fut.result()
+            manifests[name] = rows_dicts
+            stage_seconds[f"pack_export_{name}"] = round(secs, 3)
+        stage_seconds["disposition_audit"] = round(disp_fut.result(), 3)
     disposition = docs.sparkSession.read.parquet(f"{out_path}/_disposition")
-    _lap("disposition_audit")
+    _t0 = time.time()
     return {
         "counts": counts,
         "manifests": manifests,
