@@ -1737,16 +1737,47 @@ def q_ivf_append_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     orphan_unreferenced = int(
         load_ivf_meta(spark, crashy).get("appends", []) == []
     )
-    meta = append_to_ivf_index(extra, crashy)  # replay overwrites orphan
-    append_to_ivf_index(extra, clean)
+    # The replay (crashy) and the clean single append mutate disjoint
+    # index dirs under their own leases — overlap them (guide §2.6).
+    # (The simulated-crash append above cannot join this pool: the
+    # monkey-patched publish is process-global.)
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        f_replay = pool.submit(append_to_ivf_index, extra, crashy)
+        f_clean = pool.submit(append_to_ivf_index, extra, clean)
+        meta = f_replay.result()  # replay overwrites its own orphan
+        f_clean.result()
 
     union = _ivx._read_ivf_union(spark, meta, crashy, "assignments")
-    n_union = union.count()
-    n_dup = union.groupBy("id").count().filter(F.col("count") > 1).count()
+    # ONE aggregation pass derives both union stats (r13, guide §1.4):
+    # total rows = sum of per-id counts, dup ids = ids appearing twice —
+    # previously two full scans of the base ∪ appends union.  Overlapped
+    # with the crashy serve (independent read-only jobs over the same
+    # committed index); the two serves themselves stay sequential — they
+    # share the probes persist scope.
+    def _union_stats() -> tuple[int, int]:
+        row = (
+            union.groupBy("id")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .agg(
+                F.sum("c").alias("n_union"),
+                F.sum((F.col("c") > 1).cast("long")).alias("n_dup"),
+            )
+            .collect()[0]
+        )
+        return int(row["n_union"] or 0), int(row["n_dup"] or 0)
+
     queries = emb.filter(F.col("vec_id") % 20 == 0)
-    got = sorted(
-        map(tuple, query_ivf_index(spark, crashy, queries, k=5, nprobe=10).collect())
-    )
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        f_stats = pool.submit(_union_stats)
+        got = sorted(
+            map(
+                tuple,
+                query_ivf_index(spark, crashy, queries, k=5, nprobe=10).collect(),
+            )
+        )
+        n_union, n_dup = f_stats.result()
     want = sorted(
         map(tuple, query_ivf_index(spark, clean, queries, k=5, nprobe=10).collect())
     )
@@ -1867,36 +1898,64 @@ def q_corpus_forget(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     kill_docs = docs.filter(F.col("doc_id") % 13 == 5)
     kill_vecs = emb.filter(F.col("vec_id") % 13 == 5)
-    report = Corpus(kill_docs, id_col="doc_id").forget(
-        bm25_path=bm25_path, state_dir=state
-    )
-    report_ivf = Corpus(
-        kill_vecs.select("vec_id"), id_col="vec_id"
-    ).forget(ivf_path=ivf_path)
+    # The doc-keyed forget (bm25 + incremental state) and the vec-keyed
+    # forget (ivf) mutate disjoint artifacts — overlap them (guide
+    # §2.6), on top of Corpus.forget's own intra-call lane overlap.
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        f_docs = pool.submit(
+            lambda: Corpus(kill_docs, id_col="doc_id").forget(
+                bm25_path=bm25_path, state_dir=state
+            )
+        )
+        f_vecs = pool.submit(
+            lambda: Corpus(kill_vecs.select("vec_id"), id_col="vec_id").forget(
+                ivf_path=ivf_path
+            )
+        )
+        report = f_docs.result()
+        report_ivf = f_vecs.result()
 
     killed = kill_docs.select(F.col("doc_id").alias("__kill"))
+    # Post-forget verification reads + the resubmission ingest are
+    # independent of each other (two read-only serves on disjoint
+    # indexes; the ingest appends to the state the forgets already
+    # committed) — overlap them too.  The served plans are CONSTRUCTED
+    # sequentially (their scoped persists register here), only their
+    # count/ingest ACTIONS run concurrently.
     served_bm25 = query_bm25_index(
         spark, bm25_path, corpus_queries(docs.filter(F.col("doc_id") % 17 == 1)), k=10
     )
-    bm25_leaks = served_bm25.join(
-        killed, served_bm25["doc_id"] == killed["__kill"]
-    ).count()
     served_ivf = query_ivf_index(
         spark, ivf_path, emb.filter(F.col("vec_id") % 17 == 1), k=5, nprobe=10
     )
-    ivf_leaks = served_ivf.join(
-        killed, served_ivf["neighbor_id"] == killed["__kill"]
-    ).count()
     resub = kill_docs.select(
         (F.col("doc_id") + F.lit(10_000_000)).alias("doc_id"), F.col("text")
     )
-    out = ingest_batch(
-        spark,
-        state,
-        resub,
-        lambda accepted: accepted.write.mode("append").parquet(sink),
-    )
-    n_kill = kill_docs.count()
+    with ThreadPoolExecutor(max_workers=3) as pool:
+        f_bm25 = pool.submit(
+            served_bm25.join(
+                killed, served_bm25["doc_id"] == killed["__kill"]
+            ).count
+        )
+        f_ivf = pool.submit(
+            served_ivf.join(
+                killed, served_ivf["neighbor_id"] == killed["__kill"]
+            ).count
+        )
+        f_resub = pool.submit(
+            lambda: ingest_batch(
+                spark,
+                state,
+                resub,
+                lambda accepted: accepted.write.mode("append").parquet(sink),
+            )
+        )
+        n_kill = kill_docs.count()
+        bm25_leaks = f_bm25.result()
+        ivf_leaks = f_ivf.result()
+        out = f_resub.result()
     # Distinct-text accounting: identical texts share one fingerprint, so
     # the fp lane removes (and the resubmission re-accepts) one row per
     # distinct forgotten text whose content no survivor shares.

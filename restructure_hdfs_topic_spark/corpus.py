@@ -612,34 +612,42 @@ class Corpus:
         ``{"bm25": ..., "ivf": ..., "incremental": ...}`` so a caller
         can audit exactly what each store acknowledged.  At 100 TB each
         lane costs one bounded aggregation + one atomic publish — never
-        a re-index."""
+        a re-index.
+
+        The lanes mutate DISJOINT artifacts (each under its own storage
+        lease / CAS protocol), so they run overlapped from a small
+        thread pool (r13, guide §2.6): one lane's straggler tail
+        back-fills executors for the others instead of three bounded
+        aggregations running strictly in sequence.  A failing lane
+        raises exactly as it did sequentially (the first failure
+        propagates after all submitted lanes settle)."""
         spark = self.df.sparkSession
-        report: dict = {"bm25": None, "ivf": None, "incremental": None}
-        if bm25_path is not None:
+
+        def _bm25():
             from restructure_hdfs_topic_spark.operators.bm25_index import (
                 delete_bm25_docs,
             )
 
-            report["bm25"] = delete_bm25_docs(
-                spark, bm25_path, self.df.select(self.id_col)
-            )
-        if ivf_path is not None:
+            return delete_bm25_docs(spark, bm25_path, self.df.select(self.id_col))
+
+        def _ivf():
             from restructure_hdfs_topic_spark.operators.ivf_index import (
                 delete_ivf_vectors,
             )
 
-            report["ivf"] = delete_ivf_vectors(
+            return delete_ivf_vectors(
                 spark,
                 ivf_path,
                 self.df.select(self.id_col),
                 id_col=self.id_col,
             )
-        if state_dir is not None:
+
+        def _incremental():
             from restructure_hdfs_topic_spark.operators.incremental import (
                 delete_from_incremental_state,
             )
 
-            report["incremental"] = delete_from_incremental_state(
+            return delete_from_incremental_state(
                 spark,
                 state_dir,
                 docs=self.df,
@@ -647,6 +655,31 @@ class Corpus:
                 id_col=self.id_col,
                 text_col=self.text_col,
             )
+
+        lanes: list[tuple[str, object]] = []
+        if bm25_path is not None:
+            lanes.append(("bm25", _bm25))
+        if ivf_path is not None:
+            lanes.append(("ivf", _ivf))
+        if state_dir is not None:
+            lanes.append(("incremental", _incremental))
+        report: dict = {"bm25": None, "ivf": None, "incremental": None}
+        if len(lanes) <= 1:
+            for name, fn in lanes:
+                report[name] = fn()
+            return report
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=len(lanes)) as pool:
+            futs = [(name, pool.submit(fn)) for name, fn in lanes]
+            errors: list[Exception] = []
+            for name, fut in futs:
+                try:
+                    report[name] = fut.result()
+                except Exception as exc:  # settle every lane, then raise
+                    errors.append(exc)
+        if errors:
+            raise errors[0]
         return report
 
     def export_shards(
