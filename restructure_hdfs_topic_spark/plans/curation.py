@@ -264,7 +264,15 @@ def curate_corpus(
         pairs = lsh_near_dup_pairs(
             scrubbed, id_col, text_col, threshold=jaccard_threshold
         )
-        losers = pairs.select(F.col("id_b").alias(id_col)).distinct()
+        # Persisted (narrow: duplicate ids only): stage 4's rebalance
+        # specs eagerly collect per-stratum counts of the DEDUPED corpus,
+        # so without this cache the LSH band self-join + pair verification
+        # execute twice per run — once under that collect and again under
+        # the final action (r13 profile: ~0.9 s doubled at sf0.1).
+        losers = scoped_persist(
+            pairs.select(F.col("id_b").alias(id_col)).distinct(),
+            scope="curation.curate_corpus.losers",
+        )
         deduped = scrubbed.join(losers, on=id_col, how="left_anti")
 
     # 4. Rebalance (optional — identity when no spec given): ratio weights
@@ -384,11 +392,21 @@ def _soft_dedup_stage(
     groups = connected_components(
         scrubbed.select(F.col(id_col).alias("id")), pairs
     ).select(F.col("id").alias(id_col), "group_id")
-    wts = duplication_weights(scrubbed, id_col, text_col, groups=groups)
+    # Persisted (narrow: id + weight): stage 4's eager per-stratum counts
+    # collect and the final action both execute the realized sample, so
+    # without this cache the group-size aggregation + weights join run
+    # twice per call (the groups input is checkpoint-truncated — cheap —
+    # but the window + join above it are not).
+    from restructure_hdfs_topic_spark.caching import scoped_persist
+
+    wts = scoped_persist(
+        duplication_weights(scrubbed, id_col, text_col, groups=groups).select(
+            id_col, "weight"
+        ),
+        scope="curation.curate_corpus.soft_weights",
+    )
     return weighted_hash_sample(
-        scrubbed.join(wts.select(id_col, "weight"), on=id_col),
-        id_col,
-        "weight",
+        scrubbed.join(wts, on=id_col), id_col, "weight"
     ).drop("weight")
 
 

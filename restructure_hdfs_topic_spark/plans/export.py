@@ -33,25 +33,35 @@ def _shard_route(spark, n_shards: int):
     Partition k then holds exactly shard k: one task, one file per dir."""
     from pyspark.sql.functions import broadcast
 
-    probe = 64
-    rows = (
-        spark.range(0, probe * n_shards)
-        .select(
-            F.col("id").cast("int").alias("m"),
-            F.pmod(F.hash(F.col("id").cast("int")), F.lit(n_shards)).alias("b"),
+    route = _ROUTE_MEMO.get(n_shards)
+    if route is None:
+        probe = 64
+        rows = (
+            spark.range(0, probe * n_shards)
+            .select(
+                F.col("id").cast("int").alias("m"),
+                F.pmod(F.hash(F.col("id").cast("int")), F.lit(n_shards)).alias("b"),
+            )
+            .collect()
         )
-        .collect()
-    )
-    route: dict[int, int] = {}
-    for r in rows:
-        route.setdefault(r["b"], r["m"])
-    if len(route) < n_shards:  # P ≈ n·e^-64 — effectively never
-        raise RuntimeError("shard route probe under-delivered; raise probe")
+        route = {}
+        for r in rows:
+            route.setdefault(r["b"], r["m"])
+        if len(route) < n_shards:  # P ≈ n·e^-64 — effectively never
+            raise RuntimeError("shard route probe under-delivered; raise probe")
+        # The (shard → pre-image) map is a pure property of Spark's
+        # murmur3 int hash — session- and data-independent — so probe it
+        # once per shard count, not once per export call (each probe was
+        # a 4096-row driver job serialized into every export).
+        _ROUTE_MEMO[n_shards] = route
     return broadcast(
         spark.createDataFrame(
             [(k, route[k]) for k in range(n_shards)], "shard int, _route int"
         )
     )
+
+
+_ROUTE_MEMO: dict[int, dict[int, int]] = {}
 
 
 def export_jsonl_shards(

@@ -43,6 +43,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from restructure_hdfs_topic_spark.functions.text import (
     gopher_metrics,
@@ -319,7 +320,10 @@ def train_data_job(
         disposition.write.mode("overwrite").parquet(f"{out_path}/_disposition")
         return time.time() - t0
 
-    with ThreadPoolExecutor(max_workers=3) as pool:
+    # One worker per independent job (3 exports + the disposition audit):
+    # at 3 workers the audit waited for an export slot, serializing the
+    # last ~0.5 s behind jobs it shares no lineage with.
+    with ThreadPoolExecutor(max_workers=len(fractions) + 1) as pool:
         export_futs = [pool.submit(_export_one, name) for name in fractions]
         disp_fut = pool.submit(_write_disposition)
         for fut in export_futs:
@@ -327,7 +331,18 @@ def train_data_job(
             manifests[name] = rows_dicts
             stage_seconds[f"pack_export_{name}"] = round(secs, 3)
         stage_seconds["disposition_audit"] = round(disp_fut.result(), 3)
-    disposition = docs.sparkSession.read.parquet(f"{out_path}/_disposition")
+    # Contract-pinned read-back schema (id type + disposition label):
+    # skips the parquet footer-inference job on a file this function just
+    # wrote with exactly this shape.
+    disp_schema = T.StructType(
+        [
+            T.StructField(id_col, docs.schema[id_col].dataType, True),
+            T.StructField("disposition", T.StringType(), True),
+        ]
+    )
+    disposition = docs.sparkSession.read.schema(disp_schema).parquet(
+        f"{out_path}/_disposition"
+    )
     _t0 = time.time()
     return {
         "counts": counts,

@@ -83,14 +83,37 @@ def register_tables(
                 raise
 
 
+# Inferred file schemas, keyed on (path, mtime_ns, size) so a replaced or
+# regenerated file re-infers.  This memoizes METADATA only (never rows):
+# every load still plans a fresh scan of the parquet input — it just skips
+# re-reading footers the driver already parsed, the same contract-pinning
+# the index-artifact readers got in r13 (each footer inference is a
+# ~100 ms driver-side job paid at plan-construction time by EVERY query).
+_SCHEMA_MEMO: dict = {}
+
+
+def _file_schema(spark: SparkSession, path: str):
+    st = os.stat(path)
+    key = (path, st.st_mtime_ns, st.st_size)
+    schema = _SCHEMA_MEMO.get(key)
+    if schema is None:
+        schema = spark.read.parquet(path).schema
+        _SCHEMA_MEMO[key] = schema
+    return schema
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    from pyspark.sql import types as T
+
     configure(spark)
-    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-    dtypes = dict(df.dtypes)
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    schema = _file_schema(spark, path)
+    df = spark.read.schema(schema).parquet(path)
+    dtypes = {f.name: f.dataType for f in schema.fields}
     for c in NANO_TS_COLS.get(name, []):
-        if dtypes.get(c) == "bigint":
+        if isinstance(dtypes.get(c), T.LongType):
             df = df.withColumn(c, F.timestamp_micros(F.expr(f"{c} div 1000")))
-    for f in df.schema.fields:
+    for f in schema.fields:
         # Recursive walk: an NTZ field nested inside a struct/array/map
         # column is normalized too (struct casts recurse per-field).
         new_type, changed = _replace_ntz(f.dataType)
