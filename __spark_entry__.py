@@ -1167,17 +1167,28 @@ def _recall_check_table(exact: DataFrame, approx: DataFrame) -> DataFrame:
     (n_exact_pairs, n_queries, recall_ge_090) computed IN-PLAN from the
     exact baseline and the approximate neighbor table — a single place
     to evolve the check-table schema so the two gates cannot drift."""
-    hits = exact.join(
-        approx.select("query_id", "neighbor_id"),
-        ["query_id", "neighbor_id"],
-        "left_semi",
-    ).agg(F.count(F.lit(1)).alias("hits"))
-    totals = exact.agg(
+    # ONE pass over the exact baseline (r13): the former semi-join `hits`
+    # + separate `totals` aggregate executed the exact-cosine subplan
+    # twice per run, and Spark planned the 500-row semi join as a
+    # SortMergeJoin with two exchanges.  The approximate side is bounded
+    # (|queries| × k rows) so it broadcasts; dropDuplicates preserves the
+    # semi-join's count semantics; all three values come from a single
+    # aggregate over the flagged rows — values and schema unchanged.
+    approx_pairs = (
+        approx.select("query_id", "neighbor_id")
+        .dropDuplicates(["query_id", "neighbor_id"])
+        .select("query_id", "neighbor_id", F.lit(1).alias("_hit"))
+    )
+    flagged = exact.select("query_id", "neighbor_id").join(
+        F.broadcast(approx_pairs), ["query_id", "neighbor_id"], "left_outer"
+    )
+    totals = flagged.agg(
         F.count(F.lit(1)).alias("n_exact_pairs"),
         F.countDistinct("query_id").alias("n_queries"),
+        F.count("_hit").alias("hits"),
     )
     return (
-        totals.crossJoin(hits)
+        totals
         .select(
             F.explode(
                 F.array(

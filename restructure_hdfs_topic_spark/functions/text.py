@@ -734,6 +734,8 @@ def nfc_normalize_text(text: Column) -> Column:
     return _nfc(text)
 
 
+_ENT_MAP_MEMO: dict = {}
+
 _NAMED_ENTITIES = (
     # Core XML set
     ("nbsp;", " "), ("lt;", "<"), ("gt;", ">"),
@@ -804,9 +806,16 @@ def _decode_entities(t: Column) -> Column:
     # Names are ';'-terminated, so the extracted name is exact — no
     # longest-match ordering concern (legacy semicolonless refs are
     # deliberately unsupported).
-    ent_map = F.create_map(
-        *[F.lit(x) for name, rep in _NAMED_ENTITIES for x in (name[:-1], rep)]
-    )
+    # Memoized (r13): the map is a CONSTANT expression tree (~170 literal
+    # Columns = py4j round-trips) rebuilt on every strip_html call;
+    # unresolved Column expressions are reusable across DataFrames within
+    # one JVM gateway, so build it once per process.
+    ent_map = _ENT_MAP_MEMO.get("m")
+    if ent_map is None:
+        ent_map = F.create_map(
+            *[F.lit(x) for name, rep in _NAMED_ENTITIES for x in (name[:-1], rep)]
+        )
+        _ENT_MAP_MEMO["m"] = ent_map
 
     def dec(p: Column) -> Column:
         nm = F.regexp_extract(p, r"^([a-zA-Z][a-zA-Z0-9]{0,31});", 1)

@@ -376,6 +376,9 @@ def lsh_near_dup_pairs(
     )
 
 
+_BAND_EXPR_MEMO: dict = {}
+
+
 def lsh_candidate_pairs(
     signatures: DataFrame,
     bands: int = 8,
@@ -387,9 +390,13 @@ def lsh_candidate_pairs(
 
     Returns distinct (id_a, id_b) with id_a < id_b.
     """
-    banded = signatures.select(
-        "id",
-        F.explode(
+    # The banding expression is a constant tree over the unresolved "sig"
+    # column (~600 py4j round-trips to build); memoized per
+    # (bands, rows_per_band) — unresolved Columns are reusable across
+    # DataFrames within one JVM gateway (r13 construction-cost profile).
+    bk = _BAND_EXPR_MEMO.get((bands, rows_per_band))
+    if bk is None:
+        bk = F.explode(
             F.array(
                 *[
                     F.struct(
@@ -399,8 +406,11 @@ def lsh_candidate_pairs(
                     for b in range(bands)
                 ]
             )
-        ).alias("bk"),
-    ).select("id", "bk.band", F.col("bk.key").cast("array<long>").alias("key"))
+        ).alias("bk")
+        _BAND_EXPR_MEMO[(bands, rows_per_band)] = bk
+    banded = signatures.select("id", bk).select(
+        "id", "bk.band", F.col("bk.key").cast("array<long>").alias("key")
+    )
     left = banded.alias("l")
     right = banded.alias("r")
     return (

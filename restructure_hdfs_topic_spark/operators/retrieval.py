@@ -156,16 +156,22 @@ def bm25_topk(
     base = docs.filter(F.trim(F.col(text_col)) != "").select(
         F.col(id_col).alias("__id"), F.col(text_col).alias("__text")
     )
+    # Per-doc lengths persisted (narrow id+int rows): the corpus stats
+    # and the scoring join BOTH consume them, so the text tokenizes once
+    # for lengths instead of twice (r13 — this was a third full corpus
+    # tokenize pass alongside the token-stream explode).
+    dl = scoped_persist(
+        base.select("__id", token_count(F.col("__text")).alias("__dl")),
+        scope="retrieval.bm25_topk.dl",
+    )
     # avgdl as exact-int sum / count (ONE double division) rather than
     # F.avg — both engines then compute the identical IEEE value.
-    stats = base.agg(
+    # Derived from `dl` (same rows, same integer sum) — bit-identical to
+    # aggregating token_count over the corpus directly.
+    stats = dl.agg(
         F.count(F.lit(1)).alias("__n_docs"),
-        (
-            F.sum(token_count(F.col("__text"))).cast("double")
-            / F.count(F.lit(1))
-        ).alias("__avgdl"),
+        (F.sum("__dl").cast("double") / F.count(F.lit(1))).alias("__avgdl"),
     )
-    dl = base.select("__id", token_count(F.col("__text")).alias("__dl"))
     raw_terms = queries.select(F.col("term").alias("token")).distinct()
 
     tok = base.select(
