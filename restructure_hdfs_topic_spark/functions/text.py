@@ -445,6 +445,9 @@ GOPHER_REPETITION_THRESHOLDS: dict[str, float] = {
 }
 
 
+_REP_COLS_MEMO: dict = {}
+
+
 def gopher_repetition_metrics(
     docs: "DataFrame", text_col: str = "text"
 ) -> "DataFrame":
@@ -498,45 +501,62 @@ def gopher_repetition_metrics(
     function, so partitioning-independent.  Exact pure-Python
     cross-check: tests/test_repetition.py."""
     base = docs.columns
-    # "Non-blank" = contains any non-whitespace char (Java \S, ASCII) —
-    # NOT length(trim(x)) > 0: trim strips the space character only, so
-    # a tab-only line would count as content and skew the dup fractions
-    # (the exact-Python witness model mirrors the \S semantics).
-    nonblank = lambda a: F.filter(a, lambda x: x.rlike(r"\S"))  # noqa: E731
-    staged = docs.select(
-        *base,
-        nonblank(F.split(F.col(text_col), "\n")).alias("__rep_lines"),
-        nonblank(F.split(F.col(text_col), "\n{2,}")).alias("__rep_paras"),
-    )
-    sum_len = lambda a: F.aggregate(  # noqa: E731
-        a, F.lit(0).cast("bigint"), lambda acc, x: acc + F.length(x)
-    )
-    # floor(x·1e6 + 0.5)/1e6, NOT F.round: the n-gram kernel rounds in
-    # numpy where this formula is the vectorizable one, and F.round
-    # (shortest-repr HALF_UP) disagrees with it on float boundary cases
-    # — one formula everywhere keeps engine, kernel, and witness model
-    # bit-identical.
-    frac = lambda num, den: F.when(  # noqa: E731
-        den > 0,
-        F.floor(num.cast("double") / den.cast("double") * F.lit(1e6) + F.lit(0.5))
-        / F.lit(1e6),
-    ).otherwise(F.lit(0.0))
-    line_st = _sorted_dup_stats(F.col("__rep_lines"))
-    para_st = _sorted_dup_stats(F.col("__rep_paras"))
-    staged = staged.select(
-        *base,
-        line_st.alias("__l"),
-        para_st.alias("__p"),
-        F.size("__rep_lines").cast("bigint").alias("__nl"),
-        F.size("__rep_paras").cast("bigint").alias("__np"),
-        sum_len(F.col("__rep_lines")).alias("__lc"),
-        sum_len(F.col("__rep_paras")).alias("__pc"),
-    ).select(
-        *base,
-        frac(F.col("__l")["n"], F.col("__nl")).alias("dup_line_frac"),
-        frac(F.col("__p")["n"], F.col("__np")).alias("dup_para_frac"),
-        frac(F.col("__l")["c"], F.col("__lc")).alias("dup_line_char_frac"),
-        frac(F.col("__p")["c"], F.col("__pc")).alias("dup_para_char_frac"),
+    # The three staged column groups are constant expression trees given
+    # text_col (the large F.aggregate/F.filter folds were hundreds of
+    # py4j round-trips per call) — memoized per text_col and reused
+    # across calls; the input's own columns pass through as name strings
+    # (r13 construction-cost profile).
+    memo = _REP_COLS_MEMO.get(text_col)
+    if memo is None:
+        # "Non-blank" = contains any non-whitespace char (Java \S, ASCII)
+        # — NOT length(trim(x)) > 0: trim strips the space character
+        # only, so a tab-only line would count as content and skew the
+        # dup fractions (the exact-Python witness model mirrors the \S
+        # semantics).
+        nonblank = lambda a: F.filter(a, lambda x: x.rlike(r"\S"))  # noqa: E731
+        sum_len = lambda a: F.aggregate(  # noqa: E731
+            a, F.lit(0).cast("bigint"), lambda acc, x: acc + F.length(x)
+        )
+        # floor(x·1e6 + 0.5)/1e6, NOT F.round: the n-gram kernel rounds
+        # in numpy where this formula is the vectorizable one, and
+        # F.round (shortest-repr HALF_UP) disagrees with it on float
+        # boundary cases — one formula everywhere keeps engine, kernel,
+        # and witness model bit-identical.
+        frac = lambda num, den: F.when(  # noqa: E731
+            den > 0,
+            F.floor(
+                num.cast("double") / den.cast("double") * F.lit(1e6) + F.lit(0.5)
+            )
+            / F.lit(1e6),
+        ).otherwise(F.lit(0.0))
+        line_st = _sorted_dup_stats(F.col("__rep_lines"))
+        para_st = _sorted_dup_stats(F.col("__rep_paras"))
+        memo = (
+            [
+                nonblank(F.split(F.col(text_col), "\n")).alias("__rep_lines"),
+                nonblank(F.split(F.col(text_col), "\n{2,}")).alias("__rep_paras"),
+            ],
+            [
+                line_st.alias("__l"),
+                para_st.alias("__p"),
+                F.size("__rep_lines").cast("bigint").alias("__nl"),
+                F.size("__rep_paras").cast("bigint").alias("__np"),
+                sum_len(F.col("__rep_lines")).alias("__lc"),
+                sum_len(F.col("__rep_paras")).alias("__pc"),
+            ],
+            [
+                frac(F.col("__l")["n"], F.col("__nl")).alias("dup_line_frac"),
+                frac(F.col("__p")["n"], F.col("__np")).alias("dup_para_frac"),
+                frac(F.col("__l")["c"], F.col("__lc")).alias("dup_line_char_frac"),
+                frac(F.col("__p")["c"], F.col("__pc")).alias("dup_para_char_frac"),
+            ],
+        )
+        _REP_COLS_MEMO[text_col] = memo
+    stage_a, stage_b, stage_c = memo
+    staged = (
+        docs.select(*base, *stage_a)
+        .select(*base, *stage_b)
+        .select(*base, *stage_c)
     )
     gram_cols = [f"top_{n}gram_char_frac" for n in (2, 3, 4)] + [
         f"dup_{n}gram_char_frac" for n in range(5, 11)

@@ -62,11 +62,24 @@ def annotate_quality_signals(
     re-split the text per signal (the engine's measured ~8× trap,
     text.py's own reason the ``_from`` family exists).  The
     per-language marker scores also stage as real columns before the
-    argmax CASE chain (``lang_id_from_scores``' documented contract)."""
+    argmax CASE chain (``lang_id_from_scores``' documented contract).
+
+    The three stages' column lists are CONSTANT expression trees given
+    (input columns, text_col) — several thousand py4j round-trips to
+    rebuild — so they are memoized per that key and reused across calls
+    (r13 construction-cost profile; unresolved Columns are reusable
+    across DataFrames within one JVM gateway)."""
     base = docs.columns
+    memo_key = (tuple(base), text_col)
+    memo = _SIGNAL_COLS_MEMO.get(memo_key)
+    if memo is not None:
+        s1, s2, s3 = memo
+        return gopher_repetition_metrics(
+            docs.select(*s1).select(*s2).select(*s3), text_col
+        )
     t = F.col(text_col)
     low = F.lower(t)
-    stage1 = docs.select(
+    stage1_cols = [
         *base,
         tokens(t).alias("__toks"),
         F.split(t, "\n").alias("__lines"),
@@ -77,7 +90,8 @@ def annotate_quality_signals(
         low.contains("lorem ipsum").alias("has_lorem_ipsum"),
         low.contains("javascript").alias("has_javascript"),
         t.alias("__t"),
-    )
+    ]
+    stage1 = docs.select(*stage1_cols)
     toks = F.col("__toks")
     lang_scores = lang_scores_from(toks)
     score_names = [f"__lang_{code}" for code, _ in lang_scores]
@@ -87,7 +101,7 @@ def annotate_quality_signals(
     # and the consumer, so pushdown cannot re-inline them.  Built once:
     # stage3 re-selects these columns BY NAME from this list.
     gopher_staged = gopher_metrics_from(toks, F.col("__lines"), F.col("__t"))
-    stage2 = stage1.select(
+    stage2_cols = [
         "*",
         token_count_from(toks).alias("n_tokens"),
         stopword_ratio_from(toks).alias("stopword_ratio"),
@@ -105,14 +119,15 @@ def annotate_quality_signals(
             )
         ).alias("__c4low"),
         *[c.alias(n) for (_, c), n in zip(lang_scores, score_names)],
-    )
+    ]
+    stage2 = stage1.select(*stage2_cols)
     c4low = F.col("__c4low")
     c4_sentences = (
         F.length(c4low) - F.length(F.translate(c4low, ".!?", ""))
     ).cast("bigint")
     c4_lorem = c4low.contains("lorem ipsum")
     c4_brace = c4low.contains("{") | c4low.contains("}")
-    stage3 = stage2.select(
+    stage3_cols = [
         *base,
         "n_tokens",
         "n_bpe_tokens",
@@ -142,8 +157,13 @@ def annotate_quality_signals(
             | ~((c4_sentences < F.lit(5)) | c4_lorem | c4_brace)
         ).alias("c4_page_keep"),
         *[n for n, _ in gopher_staged],
-    )
+    ]
+    stage3 = stage2.select(*stage3_cols)
+    _SIGNAL_COLS_MEMO[memo_key] = (stage1_cols, stage2_cols, stage3_cols)
     return gopher_repetition_metrics(stage3, text_col)
+
+
+_SIGNAL_COLS_MEMO: dict = {}
 
 
 #: ``filter_by_signals`` preset replicating the full Gopher gate — BOTH
