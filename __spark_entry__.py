@@ -661,7 +661,7 @@ def q_bm25_index_query(spark: SparkSession, sf_dir: str) -> DataFrame:
                 stale = any(meta.get(k) != v for k, v in live_fp.items())
         except (ValueError, OSError):
             stale = True
-    if stale:
+    if _rebuild_this_process(path, stale):
         build_bm25_index(docs, path, n_buckets=64)
     return query_bm25_index(
         spark, path, corpus_queries(docs, sample_mod=101), k=5
@@ -778,7 +778,7 @@ def q_bm25_segment_query(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
         except (ValueError, OSError, KeyError):
             stale = True
-    if stale:
+    if _rebuild_this_process(path, stale):
         build_bm25_index(docs.filter(F.col("doc_id") % 2 == 0), path, n_buckets=64)
         append_bm25_segment(docs.filter(F.col("doc_id") % 2 == 1), path)
     return query_bm25_index(
@@ -857,7 +857,7 @@ def q_bm25_tombstone_query(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
         except (ValueError, OSError, KeyError):
             stale = True
-    if stale:
+    if _rebuild_this_process(path, stale):
         build_bm25_index(docs.filter(F.col("doc_id") % 2 == 0), path, n_buckets=64)
         append_bm25_segment(docs.filter(F.col("doc_id") % 2 == 1), path)
         delete_bm25_docs(
@@ -1615,7 +1615,7 @@ def q_ivf_index_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     # operator exists for ("train rarely, serve many batches"), and what
     # the warm bench iterations should measure.  The cold first call pays
     # the build.
-    if not os.path.exists(f"{path}/_ivf_meta.json"):
+    if _rebuild_this_process(path, not os.path.exists(f"{path}/_ivf_meta.json")):
         build_ivf_index(emb, path, lloyd_iters=1)
     queries = emb.filter(F.col("vec_id") % 20 == 0)
     return query_ivf_index(spark, path, queries, k=5, nprobe=10)
@@ -1654,7 +1654,7 @@ def q_ivf_tombstone_query(spark: SparkSession, sf_dir: str) -> DataFrame:
             stale = not meta.get("tomb_dir") or int(meta["n"]) != emb.count()
         except Exception:
             stale = True
-    if stale:
+    if _rebuild_this_process(path, stale):
         build_ivf_index(emb, path, lloyd_iters=1)
         delete_ivf_vectors(
             spark, path, emb.filter(F.col("vec_id") % 7 == 3).select("vec_id")
@@ -1663,27 +1663,60 @@ def q_ivf_tombstone_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return query_ivf_index(spark, path, queries, k=5, nprobe=10)
 
 
+# Every /tmp template marker folds in this per-process nonce (VERDICT
+# r13 #3): a bench/driver process pays each template build exactly ONCE —
+# a later process can never inherit a build it did not pay for, so the
+# cold numbers and the 8-vs-32-core scaling comparison both price the
+# same work.  Within one process, warm iterations still reuse the
+# template (the deployment shape the lifecycle rows exist to measure).
+_PROCESS_NONCE = f"{os.getpid()}-{os.urandom(4).hex()}"
+
+_PROC_FRESH_ARTIFACTS: set = set()
+
+
+def _rebuild_this_process(path: str, stale: bool) -> bool:
+    """Serve-row artifact discipline (VERDICT r13 #3): rebuild when the
+    row's own staleness/fingerprint check fires OR when this process has
+    not yet built the artifact — every bench/driver process pays each
+    /tmp index build exactly once (in the row's COLD number), so later
+    processes and the 8-vs-32-core scaling runs price the same work;
+    warm iterations keep measuring the serve path, the deployment shape
+    these build-once rows exist for (ADVICE r10 staleness keying is
+    unchanged and still guards in-place corpus regeneration)."""
+    from restructure_hdfs_topic_spark import memostats
+
+    fresh = (not stale) and path in _PROC_FRESH_ARTIFACTS
+    memostats.record("index_artifact", fresh)
+    _PROC_FRESH_ARTIFACTS.add(path)
+    return not fresh
+
+
 def _artifact_template(spark, tmpl: str, expected_marker: dict, build) -> None:
-    """Build-once template for the lifecycle extras rows: ``build()``
-    populates ``tmpl`` when its marker does not match
+    """Build-once-PER-PROCESS template for the lifecycle extras rows:
+    ``build()`` populates ``tmpl`` when its marker does not match
     ``expected_marker`` (corpus fingerprint keying — the
-    q_bm25_index_query staleness discipline).  Lifecycle rows then COPY
-    the pristine template per call instead of rebuilding, so they price
-    the MUTATION lifecycle (the new r13 surface), not a redundant
-    rebuild already priced by the *_index_query rows."""
+    q_bm25_index_query staleness discipline) + the process nonce.
+    Lifecycle rows then COPY the pristine template per call instead of
+    rebuilding, so they price the MUTATION lifecycle (the r13 surface),
+    not a redundant rebuild already priced by the *_index_query rows."""
     import json as _json
     import shutil
 
+    from restructure_hdfs_topic_spark import memostats
+
+    expected = {**expected_marker, "process_nonce": _PROCESS_NONCE}
     marker = f"{tmpl}/_template_marker.json"
     try:
-        if _json.load(open(marker)) == expected_marker:
+        if _json.load(open(marker)) == expected:
+            memostats.record("artifact_template", True)
             return
     except Exception:
         pass
+    memostats.record("artifact_template", False)
     shutil.rmtree(tmpl, ignore_errors=True)
     os.makedirs(tmpl, exist_ok=True)
     build()
-    _json.dump(expected_marker, open(marker, "w"))
+    _json.dump(expected, open(marker, "w"))
 
 
 def _copy_artifact(tmpl: str, run: str) -> None:
@@ -1837,10 +1870,14 @@ def q_ivf_lifecycle_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda: build_ivf_index(emb, f"{tmpl}/idx", lloyd_iters=1),
     )
     _copy_artifact(f"{tmpl}/idx", path)  # fresh deterministic chain
-    delete_ivf_vectors(
-        spark, path, emb.filter(F.col("vec_id") % 7 == 3).select("vec_id")
+    # Fused delete+vacuum (r14, VERDICT r13 #4): the takedown batch is
+    # subtracted inside the vacuum's base rewrite — one rewrite, ONE meta
+    # publish, instead of tombstone-write + read-back count + publish
+    # followed by a second rewrite + publish.  Result-equivalence to the
+    # sequential pair is pinned in tests/test_ivf_delete.py.
+    vacuum_ivf_index(
+        spark, path, delete_ids=emb.filter(F.col("vec_id") % 7 == 3).select("vec_id")
     )
-    vacuum_ivf_index(spark, path)
     # The vacuum physically freed the deleted ids — re-append them as the
     # "corrected re-ingest" a takedown-then-fix workflow produces.
     append_to_ivf_index(emb.filter(F.col("vec_id") % 7 == 3), path)
@@ -2008,7 +2045,10 @@ def q_ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # synthetic embeddings are PQ's hardest case (distances concentrate),
     # and 8-dim subspaces under-resolve them — measured recall@5 at sf0.1:
     # m=8 0.746, m=16 0.966 at the same rerank depth.  Still 16 bytes/vec.
+    from restructure_hdfs_topic_spark import memostats
+
     books = _PQ_BOOKS_MEMO.get(sf_dir)
+    memostats.record("pq_books", books is not None)
     if books is None:
         books = train_pq(emb, m=16)
         _PQ_BOOKS_MEMO[sf_dir] = books
@@ -2031,7 +2071,10 @@ def q_ann_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     _conf(spark)
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.orderBy("vec_id").limit(100)
+    from restructure_hdfs_topic_spark import memostats
+
     books = _PQ_BOOKS_MEMO.get(sf_dir)
+    memostats.record("pq_books", books is not None)
     if books is None:
         books = train_pq(emb, m=16)
         _PQ_BOOKS_MEMO[sf_dir] = books
@@ -2067,7 +2110,7 @@ def q_ivfpq_index_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 
         with open(f"{path}/_pq_meta.json") as fh:
             stale = _json.load(fh).get("m") != want_m
-    if stale:
+    if _rebuild_this_process(path, stale):
         import shutil
 
         shutil.rmtree(path, ignore_errors=True)
@@ -2092,8 +2135,19 @@ def _synth_warc_corpus(spark, sf_dir: str, tag: str, record_fn, extra_files=None
 
     from restructure_hdfs_topic_spark.sources.warc import warc_bytes
 
+    from restructure_hdfs_topic_spark import memostats
+
     path = f"/tmp/spark_graft_{tag}_{os.path.basename(os.path.normpath(sf_dir))}"
-    if not glob.glob(f"{path}/*.warc.gz"):
+    # Build once PER PROCESS (VERDICT r13 #3): the nonce marker keeps a
+    # later bench/driver process from inheriting this one's synthesis, so
+    # cold numbers and cross-core-count comparisons price the same work.
+    nonce_path = f"{path}/_process_nonce"
+    try:
+        fresh = open(nonce_path).read() == _PROCESS_NONCE
+    except OSError:
+        fresh = False
+    memostats.record("warc_corpus", fresh and bool(glob.glob(f"{path}/*.warc.gz")))
+    if not fresh or not glob.glob(f"{path}/*.warc.gz"):
         staging = f"{path}.tmp-{os.getpid()}"
         shutil.rmtree(staging, ignore_errors=True)
         os.makedirs(staging, exist_ok=True)
@@ -2122,6 +2176,8 @@ def _synth_warc_corpus(spark, sf_dir: str, tag: str, record_fn, extra_files=None
         for name, data in (extra_files or {}).items():
             with open(f"{staging}/{name}", "wb") as f:
                 f.write(data)
+        with open(f"{staging}/_process_nonce", "w") as f:
+            f.write(_PROCESS_NONCE)
         shutil.rmtree(path, ignore_errors=True)
         os.rename(staging, path)
     return path
@@ -2493,7 +2549,10 @@ def q_langid_trigram(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents").select("doc_id", "lang", "text")
     # Train once per corpus (the deployment shape — profiles are a saved
     # artifact); warm iterations measure classification.
+    from restructure_hdfs_topic_spark import memostats
+
     profiles = _LANGID_MEMO.get(sf_dir)
+    memostats.record("langid_profiles", profiles is not None)
     if profiles is None:
         profiles = train_lang_profiles(
             docs.filter(F.col("doc_id") % 2 == 0), top_k=200
@@ -2553,7 +2612,14 @@ def q_bloom_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     state_dir = (
         f"/tmp/spark_graft_bloomstate_{os.path.basename(os.path.normpath(sf_dir))}"
     )
-    if not os.path.exists(f"{state_dir}/offsets.CURRENT"):
+    if _rebuild_this_process(
+        state_dir, not os.path.exists(f"{state_dir}/offsets.CURRENT")
+    ):
+        import shutil
+
+        # Fresh state per process (VERDICT r13 #3): committing on top of
+        # an inherited state would double the fingerprint set.
+        shutil.rmtree(state_dir, ignore_errors=True)
         seen = docs.filter(F.col("doc_id") % 10 >= 4)
         commit_fingerprints(spark, state_dir, document_fingerprints(seen))
     batch = docs.filter(F.col("doc_id") % 10 < 4)

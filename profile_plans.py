@@ -13,7 +13,11 @@ from contextlib import redirect_stdout
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-OUT = os.path.join(os.path.dirname(os.path.abspath(__file__)), "plans", "r13")
+OUT = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)),
+    "plans",
+    os.environ.get("SPARK_GRAFT_PLANS_DIR", "r14"),
+)
 
 
 def main() -> None:

@@ -506,7 +506,12 @@ def gopher_repetition_metrics(
     # py4j round-trips per call) — memoized per text_col and reused
     # across calls; the input's own columns pass through as name strings
     # (r13 construction-cost profile).
-    memo = _REP_COLS_MEMO.get(text_col)
+    from restructure_hdfs_topic_spark.session import session_epoch
+
+    # Gateway epoch in the key (ADVICE r13 #1): memoized Columns are py4j
+    # handles — session-independent but gateway-bound.
+    _rep_key = (session_epoch(), text_col)
+    memo = _REP_COLS_MEMO.get(_rep_key)
     if memo is None:
         # "Non-blank" = contains any non-whitespace char (Java \S, ASCII)
         # — NOT length(trim(x)) > 0: trim strips the space character
@@ -551,7 +556,11 @@ def gopher_repetition_metrics(
                 frac(F.col("__p")["c"], F.col("__pc")).alias("dup_para_char_frac"),
             ],
         )
-        _REP_COLS_MEMO[text_col] = memo
+        # Drop handles from a replaced gateway (dead JVM objects), keep
+        # same-epoch siblings (other text_cols).
+        for k in [k for k in _REP_COLS_MEMO if k[0] != _rep_key[0]]:
+            _REP_COLS_MEMO.pop(k, None)
+        _REP_COLS_MEMO[_rep_key] = memo
     stage_a, stage_b, stage_c = memo
     staged = (
         docs.select(*base, *stage_a)
@@ -830,12 +839,18 @@ def _decode_entities(t: Column) -> Column:
     # Columns = py4j round-trips) rebuilt on every strip_html call;
     # unresolved Column expressions are reusable across DataFrames within
     # one JVM gateway, so build it once per process.
-    ent_map = _ENT_MAP_MEMO.get("m")
+    from restructure_hdfs_topic_spark.session import session_epoch
+
+    # Keyed by gateway epoch (ADVICE r13 #1): the handle dies with the
+    # py4j gateway, not with any SparkSession.
+    _ent_key = session_epoch()
+    ent_map = _ENT_MAP_MEMO.get(_ent_key)
     if ent_map is None:
         ent_map = F.create_map(
             *[F.lit(x) for name, rep in _NAMED_ENTITIES for x in (name[:-1], rep)]
         )
-        _ENT_MAP_MEMO["m"] = ent_map
+        _ENT_MAP_MEMO.clear()  # at most one gateway is live per process
+        _ENT_MAP_MEMO[_ent_key] = ent_map
 
     def dec(p: Column) -> Column:
         nm = F.regexp_extract(p, r"^([a-zA-Z][a-zA-Z0-9]{0,31});", 1)

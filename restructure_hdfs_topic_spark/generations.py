@@ -44,6 +44,34 @@ from pyspark.sql import DataFrame, SparkSession
 
 GEN_WIDTH = 5
 
+# Delete batches are broadcast into corpus-sized anti/inner joins on the
+# "bounded by contract" argument; this enforces the bound (ADVICE r13 #2).
+# 512 MB of ESTIMATED bytes leaves a wide margin under the 8 GB broadcast
+# cap (estimates err after filters, but err proportionally — a
+# million-id takedown estimates orders of magnitude above this).
+BROADCAST_EST_CAP_BYTES = 512 * 1024 * 1024
+
+
+def broadcast_if_bounded(
+    df: DataFrame, cap_bytes: int = BROADCAST_EST_CAP_BYTES
+) -> DataFrame:
+    """``F.broadcast(df)`` with the bound CHECKED instead of asserted,
+    via Catalyst's plan-statistics estimate — driver-side metadata, no
+    job (ADVICE r13 #2 names exactly this).  Above the cap (or when the
+    estimate is unreadable) the hint is dropped and the planner's join
+    choice degrades gracefully instead of OOMing the driver on a
+    million-id takedown (guide §3.1)."""
+    from pyspark.sql import functions as F
+
+    try:
+        est = int(
+            df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+        )
+        over = est > cap_bytes
+    except Exception:
+        over = True  # unestimatable plan: be conservative, skip the hint
+    return df if over else F.broadcast(df)
+
 
 def gen_name(prefix: str, n: int) -> str:
     """Deterministic generation dir name — ``base-g00003``/``ts-g00001``/

@@ -753,9 +753,13 @@ def delete_bm25_docs(
         tomb = _tombstone_df(spark, meta, path)
         if tomb is not None:
             doclens = doclens.join(tomb, "doc_id", "left_anti")
-        # Broadcast the delete batch (bounded by contract): the
-        # sidecar-sized scan joins without an exchange (guide §3.1).
-        hits = doclens.join(F.broadcast(want), "doc_id")
+        # Broadcast the delete batch so the sidecar-sized scan joins
+        # without an exchange (guide §3.1); the bound is ENFORCED with a
+        # limit-probe (ADVICE r13 #2) — an over-cap takedown set falls
+        # back to the planner's join instead of OOMing the driver.
+        from restructure_hdfs_topic_spark.generations import broadcast_if_bounded
+
+        hits = doclens.join(broadcast_if_bounded(want), "doc_id")
         # Durability-first stat derivation: write the candidate tombstone
         # generation, then compute the subtraction stats from the
         # READ-BACK written set — so the published stats can never

@@ -394,7 +394,12 @@ def lsh_candidate_pairs(
     # column (~600 py4j round-trips to build); memoized per
     # (bands, rows_per_band) — unresolved Columns are reusable across
     # DataFrames within one JVM gateway (r13 construction-cost profile).
-    bk = _BAND_EXPR_MEMO.get((bands, rows_per_band))
+    from restructure_hdfs_topic_spark.session import session_epoch
+
+    # Gateway epoch in the key (ADVICE r13 #1): the memoized Column is a
+    # py4j handle — dead if the gateway is ever replaced in-process.
+    _bk_key = (session_epoch(), bands, rows_per_band)
+    bk = _BAND_EXPR_MEMO.get(_bk_key)
     if bk is None:
         bk = F.explode(
             F.array(
@@ -407,7 +412,10 @@ def lsh_candidate_pairs(
                 ]
             )
         ).alias("bk")
-        _BAND_EXPR_MEMO[(bands, rows_per_band)] = bk
+        # Drop handles from a replaced gateway, keep same-epoch siblings.
+        for k in [k for k in _BAND_EXPR_MEMO if k[0] != _bk_key[0]]:
+            _BAND_EXPR_MEMO.pop(k, None)
+        _BAND_EXPR_MEMO[_bk_key] = bk
     banded = signatures.select("id", bk).select(
         "id", "bk.band", F.col("bk.key").cast("array<long>").alias("key")
     )
@@ -752,6 +760,61 @@ def _doc_shingles(
     )
 
 
+# Bounded FIFO of memoized benchmark-shingle frames (VERDICT r13 #6):
+# values are eagerly localCheckpoint'ed SMALL frames (eval-set shingle
+# tables), whose blocks stay alive while referenced — the cap bounds
+# block-manager pressure.
+_BENCH_SHINGLE_MEMO: dict = {}
+_BENCH_SHINGLE_MEMO_CAP = 16
+
+
+def _memo_benchmark_frame(src: DataFrame, fp_cols, derive, tag, params):
+    """Fingerprint-guarded memo of a BOUNDED benchmark-derived frame —
+    the groups-memo discipline applied to the decontamination gates
+    (VERDICT r13 #6): ``shingle_contamination``, ``contaminated_spans``
+    and ``benchmark_leak_report`` each rebuild the same broadcast-side
+    benchmark shingle set per call.  A repeated caller (bench warm loop,
+    a decontamination service screening batch after batch against one
+    eval suite) pays the tokenize→ngrams→explode→distinct derivation
+    once; a memo hit costs one count+XOR-hash scan of the (small)
+    benchmark subset, and a benchmark regenerated IN PLACE under an
+    identical plan gets a fresh set (exact content fingerprint over
+    ``fp_cols``).  The memoized value is an eager ``localCheckpoint`` —
+    bounded by definition (eval sets, not corpora) and keyed by session
+    epoch so a restarted session misses cleanly (ADVICE r13 #1).  Memo
+    hits are reported to memostats, so bench numbers disclose when a
+    warm iteration was memo-assisted."""
+    from restructure_hdfs_topic_spark import memostats
+    from restructure_hdfs_topic_spark.session import session_epoch
+
+    memo_key = None
+    try:
+        fp = src.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.bit_xor(F.xxhash64(*[F.col(c) for c in fp_cols])).alias("x"),
+        ).collect()[0]
+        memo_key = (
+            session_epoch(src.sparkSession),
+            src.select(*fp_cols)._jdf.queryExecution().analyzed().semanticHash(),
+            tag,
+            tuple(params),
+            int(fp["n"]),
+            int(fp["x"] or 0),
+        )
+    except Exception:
+        pass
+    hit = _BENCH_SHINGLE_MEMO.get(memo_key) if memo_key is not None else None
+    memostats.record("bench_shingles", hit is not None)
+    if hit is not None:
+        return hit
+    out = derive().localCheckpoint(eager=True)
+    if memo_key is not None:
+        if len(_BENCH_SHINGLE_MEMO) >= _BENCH_SHINGLE_MEMO_CAP:
+            _BENCH_SHINGLE_MEMO.pop(next(iter(_BENCH_SHINGLE_MEMO)), None)
+        _BENCH_SHINGLE_MEMO[memo_key] = out
+    return out
+
+
 def shingle_contamination(
     corpus: DataFrame,
     benchmark: DataFrame,
@@ -773,10 +836,17 @@ def shingle_contamination(
 
     Returns (id, n_hit_shingles, contaminated) — one row per corpus doc.
     """
-    bench = (
-        _doc_shingles(benchmark, id_col, text_col, n)
+    # Memoized per benchmark content (VERDICT r13 #6): the ids are
+    # dropped after the distinct, so the fingerprint covers text only —
+    # two benchmarks with equal text multisets derive the same set.
+    bench = _memo_benchmark_frame(
+        benchmark,
+        [text_col],
+        lambda: _doc_shingles(benchmark, id_col, text_col, n)
         .select("shingle")
-        .distinct()
+        .distinct(),
+        "contamination",
+        (n,),
     )
     hits = (
         _doc_shingles(corpus, id_col, text_col, n)
@@ -1057,6 +1127,9 @@ def near_dup_groups(
     it skips); the memoized value is the final labeled frame, whose
     checkpoint blocks stay alive while referenced (bounded FIFO).
     """
+    from restructure_hdfs_topic_spark import memostats
+    from restructure_hdfs_topic_spark.session import session_epoch
+
     vertices = df.select(F.col(id_col).alias("id"))
     memo_key = None
     try:
@@ -1066,6 +1139,10 @@ def near_dup_groups(
             F.bit_xor(F.xxhash64(F.col(id_col), F.col(text_col))).alias("x_txt"),
         ).collect()[0]
         memo_key = (
+            # Session discriminator (ADVICE r13 #1): the memoized frame is
+            # bound to the context that checkpointed it — a restarted
+            # session must miss, not inherit a dead plan.
+            session_epoch(df.sparkSession),
             vertices._jdf.queryExecution().analyzed().semanticHash(),
             df.select(F.col(text_col))._jdf.queryExecution().analyzed().semanticHash(),
             int(fp["n"]),
@@ -1077,6 +1154,7 @@ def near_dup_groups(
     except Exception:
         pass
     hit = _GROUPS_MEMO.get(memo_key) if memo_key is not None else None
+    memostats.record("near_dup_groups", hit is not None)
     if hit is not None:
         return hit
     edges = simhash_component_edges(
@@ -1469,10 +1547,15 @@ def contaminated_spans(
 
     # The benchmark side needs ONLY text_col (its ids are discarded after
     # the distinct) — eval sets naturally arrive as bare text frames.
-    bench = (
-        benchmark.select(toks_expr.alias("toks"))
+    # Memoized per benchmark content (VERDICT r13 #6).
+    bench = _memo_benchmark_frame(
+        benchmark,
+        [text_col],
+        lambda: benchmark.select(toks_expr.alias("toks"))
         .select(F.explode(ngrams_from(F.col("toks"), n)).alias("shingle"))
-        .distinct()
+        .distinct(),
+        "spans",
+        (n,),
     )
     hits = (
         positional_shingles(corpus)
@@ -1606,7 +1689,15 @@ def benchmark_leak_report(
     aggregation over the example-joined hits yields both per-example
     counts.  Corpus documents with no hit contribute nothing; benchmark
     examples with no hit survive via the final left join."""
-    bench = _doc_shingles(benchmark, id_col, text_col, n)
+    # Memoized per benchmark content (VERDICT r13 #6); ids matter here
+    # (per-example accounting), so the fingerprint covers (id, text).
+    bench = _memo_benchmark_frame(
+        benchmark,
+        [id_col, text_col],
+        lambda: _doc_shingles(benchmark, id_col, text_col, n),
+        "leak_report",
+        (n,),
+    )
     totals = bench.groupBy("id").agg(F.count(F.lit(1)).alias("n_shingles"))
     # (corpus_doc, shingle) hits — bounded by the broadcast benchmark set.
     hits = (

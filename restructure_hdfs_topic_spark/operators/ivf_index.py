@@ -491,22 +491,30 @@ def _append_generation(
         .partitionBy("cluster")
         .parquet(f"{path}/{name}/assignments")
     )
-    try:
-        n_batch = int(obs.get["n"])
-    except Exception:
-        # A provably-empty batch (e.g. limit(0)) is optimized to an empty
-        # relation and the CollectMetrics node is pruned with it — the
-        # observation never fires.  No parquet part files were written in
-        # that case; confirm from the generation dir listing.
-        from restructure_hdfs_topic_spark.compression import fs_list_dir
+    # A provably-empty batch (e.g. limit(0)) is optimized to an empty
+    # relation and the CollectMetrics node is pruned with it — the
+    # observation never fires.  Check the WRITTEN dir listing FIRST and
+    # only consult the observation when part files exist (ADVICE r13 #3:
+    # ``Observation.get`` blocking semantics when metrics never fire are
+    # version-sensitive — on a dirless write we never touch it).
+    from restructure_hdfs_topic_spark.compression import fs_list_dir
 
-        children = fs_list_dir(f"{path}/{name}/assignments", spark)
-        has_data = any(c.startswith("cluster=") for c in children)
-        n_batch = (
-            int(spark.read.parquet(f"{path}/{name}/assignments").count())
-            if has_data
-            else 0
-        )
+    children = fs_list_dir(f"{path}/{name}/assignments", spark)
+    has_data = any(c.startswith("cluster=") for c in children)
+    if not has_data:
+        n_batch = 0
+    else:
+        try:
+            n_batch = int(obs.get["n"])
+        except Exception:
+            # Defensive residue: data exists but the metric is unreadable
+            # (shouldn't happen — the write that produced the files also
+            # fires the CollectMetrics node); count the durable rows.
+            n_batch = int(
+                spark.read.schema(_ASSIGN_SCHEMA)
+                .parquet(f"{path}/{name}/assignments")
+                .count()
+            )
     if n_batch == 0:
         # An empty batch cannot change the index (and its generation dir
         # holds no parquet files — a fileless generation would fail
@@ -751,12 +759,17 @@ def delete_ivf_vectors(
         tomb = _ivf_tombstone_df(spark, meta, path)
         if tomb is not None:
             live = live.join(tomb, "id", "left_anti")
-        # Broadcast the delete batch (bounded by contract, like every
-        # query side in this repo): the corpus-sized live id scan joins
-        # without an exchange — at index scale a sort-merge here would
-        # shuffle every live id to hash partitions just to match a small
-        # takedown set (guide §3.1).
-        hits = live.join(F.broadcast(want), "id")
+        # Broadcast the delete batch so the corpus-sized live id scan
+        # joins without an exchange — at index scale a sort-merge here
+        # would shuffle every live id to hash partitions just to match a
+        # small takedown set (guide §3.1).  ENFORCED bound (ADVICE r13
+        # #2): "bounded by contract" is checked against Catalyst's size
+        # estimate (driver-side, no job), and a takedown set too big to
+        # broadcast falls back to the planner's choice instead of OOMing
+        # the driver.
+        from restructure_hdfs_topic_spark.generations import broadcast_if_bounded
+
+        hits = live.join(broadcast_if_bounded(want), "id")
         from restructure_hdfs_topic_spark.generations import (
             drop_tombstone_generation,
             write_tombstone_generation,
@@ -791,6 +804,8 @@ def vacuum_ivf_index(
     path: str,
     lock: bool = True,
     sweep_superseded: bool = True,
+    delete_ids: DataFrame | None = None,
+    id_col: str = "vec_id",
 ) -> dict:
     """Physically purge tombstoned vectors AND fold append generations:
     rewrite ``assignments/`` (and the IVFPQ ``codes/`` store when
@@ -803,9 +818,22 @@ def vacuum_ivf_index(
     count makes serve-time unions wide).  A crash before the publish
     leaves the pre-vacuum index serving (tombstone-filtered, still
     exact); after, the new generation is live with stale litter only.
-    No-op without tombstones or appends."""
+    No-op without tombstones or appends (or a ``delete_ids`` batch).
+
+    ``delete_ids`` (r14, VERDICT r13 #4) fuses a delete INTO the vacuum:
+    the batch is subtracted in the same base rewrite instead of paying a
+    tombstone-generation write + read-back count + its own meta publish
+    first — one rewrite, ONE publish, for the common
+    "take down, then compact" chain.  Crash-safety is the vacuum's own:
+    before the publish the pre-vacuum index serves (the fused batch is
+    simply not yet applied — delete+vacuum become atomic together);
+    results afterwards equal ``delete_ivf_vectors`` followed by
+    ``vacuum_ivf_index`` (equivalence pinned in tests/test_ivf_delete.py).
+    The published ``n`` derives from an ``Observation`` riding the
+    rewrite (guide §1.4), so it can never disagree with the durable rows."""
     from restructure_hdfs_topic_spark.compression import (
         fs_delete_dir,
+        fs_list_dir,
         small_file_exists,
     )
     from restructure_hdfs_topic_spark.locks import artifact_mutation_lease
@@ -815,9 +843,21 @@ def vacuum_ivf_index(
         meta = load_ivf_meta(spark, path)
         tomb = _ivf_tombstone_df(spark, meta, path)
         appends = list(meta.get("appends", []))
-        if tomb is None and not appends:
-            return meta  # nothing tombstoned, nothing to fold
+        if tomb is None and not appends and delete_ids is None:
+            return meta  # nothing tombstoned, nothing to fold or delete
+        extra = None
+        if delete_ids is not None:
+            from restructure_hdfs_topic_spark.generations import (
+                broadcast_if_bounded,
+            )
+
+            _check_integral_id(delete_ids, id_col)
+            extra = broadcast_if_bounded(
+                delete_ids.select(F.col(id_col).alias("id")).distinct()
+            )
         old_base = _ivf_base_root(meta, path)
+        from pyspark.sql import Observation
+
         from restructure_hdfs_topic_spark.generations import next_gen
 
         gen, new_base = next_gen(meta, "base_gen", "base-g")
@@ -829,10 +869,15 @@ def vacuum_ivf_index(
             f"{path}/_pq_meta.json", spark=spark
         ) or small_file_exists(f"{old_base}/codes", spark=spark):
             kinds.append("codes")
+        obs = Observation()
         for kind in kinds:
             live = _read_ivf_union(spark, meta, path, kind)
             if tomb is not None:
                 live = live.join(tomb, "id", "left_anti")
+            if extra is not None:
+                live = live.join(extra, "id", "left_anti")
+            if kind == "assignments":
+                live = live.observe(obs, F.count(F.lit(1)).alias("n"))
             (
                 live.repartition(F.col("cluster"))
                 .write.mode("overwrite")
@@ -840,8 +885,17 @@ def vacuum_ivf_index(
                 .partitionBy("cluster")
                 .parquet(f"{path}/{new_base}/{kind}")
             )
+        # Survivor count from the rewrite itself: dir listing first (an
+        # all-deleted corpus writes no part files and may prune the
+        # metrics node — the append path's ADVICE r13 #3 discipline),
+        # observation only when data exists.
+        children = fs_list_dir(f"{path}/{new_base}/assignments", spark)
+        if any(c.startswith("cluster=") for c in children):
+            n_live = int(obs.get["n"])
+        else:
+            n_live = 0
         meta["base_gen"], meta["base_dir"] = gen, new_base
-        meta["n"] = int(meta["n"]) - int(meta.get("n_deleted", 0))
+        meta["n"] = n_live
         meta["appends"] = []
         meta["tomb_dir"] = ""
         meta["n_deleted"] = 0

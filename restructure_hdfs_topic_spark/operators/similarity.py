@@ -394,7 +394,13 @@ def ivf_ann_topk(
         )
     except Exception:
         pass
+    # (No session discriminator needed here, unlike the groups memos: the
+    # memoized value is (route, numpy centroids, nprobe) — plain Python,
+    # valid under any session; the consumer re-persists quant per call.)
     hit = _IVF_MEMO.get(memo_key) if memo_key is not None else None
+    from restructure_hdfs_topic_spark import memostats
+
+    memostats.record("ivf_route", hit is not None)
     if hit is not None:
         route, m_centroids, m_nprobe = hit
         if route == "lsh":

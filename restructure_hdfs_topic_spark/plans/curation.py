@@ -402,6 +402,9 @@ def _soft_dedup_stage(
     # fingerprint (row count + XOR id/text hashes, one column-pruned scan
     # over the already-persisted scrub) guarantees a corpus regenerated
     # in place under an identical plan gets FRESH groups.
+    from restructure_hdfs_topic_spark import memostats
+    from restructure_hdfs_topic_spark.session import session_epoch
+
     memo_key = None
     try:
         fp = scrubbed.agg(
@@ -410,6 +413,10 @@ def _soft_dedup_stage(
             F.bit_xor(F.xxhash64(F.col(id_col), F.col(text_col))).alias("x_txt"),
         ).collect()[0]
         memo_key = (
+            # Session discriminator (ADVICE r13 #1): a restarted session
+            # must miss — the memoized frame's checkpoint blocks belong
+            # to the context that built it.
+            session_epoch(scrubbed.sparkSession),
             scrubbed.select(id_col, text_col)
             ._jdf.queryExecution()
             .analyzed()
@@ -422,6 +429,7 @@ def _soft_dedup_stage(
     except Exception:
         pass
     groups = _SOFT_GROUPS_MEMO.get(memo_key) if memo_key is not None else None
+    memostats.record("soft_dedup_groups", groups is not None)
     if groups is None:
         pairs = lsh_near_dup_pairs(
             scrubbed, id_col, text_col, threshold=jaccard_threshold

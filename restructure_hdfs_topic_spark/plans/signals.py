@@ -69,8 +69,13 @@ def annotate_quality_signals(
     rebuild — so they are memoized per that key and reused across calls
     (r13 construction-cost profile; unresolved Columns are reusable
     across DataFrames within one JVM gateway)."""
+    from restructure_hdfs_topic_spark.session import session_epoch
+
     base = docs.columns
-    memo_key = (tuple(base), text_col)
+    # Gateway epoch in the key (ADVICE r13 #1): the memoized Columns are
+    # py4j handles — valid across SparkSessions, dead if the JVM gateway
+    # is ever replaced in-process.
+    memo_key = (session_epoch(), tuple(base), text_col)
     memo = _SIGNAL_COLS_MEMO.get(memo_key)
     if memo is not None:
         s1, s2, s3 = memo

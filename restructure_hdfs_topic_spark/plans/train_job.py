@@ -149,7 +149,16 @@ def train_data_job(
         stage_seconds[stage] = round(now - _t0, 3)
         _t0 = now
 
-    counts: dict[str, int] = {"input": docs.count()}
+    # The input count shares no lineage with the gate/scrub spine —
+    # overlap it with the scrub materialization below instead of
+    # serializing a full corpus scan in front of the job (VERDICT r13
+    # #5, guide §2.6).  Its wall time bills to quality_gate_and_scrub
+    # (the lap that resolves it).
+    from concurrent.futures import ThreadPoolExecutor
+
+    _count_pool = ThreadPoolExecutor(max_workers=1)
+    input_count_fut = _count_pool.submit(docs.count)
+    counts: dict[str, int] = {}
     _lap("input_count")
 
     # 1+2. Quality gate, then span scrub over the survivors.  Persisted:
@@ -183,6 +192,8 @@ def train_data_job(
             scope="train_job.decontaminated",
         )
     counts["after_quality_gate"] = scrubbed.count()
+    counts["input"] = int(input_count_fut.result())
+    _count_pool.shutdown(wait=False)
     _lap("quality_gate_and_scrub")
 
     # 4. Hard near-dup drop (keep-first) — ONE MinHash pass (VERDICT r11
@@ -210,10 +221,19 @@ def train_data_job(
     # anyway; the trade is the CC module's documented one (blocks are
     # unreplicated — under executor loss switch to checkpoint() on a
     # stable dir).
-    deduped = scrubbed.join(losers, on=id_col, how="left_anti").localCheckpoint(
-        eager=True
+    from pyspark.sql import Observation
+
+    # The survivor count rides the eager checkpoint as an Observation
+    # (guide §1.4, VERDICT r13 #5): the checkpoint already executes every
+    # row once, so a separate count action is a whole job for a number
+    # the engine has just seen.
+    dedup_obs = Observation()
+    deduped = (
+        scrubbed.join(losers, on=id_col, how="left_anti")
+        .observe(dedup_obs, F.count(F.lit(1)).alias("n"))
+        .localCheckpoint(eager=True)
     )
-    counts["after_near_dup_drop"] = deduped.count()
+    counts["after_near_dup_drop"] = int(dedup_obs.get["n"])
     _lap("near_dup_drop")
 
     # 5. Leakage-safe split: the grouping edges are the surviving loose
@@ -231,21 +251,35 @@ def train_data_job(
     groups = connected_components(
         deduped.select(F.col(id_col).alias("id")), edges
     ).select(F.col("id").alias(id_col), "group_id")
-    split = grouped_holdout_split(
-        deduped.select(
-            id_col, strata_col, text_col,
-            token_count(F.col(text_col)).alias("n_tokens"),
-        ),
-        id_col,
-        fractions,
-        groups,
-    ).localCheckpoint(eager=True)
-    split_counts = {
-        r["split"]: int(r["n"])
-        for r in split.groupBy("split").agg(F.count(F.lit(1)).alias("n")).collect()
-    }
+    # Per-split counts ride the split checkpoint as one Observation with
+    # a conditional-sum column per split (the split names are known
+    # upfront) — replacing the groupBy("split") job that re-scanned the
+    # checkpointed frame (VERDICT r13 #5).
+    split_obs = Observation()
+    split = (
+        grouped_holdout_split(
+            deduped.select(
+                id_col, strata_col, text_col,
+                token_count(F.col(text_col)).alias("n_tokens"),
+            ),
+            id_col,
+            fractions,
+            groups,
+        )
+        .observe(
+            split_obs,
+            *[
+                F.sum(
+                    F.when(F.col("split") == name, F.lit(1)).otherwise(F.lit(0))
+                ).alias(name)
+                for name in fractions
+            ],
+        )
+        .localCheckpoint(eager=True)
+    )
+    split_counts_row = split_obs.get
     for name in fractions:
-        counts[name] = split_counts.get(name, 0)
+        counts[name] = int(split_counts_row[name] or 0)
     counts["dropped_by_quality"] = counts["input"] - counts["after_quality_gate"]
     counts["dropped_by_near_dup"] = (
         counts["after_quality_gate"] - counts["after_near_dup_drop"]

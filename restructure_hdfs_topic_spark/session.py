@@ -55,6 +55,31 @@ def get_spark(
     return builder.getOrCreate()
 
 
+def session_epoch(spark: SparkSession | None = None) -> str:
+    """Identity of the live Spark runtime, for module-level memo keys
+    (ADVICE r13 #1).  Memoized DataFrames (groups closures, soft-dedup
+    clusters) are bound to the SparkContext that built them — after a
+    same-process session restart, a key hit would hand back a frame
+    whose JVM plan (and checkpoint blocks) belong to the dead context.
+    Folding this into every such memo key turns that into a clean miss.
+
+    With ``spark`` given: the context's applicationId (changes on every
+    restart).  Without: the py4j gateway identity — the right epoch for
+    memoized unresolved Column trees, which are gateway-scoped JVM
+    objects independent of any SparkContext."""
+    if spark is not None:
+        try:
+            return spark.sparkContext.applicationId
+        except Exception:
+            return "no-context"
+    try:
+        from pyspark import SparkContext
+
+        return f"gw-{id(SparkContext._gateway)}"
+    except Exception:
+        return "no-gateway"
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str):
     """Load one driver-generated parquet table (TESTDATA.md).
 

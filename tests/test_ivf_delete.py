@@ -133,6 +133,44 @@ def test_vacuum_purges_physically_and_preserves_results(spark, tmp_path):
     assert _rows(query_ivf_index(spark, path, qs, k=5, nprobe=10)) == before
 
 
+def test_fused_delete_vacuum_equals_sequential(spark, tmp_path):
+    """r14 (VERDICT r13 #4): ``vacuum_ivf_index(delete_ids=...)`` — one
+    rewrite, ONE meta publish — must leave the index byte-equivalent in
+    results and meta to delete_ivf_vectors followed by vacuum_ivf_index."""
+    emb = _emb(spark)
+    kill = _ids(spark, emb.filter(KILL()))
+    qs = emb.filter(F.col("vec_id") % 20 == 0)
+
+    seq = str(tmp_path / "seq")
+    build_ivf_index(emb, seq, n_centroids=16, lloyd_iters=1)
+    delete_ivf_vectors(spark, seq, kill)
+    meta_seq = vacuum_ivf_index(spark, seq)
+
+    fused = str(tmp_path / "fused")
+    build_ivf_index(emb, fused, n_centroids=16, lloyd_iters=1)
+    meta_fused = vacuum_ivf_index(spark, fused, delete_ids=kill)
+
+    # Same committed state: survivor count, cleared tombstone/append
+    # state, fresh base generation; one fewer publish (version 2 vs 3).
+    assert meta_fused["n"] == meta_seq["n"] == emb.count() - kill.count()
+    assert meta_fused["tomb_dir"] == "" and meta_fused["n_deleted"] == 0
+    assert meta_fused["base_dir"] == meta_seq["base_dir"] == "base-g00001"
+    assert not os.path.exists(f"{fused}/tombstones")
+    assert meta_fused["version"] < meta_seq["version"]
+
+    got = _rows(query_ivf_index(spark, fused, qs, k=5, nprobe=10))
+    want = _rows(query_ivf_index(spark, seq, qs, k=5, nprobe=10))
+    assert got == want and got
+
+    # Fused-deleting EVERYTHING serves empty, not a crash (the fileless
+    # base case), and the observed n is 0.
+    wipe = str(tmp_path / "wipe")
+    build_ivf_index(emb, wipe, n_centroids=16, lloyd_iters=1)
+    meta_wipe = vacuum_ivf_index(spark, wipe, delete_ids=emb.select("vec_id"))
+    assert meta_wipe["n"] == 0
+    assert query_ivf_index(spark, wipe, qs, k=5, nprobe=10).count() == 0
+
+
 def test_delete_noop_and_interrupted_publish(spark, tmp_path, monkeypatch):
     emb = _emb(spark)
     path = str(tmp_path / "ivf")
