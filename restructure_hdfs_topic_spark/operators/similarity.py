@@ -609,11 +609,20 @@ def _spread_small_input(df: DataFrame, n_rows, key_col: str) -> DataFrame:
     serializes the whole Python kernel on one core; an n-row exchange on
     an 8-byte key costs far less than the single-threaded stage it
     parallelizes.  No-op when the size is unknown or large — at scale the
-    scan already has parallel splits and the exchange would be waste."""
+    scan already has parallel splits and the exchange would be waste.
+
+    Partition count derives from a ROWS-PER-TASK target, not the core
+    count (r14, VERDICT r13 #1): the old ``min(defaultParallelism,
+    n//64)`` fanned a 15k-row corpus into 32 ~470-row Python tasks on a
+    32-core master — worker dispatch + Arrow setup dominated the ~10 ms
+    of vectorized compute per task, which is exactly how 8-core runs
+    beat 32-core runs on the ANN rows (PERF_r13 scaling: ann_lsh 0.53,
+    ivf_index_query 0.53).  ~2k rows/task keeps each kernel invocation
+    compute-bound at every core count; results are unchanged under any
+    partitioning (exact-int kernels, pinned)."""
     if n_rows is None or n_rows > 1_000_000:
         return df
-    sc = df.sparkSession.sparkContext
-    parts = max(2, min(sc.defaultParallelism, max(1, n_rows // 64)))
+    parts = max(2, min(128, (n_rows + 2047) // 2048))
     return df.repartition(parts, key_col)
 
 

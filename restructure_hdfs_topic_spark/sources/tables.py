@@ -50,23 +50,30 @@ def _replace_ntz(dt):
 def configure(spark: SparkSession) -> SparkSession:
     """Apply the runtime confs every query in this engine relies on.
 
-    The AQE coalescing pair makes post-shuffle task counts follow DATA
-    SIZE instead of the session's core count (guide §2.1/§6.2, VERDICT
-    r13 #1): with ``parallelismFirst=true`` (the Spark default) AQE
-    coalesces only down to the default parallelism, so a tiny shuffle on
-    a 32-core master still runs ~32 reduce tasks and pays scheduling +
-    fetch overhead per task — measured as 8-core runs BEATING 32-core
-    runs on most heavy rows at sf0.1 (PERF_r13 scaling block).  Setting
-    it false (the setting Spark's own docs recommend for production)
-    sizes reduce tasks by ``advisoryPartitionSizeInBytes`` at EVERY
-    scale: tiny inputs collapse to a handful of tasks, 100 TB shuffles
-    still get bytes/advisory tasks.  No core-count or SF constant is
-    baked in; results are partition-count-independent (oracle-pinned)."""
+    AQE + partition coalescing are pinned on explicitly.
+    ``parallelismFirst`` stays at Spark's default (true) after a MEASURED
+    negative result (r14, guide §1.2): setting it false — the
+    "production" recommendation, sizing reduce tasks purely by
+    ``advisoryPartitionSizeInBytes`` — collapsed every sf0.1 shuffle to
+    1–2 tasks because BYTES are a bad proxy for COMPUTE here (window
+    sorts, regex projections, Arrow kernels are CPU-heavy per byte):
+    same-host A/B at 32 cores, warm seconds, false vs true —
+    offset_interval_merge 2.9–6.5 vs 0.8–1.2, bm25_topk 3.6–8.7 vs
+    2.6–3.5, substring_dedup 1.5–8.0 vs 0.9–1.3.  On a real cluster
+    whose shuffles carry ~advisory-sized data per task the setting is
+    the right one — deploys can flip it with
+    ``SPARK_GRAFT_PARALLELISM_FIRST=false`` — but it is NOT a
+    local-bench win, and the r13 inverse-core-scaling signal traced to
+    /tmp artifact asymmetry + tiny-Python-task fan-outs (both fixed this
+    round), not to reduce-task counts."""
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.adaptive.enabled", "true")
     spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
-    spark.conf.set("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
+    spark.conf.set(
+        "spark.sql.adaptive.coalescePartitions.parallelismFirst",
+        os.environ.get("SPARK_GRAFT_PARALLELISM_FIRST", "true"),
+    )
     return spark
 
 

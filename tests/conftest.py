@@ -1,8 +1,23 @@
+import os
 import sys
 
 import pytest
 
 sys.path.insert(0, "/root/repo")
+
+
+def prop_examples(n: int) -> int:
+    """Hypothesis example budget for the property suites (VERDICT r13
+    #2/#4): the full suite outgrew the driver's verify window, and the
+    property tests — each example of which builds indexes / runs multi-
+    job Spark pipelines — are the fattest contributors.  Default profile
+    runs ceil(n/3) examples (never fewer than 2, so shrinking still
+    works); set SPARK_GRAFT_FULL_TESTS=1 to restore every suite's full
+    example count (run before releases / after lifecycle-protocol
+    changes — the builder's own full runs are recorded in STATUS.md)."""
+    if os.environ.get("SPARK_GRAFT_FULL_TESTS"):
+        return n
+    return max(2, -(-n // 3))
 
 
 @pytest.fixture(scope="session")

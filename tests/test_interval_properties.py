@@ -10,6 +10,7 @@ difference."""
 
 import sys
 
+from conftest import prop_examples
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 
@@ -44,7 +45,7 @@ def _paint(ivs) -> set[int]:
 
 
 @settings(
-    max_examples=12,
+    max_examples=prop_examples(12),
     deadline=None,
     suppress_health_check=[HealthCheck.too_slow],
 )
@@ -71,7 +72,7 @@ def test_merge_equals_painted_islands(spark, all_cases):
 
 
 @settings(
-    max_examples=12,
+    max_examples=prop_examples(12),
     deadline=None,
     suppress_health_check=[HealthCheck.too_slow],
 )
@@ -105,7 +106,7 @@ def test_remove_equals_set_difference(spark, pairs):
 
 
 @settings(
-    max_examples=10,
+    max_examples=prop_examples(10),
     deadline=None,
     suppress_health_check=[HealthCheck.too_slow],
 )
@@ -153,7 +154,7 @@ def test_substring_spans_equal_brute_force(spark, docs_tokens):
 
 
 @settings(
-    max_examples=10,
+    max_examples=prop_examples(10),
     deadline=None,
     suppress_health_check=[HealthCheck.too_slow],
 )

@@ -8,6 +8,7 @@ amortize and the suite stays fast."""
 
 import sys
 
+from conftest import prop_examples
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 
@@ -48,7 +49,7 @@ def _model(texts: list[str], min_count: int) -> list[str]:
     return out
 
 
-@settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
+@settings(max_examples=prop_examples(12), deadline=None, suppress_health_check=list(HealthCheck))
 @given(corpus, st.integers(min_value=2, max_value=4))
 def test_strip_matches_model(spark, texts, min_count):
     rows = [(i, t) for i, t in enumerate(texts)]
@@ -100,7 +101,7 @@ def _tb_model(rows, budgets):
     return keep
 
 
-@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@settings(max_examples=prop_examples(10), deadline=None, suppress_health_check=list(HealthCheck))
 @given(tb_rows, tb_budgets)
 def test_token_budget_matches_model(spark, raw, budgets):
     rows = [(i, f"s{s}", n) for i, (s, n) in enumerate(raw)]

@@ -18,6 +18,7 @@ import math
 import sys
 from collections import Counter
 
+from conftest import prop_examples
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 
@@ -33,7 +34,7 @@ _doc = st.one_of(
 )
 
 
-@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@settings(max_examples=prop_examples(8), deadline=None, suppress_health_check=list(HealthCheck))
 @given(
     st.lists(_doc, min_size=1, max_size=20),
     st.lists(_doc.filter(lambda t: t), min_size=1, max_size=8),
@@ -62,7 +63,7 @@ def test_dsir_select_partitioning_and_k_monotonicity(spark, raw, target, k):
     assert got <= sel(raw_df, k + 3)
 
 
-@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@settings(max_examples=prop_examples(10), deadline=None, suppress_health_check=list(HealthCheck))
 @given(st.lists(_doc, min_size=1, max_size=25))
 def test_duplication_weights_match_model_and_mass(spark, texts):
     from restructure_hdfs_topic_spark.operators.dedup import (

@@ -16,6 +16,7 @@ from __future__ import annotations
 
 import sys
 
+from conftest import prop_examples
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 
@@ -34,7 +35,7 @@ _fractions = st.sampled_from(
 )
 
 
-@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@settings(max_examples=prop_examples(10), deadline=None, suppress_health_check=list(HealthCheck))
 @given(_ids, st.data(), _fractions)
 def test_grouped_holdout_tiles_and_never_straddles(spark, ids, data, fractions):
     from restructure_hdfs_topic_spark.operators.sampling import (
@@ -78,7 +79,7 @@ def test_grouped_holdout_tiles_and_never_straddles(spark, ids, data, fractions):
     assert out2 == out
 
 
-@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@settings(max_examples=prop_examples(10), deadline=None, suppress_health_check=list(HealthCheck))
 @given(_ids, _fractions)
 def test_grouped_holdout_groupfree_equals_plain(spark, ids, fractions):
     from restructure_hdfs_topic_spark.operators.sampling import (
@@ -102,7 +103,7 @@ _vec = st.lists(
 )
 
 
-@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@settings(max_examples=prop_examples(8), deadline=None, suppress_health_check=list(HealthCheck))
 @given(st.lists(_vec, min_size=3, max_size=25), st.integers(min_value=1, max_value=4))
 def test_pca_project_partitioning_and_batch_independence(spark, vecs, q):
     """With a FIXED fitted model, the projection of a row depends only on
@@ -133,7 +134,7 @@ def test_pca_project_partitioning_and_batch_independence(spark, vecs, q):
     assert all(len(v) == min(q, 6) for v in white.values())
 
 
-@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@settings(max_examples=prop_examples(6), deadline=None, suppress_health_check=list(HealthCheck))
 @given(st.lists(_vec, min_size=4, max_size=20))
 def test_pca_fit_is_input_order_invariant(spark, vecs):
     """The sufficient statistics are exact int64 sums, so the fitted

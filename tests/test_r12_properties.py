@@ -15,6 +15,7 @@ from __future__ import annotations
 
 import sys
 
+from conftest import prop_examples
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 
@@ -39,7 +40,7 @@ def _served(spark, path, qs):
     return sorted(map(tuple, query_bm25_index(spark, path, qs, k=4).collect()))
 
 
-@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@settings(max_examples=prop_examples(6), deadline=None, suppress_health_check=list(HealthCheck))
 @given(st.data())
 def test_segment_lifecycle_always_equals_single_build(spark, tmp_path_factory, data):
     from restructure_hdfs_topic_spark.operators.bm25_index import (
@@ -107,7 +108,7 @@ def test_segment_lifecycle_always_equals_single_build(spark, tmp_path_factory, d
     assert _served(spark, path, qs) == direct
 
 
-@settings(max_examples=5, deadline=None, suppress_health_check=list(HealthCheck))
+@settings(max_examples=prop_examples(5), deadline=None, suppress_health_check=list(HealthCheck))
 @given(st.data())
 def test_lifecycle_with_crashes_and_repair_still_equals_single_build(
     spark, tmp_path_factory, monkeypatch, data
@@ -178,7 +179,7 @@ def test_lifecycle_with_crashes_and_repair_still_equals_single_build(
     assert _served(spark, path, qs) == direct
 
 
-@settings(max_examples=15, deadline=None, suppress_health_check=list(HealthCheck))
+@settings(max_examples=prop_examples(15), deadline=None, suppress_health_check=list(HealthCheck))
 @given(st.data())
 def test_assignment_churn_matches_dict_diff(spark, data):
     """assignment_churn over arbitrary assignment tables equals the
@@ -218,7 +219,7 @@ _prev_ids = st.lists(
 _FRACTIONS = {"train": 0.8, "valid": 0.1, "test": 0.1}
 
 
-@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@settings(max_examples=prop_examples(10), deadline=None, suppress_health_check=list(HealthCheck))
 @given(_prev_ids, st.data())
 def test_pinned_resplit_never_moves_assigned_docs(spark, prev_ids, data):
     from pyspark.sql import functions as F

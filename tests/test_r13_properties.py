@@ -17,6 +17,7 @@ from __future__ import annotations
 
 import sys
 
+from conftest import prop_examples
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 
@@ -45,7 +46,7 @@ def _served(spark, path, qs):
     )
 
 
-@settings(max_examples=5, deadline=None, suppress_health_check=list(HealthCheck))
+@settings(max_examples=prop_examples(5), deadline=None, suppress_health_check=list(HealthCheck))
 @given(st.data())
 def test_ivf_lifecycle_with_crashes_equals_clean_mirror(
     spark, tmp_path_factory, monkeypatch, data
@@ -159,7 +160,7 @@ _CRASH_TAGS = [
 ]
 
 
-@settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
+@settings(max_examples=prop_examples(12), deadline=None, suppress_health_check=list(HealthCheck))
 @given(
     st.lists(
         st.tuples(st.binary(min_size=1, max_size=16), st.sampled_from(_CRASH_TAGS)),

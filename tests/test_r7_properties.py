@@ -8,6 +8,7 @@ from __future__ import annotations
 import math
 import sys
 
+from conftest import prop_examples
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 
@@ -56,7 +57,7 @@ def _temperature_model(strata: list[int], alpha: float, max_rows):
     }
 
 
-@settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
+@settings(max_examples=prop_examples(12), deadline=None, suppress_health_check=list(HealthCheck))
 @given(
     ts_rows,
     st.sampled_from([0.1, 0.3, 0.5, 0.7, 1.0]),
@@ -95,7 +96,7 @@ hs_fracs = st.sampled_from(
 )
 
 
-@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@settings(max_examples=prop_examples(10), deadline=None, suppress_health_check=list(HealthCheck))
 @given(st.lists(st.integers(min_value=0, max_value=10_000), min_size=1, max_size=60, unique=True), hs_fracs)
 def test_holdout_split_matches_model(spark, ids, fracs):
     df = spark.createDataFrame([(i,) for i in ids], "doc_id long")
@@ -128,7 +129,7 @@ def test_holdout_split_matches_model(spark, ids, fracs):
 # --- epoch_shuffle: permutation + model equality ----------------------------
 
 
-@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@settings(max_examples=prop_examples(10), deadline=None, suppress_health_check=list(HealthCheck))
 @given(
     st.lists(st.integers(min_value=0, max_value=100_000), min_size=1, max_size=60, unique=True),
     st.integers(min_value=1, max_value=6),

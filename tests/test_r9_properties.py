@@ -12,6 +12,7 @@ import math
 import sys
 from collections import defaultdict
 
+from conftest import prop_examples
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 
@@ -39,7 +40,7 @@ rep_text = st.one_of(
 )
 
 
-@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@settings(max_examples=prop_examples(10), deadline=None, suppress_health_check=list(HealthCheck))
 @given(st.lists(rep_text, min_size=1, max_size=25))
 def test_repetition_metrics_match_model_on_random_text(spark, texts):
     from test_repetition import METRICS, _model
@@ -71,7 +72,7 @@ bf_counts = st.lists(
 )
 
 
-@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@settings(max_examples=prop_examples(10), deadline=None, suppress_health_check=list(HealthCheck))
 @given(bf_counts, st.integers(min_value=8, max_value=256))
 def test_best_fit_pack_invariants_hold(spark, counts, budget):
     from test_bestfit import _model_bucket, _phash
@@ -138,7 +139,7 @@ eu_factors = st.lists(
 )
 
 
-@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@settings(max_examples=prop_examples(10), deadline=None, suppress_health_check=list(HealthCheck))
 @given(eu_rows, eu_factors)
 def test_epoch_upsample_matches_model(spark, rows, factors):
     from restructure_hdfs_topic_spark.operators.sampling import (
