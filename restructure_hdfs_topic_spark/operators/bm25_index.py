@@ -272,7 +272,7 @@ def build_bm25_index(
         # stale .old version and reopen exactly the window this closes.
         invalidate_meta(docs.sparkSession, f"{path}/{_META}")
 
-        n_docs, sum_dl = _write_segment(
+        n_docs, sum_dl, fp = _write_segment(
             docs, path, id_col, text_col, n_buckets, fp_mod=_FP_SAMPLE_MOD
         )
         meta = {
@@ -290,7 +290,10 @@ def build_bm25_index(
             # Corpus identity (ADVICE r10): lets a build-once caller
             # detect a corpus regenerated in place under the same
             # path/params instead of trusting the artifact blindly.
-            **corpus_fingerprint(docs, id_col=id_col, text_col=text_col),
+            # r14: rides the segment's doclens write as an Observation
+            # (same row set, same sample rule) instead of re-scanning
+            # the corpus.
+            **fp,
         }
         _write_meta(docs.sparkSession, f"{path}/{_META}", meta)
         # A rebuild resets to the legacy root layout: sweep segment dirs
@@ -321,12 +324,12 @@ def _write_segment(
     text_col: str,
     n_buckets: int,
     fp_mod: int = _FP_SAMPLE_MOD,
-) -> tuple[int, int]:
+) -> tuple[int, int, dict]:
     """Materialize one segment's postings/vocab/doclens triple under
-    ``seg_path``; returns its exact ``(n_docs, sum_dl)``.  Shared by the
-    base build and ``append_bm25_segment`` so a segment can never drift
-    from the base layout (same bucketing, same sort, same denormalized
-    dl).
+    ``seg_path``; returns its exact ``(n_docs, sum_dl, fingerprint)``.
+    Shared by the base build and ``append_bm25_segment`` so a segment can
+    never drift from the base layout (same bucketing, same sort, same
+    denormalized dl).
 
     ``doclens/`` (r12, one row per INPUT doc — ``dl`` 0 for empty-text
     docs the postings exclude) is what makes tombstone DELETES exact
@@ -335,9 +338,25 @@ def _write_segment(
     ``fp_text`` hash (``xxhash64(id, text)`` where ``pmod(xxhash64(id),
     fp_mod) == 0``, the ``corpus_fingerprint`` rule) to fold the deleted
     docs OUT of the fingerprint — both exactly, neither re-reading the
-    corpus text."""
+    corpus text.
+
+    r14 shape (guide §1.4, §2.6): the postings/vocab/doclens writes are
+    INDEPENDENT consumers of the cached tf/dl tables, so they run
+    overlapped from a 3-thread pool instead of serializing three
+    straggler tails; the corpus fingerprint — one row per input doc,
+    exactly the doclens row set — rides the doclens write as an
+    ``Observation`` instead of a separate full-corpus scan (dir-listing-
+    first per ADVICE r13 #3, so ``Observation.get`` is never consulted
+    on a write whose metrics node was pruned).  ``dl`` is persisted: the
+    stats aggregate, the postings join and the doclens join each
+    consumed it, and each re-ran the groupBy over tf."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    from pyspark.sql import Observation
+
     from restructure_hdfs_topic_spark.caching import scoped_persist
 
+    spark = docs.sparkSession
     base = docs.filter(F.trim(F.col(text_col)) != "").select(
         F.col(id_col).alias("doc_id"), F.col(text_col).alias("__text")
     )
@@ -347,7 +366,12 @@ def _write_segment(
         .agg(F.count(F.lit(1)).alias("tf")),
         scope="bm25_index.build.tf",
     )
-    dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+    dl = scoped_persist(
+        tf.groupBy("doc_id").agg(F.sum("tf").alias("dl")),
+        scope="bm25_index.build.dl",
+    )
+    # This collect is also the materializer: computing dl populates the
+    # tf cache underneath it, so the three writes below read warm caches.
     stats_row = dl.agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("dl").alias("sum_dl"),
@@ -355,34 +379,6 @@ def _write_segment(
     n_docs = int(stats_row["n_docs"] or 0)
     sum_dl = int(stats_row["sum_dl"] or 0)
 
-    postings = tf.join(dl, "doc_id").withColumn(
-        "bucket", _bucket(F.col("token"), n_buckets)
-    )
-    (
-        postings.repartition(F.col("bucket"))
-        .sortWithinPartitions("bucket", "token", "doc_id")
-        .write.mode("overwrite")
-        # A rebuild must drop EVERY old bucket dir, including buckets the
-        # new corpus leaves empty — under a session-level dynamic
-        # partitionOverwriteMode those stale dirs would survive and serve
-        # old postings against new global stats.
-        .option("partitionOverwriteMode", "static")
-        .partitionBy("bucket")
-        .parquet(f"{seg_path}/postings")
-    )
-    vocab = (
-        tf.groupBy("token")
-        .agg(F.count(F.lit(1)).alias("df"))
-        .withColumn("bucket", _bucket(F.col("token"), n_buckets))
-    )
-    (
-        vocab.repartition(F.col("bucket"))
-        .sortWithinPartitions("bucket", "token")
-        .write.mode("overwrite")
-        .option("partitionOverwriteMode", "static")
-        .partitionBy("bucket")
-        .parquet(f"{seg_path}/vocab")
-    )
     mod = max(1, int(fp_mod))
     fp_text = (
         F.xxhash64(F.col(id_col), F.col(text_col))
@@ -404,15 +400,96 @@ def _write_segment(
             .alias("bucket"),
         )
     )
-    (
-        doclens.repartition(F.col("bucket"))
-        .sortWithinPartitions("bucket", "doc_id")
-        .write.mode("overwrite")
-        .option("partitionOverwriteMode", "static")
-        .partitionBy("bucket")
-        .parquet(f"{seg_path}/doclens")
-    )
-    return n_docs, sum_dl
+    # One doclens row per input doc (left join from docs against the
+    # grouped dl), so the fingerprint aggregates over this frame equal
+    # ``corpus_fingerprint(docs)`` under the same fp_mod — bit_xor skips
+    # the unsampled rows' null fp_text exactly as the when() sample does.
+    fp_obs = Observation()
+
+    def _write_postings() -> None:
+        spark.sparkContext.setJobDescription("bm25 segment: postings")
+        postings = tf.join(dl, "doc_id").withColumn(
+            "bucket", _bucket(F.col("token"), n_buckets)
+        )
+        (
+            postings.repartition(F.col("bucket"))
+            .sortWithinPartitions("bucket", "token", "doc_id")
+            .write.mode("overwrite")
+            # A rebuild must drop EVERY old bucket dir, including buckets
+            # the new corpus leaves empty — under a session-level dynamic
+            # partitionOverwriteMode those stale dirs would survive and
+            # serve old postings against new global stats.
+            .option("partitionOverwriteMode", "static")
+            .partitionBy("bucket")
+            .parquet(f"{seg_path}/postings")
+        )
+
+    def _write_vocab() -> None:
+        spark.sparkContext.setJobDescription("bm25 segment: vocab")
+        vocab = (
+            tf.groupBy("token")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .withColumn("bucket", _bucket(F.col("token"), n_buckets))
+        )
+        (
+            vocab.repartition(F.col("bucket"))
+            .sortWithinPartitions("bucket", "token")
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "static")
+            .partitionBy("bucket")
+            .parquet(f"{seg_path}/vocab")
+        )
+
+    def _write_doclens() -> None:
+        spark.sparkContext.setJobDescription("bm25 segment: doclens")
+        (
+            doclens.observe(
+                fp_obs,
+                F.count(F.lit(1)).alias("n"),
+                F.bit_xor(F.xxhash64(F.col("doc_id"))).alias("x_id"),
+                F.bit_xor(F.col("fp_text")).alias("x_text"),
+            )
+            .repartition(F.col("bucket"))
+            .sortWithinPartitions("bucket", "doc_id")
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "static")
+            .partitionBy("bucket")
+            .parquet(f"{seg_path}/doclens")
+        )
+
+    with ThreadPoolExecutor(max_workers=3) as pool:
+        futs = [
+            pool.submit(fn)
+            for fn in (_write_postings, _write_vocab, _write_doclens)
+        ]
+        for fut in futs:
+            fut.result()
+
+    from restructure_hdfs_topic_spark.compression import fs_list_dir
+
+    children = fs_list_dir(f"{seg_path}/doclens", spark)
+    if not any(c.startswith("bucket=") for c in children):
+        # Empty input: no part dirs were written, the metrics node may
+        # have been pruned — never consult the observation (ADVICE r13
+        # #3); the empty corpus's fingerprint is definitionally zeros.
+        fp = {"fp_count": 0, "fp_xor_id": 0, "fp_xor_text": 0, "fp_mod": mod}
+    else:
+        try:
+            row = fp_obs.get
+            fp = {
+                "fp_count": int(row["n"]),
+                "fp_xor_id": int(row["x_id"] or 0),
+                "fp_xor_text": int(row["x_text"] or 0),
+                "fp_mod": mod,
+            }
+        except Exception:
+            # Defensive residue: data exists but the metric is unreadable
+            # (shouldn't happen — the write that produced the files also
+            # fires the CollectMetrics node); fall back to the scan.
+            fp = corpus_fingerprint(
+                docs, id_col=id_col, text_col=text_col, text_sample_mod=mod
+            )
+    return n_docs, sum_dl, fp
 
 
 def append_bm25_segment(
@@ -471,12 +548,16 @@ def append_bm25_segment(
             )
         segs = list(meta.get("segments", []))
         name = f"seg-{len(segs):05d}"
-        n_docs, sum_dl = _write_segment(
+        n_docs, sum_dl, fp = _write_segment(
             docs,
             f"{path}/segments/{name}",
             id_col,
             text_col,
             int(meta["n_buckets"]),
+            # The index's own fp_mod, so folded fingerprints (compaction,
+            # whole-corpus staleness checks) compose under ONE sample
+            # rule.  r14: the fingerprint rides the segment's doclens
+            # write (same rows, same rule) instead of re-scanning docs.
             fp_mod=int(meta.get("fp_mod", _FP_SAMPLE_MOD)),
         )
         meta["segments"] = segs + [
@@ -484,15 +565,7 @@ def append_bm25_segment(
                 "name": name,
                 "n_docs": n_docs,
                 "sum_dl": sum_dl,
-                # The index's own fp_mod, so folded fingerprints
-                # (compaction, whole-corpus staleness checks) compose
-                # under ONE sample rule.
-                **corpus_fingerprint(
-                    docs,
-                    id_col=id_col,
-                    text_col=text_col,
-                    text_sample_mod=int(meta.get("fp_mod", _FP_SAMPLE_MOD)),
-                ),
+                **fp,
             }
         ]
         meta["version"] = int(meta.get("version", 0)) + 1
@@ -585,61 +658,94 @@ def compact_bm25_index(
                     out = part if out is None else out.unionByName(part)
                 return out
 
+        # The merged postings/vocab/doclens writes are independent jobs
+        # over disjoint output dirs — run them overlapped (r14, guide
+        # §2.6) instead of serializing three straggler tails.  Each
+        # closure builds its own plan; no shared mutable state.
+        write_thunks = []
         if post_dirs:
-            live = _union("postings", post_dirs, ["token", "doc_id", "tf", "dl"])
-            if tomb is not None:
-                # Physical purge: tombstoned postings do not survive the
-                # merge (this is what resets the tombstone state below).
-                live = live.join(tomb, "doc_id", "left_anti")
-            posts = live.withColumn("bucket", _bucket(F.col("token"), n_buckets))
-            (
-                posts.repartition(F.col("bucket"))
-                .sortWithinPartitions("bucket", "token", "doc_id")
-                .write.mode("overwrite")
-                .option("partitionOverwriteMode", "static")
-                .partitionBy("bucket")
-                .parquet(f"{path}/{new_base_name}/postings")
-            )
-            if tomb is None:
-                vocab = (
-                    _union("vocab", post_dirs, ["token", "df"])
-                    .groupBy("token")
-                    .agg(F.sum("df").alias("df"))
+
+            def _merged_live() -> DataFrame:
+                live = _union(
+                    "postings", post_dirs, ["token", "doc_id", "tf", "dl"]
                 )
-            else:
-                # Per-part vocab sums would count deleted docs; recompute
-                # df from the purged postings (one extra postings scan —
-                # compaction is the O(index) operation, by design).
-                vocab = live.groupBy("token").agg(
-                    F.count(F.lit(1)).alias("df")
+                if tomb is not None:
+                    # Physical purge: tombstoned postings do not survive
+                    # the merge (this is what resets the tombstone state
+                    # below).
+                    live = live.join(tomb, "doc_id", "left_anti")
+                return live
+
+            def _write_merged_postings() -> None:
+                spark.sparkContext.setJobDescription("bm25 compact: postings")
+                posts = _merged_live().withColumn(
+                    "bucket", _bucket(F.col("token"), n_buckets)
                 )
-            (
-                vocab.withColumn("bucket", _bucket(F.col("token"), n_buckets))
-                .repartition(F.col("bucket"))
-                .sortWithinPartitions("bucket", "token")
-                .write.mode("overwrite")
-                .option("partitionOverwriteMode", "static")
-                .partitionBy("bucket")
-                .parquet(f"{path}/{new_base_name}/vocab")
-            )
+                (
+                    posts.repartition(F.col("bucket"))
+                    .sortWithinPartitions("bucket", "token", "doc_id")
+                    .write.mode("overwrite")
+                    .option("partitionOverwriteMode", "static")
+                    .partitionBy("bucket")
+                    .parquet(f"{path}/{new_base_name}/postings")
+                )
+
+            def _write_merged_vocab() -> None:
+                spark.sparkContext.setJobDescription("bm25 compact: vocab")
+                if tomb is None:
+                    vocab = (
+                        _union("vocab", post_dirs, ["token", "df"])
+                        .groupBy("token")
+                        .agg(F.sum("df").alias("df"))
+                    )
+                else:
+                    # Per-part vocab sums would count deleted docs;
+                    # recompute df from the purged postings (one extra
+                    # postings scan — compaction is the O(index)
+                    # operation, by design).
+                    vocab = _merged_live().groupBy("token").agg(
+                        F.count(F.lit(1)).alias("df")
+                    )
+                (
+                    vocab.withColumn("bucket", _bucket(F.col("token"), n_buckets))
+                    .repartition(F.col("bucket"))
+                    .sortWithinPartitions("bucket", "token")
+                    .write.mode("overwrite")
+                    .option("partitionOverwriteMode", "static")
+                    .partitionBy("bucket")
+                    .parquet(f"{path}/{new_base_name}/vocab")
+                )
+
+            write_thunks += [_write_merged_postings, _write_merged_vocab]
         if dl_dirs:
-            doclens = _union("doclens", dl_dirs, ["doc_id", "dl", "fp_text"])
-            if tomb is not None:
-                doclens = doclens.join(tomb, "doc_id", "left_anti")
-            (
-                doclens.withColumn(
-                    "bucket",
-                    F.pmod(F.xxhash64(F.col("doc_id")), F.lit(n_buckets)).cast(
-                        "long"
-                    ),
+
+            def _write_merged_doclens() -> None:
+                spark.sparkContext.setJobDescription("bm25 compact: doclens")
+                doclens = _union("doclens", dl_dirs, ["doc_id", "dl", "fp_text"])
+                if tomb is not None:
+                    doclens = doclens.join(tomb, "doc_id", "left_anti")
+                (
+                    doclens.withColumn(
+                        "bucket",
+                        F.pmod(
+                            F.xxhash64(F.col("doc_id")), F.lit(n_buckets)
+                        ).cast("long"),
+                    )
+                    .repartition(F.col("bucket"))
+                    .sortWithinPartitions("bucket", "doc_id")
+                    .write.mode("overwrite")
+                    .option("partitionOverwriteMode", "static")
+                    .partitionBy("bucket")
+                    .parquet(f"{path}/{new_base_name}/doclens")
                 )
-                .repartition(F.col("bucket"))
-                .sortWithinPartitions("bucket", "doc_id")
-                .write.mode("overwrite")
-                .option("partitionOverwriteMode", "static")
-                .partitionBy("bucket")
-                .parquet(f"{path}/{new_base_name}/doclens")
-            )
+
+            write_thunks.append(_write_merged_doclens)
+        if write_thunks:
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(max_workers=len(write_thunks)) as pool:
+                for fut in [pool.submit(fn) for fn in write_thunks]:
+                    fut.result()
         if post_dirs or dl_dirs:
             meta["base_gen"] = gen
             meta["base_dir"] = new_base_name
@@ -759,32 +865,53 @@ def delete_bm25_docs(
         # back to the planner's join instead of OOMing the driver.
         from restructure_hdfs_topic_spark.generations import broadcast_if_bounded
 
-        hits = doclens.join(broadcast_if_bounded(want), "doc_id")
-        # Durability-first stat derivation: write the candidate tombstone
-        # generation, then compute the subtraction stats from the
-        # READ-BACK written set — so the published stats can never
-        # disagree with the durable tombstone set even if ``ids`` is a
-        # non-deterministic plan (a sampled takedown batch, a limit):
-        # whatever materialized IS what gets accounted.
+        # Durability-first stat derivation: the subtraction stats ride
+        # the tombstone-generation WRITE as an ``Observation`` on the
+        # hits subtree (r14, guide §1.4) — the observed rows ARE the rows
+        # that materialize into the durable set (hits is already
+        # anti-joined against the old tombstones, so hits ≡ written ∖
+        # old), which preserves the invariant that published stats can
+        # never disagree with the durable ids even when ``ids`` is a
+        # non-deterministic plan.  Bounded-wait getter + read-back
+        # fallback (ADVICE r13 #3): a pruned metrics node degrades to
+        # the previous separate aggregation job, never to a hang.
+        from pyspark.sql import Observation
+
         from restructure_hdfs_topic_spark.generations import (
             drop_tombstone_generation,
+            observation_get_bounded,
             write_tombstone_generation,
         )
 
+        del_obs = Observation()
+        hits = doclens.join(broadcast_if_bounded(want), "doc_id").observe(
+            del_obs,
+            F.count(F.lit(1)).alias("n_all"),
+            F.sum(F.when(F.col("dl") > 0, 1).otherwise(0)).alias("n_docs"),
+            F.sum("dl").alias("sum_dl"),
+            F.bit_xor(F.xxhash64(F.col("doc_id"))).alias("x_id"),
+            F.bit_xor(F.col("fp_text")).alias("x_text"),
+        )
         new_tomb = hits.select("doc_id")
         if tomb is not None:
             new_tomb = new_tomb.unionByName(tomb)
         gen, name, written = write_tombstone_generation(
             spark, path, meta, new_tomb, "doc_id", schema=_tomb_schema(meta)
         )
-        newly = written.join(tomb, "doc_id", "left_anti") if tomb is not None else written
-        agg = doclens.join(newly, "doc_id").agg(
-            F.count(F.lit(1)).alias("n_all"),
-            F.sum(F.when(F.col("dl") > 0, 1).otherwise(0)).alias("n_docs"),
-            F.sum("dl").alias("sum_dl"),
-            F.bit_xor(F.xxhash64(F.col("doc_id"))).alias("x_id"),
-            F.bit_xor(F.col("fp_text")).alias("x_text"),
-        ).collect()[0]
+        agg = observation_get_bounded(del_obs)
+        if agg is None:
+            newly = (
+                written.join(tomb, "doc_id", "left_anti")
+                if tomb is not None
+                else written
+            )
+            agg = doclens.join(newly, "doc_id").agg(
+                F.count(F.lit(1)).alias("n_all"),
+                F.sum(F.when(F.col("dl") > 0, 1).otherwise(0)).alias("n_docs"),
+                F.sum("dl").alias("sum_dl"),
+                F.bit_xor(F.xxhash64(F.col("doc_id"))).alias("x_id"),
+                F.bit_xor(F.col("fp_text")).alias("x_text"),
+            ).collect()[0]
         n_all = int(agg["n_all"] or 0)
         if n_all == 0:
             # No live hits — rebuild-on-complement no-op.  Remove the

@@ -132,3 +132,38 @@ def test_null_terms_and_string_id_empty_schema(spark, index_path, tmp_path):
     )
     assert miss.schema == hit.schema
     assert hit.unionByName(miss).count() == hit.count() == 2
+
+
+def test_segment_fingerprint_rides_doclens_write(spark, tmp_path):
+    """r14: _write_segment derives the corpus fingerprint from an
+    Observation on the doclens write; it must equal the direct
+    corpus_fingerprint scan — including empty-text docs (doclens rows
+    with dl=0) and the all-empty corpus (no part dirs → zeros, the
+    observation never consulted)."""
+    docs = spark.createDataFrame(
+        [(1, "alpha beta beta"), (2, ""), (3, "gamma"), (4, "   "),
+         (5, "alpha gamma delta")],
+        "doc_id long, text string",
+    )
+    # fp_mod=1 hashes EVERY text → the strictest equality surface.
+    n_docs, sum_dl, fp = bix._write_segment(
+        docs, str(tmp_path / "seg"), "doc_id", "text", n_buckets=4, fp_mod=1
+    )
+    assert (n_docs, sum_dl) == (3, 7)
+    assert fp == bix.corpus_fingerprint(docs, text_sample_mod=1)
+
+    # Sampled rule (default mod): same equality through the null-skipping
+    # bit_xor path.
+    n_docs2, sum_dl2, fp2 = bix._write_segment(
+        docs, str(tmp_path / "seg2"), "doc_id", "text", n_buckets=4
+    )
+    assert fp2 == bix.corpus_fingerprint(docs)
+
+    # Empty input: no part dirs are written; the fingerprint is zeros and
+    # matches the scan's empty-aggregate convention.
+    empty = docs.filter(F.lit(False))
+    n_docs3, sum_dl3, fp3 = bix._write_segment(
+        empty, str(tmp_path / "seg3"), "doc_id", "text", n_buckets=4
+    )
+    assert (n_docs3, sum_dl3) == (0, 0)
+    assert fp3 == bix.corpus_fingerprint(empty)
