@@ -111,6 +111,16 @@ def export_jsonl_shards(
         .mode("overwrite")
         .save(f"{path}/data")
     )
+    return _write_manifest(spark, tagged, path, token_count_col)
+
+
+def _write_manifest(spark, tagged: DataFrame, path: str, token_count_col):
+    """Aggregate the per-shard manifest ONCE (r14, guide §1.4): the
+    |shards|-row result is collected, written as the manifest file from
+    the local rows, and returned as a local-relation DataFrame — the
+    caller's near-universal ``manifest.collect()`` then reads driver
+    memory instead of re-running the aggregate over the tagged frame (one
+    whole Spark job per export, twice at 100 TB shard counts)."""
     aggs = [F.count(F.lit(1)).alias("n_rows")]
     if token_count_col is not None:
         aggs.append(
@@ -118,7 +128,9 @@ def export_jsonl_shards(
                 "n_tokens"
             )
         )
-    manifest = tagged.groupBy("shard").agg(*aggs).orderBy("shard")
+    agg = tagged.groupBy("shard").agg(*aggs).orderBy("shard")
+    rows = agg.collect()
+    manifest = spark.createDataFrame(rows, agg.schema)
     manifest.coalesce(1).write.format("json").mode("overwrite").save(
         f"{path}/manifest"
     )
@@ -175,18 +187,7 @@ def export_epoch_shards(
         .mode("overwrite")
         .save(f"{path}/data")
     )
-    aggs = [F.count(F.lit(1)).alias("n_rows")]
-    if token_count_col is not None:
-        aggs.append(
-            F.sum(F.coalesce(F.col(token_count_col).cast("long"), F.lit(0))).alias(
-                "n_tokens"
-            )
-        )
-    manifest = tagged.groupBy("shard").agg(*aggs).orderBy("shard")
-    manifest.coalesce(1).write.format("json").mode("overwrite").save(
-        f"{path}/manifest"
-    )
-    return manifest
+    return _write_manifest(spark, tagged, path, token_count_col)
 
 
 def read_shards(
