@@ -313,3 +313,27 @@ def sweep_generational_litter(
             if delete_small_file(f"{path}/{meta_name}{suffix}", spark=spark):
                 removed.append(f"{meta_name}{suffix}")
     return removed
+
+
+def observation_get_bounded(obs, timeout_s: float = 120.0):
+    """``Observation.get`` with a BOUNDED wait (ADVICE r13 #3): the Scala
+    getter blocks indefinitely when the CollectMetrics node was pruned
+    from the executed plan and the metrics never fire — raising on this
+    Spark version, but version-sensitive.  Returns the metrics row-dict,
+    or ``None`` on timeout/error — callers fall back to a read-back
+    computation over the durable artifact, so a pruned observation can
+    degrade to one extra job but never to a hang or a wrong stat."""
+    import threading
+
+    box: dict = {}
+
+    def _run() -> None:
+        try:
+            box["row"] = obs.get
+        except Exception:
+            pass
+
+    t = threading.Thread(target=_run, daemon=True)
+    t.start()
+    t.join(timeout_s)
+    return box.get("row")

@@ -769,20 +769,36 @@ def delete_ivf_vectors(
         # the driver.
         from restructure_hdfs_topic_spark.generations import broadcast_if_bounded
 
-        hits = live.join(broadcast_if_bounded(want), "id")
+        # The delta count rides the tombstone write as an Observation on
+        # the hits subtree (r14, guide §1.4; hits ≡ written ∖ old, so the
+        # observed rows ARE the newly-durable ids) — bounded-wait getter
+        # with the read-back count as the fallback (ADVICE r13 #3).
+        from pyspark.sql import Observation
+
         from restructure_hdfs_topic_spark.generations import (
             drop_tombstone_generation,
+            observation_get_bounded,
             write_tombstone_generation,
         )
 
+        del_obs = Observation()
+        hits = live.join(broadcast_if_bounded(want), "id").observe(
+            del_obs, F.count(F.lit(1)).alias("n")
+        )
         new_tomb = hits if tomb is None else hits.unionByName(tomb)
         gen, name, written = write_tombstone_generation(
             spark, path, meta, new_tomb, "id", schema=_TOMB_SCHEMA
         )
-        newly = (
-            written.join(tomb, "id", "left_anti") if tomb is not None else written
-        )
-        delta = int(newly.count())
+        row = observation_get_bounded(del_obs)
+        if row is None:
+            newly = (
+                written.join(tomb, "id", "left_anti")
+                if tomb is not None
+                else written
+            )
+            delta = int(newly.count())
+        else:
+            delta = int(row["n"] or 0)
         if delta == 0:
             drop_tombstone_generation(spark, path, meta, name)
             return meta
@@ -870,7 +886,9 @@ def vacuum_ivf_index(
         ) or small_file_exists(f"{old_base}/codes", spark=spark):
             kinds.append("codes")
         obs = Observation()
-        for kind in kinds:
+
+        def _rewrite(kind: str) -> None:
+            spark.sparkContext.setJobDescription(f"ivf vacuum: {kind}")
             live = _read_ivf_union(spark, meta, path, kind)
             if tomb is not None:
                 live = live.join(tomb, "id", "left_anti")
@@ -885,6 +903,15 @@ def vacuum_ivf_index(
                 .partitionBy("cluster")
                 .parquet(f"{path}/{new_base}/{kind}")
             )
+
+        # The per-kind rewrites (assignments, and codes on PQ-carrying
+        # indexes) target disjoint dirs from independent plans — overlap
+        # them (r14, guide §2.6).
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=len(kinds)) as pool:
+            for fut in [pool.submit(_rewrite, kind) for kind in kinds]:
+                fut.result()
         # Survivor count from the rewrite itself: dir listing first (an
         # all-deleted corpus writes no part files and may prune the
         # metrics node — the append path's ADVICE r13 #3 discipline),
