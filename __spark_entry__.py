@@ -59,13 +59,51 @@ from restructure_hdfs_topic_spark.sources.tables import load_table as _t
 
 def _parquet_rows(sf_dir: str, name: str) -> int | None:
     """Row count from the parquet footer (driver-side, no Spark job) —
-    operator sizing needs only the order of magnitude."""
+    operator sizing needs only the order of magnitude.  (For a WHOLE
+    table the footer count is also exact — identical to ``count()`` on
+    the unfiltered frame — which is why the artifact staleness markers
+    below use it instead of a per-call count job.)"""
     try:
         import pyarrow.parquet as pq
 
         return pq.ParquetFile(os.path.join(sf_dir, f"{name}.parquet")).metadata.num_rows
     except Exception:
         return None
+
+
+_STAT_MEMO: dict = {}
+_STAT_MEMO_CAP = 256
+
+
+def _stat_memo(sf_dir: str, name: str, variant: str, compute):
+    """File-stat-keyed memo for corpus-derived staleness-check values
+    (fingerprints, filtered counts): keyed on the backing parquet file's
+    (abs path, mtime_ns, size) + a variant tag naming the computation —
+    the ADVICE-r13-A5 schema-memo discipline.  While the file on disk is
+    unchanged, the fingerprint/count over it cannot have changed, so the
+    warm serve rows stop paying one corpus scan per call just to re-prove
+    the artifact is fresh; a regenerated file (new mtime/size) recomputes.
+    Limitation (same as the schema memo, documented there): an in-place
+    rewrite preserving BOTH mtime_ns and size serves a stale value.
+    Hits are disclosed via memostats("corpus_fp")."""
+    from restructure_hdfs_topic_spark import memostats
+
+    p = os.path.join(sf_dir, f"{name}.parquet")
+    try:
+        stt = os.stat(p)
+        key = (os.path.abspath(p), stt.st_mtime_ns, stt.st_size, variant)
+    except OSError:
+        key = None
+    hit = key is not None and key in _STAT_MEMO
+    memostats.record("corpus_fp", bool(hit))
+    if hit:
+        return _STAT_MEMO[key]
+    val = compute()
+    if key is not None:
+        if len(_STAT_MEMO) >= _STAT_MEMO_CAP:
+            _STAT_MEMO.pop(next(iter(_STAT_MEMO)))
+        _STAT_MEMO[key] = val
+    return val
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -655,8 +693,12 @@ def q_bm25_index_query(spark: SparkSession, sf_dir: str) -> DataFrame:
                 meta = _json.load(fh)
             stale = any(meta.get(k) != v for k, v in wanted.items())
             if not stale:
-                live_fp = corpus_fingerprint(
-                    docs, text_sample_mod=int(meta.get("fp_mod", 101))
+                mod = int(meta.get("fp_mod", 101))
+                live_fp = _stat_memo(
+                    sf_dir,
+                    "documents",
+                    f"fp_full_m{mod}",
+                    lambda: corpus_fingerprint(docs, text_sample_mod=mod),
                 )
                 stale = any(meta.get(k) != v for k, v in live_fp.items())
         except (ValueError, OSError):
@@ -766,8 +808,12 @@ def q_bm25_segment_query(spark: SparkSession, sf_dir: str) -> DataFrame:
                 # Meta fp covers the BASE half; fold in the segment's to
                 # compare against the full live corpus (disjoint XORs).
                 seg = meta["segments"][0]
-                live = corpus_fingerprint(
-                    docs, text_sample_mod=int(meta.get("fp_mod", 101))
+                mod = int(meta.get("fp_mod", 101))
+                live = _stat_memo(
+                    sf_dir,
+                    "documents",
+                    f"fp_full_m{mod}",
+                    lambda: corpus_fingerprint(docs, text_sample_mod=mod),
                 )
                 stale = (
                     meta["fp_count"] + seg["fp_count"] != live["fp_count"]
@@ -833,9 +879,15 @@ def q_bm25_tombstone_query(spark: SparkSession, sf_dir: str) -> DataFrame:
                 # fresh fingerprint of the live COMPLEMENT corpus — the
                 # exact corpus the tombstoned index serves.
                 seg = meta["segments"][0]
-                live = corpus_fingerprint(
-                    docs.filter(F.col("doc_id") % 7 != 3),
-                    text_sample_mod=int(meta.get("fp_mod", 101)),
+                mod = int(meta.get("fp_mod", 101))
+                live = _stat_memo(
+                    sf_dir,
+                    "documents",
+                    f"fp_id7ne3_m{mod}",
+                    lambda: corpus_fingerprint(
+                        docs.filter(F.col("doc_id") % 7 != 3),
+                        text_sample_mod=mod,
+                    ),
                 )
                 stale = (
                     meta["fp_count"]
@@ -1616,7 +1668,9 @@ def q_ivf_index_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the warm bench iterations should measure.  The cold first call pays
     # the build.
     if _rebuild_this_process(path, not os.path.exists(f"{path}/_ivf_meta.json")):
-        build_ivf_index(emb, path, lloyd_iters=1)
+        build_ivf_index(
+            emb, path, lloyd_iters=1, n_rows=_parquet_rows(sf_dir, "embeddings")
+        )
     queries = emb.filter(F.col("vec_id") % 20 == 0)
     return query_ivf_index(spark, path, queries, k=5, nprobe=10)
 
@@ -1651,11 +1705,17 @@ def q_ivf_tombstone_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         try:
             meta = load_ivf_meta(spark, path)
             # Build-once keying: same corpus size, deletion state applied.
-            stale = not meta.get("tomb_dir") or int(meta["n"]) != emb.count()
+            # The footer count is exact for the whole table — no count job.
+            n_emb = _parquet_rows(sf_dir, "embeddings")
+            stale = not meta.get("tomb_dir") or int(meta["n"]) != (
+                n_emb if n_emb is not None else emb.count()
+            )
         except Exception:
             stale = True
     if _rebuild_this_process(path, stale):
-        build_ivf_index(emb, path, lloyd_iters=1)
+        build_ivf_index(
+            emb, path, lloyd_iters=1, n_rows=_parquet_rows(sf_dir, "embeddings")
+        )
         delete_ivf_vectors(
             spark, path, emb.filter(F.col("vec_id") % 7 == 3).select("vec_id")
         )
@@ -1757,11 +1817,17 @@ def q_ivf_append_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     clean = f"/tmp/spark_graft_ivf_replay_{sf_tag}_clean"
     base = emb.filter(F.col("vec_id") % 3 != 0)
     extra = emb.filter(F.col("vec_id") % 3 == 0)
+    # The marker count is over a FILTERED frame — memoized on the backing
+    # file's stat (unchanged file → unchanged count), so warm calls skip
+    # the count job; the build reuses the same number as its n_rows.
+    n_base = int(
+        _stat_memo(sf_dir, "embeddings", "count_id3ne0", lambda: base.count())
+    )
     _artifact_template(
         spark,
         tmpl,
-        {"kind": "ivf_replay_base", "n": int(base.count())},
-        lambda: build_ivf_index(base, f"{tmpl}/idx", lloyd_iters=1),
+        {"kind": "ivf_replay_base", "n": n_base},
+        lambda: build_ivf_index(base, f"{tmpl}/idx", lloyd_iters=1, n_rows=n_base),
     )
     for p in (crashy, clean):
         _copy_artifact(f"{tmpl}/idx", p)
@@ -1863,11 +1929,12 @@ def q_ivf_lifecycle_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
     sf_tag = os.path.basename(os.path.normpath(sf_dir))
     tmpl = f"/tmp/spark_graft_ivf_chain_{sf_tag}_tmpl"
     path = f"/tmp/spark_graft_ivf_chain_{sf_tag}_run"
+    n_emb = _parquet_rows(sf_dir, "embeddings")
     _artifact_template(
         spark,
         tmpl,
-        {"kind": "ivf_chain_base", "n": int(emb.count())},
-        lambda: build_ivf_index(emb, f"{tmpl}/idx", lloyd_iters=1),
+        {"kind": "ivf_chain_base", "n": int(n_emb if n_emb is not None else emb.count())},
+        lambda: build_ivf_index(emb, f"{tmpl}/idx", lloyd_iters=1, n_rows=n_emb),
     )
     _copy_artifact(f"{tmpl}/idx", path)  # fresh deterministic chain
     # Fused delete+vacuum (r14, VERDICT r13 #4): the takedown batch is
@@ -1922,7 +1989,12 @@ def q_corpus_forget(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def _build_all():
         build_bm25_index(docs, f"{tmpl}/bm25", n_buckets=64)
-        build_ivf_index(emb, f"{tmpl}/ivf", lloyd_iters=1)
+        build_ivf_index(
+            emb,
+            f"{tmpl}/ivf",
+            lloyd_iters=1,
+            n_rows=_parquet_rows(sf_dir, "embeddings"),
+        )
         ingest_batch(
             spark,
             f"{tmpl}/state",
@@ -1932,10 +2004,22 @@ def q_corpus_forget(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
 
+    n_emb = _parquet_rows(sf_dir, "embeddings")
     _artifact_template(
         spark,
         tmpl,
-        {"kind": "forget_base", **corpus_fingerprint(docs), "n_emb": int(emb.count())},
+        {
+            "kind": "forget_base",
+            # Marker fingerprint memoized on the documents file's stat —
+            # warm calls skip the per-call fingerprint scan + count job.
+            **_stat_memo(
+                sf_dir,
+                "documents",
+                "fp_full_m101",
+                lambda: corpus_fingerprint(docs),
+            ),
+            "n_emb": int(n_emb if n_emb is not None else emb.count()),
+        },
         _build_all,
     )
     # Fresh working copy per call (the counters describe THIS run); the
@@ -2114,7 +2198,9 @@ def q_ivfpq_index_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         import shutil
 
         shutil.rmtree(path, ignore_errors=True)
-        build_ivf_index(emb, path, lloyd_iters=1)
+        build_ivf_index(
+            emb, path, lloyd_iters=1, n_rows=_parquet_rows(sf_dir, "embeddings")
+        )
         build_pq_for_ivf(emb, path, m=want_m)
     queries = emb.filter(F.col("vec_id") % 20 == 0)
     return query_ivfpq_index(spark, path, queries, k=5, nprobe=10, rerank_factor=4)
