@@ -116,11 +116,32 @@ def export_jsonl_shards(
 
 def _write_manifest(spark, tagged: DataFrame, path: str, token_count_col):
     """Aggregate the per-shard manifest ONCE (r14, guide §1.4): the
-    |shards|-row result is collected, written as the manifest file from
-    the local rows, and returned as a local-relation DataFrame — the
-    caller's near-universal ``manifest.collect()`` then reads driver
-    memory instead of re-running the aggregate over the tagged frame (one
-    whole Spark job per export, twice at 100 TB shard counts)."""
+    |shards|-row result is collected, the manifest file is written from
+    the driver (Hadoop FS bytes — the rows are already local, no Spark
+    job), and a single-slice local frame with the same schema/contents
+    is returned — the caller's near-universal ``manifest.collect()``
+    costs one 1-partition task instead of re-running the aggregate over
+    the tagged frame (a whole extra pipeline-tail job at 100 TB shard
+    counts).  The JSON lines match Spark's writer byte-for-byte (schema
+    field order, compact separators), so ``read_shards`` and any other
+    ``spark.read.json`` consumer is unaffected.
+
+    Measured traps (why the driver-side write and the VALUES return, not
+    a Spark write/collect of a ``createDataFrame`` frame): a
+    ``createDataFrame(rows)`` frame is backed by a defaultParallelism-
+    sliced Python RDD — ``coalesce(1).write`` pays one sequential
+    Python-worker roundtrip PER PARENT SLICE (~6 s for a 4-row manifest
+    on local[32]), and even a 1-slice variant makes every caller collect
+    spawn a Python worker, which measurably loses under the export
+    pool's concurrency.  A SQL ``VALUES`` LocalRelation collects via
+    ``executeCollect`` — no job, no Python worker."""
+    import json as _json
+
+    from restructure_hdfs_topic_spark.compression import (
+        fs_delete_dir,
+        write_small_file,
+    )
+
     aggs = [F.count(F.lit(1)).alias("n_rows")]
     if token_count_col is not None:
         aggs.append(
@@ -130,11 +151,32 @@ def _write_manifest(spark, tagged: DataFrame, path: str, token_count_col):
         )
     agg = tagged.groupBy("shard").agg(*aggs).orderBy("shard")
     rows = agg.collect()
-    manifest = spark.createDataFrame(rows, agg.schema)
-    manifest.coalesce(1).write.format("json").mode("overwrite").save(
-        f"{path}/manifest"
+    fields = agg.schema.fieldNames()
+    payload = "".join(
+        _json.dumps({f: r[f] for f in fields}, separators=(",", ":")) + "\n"
+        for r in rows
     )
-    return manifest
+    fs_delete_dir(f"{path}/manifest", spark)
+    if "://" not in path:
+        import os as _os
+
+        _os.makedirs(f"{path}/manifest", exist_ok=True)
+    write_small_file(
+        f"{path}/manifest/part-00000.json", payload.encode("utf-8"), spark=spark
+    )
+    write_small_file(f"{path}/manifest/_SUCCESS", b"", spark=spark)
+    if not rows:
+        return spark.createDataFrame([], agg.schema)
+    # All-integer manifest rows → a literal VALUES relation (safe to
+    # inline, nothing user-controlled survives int()).
+    types = {f.name: f.dataType.simpleString() for f in agg.schema.fields}
+    vals = ",".join(
+        "(" + ",".join(str(int(r[f])) for f in fields) + ")" for r in rows
+    )
+    cols = ",".join(f"CAST({f} AS {types[f]}) AS {f}" for f in fields)
+    return spark.sql(
+        f"SELECT {cols} FROM (VALUES {vals}) AS t({','.join(fields)})"
+    )
 
 
 def export_epoch_shards(
